@@ -1,0 +1,77 @@
+"""Replicates the driver's DuckDB-oracle gate locally: for every
+registered query with an oracle, run the Spark side and the SQL side
+on sf0.01 and compare row count, schema (column names), and values
+(columns sorted by name, rows sorted, exact equality after the
+rounding both sides already apply)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vector_databases___hydrate_chroma_db_collection_spark import queries as registry
+
+from .conftest import SF_CORRECT
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_float_dtype(s):
+            pdf[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("int64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # lists/arrays -> tuples so they sort/compare
+            pdf[c] = s.map(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+            )
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return pdf
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: str) -> None:
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column mismatch {sorted(spark_pdf.columns)} vs {sorted(duck_pdf.columns)}"
+    )
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row count {len(spark_pdf)} vs {len(duck_pdf)}"
+    )
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if pd.api.types.is_float_dtype(a[c]):
+            ok = (
+                np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=0, equal_nan=True)
+            )
+        else:
+            ok = av == bv
+            ok = np.where(pd.isna(av) & pd.isna(bv), True, ok)
+        if not np.all(ok):
+            bad = np.flatnonzero(~ok)[:5]
+            raise AssertionError(
+                f"{name}: column {c!r} differs at rows {bad.tolist()}: "
+                f"spark={av[bad].tolist()} duck={bv[bad].tolist()}"
+            )
+
+
+ORACLE_NAMES = sorted(registry.ORACLES)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle(spark, duck, name):
+    spark_df = registry.QUERIES[name](spark, SF_CORRECT)
+    spark_pdf = spark_df.toPandas()
+    duck_pdf = duck.execute(registry.ORACLES[name]).fetchdf()
+    compare(spark_pdf, duck_pdf, name)
+
+
+def test_all_queries_run_and_return_rows(spark):
+    # Queries without oracles still must run (rows-only driver check).
+    for name, fn in registry.QUERIES.items():
+        df = fn(spark, SF_CORRECT)
+        assert df.count() >= 0, name

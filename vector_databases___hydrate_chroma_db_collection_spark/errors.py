@@ -1,0 +1,48 @@
+"""Typed engine errors.
+
+The reference implements fail-fast validation via SAS macro error
+flags and log messages (reference sas:219-224, 324-334, 353-374,
+392-417, gates at sas:444-502). We surface the same checks as typed
+Python exceptions raised before any job is submitted.
+"""
+
+from __future__ import annotations
+
+
+class EngineError(Exception):
+    """Base class for all engine errors."""
+
+
+class TableNotFoundError(EngineError):
+    """Input table/path does not exist (reference: caslib resolution
+    failure, sas:324-334, 452-466)."""
+
+
+class PatternMatchError(EngineError):
+    """Embedding column pattern matched no columns (reference:
+    `filter(like=pattern)` yielding empty frame, sas:156-161)."""
+
+
+class InvalidPathError(EngineError):
+    """Collection persistent path is invalid (reference: path scheme
+    parse + sasserver: enforcement, sas:392-417, 473-498)."""
+
+
+class DuplicateIdError(EngineError):
+    """Document ids are not unique (reference assumes uniqueness,
+    README.md:73; Chroma rejects duplicate ids at add time)."""
+
+
+class EmbeddingDimensionError(EngineError):
+    """Vector column has inconsistent or null-containing dimensions
+    under the strict policy (reference quirk Q1: per-row dropna would
+    silently shorten vectors, sas:162)."""
+
+
+class CollectionNotFoundError(EngineError):
+    """Collection manifest missing where one is required."""
+
+
+class DisabledError(EngineError):
+    """Pipeline node disabled via run-time trigger (reference:
+    `_hcdc_run_trigger`, sas:244-255, 527-538)."""

@@ -1,0 +1,113 @@
+"""Text analysis as Catalyst expressions.
+
+The reference treats the document column as an opaque payload
+(reference sas:179); a training-data pipeline needs to score, filter
+and fingerprint text at scale. Everything here is a pure expression
+(split/regexp/aggregate) — JVM-side, codegen-friendly, no UDFs — and
+each function has an exact ANSI-SQL equivalent used by the DuckDB
+oracle harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual stopword lists for the language-ID heuristic and
+# stopword-ratio quality signal. Deliberately small + frozen: the
+# oracle SQL embeds the same lists.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "que", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "que", "en", "un", "est"),
+    "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
+}
+
+FINGERPRINT_BASE = 131
+FINGERPRINT_MOD = 2**61 - 1
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Canonical form for dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), r"\s+", " "))
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization, empty tokens removed."""
+    return F.filter(F.split(_c(text), r"\s+"), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_c(text))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are ASCII punctuation."""
+    t = _c(text)
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"\p{Punct}", ""))
+    return punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are (lang) stopwords — a classic
+    fluency signal for quality filtering."""
+    toks = tokens(F.lower(_c(text)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic composite quality score in [0,1]:
+
+    0.4 * length_score  (tokens/100 capped at 1)
+    + 0.4 * (1 - punct_ratio)
+    + 0.2 * stopword presence score (ratio/0.1 capped at 1)
+
+    The exact formula is arbitrary but frozen — the oracle SQL
+    replicates it literally.
+    """
+    tc = token_count(text).cast("double")
+    length_score = F.least(tc / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - punct_ratio(text)
+    sw_score = F.least(stopword_ratio(text) / F.lit(0.1), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_score + F.lit(0.4) * punct_score + F.lit(0.2) * sw_score, 6
+    )
+
+
+def language_id(text: Column | str) -> Column:
+    """Stopword-vote language heuristic: count hits per language list,
+    argmax wins (ties broken by language code order); 'und' if no
+    hits. Pure expression — at 100 TB this is a scan with no shuffle."""
+    toks = tokens(F.lower(_c(text)))
+    hit_cols = []
+    for code in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x, sw=sw: F.array_contains(sw, x))).alias("hits"),
+                F.lit(code).alias("code"),
+            )
+        )
+    # array_max over (hits, code) structs: max hits, then max code —
+    # to keep ties deterministic we order codes so later-wins matches
+    # the documented tie-break (alphabetically last on equal hits).
+    best = F.array_max(F.array(*hit_cols))
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: md5 of the normalized
+    text (hex). md5 exists in both Spark and DuckDB, making the
+    fingerprint oracle-checkable; an xxhash64 variant would be faster
+    but is not portable to the oracle."""
+    return F.md5(normalize_text(text).cast("binary"))

@@ -1,0 +1,229 @@
+"""Collection hydration — the reference's entire reason to exist.
+
+Reference pipeline (sas:126-193): bind CAS table -> collect all rows
+to driver pandas -> assemble embedding lists row-by-row -> one giant
+``collection.add(ids, documents, embeddings, metadatas)`` call.
+Single node, O(table) driver memory, one monolithic insert.
+
+Spark-native pipeline: declarative plan (scan -> project/cast ->
+optional dedup guard) executed distributed, written as partitioned
+Parquet appends into the collection dataset. Nothing is collected;
+the driver only sees counts (via the same pre/post count observable
+the reference logs, sas:134/193). An optional mirror sink streams
+partition-local batches into a live Chroma client via
+``foreachPartition`` — batch size bounded, executor-local clients —
+for users who need a real Chroma store next to the Parquet truth.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+    DisabledError,
+    DuplicateIdError,
+    EmbeddingDimensionError,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    DATA_DIR,
+    CollectionManifest,
+    get_or_create_collection,
+    read_collection,
+)
+
+CANONICAL_COLUMNS = ("id", "document", "embedding", "metadata")
+
+
+@dataclass(frozen=True)
+class HydrationConfig:
+    """Mirror of the reference's UI parameters (step:1 /ui; sas:21-30).
+
+    - ``id_col``/``text_col``/``metadata_col``: column bindings
+      (reference: docId, textVar, metadataColumn).
+    - ``metadata_key``: the reference hard-codes the metadata key to
+      "rating" whatever column was picked (sas:181); we default to the
+      column's own name and offer the compat constant.
+    - ``enabled``: the reference's `_hcdc_run_trigger` run-time gate
+      (sas:244-255, 527-538).
+    - ``on_duplicate``: 'error' (Chroma add() semantics — duplicate
+      ids rejected), 'first' (keep lowest id per key), 'upsert'
+      (replace rows already in the collection).
+    """
+
+    collection_name: str
+    root: str
+    id_col: str = "id"
+    text_col: str = "document"
+    embedding_col: str = "embedding"
+    metadata_col: str | None = None
+    metadata_key: str | None = None
+    metric: str = "cosine"
+    enabled: bool = True
+    on_duplicate: str = "error"
+    dim: int | None = None
+
+
+@dataclass
+class HydrationReport:
+    """The reference logs count-before and count-after (sas:134,193);
+    we return them, plus row accounting for rejected input."""
+
+    collection: CollectionManifest
+    count_before: int
+    count_after: int
+    rows_in: int
+    rows_written: int
+    rows_rejected: int = 0
+    notes: list[str] = field(default_factory=list)
+
+
+def build_hydration_input(df: DataFrame, cfg: HydrationConfig) -> DataFrame:
+    """Project an arbitrary DataFrame to the canonical collection
+    schema. Ids are cast(string) (quirk Q2, sas:178); metadata is a
+    single-key map like the reference's ``{"rating": v}`` (sas:181)
+    when a metadata column is bound, else an empty map."""
+    id_expr = F.col(cfg.id_col).cast("string").alias("id")
+    doc_expr = F.col(cfg.text_col).cast("string").alias("document")
+    emb_expr = F.col(cfg.embedding_col).cast("array<float>").alias("embedding")
+    if cfg.metadata_col is not None:
+        key = cfg.metadata_key or cfg.metadata_col
+        meta_expr = F.create_map(
+            F.lit(key), F.col(cfg.metadata_col).cast("string")
+        ).alias("metadata")
+    else:
+        meta_expr = F.create_map().cast("map<string,string>").alias("metadata")
+    return df.select(id_expr, doc_expr, emb_expr, meta_expr)
+
+
+def _infer_dim(df: DataFrame, cfg: HydrationConfig) -> int:
+    if cfg.dim is not None:
+        return cfg.dim
+    row = df.select(F.size("embedding").alias("d")).filter(F.col("d") > 0).first()
+    if row is None:
+        raise EmbeddingDimensionError("cannot infer embedding dimension from empty input")
+    return int(row["d"])
+
+
+def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> HydrationReport:
+    """Load a canonical-shape DataFrame into a collection.
+
+    Scale notes: the duplicate-id guard is one hash aggregation on the
+    id key (map-side partial + final); the dimension guard is a scan-
+    local filter; the write is a parallel Parquet append. For 'upsert'
+    against an existing collection the anti-join broadcasts whichever
+    side AQE finds small. No driver materialization anywhere.
+    """
+    if not cfg.enabled:
+        raise DisabledError("hydration disabled via run-time trigger (cfg.enabled=False)")
+
+    data = build_hydration_input(df, cfg)
+    dim = _infer_dim(data, cfg)
+    manifest = get_or_create_collection(cfg.root, cfg.collection_name, dim, cfg.metric)
+    rows_in = data.count()
+
+    # Dimension policy (quirk Q1): every vector must be exactly
+    # manifest.dim and null-free. Strictness is non-negotiable at
+    # write time — ragged vectors poison distance math downstream.
+    ok = (F.size("embedding") == F.lit(dim)) & ~F.exists(
+        "embedding", lambda x: x.isNull()
+    )
+    good = data.filter(ok)
+
+    # Duplicate-id policy. Chroma's add() errors on duplicates; we
+    # detect them with a single groupBy on the write set.
+    if cfg.on_duplicate == "error":
+        dup = good.groupBy("id").count().filter(F.col("count") > 1).limit(1).collect()
+        if dup:
+            raise DuplicateIdError(f"duplicate id in hydration input: {dup[0]['id']!r}")
+    elif cfg.on_duplicate == "first":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(F.col("document"))
+        good = good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    count_before = _count(spark, cfg)
+
+    if cfg.on_duplicate == "upsert" and count_before > 0:
+        existing = read_collection(spark, cfg.root, cfg.collection_name).select("id")
+        good = good.join(existing, on="id", how="left_anti")
+    elif count_before > 0:
+        # add() semantics vs the existing store: re-adding an id the
+        # collection already holds is an error in Chroma; mirror that.
+        if cfg.on_duplicate == "error":
+            existing = read_collection(spark, cfg.root, cfg.collection_name).select("id")
+            clash = good.join(existing, on="id", how="left_semi").limit(1).collect()
+            if clash:
+                raise DuplicateIdError(
+                    f"id {clash[0]['id']!r} already present in collection "
+                    f"{cfg.collection_name!r}"
+                )
+
+    out_path = os.path.join(cfg.root, manifest.name, DATA_DIR)
+    written = good.cache()
+    rows_written = written.count()
+    written.write.mode("append").parquet(out_path)
+    written.unpersist()
+
+    count_after = _count(spark, cfg)
+    report = HydrationReport(
+        collection=manifest,
+        count_before=count_before,
+        count_after=count_after,
+        rows_in=rows_in,
+        rows_written=rows_written,
+        rows_rejected=rows_in - rows_written,
+    )
+    if report.rows_rejected:
+        report.notes.append(
+            f"{report.rows_rejected} rows rejected (dimension/null policy or duplicate id)"
+        )
+    return report
+
+
+def _count(spark: SparkSession, cfg: HydrationConfig) -> int:
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_count,
+    )
+
+    return collection_count(spark, cfg.root, cfg.collection_name)
+
+
+def mirror_to_chroma(df: DataFrame, persistent_path: str, collection_name: str, batch_size: int = 5000) -> None:
+    """Optional live-Chroma mirror of a canonical-shape DataFrame.
+
+    Executor-local PersistentClient per partition, bounded batches —
+    the distributed replacement for the reference's single monolithic
+    ``collection.add`` (sas:177-190). Gated on chromadb availability;
+    the Parquet dataset remains the source of truth either way.
+    """
+    def write_partition(rows):
+        try:
+            import chromadb  # noqa: F401 — not installed in this container
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "chromadb is not installed; the Parquet collection is the source of truth"
+            ) from e
+        client = chromadb.PersistentClient(path=persistent_path)
+        coll = client.get_or_create_collection(name=collection_name)
+        batch = []
+        for row in rows:
+            batch.append(row)
+            if len(batch) >= batch_size:
+                _flush(coll, batch)
+                batch = []
+        if batch:
+            _flush(coll, batch)
+
+    def _flush(coll, batch):  # pragma: no cover
+        coll.add(
+            ids=[r["id"] for r in batch],
+            documents=[r["document"] for r in batch],
+            embeddings=[list(r["embedding"]) for r in batch],
+            metadatas=[dict(r["metadata"]) for r in batch],
+        )
+
+    df.foreachPartition(write_partition)

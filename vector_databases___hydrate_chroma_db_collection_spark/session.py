@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference bootstraps a CAS session + Chroma client per run
+(reference sas:75-128). Our equivalent is a SparkSession tuned for
+large scans:
+
+- AQE on (runtime coalescing, skew-join splitting) — at 100 TB the
+  static shuffle-partition guess is always wrong somewhere.
+- Arrow enabled for the few pandas-UDF paths (vector ops fallback,
+  multimodal plumbing).
+- shuffle partitions sized to the local test harness; on a real
+  cluster AQE coalesces these upward/downward from the 2048 initial.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vdb-hydrate-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    On a production cluster ``master`` comes from spark-submit; the
+    local default follows the test harness contract
+    (local[$SPARK_GRAFT_CPUS]).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Keep timestamps comparable with external oracles (DuckDB).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

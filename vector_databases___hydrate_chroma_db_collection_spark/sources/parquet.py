@@ -1,0 +1,48 @@
+"""Parquet sources.
+
+The reference's only source is a named CAS table bound via
+``conn.CASTable(name, caslib)`` and then fully collected to driver
+pandas (reference sas:143-147, 161). Here a source is a distributed
+Parquet scan: column pruning and predicate pushdown reach the file
+reader through Catalyst, and nothing is ever collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import TableNotFoundError
+
+# The fixture star schema (TESTDATA.md) plus the vector-domain tables.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Mirrors the reference's caslib+name
+    resolution (sas:143-147) with a typed error instead of a SAS
+    error flag (sas:452-466)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise TableNotFoundError(f"table {name!r} not found at {path}")
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views so ``spark.sql`` works
+    over them — the engine's equivalent of `caslib _ALL_ assign`
+    (reference sas:13-14)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
