@@ -81,3 +81,691 @@ def knn_top5_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("score", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.B): project/filter, joins, aggregation.
+# Spark side is DataFrame API (Catalyst plans the joins/aggs); oracle side
+# is the literal ANSI-SQL twin. Float aggregates are rounded identically.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 6)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter -> hash aggregate. Partial (map-side)
+    aggregation collapses each scan partition to <=6 groups before the
+    shuffle, so this is scan-bound at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> join -> agg -> top-k.
+    customer is broadcast by AQE (small side); lineitem never shuffles
+    more than the filtered join output."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(l.l_orderkey.alias("orderkey"), "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. All dimension tables broadcast;
+    only orders joined lineitem shuffles once on the fact key."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(r)
+        .join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .groupBy(n.n_name.alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_left_order_counts",
+    """
+    SELECT c.c_custkey AS custkey,
+           count(o.o_orderkey) AS order_cnt,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_urgent_orders",
+    """
+    SELECT c_custkey AS custkey, c_mktsegment AS segment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@query(
+    "join_full_nation_activity",
+    """
+    WITH cust AS (
+        SELECT c_nationkey AS nk, count(*) AS customers FROM customer GROUP BY 1
+    ), supp AS (
+        SELECT s_nationkey AS nk, count(*) AS suppliers FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           coalesce(customers, 0) AS customers,
+           coalesce(suppliers, 0) AS suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def join_full_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return (
+        c.join(s, "nk", "full_outer")
+        .select(
+            F.col("nk").cast("int").alias("nationkey"),
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+        )
+    )
+
+
+@query(
+    "join_range_shipped_within_30d",
+    """
+    SELECT o.o_orderkey AS orderkey, count(*) AS lines_shipped_30d
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_shipped_within_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join anchored on an equi key: Catalyst plans the equi part
+    as a hash/sort-merge join and evaluates the range residual as a
+    post-join filter, so there is no quadratic blow-up."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate >= o.o_orderdate)
+        & (l.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"))
+    )
+    return (
+        o.join(l, cond)
+        .groupBy(F.col("o_orderkey").alias("orderkey"))
+        .agg(F.count(F.lit(1)).alias("lines_shipped_30d"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows, rollup/cube, distinct, sort/limit, set ops.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_top3_orders_per_customer",
+    """
+    SELECT custkey, orderkey, totalprice, rn
+    FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               o_totalprice AS totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: one shuffle on the partition key, then a local
+    sort per group. At scale prefer this over global sorts — the sort
+    is bounded by the largest single customer."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_spend",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_event_value",
+    """
+    SELECT event_id,
+           round(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 6) AS value_delta,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_event_type
+    FROM events
+    """,
+)
+def window_lag_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@query(
+    "agg_rollup_returns",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+            "avg_price",
+        )
+    )
+
+
+@query(
+    "agg_distinct_suppliers",
+    """
+    SELECT l_returnflag AS returnflag,
+           count(DISTINCT l_suppkey) AS distinct_suppliers,
+           count(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+    )
+
+
+@query(
+    "sort_top10_orders",
+    """
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def sort_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: plans as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@query(
+    "setop_union_segments",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def setop_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@query(
+    "setop_intersect_active_years",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
+def setop_intersect_active_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    y97 = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return y96.intersect(y97)
+
+
+@query(
+    "setop_except_inactive",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    left = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    right = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return left.exceptAll(right).distinct()
+
+
+# --------------------------------------------------------------------------
+# Scalar function library: string / math / date / JSON / array / map.
+# All built-in pyspark.sql.functions — JVM-side, codegen.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_part",
+    """
+    SELECT p_partkey AS partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           p_type || '/' || p_brand AS type_brand,
+           replace(p_name, ' ', '_') AS name_snake,
+           substring(p_name, 1, 3) AS name_pfx,
+           CASE WHEN p_name LIKE '%bolt%' THEN 1 ELSE 0 END AS is_bolt
+    FROM part
+    """,
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_name", 1, 3).alias("name_pfx"),
+        F.when(F.col("p_name").like("%bolt%"), 1).otherwise(0).alias("is_bolt"),
+    )
+
+
+@query(
+    "scalar_math_lineitem",
+    """
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
+           ceil(l_quantity / 7.0) AS qty_bucket,
+           floor(l_discount * 100) AS disc_pct,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(power(1 + l_tax, 2), 6) AS tax_sq,
+           l_partkey % 10 AS part_mod
+    FROM lineitem
+    WHERE l_orderkey <= 1000
+    """,
+)
+def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.floor(F.col("l_discount") * 100).alias("disc_pct"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_partkey") % 10).alias("part_mod"),
+    )
+
+
+@query(
+    "scalar_date_orders",
+    """
+    SELECT year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           quarter(o_orderdate) AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           count(*) AS order_cnt,
+           round(sum(o_totalprice), 2) AS month_revenue
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+        )
+    )
+
+
+@query(
+    "scalar_json_events",
+    """
+    SELECT event_type,
+           count(*) AS cnt,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "scalar_array_embeddings",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vec_sum,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS vec_norm,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_elem
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+)
+def scalar_array_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("vec_sum"),
+        F.round(l2_norm("embedding"), 4).alias("vec_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
+    )
+
+
+@query(
+    "scalar_map_metadata",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           lang AS meta_lang,
+           source AS meta_source
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def scalar_map_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element access (the reference's metadata
+    wrapping, sas:181, generalized beyond the hard-coded key)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    with_map = d.select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("metadata"),
+    )
+    return with_map.select(
+        "id",
+        F.element_at("metadata", "lang").alias("meta_lang"),
+        F.element_at("metadata", "source").alias("meta_source"),
+    )

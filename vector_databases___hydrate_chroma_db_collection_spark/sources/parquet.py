@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from pyspark.sql import DataFrame, SparkSession
 
 from vector_databases___hydrate_chroma_db_collection_spark.errors import TableNotFoundError
@@ -37,7 +39,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         raise TableNotFoundError(f"table {name!r} not found at {path}")
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    # events.ts is Parquet TIMESTAMP(NANOS); Spark reads it as int64
+    # (spark.sql.legacy.parquet.nanosAsLong) — convert to a proper
+    # microsecond timestamp. `div` keeps the math in integers (a
+    # double round-trip would lose precision above 2^53 ns).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
