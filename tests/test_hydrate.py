@@ -1,0 +1,135 @@
+"""Hydration invariants from the reference semantics (SURVEY.md §5.2):
+count-in == count-out, id stringification (Q2), strict/drop_nulls
+embedding policy (Q1), hard-coded "rating" metadata key compat,
+idempotent get-or-create, duplicate-id rejection."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+    DisabledError,
+    DuplicateIdError,
+    InvalidPathError,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+    HydrationConfig,
+    build_hydration_input,
+    hydrate,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    get_or_create_collection,
+    load_manifest,
+    read_collection,
+)
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (1.0, "first doc", [0.1, 0.2], 5.0),
+            (2.0, "second doc", [0.3, 0.4], 3.0),
+            (3.0, "third doc", [0.5, 0.6], 1.0),
+        ],
+        "uid double, body string, vec array<float>, stars double",
+    )
+
+
+def cfg(root, **kw):
+    base = dict(
+        collection_name="c1",
+        root=str(root),
+        id_col="uid",
+        text_col="body",
+        embedding_col="vec",
+        metadata_col="stars",
+        metadata_key="rating",  # reference compat (sas:181)
+    )
+    base.update(kw)
+    return HydrationConfig(**base)
+
+
+def test_count_in_equals_count_out(spark, sample, tmp_path):
+    report = hydrate(spark, sample, cfg(tmp_path))
+    assert report.rows_in == 3
+    assert report.rows_written == 3
+    assert report.count_before == 0
+    assert report.count_after == 3
+
+
+def test_id_stringification_q2(spark, sample, tmp_path):
+    # double-typed ids stringify like the reference's str(1.0) -> "1.0"
+    hydrate(spark, sample, cfg(tmp_path))
+    ids = {r["id"] for r in read_collection(spark, str(tmp_path), "c1").collect()}
+    assert ids == {"1.0", "2.0", "3.0"}
+
+
+def test_metadata_rating_compat(spark, sample, tmp_path):
+    hydrate(spark, sample, cfg(tmp_path))
+    row = (
+        read_collection(spark, str(tmp_path), "c1")
+        .filter("id = '1.0'")
+        .first()
+    )
+    assert dict(row["metadata"]) == {"rating": "5.0"}
+
+
+def test_duplicate_ids_rejected(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", [0.1, 0.2]), (1, "b", [0.3, 0.4])],
+        "uid int, body string, vec array<float>",
+    )
+    with pytest.raises(DuplicateIdError):
+        hydrate(spark, df, cfg(tmp_path, metadata_col=None, metadata_key=None))
+
+
+def test_re_add_existing_id_rejected(spark, sample, tmp_path):
+    hydrate(spark, sample, cfg(tmp_path))
+    with pytest.raises(DuplicateIdError):
+        hydrate(spark, sample, cfg(tmp_path))
+
+
+def test_upsert_skips_existing(spark, sample, tmp_path):
+    hydrate(spark, sample, cfg(tmp_path))
+    report = hydrate(spark, sample, cfg(tmp_path, on_duplicate="upsert"))
+    assert report.rows_written == 0
+    assert report.count_after == 3
+
+
+def test_dimension_guard_rejects_ragged(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", [0.1, 0.2]), (2, "b", [0.3]), (3, "c", [0.1, None])],
+        "uid int, body string, vec array<float>",
+    )
+    report = hydrate(spark, df, cfg(tmp_path, metadata_col=None, metadata_key=None))
+    assert report.rows_written == 1
+    assert report.rows_rejected == 2
+
+
+def test_get_or_create_idempotent(tmp_path):
+    m1 = get_or_create_collection(str(tmp_path), "c", dim=4)
+    m2 = get_or_create_collection(str(tmp_path), "c", dim=4)
+    assert m1 == m2
+    with pytest.raises(InvalidPathError):
+        get_or_create_collection(str(tmp_path), "c", dim=8)
+    assert load_manifest(str(tmp_path), "c").dim == 4
+
+
+def test_disabled_trigger(spark, sample, tmp_path):
+    # reference run-time trigger compat (sas:244-255, 527-538)
+    with pytest.raises(DisabledError):
+        hydrate(spark, sample, cfg(tmp_path, enabled=False))
+
+
+def test_canonical_projection_shapes(spark, sample):
+    out = build_hydration_input(sample, cfg("/tmp/x"))
+    assert [f.name for f in out.schema.fields] == [
+        "id",
+        "document",
+        "embedding",
+        "metadata",
+    ]
+    assert out.schema["id"].dataType.simpleString() == "string"
+    assert out.schema["embedding"].dataType.simpleString() == "array<float>"
+    assert out.schema["metadata"].dataType.simpleString() == "map<string,string>"

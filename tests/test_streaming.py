@@ -1,0 +1,135 @@
+"""Structured Streaming: file-source replay of the events fixture,
+windowed aggregation parity with the batch twin, watermark dedup,
+and incremental collection hydration via foreachBatch."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+    HydrationConfig,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    read_collection,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import load_table
+from vector_databases___hydrate_chroma_db_collection_spark.streaming.hydrate_stream import (
+    stream_hydrate,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+    dedup_within_watermark,
+    tumbling_event_stats,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    """Replay the events fixture as two file-source micro-batch files
+    (second half arrives 'later', out of order)."""
+    e = load_table(spark, SF_SMOKE, "events")
+    d = tmp_path / "stream_in"
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(str(d / "batch0"))
+    second.write.parquet(str(d / "batch1"))
+    return d, e
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream_dir, tmp_path):
+    d, batch_events = events_stream_dir
+    schema = batch_events.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    agg = tumbling_event_stats(stream, window="6 hours", watermark="1 day")
+    out = tmp_path / "out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    want = tumbling_event_stats(batch_events, window="6 hours")
+    # Append mode only emits windows the watermark has closed; every
+    # emitted window must match its batch twin exactly, and most
+    # windows (all but the tail the watermark holds open) must emit.
+    j = got.alias("g").join(
+        want.alias("w"),
+        ["window_start", "event_type"],
+        "inner",
+    )
+    matched = j.filter(
+        (F.col("g.cnt") == F.col("w.cnt"))
+        & (F.col("g.value_sum") == F.col("w.value_sum"))
+    ).count()
+    assert got.count() > 0
+    assert matched == got.count()
+    assert got.count() >= want.count() * 0.8
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    e = load_table(spark, SF_SMOKE, "events").limit(200)
+    dup = e.union(e)  # every event duplicated
+    d = tmp_path / "in"
+    dup.write.parquet(str(d / "b0"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    deduped = dedup_within_watermark(stream, watermark="1 day")
+    out = tmp_path / "out"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+
+def test_stream_hydrate_appends_collection(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    in_dir = tmp_path / "in"
+    joined.write.parquet(str(in_dir / "b0"))
+
+    stream = (
+        spark.readStream.schema(joined.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    cfg = HydrationConfig(
+        collection_name="stream_coll",
+        root=str(tmp_path / "colls"),
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    q = stream_hydrate(stream, cfg, dim=64, trigger_once=True)
+    q.awaitTermination(120)
+
+    coll = read_collection(spark, str(tmp_path / "colls"), "stream_coll")
+    assert coll.count() == 100
+    assert coll.schema["id"].dataType.simpleString() == "string"

@@ -89,14 +89,15 @@ def language_id(text: Column | str) -> Column:
     argmax wins (ties broken by language code order); 'und' if no
     hits. Pure expression — at 100 TB this is a scan with no shuffle."""
     toks = tokens(F.lower(_c(text)))
+
+    def hits_for(sw: Column) -> Column:
+        return F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+
     hit_cols = []
     for code in sorted(STOPWORDS):
         sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
         hit_cols.append(
-            F.struct(
-                F.size(F.filter(toks, lambda x, sw=sw: F.array_contains(sw, x))).alias("hits"),
-                F.lit(code).alias("code"),
-            )
+            F.struct(hits_for(sw).alias("hits"), F.lit(code).alias("code"))
         )
     # array_max over (hits, code) structs: max hits, then max code —
     # to keep ties deterministic we order codes so later-wins matches

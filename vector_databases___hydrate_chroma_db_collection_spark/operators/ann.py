@@ -1,0 +1,190 @@
+"""Approximate nearest neighbor — the scale path for similarity search.
+
+Exact kNN (knn.py) costs one full corpus pass per query batch. At
+100 TB that pass is the bottleneck, so we trade recall for pruning:
+
+- ``add_lsh_buckets`` / ``lsh_knn_query`` — random-hyperplane LSH.
+  The bucket id is a pure Catalyst expression (sign bits of dot
+  products with ``n_bits`` fixed hyperplanes), so bucketing is free
+  at write time and the bucketed table can be *partitioned* by
+  bucket: a query then prunes to matching partitions (multi-probe:
+  Hamming-adjacent buckets) and reranks exactly. Partition pruning
+  means the 100 TB scan becomes a (100 TB / 2^n_bits * probes) scan.
+
+- ``ivf_build`` / ``ivf_search`` — inverted-file index: KMeans
+  centroids (MLlib, trained on a sample), corpus assigned to nearest
+  centroid, stored partitioned by centroid id. Queries scan only the
+  ``nprobe`` nearest centroids' partitions and rerank exactly.
+  Better recall/selectivity trade-off than LSH for clustered data.
+
+Both return exact distances on the candidate set — approximation is
+only in candidate selection (standard IVF/LSH semantics, same as the
+reference's backing store would do with its HNSW index).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import knn_query
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim)).astype(np.float64)
+
+
+def _bucket_expr(embedding_col: str, planes: np.ndarray):
+    """Bucket id = sum_j [dot(e, plane_j) > 0] << j, as a codegen
+    expression (dot products against literal arrays)."""
+    out = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(embedding_col), lit_plane, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(dot > 0, F.lit(1 << j)).otherwise(0).cast("bigint")
+    return out
+
+
+def add_lsh_buckets(
+    corpus: DataFrame,
+    *,
+    embedding_col: str = "embedding",
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 42,
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Attach the LSH bucket id. Write the result partitioned by
+    ``bucket_col`` (``df.write.partitionBy(bucket_col)``) to get
+    partition pruning on queries."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    return corpus.withColumn(bucket_col, _bucket_expr(embedding_col, planes))
+
+
+def lsh_knn_query(
+    corpus_with_buckets: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    n_bits: int = 8,
+    seed: int = 42,
+    bucket_col: str = "lsh_bucket",
+    hamming_probe: int = 1,
+    metric: str = "cosine",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Probe the query's bucket plus all buckets within Hamming
+    distance ``hamming_probe``, then exact-rerank the candidates.
+    The bucket filter is a literal IN-list -> partition pruning when
+    the corpus is partitioned by bucket."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    planes = _hyperplanes(len(query_vector), n_bits, seed)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        if float(plane @ q) > 0:
+            qbucket |= 1 << j
+
+    probes = {qbucket}
+    if hamming_probe >= 1:
+        probes |= {qbucket ^ (1 << j) for j in range(n_bits)}
+    if hamming_probe >= 2:
+        probes |= {
+            qbucket ^ (1 << i) ^ (1 << j)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        }
+
+    candidates = corpus_with_buckets.filter(F.col(bucket_col).isin(list(probes)))
+    return knn_query(
+        candidates,
+        query_vector,
+        k,
+        id_col=id_col,
+        embedding_col=embedding_col,
+        metric=metric,
+        score_decimals=score_decimals,
+    )
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, np.ndarray]:
+    """Train KMeans centroids (on a sample for big corpora) and assign
+    every row its nearest centroid. Returns (assigned_df, centroids).
+
+    Scale notes: training touches only the sample; assignment is one
+    scan (KMeans transform is a JVM-side expression over ml vectors).
+    Persist ``assigned_df`` partitioned by ``ivf_cell`` for pruning.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(embedding_col).alias("_emb"),
+        array_to_vector(F.col(embedding_col).cast("array<double>")).alias("features"),
+    )
+    train = vecs if sample_fraction is None else vecs.sample(sample_fraction, seed)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+    assigned = (
+        model.transform(vecs)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_emb").alias(embedding_col),
+            F.col("prediction").alias("ivf_cell"),
+        )
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vector: list[float],
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    nprobe: int = 3,
+    metric: str = "cosine",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Scan only the ``nprobe`` cells whose centroids are nearest the
+    query, exact-rerank inside them."""
+    q = np.asarray(query_vector, dtype=np.float64)
+    if metric == "cosine":
+        qn = q / max(np.linalg.norm(q), 1e-300)
+        cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300
+        )
+        order = np.argsort(-(cn @ qn))
+    else:
+        order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+    candidates = assigned.filter(F.col("ivf_cell").isin(cells))
+    return knn_query(
+        candidates,
+        query_vector,
+        k,
+        id_col=id_col,
+        embedding_col=embedding_col,
+        metric=metric,
+        score_decimals=score_decimals,
+    )

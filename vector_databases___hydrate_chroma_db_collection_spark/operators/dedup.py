@@ -1,0 +1,238 @@
+"""Deduplication family for training-data pipelines.
+
+The reference's only dedup concern is that Chroma rejects duplicate
+ids (reference README.md:73); a 100 TB corpus needs content dedup:
+
+- ``exact_dedup``      — normalized-text grouping. One hash shuffle
+  on the normalized key (or its md5, same cardinality); survivor =
+  min id per group.
+- ``jaccard_pairs``    — exact n-gram-Jaccard pairs via an inverted
+  shingle index (explode distinct shingles, self-join on shingle,
+  count shared). Quadratic only within a shingle's posting list —
+  fine when no shingle is extremely common; the LSH path below is
+  the guard against that.
+- ``minhash_lsh_pairs``— MinHash signatures banded for LSH: docs
+  sharing any band bucket become candidates (shuffle on band hash,
+  posting lists bounded by band selectivity), then candidates are
+  verified with exact Jaccard. This is the scale path: cost is
+  O(corpus) signatures + O(candidates) verification, never O(n^2).
+- ``simhash_pairs``    — 16-bit SimHash; candidate = identical
+  simhash value (a single equi-join), catching token-permutation
+  near-dups cheaply.
+- ``embedding_neardup_pairs`` — semantic near-dup by cosine over the
+  embedding column; exact (block-nested) form here, ANN-accelerated
+  form in ``ann.py``.
+
+Everything is expression-level (no UDFs); with ``portable=True`` the
+hash math is md5-based and every operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+    lsh_bands,
+    minhash_signature,
+    simhash16,
+    word_shingles,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+    normalize_text,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+    cosine_similarity,
+)
+
+
+def exact_dedup(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
+    """Group by normalized text; survivor is the minimum id.
+    Output: (keep_id, dup_count, fingerprint)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(normalize_text(text_col).cast("binary")).alias("fingerprint"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(_id, sh: array<string>) with the distinct n-gram shingle set
+    per document — computed ONCE and cached, because every consumer
+    (signatures, posting lists, sizes, verification) would otherwise
+    re-run the full text->tokens->shingles expression tree per plan
+    branch. Also raises parallelism: a small input file may be a
+    single partition, which would serialize the (deliberately heavy)
+    per-row hash math onto one core."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    out = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+        )
+        .repartition(target)
+        .cache()
+    )
+    return out
+
+
+def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return _shingle_sets(df, id_col, text_col, n).select(
+        "_id", F.explode("sh").alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing >=1 shingle.
+    Output: (id_a, id_b, jaccard) with id_a < id_b."""
+    shsets = _shingle_sets(df, id_col, text_col, n)
+    sh = shsets.select("_id", F.explode("sh").alias("shingle"))
+    sizes = shsets.select("_id", F.size("sh").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("shared")),
+        decimals,
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    decimals: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding + exact-Jaccard verification.
+
+    With 16 hashes in 8 bands of 2 rows, the candidate-recall curve
+    is 1-(1-j^2)^8 (~0.93 at j=0.5, ~0.9996 at j=0.8). Candidates are
+    found by a self-join on (band, band_hash) — the only shuffle
+    whose width depends on data similarity, bounded by bucket sizes.
+    Verification recomputes exact Jaccard only for candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    shsets = _shingle_sets(df, id_col, text_col, n)
+    sig = shsets.select(
+        "_id",
+        lsh_bands(
+            minhash_signature(F.col("sh"), num_hashes, portable),
+            bands,
+            rows_per_band,
+        ).alias("bands"),
+    )
+    buckets = sig.select("_id", F.explode("bands").alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.h").alias("h")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .distinct()
+    )
+    # Verify candidates with exact Jaccard on distinct shingle sets
+    # (reusing the cached sets — no text reprocessing).
+    sh = shsets.select("_id", F.explode("sh").alias("shingle"))
+    sizes = shsets.select("_id", F.size("sh").alias("n_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("shingle").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    shared = (
+        candidates.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("shared")),
+        decimals,
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, *, id_col: str, text_col: str, portable: bool = True
+) -> DataFrame:
+    """Documents with identical 16-bit SimHash — the cheap
+    permutation-robust near-dup candidate set (one equi-join)."""
+    s = df.select(
+        F.col(id_col).alias("_id"), simhash16(text_col, portable).alias("simhash")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash")) & (F.col("a._id") < F.col("b._id")),
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a.simhash").alias("simhash"),
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    embedding_col: str,
+    threshold: float = 0.9,
+    decimals: int = 4,
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine >= threshold. Exact
+    block-nested form — O(n^2) distance evaluations but only
+    above-threshold pairs survive the filter, so nothing quadratic is
+    ever shuffled or materialized. For corpora where even the
+    evaluation is too wide, use ann.ivf_neardup_pairs (same output
+    contract, candidate-pruned)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(embedding_col).alias("e_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(embedding_col).alias("e_b"))
+    cos = F.round(cosine_similarity(F.col("e_a"), F.col("e_b")), decimals)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

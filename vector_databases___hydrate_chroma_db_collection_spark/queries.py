@@ -769,3 +769,572 @@ def scalar_map_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("metadata", "lang").alias("meta_lang"),
         F.element_at("metadata", "source").alias("meta_source"),
     )
+
+
+# --------------------------------------------------------------------------
+# Text analysis + dedup family (north-star LLM-pipeline operators).
+# The oracle SQL re-derives the same hashes/shingles/scores in DuckDB;
+# shared fragments below keep the two sides literally in sync.
+# --------------------------------------------------------------------------
+
+from vector_databases___hydrate_chroma_db_collection_spark.functions import text as T
+from vector_databases___hydrate_chroma_db_collection_spark.operators import dedup as D
+
+# DuckDB fragments mirroring functions/text.py and functions/hashes.py
+_NORM = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+_TOKS = r"list_filter(string_split_regex({x}, '\s+'), t -> t <> '')"
+_HASH64 = "CAST(concat('0x', substr(md5({x}), 1, 15)) AS BIGINT)"
+_SW = {
+    code: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for code, words in T.STOPWORDS.items()
+}
+
+
+@query(
+    "text_stats_by_lang",
+    f"""
+    SELECT lang,
+           count(*) AS cnt,
+           round(avg(len({_TOKS.format(x='text')})), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(T.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({_TOKS.format(x='text')}) AS tok_cnt,
+               length(text) AS char_cnt,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS praw,
+               len(list_filter({_TOKS.format(x='lower(text)')},
+                   t -> list_contains({_SW['en']}, t)))::DOUBLE
+                   / greatest(len({_TOKS.format(x='lower(text)')}), 1) AS swraw
+        FROM documents
+    )
+    SELECT doc_id, tok_cnt, char_cnt,
+           round(praw, 6) AS punct_ratio,
+           round(swraw, 6) AS stopword_ratio,
+           round(0.4 * least(tok_cnt / 100.0, 1.0)
+                 + 0.4 * (1.0 - praw)
+                 + 0.2 * least(swraw / 0.1, 1.0), 6) AS quality
+    FROM base
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("tok_cnt"),
+        T.char_count("text").alias("char_cnt"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH hits AS (
+    SELECT doc_id,
+           len(list_filter({_TOKS.format(x='lower(text)')}, t -> list_contains({_SW['de']}, t))) AS h_de,
+           len(list_filter({_TOKS.format(x='lower(text)')}, t -> list_contains({_SW['en']}, t))) AS h_en,
+           len(list_filter({_TOKS.format(x='lower(text)')}, t -> list_contains({_SW['es']}, t))) AS h_es,
+           len(list_filter({_TOKS.format(x='lower(text)')}, t -> list_contains({_SW['fr']}, t))) AS h_fr
+    FROM documents
+)
+SELECT CASE
+         WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+         WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+         WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+         WHEN h_en >= h_de THEN 'en'
+         ELSE 'de'
+       END AS lang_pred,
+       count(*) AS cnt
+FROM hits
+GROUP BY 1
+"""
+
+
+@query("text_language_id", _LANGID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(T.language_id("text").alias("lang_pred")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp_md5,
+           sha256({_NORM}) AS fp_sha256
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    norm = T.normalize_text("text")
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp_md5"),
+        F.sha2(norm.cast("binary"), 256).alias("fp_sha256"),
+    )
+
+
+@query(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({_NORM}) AS fingerprint,
+           min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, id_col="doc_id", text_col="text")
+
+
+# Shared shingle CTE: distinct word-3-grams over normalized tokens.
+_SHINGLES_CTE = f"""
+toks AS (
+    SELECT doc_id, {_TOKS.format(x=_NORM)} AS t FROM documents
+),
+shing AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+    FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY 1)
+"""
+
+
+@query(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c::DOUBLE / (s1.n_sh + s2.n_sh - c), 4) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = id_a
+    JOIN sizes s2 ON s2.doc_id = id_b
+    WHERE round(c::DOUBLE / (s1.n_sh + s2.n_sh - c), 4) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.5)
+
+
+_MINHASH_SIG = (
+    "list_transform(range(0, 16), j -> list_min(list_transform(sh_list, "
+    "s -> " + _HASH64.format(x="concat(s, '#', CAST(j AS VARCHAR))") + ")))"
+)
+_BAND_H = _HASH64.format(
+    x="array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2), "
+    "v -> CAST(v AS VARCHAR)), ',')"
+)
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks
+    ),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM shsets),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    cand AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM buckets x JOIN buckets y
+          ON x.b = y.b AND x.h = y.h AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+    ),
+    shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS c
+        FROM cand c
+        JOIN shing a ON a.doc_id = c.id_a
+        JOIN shing b ON b.doc_id = c.id_b AND b.s = a.s
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(c::DOUBLE / (s1.n_sh + s2.n_sh - c), 4) AS jaccard
+    FROM shared
+    JOIN sizes s1 ON s1.doc_id = id_a
+    JOIN sizes s2 ON s2.doc_id = id_b
+    WHERE round(c::DOUBLE / (s1.n_sh + s2.n_sh - c), 4) >= 0.5
+    """,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        d,
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        num_hashes=16,
+        bands=8,
+        threshold=0.5,
+    )
+
+
+def _simhash_sql_terms() -> str:
+    terms = []
+    for j in range(16):
+        mask = 1 << j
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(tok_hashes, "
+            f"v -> CASE WHEN (v & {mask}) <> 0 THEN 1 ELSE -1 END)) > 0 "
+            f"THEN {mask} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "dedup_simhash_values",
+    f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_TOKS.format(x=_NORM)},
+                   t -> {_HASH64.format(x='t')}) AS tok_hashes
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST({{terms}} AS BIGINT) AS simhash FROM th
+    """.replace("{terms}", _simhash_sql_terms()),
+)
+def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import simhash16
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", simhash16("text").alias("simhash"))
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    """
+    WITH n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(a.e, b.e),
+                 p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.e, b.e),
+          p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(
+        e, id_col="vec_id", embedding_col="embedding", threshold=0.4
+    )
+
+
+@query(
+    "hydrate_canonical_shape",
+    """
+    SELECT CAST(d.doc_id AS VARCHAR) AS id,
+           d.text AS document,
+           len(e.embedding) AS dim,
+           d.lang AS metadata_value
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def hydrate_canonical_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire pipeline (sas:126-193) as one declarative
+    plan: join documents to embeddings, project to canonical collection
+    schema (id stringified per quirk Q2; metadata keyed by column)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        build_hydration_input,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    canon = build_hydration_input(
+        joined,
+        HydrationConfig(
+            collection_name="docs",
+            root="/tmp/unused",
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    return canon.select(
+        "id",
+        "document",
+        F.size("embedding").alias("dim"),
+        F.element_at("metadata", "lang").alias("metadata_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windowed event-time aggregation (batch twins of the streaming ops in
+# streaming/windows.py — identical plans, so the oracle checks both).
+# Note: events.ts is nanoseconds in parquet; Spark reads microseconds
+# (sources/parquet.py), DuckDB nanoseconds — oracles truncate to the
+# microsecond via epoch_us for identical bucketing.
+# --------------------------------------------------------------------------
+
+from vector_databases___hydrate_chroma_db_collection_spark.streaming import windows as W
+
+
+@query(
+    "stream_tumbling_event_stats",
+    """
+    SELECT strftime(to_timestamp((epoch_us(ts) // 1000000 // 21600) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return W.tumbling_event_stats(e, window="6 hours")
+
+
+@query(
+    "stream_sliding_user_activity",
+    """
+    WITH buckets AS (
+        SELECT user_id, ts,
+               (epoch_us(ts) // 1000000 // 21600) * 21600 AS b
+        FROM events
+    ), expanded AS (
+        SELECT user_id, to_timestamp(b) AS window_start FROM buckets
+        UNION ALL
+        SELECT user_id, to_timestamp(b - 21600) AS window_start FROM buckets
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, count(*) AS cnt
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding by 6h: every event lands in exactly two
+    windows (its bucket's window and the one starting 6h earlier) —
+    which is what the UNION ALL oracle enumerates."""
+    e = load_table(spark, sf_dir, "events")
+    return W.sliding_user_activity(e, window="12 hours", slide="6 hours")
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH ordered AS (
+        SELECT user_id, value, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, us, value,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 300000000
+                    OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, us, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(to_timestamp(min(us) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(to_timestamp((max(us) + 300000000) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS events,
+           round(sum(value), 4) AS value_sum
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 5 min). The oracle reproduces
+    F.session_window with classic lag+cumsum sessionization over
+    microsecond epochs; session end = last event + gap."""
+    e = load_table(spark, sf_dir, "events")
+    return W.session_windows(e, gap="5 minutes")
+
+
+@query(
+    "stream_dedup_by_id",
+    """
+    SELECT count(*) AS total, count(DISTINCT event_id) AS distinct_ids
+    FROM events
+    """,
+)
+def stream_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of dropDuplicatesWithinWatermark: dedup by id then
+    count (fixture ids are unique, so total == distinct_ids — the
+    streaming test exercises the duplicate path with injected dups)."""
+    e = load_table(spark, sf_dir, "events")
+    deduped = W.dedup_within_watermark(e)
+    return deduped.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("event_id").alias("distinct_ids"),
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN join + vector pair math (expression form — oracle-checkable).
+# --------------------------------------------------------------------------
+
+_COS_DOUBLE = """
+list_sum(list_transform(list_zip({a}, {b}),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+@query(
+    "knn_join_top3",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.qid, e.vec_id AS neighbor_id,
+               round({_COS_DOUBLE.format(a='e.embedding', b='q.qe')}, 4) AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT qid, neighbor_id, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT qid, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_join_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import knn_join
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    return knn_join(
+        q,
+        e,
+        k=3,
+        metric="cosine",
+        corpus_id_col="vec_id",
+        score_decimals=4,
+    ).select("qid", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "knn_join_gemm_top3",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.qid, e.vec_id AS neighbor_id,
+               round({_COS_DOUBLE.format(a='e.embedding', b='q.qe')}, 4) AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT qid, neighbor_id, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT qid, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_join_gemm_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as knn_join_top3 through the mapInPandas GEMM
+    path — the oracle doubles as a determinism check on the
+    partition-local top-k fold."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join_gemm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    return knn_join_gemm(
+        q,
+        e,
+        k=3,
+        metric="cosine",
+        corpus_id_col="vec_id",
+        score_decimals=4,
+    ).select("qid", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
+    "vector_l2_consecutive",
+    """
+    SELECT a.vec_id,
+           round(sqrt(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))), 4) AS l2_next
+    FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id < 100
+    """,
+)
+def vector_l2_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        l2_distance,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 100).select("vec_id", F.col("embedding").alias("e_a"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("e_b"))
+    return a.join(b, "vec_id").select(
+        "vec_id", F.round(l2_distance("e_a", "e_b"), 4).alias("l2_next")
+    )
+
+
+@query(
+    "embedding_stats_by_label",
+    """
+    SELECT label,
+           count(*) AS cnt,
+           round(avg(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(l2_norm("embedding")), 4).alias("avg_norm"),
+    )

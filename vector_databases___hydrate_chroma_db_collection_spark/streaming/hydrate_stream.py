@@ -1,0 +1,79 @@
+"""Incremental (streaming) collection hydration.
+
+The reference re-runs its whole batch step to add documents
+(sas:126-193, one-shot). The Spark-native equivalent hydrates
+continuously: a file/kafka stream of canonical-shape rows is
+deduplicated within a watermark horizon and appended to the
+collection dataset via ``foreachBatch`` — each micro-batch reuses the
+batch writer, so all invariants (dimension guard, id policy) hold
+per batch, and the Parquet appends stay atomic per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+    CANONICAL_COLUMNS,
+    HydrationConfig,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    DATA_DIR,
+    get_or_create_collection,
+)
+
+
+def stream_hydrate(
+    stream: DataFrame,
+    cfg: HydrationConfig,
+    *,
+    dim: int,
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+    checkpoint_dir: str | None = None,
+    trigger_once: bool = False,
+) -> StreamingQuery:
+    """Continuously append a canonical-shape stream to a collection.
+
+    - id dedup: within the watermark horizon via
+      ``dropDuplicatesWithinWatermark`` (bounded state — the unbounded
+      exact variant would OOM a year-long stream), falling back to
+      plain in-batch dedup when no ts column exists.
+    - dimension guard: same strict policy as batch hydrate.
+    """
+    manifest = get_or_create_collection(cfg.root, cfg.collection_name, dim, cfg.metric)
+    out_path = os.path.join(cfg.root, manifest.name, DATA_DIR)
+    checkpoint = checkpoint_dir or os.path.join(cfg.root, manifest.name, "_checkpoint")
+
+    data = stream.select(
+        F.col(cfg.id_col).cast("string").alias("id"),
+        F.col(cfg.text_col).cast("string").alias("document"),
+        F.col(cfg.embedding_col).cast("array<float>").alias("embedding"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+    )
+    ok = (F.size("embedding") == F.lit(dim)) & ~F.exists(
+        "embedding", lambda x: x.isNull()
+    )
+    data = data.filter(ok)
+    if ts_col:
+        data = data.withWatermark("_ts", watermark).dropDuplicatesWithinWatermark(
+            ["id"]
+        ).drop("_ts")
+    else:
+        data = data.dropDuplicates(["id"])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn(
+            "metadata", F.create_map().cast("map<string,string>")
+        ).select(*CANONICAL_COLUMNS).write.mode("append").parquet(out_path)
+
+    writer = data.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

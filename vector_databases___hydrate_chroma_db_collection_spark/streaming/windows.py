@@ -1,0 +1,109 @@
+"""Streaming windowed aggregation (the reference is batch-only;
+SURVEY.md §2.B names this the Spark-idiomatic extension).
+
+Each builder takes either a batch or a streaming DataFrame with an
+event-time column — the plans are identical, which is what makes the
+batch twin oracle-checkable while the streaming variant gets
+watermark semantics for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_event_stats(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "6 hours",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling windows: count + value sum per (window, event_type).
+    Windows align to the unix epoch (Spark's F.window contract), so a
+    batch oracle can recompute them with floor(epoch/width)."""
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "value_sum",
+        )
+    )
+
+
+def sliding_user_activity(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "12 hours",
+    slide: str = "6 hours",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding windows: distinct-ish activity per window (count of
+    events per user per overlapping window)."""
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(ts_col, window, slide).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "user_id",
+            "cnt",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "5 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive
+    events are < gap apart; the window closes gap after the last
+    event (F.session_window contract — the batch oracle reproduces it
+    with lag + cumulative-sum sessionization)."""
+    df = events
+    if watermark is not None and events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "events",
+            "value_sum",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, *, id_col: str = "event_id", ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming id-dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state older than the
+    watermark is evicted (dropDuplicatesWithinWatermark). The batch
+    equivalent is a plain dropDuplicates on the id."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return events.dropDuplicates([id_col])
