@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is
+materialized through Spark's noop sink (full computation, no output
+cost, no driver collect). Also measures end-to-end collection
+hydration throughput (the reference's whole job, sas:126-193) as
+``hydrate_collection``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+HEADLINE = [
+    "knn_top5_cosine",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_range_shipped_within_30d",
+    "window_top3_orders_per_customer",
+    "sort_top10_orders",
+    "scalar_json_events",
+    "text_quality_scores",
+    "text_language_id",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine_pairs",
+    "knn_join_gemm_top3",
+    "stream_session_windows",
+    "stream_tumbling_event_stats",
+    "hydrate_canonical_shape",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from vector_databases___hydrate_chroma_db_collection_spark import queries as registry
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.session import get_spark
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    spark = get_spark(app_name="vdb-bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the queries, not session bootstrap.
+    load_table(spark, sf_dir, "lineitem").count()
+
+    def run_noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        run_noop(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # Hydration throughput: documents join embeddings -> collection dir.
+    tmp = tempfile.mkdtemp(prefix="vdb_bench_")
+    try:
+        d = load_table(spark, sf_dir, "documents")
+        e = load_table(spark, sf_dir, "embeddings")
+        joined = d.join(e, d.doc_id == e.vec_id)
+        cfg = HydrationConfig(
+            collection_name="bench",
+            root=tmp,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        )
+        t0 = time.perf_counter()
+        report = hydrate(spark, joined, cfg)
+        timings["hydrate_collection"] = round(time.perf_counter() - t0, 3)
+        assert report.count_after == report.rows_written
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,25 +49,63 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+# Universal-hash family over the Mersenne prime 2^31-1: one md5 per
+# shingle, then h_j(x) = (A[j]*x + B[j]) mod P. Constants frozen so
+# the DuckDB oracle embeds the identical family (seeded once,
+# hardcoded — regenerating them would silently break oracle parity).
+MINHASH_P = 2147483647
+MINHASH_A = [1608637543, 1273642420, 1935803229, 787846415, 996406379,
+             1201263688, 423734973, 415968277, 670094951, 1914837114,
+             669991379, 429389015, 249467211, 1972458955, 1572714584,
+             1433267573]
+MINHASH_B = [434285667, 613608295, 893664919, 648061058, 88409749,
+             242285876, 2018247425, 953477463, 1427830251, 1883569565,
+             911989541, 3344769, 780932287, 2114032571, 787716372,
+             504579232]
+
+
 def minhash_signature(
     shingles: Column, num_hashes: int = 16, portable: bool = True
 ) -> Column:
-    """MinHash signature: for seed j, min over shingles of
-    hash(shingle || '#' || j). Returns ARRAY<BIGINT>[num_hashes].
+    """MinHash signature as ARRAY<BIGINT>[num_hashes].
+
+    Each shingle is hashed ONCE (md5-derived for the portable/oracle
+    path, xxhash64 otherwise), then ``num_hashes`` permutations come
+    from the affine family (A[j]*h + B[j]) mod (2^31-1) — integer
+    math that costs ~nothing next to the string hash, keeping the
+    signature a single pass over the shingle set. Base hashes stay
+    < 2^31 so A[j]*h fits in a bigint without ANSI overflow.
 
     Classic estimator: P(sig_a[j] == sig_b[j]) = Jaccard(a, b).
     """
-    h = hash64 if portable else fast_hash64
+    return minhash_from_base(shingle_base_hashes(shingles, portable), num_hashes)
 
-    def one(j: Column) -> Column:
+
+def shingle_base_hashes(shingles: Column, portable: bool = True) -> Column:
+    """One string hash per shingle, reduced mod 2^31-1. Materialize
+    (and cache) this column before fanning out to the permutations —
+    as a raw expression it would be re-evaluated once per permutation."""
+    h = hash64 if portable else fast_hash64
+    return F.transform(shingles, lambda s: F.pmod(h(s), F.lit(MINHASH_P)))
+
+
+def minhash_from_base(base_hashes: Column, num_hashes: int = 16) -> Column:
+    """Permutation mins over precomputed base hashes — pure integer
+    math, one pass per permutation over an int array."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
+
+    def one(j: int) -> Column:
         return F.array_min(
             F.transform(
-                shingles,
-                lambda s: h(F.concat(s, F.lit("#"), j.cast("string"))),
+                base_hashes,
+                lambda x: F.pmod(
+                    F.lit(MINHASH_A[j]) * x + F.lit(MINHASH_B[j]), F.lit(MINHASH_P)
+                ),
             )
         )
 
-    return F.transform(F.sequence(F.lit(0), F.lit(num_hashes - 1)), one)
+    return F.array(*[one(j) for j in range(num_hashes)])
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:

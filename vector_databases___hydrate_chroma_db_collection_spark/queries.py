@@ -948,9 +948,26 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.5)
 
 
+# MinHash oracle: same universal-hash family as functions/hashes.py —
+# one md5-derived base hash per shingle, then (A[j]*x + B[j]) mod P.
+from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+)
+
+_MINHASH_BASE = (
+    "list_transform(sh_list, s -> "
+    + _HASH64.format(x="s")
+    + f" % {MINHASH_P})"
+)
 _MINHASH_SIG = (
-    "list_transform(range(0, 16), j -> list_min(list_transform(sh_list, "
-    "s -> " + _HASH64.format(x="concat(s, '#', CAST(j AS VARCHAR))") + ")))"
+    "["
+    + ", ".join(
+        f"list_min(list_transform(base, x -> ({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {MINHASH_P}))"
+        for j in range(16)
+    )
+    + "]"
 )
 _BAND_H = _HASH64.format(
     x="array_to_string(list_transform(list_slice(sig, b * 2 + 1, b * 2 + 2), "
@@ -968,7 +985,8 @@ _BAND_H = _HASH64.format(
                    i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
         FROM toks
     ),
-    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM shsets),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
     buckets AS (
         SELECT doc_id, b, {_BAND_H} AS h
         FROM sigs, unnest(range(0, 8)) AS bt(b)
@@ -1058,8 +1076,12 @@ def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEMM-broadcast variant (one BLAS multiply per Arrow batch);
+    the expression form D.embedding_neardup_pairs has the same
+    contract but evaluates per-pair array folds — it stays available
+    for clusters where Python workers are undesirable."""
     e = load_table(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(
+    return D.embedding_neardup_pairs_gemm(
         e, id_col="vec_id", embedding_col="embedding", threshold=0.4
     )
 
