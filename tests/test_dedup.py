@@ -1,0 +1,93 @@
+"""Dedup operators on synthetic corpora with planted duplicates —
+exact, permuted, near-identical, and semantically-near cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators import dedup as D
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while birds sing in the tall green trees above"
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact duplicate
+        (3, "  THE   quick brown fox jumps over the lazy dog near the river bank "
+            "while birds sing in the tall green trees above  "),  # normalizes to dup
+        (4, BASE.replace("green", "blue")),  # near-dup (1-token change)
+        (5, "completely different content about spark catalyst optimizer "
+            "plans and distributed shuffles in large clusters today"),
+        (6, "another unrelated document mentioning vectors embeddings and "
+            "similarity search at massive scale for retrieval"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_exact_dedup_groups(corpus):
+    groups = {r["keep_id"]: r["dup_count"] for r in D.exact_dedup(
+        corpus, id_col="doc_id", text_col="text").collect()}
+    assert groups[1] == 3  # 1, 2, 3 collapse after normalization
+    assert groups[4] == 1 and groups[5] == 1 and groups[6] == 1
+
+
+def test_jaccard_finds_near_dup(corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.jaccard_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert 0.3 <= pairs[(1, 4)] < 1.0  # one-token change
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_matches_exact_jaccard(corpus):
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.minhash_lsh_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.3).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.jaccard_pairs(
+        corpus, id_col="doc_id", text_col="text", threshold=0.3).collect()}
+    # verified candidates carry the same exact jaccard values
+    for k, v in lsh.items():
+        assert exact[k] == v
+    # the planted identical pairs must be recalled (j=1 -> recall ~1)
+    assert (1, 2) in lsh and (1, 3) in lsh
+
+
+def test_simhash_identical_for_permuted_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "epsilon delta gamma beta alpha"),  # permutation
+            (3, "totally different words entirely here"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = D.simhash_pairs(df, id_col="doc_id", text_col="text").collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found  # simhash is order-invariant over tokens
+    assert all(3 not in p for p in found)
+
+
+def test_embedding_neardup_gemm_matches_expression(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16).astype("float32")
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in base * 1.001]),  # same direction
+        (3, [float(x) for x in rng.standard_normal(16)]),
+        (4, [float(x) for x in -base]),
+    ]
+    df = spark.createDataFrame(rows, "vid int, emb array<float>")
+    expr = {(r["id_a"], r["id_b"]): r["cosine"] for r in D.embedding_neardup_pairs(
+        df, id_col="vid", embedding_col="emb", threshold=0.9).collect()}
+    gemm = {(r["id_a"], r["id_b"]): r["cosine"] for r in D.embedding_neardup_pairs_gemm(
+        df, id_col="vid", embedding_col="emb", threshold=0.9).collect()}
+    assert set(expr) == set(gemm) == {(1, 2)}
+    assert abs(expr[(1, 2)] - gemm[(1, 2)]) < 1e-9

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the engine's scale contract is that
+Catalyst produces the plan shapes we designed for (SURVEY.md §4).
+These tests freeze them: predicate pushdown reaching parquet, column
+pruning, broadcast joins for dim tables, TakeOrderedAndProject for
+top-k, and no shuffle in the single-query kNN path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark import queries as registry
+from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import load_table
+
+from .conftest import SF_CORRECT
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_query_plan_no_shuffle_pushdown(spark):
+    df = registry.QUERIES["knn_top5_cosine"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no shuffle anywhere
+    assert "PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,1))]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(li)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_q3_broadcasts_dimension_side(spark):
+    df = registry.QUERIES["q3_shipping_priority"](spark, SF_CORRECT)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_q5_single_fact_shuffle(spark):
+    df = registry.QUERIES["q5_region_revenue"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    # the only sort-merge-worthy pair is orders x lineitem; everything
+    # else must broadcast (dims are tiny)
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_top10_is_take_ordered(spark):
+    df = registry.QUERIES["sort_top10_orders"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort materialization
+
+
+def test_semi_and_anti_join_operators(spark):
+    semi = registry.QUERIES["join_semi_customers_with_urgent_orders"](spark, SF_CORRECT)
+    anti = registry.QUERIES["join_anti_customers_without_orders"](spark, SF_CORRECT)
+    assert "LeftSemi" in plan_of(semi)
+    assert "LeftAnti" in plan_of(anti)
+
+
+def test_q1_partial_aggregation(spark):
+    df = registry.QUERIES["q1_pricing_summary"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    # partial (map-side) then final hash aggregation around one exchange
+    # (AQE prints the pre-finalized plan here; codegen appears on run)
+    assert plan.count("HashAggregate") >= 2
+    assert "AdaptiveSparkPlan" in plan
+
+
+def test_date_filter_pushed_to_parquet(spark):
+    o = load_table(spark, SF_CORRECT, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01"))
+    )
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan_of(o)

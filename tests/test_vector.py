@@ -1,0 +1,101 @@
+"""Vector math properties (hypothesis) + kNN metric variants."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_norm,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+    knn_join,
+    knn_join_gemm,
+    knn_query,
+)
+
+finite = st.floats(-100, 100, allow_nan=False, allow_infinity=False, width=32)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(finite, min_size=2, max_size=12), st.lists(finite, min_size=2, max_size=12))
+def test_vector_properties(spark, a, b):
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    row = df.select(
+        dot_product("a", "b").alias("ab"),
+        dot_product("b", "a").alias("ba"),
+        l2_distance("a", "a").alias("self_dist"),
+        l2_norm("a").alias("na"),
+    ).first()
+    assert math.isclose(row["ab"], row["ba"], rel_tol=1e-12)  # symmetry
+    assert row["self_dist"] == 0.0
+    expect = math.sqrt(sum(float(F_) * float(F_) for F_ in
+                           [float.fromhex(float(x).hex()) for x in a]))
+    # compare against float32-rounded python computation
+    import numpy as np
+
+    assert math.isclose(
+        row["na"], float(np.linalg.norm(np.asarray(a, dtype="float32").astype("float64"))),
+        rel_tol=1e-9,
+    )
+
+
+def test_knn_metrics_agree_on_direction(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        "id int, embedding array<float>",
+    )
+    q = [1.0, 0.0]
+    cos = [r["id"] for r in knn_query(corpus, q, k=4, metric="cosine").collect()]
+    l2 = [r["id"] for r in knn_query(corpus, q, k=4, metric="l2").collect()]
+    dot = [r["id"] for r in knn_query(corpus, q, k=4, metric="dot").collect()]
+    assert cos[0] == 1 and l2[0] == 1 and dot[0] == 1
+    assert cos[-1] == 4 and l2[-1] == 4 and dot[-1] == 4
+
+
+def test_knn_join_variants_agree(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(200)],
+        "id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(5)],
+        "qid int, q_embedding array<float>",
+    )
+    a = knn_join(queries, corpus, k=3, score_decimals=6)
+    b = knn_join_gemm(queries, corpus, k=3, score_decimals=6)
+    ra = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in a.collect()}
+    rb = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in b.collect()}
+    assert ra == rb
+
+
+def test_l2_metric_knn_join_gemm(spark):
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [3.0, 4.0])],
+        "id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [0.0, 0.0])], "qid int, q_embedding array<float>"
+    )
+    out = {r["rank"]: (r["neighbor_id"], round(r["score"], 4)) for r in
+           knn_join_gemm(queries, corpus, k=3, metric="l2").collect()}
+    assert out[1] == (1, 0.0)
+    assert out[2] == (2, round(math.sqrt(2), 4))
+    assert out[3] == (3, 5.0)

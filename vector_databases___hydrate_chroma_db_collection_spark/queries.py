@@ -1360,3 +1360,199 @@ def embedding_stats_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.avg(l2_norm("embedding")), 4).alias("avg_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Second relational batch: HAVING, correlated EXISTS, median/percentiles,
+# UNION ALL / INTERSECT ALL, CASE/null handling, array & map function
+# coverage, explode, and the spark.sql entry point over registered views.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_having_active_parts",
+    """
+    SELECT l_partkey AS partkey, count(*) AS line_cnt,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 40
+    """,
+)
+def agg_having_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("line_cnt") >= 40)
+    )
+
+
+@query(
+    "agg_median_percentiles",
+    """
+    SELECT o_orderstatus AS status,
+           round(median(o_totalprice), 4) AS med_price,
+           round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p25,
+           round(percentile_cont(0.90) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_median_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+    )
+
+
+@query(
+    "setop_union_all_priorities",
+    """
+    SELECT o_orderpriority AS priority, count(*) AS cnt FROM (
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderpriority FROM orders WHERE o_totalprice > 300000
+    )
+    GROUP BY 1
+    """,
+)
+def setop_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    b = o.filter(F.col("o_totalprice") > 300000).select("o_orderpriority")
+    return (
+        a.unionAll(b)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "setop_intersect_all_nations",
+    """
+    SELECT nk FROM (SELECT c_nationkey AS nk FROM customer)
+    INTERSECT ALL
+    SELECT nk FROM (SELECT s_nationkey AS nk FROM supplier)
+    """,
+)
+def setop_intersect_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersectAll(s)
+
+
+@query(
+    "scalar_case_null_handling",
+    """
+    SELECT c_custkey AS custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS wealth_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+           CAST(c_acctbal > 0 AS INT) AS is_positive,
+           ifnull(NULL, c_custkey) AS id_fallback
+    FROM customer
+    """,
+)
+def scalar_case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("wealth_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        (F.col("c_acctbal") > 0).cast("int").alias("is_positive"),
+        F.ifnull(F.lit(None).cast("bigint"), F.col("c_custkey")).alias("id_fallback"),
+    )
+
+
+@query(
+    "scalar_array_functions",
+    """
+    SELECT vec_id,
+           list_contains(list_transform(embedding, x -> x > 0), true) AS any_positive,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive,
+           round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_elem,
+           round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_elem,
+           round(CAST(list_sum(list_slice(embedding, 1, 8)) AS DOUBLE), 4) AS head_sum
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id",
+        F.exists("embedding", lambda x: x > 0).alias("any_positive"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(F.array_max("embedding").cast("double"), 4).alias("max_elem"),
+        F.round(F.array_min("embedding").cast("double"), 4).alias("min_elem"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8),
+                F.lit(0.0).cast("float"),
+                lambda acc, x: acc + x,
+            ).cast("double"),
+            4,
+        ).alias("head_sum"),
+    )
+
+
+@query(
+    "explode_event_type_chars",
+    """
+    SELECT t AS token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(event_type, '')) AS t FROM events)
+    GROUP BY 1
+    """,
+)
+def explode_event_type_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(F.explode(F.split("event_type", "")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "sql_entry_top_customers",
+    """
+    SELECT c.c_name AS name, count(o.o_orderkey) AS orders,
+           round(sum(o.o_totalprice), 2) AS spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_name
+    ORDER BY spend DESC, name
+    LIMIT 20
+    """,
+)
+def sql_entry_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL entry point: fixture tables registered as temp
+    views (the caslib-assign equivalent, sas:13-14), query text goes
+    straight to spark.sql — same Catalyst plan as the DataFrame API."""
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_name AS name, count(o.o_orderkey) AS orders,
+               round(sum(o.o_totalprice), 2) AS spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_name
+        ORDER BY spend DESC, name
+        LIMIT 20
+        """
+    )
