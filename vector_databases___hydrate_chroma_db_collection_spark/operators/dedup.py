@@ -33,9 +33,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
-    lsh_bands,
-    minhash_from_base,
-    shingle_base_hashes,
     simhash16,
     word_shingles,
 )
@@ -63,33 +60,40 @@ def exact_dedup(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _shingle_sets(
+def _shingle_rows(
     df: DataFrame, id_col: str, text_col: str, n: int, portable: bool = True
 ) -> DataFrame:
-    """(_id, sh: array<string>) with the distinct n-gram shingle set
-    per document — computed ONCE and cached, because every consumer
-    (signatures, posting lists, sizes, verification) would otherwise
-    re-run the full text->tokens->shingles expression tree per plan
-    branch. Also raises parallelism: a small input file may be a
-    single partition, which would serialize the (deliberately heavy)
-    per-row hash math onto one core."""
+    """(_id, shingle, h) — one row per (doc, distinct shingle), with
+    the base hash reduced mod 2^31-1, computed ONCE and cached.
+
+    Two deliberate shape choices:
+    - repartition BEFORE the expressions so a single-file input does
+      not serialize the heavy work onto one core;
+    - explode to flat rows FIRST, then hash as a plain projection:
+      higher-order-function lambdas are interpreted per element,
+      while flat column expressions run in whole-stage codegen —
+      the same md5 is several times cheaper outside the lambda.
+    Every consumer (signatures, posting lists, sizes, verification)
+    reuses this cache instead of re-deriving from text.
+    """
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        MINHASH_P,
+        fast_hash64,
+        hash64,
+    )
+
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    out = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_distinct(word_shingles(text_col, n)).alias("sh"),
-        )
+    h = hash64 if portable else fast_hash64
+    return (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
         .repartition(target)
-        .withColumn("sh_hash", shingle_base_hashes(F.col("sh"), portable))
+        .select(
+            "_id",
+            F.explode(F.array_distinct(word_shingles("_text", n))).alias("shingle"),
+        )
+        .withColumn("h", F.pmod(h(F.col("shingle")), F.lit(MINHASH_P)))
         .cache()
-    )
-    return out
-
-
-def _distinct_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return _shingle_sets(df, id_col, text_col, n).select(
-        "_id", F.explode("sh").alias("shingle")
     )
 
 
@@ -104,9 +108,8 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing >=1 shingle.
     Output: (id_a, id_b, jaccard) with id_a < id_b."""
-    shsets = _shingle_sets(df, id_col, text_col, n)
-    sh = shsets.select("_id", F.explode("sh").alias("shingle"))
-    sizes = shsets.select("_id", F.size("sh").alias("n_sh"))
+    sh = _shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a._id") < F.col("b._id")))
@@ -148,17 +151,42 @@ def minhash_lsh_pairs(
     whose width depends on data similarity, bounded by bucket sizes.
     Verification recomputes exact Jaccard only for candidate pairs.
     """
-    rows_per_band = num_hashes // bands
-    shsets = _shingle_sets(df, id_col, text_col, n, portable)
-    sig = shsets.select(
-        "_id",
-        lsh_bands(
-            minhash_from_base(F.col("sh_hash"), num_hashes),
-            bands,
-            rows_per_band,
-        ).alias("bands"),
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        hash64,
     )
-    buckets = sig.select("_id", F.explode("bands").alias("b")).select(
+
+    rows_per_band = num_hashes // bands
+    sh = _shingle_rows(df, id_col, text_col, n, portable)
+
+    # Signature = one hash-aggregate over the flat rows: min of each
+    # affine permutation. Fully codegen, partial-agg map-side — the
+    # shuffle carries 16 bigints per document.
+    perms = [
+        F.min(
+            F.pmod(F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]), F.lit(MINHASH_P))
+        ).alias(f"_s{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*perms)
+
+    # Bands: hash the concatenated slice values (identical string form
+    # to functions.hashes.lsh_bands, so the SQL oracle is unchanged).
+    band_structs = []
+    for b in range(bands):
+        piece = [
+            F.col(f"_s{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64(F.concat_ws(",", *piece)).alias("h"),
+            )
+        )
+    buckets = sig.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "_id", F.col("b.band").alias("band"), F.col("b.h").alias("h")
     )
     x, y = buckets.alias("x"), buckets.alias("y")
@@ -172,10 +200,8 @@ def minhash_lsh_pairs(
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
         .distinct()
     )
-    # Verify candidates with exact Jaccard on distinct shingle sets
-    # (reusing the cached sets — no text reprocessing).
-    sh = shsets.select("_id", F.explode("sh").alias("shingle"))
-    sizes = shsets.select("_id", F.size("sh").alias("n_sh"))
+    # Verify candidates with exact Jaccard on the cached shingle rows.
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("shingle").alias("sh_a"))
     b = sh.select(F.col("_id").alias("b_id"), F.col("shingle").alias("sh_b"))
     shared = (
