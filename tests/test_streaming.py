@@ -133,3 +133,44 @@ def test_stream_hydrate_appends_collection(spark, tmp_path):
     coll = read_collection(spark, str(tmp_path / "colls"), "stream_coll")
     assert coll.count() == 100
     assert coll.schema["id"].dataType.simpleString() == "string"
+
+
+def test_stateful_user_totals_across_batches(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+        stateful_user_totals,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events").limit(400)
+    d = tmp_path / "in"
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches, so
+    # state must carry totals across batch boundaries
+    e.filter(F.col("event_id") % 2 == 0).write.parquet(str(d / "b0"))
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(str(d / "b1"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    totals = stateful_user_totals(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emission per user must equal the batch aggregate
+    got = (
+        spark.sql("SELECT * FROM user_totals")
+        .groupBy("user_id")
+        .agg(F.max("events_seen").alias("events_seen"))
+    )
+    want = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("events_seen"))
+    diff = got.join(want, "user_id").filter(
+        got.events_seen != want.events_seen
+    )
+    assert want.count() > 0
+    assert diff.count() == 0

@@ -1556,3 +1556,264 @@ def sql_entry_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Third batch: remaining window analytics, GROUPING SETS, pivot,
+# levenshtein, date arithmetic, and the Python-UDF surface (scalar
+# pandas_udf + grouped applyInPandas) — each still oracle-checked.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_analytics",
+    """
+    SELECT o_orderkey AS orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           first_value(o_orderkey) OVER w AS first_in_status
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.first("o_orderkey").over(w).alias("first_in_status"),
+    )
+
+
+@query(
+    "window_range_frame_revenue",
+    """
+    SELECT yr, mo, month_revenue,
+           round(sum(month_revenue) OVER (
+               PARTITION BY yr ORDER BY mo
+               RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS rev_3mo
+    FROM (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               round(sum(o_totalprice), 2) AS month_revenue
+        FROM orders GROUP BY 1, 2
+    )
+    """,
+)
+def window_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("month_revenue"))
+    w = Window.partitionBy("yr").orderBy("mo").rangeBetween(-1, 1)
+    return monthly.select(
+        "yr",
+        "mo",
+        "month_revenue",
+        F.round(F.sum("month_revenue").over(w), 2).alias("rev_3mo"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(CAST(year(l_shipdate) AS VARCHAR), 'ALL') AS ship_year,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL surface (DataFrame API only
+    exposes rollup/cube; the engine's SQL entry covers the rest)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(CAST(year(l_shipdate) AS STRING), 'ALL') AS ship_year,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (year(l_shipdate)), ())
+        """
+    )
+
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (o_orderstatus = 'F') AS cnt_f,
+           count(*) FILTER (o_orderstatus = 'O') AS cnt_o,
+           count(*) FILTER (o_orderstatus = 'P') AS cnt_p,
+           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS rev_f
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot on a known small domain. Spark's groupBy().pivot() with an
+    explicit value list plans a single aggregation pass (no second job
+    to discover values) — the oracle expresses the same as FILTERed
+    aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("rev"),
+        )
+    )
+    return pivoted.select(
+        "priority",
+        F.col("F_cnt").alias("cnt_f"),
+        F.col("O_cnt").alias("cnt_o"),
+        F.col("P_cnt").alias("cnt_p"),
+        F.col("F_rev").alias("rev_f"),
+    )
+
+
+@query(
+    "text_levenshtein_names",
+    """
+    SELECT n1.n_name AS name_a, n2.n_name AS name_b,
+           levenshtein(n1.n_name, n2.n_name) AS dist
+    FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+    WHERE levenshtein(n1.n_name, n2.n_name) <= 2
+    """,
+)
+def text_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("name_a")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("name_b")
+    )
+    return (
+        n1.join(n2, F.col("k1") < F.col("k2"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@query(
+    "scalar_date_arithmetic",
+    """
+    SELECT o_orderkey AS orderkey,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+           round(date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') / 365.25, 4) AS years_to_y2k
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(
+            F.col("o_orderdate"), F.to_timestamp(F.lit("1995-01-01"))
+        ).cast("bigint").alias("days_since_epoch_start"),
+        F.round(
+            F.datediff(F.to_timestamp(F.lit("2000-01-01")), F.col("o_orderdate"))
+            / 365.25,
+            4,
+        ).alias("years_to_y2k"),
+    )
+
+
+@query(
+    "pandas_udf_cosine",
+    _FLAGSHIP_ORACLE.replace("LIMIT 5", "LIMIT 10"),
+)
+def pandas_udf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDF surface (SURVEY.md §2.B): the same flagship cosine
+    computed in an Arrow-vectorized pandas_udf instead of the codegen
+    expression — numerically identical after rounding, demonstrating
+    the documented fallback for very high dimensions."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = np.asarray(
+        emb.filter(F.col("vec_id") == 1).first()["embedding"], dtype=np.float64
+    )
+    qn = qvec / np.linalg.norm(qvec)
+
+    def _cos_to_q(col):
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return pd.Series(Mn @ qn)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf cannot resolve locally-imported names
+    cos_to_q = pandas_udf(_cos_to_q, "double")
+
+    return (
+        emb.filter(F.col("vec_id") != 1)
+        .select("vec_id", F.round(cos_to_q("embedding"), 4).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "apply_in_pandas_label_centroids",
+    """
+    WITH e AS (
+        SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), dims AS (
+        SELECT label, i, avg(v[i]) AS c
+        FROM e, unnest(range(1, 65)) AS t(i)
+        GROUP BY label, i
+    )
+    SELECT label, round(sqrt(sum(c * c)), 4) AS centroid_norm, count(*) AS dim
+    FROM dims GROUP BY label
+    """,
+)
+def apply_in_pandas_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface: per-label embedding centroid via
+    applyInPandas (one Arrow batch per group), reduced to the
+    centroid's norm so the oracle stays scalar."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        M = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        c = M.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [pdf["label"].iloc[0]],
+                "centroid_norm": [round(float(np.sqrt((c * c).sum())), 4)],
+                "dim": [M.shape[1]],
+            }
+        )
+
+    return e.groupBy("label").applyInPandas(
+        centroid, schema="label int, centroid_norm double, dim long"
+    )

@@ -107,3 +107,39 @@ def dedup_within_watermark(
             [id_col]
         )
     return events.dropDuplicates([id_col])
+
+
+def stateful_user_totals(events: DataFrame, *, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    (events_seen, value_sum) per user maintained across micro-batches.
+
+    This is the engine's template for operators Structured Streaming
+    lacks natively (the driver's 'custom stateful operators' surface):
+    state is a compact tuple per key, updates are Arrow-batched, and
+    emission happens once per key per micro-batch (update mode).
+    State size is O(distinct users), independent of stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = "user_id long, events_seen long, value_sum double"
+    state_schema = "events_seen long, value_sum double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        seen, vsum = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            seen += len(pdf)
+            vsum += float(pdf["value"].sum())
+        state.update((seen, vsum))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "events_seen": [seen],
+                "value_sum": [round(vsum, 4)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "update", timeout
+    )
