@@ -79,3 +79,37 @@ def test_ivf_recall_and_pruning(spark):
     # cells partition the corpus
     assert assigned.count() == emb.count()
     assert assigned.select("ivf_cell").distinct().count() <= 8
+
+
+def test_mllib_lsh_similarity_join(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        mllib_lsh_similarity_join,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    # threshold chosen above typical pair distance so some pairs emerge
+    out = mllib_lsh_similarity_join(
+        emb, emb, id_col="vec_id", distance_threshold=1.2, bucket_length=1.0
+    )
+    rows = out.collect()
+    assert all(r["id_a"] < r["id_b"] for r in rows)
+    assert all(r["l2_dist"] <= 1.2 for r in rows)
+
+
+def test_mllib_minhash_dedup_matches_planted_dups(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        mllib_minhash_dedup_join,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "completely different words about catalyst plans and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = mllib_minhash_dedup_join(
+        df, id_col="doc_id", text_col="text", jaccard_distance_threshold=0.3
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard_dist"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0.0
+    assert all(3 not in p for p in pairs)

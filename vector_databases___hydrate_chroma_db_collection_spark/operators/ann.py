@@ -188,3 +188,91 @@ def ivf_search(
         metric=metric,
         score_decimals=score_decimals,
     )
+
+
+def mllib_lsh_similarity_join(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    distance_threshold: float = 1.0,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Public-API alternative: MLlib BucketedRandomProjectionLSH
+    approxSimilarityJoin (Euclidean). Kept alongside the native
+    expression-level LSH because MLlib's implementation ships with
+    Spark and is battle-tested; the native one gives partition
+    pruning on a persisted bucket column. Output: (id_a, id_b,
+    l2_dist) with id_a < id_b."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    fa = a.select(
+        F.col(id_col).alias("_id"),
+        array_to_vector(F.col(embedding_col).cast("array<double>")).alias("features"),
+    )
+    fb = b.select(
+        F.col(id_col).alias("_id"),
+        array_to_vector(F.col(embedding_col).cast("array<double>")).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    ).fit(fa)
+    joined = lsh.approxSimilarityJoin(fa, fb, distance_threshold, distCol="l2_dist")
+    return (
+        joined.select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.round("l2_dist", 4).alias("l2_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def mllib_minhash_dedup_join(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    text_col: str = "document",
+    n: int = 3,
+    jaccard_distance_threshold: float = 0.5,
+    num_hash_tables: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Public-API alternative for near-dup: MLlib MinHashLSH over a
+    hashed shingle vocabulary (HashingTF), approxSimilarityJoin on
+    Jaccard distance. The native operators/dedup.py path remains the
+    oracle-checkable default."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        word_shingles,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(base)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    ).fit(feats)
+    joined = lsh.approxSimilarityJoin(
+        feats, feats, jaccard_distance_threshold, distCol="jaccard_dist"
+    )
+    return (
+        joined.select(
+            F.col("datasetA._id").alias("id_a"),
+            F.col("datasetB._id").alias("id_b"),
+            F.round("jaccard_dist", 4).alias("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

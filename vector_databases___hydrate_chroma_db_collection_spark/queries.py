@@ -1817,3 +1817,127 @@ def apply_in_pandas_label_centroids(spark: SparkSession, sf_dir: str) -> DataFra
     return e.groupBy("label").applyInPandas(
         centroid, schema="label int, centroid_norm double, dim long"
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-closing batch: right join, unionByName, approximate distinct
+# (rows-only check — HLL sketches differ across engines), registered
+# SQL UDF surface.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_right_supplier_nations",
+    """
+    SELECT n.n_name AS nation, count(s.s_suppkey) AS suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_right_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("suppliers"))
+    )
+
+
+@query(
+    "setop_union_by_name",
+    """
+    SELECT id, kind, count(*) AS cnt FROM (
+        SELECT c_custkey AS id, 'customer' AS kind FROM customer
+        UNION ALL
+        SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier
+    )
+    GROUP BY 1, 2
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned union regardless of column order —
+    the safe form for evolving pipelines."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.lit("customer").alias("kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("kind"), F.col("s_suppkey").alias("id")
+    )
+    return c.unionByName(s).groupBy("id", "kind").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query("agg_approx_count_distinct")  # no oracle: HLL sketches are engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): sketch-based distinct
+    estimation whose exact value is engine-specific, so the driver
+    records a rows-only check; the test suite separately asserts the
+    estimate is within the documented rsd of the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "sql_udf_registered",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({_TOKS.format(x='text')}) AS tok_cnt,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS praw,
+               len(list_filter({_TOKS.format(x='lower(text)')},
+                   t -> list_contains({_SW['en']}, t)))::DOUBLE
+                   / greatest(len({_TOKS.format(x='lower(text)')}), 1) AS swraw
+        FROM documents
+    )
+    SELECT doc_id,
+           round(0.4 * least(tok_cnt / 100.0, 1.0)
+                 + 0.4 * (1.0 - praw)
+                 + 0.2 * least(swraw / 0.1, 1.0), 6) AS quality
+    FROM base
+    WHERE round(0.4 * least(tok_cnt / 100.0, 1.0)
+                + 0.4 * (1.0 - praw)
+                + 0.2 * least(swraw / 0.1, 1.0), 6) >= 0.8
+    """,
+)
+def sql_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SQL UDF surface: the engine's quality_score exposed
+    as a SQL function via spark.udf.register (Arrow-batched pandas
+    UDF under the hood), used from plain SQL text."""
+    import pandas as pd
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    en = set(STOPWORDS["en"])
+
+    def _quality(texts):
+        import re
+
+        out = []
+        for t in texts:
+            toks = [x for x in re.split(r"\s+", t) if x]
+            praw = len(re.findall(r"[!-/:-@\[-`{-~]", t)) / max(len(t), 1)
+            low = [x for x in re.split(r"\s+", t.lower()) if x]
+            sw = sum(1 for x in low if x in en) / max(len(low), 1)
+            q = 0.4 * min(len(toks) / 100.0, 1.0) + 0.4 * (1 - praw) + 0.2 * min(
+                sw / 0.1, 1.0
+            )
+            out.append(round(q, 6))
+        return pd.Series(out)
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark.udf.register("quality_score", pandas_udf(_quality, "double"))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, quality_score(text) AS quality
+        FROM documents
+        WHERE quality_score(text) >= 0.8
+        """
+    )
