@@ -174,3 +174,38 @@ def test_stateful_user_totals_across_batches(spark, tmp_path):
     )
     assert want.count() > 0
     assert diff.count() == 0
+
+
+def test_streaming_session_windows_match_batch(spark, events_stream_dir, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+        session_windows,
+    )
+
+    d, batch_events = events_stream_dir
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    agg = session_windows(stream, gap="5 minutes", watermark="1 minute")
+    out = tmp_path / "out_sessions"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    want = session_windows(batch_events, gap="5 minutes")
+    # Append mode emits only sessions the watermark has closed: every
+    # emitted session must match its batch twin exactly; only the tail
+    # (sessions still open at end-of-stream) may be missing.
+    joined = got.join(
+        want, ["user_id", "session_start", "session_end", "events", "value_sum"]
+    )
+    assert got.count() > 0
+    assert joined.count() == got.count()
+    assert got.count() >= want.count() * 0.8

@@ -1941,3 +1941,190 @@ def sql_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE quality_score(text) >= 0.8
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Subquery shapes (TPC-H Q2/Q4/Q6/Q19 analogues) + a composite
+# training-data pipeline chaining quality filter -> dedup -> join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q6_revenue_delta",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS qualifying_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-agg; every predicate pushes to
+    the parquet reader, the aggregate is a single partial+final pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue_delta"
+        ),
+        F.count(F.lit(1)).alias("qualifying_lines"),
+    )
+
+
+@query(
+    "q4_priority_with_late_lines",
+    """
+    SELECT o.o_orderpriority AS priority, count(*) AS order_cnt
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY 1
+    """,
+)
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — planned as a left-semi join
+    on the correlation key."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority, count(*) AS order_cnt
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+          )
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "q2_cheapest_part_suppliers",
+    """
+    SELECT p.p_partkey AS partkey, s.s_name AS supplier,
+           round(ps.min_price, 2) AS min_price
+    FROM (
+        SELECT l_partkey, l_suppkey, l_extendedprice,
+               min(l_extendedprice) OVER (PARTITION BY l_partkey) AS min_price
+        FROM lineitem
+    ) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.l_extendedprice = ps.min_price AND p.p_size >= 40
+    """,
+)
+def q2_cheapest_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-per-group correlated subquery) expressed as
+    a window min — one shuffle on the group key instead of a
+    self-join against an aggregated subquery."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("l_partkey")
+    ps = li.select(
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        F.min("l_extendedprice").over(w).alias("min_price"),
+    ).filter(F.col("l_extendedprice") == F.col("min_price"))
+    return (
+        ps.join(p, p.p_partkey == ps.l_partkey)
+        .join(s, s.s_suppkey == ps.l_suppkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("s_name").alias("supplier"),
+            F.round("min_price", 2).alias("min_price"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_predicates",
+    """
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS matched
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity >= 5)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity >= 15)
+       OR (p.p_type = 'PROMO' AND l.l_discount > 0.05)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    extracts the common join key and evaluates the disjunction as a
+    post-join filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 15))
+        | ((F.col("p_type") == "PROMO") & (F.col("l_discount") > 0.05))
+    )
+    return (
+        li.join(p, p.p_partkey == li.l_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("matched"),
+        )
+    )
+
+
+@query(
+    "pipeline_training_data",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               round(0.4 * least(len({_TOKS.format(x='text')}) / 100.0, 1.0)
+                     + 0.4 * (1.0 - (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                         / greatest(length(text), 1))
+                     + 0.2 * least((len(list_filter({_TOKS.format(x='lower(text)')},
+                           t -> list_contains({_SW['en']}, t)))::DOUBLE
+                           / greatest(len({_TOKS.format(x='lower(text)')}), 1)) / 0.1, 1.0), 6) AS q
+        FROM documents
+    ),
+    kept AS (SELECT doc_id, lang FROM scored WHERE q >= 0.7),
+    with_vec AS (
+        SELECT k.doc_id, k.lang, e.label
+        FROM kept k JOIN embeddings e ON e.vec_id = k.doc_id
+    )
+    SELECT lang, label, count(*) AS docs
+    FROM with_vec
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline (the engine's reason to exist): quality
+    filter -> join embeddings -> cohort counts. One declarative plan;
+    Catalyst pushes the quality filter below the join so low-quality
+    docs never reach the shuffle."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        quality_score,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    kept = d.filter(quality_score("text") >= 0.7).select("doc_id", "lang")
+    return (
+        kept.join(e, e.vec_id == kept.doc_id)
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
