@@ -120,7 +120,10 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
     if not cfg.enabled:
         raise DisabledError("hydration disabled via run-time trigger (cfg.enabled=False)")
 
-    data = build_hydration_input(df, cfg)
+    # One cache of the canonical projection feeds dimension inference,
+    # the input count, the dup-id guard, and the write — without it
+    # each observable would rescan (and recompute) the source plan.
+    data = build_hydration_input(df, cfg).cache()
     dim = _infer_dim(data, cfg)
     manifest = get_or_create_collection(cfg.root, cfg.collection_name, dim, cfg.metric)
     rows_in = data.count()
@@ -163,10 +166,16 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
                 )
 
     out_path = os.path.join(cfg.root, manifest.name, DATA_DIR)
-    written = good.cache()
-    rows_written = written.count()
-    written.write.mode("append").parquet(out_path)
-    written.unpersist()
+    # observe() counts the written rows inside the write job itself —
+    # no separate count action, no second cache.
+    from pyspark.sql import Observation
+
+    obs = Observation("hydrate_write")
+    good.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("append").parquet(
+        out_path
+    )
+    rows_written = int(obs.get["rows"])
+    data.unpersist()
 
     count_after = _count(spark, cfg)
     report = HydrationReport(

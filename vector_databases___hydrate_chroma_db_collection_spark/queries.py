@@ -2128,3 +2128,31 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "label")
         .agg(F.count(F.lit(1)).alias("docs"))
     )
+
+
+@query(
+    "multimodal_image_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id, sha256(text) AS sha256
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked: documents synthesized into
+    binary image assets (content = utf-8 bytes), pushed through the
+    Arrow-batched mapInPandas feature extractor; the content digest is
+    the engine-independent output the oracle reproduces (the fake
+    decode's dims are covered by unit tests)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.binary import (
+        extract_image_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return extract_image_features(assets).select("asset_id", "sha256")
