@@ -32,10 +32,24 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Engine-required session confs, set idempotently at read time:
+    the harness may hand us a SparkSession built without our factory
+    (session.py), and without these every events query would fail on
+    the nanosecond timestamp (PARQUET_TYPE_ILLEGAL) or drift from the
+    UTC-based oracle formatting. Both are runtime-settable SQLConfs."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # read-only conf in exotic environments; reads may still work
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Mirrors the reference's caslib+name
     resolution (sas:143-147) with a typed error instead of a SAS
     error flag (sas:452-466)."""
+    _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
         raise TableNotFoundError(f"table {name!r} not found at {path}")
