@@ -2156,3 +2156,270 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>").alias("meta"),
     )
     return extract_image_features(assets).select("asset_id", "sha256")
+
+
+# --------------------------------------------------------------------------
+# TPC-H depth batch: cross-nation flows, returned items, ratio metrics,
+# IN-subquery over aggregates, scalar-subquery filters, and the
+# hydrate -> read-collection -> kNN end-to-end path.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q7_nation_trade_flows",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l.l_shipdate) AS ship_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dim table (nation) joined twice under
+    different roles; both broadcast."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    sn = n.select(
+        F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(cn), F.col("cnk") == c.c_nationkey)
+        .join(F.broadcast(sn), F.col("snk") == s.s_nationkey)
+        .filter(F.col("cnk") != F.col("snk"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           n.n_name AS nation
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY 1, 2, 4
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1997-07-01")))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-04-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING sum(l_quantity) > 150
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: IN over an aggregated subquery -> left-semi
+    join against the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery in a filter + anti join. The
+    scalar aggregate broadcasts as a literal-like single-row plan."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c
+        WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "collection_knn_end_to_end",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '3'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '3'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full story in one query: hydrate a collection
+    (join docs+embeddings -> canonical schema -> Parquet dataset with
+    manifest), read it back as a table, answer a top-5 cosine query
+    from the stored embeddings. Every run uses a fresh temp dir, so
+    the driver's repeated invocations stay idempotent."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_e2e_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="e2e",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "e2e")
+    qvec = list(coll.filter(F.col("id") == "3").first()["embedding"])
+    return knn_query(
+        coll.filter(F.col("id") != "3"),
+        qvec,
+        k=5,
+        id_col="id",
+        embedding_col="embedding",
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
