@@ -113,3 +113,28 @@ def test_mllib_minhash_dedup_matches_planted_dups(spark):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard_dist"] for r in out.collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] == 0.0
     assert all(3 not in p for p in pairs)
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, centroids = ivf_build(emb, id_col="vec_id", n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf")
+    ivf_write(assigned, centroids, path)
+
+    loaded, c2, metric = ivf_read(spark, path)
+    assert metric == "cosine" and c2.shape == centroids.shape
+    assert loaded.count() == emb.count()
+
+    q = _query_vec(spark)
+    out = ivf_search(loaded, c2, q, k=5, id_col="vec_id", nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the nprobe cell filter must prune partitions of the persisted index
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    assert out.count() == 5

@@ -276,3 +276,43 @@ def mllib_minhash_dedup_join(
         )
         .filter(F.col("id_a") < F.col("id_b"))
     )
+
+
+def ivf_write(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    *,
+    metric: str = "cosine",
+) -> None:
+    """Persist an IVF index: the assigned corpus partitioned by
+    ``ivf_cell`` (so queries get partition pruning) plus a JSON
+    sidecar with centroids + metric. The index is just a dataset — it
+    scans, joins, and replicates like any other table."""
+    import json
+    import os
+
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        os.path.join(path, "cells")
+    )
+    with open(os.path.join(path, "ivf_index.json"), "w") as f:
+        json.dump(
+            {
+                "metric": metric,
+                "n_centroids": int(centroids.shape[0]),
+                "dim": int(centroids.shape[1]),
+                "centroids": centroids.tolist(),
+            },
+            f,
+        )
+
+
+def ivf_read(spark, path: str) -> tuple[DataFrame, np.ndarray, str]:
+    """Load a persisted IVF index -> (assigned_df, centroids, metric)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_index.json")) as f:
+        meta = json.load(f)
+    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    return assigned, np.asarray(meta["centroids"]), meta["metric"]
