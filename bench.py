@@ -35,6 +35,9 @@ HEADLINE = [
     "stream_session_windows",
     "stream_tumbling_event_stats",
     "hydrate_canonical_shape",
+    "q7_nation_trade_flows",
+    "q18_large_orders",
+    "collection_knn_end_to_end",
 ]
 
 

@@ -209,3 +209,33 @@ def test_streaming_session_windows_match_batch(spark, events_stream_dir, tmp_pat
     assert got.count() > 0
     assert joined.count() == got.count()
     assert got.count() >= want.count() * 0.8
+
+
+def test_streaming_sliding_matches_batch(spark, events_stream_dir, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+        sliding_user_activity,
+    )
+
+    d, batch_events = events_stream_dir
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    agg = sliding_user_activity(stream, window="12 hours", slide="6 hours", watermark="1 hour")
+    out = tmp_path / "out_sliding"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sliding"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    want = sliding_user_activity(batch_events, window="12 hours", slide="6 hours")
+    joined = got.join(want, ["window_start", "user_id", "cnt"])
+    assert got.count() > 0
+    assert joined.count() == got.count()  # every emitted window matches batch
+    assert got.count() >= want.count() * 0.8

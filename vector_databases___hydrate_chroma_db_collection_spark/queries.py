@@ -2423,3 +2423,79 @@ def collection_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="cosine",
         score_decimals=4,
     ).withColumnRenamed("score", "cos_sim")
+
+
+# --------------------------------------------------------------------------
+# Extended scalar families: string padding/casing/translate, regexp
+# counting, array set-algebra and construction.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_extended",
+    """
+    SELECT p_partkey AS partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels,
+           ascii(substring(p_name, 1, 1)) AS first_char_code,
+           len(regexp_extract_all(p_name, '[aeiou]')) AS vowel_count,
+           CAST(regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS INT) AS two_words
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.reverse("p_name").alias("name_rev"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+        F.ascii(F.substring("p_name", 1, 1)).alias("first_char_code"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).alias("vowel_count"),
+        F.regexp_like("p_name", F.lit("^[a-z]+ [a-z]+$")).cast("int").alias("two_words"),
+    )
+
+
+@query(
+    "scalar_array_algebra",
+    """
+    SELECT vec_id,
+           len(list_distinct(list_concat(head4, tail4))) AS union_distinct,
+           len(list_filter(head4, x -> list_contains(tail4, x))) AS overlap,
+           list_sort(list_transform(head4, x -> round(CAST(x AS DOUBLE), 3)))
+               AS head_sorted,
+           list_transform(range(1, 4), i -> CAST(i * vec_id AS BIGINT)) AS id_multiples
+    FROM (
+        SELECT vec_id,
+               list_slice(embedding, 1, 4) AS head4,
+               list_slice(embedding, 61, 64) AS tail4
+        FROM embeddings
+        WHERE vec_id < 40
+    )
+    """,
+)
+def scalar_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 40)
+    base = e.select(
+        "vec_id",
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.slice("embedding", 61, 4).alias("tail4"),
+    )
+    return base.select(
+        "vec_id",
+        F.size(F.array_distinct(F.concat("head4", "tail4"))).alias("union_distinct"),
+        F.size(
+            F.filter("head4", lambda x: F.array_contains(F.col("tail4"), x))
+        ).alias("overlap"),
+        F.array_sort(
+            F.transform("head4", lambda x: F.round(x.cast("double"), 3))
+        ).alias("head_sorted"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(3)),
+            lambda i: (i * F.col("vec_id")).cast("bigint"),
+        ).alias("id_multiples"),
+    )
