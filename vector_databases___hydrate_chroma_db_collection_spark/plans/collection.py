@@ -102,8 +102,14 @@ def read_collection(spark: SparkSession, root: str, name: str) -> DataFrame:
 
 def collection_count(spark: SparkSession, root: str, name: str) -> int:
     """Reference's count() observable (sas:134, 193)."""
-    try:
-        return read_collection(spark, root, name).count()
-    except Exception:
-        # Empty collection: data dir exists but holds no parquet yet.
+    manifest = load_manifest(root, name)
+    data_dir = os.path.join(root, manifest.name, DATA_DIR)
+    # Empty collection: the data dir exists but holds no parquet yet —
+    # check before asking Spark (an inference failure would be caught
+    # but still logs an alarming async-listener stack).
+    has_data = any(
+        f.endswith(".parquet") for f in os.listdir(data_dir)
+    ) if os.path.isdir(data_dir) else False
+    if not has_data:
         return 0
+    return spark.read.parquet(data_dir).count()
