@@ -133,3 +133,47 @@ def test_canonical_projection_shapes(spark, sample):
     assert out.schema["id"].dataType.simpleString() == "string"
     assert out.schema["embedding"].dataType.simpleString() == "array<float>"
     assert out.schema["metadata"].dataType.simpleString() == "map<string,string>"
+
+
+def test_chunked_hydration_end_to_end(spark, tmp_path):
+    """RAG path: chunk documents -> fake per-chunk embeddings ->
+    hydrate -> chunk ids resolvable back to parent docs."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        chunk_tokens,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_tokens("text", window=16, step=12))
+    ).select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("pos").cast("string")).alias("chunk_id"),
+        F.col("col.chunk_text").alias("chunk_text"),
+        # deterministic fake embedding per chunk (hash-derived 4-dim)
+        F.array(
+            *[
+                (F.conv(F.substring(F.md5(F.concat(F.col("col.chunk_text"), F.lit(i))
+                    .cast("binary")), 1, 6), 16, 10).cast("float") / 16777215.0)
+                for i in ["a", "b", "c", "d"]
+            ]
+        ).alias("vec"),
+    )
+    report = hydrate(
+        spark,
+        chunks,
+        HydrationConfig(
+            collection_name="chunks",
+            root=str(tmp_path),
+            id_col="chunk_id",
+            text_col="chunk_text",
+            embedding_col="vec",
+        ),
+    )
+    assert report.rows_written == report.rows_in > 50  # chunking expanded rows
+    coll = read_collection(spark, str(tmp_path), "chunks")
+    parents = coll.select(F.split("id", "#").getItem(0).cast("long").alias("doc_id")).distinct()
+    assert parents.count() == 50

@@ -112,3 +112,39 @@ def rolling_fingerprint(text: Column | str) -> Column:
     fingerprint oracle-checkable; an xxhash64 variant would be faster
     but is not portable to the oracle."""
     return F.md5(normalize_text(text).cast("binary"))
+
+
+def chunk_tokens(
+    text: Column | str, *, window: int = 64, step: int = 48
+) -> Column:
+    """Split a document into overlapping token-window chunks — the
+    standard pre-embedding step for RAG hydration (the reference's
+    collections exist to serve retrieval, README.md:5, but its step
+    assumes pre-chunked rows; this operator closes that gap).
+
+    Returns ARRAY<STRUCT<chunk_idx INT, chunk_text STRING,
+    chunk_tokens INT>>: windows of ``window`` tokens advancing by
+    ``step`` (overlap = window - step); a document shorter than one
+    window yields exactly one chunk. Pure expression — chunking a
+    100 TB corpus is a scan, no shuffle; pair with posexplode for
+    one-row-per-chunk output.
+    """
+    if not (0 < step <= window):
+        raise ValueError("require 0 < step <= window")
+    toks = tokens(_c(text))
+    n = F.size(toks)
+    # chunks = 1 + max(0, ceil((n - window) / step)), in integer math
+    extra = F.greatest(n - F.lit(window), F.lit(0))
+    n_chunks = F.lit(1) + F.floor(
+        (extra + F.lit(step - 1)) / F.lit(step)
+    ).cast("int")
+
+    def one(i: Column) -> Column:
+        piece = F.slice(toks, i * step + 1, window)
+        return F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.size(piece).alias("chunk_tokens"),
+        )
+
+    return F.transform(F.sequence(F.lit(0), n_chunks - 1), one)

@@ -2499,3 +2499,43 @@ def scalar_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: (i * F.col("vec_id")).cast("bigint"),
         ).alias("id_multiples"),
     )
+
+
+@query(
+    "text_chunking",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents WHERE doc_id < 100
+    ), meta AS (
+        SELECT doc_id, t,
+               1 + CAST(floor((greatest(len(t) - 16, 0) + 11) / 12.0) AS INT) AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(list_slice(t, i * 12 + 1, i * 12 + 16), ' ') AS chunk_text,
+               len(list_slice(t, i * 12 + 1, i * 12 + 16)) AS chunk_tokens
+        FROM meta, unnest(range(0, n_chunks)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           concat(CAST(doc_id AS VARCHAR), '#', CAST(chunk_idx AS VARCHAR)) AS chunk_id,
+           chunk_text, chunk_tokens
+    FROM chunks
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 16-token windows, step 12, one row
+    per chunk with a derived chunk id ready for hydration."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunked = d.select(
+        "doc_id", F.explode(T.chunk_tokens("text", window=16, step=12)).alias("c")
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("c.chunk_idx").cast("string")).alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
