@@ -177,3 +177,16 @@ def test_chunked_hydration_end_to_end(spark, tmp_path):
     coll = read_collection(spark, str(tmp_path), "chunks")
     parents = coll.select(F.split("id", "#").getItem(0).cast("long").alias("doc_id")).distinct()
     assert parents.count() == 50
+
+
+def test_invalid_path_scheme_rejected():
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        validate_path,
+    )
+
+    assert validate_path("file:/tmp/x") == "/tmp/x"
+    assert validate_path("/tmp/y") == "/tmp/y"
+    with pytest.raises(InvalidPathError):
+        validate_path("s3://bucket/coll")
+    with pytest.raises(InvalidPathError):
+        validate_path("")

@@ -23,10 +23,6 @@ STOPWORDS = {
     "de": ("der", "die", "das", "und", "zu", "in", "ein", "ist"),
 }
 
-FINGERPRINT_BASE = 131
-FINGERPRINT_MOD = 2**61 - 1
-
-
 def _c(x: Column | str) -> Column:
     return F.col(x) if isinstance(x, str) else x
 

@@ -2539,3 +2539,28 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.chunk_tokens").alias("chunk_tokens"),
     )
+
+
+@query(
+    "scalar_struct_map_ops",
+    """
+    SELECT doc_id,
+           struct_pack(lang := lang, src := source).lang AS s_lang,
+           map_keys(MAP {'lang': lang, 'source': source}) AS mkeys,
+           map_values(MAP {'lang': lang, 'source': source}) AS mvals,
+           cardinality(MAP {'lang': lang, 'source': source}) AS msize
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def scalar_struct_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access, map keys/values/size."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    m = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))
+    return d.select(
+        "doc_id",
+        F.struct(F.col("lang").alias("lang"), F.col("source").alias("src"))["lang"].alias("s_lang"),
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.size(m).alias("msize"),
+    )
