@@ -239,3 +239,41 @@ def test_streaming_sliding_matches_batch(spark, events_stream_dir, tmp_path):
     assert got.count() > 0
     assert joined.count() == got.count()  # every emitted window matches batch
     assert got.count() >= want.count() * 0.8
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.joins import (
+        attributed_events,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+
+    # batch twin = ground truth
+    want = attributed_events(clicks, purchases, within="30 minutes")
+    want_n = want.count()
+    assert want_n > 0
+
+    d = tmp_path / "in"
+    clicks.write.parquet(str(d / "clicks"))
+    purchases.write.parquet(str(d / "purchases"))
+    s_clicks = spark.readStream.schema(e.schema).parquet(str(d / "clicks"))
+    s_purch = spark.readStream.schema(e.schema).parquet(str(d / "purchases"))
+
+    joined = attributed_events(s_clicks, s_purch, within="30 minutes", watermark="1 hour")
+    out = tmp_path / "out"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(str(out))
+    # inner stream-stream join emits every match; parity is exact
+    assert got.count() == want_n
+    parity = got.join(want, ["user_id", "trigger_id", "conversion_id"]).count()
+    assert parity == want_n

@@ -2564,3 +2564,91 @@ def scalar_struct_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_values(m).alias("mvals"),
         F.size(m).alias("msize"),
     )
+
+
+@query(
+    "agg_statistics",
+    """
+    SELECT o_orderstatus AS status,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 2) AS vr,
+           round(skewness(o_totalprice) * (count(*) - 2)
+                 / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
+           round(kurtosis_pop(o_totalprice), 6) AS kurt,
+           round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+           round(covar_samp(o_totalprice, o_custkey), 2) AS price_cust_cov
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (moments, correlation)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 2).alias("vr"),
+        F.round(F.skewness("o_totalprice"), 6).alias("skew"),
+        F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
+        F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+        F.round(F.covar_samp("o_totalprice", "o_custkey"), 2).alias("price_cust_cov"),
+    )
+
+
+@query(
+    "join_cross_nullsafe",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(nullif(r.r_regionkey, 2) IS NOT DISTINCT FROM
+                nullif(n.n_regionkey, 2) AS INT) AS nullsafe_eq
+    FROM region r CROSS JOIN nation n
+    WHERE n.n_nationkey < 5
+    """,
+)
+def join_cross_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product + null-safe equality (<=>): NULL <=>
+    NULL is true, unlike ordinary equality."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    return r.crossJoin(n).select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        F.nullif("r_regionkey", F.lit(2))
+        .eqNullSafe(F.nullif("n_regionkey", F.lit(2)))
+        .cast("int")
+        .alias("nullsafe_eq"),
+    )
+
+
+@query(
+    "stream_attribution_join",
+    """
+    SELECT t.user_id, t.event_id AS trigger_id, c.event_id AS conversion_id,
+           round((epoch_us(c.ts) - epoch_us(t.ts)) / 1000000.0, 6) AS gap_seconds
+    FROM events t
+    JOIN events c
+      ON c.user_id = t.user_id
+     AND c.ts > t.ts
+     AND c.ts <= t.ts + INTERVAL 30 MINUTE
+    WHERE t.event_type = 'click' AND c.event_type = 'purchase'
+    """,
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join (the streaming
+    variant with watermark state eviction is exercised in
+    tests/test_streaming.py with exact parity to this plan)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.joins import (
+        attributed_events,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = attributed_events(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        within="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        "trigger_id",
+        "conversion_id",
+        F.round("gap_seconds", 6).alias("gap_seconds"),
+    )

@@ -1,0 +1,65 @@
+"""Stream-stream joins.
+
+The hardest Structured Streaming operator: both sides are unbounded,
+so Spark buffers each side's rows in state until the watermark proves
+no more matches can arrive. The time-range condition is what makes
+state eviction possible — an unconstrained stream-stream join would
+hold both streams forever.
+
+The same builder works on batch DataFrames (identical plan semantics)
+which is what the oracle-checkable batch twin and the streaming test
+both rely on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def attributed_events(
+    triggers: DataFrame,
+    conversions: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Attribution join: each conversion matched to trigger events of
+    the same user that happened in the ``within`` window before it.
+
+    Streaming: both sides get watermarks and the join's time-range
+    bound lets Spark evict trigger state older than
+    (watermark + within). Batch: the identical equi+range join.
+
+    Output: (user_id, trigger_id, conversion_id, gap_seconds).
+    """
+    t = triggers.select(
+        F.col(key_col).alias("t_user"),
+        F.col("event_id").alias("trigger_id"),
+        F.col(ts_col).alias("t_ts"),
+    )
+    c = conversions.select(
+        F.col(key_col).alias("c_user"),
+        F.col("event_id").alias("conversion_id"),
+        F.col(ts_col).alias("c_ts"),
+    )
+    if triggers.isStreaming:
+        t = t.withWatermark("t_ts", watermark)
+    if conversions.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+
+    cond = (
+        (F.col("t_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("t_ts"))
+        & (F.col("c_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return t.join(c, cond).select(
+        F.col("t_user").alias("user_id"),
+        "trigger_id",
+        "conversion_id",
+        (
+            F.unix_micros("c_ts") / 1_000_000 - F.unix_micros("t_ts") / 1_000_000
+        ).alias("gap_seconds"),
+    )
