@@ -2652,3 +2652,79 @@ def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conversion_id",
         F.round("gap_seconds", 6).alias("gap_seconds"),
     )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN part_avg a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group scalar subquery
+    (avg quantity per part) joined back — the aggregate side is tiny
+    after grouping and broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    avg_qty = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(avg_qty), F.col("pk") == l.l_partkey)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q21_multi_supplier_orders",
+    """
+    SELECT s.s_name AS supplier, count(DISTINCT l1.l_orderkey) AS orders_waiting
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > l1.l_shipdate
+          )
+    GROUP BY s.s_name
+    """,
+)
+def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact
+    table under different correlations (semi + anti join pair)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s.s_name AS supplier, count(DISTINCT l1.l_orderkey) AS orders_waiting
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        WHERE EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > l1.l_shipdate
+              )
+        GROUP BY s.s_name
+        """
+    )
