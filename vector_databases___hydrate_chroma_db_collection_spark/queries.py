@@ -2728,3 +2728,80 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.s_name
         """
     )
+
+
+@query(
+    "q8_market_share",
+    """
+    WITH volumes AS (
+        SELECT year(o.o_orderdate) AS yr,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT yr,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM volumes GROUP BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional share-of-total per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, o.o_orderkey == l.l_orderkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q20_bulk_suppliers",
+    """
+    SELECT s.s_suppkey AS suppkey, s.s_name AS supplier
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%bolt%'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 100
+    )
+    """,
+)
+def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted to the fixture schema): nested IN over
+    a filtered, joined, HAVING-gated aggregate -> left-semi join."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    bulk = (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 100)
+        .select("l_suppkey")
+    )
+    return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supplier")
+    )
