@@ -91,6 +91,65 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # ------------------------------------------------------------------
+    # Scale probe: synthetic 200k x 64 vector corpus (100x the sf0.1
+    # embeddings fixture), generated deterministically with expression
+    # hashing — measures how the vector operators behave when the
+    # corpus is 100x larger, which the fixtures can't show.
+    # ------------------------------------------------------------------
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        add_lsh_buckets,
+        lsh_knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join_gemm,
+        knn_query,
+    )
+
+    n, dim = 200_000, 64
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(
+                F.xxhash64(F.concat(F.col("id").cast("string"), F.lit("#"), j.cast("string"))),
+                F.lit(2000),
+            )
+            - 1000
+        ).cast("float")
+        / 1000.0,
+    )
+    corpus = (
+        spark.range(n)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select("id", vec.alias("embedding"))
+        .cache()
+    )
+    t0 = time.perf_counter()
+    corpus.count()
+    timings["synth200k_build"] = round(time.perf_counter() - t0, 3)
+
+    qvec = list(corpus.filter(F.col("id") == 0).first()["embedding"])
+    t0 = time.perf_counter()
+    knn_query(corpus, qvec, k=10, id_col="id").count()
+    timings["synth200k_knn_query"] = round(time.perf_counter() - t0, 3)
+
+    queries_side = corpus.filter(F.col("id") % 3125 == 0).select(
+        F.col("id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )  # 64 queries
+    t0 = time.perf_counter()
+    knn_join_gemm(queries_side, corpus, k=10, corpus_id_col="id").count()
+    timings["synth200k_knn_join_gemm_64q"] = round(time.perf_counter() - t0, 3)
+
+    bucketed = add_lsh_buckets(corpus, dim=dim, n_bits=8).cache()
+    bucketed.count()
+    t0 = time.perf_counter()
+    lsh_knn_query(bucketed, qvec, k=10, id_col="id", n_bits=8, hamming_probe=1).count()
+    timings["synth200k_lsh_knn_query"] = round(time.perf_counter() - t0, 3)
+    bucketed.unpersist()
+    corpus.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
