@@ -2805,3 +2805,28 @@ def q20_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi").select(
         F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("supplier")
     )
+
+
+@query(
+    "scalar_from_json_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def scalar_from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing (from_json -> struct field access)
+    as opposed to the path-string get_json_object form."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    schema = StructType([StructField("k", LongType())])
+    parsed = e.select("event_id", F.from_json("props", schema).alias("p"))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    )
