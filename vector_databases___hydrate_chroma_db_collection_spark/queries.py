@@ -23,6 +23,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _cents(c):
+    """Money term -> integer cents. Summing money in BIGINT cents is
+    order-independent, so Spark (parallel, AQE-dependent partial
+    sums) and DuckDB (sequential) agree bit-for-bit at any scale —
+    double summation of 100k+ terms differs in the last ~1e-2 between
+    engines, which round() cannot paper over."""
+    return F.round(c * 100).cast("bigint")
+
+
+def _money_sum(c):
+    """Order-independent money sum: SUM(cents)/100 as double."""
+    return F.sum(_cents(c)) / 100.0
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query; ``oracle`` is the DuckDB-SQL twin."""
 
@@ -95,9 +109,9 @@ def knn_top5_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0        AS sum_base_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
            round(avg(l_quantity), 4)                                        AS avg_qty,
            round(avg(l_extendedprice), 4)                                   AS avg_price,
            round(avg(l_discount), 6)                                        AS avg_disc,
@@ -118,9 +132,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -180,7 +194,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
     FROM region r
     JOIN nation n   ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -214,8 +228,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
         .groupBy(n.n_name.alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -669,7 +683,7 @@ def scalar_math_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
            quarter(o_orderdate) AS qtr,
            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
            count(*) AS order_cnt,
-           round(sum(o_totalprice), 2) AS month_revenue
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS month_revenue
     FROM orders
     GROUP BY 1, 2, 3, 4
     """,
@@ -687,7 +701,7 @@ def scalar_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("order_cnt"),
-            F.round(F.sum("o_totalprice"), 2).alias("month_revenue"),
+            _money_sum(F.col("o_totalprice")).alias("month_revenue"),
         )
     )
 
@@ -1604,7 +1618,7 @@ def window_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
                RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING), 2) AS rev_3mo
     FROM (
         SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-               round(sum(o_totalprice), 2) AS month_revenue
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS month_revenue
         FROM orders GROUP BY 1, 2
     )
     """,
@@ -1615,7 +1629,7 @@ def window_range_frame_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("month_revenue"))
+    ).agg(_money_sum(F.col("o_totalprice")).alias("month_revenue"))
     w = Window.partitionBy("yr").orderBy("mo").rangeBetween(-1, 1)
     return monthly.select(
         "yr",
@@ -1657,7 +1671,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (o_orderstatus = 'F') AS cnt_f,
            count(*) FILTER (o_orderstatus = 'O') AS cnt_o,
            count(*) FILTER (o_orderstatus = 'P') AS cnt_p,
-           round(coalesce(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 0), 2) AS rev_f
+           coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (o_orderstatus = 'F'), 0) / 100.0 AS rev_f
     FROM orders
     GROUP BY 1
     """,
@@ -1673,7 +1687,12 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("rev"),
+            (
+                F.coalesce(
+                    F.sum(_cents(F.col("o_totalprice"))), F.lit(0).cast("bigint")
+                )
+                / 100.0
+            ).alias("rev"),
         )
     )
     return pivoted.select(
@@ -1952,7 +1971,7 @@ def sql_udf_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_revenue_delta",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+    SELECT sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0 AS revenue_delta,
            count(*) AS qualifying_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1971,7 +1990,7 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.03, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+        _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
             "revenue_delta"
         ),
         F.count(F.lit(1)).alias("qualifying_lines"),
@@ -2170,7 +2189,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            year(l.l_shipdate) AS ship_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS volume
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) / 100.0 AS volume
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -2212,8 +2231,8 @@ def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("volume")
         )
     )
@@ -2269,8 +2288,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT round(
              100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                         THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+                         THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                         ELSE 0 END)
+             / (1.0 * sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))), 4) AS promo_pct
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-04-01'
@@ -2283,11 +2303,15 @@ def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    promo = F.when(F.col("p_type") == "PROMO", _cents(rev)).otherwise(
+        F.lit(0).cast("bigint")
+    )
     return (
         l.join(p, p.p_partkey == l.l_partkey)
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_pct")
+            F.round(
+                100.0 * F.sum(promo) / (F.lit(1.0) * F.sum(_cents(rev))), 4
+            ).alias("promo_pct")
         )
     )
 
@@ -2571,7 +2595,7 @@ def scalar_struct_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus AS status,
            round(stddev_samp(o_totalprice), 4) AS sd,
-           round(var_samp(o_totalprice), 2) AS vr,
+           round(var_samp(o_totalprice) / 1000000.0, 4) AS vr,
            round(skewness(o_totalprice) * (count(*) - 2)
                  / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew,
            round(kurtosis_pop(o_totalprice), 6) AS kurt,
@@ -2586,7 +2610,7 @@ def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
-        F.round(F.var_samp("o_totalprice"), 2).alias("vr"),
+        F.round(F.var_samp("o_totalprice") / 1000000.0, 4).alias("vr"),
         F.round(F.skewness("o_totalprice"), 6).alias("skew"),
         F.round(F.kurtosis("o_totalprice"), 6).alias("kurt"),
         F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
@@ -2745,8 +2769,9 @@ def q21_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate < TIMESTAMP '1998-01-01'
     )
     SELECT yr,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / sum(volume), 6) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_3'
+                     THEN CAST(round(volume * 100) AS BIGINT) ELSE 0 END)
+                 / (1.0 * sum(CAST(round(volume * 100) AS BIGINT))), 6) AS mkt_share
     FROM volumes GROUP BY yr
     """,
 )
@@ -2767,8 +2792,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(
+                    F.when(
+                        F.col("n_name") == "NATION_3", _cents(vol)
+                    ).otherwise(F.lit(0).cast("bigint"))
+                )
+                / (F.lit(1.0) * F.sum(_cents(vol))),
                 6,
             ).alias("mkt_share")
         )
