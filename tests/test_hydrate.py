@@ -190,3 +190,28 @@ def test_invalid_path_scheme_rejected():
         validate_path("s3://bucket/coll")
     with pytest.raises(InvalidPathError):
         validate_path("")
+
+
+def test_compaction_and_sql_view(spark, sample, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        compact_collection,
+        register_collection_view,
+    )
+
+    # three appends -> many small files
+    hydrate(spark, sample, cfg(tmp_path))
+    for i in (10, 20):
+        more = sample.selectExpr(f"uid + {i} AS uid", "body", "vec", "stars")
+        hydrate(spark, more, cfg(tmp_path))
+    import glob
+
+    files_before = glob.glob(str(tmp_path / "c1" / "data" / "*.parquet"))
+    n = compact_collection(spark, str(tmp_path), "c1", target_partitions=1)
+    files_after = glob.glob(str(tmp_path / "c1" / "data" / "*.parquet"))
+    assert n == 9
+    assert len(files_after) < len(files_before)
+    assert len(files_after) == 1
+
+    view = register_collection_view(spark, str(tmp_path), "c1")
+    assert spark.sql(f"SELECT count(*) AS c FROM {view}").first()["c"] == 9
+    spark.catalog.dropTempView(view)

