@@ -2490,9 +2490,10 @@ def scalar_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            len(list_distinct(list_concat(head4, tail4))) AS union_distinct,
            len(list_filter(head4, x -> list_contains(tail4, x))) AS overlap,
-           list_sort(list_transform(head4, x -> round(CAST(x AS DOUBLE), 3)))
-               AS head_sorted,
-           list_transform(range(1, 4), i -> CAST(i * vec_id AS BIGINT)) AS id_multiples
+           array_to_string(list_sort(list_transform(head4,
+               x -> round(CAST(x AS DOUBLE), 3))), ',') AS head_sorted,
+           array_to_string(list_transform(range(1, 4),
+               i -> CAST(i * vec_id AS BIGINT)), ',') AS id_multiples
     FROM (
         SELECT vec_id,
                list_slice(embedding, 1, 4) AS head4,
@@ -2515,12 +2516,18 @@ def scalar_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(
             F.filter("head4", lambda x: F.array_contains(F.col("tail4"), x))
         ).alias("overlap"),
-        F.array_sort(
-            F.transform("head4", lambda x: F.round(x.cast("double"), 3))
+        F.array_join(
+            F.array_sort(
+                F.transform("head4", lambda x: F.round(x.cast("double"), 3))
+            ).cast("array<string>"),
+            ",",
         ).alias("head_sorted"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(3)),
-            lambda i: (i * F.col("vec_id")).cast("bigint"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda i: (i * F.col("vec_id")).cast("bigint"),
+            ).cast("array<string>"),
+            ",",
         ).alias("id_multiples"),
     )
 
@@ -2570,8 +2577,8 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            struct_pack(lang := lang, src := source).lang AS s_lang,
-           map_keys(MAP {'lang': lang, 'source': source}) AS mkeys,
-           map_values(MAP {'lang': lang, 'source': source}) AS mvals,
+           array_to_string(map_keys(MAP {'lang': lang, 'source': source}), ',') AS mkeys,
+           array_to_string(map_values(MAP {'lang': lang, 'source': source}), ',') AS mvals,
            cardinality(MAP {'lang': lang, 'source': source}) AS msize
     FROM documents
     WHERE doc_id < 50
@@ -2584,8 +2591,8 @@ def scalar_struct_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.struct(F.col("lang").alias("lang"), F.col("source").alias("src"))["lang"].alias("s_lang"),
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(F.map_values(m), ",").alias("mvals"),
         F.size(m).alias("msize"),
     )
 
