@@ -144,3 +144,66 @@ def chunk_tokens(
         )
 
     return F.transform(F.sequence(F.lit(0), n_chunks - 1), one)
+
+
+def add_text_features(df, text_col: str = "text"):
+    """Materialize tokenization once, then derive every text metric
+    from the shared column. The single-column convenience functions
+    above re-tokenize inside each expression (subexpression
+    elimination does not reach interpreted higher-order functions),
+    which costs ~3x on quality scoring; pipelines touching several
+    metrics should go through here.
+
+    Adds: _toks, _ltoks (lowercased), tok_cnt, char_cnt, punct_ratio,
+    stopword_ratio, quality, lang_pred. Formulas are identical to
+    quality_score()/language_id() — oracle results do not change.
+
+    The repartition between tokenization and the metrics is load-
+    bearing twice over: it parallelizes single-file inputs AND acts
+    as a barrier that stops Catalyst's CollapseProject from
+    re-inlining (and so re-evaluating) the token arrays into every
+    metric expression — measured 3-4x on quality scoring.
+    """
+    t = F.col(text_col)
+    df = (
+        df.withColumn("_toks", tokens(t))
+        .withColumn("_ltoks", tokens(F.lower(t)))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
+
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"\p{Punct}", ""))
+    praw = punct.cast("double") / F.greatest(F.length(t), F.lit(1)).cast("double")
+
+    def hits(code: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[code]])
+        return F.size(F.filter("_ltoks", lambda x: F.array_contains(sw, x)))
+
+    swr = hits("en").cast("double") / F.greatest(F.size("_ltoks"), F.lit(1)).cast(
+        "double"
+    )
+    tc = F.size("_toks").cast("double")
+    quality = F.round(
+        F.lit(0.4) * F.least(tc / 100.0, F.lit(1.0))
+        + F.lit(0.4) * (F.lit(1.0) - praw)
+        + F.lit(0.2) * F.least(swr / 0.1, F.lit(1.0)),
+        6,
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(hits(code).alias("hits"), F.lit(code).alias("code"))
+                for code in sorted(STOPWORDS)
+            ]
+        )
+    )
+    return (
+        df.withColumn("tok_cnt", F.size("_toks"))
+        .withColumn("char_cnt", F.length(t))
+        .withColumn("punct_ratio", F.round(praw, 6))
+        .withColumn("stopword_ratio", F.round(swr, 6))
+        .withColumn("quality", quality)
+        .withColumn(
+            "lang_pred",
+            F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")),
+        )
+    )

@@ -849,13 +849,8 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        T.token_count("text").alias("tok_cnt"),
-        T.char_count("text").alias("char_cnt"),
-        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
-        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        T.quality_score("text").alias("quality"),
+    return T.add_text_features(d).select(
+        "doc_id", "tok_cnt", "char_cnt", "punct_ratio", "stopword_ratio", "quality"
     )
 
 
@@ -884,8 +879,10 @@ GROUP BY 1
 @query("text_language_id", _LANGID_ORACLE)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy(T.language_id("text").alias("lang_pred")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        T.add_text_features(d)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -2136,12 +2133,14 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst pushes the quality filter below the join so low-quality
     docs never reach the shuffle."""
     from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
-        quality_score,
+        add_text_features,
     )
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    kept = d.filter(quality_score("text") >= 0.7).select("doc_id", "lang")
+    kept = (
+        add_text_features(d).filter(F.col("quality") >= 0.7).select("doc_id", "lang")
+    )
     return (
         kept.join(e, e.vec_id == kept.doc_id)
         .groupBy("lang", "label")
