@@ -102,6 +102,25 @@ def language_id(text: Column | str) -> Column:
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
+# GPT-2-style pre-tokenization approximation: letter runs, digit runs,
+# and punctuation runs, each optionally preceded by one space. The
+# alternation uses only ASCII classes so Java regex (Spark) and RE2
+# (DuckDB) match byte-for-byte — verified identical on both engines.
+BPE_REGEX = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization (see BPE_REGEX). A real BPE vocab
+    merge table is model-specific; the pre-tokenizer split is what
+    drives token-budget estimates in pipeline planning, and it is a
+    pure codegen expression — counting tokens over 100 TB is a scan."""
+    return F.regexp_extract_all(_c(text), F.lit(BPE_REGEX), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Order-sensitive document fingerprint: md5 of the normalized
     text (hex). md5 exists in both Spark and DuckDB, making the

@@ -906,6 +906,97 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer split (functions/text.py::BPE_REGEX): ASCII
+# letter/digit/punct runs with optional leading space — identical
+# between Java regex and RE2, so the count is fully oracle-checked.
+_BPE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tok_cnt,
+           len({_TOKS.format(x='text')}) AS ws_tok_cnt,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1),
+                 4) AS chars_per_bpe_tok
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting for training pipelines: whitespace tokens vs a
+    BPE-ish pre-tokenizer split. Pure projection — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        bpe.alias("bpe_tok_cnt"),
+        T.token_count("text").alias("ws_tok_cnt"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(bpe, F.lit(1)), 4
+        ).alias("chars_per_bpe_tok"),
+    )
+
+
+@query(
+    "sample_hash_deterministic",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_HASH64.format(x='CAST(doc_id AS VARCHAR)')} % 1000 < 100
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 10% sample by hash-mod on the id — the scale-safe
+    alternative to rand()-sampling: deterministic across runs/engines,
+    no seed coordination, pushes down to the scan as a plain filter,
+    and the same predicate selects the same rows on any engine
+    (here proven by the DuckDB oracle selecting identical doc_ids)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(1000)) < 100
+    ).select("doc_id", "lang")
+
+
+_STRATA_RATES = {"en": 100, "es": 300, "fr": 300, "de": 300, "zh": 300}
+
+
+@query(
+    "sample_stratified_by_lang",
+    f"""
+    WITH rates(lang, permille) AS (
+        VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(_STRATA_RATES.items()))}
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE {_HASH64.format(x='CAST(d.doc_id AS VARCHAR)')} % 1000 < r.permille
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling (rebalance a skewed-language corpus):
+    per-stratum hash-mod thresholds via a broadcast-joined rates dim.
+    At 100 TB this stays a scan + broadcast hash join — the rates
+    table is O(#strata) — with the filter applied pre-shuffle."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(
+        sorted(_STRATA_RATES.items()), ["lang", "permille"]
+    )
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .filter(F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(1000)) < F.col("permille"))
+        .select("doc_id", "lang")
+    )
+
+
 @query(
     "dedup_exact_groups",
     f"""
