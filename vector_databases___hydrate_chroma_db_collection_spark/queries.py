@@ -1160,6 +1160,99 @@ def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_rolling_fingerprint",
+    f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_TOKS.format(x=_NORM)},
+                   t -> {_HASH64.format(x='t')} % {MINHASH_P}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN 0
+                ELSE list_reduce(hs, (a, b) -> (a * 131 + b) % {MINHASH_P})
+           END AS rfp
+    FROM th
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin–Karp fingerprint over normalized tokens
+    (functions/hashes.py::rolling_hash) — distinguishes documents that
+    are token permutations of each other, which the md5-of-normalized-
+    text and SimHash fingerprints cannot."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        rolling_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_hash(T.tokens(T.normalize_text("text"))).alias("rfp"),
+    )
+
+
+@query(
+    "embedding_int8_quantization",
+    """
+    WITH s AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, embedding, scale,
+               list_transform(embedding,
+                   x -> floor(CAST(x AS DOUBLE)
+                        / (CASE WHEN scale = 0 THEN 1 ELSE scale END)
+                        * 127 + 0.5)) AS qv
+        FROM s
+    )
+    SELECT vec_id, label,
+           round(scale, 6) AS qscale,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           round(list_max(list_transform(
+               list_zip(qv, embedding),
+               p -> abs(p[1] * scale / 127 - CAST(p[2] AS DOUBLE)))), 6
+           ) AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with per-vector max-abs
+    scale (functions/vector.py::quantize_int8): checksum of the
+    quantized codes plus the max dequantization error. Quantized
+    codes are exact integers, so the checksum sum is order-independent
+    and the whole result is oracle-exact."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxabs_scale,
+        quantize_int8,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    s = e.withColumn("scale", maxabs_scale("embedding"))
+    q = s.withColumn("qv", quantize_int8("embedding", F.col("scale")))
+    err = F.array_max(
+        F.zip_with(
+            "qv",
+            "embedding",
+            lambda v, x: F.abs(
+                v.cast("double") * F.col("scale") / 127.0 - x.cast("double")
+            ),
+        )
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.round("scale", 6).alias("qscale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")).alias(
+            "q_checksum"
+        ),
+        F.round(err, 6).alias("max_abs_err"),
+    )
+
+
+@query(
     "dedup_embedding_cosine_pairs",
     """
     WITH n AS (
