@@ -150,6 +150,48 @@ def main() -> None:
     bucketed.unpersist()
     corpus.unpersist()
 
+    # ------------------------------------------------------------------
+    # Scale probe: MinHash+LSH dedup on a synthetic 50k-doc corpus
+    # (10x the sf0.1 documents fixture, ~1.1M shingle rows) with 500
+    # planted near-duplicate pairs over a diverse 5000-word synthetic
+    # vocabulary (real-corpus-like shingle sparsity — a tiny vocab
+    # makes LSH buckets degenerate and overstates candidate counts).
+    # Asserts exact planted-pair recall, so the timing is also a
+    # correctness check of the scale path.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    n_docs = 50_000
+    dup_base = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    doc_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(dup_base.cast("string"), j.cast("string")), F.lit(5000)
+                ).cast("string"),
+            ),
+        ),
+    )
+    docs = (
+        spark.range(n_docs)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(F.col("id").alias("doc_id"), doc_text.alias("text"))
+        .cache()
+    )
+    docs.count()
+    t0 = time.perf_counter()
+    n_pairs = minhash_lsh_pairs(
+        docs, id_col="doc_id", text_col="text", n=3, num_hashes=16, bands=8, threshold=0.5
+    ).count()
+    timings["synth50k_minhash_dedup"] = round(time.perf_counter() - t0, 3)
+    assert n_pairs == n_docs // 100, f"expected {n_docs // 100} planted pairs, got {n_pairs}"
+    docs.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
