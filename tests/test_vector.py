@@ -128,3 +128,35 @@ def test_int8_quantization_bounds(spark, a):
     assert -127 <= row["qmin"] and row["qmax"] <= 127
     # reconstruction error bounded by half a quantization step
     assert row["err"] <= row["scale"] / 254.0 + 1e-12
+
+
+def test_quantized_knn_preserves_neighbors(spark):
+    """Retrieval survives int8 quantization: top-10 cosine neighbors
+    computed on dequantized int8 vectors overlap >=8/10 with exact
+    neighbors — the property that makes 4x-smaller storage usable for
+    first-stage retrieval (rerank with full precision if needed)."""
+    from .conftest import SF_CORRECT
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        dequantize_int8,
+        maxabs_scale,
+        quantize_int8,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    e = load_table(spark, SF_CORRECT, "embeddings")
+    s = maxabs_scale("embedding")
+    deq = e.select(
+        "vec_id",
+        dequantize_int8(quantize_int8("embedding", s), s)
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    qvec = list(e.filter(F.col("vec_id") == 7).first()["embedding"])
+    exact = {r["vec_id"] for r in knn_query(e, qvec, k=10, id_col="vec_id").collect()}
+    quant = {r["vec_id"] for r in knn_query(deq, qvec, k=10, id_col="vec_id").collect()}
+    assert len(exact & quant) >= 8
