@@ -6,6 +6,14 @@ materialized through Spark's noop sink (full computation, no output
 cost, no driver collect). Also measures end-to-end collection
 hydration throughput (the reference's whole job, sas:126-193) as
 ``hydrate_collection``.
+
+Methodology: every reported number is the MEDIAN OF 3 runs of the
+fully-warm query (JVM + parquet footers warmed before timing starts;
+plan compilation amortized by the median) — single-shot numbers at
+sf0.1 are dominated by scheduling noise and machine load, which is
+what made round-1 numbers drift ±15% between back-to-back suites.
+One-shot exceptions: hydrate_collection (appends are stateful) and
+the synth corpus builds (cache materialization, reported separately).
 """
 
 from __future__ import annotations
@@ -13,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -63,12 +72,18 @@ def main() -> None:
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    def timed(fn, trials: int = 3) -> float:
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(statistics.median(ts), 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        run_noop(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = timed(lambda: run_noop(fn(spark, sf_dir)))
 
     # Hydration throughput: documents join embeddings -> collection dir.
     tmp = tempfile.mkdtemp(prefix="vdb_bench_")
@@ -131,23 +146,86 @@ def main() -> None:
     timings["synth200k_build"] = round(time.perf_counter() - t0, 3)
 
     qvec = list(corpus.filter(F.col("id") == 0).first()["embedding"])
-    t0 = time.perf_counter()
-    knn_query(corpus, qvec, k=10, id_col="id").count()
-    timings["synth200k_knn_query"] = round(time.perf_counter() - t0, 3)
+    timings["synth200k_knn_query"] = timed(
+        lambda: knn_query(corpus, qvec, k=10, id_col="id").count()
+    )
 
     queries_side = corpus.filter(F.col("id") % 3125 == 0).select(
         F.col("id").alias("qid"), F.col("embedding").alias("q_embedding")
     )  # 64 queries
-    t0 = time.perf_counter()
-    knn_join_gemm(queries_side, corpus, k=10, corpus_id_col="id").count()
-    timings["synth200k_knn_join_gemm_64q"] = round(time.perf_counter() - t0, 3)
+    timings["synth200k_knn_join_gemm_64q"] = timed(
+        lambda: knn_join_gemm(queries_side, corpus, k=10, corpus_id_col="id").count()
+    )
 
     bucketed = add_lsh_buckets(corpus, dim=dim, n_bits=8).cache()
     bucketed.count()
-    t0 = time.perf_counter()
-    lsh_knn_query(bucketed, qvec, k=10, id_col="id", n_bits=8, hamming_probe=1).count()
-    timings["synth200k_lsh_knn_query"] = round(time.perf_counter() - t0, 3)
+    timings["synth200k_lsh_knn_query"] = timed(
+        lambda: lsh_knn_query(
+            bucketed, qvec, k=10, id_col="id", n_bits=8, hamming_probe=1
+        ).count()
+    )
     bucketed.unpersist()
+
+    # ------------------------------------------------------------------
+    # Scale probe: IVF-cell-bucketed semantic near-dup on the same 200k
+    # corpus with 2000 planted near-identical pairs (id%100==0 shares
+    # id+1's base vector plus a ~1e-4 perturbation). Auto-sizing gives
+    # 48 KMeans cells with n_assign=4 — GENUINE pruning, unlike the
+    # fixture scale where the auto-sizer degrades to exhaustive — and
+    # the in-bench assert makes the timing a recall check of the scale
+    # path (the one the GEMM wrapper dispatches to above its broadcast
+    # cap, replacing round-1's full-corpus driver collect).
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_neardup_pairs,
+    )
+
+    dup_base_v = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(F.col("id"))
+    ndup_vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(dup_base_v.cast("string"), F.lit("#"), j.cast("string"))
+                    ),
+                    F.lit(2000),
+                )
+                - 1000
+            ).cast("double")
+            / 1000.0
+            + (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(F.col("id").cast("string"), F.lit("@"), j.cast("string"))
+                    ),
+                    F.lit(21),
+                )
+                - 10
+            ).cast("double")
+            / 100000.0
+        ).cast("float"),
+    )
+    ndup = (
+        spark.range(n)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select("id", ndup_vec.alias("embedding"))
+        .cache()
+    )
+    ndup.count()
+
+    def run_ivf_neardup() -> None:
+        got = ivf_neardup_pairs(
+            ndup,
+            id_col="id",
+            embedding_col="embedding",
+            threshold=0.9,
+            sample_fraction=0.05,
+        ).count()
+        assert got == n // 100, f"expected {n // 100} planted near-dup pairs, got {got}"
+
+    timings["synth200k_ivf_neardup"] = timed(run_ivf_neardup)
+    ndup.unpersist()
     corpus.unpersist()
 
     # ------------------------------------------------------------------
@@ -184,12 +262,20 @@ def main() -> None:
         .cache()
     )
     docs.count()
-    t0 = time.perf_counter()
-    n_pairs = minhash_lsh_pairs(
-        docs, id_col="doc_id", text_col="text", n=3, num_hashes=16, bands=8, threshold=0.5
-    ).count()
-    timings["synth50k_minhash_dedup"] = round(time.perf_counter() - t0, 3)
-    assert n_pairs == n_docs // 100, f"expected {n_docs // 100} planted pairs, got {n_pairs}"
+
+    def run_minhash() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            release_cache,
+        )
+
+        res = minhash_lsh_pairs(
+            docs, id_col="doc_id", text_col="text", n=3, num_hashes=16, bands=8, threshold=0.5
+        )
+        n_pairs = res.count()
+        release_cache(res)  # free the shingle cache between trials
+        assert n_pairs == n_docs // 100, f"expected {n_docs // 100} planted pairs, got {n_pairs}"
+
+    timings["synth50k_minhash_dedup"] = timed(run_minhash)
     docs.unpersist()
 
     total = round(sum(timings.values()), 3)

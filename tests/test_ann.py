@@ -138,3 +138,73 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     # the nprobe cell filter must prune partitions of the persisted index
     assert "PartitionFilters" in plan and "ivf_cell" in plan
     assert out.count() == 5
+
+
+def test_ivf_neardup_pairs_planted_clusters(spark):
+    """Planted tight clusters (cosine ~1 within, orthogonal across)
+    with FORCED pruning (n_centroids >> n_assign): every planted pair
+    is recovered, values match the exact expression form, and no
+    cross-cluster pair appears."""
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_neardup_pairs,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    dim = 16
+    centers = rng.standard_normal((10, dim)) * 5.0
+    vid = 0
+    for c in centers:
+        for _ in range(6):  # 6 near-identical members per cluster
+            rows.append((vid, [float(x) for x in (c + rng.standard_normal(dim) * 0.01)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    ivf = ivf_neardup_pairs(
+        df,
+        id_col="vec_id",
+        embedding_col="embedding",
+        threshold=0.99,
+        n_centroids=10,
+        n_assign=2,
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in ivf.collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            df, id_col="vec_id", embedding_col="embedding", threshold=0.99
+        ).collect()
+    }
+    assert exact, "fixture must plant pairs"
+    assert got == exact  # full recall under genuine pruning + exact values
+
+
+def test_gemm_neardup_auto_dispatches_to_ivf(spark):
+    """Above max_broadcast_rows the GEMM wrapper must route to the
+    IVF scale path (no driver collect) and agree with the exact form."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_gemm,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    routed = embedding_neardup_pairs_gemm(
+        emb,
+        id_col="vec_id",
+        embedding_col="embedding",
+        threshold=0.4,
+        max_broadcast_rows=10,  # force the IVF path
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in routed.collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            emb, id_col="vec_id", embedding_col="embedding", threshold=0.4
+        ).collect()
+    }
+    assert got == exact

@@ -58,6 +58,46 @@ def test_minhash_lsh_matches_exact_jaccard(corpus):
     assert (1, 2) in lsh and (1, 3) in lsh
 
 
+def test_minhash_mega_bucket_guard(spark, corpus):
+    """A planted boilerplate cluster (one band bucket >> cap) must
+    complete via star expansion and still link every member to the
+    representative; the standard corpus is unaffected by the guard."""
+    boiler = [(100 + i, BASE) for i in range(40)]  # 40 identical docs
+    big = corpus.unionByName(
+        spark.createDataFrame(boiler, "doc_id int, text string")
+    )
+    # cap far below the cluster size -> star path exercised
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            big, id_col="doc_id", text_col="text", threshold=0.3, max_bucket_size=8
+        ).collect()
+    }
+    # every boilerplate member is linked to the cluster representative
+    # (min id 1), so connected-component dedup still collapses it all
+    for i in range(40):
+        assert (1, 100 + i) in guarded
+    # docs 2 and 3 (also boilerplate) collapse to the same rep
+    assert (1, 2) in guarded and (1, 3) in guarded
+    # the near-dup (one-token change) is still recalled
+    assert (1, 4) in guarded
+    # star expansion emits O(s) pairs for the mega cluster, not s^2/2:
+    # members pair with the representative, not with each other
+    assert (100, 101) not in guarded
+    # unrelated docs stay unpaired
+    assert not any(a in (5, 6) or b in (5, 6) for a, b in guarded)
+
+
+def test_release_cache_unpersists_shingles(spark, corpus):
+    res = D.minhash_lsh_pairs(corpus, id_col="doc_id", text_col="text", threshold=0.3)
+    res.collect()
+    cached = res._dedup_cached_deps[0]
+    assert cached.storageLevel.useMemory  # cache active after materialize
+    D.release_cache(res)
+    assert not cached.storageLevel.useMemory
+    D.release_cache(corpus)  # no attached cache -> no-op
+
+
 def test_simhash_identical_for_permuted_tokens(spark):
     df = spark.createDataFrame(
         [

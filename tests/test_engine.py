@@ -39,7 +39,8 @@ def test_approx_count_distinct_within_rsd(spark):
     rows = R.QUERIES["agg_approx_count_distinct"](spark, SF_CORRECT).collect()
     assert rows
     for r in rows:
-        exact = r["exact_parts"]
-        approx = r["approx_parts"]
-        # rsd=0.02 → generous 5-sigma bound
-        assert abs(approx - exact) <= max(0.1 * exact, 10), r
+        # the query folds the HLL++ estimate into a boolean accuracy
+        # contract (|approx - exact| <= 3*rsd*exact) that the oracle
+        # asserts TRUE; verify it holds and exact counts are sane
+        assert r["sketch_within_tol"] is True, r
+        assert r["exact_parts"] > 0, r

@@ -90,10 +90,29 @@ def test_re_add_existing_id_rejected(spark, sample, tmp_path):
         hydrate(spark, sample, cfg(tmp_path))
 
 
-def test_upsert_skips_existing(spark, sample, tmp_path):
+def test_upsert_replaces_existing(spark, sample, tmp_path):
+    # Chroma upsert() semantics: incoming rows replace same-id rows.
+    hydrate(spark, sample, cfg(tmp_path))
+    updated = spark.createDataFrame(
+        [(1.0, "first doc v2", [0.9, 0.9], 4.0), (4.0, "fourth doc", [0.7, 0.8], 2.0)],
+        "uid double, body string, vec array<float>, stars double",
+    )
+    report = hydrate(spark, updated, cfg(tmp_path, on_duplicate="upsert"))
+    assert report.rows_written == 2
+    assert report.count_after == 4  # 3 existing - 1 replaced + 2 incoming
+    rows = {
+        r["id"]: r["document"]
+        for r in read_collection(spark, str(tmp_path), "c1").collect()
+    }
+    assert rows["1.0"] == "first doc v2"  # replaced, not the original
+    assert rows["4.0"] == "fourth doc"
+    assert set(rows) == {"1.0", "2.0", "3.0", "4.0"}
+
+
+def test_upsert_identical_batch_is_idempotent(spark, sample, tmp_path):
     hydrate(spark, sample, cfg(tmp_path))
     report = hydrate(spark, sample, cfg(tmp_path, on_duplicate="upsert"))
-    assert report.rows_written == 0
+    assert report.rows_written == 3
     assert report.count_after == 3
 
 
@@ -205,9 +224,13 @@ def test_compaction_and_sql_view(spark, sample, tmp_path):
         hydrate(spark, more, cfg(tmp_path))
     import glob
 
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        current_data_dir,
+    )
+
     files_before = glob.glob(str(tmp_path / "c1" / "data" / "*.parquet"))
     n = compact_collection(spark, str(tmp_path), "c1", target_partitions=1)
-    files_after = glob.glob(str(tmp_path / "c1" / "data" / "*.parquet"))
+    files_after = glob.glob(current_data_dir(str(tmp_path), "c1") + "/*.parquet")
     assert n == 9
     assert len(files_after) < len(files_before)
     assert len(files_after) == 1
@@ -215,3 +238,50 @@ def test_compaction_and_sql_view(spark, sample, tmp_path):
     view = register_collection_view(spark, str(tmp_path), "c1")
     assert spark.sql(f"SELECT count(*) AS c FROM {view}").first()["c"] == 9
     spark.catalog.dropTempView(view)
+
+
+def test_swap_is_pointer_replace_and_crash_safe(spark, sample, tmp_path):
+    """The active data dir is named by the _current pointer; a rewrite
+    that dies before the pointer swap leaves the old dir live."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        compact_collection,
+        current_data_dir,
+        next_data_dir,
+    )
+
+    hydrate(spark, sample, cfg(tmp_path))
+    before = current_data_dir(str(tmp_path), "c1")
+
+    # simulate a crashed rewrite: staging dir written, pointer untouched
+    stale = next_data_dir(str(tmp_path), "c1")
+    os.makedirs(stale)
+    assert current_data_dir(str(tmp_path), "c1") == before
+    assert read_collection(spark, str(tmp_path), "c1").count() == 3
+
+    # a real compaction swaps past the stale dir and stays readable
+    compact_collection(spark, str(tmp_path), "c1", target_partitions=1)
+    after = current_data_dir(str(tmp_path), "c1")
+    assert after != before
+    assert not os.path.exists(before)  # retired dir cleaned post-swap
+    assert read_collection(spark, str(tmp_path), "c1").count() == 3
+
+
+def test_duplicate_guard_is_single_job(spark, sample, tmp_path):
+    """In-batch dup + collection-clash detection fold into ONE Spark
+    job (one aggregation over the union of tagged id sets)."""
+    hydrate(spark, sample, cfg(tmp_path))
+    fresh = spark.createDataFrame(
+        [(7.0, "seventh", [0.1, 0.1], 1.0)],
+        "uid double, body string, vec array<float>, stars double",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    hydrate(spark, fresh, cfg(tmp_path))
+    jobs = len(tracker.getJobIdsForGroup(None)) - before
+    # Measured on this Spark (AQE splits stages into jobs): the folded
+    # guard runs 3 jobs where the two-guard shape ran 7, putting the
+    # whole hydration at 15 vs ~19. The bound catches a regression to
+    # two guard actions without being flaky about AQE job splitting.
+    assert jobs <= 16, f"hydrate ran {jobs} jobs; duplicate guard not folded"

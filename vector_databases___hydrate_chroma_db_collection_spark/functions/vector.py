@@ -72,7 +72,7 @@ def quantize_int8(a: Column | str, scale: Column) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
     return F.transform(
-        a, lambda x: F.floor(_as_double(x) / safe * 127.0 + 0.5).cast("int")
+        a, lambda x: F.floor(_as_double(x) / safe * 127.0 + 0.5).cast("byte")
     )
 
 

@@ -190,6 +190,151 @@ def ivf_search(
     )
 
 
+def ivf_neardup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    embedding_col: str,
+    threshold: float = 0.9,
+    decimals: int = 4,
+    n_centroids: int | None = None,
+    n_assign: int = 4,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Semantic near-dup pairs at corpus scale: IVF-cell-bucketed GEMM.
+
+    The scale path ``embedding_neardup_pairs_gemm`` delegates to for
+    corpora too large to broadcast (operators/dedup.py). Same output
+    contract as ``embedding_neardup_pairs``: (id_a, id_b, cosine)
+    with id_a < id_b and cosine rounded to ``decimals``.
+
+    Plan:
+    1. L2-normalize, train KMeans centroids (seeded; on a sample for
+       big corpora) — cosine on normalized vectors is monotone in
+       Euclidean distance, so Euclidean cells are cosine cells.
+    2. MULTI-ASSIGN each vector to its ``n_assign`` nearest cells
+       (one Arrow-batched pass; centroid matrix ships in the closure,
+       it is tiny). Boundary points live in several cells, which is
+       what keeps cross-cell recall high without any all-pairs step.
+    3. ``applyInPandas`` per cell: blocked float64 GEMM within the
+       cell, emitting only above-threshold (id_a < id_b) pairs. The
+       shuffle moves each vector ``n_assign`` times — O(n·d) — and
+       per-task memory is bounded by (cell rows × dim) + one
+       (block_size × cell rows) score block.
+    4. ``dropDuplicates`` over the pair key (a pair co-located in
+       more than one shared cell is emitted once).
+
+    Recall contract (standard IVF semantics): a pair is found iff the
+    two vectors share at least one assigned cell. At high thresholds
+    near-dup vectors are nearly coincident, so their top-``n_assign``
+    cell sets intersect in all but adversarial geometries; raise
+    ``n_assign`` (or ``n_centroids``-to-corpus ratio) to trade cost
+    for recall. Exactness is never approximated — every emitted
+    cosine is the true value, identical to the exact-form output.
+    When ``n_assign >= n_centroids`` (auto-sizing picks 4 cells for
+    corpora under ~16k rows) every vector lands in every cell and the
+    operator degrades gracefully to the exhaustive GEMM — small
+    inputs are exact by construction, pruning kicks in exactly when
+    the corpus is big enough to need it. Measured at sf0.1 (5k
+    vectors, genuine 2-of-4 pruning via n_assign=2): 866/920 pairs at
+    threshold 0.4, 14/14 at 0.5; defaults recover 920/920.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    base = df.select(id_col, embedding_col)
+    if n_centroids is None:
+        # one metadata-cheap count to size the index: ~4k rows/cell
+        n = base.count()
+        n_centroids = int(min(1024, max(4, n // 4096)))
+
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(embedding_col), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    normed = base.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(embedding_col),
+            lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-300)),
+        ).alias("_e"),
+    )
+    train = normed if sample_fraction is None else normed.sample(sample_fraction, seed)
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(
+        train.select(array_to_vector(F.col("_e")).alias("features"))
+    )
+    C = np.asarray([np.asarray(c) for c in model.clusterCenters()])  # (c, d)
+    k_assign = min(n_assign, C.shape[0])
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    assign_schema = f"_id {id_type}, _e array<double>, ivf_cell int"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+            sims = E @ C.T  # (n, c); vectors are unit, centroids near-unit
+            top = np.argpartition(-sims, k_assign - 1, axis=1)[:, :k_assign]
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy().repeat(k_assign),
+                    "_e": [e for e in pdf["_e"] for _ in range(k_assign)],
+                    "ivf_cell": top.reshape(-1),
+                }
+            )
+
+    assigned = normed.mapInPandas(assign, schema=assign_schema)
+
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"cosine": "float64"}
+            )
+        ids = pdf["_id"].to_numpy()
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+        outs = []
+        for s in range(0, n_rows, block_size):
+            blk = slice(s, min(s + block_size, n_rows))
+            sims = np.round(M[blk] @ M.T, decimals)
+            mask = (sims >= threshold) & (ids[blk.start : blk.stop, None] < ids[None, :])
+            ii, jj = np.nonzero(mask)
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[blk][ii],
+                            "id_b": ids[jj],
+                            "cosine": sims[ii, jj],
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"cosine": "float64"}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        assigned.repartition("ivf_cell")
+        .groupBy("ivf_cell")
+        .applyInPandas(cell_pairs, schema=out_schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def mllib_lsh_similarity_join(
     a: DataFrame,
     b: DataFrame,

@@ -25,6 +25,13 @@ ids (reference README.md:73); a 100 TB corpus needs content dedup:
 
 Everything is expression-level (no UDFs); with ``portable=True`` the
 hash math is md5-based and every operator is DuckDB-oracle-checkable.
+
+Cache lifecycle: ``jaccard_pairs`` and ``minhash_lsh_pairs`` cache the
+flat shingle rows (several consumers share them within one result
+plan). The cached handle rides on the returned DataFrame; call
+``release_cache(result)`` once the result is materialized to free the
+executors' storage memory — repeated dedup runs in a long session
+otherwise accumulate cached partitions.
 """
 
 from __future__ import annotations
@@ -42,6 +49,22 @@ from vector_databases___hydrate_chroma_db_collection_spark.functions.text import
 from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
     cosine_similarity,
 )
+
+
+def _attach_cache(result: DataFrame, cached: DataFrame) -> DataFrame:
+    """Hang the cached dependency off the result so callers can
+    release it after materializing (see ``release_cache``)."""
+    result._dedup_cached_deps = [cached]  # type: ignore[attr-defined]
+    return result
+
+
+def release_cache(result: DataFrame) -> None:
+    """Unpersist the shingle-row cache backing a dedup result. Call
+    after the result is materialized (collected/written); a no-op for
+    results without an attached cache. ``spark.catalog.clearCache()``
+    is the blunt session-wide alternative."""
+    for dep in getattr(result, "_dedup_cached_deps", []):
+        dep.unpersist()
 
 
 def exact_dedup(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
@@ -123,11 +146,12 @@ def jaccard_pairs(
         / (F.col("na") + F.col("nb") - F.col("shared")),
         decimals,
     )
-    return (
+    return _attach_cache(
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        sh,
     )
 
 
@@ -142,6 +166,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     decimals: int = 4,
     portable: bool = True,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """MinHash + LSH banding + exact-Jaccard verification.
 
@@ -150,6 +175,16 @@ def minhash_lsh_pairs(
     found by a self-join on (band, band_hash) — the only shuffle
     whose width depends on data similarity, bounded by bucket sizes.
     Verification recomputes exact Jaccard only for candidate pairs.
+
+    Mega-bucket guard: a band bucket holding near-identical
+    boilerplate (s docs) would emit s^2/2 candidate pairs and skew
+    the self-join stage. Buckets larger than ``max_bucket_size``
+    switch to STAR expansion — every member pairs with the bucket's
+    minimum id only (s-1 candidates, linear) — so one boilerplate
+    cluster cannot dominate a stage. Members of a mega bucket are
+    still verified (vs the representative) with exact Jaccard;
+    buckets at or under the cap behave exactly as before, so results
+    on non-pathological corpora are unchanged.
     """
     from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
         MINHASH_A,
@@ -189,8 +224,17 @@ def minhash_lsh_pairs(
     buckets = sig.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
         "_id", F.col("b.band").alias("band"), F.col("b.h").alias("h")
     )
-    x, y = buckets.alias("x"), buckets.alias("y")
-    candidates = (
+    # Bucket stats (size + representative) via one map-side-combinable
+    # aggregation, joined back on the bucket key — deliberately not a
+    # window (an unbounded window would buffer a mega bucket's whole
+    # partition in the window operator).
+    bstats = buckets.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_bmin")
+    )
+    annotated = buckets.join(bstats, ["band", "h"])
+    small = annotated.filter(F.col("_bsz") <= max_bucket_size)
+    x, y = small.alias("x"), small.alias("y")
+    small_pairs = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -198,8 +242,14 @@ def minhash_lsh_pairs(
             & (F.col("x._id") < F.col("y._id")),
         )
         .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
-        .distinct()
     )
+    star_pairs = (
+        annotated.filter(
+            (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_bmin"))
+        )
+        .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
+    )
+    candidates = small_pairs.unionByName(star_pairs).distinct()
     # Verify candidates with exact Jaccard on the cached shingle rows:
     # count shared shingles via an equi-join on (candidate id, shingle).
     # (An array_intersect-per-pair variant measured slower cold — the
@@ -220,11 +270,12 @@ def minhash_lsh_pairs(
         / (F.col("na") + F.col("nb") - F.col("shared")),
         decimals,
     )
-    return (
+    return _attach_cache(
         shared.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        sh,
     )
 
 
@@ -278,6 +329,7 @@ def embedding_neardup_pairs_gemm(
     embedding_col: str,
     threshold: float = 0.9,
     decimals: int = 4,
+    max_broadcast_rows: int = 1_000_000,
 ) -> DataFrame:
     """Semantic near-dup via broadcast GEMM: the (normalized) corpus
     matrix is broadcast to executors; each partition's batch computes
@@ -287,12 +339,29 @@ def embedding_neardup_pairs_gemm(
     The expression form (embedding_neardup_pairs) evaluates 3 array
     folds per PAIR; this evaluates one BLAS op per batch — orders of
     magnitude faster at the same exactness. The broadcast side must
-    fit in executor memory (~0.5 GB per million rows at dim 64);
-    beyond that, pre-bucket with ann.ivf_build and run this within
-    cells (pairs across distant cells can't pass a high threshold).
+    fit in executor memory (~0.5 GB per million rows at dim 64), so
+    corpora above ``max_broadcast_rows`` automatically take the
+    cell-bucketed scale path, ``ann.ivf_neardup_pairs`` — same output
+    contract, candidate-pruned, nothing driver-materialized (its
+    recall contract is documented there; pairs across distant cells
+    cannot pass a high cosine threshold).
     """
     import numpy as np
     import pandas as pd
+
+    n_rows_total = df.count()
+    if n_rows_total > max_broadcast_rows:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+            ivf_neardup_pairs,
+        )
+
+        return ivf_neardup_pairs(
+            df,
+            id_col=id_col,
+            embedding_col=embedding_col,
+            threshold=threshold,
+            decimals=decimals,
+        )
 
     rows = df.select(id_col, embedding_col).collect()
     ids = np.asarray([r[0] for r in rows])

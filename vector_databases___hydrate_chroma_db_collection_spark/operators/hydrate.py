@@ -17,7 +17,6 @@ for users who need a real Chroma store next to the Parquet truth.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,10 +28,12 @@ from vector_databases___hydrate_chroma_db_collection_spark.errors import (
     EmbeddingDimensionError,
 )
 from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
-    DATA_DIR,
     CollectionManifest,
+    current_data_dir,
     get_or_create_collection,
+    next_data_dir,
     read_collection,
+    swap_data_dir,
 )
 
 CANONICAL_COLUMNS = ("id", "document", "embedding", "metadata")
@@ -50,8 +51,11 @@ class HydrationConfig:
     - ``enabled``: the reference's `_hcdc_run_trigger` run-time gate
       (sas:244-255, 527-538).
     - ``on_duplicate``: 'error' (Chroma add() semantics — duplicate
-      ids rejected), 'first' (keep lowest id per key), 'upsert'
-      (replace rows already in the collection).
+      ids rejected, both in-batch and vs the existing collection),
+      'first' (keep lowest id per key), 'upsert' (Chroma upsert()
+      semantics — incoming rows REPLACE existing rows with the same
+      id; implemented as an anti-join rewrite into a fresh versioned
+      data dir swapped in atomically).
     """
 
     collection_name: str
@@ -111,11 +115,16 @@ def _infer_dim(df: DataFrame, cfg: HydrationConfig) -> int:
 def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> HydrationReport:
     """Load a canonical-shape DataFrame into a collection.
 
-    Scale notes: the duplicate-id guard is one hash aggregation on the
-    id key (map-side partial + final); the dimension guard is a scan-
-    local filter; the write is a parallel Parquet append. For 'upsert'
-    against an existing collection the anti-join broadcasts whichever
-    side AQE finds small. No driver materialization anywhere.
+    Scale notes: the duplicate-id guard (in-batch dup + collection
+    clash) is ONE hash aggregation on the id key (map-side partial +
+    final); the dimension guard is a scan-local filter; the write is
+    a parallel Parquet append. 'upsert' rewrites the collection
+    (anti-join survivors + incoming) into a fresh versioned dir and
+    atomically swaps the pointer — cost is proportional to the
+    collection, which is the floor for replace semantics on immutable
+    files; frequent small upserts should batch, or partition the
+    collection by an id bucket so only affected buckets rewrite. No
+    driver materialization anywhere.
     """
     if not cfg.enabled:
         raise DisabledError("hydration disabled via run-time trigger (cfg.enabled=False)")
@@ -136,44 +145,71 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
     )
     good = data.filter(ok)
 
-    # Duplicate-id policy. Chroma's add() errors on duplicates; we
-    # detect them with a single groupBy on the write set.
+    count_before = _count(spark, cfg)
+
+    # Duplicate-id policy. Chroma's add() errors on duplicates both
+    # within the batch and vs the existing store; BOTH checks fold
+    # into ONE aggregation job — union the incoming ids (tagged) with
+    # the existing ids (tagged), group once, and look for any id that
+    # is either repeated in-batch or present on both sides.
     if cfg.on_duplicate == "error":
-        dup = good.groupBy("id").count().filter(F.col("count") > 1).limit(1).collect()
-        if dup:
-            raise DuplicateIdError(f"duplicate id in hydration input: {dup[0]['id']!r}")
+        checks = good.select(
+            "id", F.lit(1).alias("_n_in"), F.lit(0).alias("_n_ex")
+        )
+        if count_before > 0:
+            existing = read_collection(spark, cfg.root, cfg.collection_name).select(
+                "id", F.lit(0).alias("_n_in"), F.lit(1).alias("_n_ex")
+            )
+            checks = checks.unionByName(existing)
+        bad = (
+            checks.groupBy("id")
+            .agg(F.sum("_n_in").alias("n_in"), F.sum("_n_ex").alias("n_ex"))
+            .filter(
+                (F.col("n_in") > 1) | ((F.col("n_in") >= 1) & (F.col("n_ex") >= 1))
+            )
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            row = bad[0]
+            if row["n_in"] > 1:
+                raise DuplicateIdError(
+                    f"duplicate id in hydration input: {row['id']!r}"
+                )
+            raise DuplicateIdError(
+                f"id {row['id']!r} already present in collection "
+                f"{cfg.collection_name!r}"
+            )
     elif cfg.on_duplicate == "first":
         from pyspark.sql import Window
 
         w = Window.partitionBy("id").orderBy(F.col("document"))
         good = good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    count_before = _count(spark, cfg)
-
-    if cfg.on_duplicate == "upsert" and count_before > 0:
-        existing = read_collection(spark, cfg.root, cfg.collection_name).select("id")
-        good = good.join(existing, on="id", how="left_anti")
-    elif count_before > 0:
-        # add() semantics vs the existing store: re-adding an id the
-        # collection already holds is an error in Chroma; mirror that.
-        if cfg.on_duplicate == "error":
-            existing = read_collection(spark, cfg.root, cfg.collection_name).select("id")
-            clash = good.join(existing, on="id", how="left_semi").limit(1).collect()
-            if clash:
-                raise DuplicateIdError(
-                    f"id {clash[0]['id']!r} already present in collection "
-                    f"{cfg.collection_name!r}"
-                )
-
-    out_path = os.path.join(cfg.root, manifest.name, DATA_DIR)
     # observe() counts the written rows inside the write job itself —
     # no separate count action, no second cache.
     from pyspark.sql import Observation
 
     obs = Observation("hydrate_write")
-    good.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("append").parquet(
-        out_path
-    )
+    good_obs = good.observe(obs, F.count(F.lit(1)).alias("rows"))
+
+    if cfg.on_duplicate == "upsert" and count_before > 0:
+        # True upsert (Chroma upsert() semantics): incoming rows
+        # REPLACE existing rows with the same id. Survivor set =
+        # existing ANTI-JOIN incoming, unioned with the incoming
+        # batch, written to a fresh versioned dir and swapped in with
+        # one atomic pointer replace — readers never see a mix, and
+        # the observe node still counts exactly the incoming rows.
+        existing = read_collection(spark, cfg.root, cfg.collection_name)
+        survivors = existing.join(good.select("id"), on="id", how="left_anti")
+        staging = next_data_dir(cfg.root, manifest.name)
+        survivors.select(*CANONICAL_COLUMNS).unionByName(
+            good_obs.select(*CANONICAL_COLUMNS)
+        ).write.mode("overwrite").parquet(staging)
+        swap_data_dir(cfg.root, manifest.name, staging)
+    else:
+        out_path = current_data_dir(cfg.root, manifest.name)
+        good_obs.write.mode("append").parquet(out_path)
     rows_written = int(obs.get["rows"])
     data.unpersist()
 

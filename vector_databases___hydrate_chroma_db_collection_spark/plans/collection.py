@@ -34,6 +34,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.errors import (
 
 MANIFEST_NAME = "_manifest.json"
 DATA_DIR = "data"
+CURRENT_POINTER = "_current"
 
 
 @dataclass(frozen=True)
@@ -63,6 +64,57 @@ def validate_path(root: str) -> str:
     if not root:
         raise InvalidPathError("empty collection path")
     return root
+
+
+def current_data_dir(root: str, name: str) -> str:
+    """Resolve the collection's ACTIVE data directory.
+
+    Swaps (compaction, upsert rewrites) never rename the live dir —
+    they write a fresh versioned dir (``data-N``) and atomically
+    ``os.replace`` the ``_current`` pointer file to name it, the same
+    move a table format makes with its manifest (object stores have
+    no atomic directory rename either). Readers between the data
+    write and the pointer swap still see the old, complete file set;
+    a crash at any point leaves the pointer naming a complete dir.
+    Collections created before the pointer existed resolve to the
+    legacy ``data`` dir.
+    """
+    pointer = os.path.join(root, name, CURRENT_POINTER)
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            return os.path.join(root, name, f.read().strip())
+    return os.path.join(root, name, DATA_DIR)
+
+
+def swap_data_dir(root: str, name: str, staging: str) -> str:
+    """Atomically make ``staging`` (a fully-written data dir inside
+    the collection) the active data dir; returns the retired dir.
+    The only mutation visible to readers is one ``os.replace`` of the
+    pointer file (atomic on POSIX). The old dir is removed AFTER the
+    swap — a reader that already resolved it keeps a consistent view
+    until its scan finishes (local FS unlink keeps open files live)."""
+    import shutil
+
+    old = current_data_dir(root, name)
+    pointer = os.path.join(root, name, CURRENT_POINTER)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(os.path.basename(staging))
+    os.replace(tmp, pointer)
+    if os.path.abspath(old) != os.path.abspath(staging):
+        shutil.rmtree(old, ignore_errors=True)
+    return old
+
+
+def next_data_dir(root: str, name: str) -> str:
+    """A fresh versioned data-dir path (``data-N``) for rewrites."""
+    base = os.path.join(root, name)
+    versions = [
+        int(d.split("-", 1)[1])
+        for d in os.listdir(base)
+        if d.startswith(DATA_DIR + "-") and d.split("-", 1)[1].isdigit()
+    ] if os.path.isdir(base) else []
+    return os.path.join(base, f"{DATA_DIR}-{max(versions, default=0) + 1}")
 
 
 def get_or_create_collection(root: str, name: str, dim: int, metric: str = "cosine") -> CollectionManifest:
@@ -98,13 +150,13 @@ def read_collection(spark: SparkSession, root: str, name: str) -> DataFrame:
     """Scan a collection as a DataFrame (the reference can only
     count, sas:134; we get the whole relational surface)."""
     manifest = load_manifest(root, name)
-    return spark.read.parquet(os.path.join(root, manifest.name, DATA_DIR))
+    return spark.read.parquet(current_data_dir(root, manifest.name))
 
 
 def collection_count(spark: SparkSession, root: str, name: str) -> int:
     """Reference's count() observable (sas:134, 193)."""
     manifest = load_manifest(root, name)
-    data_dir = os.path.join(root, manifest.name, DATA_DIR)
+    data_dir = current_data_dir(root, manifest.name)
     # Empty collection: the data dir exists but holds no parquet yet —
     # check before asking Spark (an inference failure would be caught
     # but still logs an alarming async-listener stack).
@@ -123,30 +175,25 @@ def compact_collection(
 
     Streaming hydration appends one file set per micro-batch; over
     time the collection accumulates many small files and scan
-    planning degrades. Compaction reads the current data, coalesces,
-    writes to a staging dir, and atomically swaps directories —
-    readers mid-swap see either the old or new file set, never a mix.
+    planning degrades. Compaction reads the current data, coalesces
+    into a fresh versioned dir, and swaps the ``_current`` pointer
+    with one atomic ``os.replace`` — readers mid-swap see either the
+    old or new complete file set, never a mix, and a crash at any
+    point leaves the pointer naming a complete dir (a stale staging
+    dir is garbage-collected by the next rewrite, never data loss).
     Returns the row count (which must be preserved).
     """
-    import shutil
-
     manifest = load_manifest(root, name)
-    data_dir = os.path.join(root, manifest.name, DATA_DIR)
-    staging = os.path.join(root, manifest.name, DATA_DIR + ".compact")
-    backup = os.path.join(root, manifest.name, DATA_DIR + ".old")
+    data_dir = current_data_dir(root, manifest.name)
+    staging = next_data_dir(root, manifest.name)
 
     df = spark.read.parquet(data_dir)
     n_before = df.count()
     parts = target_partitions or max(1, spark.sparkContext.defaultParallelism // 4)
-    shutil.rmtree(staging, ignore_errors=True)
     df.repartition(parts).write.mode("overwrite").parquet(staging)
+    swap_data_dir(root, manifest.name, staging)
 
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(data_dir, backup)
-    os.rename(staging, data_dir)
-    shutil.rmtree(backup, ignore_errors=True)
-
-    n_after = spark.read.parquet(data_dir).count()
+    n_after = spark.read.parquet(current_data_dir(root, manifest.name)).count()
     if n_after != n_before:  # pragma: no cover - safety net
         raise EngineError(
             f"compaction row-count drift: {n_before} -> {n_after} in {name!r}"

@@ -650,8 +650,8 @@ def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
            round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
-           ceil(l_quantity / 7.0) AS qty_bucket,
-           floor(l_discount * 100) AS disc_pct,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_discount * 100) AS BIGINT) AS disc_pct,
            round(sqrt(l_extendedprice), 6) AS price_sqrt,
            round(ln(l_extendedprice + 1), 6) AS price_ln,
            round(power(1 + l_tax, 2), 6) AS tax_sq,
@@ -1277,6 +1277,42 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for clusters where Python workers are undesirable."""
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs_gemm(
+        e, id_col="vec_id", embedding_col="embedding", threshold=0.4
+    )
+
+
+@query(
+    "dedup_embedding_neardup_ivf",
+    """
+    WITH n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(a.e, b.e),
+                 p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(list_zip(a.e, b.e),
+          p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.4
+    """,
+)
+def dedup_embedding_neardup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell-bucketed semantic near-dup (ann.ivf_neardup_pairs) —
+    the 100-TB path: KMeans cells on normalized vectors, multi-assign
+    to n_assign nearest cells, per-cell blocked GEMM via
+    applyInPandas, nothing driver-materialized. At fixture scale the
+    auto-sizer picks n_centroids <= n_assign, so every pair is
+    co-located and the result is exhaustive — the exact-SQL oracle
+    applies verbatim; at real scale the same code prunes to cells."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_neardup_pairs(
         e, id_col="vec_id", embedding_col="embedding", threshold=0.4
     )
 
@@ -2067,16 +2103,38 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.unionByName(s).groupBy("id", "kind").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-@query("agg_approx_count_distinct")  # no oracle: HLL sketches are engine-specific
+@query(
+    "agg_approx_count_distinct",
+    """
+    SELECT l_returnflag AS returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS sketch_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): sketch-based distinct
-    estimation whose exact value is engine-specific, so the driver
-    records a rows-only check; the test suite separately asserts the
-    estimate is within the documented rsd of the exact count."""
+    """approx_count_distinct (HyperLogLog++): the sketch estimate is
+    engine-specific, so the oracle-checked columns are the exact
+    distinct count plus ``sketch_within_tol`` — whether Spark's HLL++
+    estimate (rsd=0.02) lands within 3*rsd of the exact count. The
+    oracle asserts TRUE, making the sketch's accuracy contract (not
+    its engine-specific value) the thing the driver verifies."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                <= 0.06 * F.col("exact_parts")
+            ).alias("sketch_within_tol"),
+        )
     )
 
 

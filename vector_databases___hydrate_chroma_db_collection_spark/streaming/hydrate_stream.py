@@ -22,7 +22,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate imp
     HydrationConfig,
 )
 from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
-    DATA_DIR,
+    current_data_dir,
     get_or_create_collection,
 )
 
@@ -46,7 +46,6 @@ def stream_hydrate(
     - dimension guard: same strict policy as batch hydrate.
     """
     manifest = get_or_create_collection(cfg.root, cfg.collection_name, dim, cfg.metric)
-    out_path = os.path.join(cfg.root, manifest.name, DATA_DIR)
     checkpoint = checkpoint_dir or os.path.join(cfg.root, manifest.name, "_checkpoint")
 
     data = stream.select(
@@ -67,6 +66,9 @@ def stream_hydrate(
         data = data.dropDuplicates(["id"])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Resolve the active data dir per micro-batch so a concurrent
+        # compaction/upsert swap redirects subsequent appends.
+        out_path = current_data_dir(cfg.root, manifest.name)
         batch_df.withColumn(
             "metadata", F.create_map().cast("map<string,string>")
         ).select(*CANONICAL_COLUMNS).write.mode("append").parquet(out_path)
