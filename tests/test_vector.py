@@ -86,6 +86,30 @@ def test_knn_join_variants_agree(spark):
     assert ra == rb
 
 
+def test_knn_join_gemm_chunked_queries_match_expression_form(spark):
+    """A query set LARGER than query_block_size (forced tiny) must
+    split into multiple GEMM blocks and still agree exactly with the
+    expression-form join — the blocked path is pure refactoring of
+    where the score matrix is cut, never of the result."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(150)],
+        "id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(23)],
+        "qid int, q_embedding array<float>",
+    )
+    a = knn_join(queries, corpus, k=4, score_decimals=6)
+    b = knn_join_gemm(queries, corpus, k=4, score_decimals=6, query_block_size=7)
+    ra = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in a.collect()}
+    rb = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in b.collect()}
+    assert len(rb) == 23 * 4
+    assert ra == rb
+
+
 def test_l2_metric_knn_join_gemm(spark):
     corpus = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [3.0, 4.0])],
