@@ -63,12 +63,106 @@ def test_video_frame_sampling_bounded(assets):
     assert all(r["count"] <= 4 for r in per_asset)
 
 
-def test_real_decode_raises_not_implemented(assets):
+def test_real_video_decode_raises_not_implemented(assets):
+    # container demuxing genuinely needs ffmpeg/av; the gate stays
     with pytest.raises(Exception) as exc_info:
-        extract_image_features(assets, decode="real").collect()
+        sample_video_frames(assets, decode="real").collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def _png(w: int, h: int, color_type: int = 2) -> bytes:
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+
+
+def _jpeg(w: int, h: int, channels: int = 3) -> bytes:
+    import struct
+
+    soi = b"\xff\xd8"
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, h, w, channels)
+    return soi + app0 + sof0 + b"\xff\xd9"
+
+
+def _wav(sr: int, samples) -> bytes:
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_real_image_decode_parses_actual_headers(spark):
+    """decode='real' without PIL: the stdlib sniffers read ACTUAL
+    format headers — PNG/GIF/BMP/JPEG/PPM dims come out exactly, and
+    undecodable bytes degrade to NULL dims instead of failing."""
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (
+        b"BM" + b"\x00" * 16
+        + struct.pack("<ii", 101, -55)  # top-down rows: negative height
+        + b"\x00\x00" + struct.pack("<H", 24)
+    )
+    ppm = b"P6\n# a comment\n640 480\n255\n" + b"\x00" * 12
+    pgm = b"P5 7 9 255 " + b"\x00" * 63
+    rows = [
+        ("png", "image", bytearray(_png(1920, 1080)), {}),
+        ("gif", "image", bytearray(gif), {}),
+        ("bmp", "image", bytearray(bmp), {}),
+        ("jpg", "image", bytearray(_jpeg(800, 600)), {}),
+        ("ppm", "image", bytearray(ppm), {}),
+        ("pgm", "image", bytearray(pgm), {}),
+        ("bad", "image", bytearray(b"not an image at all"), {}),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in extract_image_features(df, decode="real").collect()}
+    assert (got["png"]["width"], got["png"]["height"], got["png"]["channels"]) == (1920, 1080, 3)
+    assert (got["gif"]["width"], got["gif"]["height"]) == (320, 200)
+    assert (got["bmp"]["width"], got["bmp"]["height"], got["bmp"]["channels"]) == (101, 55, 3)
+    assert (got["jpg"]["width"], got["jpg"]["height"], got["jpg"]["channels"]) == (800, 600, 3)
+    assert (got["ppm"]["width"], got["ppm"]["height"], got["ppm"]["channels"]) == (640, 480, 3)
+    assert (got["pgm"]["width"], got["pgm"]["height"], got["pgm"]["channels"]) == (7, 9, 1)
+    assert got["bad"]["width"] is None and got["bad"]["sha256"] is not None
+
+
+def test_real_audio_decode_computes_true_rms(spark):
+    """decode='real' on WAV PCM: sample rate and duration from the
+    actual header, RMS from the actual samples (constant-amplitude
+    square wave at half scale -> rms 0.5 exactly)."""
+    halfscale = _wav(16000, [16384, -16384] * 8000)  # 1 s square wave
+    silent = _wav(8000, [0] * 4000)  # 0.5 s of silence
+    rows = [
+        ("half", "audio", bytearray(halfscale), {}),
+        ("silent", "audio", bytearray(silent), {}),
+        ("bad", "audio", bytearray(b"mp3-ish garbage"), {}),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in extract_audio_features(df, decode="real").collect()}
+    assert got["half"]["sample_rate"] == 16000
+    assert got["half"]["duration_ms"] == 1000
+    assert got["half"]["rms"] == 0.5
+    assert got["silent"]["sample_rate"] == 8000
+    assert got["silent"]["duration_ms"] == 500
+    assert got["silent"]["rms"] == 0.0
+    assert got["bad"]["sample_rate"] is None and got["bad"]["sha256"] is not None
 
 
 def test_column_pruning_keeps_bytes_out_of_metadata_plans(assets, tmp_path):
