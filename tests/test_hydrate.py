@@ -285,3 +285,73 @@ def test_duplicate_guard_is_single_job(spark, sample, tmp_path):
     # whole hydration at 15 vs ~19. The bound catches a regression to
     # two guard actions without being flaky about AQE job splitting.
     assert jobs <= 16, f"hydrate ran {jobs} jobs; duplicate guard not folded"
+
+
+def _bucket_dirs(root, name="c1"):
+    import glob
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        current_data_dir,
+    )
+
+    out = {}
+    for d in glob.glob(os.path.join(current_data_dir(str(root), name), "id_bucket=*")):
+        out[os.path.basename(d)] = sorted(
+            os.path.basename(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+        )
+    return out
+
+
+def test_bucketed_layout_and_reads(spark, sample, tmp_path):
+    report = hydrate(spark, sample, cfg(tmp_path, n_buckets=4))
+    assert report.count_after == 3
+    assert load_manifest(str(tmp_path), "c1").n_buckets == 4
+    assert _bucket_dirs(tmp_path)  # hive partition dirs exist
+    # canonical read hides the partition column
+    df = read_collection(spark, str(tmp_path), "c1")
+    assert df.columns == ["id", "document", "embedding", "metadata"]
+    assert df.count() == 3
+    # bucket-aware read supports partition pruning
+    raw = read_collection(spark, str(tmp_path), "c1", include_bucket=True)
+    some_bucket = raw.select("id_bucket").first()["id_bucket"]
+    plan = (
+        raw.filter(f"id_bucket = {some_bucket}")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "id_bucket" in plan
+
+
+def test_bucketed_upsert_rewrites_only_affected_buckets(spark, sample, tmp_path):
+    hydrate(spark, sample, cfg(tmp_path, n_buckets=16))
+    before = _bucket_dirs(tmp_path)
+    updated = spark.createDataFrame(
+        [(1.0, "first doc v2", [0.9, 0.9], 4.0)],
+        "uid double, body string, vec array<float>, stars double",
+    )
+    report = hydrate(spark, updated, cfg(tmp_path, n_buckets=16, on_duplicate="upsert"))
+    assert report.rows_written == 1
+    assert report.count_after == 3
+    after = _bucket_dirs(tmp_path)
+    changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    # with 16 buckets and 3 docs, id "1.0" is alone in its bucket:
+    # exactly one bucket rewrote, every other file set is untouched
+    assert len(changed) == 1, (changed, before, after)
+    rows = {r["id"]: r["document"] for r in read_collection(spark, str(tmp_path), "c1").collect()}
+    assert rows == {"1.0": "first doc v2", "2.0": "second doc", "3.0": "third doc"}
+
+
+def test_bucketed_collection_compacts_preserving_layout(spark, sample, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        compact_collection,
+    )
+
+    hydrate(spark, sample, cfg(tmp_path, n_buckets=4))
+    more = spark.createDataFrame(
+        [(9.0, "ninth", [0.2, 0.2], 2.0)],
+        "uid double, body string, vec array<float>, stars double",
+    )
+    hydrate(spark, more, cfg(tmp_path))  # manifest's bucketing wins
+    assert compact_collection(spark, str(tmp_path), "c1", target_partitions=2) == 4
+    assert _bucket_dirs(tmp_path)  # still hive-partitioned after compaction
+    assert read_collection(spark, str(tmp_path), "c1").count() == 4

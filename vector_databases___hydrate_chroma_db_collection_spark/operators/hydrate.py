@@ -56,6 +56,13 @@ class HydrationConfig:
       semantics — incoming rows REPLACE existing rows with the same
       id; implemented as an anti-join rewrite into a fresh versioned
       data dir swapped in atomically).
+    - ``n_buckets``: create the collection hive-partitioned by
+      ``id_bucket = pmod(xxhash64(id), n_buckets)``. Upserts then
+      rewrite ONLY the buckets the incoming ids hash into (dynamic
+      partition overwrite) instead of the whole collection — the
+      layout to pick when the collection is large and updates are
+      frequent. Ignored when the collection already exists (its
+      manifest wins).
     """
 
     collection_name: str
@@ -69,6 +76,7 @@ class HydrationConfig:
     enabled: bool = True
     on_duplicate: str = "error"
     dim: int | None = None
+    n_buckets: int | None = None
 
 
 @dataclass
@@ -118,13 +126,15 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
     Scale notes: the duplicate-id guard (in-batch dup + collection
     clash) is ONE hash aggregation on the id key (map-side partial +
     final); the dimension guard is a scan-local filter; the write is
-    a parallel Parquet append. 'upsert' rewrites the collection
-    (anti-join survivors + incoming) into a fresh versioned dir and
-    atomically swaps the pointer — cost is proportional to the
-    collection, which is the floor for replace semantics on immutable
-    files; frequent small upserts should batch, or partition the
-    collection by an id bucket so only affected buckets rewrite. No
-    driver materialization anywhere.
+    a parallel Parquet append. 'upsert' on a flat collection rewrites
+    it (anti-join survivors + incoming) into a fresh versioned dir and
+    atomically swaps the pointer — cost proportional to the
+    collection, the floor for replace semantics on immutable files.
+    'upsert' on a BUCKETED collection (``n_buckets``) rewrites only
+    the hive partitions the incoming ids hash into — the layout for
+    frequent updates against a large collection. No driver
+    materialization anywhere (the bucketed path collects only the
+    affected bucket NUMBERS, bounded by n_buckets).
     """
     if not cfg.enabled:
         raise DisabledError("hydration disabled via run-time trigger (cfg.enabled=False)")
@@ -134,7 +144,9 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
     # each observable would rescan (and recompute) the source plan.
     data = build_hydration_input(df, cfg).cache()
     dim = _infer_dim(data, cfg)
-    manifest = get_or_create_collection(cfg.root, cfg.collection_name, dim, cfg.metric)
+    manifest = get_or_create_collection(
+        cfg.root, cfg.collection_name, dim, cfg.metric, n_buckets=cfg.n_buckets
+    )
     rows_in = data.count()
 
     # Dimension policy (quirk Q1): every vector must be exactly
@@ -193,23 +205,62 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
     obs = Observation("hydrate_write")
     good_obs = good.observe(obs, F.count(F.lit(1)).alias("rows"))
 
+    def with_bucket(d: DataFrame) -> DataFrame:
+        return d.withColumn(
+            "id_bucket", F.pmod(F.xxhash64("id"), F.lit(manifest.n_buckets))
+        )
+
     if cfg.on_duplicate == "upsert" and count_before > 0:
-        # True upsert (Chroma upsert() semantics): incoming rows
-        # REPLACE existing rows with the same id. Survivor set =
-        # existing ANTI-JOIN incoming, unioned with the incoming
-        # batch, written to a fresh versioned dir and swapped in with
-        # one atomic pointer replace — readers never see a mix, and
-        # the observe node still counts exactly the incoming rows.
-        existing = read_collection(spark, cfg.root, cfg.collection_name)
-        survivors = existing.join(good.select("id"), on="id", how="left_anti")
-        staging = next_data_dir(cfg.root, manifest.name)
-        survivors.select(*CANONICAL_COLUMNS).unionByName(
-            good_obs.select(*CANONICAL_COLUMNS)
-        ).write.mode("overwrite").parquet(staging)
-        swap_data_dir(cfg.root, manifest.name, staging)
+        if manifest.n_buckets:
+            # Bucketed upsert: rewrite ONLY the buckets the incoming
+            # ids hash into. The affected-bucket set is one bounded
+            # aggregation (<= n_buckets values); existing rows outside
+            # it are never read (static hive-partition pruning) and
+            # their files are never touched (dynamic partition
+            # overwrite replaces only the partitions present in the
+            # written data). Cost scales with |touched buckets| /
+            # n_buckets of the collection, not the collection.
+            affected = [
+                r["id_bucket"]
+                for r in with_bucket(good.select("id"))
+                .select("id_bucket")
+                .distinct()
+                .collect()
+            ]
+            existing = read_collection(
+                spark, cfg.root, cfg.collection_name, include_bucket=True
+            ).filter(F.col("id_bucket").isin(affected))
+            survivors = existing.join(good.select("id"), on="id", how="left_anti")
+            survivors.select(*CANONICAL_COLUMNS, "id_bucket").unionByName(
+                with_bucket(good_obs.select(*CANONICAL_COLUMNS))
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("id_bucket").parquet(
+                current_data_dir(cfg.root, manifest.name)
+            )
+        else:
+            # True upsert (Chroma upsert() semantics): incoming rows
+            # REPLACE existing rows with the same id. Survivor set =
+            # existing ANTI-JOIN incoming, unioned with the incoming
+            # batch, written to a fresh versioned dir and swapped in
+            # with one atomic pointer replace — readers never see a
+            # mix, and the observe node still counts exactly the
+            # incoming rows.
+            existing = read_collection(spark, cfg.root, cfg.collection_name)
+            survivors = existing.join(good.select("id"), on="id", how="left_anti")
+            staging = next_data_dir(cfg.root, manifest.name)
+            survivors.select(*CANONICAL_COLUMNS).unionByName(
+                good_obs.select(*CANONICAL_COLUMNS)
+            ).write.mode("overwrite").parquet(staging)
+            swap_data_dir(cfg.root, manifest.name, staging)
     else:
         out_path = current_data_dir(cfg.root, manifest.name)
-        good_obs.write.mode("append").parquet(out_path)
+        writer = (
+            with_bucket(good_obs).write.mode("append").partitionBy("id_bucket")
+            if manifest.n_buckets
+            else good_obs.write.mode("append")
+        )
+        writer.parquet(out_path)
     rows_written = int(obs.get["rows"])
     data.unpersist()
 

@@ -39,10 +39,19 @@ CURRENT_POINTER = "_current"
 
 @dataclass(frozen=True)
 class CollectionManifest:
+    """``n_buckets`` selects the BUCKETED layout: data files are
+    hive-partitioned by ``id_bucket = pmod(xxhash64(id), n_buckets)``
+    so point lookups and upserts prune to the buckets they touch —
+    an upsert rewrites only the affected buckets instead of the whole
+    collection (the difference between rewriting ~1/n_buckets of
+    100 TB and all of it). ``None`` keeps the flat layout whose
+    rewrites swap the whole data dir via the ``_current`` pointer."""
+
     name: str
     dim: int
     metric: str = "cosine"
     version: int = 1
+    n_buckets: int | None = None
 
     def path(self, root: str) -> str:
         return os.path.join(root, self.name)
@@ -117,21 +126,35 @@ def next_data_dir(root: str, name: str) -> str:
     return os.path.join(base, f"{DATA_DIR}-{max(versions, default=0) + 1}")
 
 
-def get_or_create_collection(root: str, name: str, dim: int, metric: str = "cosine") -> CollectionManifest:
+def get_or_create_collection(
+    root: str,
+    name: str,
+    dim: int,
+    metric: str = "cosine",
+    *,
+    n_buckets: int | None = None,
+) -> CollectionManifest:
     """Idempotent creation (reference ``get_or_create_collection``,
-    sas:132). Existing manifest wins; dim/metric mismatches raise."""
+    sas:132). Existing manifest wins; dim/metric/bucketing mismatches
+    raise (re-bucketing an existing collection is a rewrite, not a
+    config flip)."""
     root = validate_path(root)
     mf = _manifest_file(root, name)
     if os.path.exists(mf):
         with open(mf) as f:
             existing = CollectionManifest(**json.load(f))
-        if existing.dim != dim or existing.metric != metric:
+        if (
+            existing.dim != dim
+            or existing.metric != metric
+            or (n_buckets is not None and existing.n_buckets != n_buckets)
+        ):
             raise InvalidPathError(
-                f"collection {name!r} exists with dim={existing.dim}, metric={existing.metric}; "
-                f"requested dim={dim}, metric={metric}"
+                f"collection {name!r} exists with dim={existing.dim}, "
+                f"metric={existing.metric}, n_buckets={existing.n_buckets}; "
+                f"requested dim={dim}, metric={metric}, n_buckets={n_buckets}"
             )
         return existing
-    manifest = CollectionManifest(name=name, dim=dim, metric=metric)
+    manifest = CollectionManifest(name=name, dim=dim, metric=metric, n_buckets=n_buckets)
     os.makedirs(os.path.join(root, name, DATA_DIR), exist_ok=True)
     with open(mf, "w") as f:
         json.dump(asdict(manifest), f)
@@ -146,11 +169,20 @@ def load_manifest(root: str, name: str) -> CollectionManifest:
         return CollectionManifest(**json.load(f))
 
 
-def read_collection(spark: SparkSession, root: str, name: str) -> DataFrame:
+def read_collection(
+    spark: SparkSession, root: str, name: str, *, include_bucket: bool = False
+) -> DataFrame:
     """Scan a collection as a DataFrame (the reference can only
-    count, sas:134; we get the whole relational surface)."""
+    count, sas:134; we get the whole relational surface). The
+    canonical 4-column shape is returned regardless of layout;
+    ``include_bucket=True`` keeps a bucketed collection's
+    ``id_bucket`` partition column so callers can write plans that
+    prune buckets (filters on it skip whole hive partitions)."""
     manifest = load_manifest(root, name)
-    return spark.read.parquet(current_data_dir(root, manifest.name))
+    df = spark.read.parquet(current_data_dir(root, manifest.name))
+    if manifest.n_buckets and not include_bucket:
+        df = df.select("id", "document", "embedding", "metadata")
+    return df
 
 
 def collection_count(spark: SparkSession, root: str, name: str) -> int:
@@ -159,9 +191,12 @@ def collection_count(spark: SparkSession, root: str, name: str) -> int:
     data_dir = current_data_dir(root, manifest.name)
     # Empty collection: the data dir exists but holds no parquet yet —
     # check before asking Spark (an inference failure would be caught
-    # but still logs an alarming async-listener stack).
+    # but still logs an alarming async-listener stack). Bucketed
+    # layouts nest files under id_bucket=N/ dirs, so walk.
     has_data = any(
-        f.endswith(".parquet") for f in os.listdir(data_dir)
+        f.endswith(".parquet")
+        for _, _, files in os.walk(data_dir)
+        for f in files
     ) if os.path.isdir(data_dir) else False
     if not has_data:
         return 0
@@ -190,7 +225,14 @@ def compact_collection(
     df = spark.read.parquet(data_dir)
     n_before = df.count()
     parts = target_partitions or max(1, spark.sparkContext.defaultParallelism // 4)
-    df.repartition(parts).write.mode("overwrite").parquet(staging)
+    if manifest.n_buckets:
+        # Preserve the bucketed layout: cluster by bucket so each hive
+        # partition compacts to few files (pruning survives compaction).
+        df.repartition(parts, "id_bucket").write.mode("overwrite").partitionBy(
+            "id_bucket"
+        ).parquet(staging)
+    else:
+        df.repartition(parts).write.mode("overwrite").parquet(staging)
     swap_data_dir(root, manifest.name, staging)
 
     n_after = spark.read.parquet(current_data_dir(root, manifest.name)).count()

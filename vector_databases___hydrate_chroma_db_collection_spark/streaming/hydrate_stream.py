@@ -45,7 +45,9 @@ def stream_hydrate(
       plain in-batch dedup when no ts column exists.
     - dimension guard: same strict policy as batch hydrate.
     """
-    manifest = get_or_create_collection(cfg.root, cfg.collection_name, dim, cfg.metric)
+    manifest = get_or_create_collection(
+        cfg.root, cfg.collection_name, dim, cfg.metric, n_buckets=cfg.n_buckets
+    )
     checkpoint = checkpoint_dir or os.path.join(cfg.root, manifest.name, "_checkpoint")
 
     data = stream.select(
@@ -69,9 +71,15 @@ def stream_hydrate(
         # Resolve the active data dir per micro-batch so a concurrent
         # compaction/upsert swap redirects subsequent appends.
         out_path = current_data_dir(cfg.root, manifest.name)
-        batch_df.withColumn(
+        canonical = batch_df.withColumn(
             "metadata", F.create_map().cast("map<string,string>")
-        ).select(*CANONICAL_COLUMNS).write.mode("append").parquet(out_path)
+        ).select(*CANONICAL_COLUMNS)
+        if manifest.n_buckets:
+            canonical.withColumn(
+                "id_bucket", F.pmod(F.xxhash64("id"), F.lit(manifest.n_buckets))
+            ).write.mode("append").partitionBy("id_bucket").parquet(out_path)
+        else:
+            canonical.write.mode("append").parquet(out_path)
 
     writer = data.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint
