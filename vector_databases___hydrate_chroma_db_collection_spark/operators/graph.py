@@ -1,0 +1,101 @@
+"""Connected components over near-duplicate pair graphs.
+
+Completes the dedup story the reference motivates (hydrate-for-
+retrieval wants one copy per duplicate *cluster*, reference
+README.md:5): pair emitters (``dedup.jaccard_pairs``,
+``dedup.minhash_lsh_pairs``, ``ann.ivf_neardup_pairs``) produce
+edges; this module groups them into components so a pipeline can
+keep ``min(id)`` per component and drop the rest.
+
+Algorithm: iterative min-label propagation — every node starts
+labeled with its own id; each round every node adopts the minimum
+label among itself and its neighbors; fixpoint = components. Each
+round is one shuffle (join on node id + hash re-aggregation), all
+codegen — no Python in the loop. Rounds needed = graph diameter,
+and near-dup graphs are shallow (clusters are cliques or near-
+cliques from LSH banding), so 3-5 rounds is typical; ``max_iter``
+bounds pathological chains. Lineage is truncated with
+``localCheckpoint`` every round so the plan does not grow with the
+iteration count (a 50-round logical plan would choke the optimizer
+long before the data hurt).
+
+At 100 TB-scale edge sets the published refinement is the
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which rewires edges
+toward component minima to cut the round count to
+O(log^2 n) on adversarial graphs; min-label propagation is the
+same per-round dataflow (join + min-agg), so swapping the round
+body in would not change the Spark plan shape. Not needed for
+near-dup dedup where diameter is small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component id (= min node id in the component) for every node
+    that appears in ``edges``. Returns ``(node, component)``.
+
+    Isolated nodes (no edges) are the caller's concern — they are
+    their own component and never enter the pair graph; union them
+    in afterwards if the full corpus assignment is needed (see
+    ``dedup_connected_components`` in queries.py).
+
+    Determinism: min() over bigint labels is order-independent, so
+    the fixpoint is unique regardless of partitioning — safe for
+    oracle comparison.
+    """
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .distinct()
+    )
+    # Keep the adjacency in memory: it is re-joined every round.
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("component"))
+        .withColumn("component", F.least(F.col("component"), F.col("node")))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # Neighbor labels: for each node, the min label over its
+        # neighborhood; merged with its own label. One shuffle per
+        # side of the join + one for the agg — all hash-partitioned
+        # on node ids, skew-safe for near-dup graphs (cluster sizes
+        # are bounded by the pair emitters' bucket caps).
+        propagated = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), on="nbr")
+            .groupBy("node")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(propagated, on="node", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -72,3 +72,87 @@ def bucketed_join(
     """Join two co-bucketed managed tables on their bucket key —
     plans as exchange-free sort-merge join."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_time: str,
+    right_time: str,
+    strict: bool = False,
+) -> DataFrame:
+    """As-of (temporal) join: for every left row, attach the right
+    row with the greatest ``right_time`` <= ``left_time`` (strictly
+    < when ``strict``) for the same ``on`` key; left rows with no
+    earlier right row keep NULLs (left-join semantics).
+
+    The reference's pipeline has no temporal operator at all (its
+    data path is a straight-line hydration, sas:126-193); this is
+    the standard feature-attribution join a training-data pipeline
+    needs (label each example with the latest state known at event
+    time, without leaking the future).
+
+    Spark-first plan: instead of the naive non-equi join (whose
+    range condition explodes to O(left x right) per key and defeats
+    hash partitioning), both sides are UNIONed into one stream,
+    window-partitioned by key and sorted by (time, side), and the
+    right payload is carried forward with
+    ``last(payload, ignorenulls=True)``. The payload travels as ONE
+    struct so a NULL field inside a matched right row cannot fall
+    through to an older row. Cost: exactly one shuffle (the window
+    partitioning), whole-stage codegen throughout, no Python.
+    Skewed keys serialize within their partition — for a pathological
+    hot key, pre-split by coarse time range and stitch (same plan
+    shape per range); AQE cannot split a window partition.
+
+    Determinism: if several right rows share (key, right_time), which
+    one wins is tie-broken by the struct's field order via ``max``
+    semantics being unavailable — callers wanting bit-stable output
+    should pre-aggregate the right side to one row per (key, time)
+    (the registered query does).
+    """
+    if on in (left_time, right_time):
+        raise ValueError("key column cannot also be the time column")
+    clash = (set(right.columns) - {on}) & set(left.columns)
+    if clash:
+        raise ValueError(f"right columns collide with left: {sorted(clash)}")
+
+    from pyspark.sql.window import Window
+
+    payload_cols = [c for c in right.columns if c != on]
+    r_struct = F.struct(*[F.col(c) for c in payload_cols])
+    # Tie order at equal timestamps: non-strict -> right rows sort
+    # BEFORE left rows (an equal-time right row is visible); strict ->
+    # left rows sort first (equal-time right rows are in the future).
+    tb_r, tb_l = (0, 1) if not strict else (1, 0)
+    rows_r = right.select(
+        F.col(on),
+        F.col(right_time).alias("_t"),
+        F.lit(tb_r).alias("_tb"),
+        r_struct.alias("_r"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("_l"),
+    )
+    rows_l = left.select(
+        F.col(on),
+        F.col(left_time).alias("_t"),
+        F.lit(tb_l).alias("_tb"),
+        F.lit(None).cast(rows_r.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_t", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = rows_l.unionByName(rows_r).withColumn(
+        "_carried", F.last("_r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_l").isNotNull())
+    return out.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_carried.{c}").alias(c) for c in payload_cols],
+    )

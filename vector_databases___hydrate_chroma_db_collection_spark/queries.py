@@ -3107,3 +3107,500 @@ def scalar_from_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         (F.col("p.k") % 10).alias("k_mod"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: dedup cluster assignment, temporal (as-of) join, batch
+# sessionization, repetition-quality text signal, unpivot, ranking
+# distribution windows, TPC-H Q9/Q13/Q15/Q16 shapes, IVF-indexed
+# collection retrieval.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes s1 ON s1.doc_id = id_a
+        JOIN sizes s2 ON s2.doc_id = id_b
+        WHERE round(c::DOUBLE / (s1.n_sh + s2.n_sh - c), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS: Jaccard pair graph
+    grouped by iterative min-label propagation (operators/graph.py),
+    isolated docs joined back as their own singleton component. A
+    downstream pipeline keeps min(doc_id) per component. Oracle is a
+    DuckDB recursive CTE computing the same fixpoint."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    D.release_cache(pairs)
+    return (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+@query(
+    "join_asof_prior_day_spend",
+    """
+    WITH daily AS (
+        SELECT o_custkey,
+               o_orderdate AS prior_day,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                   AS prior_spend
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.prior_day, d.prior_spend
+    FROM orders o
+    ASOF LEFT JOIN daily d
+        ON o.o_custkey = d.o_custkey AND o.o_orderdate > d.prior_day
+    """,
+)
+def join_asof_prior_day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/relational.py): each order is labeled
+    with the customer's most recent STRICTLY-earlier order day and
+    that day's spend — the no-future-leakage feature-attribution
+    join. Right side is pre-aggregated to one row per (key, day) so
+    the match is deterministic. Oracle is DuckDB's native ASOF JOIN."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        asof_join,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy("o_custkey", F.col("o_orderdate").alias("prior_day"))
+        .agg(F.round(F.sum(_cents(F.col("o_totalprice"))) / 100.0, 2).alias("prior_spend"))
+    )
+    return asof_join(
+        o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        daily,
+        on="o_custkey",
+        left_time="o_orderdate",
+        right_time="prior_day",
+        strict=True,
+    )
+
+
+@query(
+    "window_sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4)
+               AS total_value
+    FROM numbered GROUP BY 1, 2
+    """,
+)
+def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: 6-hour-gap session boundaries via
+    lag + cumulative-sum windows, then per-session aggregates — the
+    batch twin of streaming session_window (streaming/windows.py).
+    One shuffle on user_id serves both windows and the final agg.
+    Money-style micro-units sum keeps the float total order-stable."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")) / 1_000_000.0, 4
+        ).alias("total_value"),
+    )
+
+
+@query(
+    "text_repetition_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS tok FROM documents
+    ),
+    per_tok AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(count(*)::DOUBLE / sum(c), 4) AS distinct_ratio,
+           round(max(c)::DOUBLE / sum(c), 4) AS top_token_share
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token ratio, and the share of the single most frequent
+    token (boilerplate/spam indicator). Two map-side-combinable
+    hash aggregations keyed by doc_id — no windows, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tok")
+    )
+    per_tok = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_share"),
+    )
+
+
+@query(
+    "unpivot_part_attributes",
+    """
+    SELECT p_partkey, 'p_size' AS attr, round(CAST(p_size AS DOUBLE), 2) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', round(p_retailprice, 2) FROM part
+    """,
+)
+def unpivot_part_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long unpivot (melt) via DataFrame.unpivot — the inverse
+    of pivot_status_by_priority. Plans as a single Expand node (one
+    scan, rows x n_values), no shuffle."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_size", "p_retailprice"], "attr", "val"
+    ).withColumn("val", F.round("val", 2))
+
+
+@query(
+    "window_ntile_deciles",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(10) OVER w AS decile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile/percent_rank/cume_dist per market
+    segment. Total order (balance, key) makes every rank value
+    engine-independent."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(CAST(round(
+               (l.l_extendedprice * (1 - l.l_discount)
+                - 0.8 * p.p_retailprice * l.l_quantity) * 100) AS BIGINT))
+               / 100.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: supply cost modeled as 80% of retail
+    price — the fixture has no partsupp): five-way join, profit
+    aggregated by nation and order year. Dimension sides broadcast;
+    the lineitem fact shuffles once for the final agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.8 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.round(F.sum(_cents(amount)) / 100.0, 2).alias("profit"))
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count-per-customer histogram via left
+    join with a join-time predicate, then a second aggregation over
+    the counts. count(col) (nulls excluded) is the load-bearing
+    semantic for customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) / 100.0, 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s
+    JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, filtered to
+    the maximum via a scalar subquery over the same derived relation.
+    The revenue CTE computes once; the max broadcasts as a one-row
+    plan (no second scan of lineitem)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0,
+                2,
+            ).alias("total_rev")
+        )
+    )
+    rev.createOrReplaceTempView("_q15_rev")
+    s.createOrReplaceTempView("_q15_supplier")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, r.total_rev
+        FROM _q15_supplier s
+        JOIN _q15_rev r ON r.l_suppkey = s.s_suppkey
+        WHERE r.total_rev = (SELECT max(total_rev) FROM _q15_rev)
+        """
+    )
+
+
+@query(
+    "q16_supplier_part_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted: the 'complaints' exclusion keys on
+    negative account balance; the fixture has no partsupp/comments):
+    distinct-supplier variety per part attribute triple with a NOT IN
+    anti-join. The part dim broadcasts; distinct-count shuffles on
+    the grouping triple."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        l.join(F.broadcast(p), p.p_partkey == l.l_partkey)
+        .join(
+            F.broadcast(bad), l.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "collection_ivf_knn_end_to_end",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_ivf_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed retrieval end-to-end: hydrate a collection, build an
+    IVF index over it, PERSIST the index (cell-partitioned parquet +
+    centroids), read it back, and answer a top-5 cosine query through
+    it. nprobe = n_centroids makes the search exhaustive, so the
+    oracle is the exact brute-force SQL — the plumbing (index build,
+    persisted layout, pruned scan path) is what's under test; recall
+    tradeoffs of nprobe < n_cells are covered by pytest recall tests."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_ivf_e2e_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="e2e_ivf",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "e2e_ivf")
+    assigned, centroids = ivf_build(coll, n_centroids=8, seed=42)
+    ivf_write(assigned, centroids, f"{root}/e2e_ivf/_ivf", metric="cosine")
+    assigned2, centroids2, _metric = ivf_read(spark, f"{root}/e2e_ivf/_ivf")
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_search,
+    )
+
+    return ivf_search(
+        assigned2.filter(F.col("id") != "7"),
+        centroids2,
+        qvec,
+        k=5,
+        nprobe=8,
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
