@@ -1,0 +1,176 @@
+"""Chroma client-API surface (plans/chroma_api.py): where-clause
+compilation, filtered query, paged get with bucket pruning, delete
+on both layouts — the retrieval half the reference delegates to
+Chroma's client (reference README.md:5, collection writes at
+sas:177-190 but no read path)."""
+
+from __future__ import annotations
+
+import pytest
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import EngineError
+from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+    HydrationConfig,
+    hydrate,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+    collection_delete,
+    collection_get,
+    collection_query,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    collection_count,
+    read_collection,
+)
+
+DOCS = [
+    (1.0, "alpha red fox", [1.0, 0.0], 5.0),
+    (2.0, "bravo red dog", [0.9, 0.1], 3.0),
+    (3.0, "charlie blue cat", [0.0, 1.0], 3.0),
+    (4.0, "delta blue fox", [0.1, 0.9], 1.0),
+    (5.0, "echo green owl", [0.7, 0.7], 4.0),
+]
+
+
+def _hydrated(spark, root, n_buckets=None):
+    df = spark.createDataFrame(
+        DOCS, "uid double, body string, vec array<float>, stars double"
+    )
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="api",
+            root=str(root),
+            id_col="uid",
+            text_col="body",
+            embedding_col="vec",
+            metadata_col="stars",
+            metadata_key="rating",
+            n_buckets=n_buckets,
+        ),
+    )
+    return str(root)
+
+
+def test_query_prefilters_then_ranks(spark, tmp_path):
+    root = _hydrated(spark, tmp_path)
+    # nearest to [1,0] overall is id 1.0, but rating 5.0 fails the
+    # filter; survivors {2,3,4} rank by cosine: 2 (.994) > 4 (.110) > 3 (0)
+    got = collection_query(
+        spark, root, "api", [1.0, 0.0], n_results=2,
+        where={"rating": {"$lte": 3}}, score_decimals=4,
+    ).collect()
+    assert [r["id"] for r in got] == ["2.0", "4.0"]
+    assert got[0]["score"] > got[1]["score"]
+    assert got[0]["metadata"] == {"rating": "3.0"}
+
+
+def test_query_where_document_and_metadata_compose(spark, tmp_path):
+    root = _hydrated(spark, tmp_path)
+    got = collection_query(
+        spark, root, "api", [0.0, 1.0], n_results=5,
+        where={"rating": {"$gte": 1}},
+        where_document={"$contains": "blue"},
+    ).collect()
+    assert [r["id"] for r in got] == ["3.0", "4.0"]
+
+
+def test_query_wrong_dim_raises(spark, tmp_path):
+    root = _hydrated(spark, tmp_path)
+    with pytest.raises(EngineError):
+        collection_query(spark, root, "api", [1.0, 0.0, 0.0])
+
+
+def test_where_operators(spark, tmp_path):
+    root = _hydrated(spark, tmp_path)
+
+    def ids(where):
+        return sorted(
+            r["id"] for r in collection_get(spark, root, "api", where=where).collect()
+        )
+
+    assert ids({"rating": 3}) == ["2.0", "3.0"]            # implicit $eq, numeric
+    assert ids({"rating": {"$ne": 3}}) == ["1.0", "4.0", "5.0"]
+    assert ids({"rating": {"$gt": 3}}) == ["1.0", "5.0"]
+    assert ids({"rating": {"$in": [1, 5]}}) == ["1.0", "4.0"]
+    assert ids({"rating": {"$nin": [1, 3]}}) == ["1.0", "5.0"]
+    assert ids({"$or": [{"rating": 5}, {"rating": 1}]}) == ["1.0", "4.0"]
+    assert ids({"$and": [{"rating": {"$gte": 3}}, {"rating": {"$lte": 4}}]}) == [
+        "2.0", "3.0", "5.0",
+    ]
+    # missing key never matches, even negated
+    assert ids({"nope": {"$ne": "x"}}) == []
+
+
+def test_get_pagination_is_id_ordered(spark, tmp_path):
+    root = _hydrated(spark, tmp_path)
+    page1 = collection_get(spark, root, "api", limit=2).collect()
+    page2 = collection_get(spark, root, "api", limit=2, offset=2).collect()
+    page3 = collection_get(spark, root, "api", limit=2, offset=4).collect()
+    got = [r["id"] for r in page1 + page2 + page3]
+    assert got == ["1.0", "2.0", "3.0", "4.0", "5.0"]
+    with pytest.raises(EngineError):
+        collection_get(spark, root, "api", offset=3)
+
+
+def test_get_by_ids_prunes_buckets(spark, tmp_path):
+    root = _hydrated(spark, tmp_path, n_buckets=16)
+    df = collection_get(spark, root, "api", ids=["1.0"])
+    assert [r["id"] for r in df.collect()] == ["1.0"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "id_bucket" in plan
+
+
+def test_delete_by_ids_bucketed_touches_only_affected_buckets(spark, tmp_path):
+    from tests.test_hydrate import _bucket_dirs
+
+    root = _hydrated(spark, tmp_path, n_buckets=16)
+    before = _bucket_dirs(tmp_path, "api")
+    deleted = collection_delete(spark, root, "api", ids=["2.0", "nope"])
+    assert deleted == 1
+    assert collection_count(spark, root, "api") == 4
+    after = _bucket_dirs(tmp_path, "api")
+    changed = {b for b in set(before) | set(after) if before.get(b) != after.get(b)}
+    assert len(changed) <= 2  # only buckets of "2.0" / "nope" rewrote
+    assert sorted(
+        r["id"] for r in read_collection(spark, root, "api").collect()
+    ) == ["1.0", "3.0", "4.0", "5.0"]
+
+
+def test_delete_emptying_a_bucket_removes_it(spark, tmp_path):
+    # 1 bucket -> deleting every row must leave an empty collection,
+    # not resurrect old files (dynamic overwrite writes no partitions)
+    root = _hydrated(spark, tmp_path, n_buckets=1)
+    deleted = collection_delete(
+        spark, root, "api", ids=[f"{i}.0" for i in range(1, 6)]
+    )
+    assert deleted == 5
+    assert collection_count(spark, root, "api") == 0
+
+
+def test_delete_where_flat_layout_swaps_atomically(spark, tmp_path):
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        current_data_dir,
+    )
+
+    root = _hydrated(spark, tmp_path)
+    old_dir = current_data_dir(root, "api")
+    deleted = collection_delete(
+        spark, root, "api",
+        where={"rating": {"$lte": 3}}, where_document={"$contains": "red"},
+    )
+    assert deleted == 1  # only id 2.0 matches both (3.0 is blue)
+    assert sorted(
+        r["id"] for r in read_collection(spark, root, "api").collect()
+    ) == ["1.0", "3.0", "4.0", "5.0"]
+    assert current_data_dir(root, "api") != old_dir  # pointer swapped
+    assert os.path.basename(current_data_dir(root, "api")).startswith("data-")
+
+
+def test_delete_requires_a_predicate(spark, tmp_path):
+    root = _hydrated(spark, tmp_path)
+    with pytest.raises(EngineError):
+        collection_delete(spark, root, "api")

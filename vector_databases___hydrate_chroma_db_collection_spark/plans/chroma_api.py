@@ -1,0 +1,331 @@
+"""Chroma's read-side and delete API over managed collections.
+
+The reference only ever WRITES a collection (``collection.add``,
+sas:177-190) and counts it (sas:134,193); retrieval is delegated to
+Chroma's client API out of band (motivated but never implemented —
+reference README.md:5). A user switching from the reference's Chroma
+store to this engine still needs that client surface, so this module
+re-expresses it Spark-first over the managed Parquet layout:
+
+- ``collection_query``  = ``collection.query(query_embeddings=...,
+  n_results=k, where=..., where_document=...)`` — filtered top-k
+  similarity. The metadata/document predicates are compiled to native
+  Column expressions and applied BEFORE the distance math
+  (pre-filtering, the recall-exact strategy), so Catalyst prunes the
+  scan first and the distance expression + TakeOrderedAndProject run
+  only on survivors. No shuffle, no Python.
+- ``collection_get``    = ``collection.get(ids=..., where=...,
+  limit=..., offset=...)`` — point/paged reads. On a bucketed layout
+  an id-list lookup filters on the ``id_bucket`` hive-partition
+  column, so the scan prunes to the O(|ids|) buckets the ids hash
+  into — a point read touches ~1/n_buckets of a 100 TB collection.
+- ``collection_delete`` = ``collection.delete(ids=..., where=...)``.
+  On a bucketed layout an id-list delete rewrites ONLY the affected
+  buckets (dynamic partition overwrite, same pruning contract as
+  upsert); predicate deletes and flat layouts rewrite into a fresh
+  versioned dir and atomically swap the ``_current`` pointer, so
+  readers never observe a half-deleted collection.
+
+``where`` compilation covers Chroma's documented operator set
+(implicit equality, ``$eq/$ne/$gt/$gte/$lt/$lte/$in/$nin``, and
+``$and/$or`` composition); document predicates cover ``$contains`` /
+``$not_contains``. Values stored in the canonical
+``MAP<STRING,STRING>`` metadata compare numerically when the query
+literal is numeric (``try_cast`` to double), string-wise otherwise —
+matching how Chroma compares typed metadata. Missing keys never
+match, including under ``$ne``/``$nin`` (Chroma's semantics: the
+predicate is over documents that HAVE the key).
+"""
+
+from __future__ import annotations
+
+import numbers
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import EngineError
+from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    current_data_dir,
+    load_manifest,
+    next_data_dir,
+    read_collection,
+    swap_data_dir,
+)
+
+_CMP_OPS = ("$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$nin")
+
+
+def _is_num(v) -> bool:
+    return isinstance(v, numbers.Number) and not isinstance(v, bool)
+
+
+def _value_col(key: str, numeric: bool) -> Column:
+    v = F.col("metadata")[key]
+    return v.try_cast("double") if numeric else v
+
+
+def _lit(v) -> Column:
+    return F.lit(float(v)) if _is_num(v) else F.lit(v)
+
+
+def _compile_cmp(key: str, op: str, v) -> Column:
+    if op in ("$in", "$nin"):
+        if not isinstance(v, (list, tuple)) or not v:
+            raise EngineError(f"{op} on {key!r} needs a non-empty list")
+        numeric = all(_is_num(x) for x in v)
+        col = _value_col(key, numeric)
+        hit = col.isin([float(x) if numeric else x for x in v])
+        # $nin only matches docs that HAVE the key (Chroma semantics);
+        # a NULL map value (missing key or failed numeric cast) is out.
+        return hit if op == "$in" else (col.isNotNull() & ~hit)
+    numeric = _is_num(v)
+    col, lit = _value_col(key, numeric), _lit(v)
+    if op == "$eq":
+        return col == lit
+    if op == "$ne":
+        return col.isNotNull() & (col != lit)
+    if op == "$gt":
+        return col > lit
+    if op == "$gte":
+        return col >= lit
+    if op == "$lt":
+        return col < lit
+    if op == "$lte":
+        return col <= lit
+    raise EngineError(f"unsupported where operator {op!r}")
+
+
+def compile_where(where: dict) -> Column:
+    """Chroma ``where`` dict -> one boolean Column (codegen-friendly:
+    plain map lookups, casts and comparisons — no UDFs)."""
+    if not isinstance(where, dict) or not where:
+        raise EngineError("where must be a non-empty dict")
+    clauses: list[Column] = []
+    for key, spec in where.items():
+        if key in ("$and", "$or"):
+            if not isinstance(spec, (list, tuple)) or len(spec) < 2:
+                raise EngineError(f"{key} needs a list of >=2 clauses")
+            parts = [compile_where(s) for s in spec]
+            combined = parts[0]
+            for p in parts[1:]:
+                combined = (combined & p) if key == "$and" else (combined | p)
+            clauses.append(combined)
+        elif isinstance(spec, dict):
+            for op, v in spec.items():
+                clauses.append(_compile_cmp(key, op, v))
+        else:
+            clauses.append(_compile_cmp(key, "$eq", spec))
+    out = clauses[0]
+    for c in clauses[1:]:
+        out = out & c
+    return out
+
+
+def compile_where_document(where_document: dict) -> Column:
+    """Chroma ``where_document`` -> Column over the ``document`` text."""
+    if not isinstance(where_document, dict) or len(where_document) != 1:
+        raise EngineError("where_document must be a single-operator dict")
+    [(op, v)] = where_document.items()
+    if op == "$contains":
+        return F.col("document").contains(v)
+    if op == "$not_contains":
+        return ~F.col("document").contains(v)
+    raise EngineError(f"unsupported where_document operator {op!r}")
+
+
+def _filtered(
+    df: DataFrame,
+    ids: list[str] | None,
+    where: dict | None,
+    where_document: dict | None,
+) -> DataFrame:
+    if ids is not None:
+        df = df.filter(F.col("id").isin([str(i) for i in ids]))
+    if where is not None:
+        df = df.filter(compile_where(where))
+    if where_document is not None:
+        df = df.filter(compile_where_document(where_document))
+    return df
+
+
+def _prune_buckets_for_ids(
+    spark: SparkSession, df: DataFrame, ids: list[str], n_buckets: int
+) -> DataFrame:
+    """Static partition pruning for an id-list lookup: hash the ids
+    with the layout's own expression (one tiny local job over a
+    literal frame — never a scan of the collection) and filter the
+    hive-partition column to that bucket set."""
+    buckets = [
+        r["b"]
+        for r in spark.createDataFrame([(str(i),) for i in ids], "id string")
+        .select(F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    return df.filter(F.col("id_bucket").isin(buckets))
+
+
+def collection_get(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    ids: list[str] | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """``collection.get``: rows in canonical schema (minus embedding —
+    Chroma's default include set), id-ordered when paginating.
+
+    Pagination (limit/offset) sorts by id and keeps ``offset+limit``
+    rows via TakeOrderedAndProject (driver-bounded by the page end,
+    never a full global sort); unpaginated gets stream unordered.
+    """
+    manifest = load_manifest(root, name)
+    df = read_collection(spark, root, name, include_bucket=bool(manifest.n_buckets))
+    if ids is not None and manifest.n_buckets:
+        df = _prune_buckets_for_ids(spark, df, ids, manifest.n_buckets)
+    df = _filtered(df, ids, where, where_document).select("id", "document", "metadata")
+    if limit is None and offset == 0:
+        return df
+    if limit is None:
+        raise EngineError("offset requires limit (unbounded offset pages are a scan)")
+    page_end = offset + limit
+    head = df.orderBy("id").limit(page_end)
+    if offset == 0:
+        return head
+    from pyspark.sql import Window
+
+    w = Window.orderBy("id")  # head is <= page_end rows: single-task window is fine
+    return (
+        head.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > offset)
+        .drop("_rn")
+    )
+
+
+def collection_query(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vector: list[float],
+    n_results: int = 10,
+    *,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """``collection.query`` for one query embedding: pre-filter by
+    metadata/document predicates, then exact top-k by the manifest's
+    metric. Plan: Scan -> Filter (pushed ahead of the distance
+    expression) -> Project(score) -> TakeOrderedAndProject. Returns
+    ``(id, document, metadata, score)`` best-first.
+
+    Batch query sets should use ``operators.knn.knn_join`` /
+    ``knn_join_gemm`` on ``read_collection`` output instead — this is
+    the interactive single-query path (shuffle-free).
+    """
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import _score
+
+    manifest = load_manifest(root, name)
+    if len(query_vector) != manifest.dim:
+        raise EngineError(
+            f"query vector dim {len(query_vector)} != collection dim {manifest.dim}"
+        )
+    df = _filtered(read_collection(spark, root, name), None, where, where_document)
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    score, asc = _score(manifest.metric, F.col("embedding"), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = df.withColumn("score", score)
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("id").asc()]
+    return scored.orderBy(*order).limit(n_results).select(
+        "id", "document", "metadata", "score"
+    )
+
+
+def collection_delete(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    ids: list[str] | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+) -> int:
+    """``collection.delete``: remove matching rows, return how many.
+
+    Bucketed layout + id-list: rewrites only the buckets the ids hash
+    into (dynamic partition overwrite); cost scales with touched
+    buckets, not collection size. A bucket whose rows are ALL deleted
+    is removed explicitly — dynamic overwrite only replaces partitions
+    present in the written data, so an emptied bucket would otherwise
+    keep its old files. Predicate deletes (and flat layouts) rewrite
+    survivors into a fresh versioned dir and swap the ``_current``
+    pointer atomically.
+    """
+    if ids is None and where is None and where_document is None:
+        raise EngineError("delete needs ids and/or a where predicate")
+    manifest = load_manifest(root, name)
+    bucketed = bool(manifest.n_buckets)
+    df = read_collection(spark, root, name, include_bucket=bucketed)
+
+    cond = F.lit(True)
+    if ids is not None:
+        cond = cond & F.col("id").isin([str(i) for i in ids])
+    if where is not None:
+        cond = cond & compile_where(where)
+    if where_document is not None:
+        cond = cond & compile_where_document(where_document)
+    # NULL predicate (missing metadata key) means "not matched": keep.
+    doomed = F.coalesce(cond, F.lit(False))
+
+    if bucketed and ids is not None and where is None and where_document is None:
+        scoped = _prune_buckets_for_ids(spark, df, ids, manifest.n_buckets)
+        # One aggregation over the pruned buckets: per-bucket total vs
+        # doomed counts -> deleted total + which buckets end up empty.
+        stats = (
+            scoped.groupBy("id_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(doomed.cast("long")).alias("n_del"),
+            )
+            .collect()
+        )
+        deleted = int(sum(r["n_del"] for r in stats))
+        if deleted == 0:
+            return 0
+        emptied = [r["id_bucket"] for r in stats if r["n"] == r["n_del"]]
+        survivors = scoped.filter(~doomed)
+        data_dir = current_data_dir(root, manifest.name)
+        if survivors.limit(1).count() > 0:
+            survivors.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("id_bucket").parquet(data_dir)
+        for b in emptied:
+            shutil.rmtree(os.path.join(data_dir, f"id_bucket={b}"), ignore_errors=True)
+        return deleted
+
+    n_before = df.count()
+    survivors = df.filter(~doomed)
+    staging = next_data_dir(root, manifest.name)
+    writer = survivors.write.mode("overwrite")
+    if bucketed:
+        writer = writer.partitionBy("id_bucket")
+    writer.parquet(staging)
+    swap_data_dir(root, manifest.name, staging)
+    n_after = spark.read.parquet(current_data_dir(root, manifest.name)).count() if _has_parquet(
+        current_data_dir(root, manifest.name)
+    ) else 0
+    return int(n_before - n_after)
+
+
+def _has_parquet(path: str) -> bool:
+    return any(
+        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
+    ) if os.path.isdir(path) else False

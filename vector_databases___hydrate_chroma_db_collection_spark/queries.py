@@ -3604,3 +3604,146 @@ def collection_ivf_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame
         metric="cosine",
         score_decimals=4,
     ).withColumnRenamed("score", "cos_sim")
+
+
+# --------------------------------------------------------------------------
+# Chroma client-API surface (plans/chroma_api.py): filtered vector query,
+# paged get, predicate delete — the retrieval/maintenance half the
+# reference delegates to Chroma's client (reference README.md:5; the SAS
+# step only writes, sas:177-190). Each runs against a freshly hydrated
+# temp collection so driver re-invocations stay idempotent.
+# --------------------------------------------------------------------------
+
+_COS_SQL = """
+            round(
+                list_sum(list_transform(list_zip(c.emb, q.qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(c.emb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(q.qe,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4)
+"""
+
+
+def _hydrate_docs_collection(spark, sf_dir, name, *, n_buckets=None):
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_api_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name=name,
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+            n_buckets=n_buckets,
+        ),
+    )
+    return root
+
+
+@query(
+    "collection_filtered_query",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text, d.lang,
+               e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '3'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+        WHERE c.lang IN ('en', 'de') AND contains(c.text, 'data')
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 5
+    """,
+)
+def collection_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.query(where=..., where_document=...)``:
+    metadata + document predicates compiled to native Columns and
+    applied BEFORE the distance expression (pre-filtering — exact
+    recall, and the filter prunes the scan ahead of the math), then
+    top-5 cosine via TakeOrderedAndProject. Shuffle-free."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apiq")
+    coll = read_collection(spark, root, "apiq")
+    qvec = list(coll.filter(F.col("id") == "3").first()["embedding"])
+    return collection_query(
+        spark,
+        root,
+        "apiq",
+        qvec,
+        n_results=5,
+        where={"lang": {"$in": ["en", "de"]}},
+        where_document={"$contains": "data"},
+        score_decimals=4,
+    ).select("id", "score")
+
+
+@query(
+    "collection_delete_where",
+    """
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE lang <> 'de'
+    GROUP BY lang
+    """,
+)
+def collection_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.delete(where=...)`` on a bucketed layout:
+    survivors rewritten into a fresh versioned dir, ``_current``
+    pointer swapped atomically; the remaining per-language counts
+    prove exactly the matching rows died."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apid", n_buckets=8)
+    collection_delete(spark, root, "apid", where={"lang": "de"})
+    return (
+        read_collection(spark, root, "apid")
+        .groupBy(F.col("metadata")["lang"].alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "collection_get_page",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, text AS document
+    FROM documents
+    ORDER BY id
+    LIMIT 10 OFFSET 5
+    """,
+)
+def collection_get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.get(limit=, offset=)``: id-ordered page
+    via TakeOrderedAndProject over offset+limit rows (driver cost
+    bounded by the page end, not the collection)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_get,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apig")
+    return collection_get(spark, root, "apig", limit=10, offset=5).select(
+        "id", "document"
+    )
