@@ -3252,7 +3252,11 @@ def window_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # NTZ-safe epoch: events.ts may read as TIMESTAMP_NTZ (Spark 4
+    # parquet inference) and unix_micros rejects NTZ; the cast is a
+    # wall-clock identity under UTC and differences are tz-invariant.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ts_us - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
     flagged = e.withColumn(
         "is_new",
         F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), 1).otherwise(0),

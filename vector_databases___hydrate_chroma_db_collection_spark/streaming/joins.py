@@ -55,11 +55,16 @@ def attributed_events(
         & (F.col("c_ts") > F.col("t_ts"))
         & (F.col("c_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {within}"))
     )
+    # events.ts arrives as TIMESTAMP or TIMESTAMP_NTZ depending on the
+    # session's parquet inference; unix_micros only takes TIMESTAMP, so
+    # cast first (wall-clock identity under the engine's UTC session tz,
+    # and an epoch *difference* is tz-invariant regardless).
+    def _us(name: str):
+        return F.unix_micros(F.col(name).cast("timestamp"))
+
     return t.join(c, cond).select(
         F.col("t_user").alias("user_id"),
         "trigger_id",
         "conversion_id",
-        (
-            F.unix_micros("c_ts") / 1_000_000 - F.unix_micros("t_ts") / 1_000_000
-        ).alias("gap_seconds"),
+        (_us("c_ts") / 1_000_000 - _us("t_ts") / 1_000_000).alias("gap_seconds"),
     )
