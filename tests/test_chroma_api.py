@@ -82,6 +82,18 @@ def test_query_wrong_dim_raises(spark, tmp_path):
         collection_query(spark, root, "api", [1.0, 0.0, 0.0])
 
 
+def test_query_include_distance_is_chroma_convention(spark, tmp_path):
+    root = _hydrated(spark, tmp_path)
+    got = collection_query(
+        spark, root, "api", [1.0, 0.0], n_results=5, include_distance=True
+    ).collect()
+    # cosine metric: distance = 1 - similarity, ascending best-first
+    for r in got:
+        assert abs(r["distance"] - (1.0 - r["score"])) < 1e-12
+    dists = [r["distance"] for r in got]
+    assert dists == sorted(dists)
+
+
 def test_where_operators(spark, tmp_path):
     root = _hydrated(spark, tmp_path)
 
@@ -99,8 +111,12 @@ def test_where_operators(spark, tmp_path):
     assert ids({"$and": [{"rating": {"$gte": 3}}, {"rating": {"$lte": 4}}]}) == [
         "2.0", "3.0", "5.0",
     ]
-    # missing key never matches, even negated
-    assert ids({"nope": {"$ne": "x"}}) == []
+    # $ne/$nin are set complements (current Chroma semantics): docs
+    # lacking the key entirely DO match the negation
+    assert ids({"nope": {"$ne": "x"}}) == ["1.0", "2.0", "3.0", "4.0", "5.0"]
+    assert ids({"nope": {"$nin": ["x"]}}) == ["1.0", "2.0", "3.0", "4.0", "5.0"]
+    # ...while positive operators still require the key to be present
+    assert ids({"nope": {"$in": ["x"]}}) == []
 
 
 def test_get_pagination_is_id_ordered(spark, tmp_path):

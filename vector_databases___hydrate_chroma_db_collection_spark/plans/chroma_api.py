@@ -32,9 +32,18 @@ re-expresses it Spark-first over the managed Parquet layout:
 ``$not_contains``. Values stored in the canonical
 ``MAP<STRING,STRING>`` metadata compare numerically when the query
 literal is numeric (``try_cast`` to double), string-wise otherwise —
-matching how Chroma compares typed metadata. Missing keys never
-match, including under ``$ne``/``$nin`` (Chroma's semantics: the
-predicate is over documents that HAVE the key).
+matching how Chroma compares typed metadata. Negations follow
+current Chroma (0.4.x+) set-complement semantics: ``$ne``/``$nin``
+DO match documents that lack the key entirely (they are "everything
+not matching ``$eq``/``$in``"), while every positive operator
+requires the key to be present.
+
+Validation is deliberately more lenient than Chroma's: a key spec
+with several operators (``{"k": {"$gte": 1, "$lte": 5}}``) and
+``$and``/``$or`` mixed with plain keys at the same level — shapes
+Chroma rejects client-side — compile here to the obvious AND of
+clauses instead of erroring. Filters valid in Chroma behave
+identically; this engine just accepts a superset.
 """
 
 from __future__ import annotations
@@ -78,15 +87,17 @@ def _compile_cmp(key: str, op: str, v) -> Column:
         numeric = all(_is_num(x) for x in v)
         col = _value_col(key, numeric)
         hit = col.isin([float(x) if numeric else x for x in v])
-        # $nin only matches docs that HAVE the key (Chroma semantics);
-        # a NULL map value (missing key or failed numeric cast) is out.
-        return hit if op == "$in" else (col.isNotNull() & ~hit)
+        # $nin is the set complement of $in (current Chroma semantics):
+        # it also matches docs where the key is missing or the value
+        # fails the numeric cast — coalesce turns that NULL into a hit.
+        return hit if op == "$in" else F.coalesce(~hit, F.lit(True))
     numeric = _is_num(v)
     col, lit = _value_col(key, numeric), _lit(v)
     if op == "$eq":
         return col == lit
     if op == "$ne":
-        return col.isNotNull() & (col != lit)
+        # complement of $eq — matches missing keys too (see module doc)
+        return F.coalesce(col != lit, F.lit(True))
     if op == "$gt":
         return col > lit
     if op == "$gte":
@@ -219,12 +230,23 @@ def collection_query(
     where: dict | None = None,
     where_document: dict | None = None,
     score_decimals: int | None = None,
+    include_distance: bool = False,
 ) -> DataFrame:
     """``collection.query`` for one query embedding: pre-filter by
     metadata/document predicates, then exact top-k by the manifest's
     metric. Plan: Scan -> Filter (pushed ahead of the distance
     expression) -> Project(score) -> TakeOrderedAndProject. Returns
     ``(id, document, metadata, score)`` best-first.
+
+    NOTE on ``score`` vs Chroma: ``score`` is metric-native — cosine /
+    dot SIMILARITY (higher is better), L2 distance (lower is better) —
+    whereas ``collection.query`` in Chroma always returns DISTANCES
+    ascending (cosine distance = 1 − similarity, ip distance =
+    1 − dot, l2 = SQUARED Euclidean). Thresholds ported from Chroma
+    should set ``include_distance=True``, which appends a ``distance``
+    column in exactly those Chroma conventions (rank order is the
+    same either way; ``score_decimals`` rounding applies to ``score``
+    only, ``distance`` derives from the unrounded value).
 
     Batch query sets should use ``operators.knn.knn_join`` /
     ``knn_join_gemm`` on ``read_collection`` output instead — this is
@@ -239,14 +261,18 @@ def collection_query(
         )
     df = _filtered(read_collection(spark, root, name), None, where, where_document)
     q = F.array(*[F.lit(float(x)) for x in query_vector])
-    score, asc = _score(manifest.metric, F.col("embedding"), q)
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
+    raw, asc = _score(manifest.metric, F.col("embedding"), q)
+    score = F.round(raw, score_decimals) if score_decimals is not None else raw
     scored = df.withColumn("score", score)
+    cols = ["id", "document", "metadata", "score"]
+    if include_distance:
+        # Chroma's distance conventions per metric (hnswlib spaces):
+        # cosine -> 1 - similarity, ip -> 1 - dot, l2 -> squared L2.
+        dist = F.lit(1.0) - raw if manifest.metric in ("cosine", "dot") else raw * raw
+        scored = scored.withColumn("distance", dist)
+        cols.append("distance")
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("id").asc()]
-    return scored.orderBy(*order).limit(n_results).select(
-        "id", "document", "metadata", "score"
-    )
+    return scored.orderBy(*order).limit(n_results).select(*cols)
 
 
 def collection_delete(
@@ -268,6 +294,16 @@ def collection_delete(
     keep its old files. Predicate deletes (and flat layouts) rewrite
     survivors into a fresh versioned dir and swap the ``_current``
     pointer atomically.
+
+    Consistency contract: ONLY the pointer-swap path (predicate
+    deletes and flat layouts) gives readers an atomic all-or-nothing
+    view. The bucketed id-list path rewrites the live data dir in
+    place, so a concurrent reader can observe some buckets deleted and
+    others not, and a mid-write crash leaves mixed bucket state (the
+    same trade-off as bucketed upsert — pruned point writes are bought
+    with in-place partition overwrite). Route deletes through
+    ``where=`` (or use a flat layout) when snapshot consistency
+    matters more than touched-bucket pruning.
     """
     if ids is None and where is None and where_document is None:
         raise EngineError("delete needs ids and/or a where predicate")
@@ -311,21 +347,17 @@ def collection_delete(
             shutil.rmtree(os.path.join(data_dir, f"id_bucket={b}"), ignore_errors=True)
         return deleted
 
+    from pyspark.sql import Observation
+
     n_before = df.count()
-    survivors = df.filter(~doomed)
+    # Count survivors inside the write job itself (as hydrate does) —
+    # two scans total (count + rewrite), no post-swap re-read.
+    obs = Observation("delete_survivors")
+    survivors = df.filter(~doomed).observe(obs, F.count(F.lit(1)).alias("rows"))
     staging = next_data_dir(root, manifest.name)
     writer = survivors.write.mode("overwrite")
     if bucketed:
         writer = writer.partitionBy("id_bucket")
     writer.parquet(staging)
     swap_data_dir(root, manifest.name, staging)
-    n_after = spark.read.parquet(current_data_dir(root, manifest.name)).count() if _has_parquet(
-        current_data_dir(root, manifest.name)
-    ) else 0
-    return int(n_before - n_after)
-
-
-def _has_parquet(path: str) -> bool:
-    return any(
-        f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
-    ) if os.path.isdir(path) else False
+    return int(n_before - obs.get["rows"])

@@ -61,9 +61,13 @@ def stream_hydrate(
     )
     data = data.filter(ok)
     if ts_col:
-        data = data.withWatermark("_ts", watermark).dropDuplicatesWithinWatermark(
-            ["id"]
-        ).drop("_ts")
+        from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+            watermark_ready,
+        )
+
+        data = watermark_ready(data, "_ts").withWatermark(
+            "_ts", watermark
+        ).dropDuplicatesWithinWatermark(["id"]).drop("_ts")
     else:
         data = data.dropDuplicates(["id"])
 

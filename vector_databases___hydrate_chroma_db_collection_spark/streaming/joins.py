@@ -45,10 +45,14 @@ def attributed_events(
         F.col("event_id").alias("conversion_id"),
         F.col(ts_col).alias("c_ts"),
     )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+        watermark_ready,
+    )
+
     if triggers.isStreaming:
-        t = t.withWatermark("t_ts", watermark)
+        t = watermark_ready(t, "t_ts").withWatermark("t_ts", watermark)
     if conversions.isStreaming:
-        c = c.withWatermark("c_ts", watermark)
+        c = watermark_ready(c, "c_ts").withWatermark("c_ts", watermark)
 
     cond = (
         (F.col("t_user") == F.col("c_user"))

@@ -13,6 +13,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def watermark_ready(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks (and watermark-scoped state eviction) require a
+    TIMESTAMP event-time column, but parquet schema inference can
+    surface event time as TIMESTAMP_NTZ. The cast is a wall-clock
+    identity under the session timezone, and both the streaming
+    variant and its batch twin bucket the same casted column, so
+    oracle parity is unaffected."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_event_stats(
     events: DataFrame,
     *,
@@ -25,7 +37,7 @@ def tumbling_event_stats(
     batch oracle can recompute them with floor(epoch/width)."""
     df = events
     if watermark is not None and events.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = watermark_ready(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window).alias("w"), "event_type")
         .agg(
@@ -53,7 +65,7 @@ def sliding_user_activity(
     events per user per overlapping window)."""
     df = events
     if watermark is not None and events.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = watermark_ready(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.window(ts_col, window, slide).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -78,7 +90,7 @@ def session_windows(
     with lag + cumulative-sum sessionization)."""
     df = events
     if watermark is not None and events.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = watermark_ready(df, ts_col).withWatermark(ts_col, watermark)
     return (
         df.groupBy(F.session_window(ts_col, gap).alias("w"), "user_id")
         .agg(
@@ -103,9 +115,9 @@ def dedup_within_watermark(
     watermark is evicted (dropDuplicatesWithinWatermark). The batch
     equivalent is a plain dropDuplicates on the id."""
     if events.isStreaming:
-        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            [id_col]
-        )
+        return watermark_ready(events, ts_col).withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark([id_col])
     return events.dropDuplicates([id_col])
 
 
