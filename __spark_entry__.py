@@ -31,11 +31,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["knn_top5_cosine"](spark, SMOKE_SF_DIR)
 
 
-# Round-1 driver run checked a 50-query subset (CORRECTNESS_r01.json);
-# if the driver again samples a fixed budget in iteration order, the
-# queries WITHOUT a driver correctness row yet must come first so every
-# registry entry accumulates a hard check across rounds. Local parity
-# for all entries is committed in PARITY_LOCAL.json (same protocol).
+# The driver checks a budgeted subset per round in iteration order
+# (50 in r1, 50 in r2 — CORRECTNESS_r{N}.json), so queries WITHOUT a
+# driver correctness row yet must come first, then the least-recently
+# checked, so every registry entry accumulates a hard check across
+# rounds. Local parity for all entries is committed in
+# PARITY_LOCAL.json (same protocol).
 _R1_CHECKED = frozenset(
     {
         "knn_top5_cosine", "q1_pricing_summary", "q3_shipping_priority",
@@ -63,14 +64,54 @@ _R1_CHECKED = frozenset(
 )
 
 
+_R2_CHECKED = frozenset(
+    {
+        "agg_approx_count_distinct", "agg_grouping_sets",
+        "agg_statistics", "apply_in_pandas_label_centroids",
+        "collection_knn_end_to_end", "dedup_connected_components",
+        "dedup_embedding_neardup_ivf", "explode_event_type_chars",
+        "join_asof_prior_day_spend", "join_cross_nullsafe",
+        "join_right_supplier_nations", "multimodal_image_features",
+        "pandas_udf_cosine", "pipeline_training_data",
+        "pivot_status_by_priority", "q10_returned_items",
+        "q14_promo_revenue_ratio", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_disjunctive_predicates",
+        "q20_bulk_suppliers", "q21_multi_supplier_orders",
+        "q22_idle_rich_customers", "q2_cheapest_part_suppliers",
+        "q4_priority_with_late_lines", "q6_revenue_delta",
+        "q7_nation_trade_flows", "q8_market_share",
+        "q9_product_type_profit", "scalar_array_algebra",
+        "scalar_array_functions", "scalar_case_null_handling",
+        "scalar_date_arithmetic", "scalar_from_json_events",
+        "scalar_string_extended", "scalar_struct_map_ops",
+        "setop_intersect_all_nations", "setop_union_all_priorities",
+        "setop_union_by_name", "sql_entry_top_customers",
+        "sql_udf_registered", "stream_attribution_join",
+        "text_chunking", "text_levenshtein_names",
+        "text_repetition_quality", "unpivot_part_attributes",
+        "window_ntile_deciles", "window_range_frame_revenue",
+        "window_rank_analytics", "window_sessionize_events",
+    }
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
     riskiest-first: entries with no driver correctness row yet lead."""
-    unchecked = {
-        n: fn for n, fn in _registry.QUERIES.items() if n not in _R1_CHECKED
+    never = {
+        n: fn
+        for n, fn in _registry.QUERIES.items()
+        if n not in _R1_CHECKED | _R2_CHECKED
     }
-    checked = {n: fn for n, fn in _registry.QUERIES.items() if n in _R1_CHECKED}
-    return {**unchecked, **checked}
+    r1_only = {
+        n: fn
+        for n, fn in _registry.QUERIES.items()
+        if n in _R1_CHECKED and n not in _R2_CHECKED
+    }
+    rest = {
+        n: fn for n, fn in _registry.QUERIES.items() if n in _R2_CHECKED
+    }
+    return {**never, **r1_only, **rest}
 
 
 def oracle_sql() -> dict[str, str]:
