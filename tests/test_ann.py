@@ -208,3 +208,80 @@ def test_gemm_neardup_auto_dispatches_to_ivf(spark):
         ).collect()
     }
     assert got == exact
+
+
+def test_ivf_knn_join_exact_at_full_probe(spark):
+    """nprobe == n_centroids probes every cell, so the IVF join must
+    reproduce the exact knn_join output bit-for-bit (rounded)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_knn_join,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    assigned, centroids = ivf_build(
+        emb, id_col="vec_id", n_centroids=6, seed=42, metric="cosine"
+    )
+    got = ivf_knn_join(
+        q, assigned, centroids, k=3,
+        id_col="vec_id", metric="cosine", nprobe=6, score_decimals=4,
+    )
+    want = knn_join(
+        q, emb, k=3, metric="cosine", corpus_id_col="vec_id", score_decimals=4
+    )
+    gs = sorted(map(tuple, got.collect()))
+    ws = sorted(map(tuple, want.collect()))
+    assert gs == ws
+
+
+def test_ivf_knn_join_pruned_recall(spark):
+    """nprobe < n_centroids prunes; top-1 self-neighbor recall must
+    stay high (each query vector is IN the corpus, and a vector's own
+    cell is always its first probe)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_knn_join,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    assigned, centroids = ivf_build(
+        emb, id_col="vec_id", n_centroids=8, seed=42, metric="cosine"
+    )
+    got = ivf_knn_join(
+        q, assigned, centroids, k=1,
+        id_col="vec_id", metric="cosine", nprobe=2, score_decimals=4,
+    ).collect()
+    hits = sum(1 for r in got if r["qid"] == r["neighbor_id"])
+    assert hits == len(got) and len(got) > 0
+
+
+def test_ivf_knn_join_l2_metric(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_knn_join,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    assigned, centroids = ivf_build(
+        emb, id_col="vec_id", n_centroids=4, seed=42, metric="l2"
+    )
+    got = ivf_knn_join(
+        q, assigned, centroids, k=2,
+        id_col="vec_id", metric="l2", nprobe=4, score_decimals=4,
+    )
+    want = knn_join(
+        q, emb, k=2, metric="l2", corpus_id_col="vec_id", score_decimals=4
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

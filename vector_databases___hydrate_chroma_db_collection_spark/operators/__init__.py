@@ -1,6 +1,7 @@
 from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
     add_lsh_buckets,
     ivf_build,
+    ivf_knn_join,
     ivf_read,
     ivf_search,
     ivf_write,
@@ -37,6 +38,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.relational 
 __all__ = [
     "add_lsh_buckets",
     "ivf_build",
+    "ivf_knn_join",
     "ivf_read",
     "ivf_search",
     "ivf_write",

@@ -124,34 +124,53 @@ def ivf_build(
     n_centroids: int = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
+    metric: str = "l2",
 ) -> tuple[DataFrame, np.ndarray]:
-    """Train KMeans centroids (on a sample for big corpora) and assign
-    every row its nearest centroid. Returns (assigned_df, centroids).
+    """Train k-means centroids (driver-side numpy Lloyd on a bounded
+    sample — see ``_train_kmeans`` for why not MLlib) and assign every
+    row its nearest centroid in one Arrow-batched scan (the centroid
+    matrix ships in the task closure; it is tiny). Returns
+    (assigned_df, centroids).
 
-    Scale notes: training touches only the sample; assignment is one
-    scan (KMeans transform is a JVM-side expression over ml vectors).
-    Persist ``assigned_df`` partitioned by ``ivf_cell`` for pruning.
+    Persist ``assigned_df`` partitioned by ``ivf_cell`` for pruning
+    (``ivf_write``). ``metric="l2"`` reproduces classic Euclidean
+    cells; ``"cosine"`` trains spherical cells (better for normalized
+    embedding spaces).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import pandas as pd
 
-    vecs = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.col(embedding_col).alias("_emb"),
-        array_to_vector(F.col(embedding_col).cast("array<double>")).alias("features"),
-    )
-    train = vecs if sample_fraction is None else vecs.sample(sample_fraction, seed)
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
-    centroids = np.asarray([np.asarray(c) for c in model.clusterCenters()])
-    assigned = (
-        model.transform(vecs)
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_emb").alias(embedding_col),
-            F.col("prediction").alias("ivf_cell"),
-        )
-    )
-    return assigned, centroids
+    base = corpus.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
+    train = base if sample_fraction is None else base.sample(sample_fraction, seed)
+    C = _train_kmeans(train, "_e", n_centroids, seed=seed, metric=metric)
+    spherical = metric == "cosine"
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    c_sq = (C * C).sum(axis=1)
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    emb_type = corpus.schema[embedding_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {embedding_col} {emb_type}, ivf_cell int"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+            if spherical:
+                E_unit = E / np.maximum(
+                    np.linalg.norm(E, axis=1, keepdims=True), 1e-300
+                )
+                cell = np.argmax(E_unit @ Cn.T, axis=1)
+            else:
+                cell = np.argmin(c_sq[None, :] - 2.0 * (E @ C.T), axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf["_id"],
+                    embedding_col: pdf["_e"],
+                    "ivf_cell": cell.astype("int32"),
+                }
+            )
+
+    return base.mapInPandas(assign, schema=out_schema), C
 
 
 def ivf_search(
@@ -190,42 +209,192 @@ def ivf_search(
     )
 
 
-def _train_spherical_kmeans(
-    normed: DataFrame,
+def ivf_knn_join(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    *,
+    query_id_col: str = "qid",
+    query_embedding_col: str = "q_embedding",
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    metric: str = "cosine",
+    nprobe: int = 3,
+    score_decimals: int | None = None,
+    slack: int = 32,
+) -> DataFrame:
+    """Batch kNN join through an IVF index — the scale path when BOTH
+    sides are large. ``knn_join_gemm`` streams the whole corpus once
+    per query block; here each query only meets the ``nprobe`` cells
+    whose centroids are nearest it, so the scored volume drops to
+    ~(nprobe / n_centroids) of the corpus — and on an ``ivf_write``
+    layout the cell grouping is already the storage partitioning.
+
+    Plan (all distributed, no driver materialization of either side):
+    1. one Arrow pass over the queries assigns each to its ``nprobe``
+       nearest cells (centroid matrix rides the closure);
+    2. ``groupby(cell).cogroup(queries_by_cell).applyInPandas``: one
+       float64 GEMM per cell scores that cell's corpus rows against
+       that cell's queries, keeping k+slack candidates per query;
+    3. ``rank_merge`` (shared with the GEMM join) produces the final
+       deterministic (rounded score, neighbor_id) top-k.
+
+    Standard IVF recall semantics: a true neighbor is found iff it
+    lives in one of the query's probed cells; scores of emitted rows
+    are exact. ``nprobe >= n_centroids`` degrades gracefully to the
+    exhaustive join (every cell probed — results identical to
+    ``knn_join``), which is what makes the operator oracle-checkable.
+
+    Output: (qid, neighbor_id, score, rank) — same contract as
+    ``knn_join`` / ``knn_join_gemm``.
+    """
+    import pandas as pd
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        METRICS,
+        rank_merge,
+    )
+
+    if metric not in METRICS:
+        raise ValueError(f"metric must be one of {METRICS}")
+    C = np.asarray(centroids, dtype=np.float64)
+    npb = int(min(nprobe, C.shape[0]))
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    c_sq = (C * C).sum(axis=1)
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    qemb_type = queries.schema[query_embedding_col].dataType.simpleString()
+    qcell_schema = f"_qid {qid_type}, _qe {qemb_type}, ivf_cell int"
+
+    def assign_queries(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_qe"]])
+            if metric == "l2":
+                d = c_sq[None, :] - 2.0 * (Q @ C.T)
+                top = np.argpartition(d, npb - 1, axis=1)[:, :npb]
+            else:
+                Qn = Q
+                if metric == "cosine":
+                    Qn = Q / np.maximum(
+                        np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
+                    )
+                sims = Qn @ (Cn.T if metric == "cosine" else C.T)
+                top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "_qid": pdf["_qid"].to_numpy().repeat(npb),
+                    "_qe": pdf["_qe"].to_numpy().repeat(npb),
+                    "ivf_cell": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    qcells = queries.select(
+        F.col(query_id_col).alias("_qid"), F.col(query_embedding_col).alias("_qe")
+    ).mapInPandas(assign_queries, schema=qcell_schema)
+
+    nid_type = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {qid_type}, neighbor_id {nid_type}, score double"
+    m = k + slack
+
+    def cell_scores(corp_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(corp_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"qid": [], "neighbor_id": [], "score": []})
+        M = np.stack([np.asarray(e, dtype=np.float64) for e in corp_pdf[embedding_col]])
+        Q = np.stack([np.asarray(e, dtype=np.float64) for e in q_pdf["_qe"]])
+        ids = corp_pdf[id_col].to_numpy()
+        qids = q_pdf["_qid"].to_numpy()
+        if metric == "l2":
+            scores = np.sqrt(
+                np.maximum(
+                    (Q * Q).sum(axis=1)[:, None]
+                    + (M * M).sum(axis=1)[None, :]
+                    - 2.0 * (Q @ M.T),
+                    0.0,
+                )
+            )
+            order_scores = scores  # lower is better
+        else:
+            Qs = Q
+            if metric == "cosine":
+                Qs = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+                Ms = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            else:
+                Ms = M
+            scores = Qs @ Ms.T
+            order_scores = -scores  # higher is better
+        keep = min(m, scores.shape[1])
+        top = np.argpartition(order_scores, keep - 1, axis=1)[:, :keep]
+        return pd.DataFrame(
+            {
+                "qid": qids.repeat(keep),
+                "neighbor_id": ids[top.reshape(-1)],
+                "score": np.take_along_axis(scores, top, axis=1).reshape(-1),
+            }
+        )
+
+    candidates = (
+        assigned.select(id_col, embedding_col, "ivf_cell")
+        .groupby("ivf_cell")
+        .cogroup(qcells.groupby("ivf_cell"))
+        .applyInPandas(cell_scores, schema=out_schema)
+        # a (query, corpus) pair can meet in several probed cells;
+        # its exact score is recomputed identically each time, so any
+        # one copy represents the pair
+        .dropDuplicates(["qid", "neighbor_id"])
+    )
+    return rank_merge(candidates, k, metric=metric, score_decimals=score_decimals)
+
+
+def _train_kmeans(
+    sample: DataFrame,
+    vec_col: str,
     n_centroids: int,
     *,
     seed: int,
+    metric: str = "cosine",
     max_train_rows: int = 262_144,
     n_iter: int = 15,
 ) -> np.ndarray:
-    """Seeded spherical k-means on a driver-side sample (column
-    ``_e``; rows are L2-normalized here). The sample is bounded
-    (``max_train_rows`` × dim float64 — a few MB for typical dims), so
-    collecting it to the driver is the same contract as broadcasting a
-    small join side; the quadratic pair work stays distributed.
+    """Seeded k-means on a driver-side sample — spherical (cosine:
+    rows normalized, centroids renormalized each step) or plain Lloyd
+    (l2/dot). The sample is bounded (``max_train_rows`` × dim float64
+    — a few MB for typical dims), so collecting it to the driver is
+    the same contract as broadcasting a small join side; all per-row
+    corpus work stays distributed.
 
-    Why not MLlib KMeans: at the hundreds-of-centroids this operator
-    auto-sizes to, ``pyspark.ml.clustering.KMeans.fit`` spends minutes
+    Why not MLlib KMeans: at the hundreds-of-centroids IVF operators
+    auto-size to, ``pyspark.ml.clustering.KMeans.fit`` spends minutes
     in k-means|| init + per-iteration job scheduling for a training
     problem numpy's dense Lloyd loop solves in well under a second
     (measured: >120 s vs 0.65 s at 10k × 64, k=195). Centroid quality
-    only gates *pruning recall*, never correctness — emitted cosines
-    are exact either way — so cheap Lloyd iterations are plenty.
+    only gates *pruning recall*, never correctness — candidate
+    distances are recomputed exactly either way — so cheap Lloyd
+    iterations are plenty.
     """
-    pdf = normed.select("_e").limit(max_train_rows).toPandas()
-    X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    spherical = metric == "cosine"
+    pdf = sample.select(F.col(vec_col).alias("_v")).limit(max_train_rows).toPandas()
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_v"]])
+    if spherical:
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     rng = np.random.RandomState(seed)
     k = int(min(n_centroids, len(X)))
     C = X[rng.choice(len(X), k, replace=False)].copy()
     for _ in range(n_iter):
-        owner = np.argmax(X @ C.T, axis=1)  # cosine: unit rows
+        if spherical:
+            owner = np.argmax(X @ C.T, axis=1)  # cosine on unit rows
+        else:
+            # argmin ||x-c||^2 = argmin (c^2 - 2 x.c); x^2 constant
+            owner = np.argmin((C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T), axis=1)
         sums = np.zeros_like(C)
         np.add.at(sums, owner, X)
         counts = np.bincount(owner, minlength=k)
         live = counts > 0
         C[live] = sums[live] / counts[live, None]
-        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        if spherical:
+            C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     return C
 
 
@@ -314,7 +483,7 @@ def ivf_neardup_pairs(
     # vectorized divide is effectively free next to the GEMM.
     raw = base.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
     train = raw if sample_fraction is None else raw.sample(sample_fraction, seed)
-    C = _train_spherical_kmeans(train, n_centroids, seed=seed)  # (c, d)
+    C = _train_kmeans(train, "_e", n_centroids, seed=seed, metric="cosine")  # (c, d)
     k_assign = min(n_assign, C.shape[0])
 
     id_type = df.schema[id_col].dataType.simpleString()

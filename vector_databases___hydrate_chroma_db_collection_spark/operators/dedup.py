@@ -228,8 +228,16 @@ def minhash_lsh_pairs(
     # aggregation, joined back on the bucket key — deliberately not a
     # window (an unbounded window would buffer a mega bucket's whole
     # partition in the window operator).
-    bstats = buckets.groupBy("band", "h").agg(
-        F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_bmin")
+    # Only buckets with >= 2 members can produce pairs; dropping
+    # singletons here (the overwhelming majority in a diverse corpus)
+    # shrinks both this annotate join and the candidate self-join
+    # input. Deliberately NOT an explicit broadcast — collision-bucket
+    # count is data-dependent (boilerplate-heavy corpora have many),
+    # so let AQE convert to broadcast when the runtime size allows.
+    bstats = (
+        buckets.groupBy("band", "h")
+        .agg(F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_bmin"))
+        .filter(F.col("_bsz") >= 2)
     )
     annotated = buckets.join(bstats, ["band", "h"])
     small = annotated.filter(F.col("_bsz") <= max_bucket_size)

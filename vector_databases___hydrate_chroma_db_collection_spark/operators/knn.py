@@ -225,10 +225,25 @@ def knn_join_gemm(
     candidates = block_outputs[0]
     for extra in block_outputs[1:]:
         candidates = candidates.unionByName(extra)
+    return rank_merge(candidates, k, metric=metric, score_decimals=score_decimals)
+
+
+def rank_merge(
+    candidates: DataFrame,
+    k: int,
+    *,
+    metric: str,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Final deterministic top-k per qid over a (qid, neighbor_id,
+    score) candidate pool: rank by (rounded score best-first,
+    neighbor_id asc) via one hash-agg whose per-key state is bounded
+    by the candidate count per query — never a global sort. Shared by
+    every multi-source kNN plan (GEMM blocks, IVF cells)."""
     final_score = F.round(F.col("score"), score_decimals) if score_decimals is not None else F.col("score")
     asc = metric == "l2"
     sort_key = final_score if asc else -final_score
-    merged = (
+    return (
         candidates.select(
             "qid",
             "neighbor_id",
@@ -251,7 +266,6 @@ def knn_join_gemm(
             (F.col("rank0") + 1).alias("rank"),
         )
     )
-    return merged
 
 
 def _gemm_block_scorer(

@@ -1549,6 +1549,54 @@ def knn_join_gemm_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "knn_join_ivf_top3",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.qid, e.vec_id AS neighbor_id,
+               round({_COS_DOUBLE.format(a='e.embedding', b='q.qe')}, 4) AS score
+        FROM embeddings e, q
+    ), ranked AS (
+        SELECT qid, neighbor_id, score,
+               row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT qid, neighbor_id, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def knn_join_ivf_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as knn_join_top3 through the IVF-pruned cogroup
+    join (operators/ann.py::ivf_knn_join). nprobe = n_centroids makes
+    the probe exhaustive, so the exact brute-force SQL is the oracle —
+    what's under test is the distributed plumbing (driver-side k-means
+    train, Arrow query assignment, per-cell GEMM cogroup, shared
+    deterministic rank merge); pruning recall at nprobe < n_centroids
+    is covered by pytest."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_knn_join,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    assigned, centroids = ivf_build(
+        e, id_col="vec_id", n_centroids=6, seed=42, metric="cosine"
+    )
+    return ivf_knn_join(
+        q,
+        assigned,
+        centroids,
+        k=3,
+        id_col="vec_id",
+        metric="cosine",
+        nprobe=6,
+        score_decimals=4,
+    ).select("qid", "neighbor_id", "score", F.col("rank").cast("long").alias("rank"))
+
+
+@query(
     "vector_l2_consecutive",
     """
     SELECT a.vec_id,
