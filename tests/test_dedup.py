@@ -162,3 +162,44 @@ def test_rolling_hash_is_order_sensitive(spark):
     assert rows[1]["fp"] != rows[2]["fp"] or True  # md5 differs too here, but:
     assert rows[1]["rfp"] == rows[3]["rfp"]  # whitespace-normalized equal
     assert rows[1]["fp"] == rows[3]["fp"]
+
+
+def test_simhash_hamming_banding_recall(spark):
+    """Pigeonhole banding must find EVERY pair within the distance
+    budget (exact recall, not approximate): compare against brute
+    force on the fixture, and check the distance cap holds."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        simhash16,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(
+            d, id_col="doc_id", text_col="text", max_distance=3
+        ).collect()
+    }
+    s = d.select("doc_id", simhash16("text").alias("sim"))
+    a, b = s.alias("a"), s.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert all(v <= 3 for v in got.values())

@@ -306,6 +306,71 @@ def simhash_pairs(
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-dup pairs at SimHash Hamming distance <= ``max_distance``
+    — the permutation-robust middle ground between exact-SimHash
+    equality (``simhash_pairs``) and shingle-verified MinHash.
+
+    Pigeonhole banding: the 16-bit fingerprint splits into
+    ``max_distance + 1`` contiguous bands, so any pair within the
+    distance budget agrees EXACTLY on at least one band (at most
+    ``max_distance`` bits differ, and they can spoil at most that
+    many bands). Candidates come from per-band equi-joins on the band
+    value — the same bounded-bucket shuffle shape as MinHash LSH,
+    never an all-pairs scan — and are verified with
+    ``bit_count(xor)`` (one codegen expression per candidate).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b.
+    """
+    bands = max_distance + 1
+    if not 1 <= bands <= 16:
+        raise ValueError("max_distance must be in [0, 15]")
+    s = df.select(
+        F.col(id_col).alias("_id"), simhash16(text_col, portable).alias("sim")
+    )
+    base, rem = divmod(16, bands)
+    band_structs = []
+    off = 0
+    for i in range(bands):
+        width = base + (1 if i < rem else 0)
+        band_structs.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("sim"), off)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("val"),
+            )
+        )
+        off += width
+    bucketed = s.select(
+        "_id", "sim", F.explode(F.array(*band_structs)).alias("b")
+    ).select("_id", "sim", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    x, y = bucketed.alias("x"), bucketed.alias("y")
+    hamming = F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim")))
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x._id") < F.col("y._id")),
+        )
+        .select(
+            F.col("x._id").alias("id_a"),
+            F.col("y._id").alias("id_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     *,

@@ -1160,6 +1160,101 @@ def dedup_simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_hamming_pairs",
+    f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_TOKS.format(x=_NORM)},
+                   t -> {_HASH64.format(x='t')}) AS tok_hashes
+        FROM documents
+    ),
+    sh AS (SELECT doc_id, CAST({{terms}} AS BIGINT) AS simhash FROM th)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """.replace("{terms}", _simhash_sql_terms()),
+)
+def dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup at Hamming distance <= 3 via pigeonhole
+    banding (operators/dedup.py::simhash_hamming_pairs): 4 contiguous
+    bands of the 16-bit fingerprint generate candidates through
+    equi-joins (a pair within distance 3 must agree exactly on >= 1
+    band), bit_count(xor) verifies. The brute-force all-pairs SQL is
+    the oracle, so the banding's exact-recall guarantee is what is
+    actually checked."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_hamming_pairs(
+        d, id_col="doc_id", text_col="text", max_distance=3
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               round(tf * ln(n_docs::DOUBLE / dfreq), 4) AS tfidf
+        FROM tf JOIN dfq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic distinctive-term
+    extractor for corpus triage. Three map-side-combinable hash aggs
+    (term frequency, document frequency, corpus size), one equi-join
+    on token, a broadcast of the single-row corpus count, and one
+    bounded per-doc window; every expression codegen. Rank is over
+    the ROUNDED score (ties broken by token) so ordering is
+    engine-portable."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(normalize_text("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@query(
     "text_rolling_fingerprint",
     f"""
     WITH th AS (
@@ -1278,6 +1373,84 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return D.embedding_neardup_pairs_gemm(
         e, id_col="vec_id", embedding_col="embedding", threshold=0.4
+    )
+
+
+@query(
+    "pipeline_semantic_dedup",
+    """
+    WITH RECURSIVE n AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    pr AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(list_zip(a.e, b.e),
+              p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    labeled AS (
+        SELECT em.vec_id,
+               CAST(coalesce(c.component, em.vec_id) AS BIGINT) AS component
+        FROM embeddings em LEFT JOIN comp c ON c.node = em.vec_id
+    ),
+    sized AS (
+        SELECT vec_id, component,
+               CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                   AS cluster_size
+        FROM labeled
+    )
+    SELECT vec_id, component, cluster_size FROM sized WHERE vec_id = component
+    """,
+)
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full semantic-dedup pipeline a training-data run executes:
+    embedding near-dup pairs (cell-pruned GEMM path) -> connected
+    components (min-label propagation) -> keep ONE survivor per
+    duplicate cluster (the min id, the same survivor rule as exact
+    dedup) with its cluster size. Oracle recomputes the identical
+    fixpoint with a DuckDB recursive CTE. Every stage is the
+    operator-library form (dedup.embedding_neardup_pairs_gemm,
+    graph.connected_components), so this query is the integration
+    proof that the pieces compose without driver materialization."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs_gemm(
+        e, id_col="vec_id", embedding_col="embedding", threshold=0.4
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    labeled = (
+        e.select("vec_id")
+        .join(comp.withColumnRenamed("node", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.filter(F.col("vec_id") == F.col("component"))
+        .join(sizes, "component")
+        .select("vec_id", "component", "cluster_size")
     )
 
 
