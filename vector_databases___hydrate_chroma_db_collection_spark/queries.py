@@ -963,6 +963,56 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@query(
+    "sample_weighted_by_quality",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({_TOKS.format(x='text')}) AS tok_cnt,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS praw,
+               len(list_filter({_TOKS.format(x='lower(text)')},
+                   t -> list_contains({_SW['en']}, t)))::DOUBLE
+                   / greatest(len({_TOKS.format(x='lower(text)')}), 1) AS swraw
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(0.4 * least(tok_cnt / 100.0, 1.0)
+                     + 0.4 * (1.0 - praw)
+                     + 0.2 * least(swraw / 0.1, 1.0), 6) AS quality
+        FROM base
+    )
+    SELECT doc_id, quality
+    FROM scored
+    WHERE {_HASH64.format(x='CAST(doc_id AS VARCHAR)')} % 1000000
+          < CAST(floor(quality * quality * 1000000) AS BIGINT)
+    """,
+)
+def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling — the training-mix
+    primitive (upweight clean documents, downweight boilerplate)
+    without rand(): each doc keeps with probability quality², decided
+    by comparing an id-hash draw in [0, 1e6) against the scaled
+    weight. Reproducible across runs AND engines (the DuckDB oracle
+    selects the identical rows), embarrassingly parallel, and the
+    predicate is a plain filter over a projection — no shuffle, no
+    seed coordination, no sort. The same shape handles temperature
+    sampling (weight = p^(1/T)) by swapping the weight expression."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    q = F.round(T.quality_score("text"), 6)
+    # floor() on BOTH sides: DuckDB's double->bigint cast rounds while
+    # Spark's truncates — an explicit floor pins the boundary.
+    draw = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(1_000_000))
+    keep = draw < F.floor(q * q * 1_000_000).cast("bigint")
+    return d.select("doc_id", q.alias("quality"), draw.alias("_draw"), keep.alias("_k")) \
+        .filter(F.col("_k")).select("doc_id", "quality")
+
+
 _STRATA_RATES = {"en": 100, "es": 300, "fr": 300, "de": 300, "zh": 300}
 
 
@@ -2357,6 +2407,123 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_tol"),
         )
     )
+
+
+@query(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+           TRUE AS sketch_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): like the HLL++ query, the
+    sketch value is engine-specific, so the oracle-checked columns are
+    the EXACT interpolated percentiles plus ``sketch_within_tol`` —
+    whether Spark's approx estimate (accuracy=10000, i.e. rank error
+    ~1e-4) lands within 1%% of the exact value. The sketch is the
+    100-TB path (one pass, mergeable, no global sort); the exact twin
+    is the correctness anchor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("ap"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.5D, 0.9D))"
+            ).alias("ex"),
+        )
+        .select(
+            "returnflag",
+            F.round(F.element_at("ex", 1), 2).alias("exact_p50"),
+            F.round(F.element_at("ex", 2), 2).alias("exact_p90"),
+            (
+                (
+                    F.abs(F.element_at("ap", 1) - F.element_at("ex", 1))
+                    <= 0.01 * F.abs(F.element_at("ex", 1))
+                )
+                & (
+                    F.abs(F.element_at("ap", 2) - F.element_at("ex", 2))
+                    <= 0.01 * F.abs(F.element_at("ex", 2))
+                )
+            ).alias("sketch_within_tol"),
+        )
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t0
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t1
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, users FROM (
+        SELECT 1 AS ord, 'view' AS stage, count(*) AS users FROM v
+        UNION ALL
+        SELECT 2, 'view>click', count(*) FROM c
+        UNION ALL
+        SELECT 3, 'view>click>purchase', count(*) FROM p
+    ) ORDER BY ord
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first view precedes a
+    click that precedes a purchase. Each stage is one conditional
+    min-aggregation joined to the previous stage's anchor time — three
+    hash-aggs + two equi-joins on user_id, no window over the raw
+    event stream, no self-join explosion; at 100 TB the per-stage
+    state is one row per surviving user."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, anchor: DataFrame, anchor_ts: str, out_ts: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == event_type)
+            .join(anchor, "user_id")
+            .filter(F.col("ts") > F.col(anchor_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = first_after("click", v, "t0", "t1")
+    p = first_after("purchase", c, "t1", "t2")
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).alias("ord"), F.lit("view").alias("stage"), "users"
+        )
+        .unionByName(
+            c.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(2).alias("ord"), F.lit("view>click").alias("stage"), "users"
+            )
+        )
+        .unionByName(
+            p.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(3).alias("ord"),
+                F.lit("view>click>purchase").alias("stage"),
+                "users",
+            )
+        )
+    )
+    return stages.orderBy("ord").select("stage", "users")
 
 
 @query(
