@@ -74,3 +74,28 @@ def test_date_filter_pushed_to_parquet(spark):
         F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01"))
     )
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan_of(o)
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    """The single-row corpus-size side must broadcast (explicit
+    F.broadcast); the tf x df token join may shuffle — it's the only
+    data-sized exchange in the plan."""
+    df = registry.QUERIES["text_tfidf_top_terms"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_has_no_cartesian(spark):
+    df = registry.QUERIES["funnel_view_click_purchase"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_hamming_no_cross_join(spark):
+    """Banding must keep the candidate join an equi-join — a plan with
+    a cartesian/nested-loop over the corpus would mean the pigeonhole
+    bucketing fell out of the join keys."""
+    df = registry.QUERIES["dedup_simhash_hamming_pairs"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
