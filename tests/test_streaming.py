@@ -277,3 +277,88 @@ def test_stream_stream_attribution_join(spark, tmp_path):
     assert got.count() == want_n
     parity = got.join(want, ["user_id", "trigger_id", "conversion_id"]).count()
     assert parity == want_n
+
+
+def test_transform_with_state_matches_classic_stateful(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas variant must produce the
+    same final per-user totals as applyInPandasWithState over the same
+    two micro-batches. Skips where the protobuf package (pyspark's
+    state-server protocol) is unavailable; the gate itself is
+    asserted unconditionally below."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+        stateful_user_totals_tws,
+    )
+
+    pytest.importorskip("google.protobuf")
+
+    e = load_table(spark, SF_SMOKE, "events").limit(400)
+    d = tmp_path / "in"
+    e.filter(F.col("event_id") % 2 == 0).write.parquet(str(d / "b0"))
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(str(d / "b1"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    # transformWithState requires the RocksDB state store provider
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    totals = stateful_user_totals_tws(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals_tws")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if prior is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prior)
+    got = (
+        spark.sql("SELECT * FROM user_totals_tws")
+        .groupBy("user_id")
+        .agg(
+            F.max("events_seen").alias("events_seen"),
+            F.max("value_sum").alias("value_sum"),
+        )
+    )
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("events_seen"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+    joined = got.alias("g").join(want.alias("w"), "user_id")
+    diff = joined.filter(
+        (F.col("g.events_seen") != F.col("w.events_seen"))
+        | (F.abs(F.col("g.value_sum") - F.col("w.value_sum")) > 1e-6)
+    )
+    assert want.count() > 0
+    assert diff.count() == 0
+
+
+def test_transform_with_state_gate_is_actionable(spark):
+    """Without protobuf the operator must fail fast with a clear
+    NotImplementedError pointing at the classic variant — not an
+    opaque mid-query STREAMING_PYTHON_RUNNER crash."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+        stateful_user_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+        pytest.skip("protobuf present; gate not reachable")
+    except ImportError:
+        pass
+    e = load_table(spark, SF_SMOKE, "events").limit(10)
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        stateful_user_totals_tws(e)

@@ -155,3 +155,74 @@ def stateful_user_totals(events: DataFrame, *, timeout: str = "NoTimeout") -> Da
     return events.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "update", timeout
     )
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same running (events_seen, value_sum) per user through
+    Spark 4's ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-49070): state is a named,
+    schema-ed ``ValueState`` on a ``StatefulProcessor`` object instead
+    of one opaque tuple, which is what composite operators (several
+    state variables, timers, TTL) need. Kept alongside the classic
+    variant so both stateful surfaces stay exercised; the parity test
+    drives identical micro-batches through each and diffs the output.
+
+    Environment requirements (checked up front with clear errors):
+    - the RocksDB state store provider
+      (``spark.sql.streaming.stateStore.providerClass`` =
+      ``...state.RocksDBStateStoreProvider``) — transformWithState
+      does not support the default HDFS-backed provider and fails at
+      state-schema validation without it;
+    - the ``protobuf`` package — the state-server protocol between
+      the JVM and the Python StatefulProcessor is protobuf-encoded
+      (``pyspark/sql/streaming/proto``); absent it, the driver worker
+      crashes with an opaque STREAMING_PYTHON_RUNNER_INITIALIZATION
+      error, so we pre-check and raise something actionable. The
+      classic ``stateful_user_totals`` has no such dependency.
+    """
+    import pandas as pd
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark's state-server protocol); it is not installed in "
+            "this environment. Use stateful_user_totals "
+            "(applyInPandasWithState) — same semantics, no protobuf."
+        ) from exc
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    output_schema = "user_id long, events_seen long, value_sum double"
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "events_seen long, value_sum double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prior = self._totals.get()
+            seen, vsum = (prior[0], prior[1]) if prior is not None else (0, 0.0)
+            for pdf in rows:
+                seen += len(pdf)
+                vsum += float(pdf["value"].sum())
+            self._totals.update((seen, vsum))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "events_seen": [seen],
+                    "value_sum": [round(vsum, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(), output_schema, "Update", "None"
+    )
