@@ -190,3 +190,79 @@ def test_delete_requires_a_predicate(spark, tmp_path):
     root = _hydrated(spark, tmp_path)
     with pytest.raises(EngineError):
         collection_delete(spark, root, "api")
+
+
+def test_peek_includes_embeddings(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_peek,
+    )
+
+    root = _hydrated(spark, tmp_path)
+    got = collection_peek(spark, root, "api", n=2).collect()
+    assert [r["id"] for r in got] == ["1.0", "2.0"]
+    assert all(len(r["embedding"]) == 2 for r in got)
+
+
+def test_update_existing_only(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_get,
+        collection_update,
+    )
+
+    root = _hydrated(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [("1.0", "alpha rewritten"), ("99.0", "ghost")],
+        "id string, document string",
+    )
+    n = collection_update(spark, root, "api", updates)
+    assert n == 1  # ghost id ignored, not inserted
+    rows = {r["id"]: r["document"] for r in collection_get(spark, root, "api").collect()}
+    assert rows["1.0"] == "alpha rewritten"
+    assert "99.0" not in rows
+    assert len(rows) == 5
+    # untouched fields survive
+    assert rows["2.0"] == "bravo red dog"
+
+
+def test_update_validates_embedding_dim(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+
+    root = _hydrated(spark, tmp_path)
+    bad = spark.createDataFrame(
+        [("1.0", [1.0, 2.0, 3.0])], "id string, embedding array<float>"
+    )
+    with pytest.raises(EngineError):
+        collection_update(spark, root, "api", bad)
+
+
+def test_update_bucketed_rewrites_touched_buckets(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_get,
+        collection_update,
+    )
+
+    root = _hydrated(spark, tmp_path, n_buckets=4)
+    updates = spark.createDataFrame(
+        [("3.0", "charlie updated")], "id string, document string"
+    )
+    assert collection_update(spark, root, "api", updates) == 1
+    rows = {r["id"]: r["document"] for r in collection_get(spark, root, "api").collect()}
+    assert rows["3.0"] == "charlie updated" and len(rows) == 5
+
+
+def test_modify_rename_and_metadata(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_count,
+        load_manifest,
+        modify_collection,
+    )
+
+    root = _hydrated(spark, tmp_path)
+    m = modify_collection(root, "api", new_name="api2", metadata={"owner": "t"})
+    assert m.name == "api2" and m.metadata == {"owner": "t"}
+    assert load_manifest(root, "api2").metadata == {"owner": "t"}
+    assert collection_count(spark, root, "api2") == 5
+    with pytest.raises(Exception):
+        load_manifest(root, "api")

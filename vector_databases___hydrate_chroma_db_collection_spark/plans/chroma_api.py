@@ -220,6 +220,96 @@ def collection_get(
     )
 
 
+def collection_peek(
+    spark: SparkSession, root: str, name: str, n: int = 10
+) -> DataFrame:
+    """``collection.peek``: the first ``n`` rows by id INCLUDING the
+    embedding column (Chroma's peek include-set). TakeOrderedAndProject
+    — never a full sort."""
+    df = read_collection(spark, root, name)
+    return df.orderBy("id").limit(n).select("id", "document", "embedding", "metadata")
+
+
+def collection_update(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    updates: DataFrame,
+) -> int:
+    """``collection.update``: overwrite document / metadata /
+    embedding for EXISTING ids; ids not present in the collection are
+    ignored (Chroma logs-and-skips rather than inserting — use the
+    hydrate ``on_duplicate='upsert'`` path for insert-or-update).
+    Returns how many rows were updated.
+
+    ``updates`` must have an ``id`` column plus any subset of
+    ``document`` / ``metadata`` / ``embedding``; unmentioned fields
+    keep their stored values (per-row coalesce after a left join).
+    Embedding updates are dim-validated against the manifest before
+    any rewrite. Bucketed layouts rewrite only the buckets the
+    updated ids hash into (dynamic partition overwrite, same pruning
+    and same in-place consistency trade-off as bucketed upsert);
+    flat layouts rewrite into a fresh dir and swap the ``_current``
+    pointer atomically.
+    """
+    manifest = load_manifest(root, name)
+    bucketed = bool(manifest.n_buckets)
+    upd_cols = set(updates.columns)
+    if "id" not in upd_cols:
+        raise EngineError("updates needs an 'id' column")
+    payload = [c for c in ("document", "metadata", "embedding") if c in upd_cols]
+    if not payload:
+        raise EngineError("updates needs document, metadata and/or embedding")
+
+    u = updates.select(
+        F.col("id").cast("string").alias("id"),
+        *[F.col(c).alias(f"_u_{c}") for c in payload],
+    ).dropDuplicates(["id"])
+    if "embedding" in payload:
+        bad = (
+            u.filter(
+                F.col("_u_embedding").isNotNull()
+                & (F.size("_u_embedding") != manifest.dim)
+            ).limit(1).count()
+        )
+        if bad:
+            raise EngineError(
+                f"update embeddings must have dim {manifest.dim}"
+            )
+        u = u.withColumn("_u_embedding", F.col("_u_embedding").cast("array<float>"))
+
+    df = read_collection(spark, root, name, include_bucket=bucketed)
+    scoped = df
+    if bucketed:
+        ids = [r["id"] for r in u.select("id").collect()]
+        scoped = _prune_buckets_for_ids(spark, df, ids, manifest.n_buckets)
+    n_updated = scoped.join(u, "id", "left_semi").count()
+    if n_updated == 0:
+        return 0
+
+    merged = scoped.join(u, "id", "left").select(
+        "id",
+        *[
+            (
+                F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+                if c in payload
+                else F.col(c)
+            )
+            for c in ("document", "embedding", "metadata")
+        ],
+        *(["id_bucket"] if bucketed else []),
+    )
+    if bucketed:
+        merged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("id_bucket").parquet(current_data_dir(root, manifest.name))
+    else:
+        staging = next_data_dir(root, manifest.name)
+        merged.write.mode("overwrite").parquet(staging)
+        swap_data_dir(root, manifest.name, staging)
+    return int(n_updated)
+
+
 def collection_query(
     spark: SparkSession,
     root: str,

@@ -52,6 +52,10 @@ class CollectionManifest:
     metric: str = "cosine"
     version: int = 1
     n_buckets: int | None = None
+    # Collection-level metadata (Chroma ``collection.metadata``):
+    # free-form, persisted in the manifest JSON; absent in manifests
+    # written before this field existed (default keeps them loading).
+    metadata: dict | None = None
 
     def path(self, root: str) -> str:
         return os.path.join(root, self.name)
@@ -157,6 +161,35 @@ def get_or_create_collection(
     manifest = CollectionManifest(name=name, dim=dim, metric=metric, n_buckets=n_buckets)
     os.makedirs(os.path.join(root, name, DATA_DIR), exist_ok=True)
     with open(mf, "w") as f:
+        json.dump(asdict(manifest), f)
+    return manifest
+
+
+def modify_collection(
+    root: str,
+    name: str,
+    *,
+    new_name: str | None = None,
+    metadata: dict | None = None,
+) -> CollectionManifest:
+    """``collection.modify(name=..., metadata=...)``: rename the
+    collection and/or replace its collection-level metadata. A rename
+    moves the collection directory (data + manifest travel together,
+    so readers holding the old path fail fast rather than reading a
+    half-moved tree); metadata replaces wholesale, matching Chroma.
+    """
+    root = validate_path(root)
+    manifest = load_manifest(root, name)
+    if new_name is not None and new_name != name:
+        target = os.path.join(root, new_name)
+        if os.path.exists(target):
+            raise InvalidPathError(f"collection {new_name!r} already exists")
+        os.rename(os.path.join(root, name), target)
+        manifest = CollectionManifest(**{**asdict(manifest), "name": new_name})
+        name = new_name
+    if metadata is not None:
+        manifest = CollectionManifest(**{**asdict(manifest), "metadata": metadata})
+    with open(_manifest_file(root, name), "w") as f:
         json.dump(asdict(manifest), f)
     return manifest
 
