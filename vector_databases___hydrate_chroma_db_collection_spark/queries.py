@@ -1304,6 +1304,138 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS_DOUBLE = """
+list_sum(list_transform(list_zip({a}, {b}),
+         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+ * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+_BM25_TERMS = ("join", "spark", "vector")
+_BM25_SQL_BASE = f"""
+    tok AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, t, count(*) AS tf FROM tok
+        WHERE t IN {str(tuple(_BM25_TERMS))} GROUP BY 1, 2
+    ),
+    dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    bscore AS (
+        SELECT tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                     4) AS bm25
+        FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN g
+        GROUP BY tf.doc_id
+    )
+"""
+
+
+@query(
+    "text_bm25_scores",
+    f"""
+    WITH {_BM25_SQL_BASE},
+    ranked AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bscore
+    )
+    SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-20 for a fixed
+    3-term query — the lexical retrieval half of hybrid search
+    (operators/retrieval.py::bm25_scores). The rank is over the
+    ROUNDED score with id tiebreak so ordering is engine-portable."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        bm25_scores,
+        top_ranks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, list(_BM25_TERMS), id_col="doc_id", text_col="text")
+    return top_ranks(scored, "bm25", id_col="doc_id", k=20).select(
+        "doc_id", "bm25", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "hybrid_search_rrf",
+    f"""
+    WITH {_BM25_SQL_BASE},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    vec AS (
+        SELECT e.vec_id AS doc_id,
+               round({_COS_DOUBLE.format(a='e.embedding', b='q.qe')}, 4) AS cos
+        FROM embeddings e, q
+    ),
+    vrank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        FROM vec
+    ),
+    brank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bscore
+    ),
+    fused AS (
+        SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
+               round(coalesce(1.0 / (60 + v.rank), 0)
+                     + coalesce(1.0 / (60 + b.rank), 0), 6) AS rrf
+        FROM (SELECT * FROM vrank WHERE rank <= 50) v
+        FULL JOIN (SELECT * FROM brank WHERE rank <= 50) b
+            ON v.doc_id = b.doc_id
+    ),
+    final AS (
+        SELECT doc_id, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT doc_id, rrf, rank FROM final WHERE rank <= 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: vector cosine ranks (query = embedding of
+    vec_id 7) fused with BM25 lexical ranks by reciprocal-rank fusion
+    (1/(60+rank), the standard hybrid-search recipe). Candidate lists
+    are bounded to 50 each by TakeOrderedAndProject BEFORE any window
+    runs, fusion is a full-outer join of two <= 50-row lists, and RRF
+    arithmetic is rational — bit-portable across engines, which is
+    why a hybrid SEARCH pipeline can be hash-checked against DuckDB."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        bm25_scores,
+        rrf_fuse,
+        top_ranks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    vec = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity(F.col("embedding"), qlit), 4).alias("cos"),
+    )
+    vrank = top_ranks(vec, "cos", id_col="doc_id", k=50)
+    brank = top_ranks(
+        bm25_scores(d, list(_BM25_TERMS), id_col="doc_id", text_col="text"),
+        "bm25",
+        id_col="doc_id",
+        k=50,
+    )
+    fused = rrf_fuse(vrank, brank, id_col="doc_id", k=60)
+    return top_ranks(fused, "rrf", id_col="doc_id", k=10).select(
+        "doc_id", "rrf", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @query(
     "text_rolling_fingerprint",
     f"""
@@ -1692,12 +1824,6 @@ def stream_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kNN join + vector pair math (expression form — oracle-checkable).
 # --------------------------------------------------------------------------
 
-_COS_DOUBLE = """
-list_sum(list_transform(list_zip({a}, {b}),
-         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
- * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-"""
 
 
 @query(
