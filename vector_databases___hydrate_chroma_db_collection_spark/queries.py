@@ -1312,6 +1312,125 @@ list_sum(list_transform(list_zip({a}, {b}),
 """
 
 
+@query(
+    "profile_orders",
+    """
+    WITH m AS (
+        SELECT count(*) AS n,
+               count(*) - count(o_custkey) AS nulls_cust,
+               count(DISTINCT o_orderpriority) AS d_prio,
+               count(DISTINCT o_orderstatus) AS d_status,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 2) AS avg_price,
+               CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+               CAST(max(o_orderdate) AS VARCHAR) AS max_date
+        FROM orders
+    )
+    SELECT metric, value FROM (
+        SELECT 'row_count' AS metric, CAST(n AS VARCHAR) AS value FROM m
+        UNION ALL SELECT 'null_custkeys', CAST(nulls_cust AS VARCHAR) FROM m
+        UNION ALL SELECT 'distinct_priorities', CAST(d_prio AS VARCHAR) FROM m
+        UNION ALL SELECT 'distinct_statuses', CAST(d_status AS VARCHAR) FROM m
+        UNION ALL SELECT 'min_totalprice', CAST(min_price AS VARCHAR) FROM m
+        UNION ALL SELECT 'max_totalprice', CAST(max_price AS VARCHAR) FROM m
+        UNION ALL SELECT 'avg_totalprice', CAST(avg_price AS VARCHAR) FROM m
+        UNION ALL SELECT 'min_orderdate', min_date FROM m
+        UNION ALL SELECT 'max_orderdate', max_date FROM m
+    )
+    """,
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling — the pre-ingestion sanity report a
+    training pipeline runs before trusting a table: row count, null
+    counts, distinct cardinalities, numeric ranges and means, date
+    bounds, all from ONE aggregation (single scan, map-side partial)
+    unpivoted to long (metric, value) form."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nulls_cust"),
+        F.countDistinct("o_orderpriority").alias("d_prio"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+    )
+    pairs = [
+        ("row_count", "n"),
+        ("null_custkeys", "nulls_cust"),
+        ("distinct_priorities", "d_prio"),
+        ("distinct_statuses", "d_status"),
+        ("min_totalprice", "min_price"),
+        ("max_totalprice", "max_price"),
+        ("avg_totalprice", "avg_price"),
+        ("min_orderdate", "min_date"),
+        ("max_orderdate", "max_date"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("metric"),
+                F.col(col).cast("string").alias("value"),
+            )
+            for name, col in pairs
+        ]
+    )
+    return (
+        m.select(F.explode(rows).alias("r"))
+        .select(F.col("r.metric").alias("metric"), F.col("r.value").alias("value"))
+    )
+
+
+def _rp_planes():
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _hyperplanes,
+    )
+
+    return _hyperplanes(64, 8, seed=7)
+
+
+def _rp_sql() -> str:
+    planes = _rp_planes()
+    cols = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(float(x)) for x in plane)
+        cols.append(
+            f"round(list_sum(list_transform(list_zip(embedding, [{lits}]),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2])), 4) AS rp_{j}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings WHERE vec_id < 200"
+    )
+
+
+@query("embedding_random_projection", _rp_sql())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 -> 8 dims with a
+    seeded Gaussian matrix (the same ``_hyperplanes`` family the LSH
+    bucketer uses) — the cheap dimensionality reduction for sketching
+    / coarse clustering before exact distances. Each output dim is a
+    codegen dot-product against a literal plane; identical float64
+    literals round-trip through DuckDB, so the projection is
+    hash-checkable."""
+    planes = _rp_planes()
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    outs = []
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), lit_plane, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        outs.append(F.round(dot, 4).alias(f"rp_{j}"))
+    return e.select("vec_id", *outs)
+
+
 _BM25_TERMS = ("join", "spark", "vector")
 _BM25_SQL_BASE = f"""
     tok AS (
