@@ -1384,6 +1384,84 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "retention_weekly_cohorts",
+    """
+    WITH wk AS (
+        SELECT user_id,
+               CAST(floor(epoch_us(ts) / 1000000.0 / 604800) AS BIGINT) AS week
+        FROM events
+    ),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, week FROM wk)
+    SELECT c.cohort_week,
+           a.week - c.cohort_week AS week_offset,
+           count(DISTINCT a.user_id) AS users
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    per week-offset of later activity. Weeks are epoch-bucketed
+    (floor(epoch/604800)) rather than date_trunc so bucket boundaries
+    are engine- and timezone-independent; the whole query is two
+    hash-aggs and one equi-join on user_id."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0 / 604_800
+    ).cast("bigint")
+    wk = e.select("user_id", week.alias("week"))
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("users"))
+    )
+
+
+@query(
+    "anomaly_zscore_events",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+           round((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs(round((e.value - s.mu) / s.sigma, 4)) >= 2.5
+    """,
+)
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: one aggregation for
+    (mean, sample stddev), broadcast back onto the stream, filter on
+    the rounded score. The grouped-stats side is one row per event
+    type, so the join never shuffles the fact table when AQE
+    broadcasts it — the plan a 100 TB anomaly scan needs."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= 2.5)
+    )
+
+
 def _rp_planes():
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _hyperplanes,
