@@ -2982,6 +2982,80 @@ def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q11_important_parts",
+    """
+    WITH value_by_part AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * l_quantity * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1
+    ),
+    total AS (SELECT sum(cents) AS total_cents FROM value_by_part)
+    SELECT l_partkey AS partkey,
+           round(cents / 100.0, 2) AS part_value
+    FROM value_by_part CROSS JOIN total
+    WHERE cents > 0.001 * total_cents
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group total filtered against a fraction of the
+    GLOBAL total — HAVING vs a scalar subquery): per-part value agg,
+    single-row grand total broadcast back as a cross join, filter.
+    Sums carried as integer cents so the 100k-term additions are
+    order-independent across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.sum(
+        F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100, 0).cast(
+            "bigint"
+        )
+    )
+    by_part = li.groupBy("l_partkey").agg(cents.alias("cents"))
+    total = by_part.agg(F.sum("cents").alias("total_cents"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("cents") > 0.001 * F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("cents") / 100.0, 2).alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q12_priority_by_returnflag",
+    """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (CASE-bucketed two-way counts per category
+    after a fact-fact equi-join with a pushed date range; the fixture
+    has no l_shipmode, so returnflag plays the category). The date
+    filter reaches the parquet scan; the priority CASE runs inside
+    the post-join hash aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
     "q2_cheapest_part_suppliers",
     """
     SELECT p.p_partkey AS partkey, s.s_name AS supplier,
