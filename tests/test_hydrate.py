@@ -355,3 +355,33 @@ def test_bucketed_collection_compacts_preserving_layout(spark, sample, tmp_path)
     assert compact_collection(spark, str(tmp_path), "c1", target_partitions=2) == 4
     assert _bucket_dirs(tmp_path)  # still hive-partitioned after compaction
     assert read_collection(spark, str(tmp_path), "c1").count() == 4
+
+
+def test_vacuum_removes_only_orphans(spark, sample, tmp_path):
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_count,
+        compact_collection,
+        current_data_dir,
+        vacuum_collection,
+    )
+
+    hydrate(spark, sample, cfg(tmp_path, collection_name="vac"))
+    # a rewrite (compaction) moves the active dir to data-1
+    compact_collection(spark, str(tmp_path), "vac", target_partitions=1)
+    base = tmp_path / "vac"
+    # simulate a crashed rewrite: staging dir written, pointer never swapped
+    orphan = base / "data-7"
+    orphan.mkdir()
+    (orphan / "part-zzz.parquet").write_bytes(b"junk")
+    (base / "_current.tmp").write_text("data-7")
+
+    active_before = current_data_dir(str(tmp_path), "vac")
+    removed = vacuum_collection(str(tmp_path), "vac")
+    assert str(orphan) in removed
+    assert current_data_dir(str(tmp_path), "vac") == active_before
+    assert os.path.isdir(active_before)
+    assert not orphan.exists()
+    assert not (base / "_current.tmp").exists()
+    assert collection_count(spark, str(tmp_path), "vac") == 3

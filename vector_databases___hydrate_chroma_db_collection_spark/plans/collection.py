@@ -276,6 +276,36 @@ def compact_collection(
     return n_after
 
 
+def vacuum_collection(root: str, name: str) -> list[str]:
+    """Remove orphaned data dirs: versioned ``data-N`` dirs that are
+    not the active one. The pointer-swap protocol deletes the retired
+    dir after each successful swap, so orphans only appear when a
+    rewrite CRASHED between writing its staging dir and swapping the
+    pointer — this is the janitor for those. The active dir (and the
+    legacy ``data`` dir while it is active) is never touched; the
+    pointer file is the single source of truth, so vacuuming while
+    readers stream the ACTIVE dir is safe. Returns the removed paths.
+    """
+    import shutil
+
+    root = validate_path(root)
+    load_manifest(root, name)  # typed error for unknown collections
+    base = os.path.join(root, name)
+    active = os.path.abspath(current_data_dir(root, name))
+    removed = []
+    for d in os.listdir(base):
+        full = os.path.join(base, d)
+        if not os.path.isdir(full) or os.path.abspath(full) == active:
+            continue
+        if d == DATA_DIR or d.startswith(DATA_DIR + "-"):
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    stale_tmp = os.path.join(base, CURRENT_POINTER + ".tmp")
+    if os.path.exists(stale_tmp):
+        os.remove(stale_tmp)
+    return removed
+
+
 def register_collection_view(
     spark: SparkSession, root: str, name: str, view_name: str | None = None
 ) -> str:
