@@ -1385,6 +1385,93 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_sequences_by_token_budget",
+    f"""
+    WITH counted AS (
+        SELECT doc_id, len({_TOKS.format(x=_NORM)}) AS tok_cnt
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, tok_cnt,
+               CAST(floor((sum(tok_cnt) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           ) / 2048.0) AS BIGINT) AS seq_id
+        FROM counted
+    )
+    SELECT coalesce(seq_id, 0) AS seq_id,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(tok_cnt) AS BIGINT) AS tokens
+    FROM binned GROUP BY 1
+    """,
+)
+def pack_sequences_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: documents are laid into
+    ~2048-token training sequences in deterministic doc_id order —
+    a doc's sequence id is floor(preceding-token-cumsum / budget),
+    i.e. contiguous greedy fill. One token-count projection, one
+    running-sum window, one aggregation; the id-ordered window is the
+    only total order and it is over (doc_id, tok_cnt) pairs, not
+    document text. Output: per-sequence doc and token counts."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select("doc_id", T.token_count("text").alias("tok_cnt"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    binned = counted.withColumn(
+        "seq_id",
+        F.coalesce(
+            F.floor(F.sum("tok_cnt").over(w) / 2048.0).cast("bigint"), F.lit(0)
+        ),
+    )
+    return binned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("tok_cnt").cast("bigint").alias("tokens"),
+    )
+
+
+@query(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH {_SHINGLES_CTE},
+    eval_sh AS (SELECT doc_id, s FROM shing WHERE doc_id % 97 = 0),
+    train_sh AS (SELECT doc_id, s FROM shing WHERE doc_id % 97 <> 0),
+    hits AS (
+        SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+               count(DISTINCT t.s) AS shared_shingles
+        FROM train_sh t JOIN eval_sh e ON t.s = e.s
+        GROUP BY 1, 2
+    )
+    SELECT train_doc, eval_doc, CAST(shared_shingles AS BIGINT) AS shared_shingles
+    FROM hits WHERE shared_shingles >= 5
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >= 5
+    distinct 3-gram shingles with any held-out eval document (here the
+    doc_id %% 97 == 0 slice plays the eval set). The inverted shingle
+    join is the same bounded-posting-list shape as the Jaccard dedup
+    — the eval side is tiny, so at scale the join broadcasts and the
+    sweep is one pass over the training corpus's shingles."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        word_shingles,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+    )
+    ev = F.col("doc_id") % 97 == 0
+    train = sh.filter(~ev).select(F.col("doc_id").alias("train_doc"), "s")
+    eval_ = sh.filter(ev).select(F.col("doc_id").alias("eval_doc"), "s")
+    return (
+        train.join(F.broadcast(eval_), "s")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.countDistinct("s").alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= 5)
+    )
+
+
+@query(
     "retention_weekly_cohorts",
     """
     WITH wk AS (
