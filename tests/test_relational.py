@@ -114,3 +114,37 @@ def test_partitioned_collection_prunes(spark, tmp_path):
     got = scan.count()
     want = bucketed.filter(F.col("lsh_bucket").isin(3, 5)).count()
     assert got == want > 0
+
+
+def test_prefix_sum_matches_single_task_window(spark):
+    """The two-level distributed scan must equal the naive global
+    window on every row, regardless of initial partitioning."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        prefix_sum,
+    )
+
+    df = (
+        spark.range(10_000)
+        .repartition(17)  # scrambled input partitioning
+        .select(
+            F.col("id").alias("k"),
+            (F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(97)) + 1).alias("v"),
+        )
+    )
+    got = prefix_sum(df, order_col="k", value_col="v", out_col="c")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("c", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint"))
+    diff = (
+        got.select("k", "c")
+        .join(want.select("k", F.col("c").alias("c2")), "k")
+        .filter(F.col("c") != F.col("c2"))
+        .count()
+    )
+    assert diff == 0
+    # the per-row window is partitioned by the range-partition id, so
+    # the only unpartitioned window in the plan runs over the tiny
+    # per-partition totals, never the data
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan

@@ -156,3 +156,54 @@ def asof_join(
         *[F.col(f"_l.{c}").alias(c) for c in left.columns],
         *[F.col(f"_carried.{c}").alias(c) for c in payload_cols],
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    *,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cumsum_before",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXCLUSIVE running sum of ``value_col`` over the global
+    ``order_col`` order — without the single-task window that
+    ``Window.orderBy`` (no partitionBy) degenerates to.
+
+    Classic two-level scan: range-repartition on the order column
+    (contiguous key ranges per partition), per-partition window
+    cumsum (parallel, partition-local), then add each partition's
+    prefix offset — the per-partition totals are one tiny row per
+    partition, so THEIR running sum is a trivially small window and
+    the offsets broadcast back. The result depends only on the global
+    order, not on where range boundaries land.
+
+    This is the scale-correct backbone for order-dependent layouts
+    (sequence packing, file splitting by cumulative size) at corpus
+    sizes where a single-task window would be the whole job.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "_local", F.coalesce(F.sum(value_col).over(w_local), F.lit(0))
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_ptotal"))
+    w_parts = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.coalesce(F.sum("_ptotal").over(w_parts), F.lit(0))
+    ).select("_pid", "_offset")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("bigint"))
+        .drop("_pid", "_local")
+    )

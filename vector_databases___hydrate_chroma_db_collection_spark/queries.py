@@ -1408,21 +1408,21 @@ def pack_sequences_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
     """Sequence packing for training: documents are laid into
     ~2048-token training sequences in deterministic doc_id order —
     a doc's sequence id is floor(preceding-token-cumsum / budget),
-    i.e. contiguous greedy fill. One token-count projection, one
-    running-sum window, one aggregation; the id-ordered window is the
-    only total order and it is over (doc_id, tok_cnt) pairs, not
-    document text. Output: per-sequence doc and token counts."""
-    from pyspark.sql import Window
+    i.e. contiguous greedy fill. The running sum uses the
+    distributed two-level prefix scan (relational.prefix_sum: range
+    partition -> parallel local cumsum -> broadcast partition
+    offsets), NOT a single-task global window — the oracle's
+    single-order window is the semantic spec, the engine plan is the
+    scale-correct one. Output: per-sequence doc and token counts."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        prefix_sum,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     counted = d.select("doc_id", T.token_count("text").alias("tok_cnt"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    binned = counted.withColumn(
-        "seq_id",
-        F.coalesce(
-            F.floor(F.sum("tok_cnt").over(w) / 2048.0).cast("bigint"), F.lit(0)
-        ),
-    )
+    binned = prefix_sum(
+        counted, order_col="doc_id", value_col="tok_cnt", out_col="_before"
+    ).withColumn("seq_id", F.floor(F.col("_before") / 2048.0).cast("bigint"))
     return binned.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("tok_cnt").cast("bigint").alias("tokens"),
