@@ -359,6 +359,7 @@ def test_bucketed_collection_compacts_preserving_layout(spark, sample, tmp_path)
 
 def test_vacuum_removes_only_orphans(spark, sample, tmp_path):
     import os
+    import time
 
     from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
         collection_count,
@@ -378,6 +379,13 @@ def test_vacuum_removes_only_orphans(spark, sample, tmp_path):
     (base / "_current.tmp").write_text("data-7")
 
     active_before = current_data_dir(str(tmp_path), "vac")
+    # fresh dirs are presumed in-flight rewrites and must survive...
+    assert vacuum_collection(str(tmp_path), "vac") == []
+    assert orphan.exists() and (base / "_current.tmp").exists()
+    # ...until they age past the horizon (backdate mtime to simulate)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(base / "_current.tmp", (old, old))
     removed = vacuum_collection(str(tmp_path), "vac")
     assert str(orphan) in removed
     assert current_data_dir(str(tmp_path), "vac") == active_before

@@ -139,6 +139,10 @@ def ivf_build(
     """
     import pandas as pd
 
+    if metric not in ("cosine", "l2"):
+        raise ValueError(
+            f"ivf_build metric must be 'cosine' or 'l2', got {metric!r}"
+        )
     base = corpus.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
     train = base if sample_fraction is None else base.sample(sample_fraction, seed)
     C = _train_kmeans(train, "_e", n_centroids, seed=seed, metric=metric)
@@ -375,7 +379,17 @@ def _train_kmeans(
     iterations are plenty.
     """
     spherical = metric == "cosine"
-    pdf = sample.select(F.col(vec_col).alias("_v")).limit(max_train_rows).toPandas()
+    vecs = sample.select(F.col(vec_col).alias("_v"))
+    # Bound the driver collect WITHOUT a partition-prefix bias: limit()
+    # alone would take the first partitions' rows, which on an ordered
+    # or clustered corpus (time-ordered ingest, per-tenant files)
+    # trains centroids on the head of the distribution only. One count
+    # sizes a seeded uniform sample instead; the limit stays as the
+    # hard cap on what reaches the driver.
+    n = vecs.count()
+    if n > max_train_rows:
+        vecs = vecs.sample(min(1.0, 1.2 * max_train_rows / n), seed)
+    pdf = vecs.limit(max_train_rows).toPandas()
     X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_v"]])
     if spherical:
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)

@@ -283,21 +283,32 @@ def collection_update(
     if bucketed:
         ids = [r["id"] for r in u.select("id").collect()]
         scoped = _prune_buckets_for_ids(spark, df, ids, manifest.n_buckets)
-    n_updated = scoped.join(u, "id", "left_semi").count()
-    if n_updated == 0:
+    # Cheap existence probe only — the exact matched count is observed
+    # inside the rewrite job itself (below), so an update costs the
+    # probe plus ONE pass over the scoped rows, not a separate
+    # full-count job (same Observation pattern as collection_delete).
+    if scoped.join(u, "id", "left_semi").limit(1).count() == 0:
         return 0
 
-    merged = scoped.join(u, "id", "left").select(
-        "id",
-        *[
-            (
-                F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
-                if c in payload
-                else F.col(c)
-            )
-            for c in ("document", "embedding", "metadata")
-        ],
-        *(["id_bucket"] if bucketed else []),
+    from pyspark.sql import Observation
+
+    obs = Observation("update_matched")
+    matched_flag = F.col("_u_hit").isNotNull()
+    merged = (
+        scoped.join(u.withColumn("_u_hit", F.lit(True)), "id", "left")
+        .observe(obs, F.sum(matched_flag.cast("long")).alias("matched"))
+        .select(
+            "id",
+            *[
+                (
+                    F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c)
+                    if c in payload
+                    else F.col(c)
+                )
+                for c in ("document", "embedding", "metadata")
+            ],
+            *(["id_bucket"] if bucketed else []),
+        )
     )
     if bucketed:
         merged.write.mode("overwrite").option(
@@ -307,7 +318,7 @@ def collection_update(
         staging = next_data_dir(root, manifest.name)
         merged.write.mode("overwrite").parquet(staging)
         swap_data_dir(root, manifest.name, staging)
-    return int(n_updated)
+    return int(obs.get["matched"])
 
 
 def collection_query(

@@ -160,8 +160,7 @@ def get_or_create_collection(
         return existing
     manifest = CollectionManifest(name=name, dim=dim, metric=metric, n_buckets=n_buckets)
     os.makedirs(os.path.join(root, name, DATA_DIR), exist_ok=True)
-    with open(mf, "w") as f:
-        json.dump(asdict(manifest), f)
+    _write_manifest(root, name, manifest)
     return manifest
 
 
@@ -184,14 +183,28 @@ def modify_collection(
         target = os.path.join(root, new_name)
         if os.path.exists(target):
             raise InvalidPathError(f"collection {new_name!r} already exists")
+        # Crash-safety: the dir move is the commit point. If we die
+        # before the manifest rewrite below, load_manifest's
+        # dir-name-is-canonical override keeps the renamed collection
+        # readable; the manifest write itself is atomic.
         os.rename(os.path.join(root, name), target)
         manifest = CollectionManifest(**{**asdict(manifest), "name": new_name})
         name = new_name
     if metadata is not None:
         manifest = CollectionManifest(**{**asdict(manifest), "metadata": metadata})
-    with open(_manifest_file(root, name), "w") as f:
-        json.dump(asdict(manifest), f)
+    _write_manifest(root, name, manifest)
     return manifest
+
+
+def _write_manifest(root: str, name: str, manifest: CollectionManifest) -> None:
+    """Atomic manifest write (tmp + os.replace, same protocol as the
+    data-dir pointer): a crash mid-write can never leave truncated
+    JSON that would brick every subsequent operation."""
+    mf = _manifest_file(root, name)
+    tmp = mf + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(manifest), f)
+    os.replace(tmp, mf)
 
 
 def load_manifest(root: str, name: str) -> CollectionManifest:
@@ -199,7 +212,16 @@ def load_manifest(root: str, name: str) -> CollectionManifest:
     if not os.path.exists(mf):
         raise CollectionNotFoundError(f"no collection {name!r} under {root}")
     with open(mf) as f:
-        return CollectionManifest(**json.load(f))
+        manifest = CollectionManifest(**json.load(f))
+    if manifest.name != name:
+        # The DIRECTORY is canonical: a rename moves the dir first and
+        # rewrites the manifest second, so a crash in between leaves a
+        # stale name field. Overriding here makes every path
+        # resolution (current_data_dir etc.) follow the directory the
+        # manifest actually lives in — the half-renamed collection
+        # stays fully readable and the next manifest write heals it.
+        manifest = CollectionManifest(**{**asdict(manifest), "name": name})
+    return manifest
 
 
 def read_collection(
@@ -276,7 +298,9 @@ def compact_collection(
     return n_after
 
 
-def vacuum_collection(root: str, name: str) -> list[str]:
+def vacuum_collection(
+    root: str, name: str, *, older_than_s: float = 3600.0
+) -> list[str]:
     """Remove orphaned data dirs: versioned ``data-N`` dirs that are
     not the active one. The pointer-swap protocol deletes the retired
     dir after each successful swap, so orphans only appear when a
@@ -285,24 +309,43 @@ def vacuum_collection(root: str, name: str) -> list[str]:
     legacy ``data`` dir while it is active) is never touched; the
     pointer file is the single source of truth, so vacuuming while
     readers stream the ACTIVE dir is safe. Returns the removed paths.
+
+    ``older_than_s`` is the concurrency guard: only dirs whose mtime
+    is at least that old are removed, so a LIVE rewrite that has
+    written its staging dir but not yet swapped the pointer is not
+    swept out from under it (a staging dir that sits unswapped for an
+    hour is a crash, not a slow job — raise the horizon if rewrites
+    can legitimately run longer). The same horizon gates the stale
+    pointer tmp file. Concurrent WRITERS remain externally
+    coordinated, as everywhere in this layout.
     """
     import shutil
+    import time
 
     root = validate_path(root)
     load_manifest(root, name)  # typed error for unknown collections
     base = os.path.join(root, name)
     active = os.path.abspath(current_data_dir(root, name))
+    horizon = time.time() - older_than_s
     removed = []
     for d in os.listdir(base):
         full = os.path.join(base, d)
         if not os.path.isdir(full) or os.path.abspath(full) == active:
             continue
         if d == DATA_DIR or d.startswith(DATA_DIR + "-"):
+            try:
+                if os.path.getmtime(full) > horizon:
+                    continue
+            except OSError:
+                continue
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
     stale_tmp = os.path.join(base, CURRENT_POINTER + ".tmp")
-    if os.path.exists(stale_tmp):
-        os.remove(stale_tmp)
+    try:
+        if os.path.exists(stale_tmp) and os.path.getmtime(stale_tmp) <= horizon:
+            os.remove(stale_tmp)
+    except OSError:
+        pass
     return removed
 
 

@@ -1442,13 +1442,15 @@ def pack_sequences_by_token_budget(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY 1, 2
     )
     SELECT train_doc, eval_doc, CAST(shared_shingles AS BIGINT) AS shared_shingles
-    FROM hits WHERE shared_shingles >= 5
+    FROM hits WHERE shared_shingles >= 3
     """,
 )
 def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination: training documents sharing >= 5
+    """Benchmark decontamination: training documents sharing >= 3
     distinct 3-gram shingles with any held-out eval document (here the
-    doc_id %% 97 == 0 slice plays the eval set). The inverted shingle
+    doc_id %% 97 == 0 slice plays the eval set; the threshold sits
+    where the fixture yields hits, so the parity check is
+    non-vacuous). The inverted shingle
     join is the same bounded-posting-list shape as the Jaccard dedup
     — the eval side is tiny, so at scale the join broadcasts and the
     sweep is one pass over the training corpus's shingles."""
@@ -1467,7 +1469,7 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         train.join(F.broadcast(eval_), "s")
         .groupBy("train_doc", "eval_doc")
         .agg(F.countDistinct("s").alias("shared_shingles"))
-        .filter(F.col("shared_shingles") >= 5)
+        .filter(F.col("shared_shingles") >= 3)
     )
 
 
@@ -3080,12 +3082,14 @@ def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS partkey,
            round(cents / 100.0, 2) AS part_value
     FROM value_by_part CROSS JOIN total
-    WHERE cents > 0.001 * total_cents
+    WHERE cents > 0.0008 * total_cents
     """,
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (group total filtered against a fraction of the
-    GLOBAL total — HAVING vs a scalar subquery): per-part value agg,
+    GLOBAL total — HAVING vs a scalar subquery; the 0.08%% cut is
+    chosen so the fixture actually yields surviving rows, keeping the
+    parity check non-vacuous): per-part value agg,
     single-row grand total broadcast back as a cross join, filter.
     Sums carried as integer cents so the 100k-term additions are
     order-independent across engines."""
@@ -3099,7 +3103,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = by_part.agg(F.sum("cents").alias("total_cents"))
     return (
         by_part.crossJoin(F.broadcast(total))
-        .filter(F.col("cents") > 0.001 * F.col("total_cents"))
+        .filter(F.col("cents") > 0.0008 * F.col("total_cents"))
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round(F.col("cents") / 100.0, 2).alias("part_value"),
