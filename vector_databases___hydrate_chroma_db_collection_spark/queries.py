@@ -4050,6 +4050,58 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_recursive_dup_closure",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes s1 ON s1.doc_id = id_a
+        JOIN sizes s2 ON s2.doc_id = id_b
+        WHERE round(c::DOUBLE / (s1.n_sh + s2.n_sh - c), 4) >= 0.5
+    ),
+    closure(src, dst) AS (
+        SELECT id_a, id_b FROM pr
+        UNION ALL
+        SELECT cl.src, p.id_b FROM closure cl JOIN pr p ON p.id_a = cl.dst
+    )
+    SELECT DISTINCT src, dst FROM closure
+    """,
+)
+def sql_recursive_dup_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's native recursive CTE (SPARK-24497) driven through
+    spark.sql: the transitive closure of the id-oriented near-dup
+    pair graph (edges always increase the id, so the graph is a DAG
+    and UNION ALL recursion terminates; UNION-dedup recursion is not
+    yet supported — the engine raises UNION_NOT_SUPPORTED_IN_
+    RECURSIVE_CTE — so cyclic fixpoints stay on the iterative
+    operators/graph.py path). The pair edges come from the engine's
+    own jaccard_pairs operator registered as a temp view; DuckDB
+    recomputes both the pairs and the identical recursion."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, id_col="doc_id", text_col="text", n=3, threshold=0.5)
+    pairs.select("id_a", "id_b").createOrReplaceTempView("_rcte_pairs")
+    out = spark.sql(
+        """
+        WITH RECURSIVE closure(src, dst) AS (
+            SELECT id_a, id_b FROM _rcte_pairs
+            UNION ALL
+            SELECT cl.src, p.id_b
+            FROM closure cl JOIN _rcte_pairs p ON p.id_a = cl.dst
+        )
+        SELECT DISTINCT src, dst FROM closure
+        """
+    )
+    D.release_cache(pairs)
+    return out
+
+
+@query(
     "join_asof_prior_day_spend",
     """
     WITH daily AS (
