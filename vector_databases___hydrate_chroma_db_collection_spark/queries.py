@@ -4050,6 +4050,42 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_lateral_top2_orders",
+    """
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           round(t.o_totalprice, 2) AS totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey < 100
+    """,
+)
+def sql_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:1999 lateral derived table,
+    Spark 3.2+): each customer's top-2 orders by price. Catalyst
+    decorrelates the lateral into a ranked join — same physical work
+    as the window row_number formulation, expressed in the SQL shape
+    ported code actually uses. DuckDB runs the identical statement."""
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+               round(t.o_totalprice, 2) AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_custkey < 100
+        """
+    )
+
+
+@query(
     "sql_recursive_dup_closure",
     f"""
     WITH RECURSIVE {_SHINGLES_CTE},
