@@ -12,7 +12,10 @@ this module is a thin adapter over its query registry.
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -31,87 +34,55 @@ def entry(spark: SparkSession) -> DataFrame:
     return _registry.QUERIES["knn_top5_cosine"](spark, SMOKE_SF_DIR)
 
 
-# The driver checks a budgeted subset per round in iteration order
-# (50 in r1, 50 in r2 — CORRECTNESS_r{N}.json), so queries WITHOUT a
-# driver correctness row yet must come first, then the least-recently
-# checked, so every registry entry accumulates a hard check across
-# rounds. Local parity for all entries is committed in
-# PARITY_LOCAL.json (same protocol).
-_R1_CHECKED = frozenset(
-    {
-        "knn_top5_cosine", "q1_pricing_summary", "q3_shipping_priority",
-        "q5_region_revenue", "join_left_order_counts",
-        "join_semi_customers_with_urgent_orders",
-        "join_anti_customers_without_orders", "join_full_nation_activity",
-        "join_range_shipped_within_30d", "window_top3_orders_per_customer",
-        "window_running_spend", "window_lag_event_value", "agg_rollup_returns",
-        "agg_cube_orders", "agg_distinct_suppliers", "sort_top10_orders",
-        "setop_union_segments", "setop_intersect_active_years",
-        "setop_except_inactive", "scalar_string_part", "scalar_math_lineitem",
-        "scalar_date_orders", "scalar_json_events", "scalar_array_embeddings",
-        "scalar_map_metadata", "text_stats_by_lang", "text_quality_scores",
-        "text_language_id", "text_fingerprint", "text_bpe_token_counts",
-        "sample_hash_deterministic", "sample_stratified_by_lang",
-        "dedup_exact_groups", "dedup_jaccard_pairs", "dedup_minhash_lsh_pairs",
-        "dedup_simhash_values", "text_rolling_fingerprint",
-        "embedding_int8_quantization", "dedup_embedding_cosine_pairs",
-        "hydrate_canonical_shape", "stream_tumbling_event_stats",
-        "stream_sliding_user_activity", "stream_session_windows",
-        "stream_dedup_by_id", "knn_join_top3", "knn_join_gemm_top3",
-        "vector_l2_consecutive", "embedding_stats_by_label",
-        "agg_having_active_parts", "agg_median_percentiles",
-    }
-)
-
-
-_R2_CHECKED = frozenset(
-    {
-        "agg_approx_count_distinct", "agg_grouping_sets",
-        "agg_statistics", "apply_in_pandas_label_centroids",
-        "collection_knn_end_to_end", "dedup_connected_components",
-        "dedup_embedding_neardup_ivf", "explode_event_type_chars",
-        "join_asof_prior_day_spend", "join_cross_nullsafe",
-        "join_right_supplier_nations", "multimodal_image_features",
-        "pandas_udf_cosine", "pipeline_training_data",
-        "pivot_status_by_priority", "q10_returned_items",
-        "q14_promo_revenue_ratio", "q17_small_quantity_revenue",
-        "q18_large_orders", "q19_disjunctive_predicates",
-        "q20_bulk_suppliers", "q21_multi_supplier_orders",
-        "q22_idle_rich_customers", "q2_cheapest_part_suppliers",
-        "q4_priority_with_late_lines", "q6_revenue_delta",
-        "q7_nation_trade_flows", "q8_market_share",
-        "q9_product_type_profit", "scalar_array_algebra",
-        "scalar_array_functions", "scalar_case_null_handling",
-        "scalar_date_arithmetic", "scalar_from_json_events",
-        "scalar_string_extended", "scalar_struct_map_ops",
-        "setop_intersect_all_nations", "setop_union_all_priorities",
-        "setop_union_by_name", "sql_entry_top_customers",
-        "sql_udf_registered", "stream_attribution_join",
-        "text_chunking", "text_levenshtein_names",
-        "text_repetition_quality", "unpivot_part_attributes",
-        "window_ntile_deciles", "window_range_frame_revenue",
-        "window_rank_analytics", "window_sessionize_events",
-    }
-)
+# The driver checks a budgeted subset per round (50/round so far) in
+# iteration order, so queries() sorts riskiest-first from the committed
+# CORRECTNESS_r{N}.json artifacts themselves (no hand-frozen sets):
+#   1. failed-last-check — latest driver row is red (err or any mismatch);
+#   2. never-checked — no driver row in any round yet;
+#   3. green — least-recently-checked first, so every entry's latest row
+#      stays fresh across rounds.
+# Local parity for all entries is committed in PARITY_LOCAL.json.
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """name -> (latest round checked, latest row green?) from CORRECTNESS files."""
+    history: dict[str, tuple[int, bool]] = {}
+    root = Path(__file__).resolve().parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            green = bool(
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                # rows-only checks (no oracle SQL) report hash_match=None;
+                # treat them as green unless explicitly False.
+                and row.get("hash_match") is not False
+            )
+            prev = history.get(name)
+            if prev is None or rnd >= prev[0]:
+                history[name] = (rnd, green)
+    return history
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2,
-    riskiest-first: entries with no driver correctness row yet lead."""
-    never = {
-        n: fn
-        for n, fn in _registry.QUERIES.items()
-        if n not in _R1_CHECKED | _R2_CHECKED
-    }
-    r1_only = {
-        n: fn
-        for n, fn in _registry.QUERIES.items()
-        if n in _R1_CHECKED and n not in _R2_CHECKED
-    }
-    rest = {
-        n: fn for n, fn in _registry.QUERIES.items() if n in _R2_CHECKED
-    }
-    return {**never, **r1_only, **rest}
+    riskiest-first: failed-last-check, then never-checked, then stalest."""
+    history = _driver_history()
+
+    def rank(item: tuple[str, object]) -> tuple[int, int]:
+        name = item[0]
+        if name not in history:
+            return (1, 0)
+        rnd, green = history[name]
+        return (2, rnd) if green else (0, rnd)
+
+    return dict(sorted(_registry.QUERIES.items(), key=rank))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -252,6 +252,79 @@ def test_update_bucketed_rewrites_touched_buckets(spark, tmp_path):
     assert rows["3.0"] == "charlie updated" and len(rows) == 5
 
 
+def test_bucketed_delete_and_update_are_crash_atomic(spark, tmp_path, monkeypatch):
+    """A simulated crash AFTER the staging write but BEFORE the
+    pointer swap must leave the collection exactly on its prior state:
+    the swap is the single commit point for bucketed delete/update, so
+    readers never observe mixed bucket state."""
+    import vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api as api
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+
+    root = _hydrated(spark, tmp_path, n_buckets=4)
+    before = sorted(
+        (r["id"], r["document"])
+        for r in read_collection(spark, root, "api").collect()
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(api, "swap_data_dir", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        collection_delete(spark, root, "api", ids=["2.0"])
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        collection_update(
+            spark,
+            root,
+            "api",
+            spark.createDataFrame([("3.0", "mutated")], "id string, document string"),
+        )
+    after = sorted(
+        (r["id"], r["document"])
+        for r in read_collection(spark, root, "api").collect()
+    )
+    assert after == before
+    monkeypatch.undo()
+
+    # the real swap then commits the whole rewrite at once: pointer
+    # moves to a fresh versioned dir, untouched buckets ride along
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        current_data_dir,
+    )
+
+    old_dir = current_data_dir(root, "api")
+    assert collection_delete(spark, root, "api", ids=["2.0"]) == 1
+    assert current_data_dir(root, "api") != old_dir
+    assert sorted(
+        r["id"] for r in read_collection(spark, root, "api").collect()
+    ) == ["1.0", "3.0", "4.0", "5.0"]
+
+
+def test_update_bulk_prunes_without_collecting_ids(spark, tmp_path):
+    """Bucketed update pruning must be computed distributed: the
+    driver sees only the distinct bucket set (<= n_buckets ints),
+    never the update id list. Guard: a bulk update against a small
+    bucket count still updates correctly and touches all buckets at
+    most once."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+
+    root = _hydrated(spark, tmp_path, n_buckets=2)
+    updates = spark.createDataFrame(
+        [(f"{i}.0", f"doc {i} v2") for i in range(1, 6)],
+        "id string, document string",
+    )
+    assert collection_update(spark, root, "api", updates) == 5
+    rows = {
+        r["id"]: r["document"]
+        for r in collection_get(spark, root, "api").collect()
+    }
+    assert rows == {f"{i}.0": f"doc {i} v2" for i in range(1, 6)}
+
+
 def test_modify_rename_and_metadata(spark, tmp_path):
     from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
         collection_count,

@@ -341,6 +341,41 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, sample, tmp_path)
     assert rows == {"1.0": "first doc v2", "2.0": "second doc", "3.0": "third doc"}
 
 
+def test_bucketed_upsert_is_crash_atomic(spark, sample, tmp_path, monkeypatch):
+    """Bucketed upsert commits through the pointer swap: a simulated
+    crash after the staging write leaves the collection on its prior
+    complete state (never mixed old/new buckets)."""
+    import importlib
+
+    hy = importlib.import_module(
+        "vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate"
+    )
+
+    hydrate(spark, sample, cfg(tmp_path, n_buckets=16))
+    before = sorted(
+        (r["id"], r["document"])
+        for r in read_collection(spark, str(tmp_path), "c1").collect()
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before pointer swap")
+
+    monkeypatch.setattr(hy, "swap_data_dir", boom)
+    updated = spark.createDataFrame(
+        [(1.0, "first doc v2", [0.9, 0.9], 4.0)],
+        "uid double, body string, vec array<float>, stars double",
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        hydrate(spark, updated, cfg(tmp_path, n_buckets=16, on_duplicate="upsert"))
+    after = sorted(
+        (r["id"], r["document"])
+        for r in read_collection(spark, str(tmp_path), "c1").collect()
+    )
+    assert after == before
+
+
 def test_bucketed_collection_compacts_preserving_layout(spark, sample, tmp_path):
     from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
         compact_collection,

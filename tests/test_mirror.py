@@ -50,6 +50,36 @@ class PersistentClient:
 '''
 
 
+def test_mirror_with_real_chromadb(spark, tmp_path):
+    """Integration marker: when the environment gains a real chromadb
+    install this test automatically upgrades the mirror coverage from
+    the test double to the real client (skipped while absent — same
+    skip-if-absent pattern as the protobuf-gated streaming variant).
+    MUST run before the fake-module test: addPyFile ships the double
+    to the executors for the rest of the session."""
+    chromadb = pytest.importorskip("chromadb")
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", [float(i), 0.5]) for i in range(25)],
+        "uid int, body string, vec array<float>",
+    )
+    canon = build_hydration_input(
+        df,
+        HydrationConfig(
+            collection_name="real", root=str(tmp_path), id_col="uid",
+            text_col="body", embedding_col="vec",
+        ),
+    ).repartition(2)
+    store = tmp_path / "real_chroma_store"
+    mirror_to_chroma(canon, str(store), "real", batch_size=10)
+
+    client = chromadb.PersistentClient(path=str(store))
+    coll = client.get_or_create_collection("real")
+    assert coll.count() == 25
+    got = coll.get(ids=["3"])
+    assert got["documents"] == ["doc 3"]
+
+
 def test_mirror_with_fake_chromadb(spark, tmp_path):
     fake = tmp_path / "chromadb.py"
     fake.write_text(FAKE_CHROMADB)

@@ -148,3 +148,37 @@ def test_prefix_sum_matches_single_task_window(spark):
     # per-partition totals, never the data
     plan = got._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(_pid" in plan
+
+
+def test_prefix_sum_tiebreak_makes_duplicate_keys_deterministic(spark):
+    """With a duplicated order key and a tiebreak column, the result
+    must equal the naive window over (order, tiebreak) on every row
+    and be stable across runs."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        prefix_sum,
+    )
+
+    df = (
+        spark.range(5_000)
+        .repartition(13)
+        .select(
+            (F.col("id") % 50).alias("k"),  # heavy ties: 100 rows/key
+            F.col("id").alias("uid"),
+            (F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(7)) + 1).alias("v"),
+        )
+    )
+    w = Window.orderBy("k", "uid").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn("c", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("bigint"))
+    for _ in range(2):  # two runs, same answer
+        got = prefix_sum(
+            df, order_col="k", value_col="v", out_col="c", tiebreak_col="uid"
+        )
+        diff = (
+            got.select("uid", "c")
+            .join(want.select("uid", F.col("c").alias("c2")), "uid")
+            .filter(F.col("c") != F.col("c2"))
+            .count()
+        )
+        assert diff == 0

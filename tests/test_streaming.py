@@ -362,3 +362,28 @@ def test_transform_with_state_gate_is_actionable(spark):
     e = load_table(spark, SF_SMOKE, "events").limit(10)
     with pytest.raises(NotImplementedError, match="protobuf"):
         stateful_user_totals_tws(e)
+
+
+def test_transform_with_state_gate_checks_state_store_provider(spark):
+    """With protobuf present but the default HDFS state store, the
+    operator must fail fast naming the RocksDB provider — not with an
+    opaque state-schema validation error mid-run."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
+        stateful_user_totals_tws,
+    )
+
+    pytest.importorskip("google.protobuf")
+    prior = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if prior is not None and "RocksDB" in prior:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try:
+        e = load_table(spark, SF_SMOKE, "events").limit(10)
+        with pytest.raises(NotImplementedError, match="RocksDB"):
+            stateful_user_totals_tws(e)
+    finally:
+        if prior is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prior
+            )

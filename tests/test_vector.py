@@ -110,6 +110,56 @@ def test_knn_join_gemm_chunked_queries_match_expression_form(spark):
     assert ra == rb
 
 
+def test_knn_join_gemm_auto_dispatches_large_query_sides(spark):
+    """A query set above max_driver_queries must route to the fully
+    distributed ivf_knn_join (all cells probed -> exhaustive) and
+    return results identical to the driver-blocked GEMM path — the
+    dispatch boundary changes where work runs, never the answer."""
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(180)],
+        "id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+        "qid int, q_embedding array<float>",
+    )
+    below = knn_join_gemm(queries, corpus, k=3, score_decimals=6)
+    above = knn_join_gemm(
+        queries, corpus, k=3, score_decimals=6, max_driver_queries=16
+    )
+    ra = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in below.collect()}
+    rb = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in above.collect()}
+    assert len(ra) == 40 * 3
+    assert ra == rb
+
+
+def test_knn_join_gemm_auto_dispatch_l2(spark):
+    """Dispatch boundary parity for the l2 metric (distance ranks
+    ascending; ivf cells trained euclidean)."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(120)],
+        "id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(6)]) for i in range(30)],
+        "qid int, q_embedding array<float>",
+    )
+    below = knn_join_gemm(queries, corpus, k=4, metric="l2", score_decimals=6)
+    above = knn_join_gemm(
+        queries, corpus, k=4, metric="l2", score_decimals=6, max_driver_queries=8
+    )
+    ra = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in below.collect()}
+    rb = {(r["qid"], r["rank"]): (r["neighbor_id"], r["score"]) for r in above.collect()}
+    assert len(ra) == 30 * 4
+    assert ra == rb
+
+
 def test_l2_metric_knn_join_gemm(spark):
     corpus = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [3.0, 4.0])],

@@ -227,6 +227,7 @@ def ivf_knn_join(
     nprobe: int = 3,
     score_decimals: int | None = None,
     slack: int = 32,
+    multi_assigned: bool = False,
 ) -> DataFrame:
     """Batch kNN join through an IVF index — the scale path when BOTH
     sides are large. ``knn_join_gemm`` streams the whole corpus once
@@ -344,11 +345,18 @@ def ivf_knn_join(
         .groupby("ivf_cell")
         .cogroup(qcells.groupby("ivf_cell"))
         .applyInPandas(cell_scores, schema=out_schema)
-        # a (query, corpus) pair can meet in several probed cells;
-        # its exact score is recomputed identically each time, so any
-        # one copy represents the pair
-        .dropDuplicates(["qid", "neighbor_id"])
     )
+    # ivf_build assigns each corpus row to exactly ONE cell, so a
+    # (query, corpus) pair meets in at most one probed cell and no
+    # dedup shuffle is needed. Only an explicitly multi-assigned
+    # corpus (e.g. an ivf_neardup_pairs-style n_assign>1 layout) can
+    # produce duplicates — and then the kept copy must be made
+    # deterministic, because different cell shapes can round-trip the
+    # GEMM differently in the last bits.
+    if multi_assigned:
+        candidates = candidates.groupBy("qid", "neighbor_id").agg(
+            F.max("score").alias("score") if metric != "l2" else F.min("score").alias("score")
+        )
     return rank_merge(candidates, k, metric=metric, score_decimals=score_decimals)
 
 
@@ -361,6 +369,7 @@ def _train_kmeans(
     metric: str = "cosine",
     max_train_rows: int = 262_144,
     n_iter: int = 15,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """Seeded k-means on a driver-side sample — spherical (cosine:
     rows normalized, centroids renormalized each step) or plain Lloyd
@@ -383,14 +392,23 @@ def _train_kmeans(
     # Bound the driver collect WITHOUT a partition-prefix bias: limit()
     # alone would take the first partitions' rows, which on an ordered
     # or clustered corpus (time-ordered ingest, per-tenant files)
-    # trains centroids on the head of the distribution only. One count
-    # sizes a seeded uniform sample instead; the limit stays as the
-    # hard cap on what reaches the driver.
-    n = vecs.count()
+    # trains centroids on the head of the distribution only. A seeded
+    # uniform sample at EXACTLY the target fraction avoids that — and
+    # with no trailing limit() there is no truncation bias either
+    # (limit after an oversample drops tail-partition rows). Callers
+    # that already know the row count pass ``n_rows`` so sizing adds
+    # no extra scan; binomial overshoot past the cap (~0.2% at 262k)
+    # is trimmed by a seeded unbiased choice after collect.
+    n = vecs.count() if n_rows is None else int(n_rows)
     if n > max_train_rows:
-        vecs = vecs.sample(min(1.0, 1.2 * max_train_rows / n), seed)
-    pdf = vecs.limit(max_train_rows).toPandas()
+        vecs = vecs.sample(max_train_rows / n, seed)
+    pdf = vecs.toPandas()
     X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_v"]])
+    if len(X) > max_train_rows:
+        keep = np.random.RandomState(seed).choice(
+            len(X), max_train_rows, replace=False
+        )
+        X = X[np.sort(keep)]
     if spherical:
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     rng = np.random.RandomState(seed)
@@ -447,8 +465,9 @@ def ivf_neardup_pairs(
        what keeps cross-cell recall high without any all-pairs step.
     3. ``applyInPandas`` per cell: blocked GEMM within the cell.
        The score pass runs in float32 against a slightly LOWERED
-       threshold (margin = 10^-decimals, which dominates the float32
-       accumulation error of ~dim·2^-24 for unit vectors), then only
+       threshold (dim-aware margin = 0.5·10^-decimals + dim·2^-23,
+       covering rounding slack plus worst-case float32 cast+GEMM
+       error for unit vectors at any dim), then only
        the surviving candidate pairs are recomputed in float64 and
        rounded — so emitted cosines are bit-identical to the exact
        expression form while the quadratic pass never pays float64
@@ -480,12 +499,15 @@ def ivf_neardup_pairs(
 
     spark = df.sparkSession
     base = df.select(id_col, embedding_col)
+    n = None
     if n_centroids is None:
         # one metadata-cheap count to size the index: ~1k rows/cell.
         # Quadratic work is sum(cell²) ≈ (n_assign·rows_per_cell)·n·d,
         # so halving the cell size halves the whole GEMM bill; 1k rows
         # keeps per-cell work ~20 ms while KMeans (k ≈ n/1024, trained
         # on a sample) stays a rounding error next to the pair pass.
+        # The same count feeds _train_kmeans' sample sizing, so
+        # training adds no second scan.
         n = base.count()
         n_centroids = int(min(4096, max(4, n // 1024)))
 
@@ -497,7 +519,15 @@ def ivf_neardup_pairs(
     # vectorized divide is effectively free next to the GEMM.
     raw = base.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
     train = raw if sample_fraction is None else raw.sample(sample_fraction, seed)
-    C = _train_kmeans(train, "_e", n_centroids, seed=seed, metric="cosine")  # (c, d)
+    C = _train_kmeans(
+        train,
+        "_e",
+        n_centroids,
+        seed=seed,
+        metric="cosine",
+        # reuse the sizing count when train IS the full corpus
+        n_rows=n if sample_fraction is None else None,
+    )  # (c, d)
     k_assign = min(n_assign, C.shape[0])
 
     id_type = df.schema[id_col].dataType.simpleString()
@@ -525,12 +555,6 @@ def ivf_neardup_pairs(
 
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
-    # The float32 pass may under-read a true cosine by at most
-    # dim·2^-24 (unit vectors); anything whose ROUNDED float64 value
-    # could reach `threshold` sits above threshold − 0.5·10^-decimals,
-    # so a full 10^-decimals margin safely covers both effects.
-    prescreen = threshold - 10.0 ** (-decimals)
-
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n_rows = len(pdf)
         if n_rows < 2:
@@ -540,6 +564,14 @@ def ivf_neardup_pairs(
         ids = pdf["_id"].to_numpy()
         M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
         M32 = M.astype(np.float32)
+        # Dim-aware prescreen margin: anything whose ROUNDED float64
+        # value could reach `threshold` sits above threshold −
+        # 0.5·10^-decimals, and the float32 pass (cast + GEMM over
+        # unit vectors) may under-read a true cosine by up to
+        # ~dim·2^-23 — at dim=1024 that alone is ~1.2e-4, more than a
+        # fixed 10^-4 margin, so the margin must scale with dim or
+        # boundary pairs get silently dropped.
+        prescreen = threshold - (0.5 * 10.0 ** (-decimals) + M.shape[1] * 2.0 ** (-23))
         outs = []
         for s in range(0, n_rows, block_size):
             blk = slice(s, min(s + block_size, n_rows))

@@ -29,6 +29,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.errors import (
 )
 from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
     CollectionManifest,
+    clone_untouched_buckets,
     current_data_dir,
     get_or_create_collection,
     next_data_dir,
@@ -58,11 +59,12 @@ class HydrationConfig:
       data dir swapped in atomically).
     - ``n_buckets``: create the collection hive-partitioned by
       ``id_bucket = pmod(xxhash64(id), n_buckets)``. Upserts then
-      rewrite ONLY the buckets the incoming ids hash into (dynamic
-      partition overwrite) instead of the whole collection — the
-      layout to pick when the collection is large and updates are
-      frequent. Ignored when the collection already exists (its
-      manifest wins).
+      rewrite ONLY the buckets the incoming ids hash into — untouched
+      buckets are hardlink-cloned into a fresh versioned dir and the
+      ``_current`` pointer swap publishes the rewrite atomically —
+      instead of the whole collection: the layout to pick when the
+      collection is large and updates are frequent. Ignored when the
+      collection already exists (its manifest wins).
     """
 
     collection_name: str
@@ -216,10 +218,15 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
             # ids hash into. The affected-bucket set is one bounded
             # aggregation (<= n_buckets values); existing rows outside
             # it are never read (static hive-partition pruning) and
-            # their files are never touched (dynamic partition
-            # overwrite replaces only the partitions present in the
-            # written data). Cost scales with |touched buckets| /
-            # n_buckets of the collection, not the collection.
+            # their files are never recomputed — they are carried
+            # forward into a fresh versioned dir as hardlinks
+            # (clone_untouched_buckets), and ONE atomic pointer swap
+            # publishes the rewrite. A crash at any point leaves the
+            # pointer naming a complete dir — readers see old or new
+            # state, never mixed buckets (the in-place dynamic
+            # partition overwrite this replaces could expose both).
+            # Cost still scales with |touched buckets| / n_buckets of
+            # the collection plus O(untouched files) metadata ops.
             affected = [
                 r["id_bucket"]
                 for r in with_bucket(good.select("id"))
@@ -231,13 +238,16 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
                 spark, cfg.root, cfg.collection_name, include_bucket=True
             ).filter(F.col("id_bucket").isin(affected))
             survivors = existing.join(good.select("id"), on="id", how="left_anti")
+            staging = next_data_dir(cfg.root, manifest.name)
             survivors.select(*CANONICAL_COLUMNS, "id_bucket").unionByName(
                 with_bucket(good_obs.select(*CANONICAL_COLUMNS))
-            ).write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("id_bucket").parquet(
-                current_data_dir(cfg.root, manifest.name)
+            ).write.mode("overwrite").partitionBy("id_bucket").parquet(staging)
+            clone_untouched_buckets(
+                current_data_dir(cfg.root, manifest.name),
+                staging,
+                set(affected),
             )
+            swap_data_dir(cfg.root, manifest.name, staging)
         else:
             # True upsert (Chroma upsert() semantics): incoming rows
             # REPLACE existing rows with the same id. Survivor set =

@@ -156,6 +156,7 @@ def knn_join_gemm(
     score_decimals: int | None = None,
     slack: int = 32,
     query_block_size: int = 4096,
+    max_driver_queries: int = 65_536,
 ) -> DataFrame:
     """kNN join via Arrow-batched numpy GEMM (see module docstring).
 
@@ -177,11 +178,55 @@ def knn_join_gemm(
     ``k + slack`` candidates per query (raw score order); the final
     merge ranks by (rounded score, neighbor id) for deterministic,
     oracle-matching output.
+
+    Query sets LARGER than ``max_driver_queries`` never touch the
+    driver: a bounded ``limit(max+1).count()`` probe detects them and
+    the join dispatches to the fully distributed ``ivf_knn_join`` with
+    every cell probed — exhaustive, so results keep this operator's
+    exact contract (same candidate pool, same ``rank_merge``) while
+    both sides stay executor-resident. Callers who want real IVF
+    pruning at that scale should call ``ivf_knn_join`` directly with a
+    finite ``nprobe``. This mirrors ``embedding_neardup_pairs_gemm``'s
+    broadcast-cap auto-dispatch (operators/dedup.py).
     """
     import numpy as np
 
     if metric not in METRICS:
         raise ValueError(f"metric must be one of {METRICS}")
+
+    # Bounded probe: limit() pushes down, so the scan stops as soon as
+    # max_driver_queries + 1 rows exist — never a full count of a huge
+    # query side.
+    probe = queries.limit(max_driver_queries + 1).count()
+    if probe > max_driver_queries:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+            ivf_build,
+            ivf_knn_join,
+        )
+
+        n = corpus.count()
+        n_centroids = int(min(4096, max(4, n // 1024)))
+        assigned, C = ivf_build(
+            corpus,
+            id_col=corpus_id_col,
+            embedding_col=corpus_embedding_col,
+            n_centroids=n_centroids,
+            metric="cosine" if metric == "cosine" else "l2",
+        )
+        return ivf_knn_join(
+            queries,
+            assigned,
+            C,
+            k,
+            query_id_col=query_id_col,
+            query_embedding_col=query_embedding_col,
+            id_col=corpus_id_col,
+            embedding_col=corpus_embedding_col,
+            metric=metric,
+            nprobe=C.shape[0],  # all cells -> exhaustive, exact
+            score_decimals=score_decimals,
+            slack=slack,
+        )
 
     # Stream the query side into per-block compact matrices: the
     # driver's transient footprint is one Spark partition of Row

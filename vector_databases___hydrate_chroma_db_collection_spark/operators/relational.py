@@ -165,6 +165,7 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cumsum_before",
     num_partitions: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """EXCLUSIVE running sum of ``value_col`` over the global
     ``order_col`` order — without the single-task window that
@@ -178,6 +179,14 @@ def prefix_sum(
     the offsets broadcast back. The result depends only on the global
     order, not on where range boundaries land.
 
+    ``order_col`` must be UNIQUE per row, or a ``tiebreak_col`` that
+    breaks its ties must be supplied: tied order keys can split
+    across range-partition boundaries and order arbitrarily within a
+    partition, making tied rows' exclusive sums vary run to run. With
+    ``tiebreak_col`` the pair (order, tiebreak) drives BOTH the range
+    partitioning and the window order, so the global order — and the
+    result — is total and deterministic.
+
     This is the scale-correct backbone for order-dependent layouts
     (sequence packing, file splitting by cumulative size) at corpus
     sizes where a single-task window would be the whole job.
@@ -186,12 +195,16 @@ def prefix_sum(
 
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_parts, F.col(order_col)).withColumn(
+    order_exprs = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col is not None else []
+    )
+    order_names = [order_col] + ([tiebreak_col] if tiebreak_col is not None else [])
+    ranged = df.repartitionByRange(n_parts, *order_exprs).withColumn(
         "_pid", F.spark_partition_id()
     )
     w_local = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_names)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = ranged.withColumn(

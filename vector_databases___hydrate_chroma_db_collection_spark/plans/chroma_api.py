@@ -49,14 +49,13 @@ identically; this engine just accepts a superset.
 from __future__ import annotations
 
 import numbers
-import os
-import shutil
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vector_databases___hydrate_chroma_db_collection_spark.errors import EngineError
 from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    clone_untouched_buckets,
     current_data_dir,
     load_manifest,
     next_data_dir,
@@ -162,21 +161,30 @@ def _filtered(
     return df
 
 
-def _prune_buckets_for_ids(
-    spark: SparkSession, df: DataFrame, ids: list[str], n_buckets: int
-) -> DataFrame:
-    """Static partition pruning for an id-list lookup: hash the ids
-    with the layout's own expression (one tiny local job over a
-    literal frame — never a scan of the collection) and filter the
-    hive-partition column to that bucket set."""
-    buckets = [
+def _buckets_for_ids(
+    spark: SparkSession, ids: list[str], n_buckets: int
+) -> list[int]:
+    """The distinct bucket set an id list hashes into, computed with
+    the layout's own expression (one tiny local job over a literal
+    frame — never a scan of the collection); bounded by n_buckets."""
+    return [
         r["b"]
         for r in spark.createDataFrame([(str(i),) for i in ids], "id string")
         .select(F.pmod(F.xxhash64("id"), F.lit(n_buckets)).alias("b"))
         .distinct()
         .collect()
     ]
-    return df.filter(F.col("id_bucket").isin(buckets))
+
+
+def _prune_buckets_for_ids(
+    spark: SparkSession, df: DataFrame, ids: list[str], n_buckets: int
+) -> DataFrame:
+    """Static partition pruning for an id-list lookup: filter the
+    hive-partition column to the ids' bucket set (a literal IN-list,
+    so the scan skips every other bucket dir)."""
+    return df.filter(
+        F.col("id_bucket").isin(_buckets_for_ids(spark, ids, n_buckets))
+    )
 
 
 def collection_get(
@@ -247,10 +255,12 @@ def collection_update(
     keep their stored values (per-row coalesce after a left join).
     Embedding updates are dim-validated against the manifest before
     any rewrite. Bucketed layouts rewrite only the buckets the
-    updated ids hash into (dynamic partition overwrite, same pruning
-    and same in-place consistency trade-off as bucketed upsert);
-    flat layouts rewrite into a fresh dir and swap the ``_current``
-    pointer atomically.
+    updated ids hash into, hardlink-clone the untouched buckets into
+    the same fresh versioned dir, and swap the ``_current`` pointer;
+    flat layouts rewrite the whole set into a fresh dir and swap.
+    Either way the swap is the single atomic commit point — readers
+    see the whole update or none of it, and a crash mid-rewrite
+    leaves the collection on its prior complete state.
     """
     manifest = load_manifest(root, name)
     bucketed = bool(manifest.n_buckets)
@@ -281,8 +291,21 @@ def collection_update(
     df = read_collection(spark, root, name, include_bucket=bucketed)
     scoped = df
     if bucketed:
-        ids = [r["id"] for r in u.select("id").collect()]
-        scoped = _prune_buckets_for_ids(spark, df, ids, manifest.n_buckets)
+        # Distributed bucket pruning: hash each update id to its bucket
+        # ON THE UPDATE FRAME and collect only the DISTINCT bucket set
+        # (bounded by n_buckets, never O(updates)) — a bulk update with
+        # millions of ids ships a few hundred ints to the driver, not
+        # the id list. The literal IN-list on the hive-partition column
+        # keeps static partition pruning.
+        buckets = [
+            r["b"]
+            for r in u.select(
+                F.pmod(F.xxhash64("id"), F.lit(manifest.n_buckets)).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        scoped = df.filter(F.col("id_bucket").isin(buckets))
     # Cheap existence probe only — the exact matched count is observed
     # inside the rewrite job itself (below), so an update costs the
     # probe plus ONE pass over the scoped rows, not a separate
@@ -310,14 +333,15 @@ def collection_update(
             *(["id_bucket"] if bucketed else []),
         )
     )
+    staging = next_data_dir(root, manifest.name)
     if bucketed:
-        merged.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("id_bucket").parquet(current_data_dir(root, manifest.name))
+        merged.write.mode("overwrite").partitionBy("id_bucket").parquet(staging)
+        clone_untouched_buckets(
+            current_data_dir(root, manifest.name), staging, set(buckets)
+        )
     else:
-        staging = next_data_dir(root, manifest.name)
         merged.write.mode("overwrite").parquet(staging)
-        swap_data_dir(root, manifest.name, staging)
+    swap_data_dir(root, manifest.name, staging)
     return int(obs.get["matched"])
 
 
@@ -388,23 +412,19 @@ def collection_delete(
     """``collection.delete``: remove matching rows, return how many.
 
     Bucketed layout + id-list: rewrites only the buckets the ids hash
-    into (dynamic partition overwrite); cost scales with touched
-    buckets, not collection size. A bucket whose rows are ALL deleted
-    is removed explicitly — dynamic overwrite only replaces partitions
-    present in the written data, so an emptied bucket would otherwise
-    keep its old files. Predicate deletes (and flat layouts) rewrite
-    survivors into a fresh versioned dir and swap the ``_current``
-    pointer atomically.
+    into; cost scales with touched buckets, not collection size. The
+    touched buckets' survivors are written to a fresh versioned dir,
+    untouched buckets are hardlink-cloned forward (O(files) metadata
+    ops, no data rewrite), and the ``_current`` pointer swap commits —
+    a bucket whose rows are ALL deleted is simply never written or
+    cloned. Predicate deletes (and flat layouts) rewrite survivors
+    into a fresh versioned dir and swap the same pointer.
 
-    Consistency contract: ONLY the pointer-swap path (predicate
-    deletes and flat layouts) gives readers an atomic all-or-nothing
-    view. The bucketed id-list path rewrites the live data dir in
-    place, so a concurrent reader can observe some buckets deleted and
-    others not, and a mid-write crash leaves mixed bucket state (the
-    same trade-off as bucketed upsert — pruned point writes are bought
-    with in-place partition overwrite). Route deletes through
-    ``where=`` (or use a flat layout) when snapshot consistency
-    matters more than touched-bucket pruning.
+    Consistency contract: EVERY path commits through the atomic
+    pointer swap — readers see the collection before the delete or
+    after it, never mixed bucket state, and a crash at any point
+    leaves the pointer naming a complete dir (the stale staging dir is
+    vacuum_collection's job).
     """
     if ids is None and where is None and where_document is None:
         raise EngineError("delete needs ids and/or a where predicate")
@@ -423,29 +443,28 @@ def collection_delete(
     doomed = F.coalesce(cond, F.lit(False))
 
     if bucketed and ids is not None and where is None and where_document is None:
-        scoped = _prune_buckets_for_ids(spark, df, ids, manifest.n_buckets)
-        # One aggregation over the pruned buckets: per-bucket total vs
-        # doomed counts -> deleted total + which buckets end up empty.
-        stats = (
-            scoped.groupBy("id_bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(doomed.cast("long")).alias("n_del"),
-            )
-            .collect()
+        touched = _buckets_for_ids(spark, ids, manifest.n_buckets)
+        scoped = df.filter(F.col("id_bucket").isin(touched))
+        # One aggregation over the pruned buckets sizes the delete
+        # before any rewrite (nothing touched when no id matches).
+        deleted = int(
+            scoped.agg(F.sum(doomed.cast("long")).alias("n_del")).collect()[0][
+                "n_del"
+            ]
+            or 0
         )
-        deleted = int(sum(r["n_del"] for r in stats))
         if deleted == 0:
             return 0
-        emptied = [r["id_bucket"] for r in stats if r["n"] == r["n_del"]]
         survivors = scoped.filter(~doomed)
-        data_dir = current_data_dir(root, manifest.name)
+        staging = next_data_dir(root, manifest.name)
         if survivors.limit(1).count() > 0:
-            survivors.write.mode("overwrite").option(
-                "partitionOverwriteMode", "dynamic"
-            ).partitionBy("id_bucket").parquet(data_dir)
-        for b in emptied:
-            shutil.rmtree(os.path.join(data_dir, f"id_bucket={b}"), ignore_errors=True)
+            survivors.write.mode("overwrite").partitionBy("id_bucket").parquet(
+                staging
+            )
+        clone_untouched_buckets(
+            current_data_dir(root, manifest.name), staging, set(touched)
+        )
+        swap_data_dir(root, manifest.name, staging)
         return deleted
 
     from pyspark.sql import Observation

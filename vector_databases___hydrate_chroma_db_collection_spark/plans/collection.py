@@ -119,6 +119,53 @@ def swap_data_dir(root: str, name: str, staging: str) -> str:
     return old
 
 
+def clone_untouched_buckets(
+    data_dir: str, staging: str, touched: set[int]
+) -> int:
+    """Carry every ``id_bucket=N`` partition dir NOT in ``touched``
+    forward from the active data dir into a staging dir, by hardlink
+    (fallback: copy when the link fails, e.g. cross-device). This is
+    what makes bucketed rewrites crash-atomic: the rewrite writes only
+    the touched buckets' new data into ``staging``, clones the rest as
+    O(files) metadata operations — never a data rewrite — and then the
+    ``_current`` pointer swap publishes old-or-new atomically. Removing
+    the retired dir only drops link counts, so cloned files survive.
+    On an object store the clone becomes a server-side copy of the
+    untouched buckets' objects (still no recompute, but O(bytes) for
+    the store) — the pointer protocol is unchanged. Returns the number
+    of files cloned.
+    """
+    import shutil
+
+    if not os.path.isdir(data_dir):
+        return 0
+    os.makedirs(staging, exist_ok=True)
+    cloned = 0
+    for d in os.listdir(data_dir):
+        if not d.startswith("id_bucket="):
+            continue
+        try:
+            bucket = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bucket in touched:
+            continue
+        src = os.path.join(data_dir, d)
+        dst = os.path.join(staging, d)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            s = os.path.join(src, f)
+            if not os.path.isfile(s):
+                continue
+            t = os.path.join(dst, f)
+            try:
+                os.link(s, t)
+            except OSError:
+                shutil.copy2(s, t)
+            cloned += 1
+    return cloned
+
+
 def next_data_dir(root: str, name: str) -> str:
     """A fresh versioned data-dir path (``data-N``) for rewrites."""
     base = os.path.join(root, name)

@@ -192,6 +192,19 @@ def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
             "(applyInPandasWithState) — same semantics, no protobuf."
         ) from exc
 
+    provider = events.sparkSession.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if "RocksDBStateStoreProvider" not in (provider or ""):
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the RocksDB state "
+            "store: set spark.sql.streaming.stateStore.providerClass to "
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider (the default HDFS-backed provider "
+            "fails state-schema validation mid-run). Use "
+            "stateful_user_totals (applyInPandasWithState) otherwise."
+        )
+
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
