@@ -4715,3 +4715,442 @@ def collection_get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     return collection_get(spark, root, "apig", limit=10, offset=5).select(
         "id", "document"
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 widening: FILTER-clause aggregates, arg_max/arg_min, GROUPING()
+# flags, sorted collect_set, multi-column distinct counts, window frames
+# (gap / first-last / qualify-latest), bitwise + trig scalars, regex
+# counts, inter-arrival stats, EXCEPT ALL, the crash-atomic bucketed
+# update e2e, and the audio half of the multimodal plumbing.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_filtered_conditional",
+    """
+    SELECT o_orderpriority AS priority,
+           count(*) FILTER (WHERE o_totalprice > 200000)                 AS n_big,
+           round(avg(o_totalprice) FILTER (WHERE year(o_orderdate) >= 1997), 2) AS avg_recent,
+           count(*)                                                     AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (FILTER-clause) aggregates: count/avg restricted to
+    a predicate inside one hash aggregate — one scan, one shuffle, no
+    self-join. Spark expresses FILTER as count(when)/avg(when): when()
+    yields NULL outside the predicate and count/avg skip NULLs, which
+    is exactly FILTER's semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.round(
+            F.avg(F.when(F.year("o_orderdate") >= 1997, F.col("o_totalprice"))), 2
+        ).alias("avg_recent"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_argmax_by_nation",
+    """
+    SELECT c_nationkey AS nationkey,
+           arg_max(c_custkey, c_acctbal) AS richest_custkey,
+           arg_min(c_custkey, c_acctbal) AS poorest_custkey,
+           round(max(c_acctbal), 2)      AS max_bal
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def agg_argmax_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg_max/arg_min (max_by/min_by): the row-attribute-at-extreme
+    aggregate, one hash agg instead of the window-rank-filter detour.
+    Deterministic here because acctbal is tie-free per nation in the
+    fixtures (verified); with ties both engines pick an arbitrary
+    winner and a tiebreak struct key would be required."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.max_by("c_custkey", "c_acctbal").alias("richest_custkey"),
+        F.min_by("c_custkey", "c_acctbal").alias("poorest_custkey"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@query(
+    "agg_grouping_id_rollup",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL')   AS status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT)   AS g_status,
+           count(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def agg_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags on a rollup: distinguishes a real NULL group
+    key from a super-aggregate row — the standard way BI layers read
+    rollup output (coalesce alone is ambiguous when data contains the
+    sentinel)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "g_priority",
+            "g_status",
+            "n",
+        )
+    )
+
+
+@query(
+    "agg_collect_sorted_segments",
+    """
+    SELECT c_nationkey AS nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def agg_collect_sorted_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> array_sort -> array_join: deterministic grouped
+    list aggregation. The sort makes the set order-independent (a raw
+    collect_set depends on partition arrival order and can never be
+    hash-compared), the join makes it trivially comparable."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias(
+            "segments"
+        ),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@query(
+    "agg_count_distinct_pairs",
+    """
+    SELECT o_orderpriority AS priority,
+           count(DISTINCT (o_custkey, o_orderstatus)) AS n_pairs,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_count_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT a, b): distinct on the tuple, not
+    per column — one expand-free distinct aggregate per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_distinct("o_custkey", "o_orderstatus").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "window_order_gap_days",
+    """
+    SELECT o_orderkey AS orderkey,
+           date_diff('day',
+               CAST(lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    """,
+)
+def window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap per customer: lag + datediff — the
+    order-history feature a churn model reads. One shuffle on the
+    partition key; NULL for each customer's first order."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("gap_days"),
+    )
+
+
+@query(
+    "window_first_last_frame",
+    """
+    SELECT o_orderkey AS orderkey,
+           round(first_value(o_totalprice) OVER w, 2) AS first_in_frame,
+           round(last_value(o_totalprice) OVER w, 2)  AS last_in_frame
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_first_last_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over a bounded ROWS frame (trailing
+    3-row window) — the moving-endpoint reads that RANGE frames and
+    running sums don't cover."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_in_frame"),
+        F.round(F.last("o_totalprice").over(w), 2).alias("last_in_frame"),
+    )
+
+
+@query(
+    "window_qualify_latest_order",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders
+    QUALIFY row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) = 1
+    """,
+)
+def window_qualify_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key (the QUALIFY idiom): row_number over a
+    descending order, keep rank 1. The workhorse of CDC compaction
+    and snapshot dedup; one shuffle, per-group local sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "scalar_bitwise_events",
+    """
+    SELECT event_id,
+           event_id & 255                       AS low_byte,
+           xor(event_id, user_id)               AS xor_user,
+           (event_id % 1024) << 2               AS shifted,
+           CAST(bit_count(event_id) AS BIGINT)  AS bits
+    FROM events
+    WHERE event_id < 2000
+    """,
+)
+def scalar_bitwise_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression surface: AND/XOR masks, shifts, popcount —
+    the building blocks of hash partitioners, bloom filters and
+    bit-packed feature flags. Pure codegen, no shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xor_user"),
+        F.shiftleft(F.col("event_id") % 1024, 2).cast("bigint").alias("shifted"),
+        F.bit_count("event_id").cast("bigint").alias("bits"),
+    )
+
+
+@query(
+    "scalar_trig_part",
+    """
+    SELECT p_partkey,
+           round(sin(p_retailprice), 6)            AS sin_price,
+           round(cos(p_retailprice), 6)            AS cos_price,
+           round(atan2(p_retailprice, 1000.0), 6)  AS atan2_price,
+           round(degrees(atan(p_retailprice / 1000.0)), 6) AS angle_deg
+    FROM part
+    """,
+)
+def scalar_trig_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric scalar surface (sin/cos/atan2/atan/degrees) —
+    the geo-distance and phase-feature building blocks; both engines
+    evaluate libm doubles, rounded well above ulp noise."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin("p_retailprice"), 6).alias("sin_price"),
+        F.round(F.cos("p_retailprice"), 6).alias("cos_price"),
+        F.round(F.atan2(F.col("p_retailprice"), F.lit(1000.0)), 6).alias(
+            "atan2_price"
+        ),
+        F.round(F.degrees(F.atan(F.col("p_retailprice") / 1000.0)), 6).alias(
+            "angle_deg"
+        ),
+    )
+
+
+@query(
+    "text_regexp_extract_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[aeiou]+'))                AS vowel_runs,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g'))   AS letter_chars
+    FROM documents
+    """,
+)
+def text_regexp_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + global regexp_replace as corpus-statistics
+    primitives (run-counts, alphabet-only lengths). Character classes
+    only — the regex subset every engine's dialect agrees on. Spark's
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("vowel_runs"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("letter_chars"),
+    )
+
+
+@query(
+    "events_interarrival_stats",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           round(avg(gap_us) / 1e6, 3) AS avg_gap_s,
+           round(max(gap_us) / 1e6, 3) AS max_gap_s,
+           count(*) AS n_gaps
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival statistics: lag over event time, then
+    one hash agg. Gaps stay INTEGER microseconds through the sum
+    (exact, order-independent — double summation would drift between
+    engines); division to seconds happens after. The NTZ cast is the
+    Spark-4 parquet timestamp gotcha (streaming/windows.py)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.select("user_id", (us - F.lag(us).over(w)).alias("gap_us"))
+    return (
+        g.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("gap_us") / 1e6, 3).alias("avg_gap_s"),
+            F.round(F.max("gap_us") / 1e6, 3).alias("max_gap_s"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+    )
+
+
+@query(
+    "setop_except_all_years",
+    """
+    SELECT year(o_orderdate) AS order_year
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT year(o_orderdate) AS order_year
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def setop_except_all_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference, duplicate-preserving):
+    completes the bag-semantics set-op family next to UNION ALL /
+    INTERSECT ALL. Count-based single shuffle, no row explosion."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.year("o_orderdate").cast("bigint").alias("order_year")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.year("o_orderdate").cast("bigint").alias("order_year")
+    )
+    return urgent.exceptAll(high)
+
+
+@query(
+    "collection_update_bucketed",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           CASE WHEN doc_id % 10 = 0 THEN 'REDACTED' ELSE text END AS document
+    FROM documents
+    """,
+)
+def collection_update_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.update`` end-to-end on a bucketed layout:
+    every 10th document redacted in place. Exercises the crash-atomic
+    bucketed rewrite (touched buckets written to a fresh versioned
+    dir, untouched buckets hardlink-cloned, pointer swap) and the
+    distributed bucket pruning (driver sees bucket numbers, never the
+    id list); the oracle is the expected final state."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apiup", n_buckets=8)
+    d = load_table(spark, sf_dir, "documents")
+    updates = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("REDACTED").alias("document"),
+    )
+    collection_update(spark, root, "apiup", updates)
+    return read_collection(spark, root, "apiup").select("id", "document")
+
+
+@query(
+    "multimodal_audio_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id, sha256(text) AS sha256
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio half of the multimodal plumbing, oracle-checked the
+    same way as the image half: synthesized binary assets through the
+    Arrow-batched extractor; the content digest is the
+    engine-independent output (fake-decode sample stats are covered
+    by unit tests, real WAV decode by test_multimodal.py)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.binary import (
+        extract_audio_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return extract_audio_features(assets).select("asset_id", "sha256")
