@@ -80,6 +80,52 @@ def test_streaming_tumbling_matches_batch(spark, events_stream_dir, tmp_path):
     assert got.count() >= want.count() * 0.8
 
 
+def test_stream_static_join_matches_batch(spark, events_stream_dir, tmp_path):
+    """Stream-static enrichment: the streaming run (two micro-batches,
+    complete-mode counts) must converge to exactly the batch twin —
+    no state store is involved, the static side re-broadcasts per
+    micro-batch."""
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.joins import (
+        enrich_with_static,
+    )
+
+    d, batch_events = events_stream_dir
+    nation = load_table(spark, SF_SMOKE, "nation")
+    stream = (
+        spark.readStream.schema(batch_events.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    agg = enrich_with_static(
+        stream, nation, key_expr=lambda f: f["user_id"] % 25, dim_key="n_nationkey"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_static_nation")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["nation"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM stream_static_nation").collect()
+    }
+    want = {
+        r["nation"]: (r["n_events"], r["total_value"])
+        for r in enrich_with_static(
+            batch_events,
+            nation,
+            key_expr=lambda f: f["user_id"] % 25,
+            dim_key="n_nationkey",
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     e = load_table(spark, SF_SMOKE, "events").limit(200)
     dup = e.union(e)  # every event duplicated

@@ -5154,3 +5154,246 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>").alias("meta"),
     )
     return extract_audio_features(assets).select("asset_id", "sha256")
+
+
+# --------------------------------------------------------------------------
+# Round-4 second batch: Spark-4 VARIANT JSON, mergeable HLL sketches with
+# the exact-twin contract, time-interval RANGE frames, array set algebra,
+# translate/reverse scalars, a salted skew join proven against the plain
+# join, and the stream-static join's batch twin.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_variant_json_events",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    WHERE event_id < 3000
+    """,
+)
+def scalar_variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion: ``parse_json`` to a variant value,
+    typed reads via ``try_variant_get`` — the schema-on-read path for
+    semi-structured columns (the open-format successor to
+    get_json_object string plucking; binary-encoded, so repeated
+    reads skip re-parsing). Oracle reads the same JSON with DuckDB's
+    json_extract."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 3000)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_mod"),
+    )
+
+
+@query(
+    "agg_hll_sketch_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS sketch_within_tol
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasketches HLL (hll_sketch_agg / hll_sketch_estimate): unlike
+    approx_count_distinct, the sketch itself is a mergeable binary
+    column — the 100-TB pattern is per-partition/per-day sketches
+    unioned later (hll_union_agg) without rescanning. Same oracle
+    contract as the HLL++ query: the exact twin plus a
+    within-tolerance boolean the driver asserts TRUE (lgConfigK=14
+    -> rse ~0.8%; 5% tolerance is >6 sigma)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    0.05 * F.col("exact_users"), F.lit(2.0)
+                )
+            ).alias("sketch_within_tol"),
+        )
+    )
+
+
+@query(
+    "window_range_time_30d",
+    """
+    SELECT o_orderkey AS orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_time_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer: a RANGE frame bounded by a
+    TIME interval, not a row count — the moving-window shape behind
+    rolling revenue/MAU metrics. RANGE treats same-date orders as
+    peers (all included), so the result is deterministic even with
+    duplicate order dates. Expressed through the SQL entry because
+    the DataFrame rangeBetween API takes only numeric offsets."""
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey AS orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+               ), 2) AS spend_30d
+        FROM orders
+        """
+    )
+
+
+@query(
+    "scalar_array_setops_part",
+    """
+    SELECT p_partkey,
+           coalesce(array_to_string(list_sort(list_intersect(
+               [p_type, p_name, p_brand],
+               ['ECONOMY', 'SMALL', 'JUMBO'])), '|'), '') AS overlap,
+           coalesce(array_to_string(list_sort(list_filter(
+               [p_type, p_name, p_brand],
+               x -> NOT list_contains(['ECONOMY', 'SMALL', 'JUMBO'], x))), '|'), '') AS rest,
+           len(list_distinct([p_type, p_name, p_brand])) AS n_distinct_attrs
+    FROM part
+    """,
+)
+def scalar_array_setops_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra (intersect / except / distinct size) as
+    codegen expressions; results sorted + joined to strings so the
+    comparison is order-insensitive on both engines."""
+    p = load_table(spark, sf_dir, "part")
+    attrs = F.array("p_type", "p_name", "p_brand")
+    probe = F.array(F.lit("ECONOMY"), F.lit("SMALL"), F.lit("JUMBO"))
+    return p.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_intersect(attrs, probe)), "|").alias(
+            "overlap"
+        ),
+        F.array_join(F.array_sort(F.array_except(attrs, probe)), "|").alias("rest"),
+        F.size(F.array_distinct(attrs)).cast("bigint").alias("n_distinct_attrs"),
+    )
+
+
+@query(
+    "scalar_translate_reverse",
+    """
+    SELECT c_custkey,
+           translate(c_name, '#_', '-.') AS squashed,
+           reverse(lower(c_mktsegment))  AS rev_segment,
+           length(replace(c_name, 'Customer', '')) AS stripped_len
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+)
+def scalar_translate_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level string surface: translate (per-char map),
+    reverse, replace — the normalization primitives under id
+    canonicalization and fuzzy matching."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.translate("c_name", "#_", "-.").alias("squashed"),
+        F.reverse(F.lower("c_mktsegment")).alias("rev_segment"),
+        F.length(F.replace("c_name", F.lit("Customer"), F.lit(""))).cast(
+            "bigint"
+        ).alias("stripped_len"),
+    )
+
+
+@query(
+    "join_salted_hot_keys",
+    """
+    SELECT o_orderstatus AS status,
+           sum(length(o_orderpriority)) AS total_weight,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def join_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join, oracle-proven: the 5 order priorities are
+    pathological hot keys (every fact row hits one of 5 build rows),
+    the classic skew shape where one reducer gets the whole key. The
+    cure: replicate the small side across N_SALT salt ids, hash each
+    fact row to one salt, join on (key, salt) — every shuffle
+    partition carries ~1/N_SALT of each hot key. The oracle is the
+    UNSALTED result (a plain aggregate): salting must never change
+    the answer, only the distribution. (With a 5-row dim you would
+    broadcast in practice — the query proves the rewrite's identity,
+    which is what matters when the dim is too big to broadcast.)"""
+    N_SALT = 8
+    o = load_table(spark, sf_dir, "orders")
+    dim = (
+        o.select("o_orderpriority").distinct()
+        .select(
+            F.col("o_orderpriority").alias("p_key"),
+            F.length("o_orderpriority").alias("weight"),
+        )
+    )
+    salted_dim = dim.select(
+        "p_key", "weight", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt")
+    )
+    fact = o.select(
+        "o_orderstatus",
+        F.col("o_orderpriority").alias("p_key"),
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(N_SALT)).cast("int").alias("salt"),
+    )
+    joined = fact.join(salted_dim.hint("shuffle_hash"), ["p_key", "salt"])
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.sum("weight").alias("total_weight"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "stream_static_join_nation",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    WHERE e.event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1
+    """,
+)
+def stream_static_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static join: each (streaming) event
+    enriched against a broadcast static dimension, then aggregated.
+    In Structured Streaming the static side is re-broadcast per
+    micro-batch with no state store involved — the standard
+    dimension-enrichment topology; tests/test_streaming.py drives the
+    identical plan through readStream and diffs against this twin.
+    sum(value) stays deterministic at 2 decimals because each group
+    sums ~hundreds of doubles (error ~1e-10, far under the
+    rounding)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.joins import (
+        enrich_with_static,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    return enrich_with_static(
+        e, n, key_expr=lambda f: f["user_id"] % 25, dim_key="n_nationkey"
+    )

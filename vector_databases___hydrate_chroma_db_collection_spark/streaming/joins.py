@@ -72,3 +72,32 @@ def attributed_events(
         "conversion_id",
         (_us("c_ts") / 1_000_000 - _us("t_ts") / 1_000_000).alias("gap_seconds"),
     )
+
+
+def enrich_with_static(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    key_expr,
+    dim_key: str,
+    event_types: tuple[str, ...] = ("click", "view", "purchase"),
+) -> DataFrame:
+    """Stream-static join + aggregation: each (possibly streaming)
+    event row enriched against a broadcast STATIC dimension, then
+    aggregated. Unlike a stream-stream join there is NO state store —
+    the static side is simply re-planned (and re-broadcast) every
+    micro-batch, which is why this is the cheapest enrichment
+    topology and the recommended shape for slowly-changing dims at
+    100 TB/day ingest (swap the dim dataset between batches to pick
+    up changes).
+
+    Works identically on a batch frame — the oracle-checkable twin is
+    registry query ``stream_static_join_nation``; streaming parity is
+    asserted in tests/test_streaming.py.
+    """
+    filtered = events.filter(F.col("event_type").isin(*event_types))
+    joined = filtered.join(F.broadcast(dim), dim[dim_key] == key_expr(filtered))
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
