@@ -181,6 +181,48 @@ def test_stream_hydrate_appends_collection(spark, tmp_path):
     assert coll.schema["id"].dataType.simpleString() == "string"
 
 
+def test_stream_hydrate_upsert_replaces_resent_ids(spark, tmp_path):
+    """mode='upsert': a second micro-batch re-sending ids with new
+    text must REPLACE the stored rows (CDC semantics) — the final
+    collection has no duplicates and carries the batch-1 payloads,
+    via the crash-atomic batch upsert writer per micro-batch."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(50)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    in_dir = tmp_path / "in"
+    joined.write.parquet(str(in_dir / "b0"))
+    # second batch: first 10 ids re-sent with rewritten text
+    joined.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.concat(F.lit("v2: "), F.col("text"))
+    ).write.parquet(str(in_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(joined.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    cfg = HydrationConfig(
+        collection_name="stream_up",
+        root=str(tmp_path / "colls"),
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        n_buckets=4,
+    )
+    q = stream_hydrate(stream, cfg, dim=64, trigger_once=True, mode="upsert")
+    q.awaitTermination(180)
+
+    coll = read_collection(spark, str(tmp_path / "colls"), "stream_up")
+    assert coll.count() == 50  # replaced, not duplicated
+    v2 = coll.filter(F.col("document").startswith("v2: ")).count()
+    # file-source ordering is lexicographic (b0 then b1), so the v2
+    # batch lands second and wins
+    assert v2 == 10
+
+
 def test_stateful_user_totals_across_batches(spark, tmp_path):
     from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
         stateful_user_totals,

@@ -5397,3 +5397,101 @@ def stream_static_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_with_static(
         e, n, key_expr=lambda f: f["user_id"] % 25, dim_key="n_nationkey"
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 third batch: training-order shuffle/sharding and corpus
+# vocabulary — the data-ordering half of a training-data pipeline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shard_interleave_documents",
+    f"""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               {_HASH64.format(x="concat('shuffle42:', CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           h % 8 AS shard,
+           row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+    FROM hashed
+    """,
+)
+def shard_interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order: a
+    seeded engine-portable hash gives every document a pseudorandom
+    rank, the shard is hash mod n_shards, and the within-shard
+    position is the rank order — the reproducible replacement for
+    rand()-shuffling a 100 TB corpus before writing training shards.
+    One shuffle on the shard key; each shard sorts independently (the
+    inherent cost of a defined training order), no global sort, no
+    driver state. Changing the seed string reshuffles everything
+    deterministically."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("shuffle42:"), F.col("doc_id").cast("string")))
+    hashed = d.select("doc_id", "lang", h.alias("h"))
+    shard = F.pmod(F.col("h"), F.lit(8))
+    w = Window.partitionBy(shard).orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "lang",
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@query(
+    "vocab_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS token
+        FROM documents
+    ),
+    stats AS (
+        SELECT token, count(*) AS total_tf,
+               count(DISTINCT doc_id) AS dfreq
+        FROM tok GROUP BY 1
+    ),
+    ranked AS (
+        SELECT token, total_tf, dfreq,
+               row_number() OVER (ORDER BY total_tf DESC, token) AS rank
+        FROM stats
+    )
+    SELECT token, total_tf, dfreq, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by total frequency with
+    document frequencies — the first pass of tokenizer/vocab training
+    and stopword discovery. One explode + one map-side-combinable
+    agg; the global top-50 is a TakeOrderedAndProject over the
+    (bounded) distinct-token aggregate, never a full sort of the
+    corpus. Rank ties break on the token so ordering is
+    engine-portable."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(normalize_text("text"))).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.count_distinct("doc_id").alias("dfreq"),
+    )
+    # TakeOrderedAndProject keeps 50 rows; the unpartitioned
+    # row_number window then runs over those 50 rows only, never the
+    # full vocabulary.
+    top = stats.orderBy(F.col("total_tf").desc(), "token").limit(50)
+    w = Window.orderBy(F.col("total_tf").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

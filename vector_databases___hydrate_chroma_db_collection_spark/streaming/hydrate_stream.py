@@ -36,15 +36,25 @@ def stream_hydrate(
     watermark: str = "10 minutes",
     checkpoint_dir: str | None = None,
     trigger_once: bool = False,
+    mode: str = "append",
 ) -> StreamingQuery:
-    """Continuously append a canonical-shape stream to a collection.
+    """Continuously hydrate a canonical-shape stream into a collection.
 
     - id dedup: within the watermark horizon via
       ``dropDuplicatesWithinWatermark`` (bounded state — the unbounded
       exact variant would OOM a year-long stream), falling back to
       plain in-batch dedup when no ts column exists.
     - dimension guard: same strict policy as batch hydrate.
+    - ``mode="append"`` (default): each micro-batch is a partitioned
+      Parquet append — the ingest path for immutable event streams.
+    - ``mode="upsert"``: each micro-batch routes through the batch
+      ``hydrate(on_duplicate='upsert')`` writer, so a re-sent id
+      REPLACES its stored row (CDC-style streams); the rewrite
+      inherits batch upsert's crash-atomicity (versioned dir +
+      pointer swap, bucket-pruned on bucketed layouts).
     """
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
     manifest = get_or_create_collection(
         cfg.root, cfg.collection_name, dim, cfg.metric, n_buckets=cfg.n_buckets
     )
@@ -68,16 +78,44 @@ def stream_hydrate(
         data = watermark_ready(data, "_ts").withWatermark(
             "_ts", watermark
         ).dropDuplicatesWithinWatermark(["id"]).drop("_ts")
-    else:
+    elif mode == "append":
+        # Stateful stream-level dedup: an id seen ONCE is suppressed
+        # forever after (unbounded state — callers with long streams
+        # should pass ts_col for the bounded watermark variant).
         data = data.dropDuplicates(["id"])
+    # mode == "upsert" without ts_col: NO stream-level dedup — a
+    # re-sent id must reach the writer to replace its stored row
+    # (stateful dropDuplicates would swallow it); in-batch duplicates
+    # are collapsed inside write_batch instead.
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # Resolve the active data dir per micro-batch so a concurrent
-        # compaction/upsert swap redirects subsequent appends.
-        out_path = current_data_dir(cfg.root, manifest.name)
         canonical = batch_df.withColumn(
             "metadata", F.create_map().cast("map<string,string>")
         ).select(*CANONICAL_COLUMNS)
+        if mode == "upsert":
+            canonical = canonical.dropDuplicates(["id"])
+            if canonical.isEmpty():
+                return
+            from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+                hydrate,
+            )
+
+            hydrate(
+                canonical.sparkSession,
+                canonical,
+                HydrationConfig(
+                    collection_name=cfg.collection_name,
+                    root=cfg.root,
+                    metric=cfg.metric,
+                    on_duplicate="upsert",
+                    dim=dim,
+                    n_buckets=manifest.n_buckets,
+                ),
+            )
+            return
+        # Resolve the active data dir per micro-batch so a concurrent
+        # compaction/upsert swap redirects subsequent appends.
+        out_path = current_data_dir(cfg.root, manifest.name)
         if manifest.n_buckets:
             canonical.withColumn(
                 "id_bucket", F.pmod(F.xxhash64("id"), F.lit(manifest.n_buckets))
