@@ -25,7 +25,10 @@ implements one. Here search is a first-class distributed operator:
   batch and a running per-query top-k is folded across the partition.
   Each partition emits at most |Q| * (k + slack) candidate rows, so
   the only shuffle moves O(P * |Q| * k) rows regardless of corpus
-  size. This is how a 100 TB corpus meets a 10k-query batch.
+  size. This is how a 100 TB corpus meets a 10k-query batch. Query
+  sides past ``max_driver_queries`` never touch the driver: a bounded
+  probe detects them and the join auto-dispatches to the fully
+  distributed ``ivf_knn_join`` with every cell probed (exact).
 
 - approximate variants (LSH / IVF) live in ``ann.py``.
 """
