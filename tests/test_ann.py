@@ -262,6 +262,46 @@ def test_ivf_knn_join_pruned_recall(spark):
     assert hits == len(got) and len(got) > 0
 
 
+def test_ivf_knn_join_multi_assigned_dedups_pairs(spark):
+    """A corpus whose rows are EXPLICITLY assigned to several cells
+    (ivf_neardup-style layout) duplicates (query, corpus) meetings
+    across probed cells; with multi_assigned=True the join collapses
+    them deterministically and must still reproduce the exact
+    knn_join output at full probe. Without the flag the contract only
+    covers single-assignment ivf_build layouts."""
+    from pyspark.sql import functions as FX
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_knn_join,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    assigned, centroids = ivf_build(
+        emb, id_col="vec_id", n_centroids=4, seed=42, metric="cosine"
+    )
+    # multi-assign: every corpus row also lives in the next cell
+    doubled = assigned.unionByName(
+        assigned.withColumn(
+            "ivf_cell", ((FX.col("ivf_cell") + 1) % 4).cast("int")
+        )
+    )
+    got = ivf_knn_join(
+        q, doubled, centroids, k=3,
+        id_col="vec_id", metric="cosine", nprobe=4, score_decimals=4,
+        multi_assigned=True,
+    )
+    want = knn_join(
+        q, emb, k=3, metric="cosine", corpus_id_col="vec_id", score_decimals=4
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_ivf_knn_join_l2_metric(spark):
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         ivf_knn_join,

@@ -341,6 +341,42 @@ def test_bucketed_upsert_rewrites_only_affected_buckets(spark, sample, tmp_path)
     assert rows == {"1.0": "first doc v2", "2.0": "second doc", "3.0": "third doc"}
 
 
+def test_clone_untouched_buckets_links_only_untouched(tmp_path):
+    """Unit contract of the bucket-clone helper: untouched id_bucket
+    dirs are carried forward (hardlink or copy), touched buckets and
+    non-bucket entries are skipped, and a missing source dir is a
+    no-op."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        clone_untouched_buckets,
+    )
+
+    src = tmp_path / "data-1"
+    for b in (0, 1, 2):
+        d = src / f"id_bucket={b}"
+        d.mkdir(parents=True)
+        (d / f"part-{b}.parquet").write_bytes(b"x" * (b + 1))
+    (src / "_SUCCESS").write_text("")  # non-bucket entry: never cloned
+    (src / "id_bucket=junk").mkdir()  # unparseable bucket id: skipped
+
+    staging = tmp_path / "data-2"
+    n = clone_untouched_buckets(str(src), str(staging), touched={1})
+    assert n == 2  # buckets 0 and 2 cloned, bucket 1 skipped
+    assert (staging / "id_bucket=0" / "part-0.parquet").read_bytes() == b"x"
+    assert (staging / "id_bucket=2" / "part-2.parquet").read_bytes() == b"xxx"
+    assert not (staging / "id_bucket=1").exists()
+    assert not (staging / "_SUCCESS").exists()
+    assert not (staging / "id_bucket=junk").exists()
+    # hardlinked files survive removal of the source (pointer-swap GC)
+    import shutil
+
+    shutil.rmtree(src)
+    assert (staging / "id_bucket=0" / "part-0.parquet").read_bytes() == b"x"
+    # missing source: no-op
+    assert clone_untouched_buckets(str(tmp_path / "nope"), str(staging), set()) == 0
+
+
 def test_bucketed_upsert_is_crash_atomic(spark, sample, tmp_path, monkeypatch):
     """Bucketed upsert commits through the pointer swap: a simulated
     crash after the staging write leaves the collection on its prior
