@@ -5495,3 +5495,106 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = stats.orderBy(F.col("total_tf").desc(), "token").limit(50)
     w = Window.orderBy(F.col("total_tf").desc(), "token")
     return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+# --------------------------------------------------------------------------
+# Round-4 fourth batch: ANSI-safe try_* arithmetic, map higher-order
+# functions, and date-sequence generation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_quantity - l_quantity, 0) AS div_by_zero,
+           try_cast(l_returnflag AS BIGINT)                     AS bad_cast,
+           CAST(round(l_extendedprice / nullif(l_quantity, 0) * 100) AS BIGINT) AS unit_cents
+    FROM lineitem
+    WHERE l_orderkey < 400
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: try_divide / try_cast return NULL
+    instead of failing the job — the error-isolation surface a
+    pipeline needs when one malformed row must not kill a 100 TB
+    scan. Division by zero and an unparseable cast both surface as
+    NULLs the oracle reproduces with nullif/try_cast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),
+        F.col("l_returnflag").try_cast("bigint").alias("bad_cast"),
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")) * 100
+        ).cast("bigint").alias("unit_cents"),
+    )
+
+
+@query(
+    "scalar_map_hof_orders",
+    """
+    SELECT o_orderkey,
+           concat('base=', CAST(round(o_totalprice, 2) AS VARCHAR),
+                  ';taxed=', CAST(round(o_totalprice * 1.1, 2) AS VARCHAR)) AS fee_map,
+           2 AS n_keys
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def scalar_map_hof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a map from arrays,
+    transform_values (per-entry lambda), then serialize via
+    map_entries -> transform -> array_join. DuckDB has no comparable
+    map surface, so the oracle reproduces the serialized STRING — the
+    values and ordering are what the driver hashes, the map HOF
+    machinery is what the Spark side exercises."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    m = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("taxed")),
+        F.array(F.col("o_totalprice"), F.col("o_totalprice")),
+    )
+    taxed = F.transform_values(
+        m, lambda k, v: F.when(k == "taxed", F.round(v * 1.1, 2)).otherwise(F.round(v, 2))
+    )
+    entries = F.transform(
+        F.map_entries(taxed),
+        lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_join(entries, ";").alias("fee_map"),
+        F.size(F.map_keys(taxed)).cast("bigint").alias("n_keys"),
+    )
+
+
+@query(
+    "scalar_sequence_dates",
+    """
+    SELECT o_orderkey,
+           CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+                                       CAST(o_orderdate AS DATE) + 3,
+                                       INTERVAL 1 DAY)) AS TIMESTAMP) AS day
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+)
+def scalar_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-sequence generation + explode: each order expanded to its
+    4-day observation window — the row-generation primitive behind
+    calendar spines and gap-filling joins. sequence() is codegen;
+    explode multiplies rows without a shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(
+                F.col("o_orderdate").cast("date"),
+                F.date_add(F.col("o_orderdate").cast("date"), 3),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day"),
+    ).withColumn("day", F.col("day").cast("timestamp"))
