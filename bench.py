@@ -212,6 +212,53 @@ def main() -> None:
     assigned_ivf.unpersist()
 
     # ------------------------------------------------------------------
+    # PQ compressed-corpus kNN on the same 200k corpus: one-time train
+    # (driver-sample Lloyd per subspace) + encode to 8 uint8 codes/row
+    # (256 B -> 8 B, 32x), then steady-state ADC query + exact rerank.
+    # The in-bench assert checks self-recall through the rerank path —
+    # the approximation is measured, not assumed. At 100 TB the encoded
+    # table is what scans/caches, which is the whole point.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        pq_encode,
+        pq_knn_query,
+        pq_train,
+    )
+
+    t0 = time.perf_counter()
+    codebooks = pq_train(
+        corpus.sample(0.1, 42),
+        embedding_col="embedding",
+        m=8,
+        n_codes=256,
+        seed=42,
+        normalize=True,
+    )
+    encoded_pq = pq_encode(
+        corpus, codebooks, id_col="id", normalize=True
+    ).cache()
+    encoded_pq.count()
+    timings["synth200k_pq_encode"] = round(time.perf_counter() - t0, 3)
+
+    def run_pq_query() -> None:
+        rows = pq_knn_query(
+            encoded_pq,
+            codebooks,
+            qvec,
+            k=10,
+            id_col="id",
+            metric="cosine",
+            rerank_corpus=corpus,
+            embedding_col="embedding",
+            rerank_factor=8,
+            score_decimals=4,
+        ).collect()
+        assert rows[0]["id"] == 0, "PQ rerank lost the self-neighbor"
+
+    timings["synth200k_pq_knn_query"] = timed(run_pq_query)
+    encoded_pq.unpersist()
+
+    # ------------------------------------------------------------------
     # Scale probe: IVF-cell-bucketed semantic near-dup on the same 200k
     # corpus with 2000 planted near-identical pairs (id%100==0 shares
     # id+1's base vector plus a ~1e-4 perturbation). Auto-sizing gives

@@ -1,0 +1,121 @@
+"""Product quantization: determinism, compression shape, ADC recall,
+and exact-rerank agreement with brute force. Approximation lives only
+in the ADC prescreen; the rerank path recomputes exact scores, so its
+contract is tested against ``knn_query`` directly."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import knn_query
+from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+    pq_encode,
+    pq_knn_query,
+    pq_train,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings")
+
+
+def _query_vec(spark):
+    emb = _emb(spark)
+    return list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+
+
+def test_pq_train_shape_and_determinism(spark):
+    emb = _emb(spark)
+    cb1 = pq_train(emb, embedding_col="embedding", m=8, n_codes=16, seed=7)
+    cb2 = pq_train(emb, embedding_col="embedding", m=8, n_codes=16, seed=7)
+    assert cb1.shape == (8, 16, 8)  # dim 64 / m 8
+    np.testing.assert_array_equal(cb1, cb2)
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark):
+    emb = _emb(spark)
+    cb = pq_train(emb, embedding_col="embedding", m=8, n_codes=16, seed=7)
+    enc1 = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, cb, id_col="vec_id").collect()
+    }
+    enc2 = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, cb, id_col="vec_id").collect()
+    }
+    assert enc1 == enc2
+    assert len(enc1) == emb.count()
+    for codes in enc1.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    cb = pq_train(
+        emb, embedding_col="embedding", m=16, n_codes=32, seed=7, normalize=True
+    )
+    enc = pq_encode(emb, cb, id_col="vec_id", normalize=True)
+    exact = [
+        r["vec_id"]
+        for r in knn_query(emb, q, k=10, id_col="vec_id", metric="cosine").collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in pq_knn_query(
+            enc, cb, q, k=10, id_col="vec_id", metric="cosine"
+        ).collect()
+    ]
+    # 16 subspaces x 32 codes on a 500-row fixture: ADC alone should
+    # recover most of the exact top-10.
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.6, (exact, approx)
+
+
+def test_pq_rerank_matches_exact_topk(spark):
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    cb = pq_train(
+        emb, embedding_col="embedding", m=16, n_codes=32, seed=7, normalize=True
+    )
+    enc = pq_encode(emb, cb, id_col="vec_id", normalize=True)
+    exact = knn_query(
+        emb, q, k=5, id_col="vec_id", metric="cosine", score_decimals=4
+    ).collect()
+    reranked = pq_knn_query(
+        enc,
+        cb,
+        q,
+        k=5,
+        id_col="vec_id",
+        metric="cosine",
+        rerank_corpus=emb,
+        embedding_col="embedding",
+        rerank_factor=40,  # 200 candidates of 500 rows — prescreen wide
+        score_decimals=4,
+    ).collect()
+    # Rerank recomputes exact scores, so overlap rows agree bit-for-bit
+    # and at this prescreen width the whole top-5 should survive.
+    exact_map = {r["vec_id"]: r["score"] for r in exact}
+    rr_map = {r["vec_id"]: r["score"] for r in reranked}
+    assert set(rr_map) == set(exact_map), (exact, reranked)
+    for vid, s in rr_map.items():
+        assert s == exact_map[vid]
+
+
+def test_pq_l2_metric_orders_ascending(spark):
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    cb = pq_train(emb, embedding_col="embedding", m=8, n_codes=32, seed=7)
+    enc = pq_encode(emb, cb, id_col="vec_id")
+    rows = pq_knn_query(enc, cb, q, k=10, id_col="vec_id", metric="l2").collect()
+    scores = [r["adc_score"] for r in rows]
+    assert scores == sorted(scores)
+    # the query's own row (vec_id=7) has ADC distance equal to its own
+    # quantization error — it should rank first on the fixture
+    assert rows[0]["vec_id"] == 7

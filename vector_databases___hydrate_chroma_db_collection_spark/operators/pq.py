@@ -1,0 +1,269 @@
+"""Product quantization (PQ) — compressed-vector ANN, the memory-scale path.
+
+The reference hydrates a Chroma collection whose embeddings are
+"100s or sometimes 1000s of columns" wide (reference README.md:75) and
+leans on a separate Chroma server "for persistence and scale"
+(README.md:60). At 100 TB the binding constraint is the byte volume of
+the vectors themselves: a 1024-dim float32 corpus is 4 KiB/row, and
+every exact or IVF kNN pass must move that. PQ (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+FAISS IVF-PQ design) cuts that to ``m`` bytes/row: split each vector
+into ``m`` subspaces, k-means each subspace into ≤256 codes, store one
+uint8 code per subspace, and score queries against codes via an
+asymmetric-distance (ADC) lookup table that never touches the original
+floats.
+
+Spark mapping (all corpus-side work distributed):
+
+- **train** — one bounded driver-side sample (same memory contract as
+  ``ann._train_kmeans``: ≤ ``max_train_rows`` × dim float64), then ``m``
+  independent numpy Lloyd loops over its column slices. One scan total.
+- **encode** — Arrow-batched ``mapInPandas``; the (m, n_codes, dsub)
+  codebook tensor rides the task closure (≤ 256·dim·8 bytes — tiny).
+  Output is ``array<smallint>`` codes: a 4·dim→m byte compression that
+  shrinks shuffle, cache, and scan volume by the same factor.
+- **query (ADC)** — the per-query lookup table (m × n_codes doubles) is
+  built once on the driver and rides the closure; each executor scores
+  its partitions with vectorized ``take``s and only ``k`` rows per
+  partition survive into the global top-k (TakeOrderedAndProject — no
+  shuffle of the corpus).
+- **rerank** — optional exact refinement: ADC prescreens to
+  ``k·rerank_factor`` candidates, a broadcast-semi-join pulls only those
+  rows' full vectors, and exact scores decide the final top-k. This is
+  the standard IVF-PQ+refine recipe; recall is tested, not assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 15) -> np.ndarray:
+    """Plain seeded Lloyd on a driver-side sample slice (see
+    ``ann._train_kmeans`` for why not MLlib at this problem size)."""
+    rng = np.random.RandomState(seed)
+    k = int(min(k, len(X)))
+    C = X[rng.choice(len(X), k, replace=False)].copy()
+    for _ in range(n_iter):
+        owner = np.argmin(
+            (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T), axis=1
+        )
+        sums = np.zeros_like(C)
+        np.add.at(sums, owner, X)
+        counts = np.bincount(owner, minlength=k)
+        live = counts > 0
+        C[live] = sums[live] / counts[live, None]
+    return C
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    embedding_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    normalize: bool = False,
+    max_train_rows: int = 262_144,
+    n_rows: int | None = None,
+) -> np.ndarray:
+    """Train PQ codebooks -> (m, n_codes, dim//m) float64.
+
+    ONE corpus scan: a seeded uniform sample (no partition-prefix bias
+    — same reasoning as ``ann._train_kmeans``) is collected once and
+    all ``m`` subspace k-means run on its column slices. ``normalize``
+    trains on unit vectors (use for cosine corpora; encode with the
+    same flag). ``dim`` must divide evenly by ``m``.
+    """
+    vecs = corpus.select(F.col(embedding_col).alias("_v"))
+    n = vecs.count() if n_rows is None else int(n_rows)
+    if n > max_train_rows:
+        vecs = vecs.sample(max_train_rows / n, seed)
+    pdf = vecs.toPandas()
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_v"]])
+    if len(X) > max_train_rows:
+        keep = np.random.RandomState(seed).choice(
+            len(X), max_train_rows, replace=False
+        )
+        X = X[np.sort(keep)]
+    if normalize:
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub]),
+                n_codes,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    normalize: bool = False,
+) -> DataFrame:
+    """Encode every vector to ``m`` subspace codes (array<smallint>).
+
+    Arrow-batched; the codebook tensor ships in the closure. Output
+    rows are (id, pq_code) — 4·dim bytes → m bytes — so the encoded
+    table caches, shuffles, and scans at the compressed size.
+    """
+    import pandas as pd
+
+    m, n_codes, dsub = codebooks.shape
+    # Per-subspace ||c||^2 terms precomputed once; argmin ||x-c||^2 ==
+    # argmin (c^2 - 2 x.c) per subspace, vectorized over the batch.
+    c_sq = (codebooks * codebooks).sum(axis=2)  # (m, n_codes)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, pq_code array<smallint>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+            if normalize:
+                E = E / np.maximum(
+                    np.linalg.norm(E, axis=1, keepdims=True), 1e-300
+                )
+            codes = np.empty((len(E), m), dtype=np.int16)
+            for j in range(m):
+                sub = E[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmin(
+                    c_sq[j][None, :] - 2.0 * (sub @ codebooks[j].T), axis=1
+                )
+            yield pd.DataFrame(
+                {id_col: pdf["_id"], "pq_code": list(codes)}
+            )
+
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e")
+    )
+    return base.mapInPandas(encode, schema=out_schema)
+
+
+def pq_knn_query(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vector: list[float],
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    metric: str = "l2",
+    rerank_corpus: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    rerank_factor: int = 8,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """ADC top-k over PQ codes; optionally exact-rerank the prescreen.
+
+    The query's (m × n_codes) distance lookup table is built once on
+    the driver and rides the closure; executors score each row as a sum
+    of ``m`` table lookups — no float vectors move. ``metric``:
+
+    - ``"l2"``   — ADC approximates squared L2; smaller is nearer.
+    - ``"cosine"`` — codebooks/codes must be trained/encoded with
+      ``normalize=True``; ADC approximates the inner product of unit
+      vectors; larger is nearer.
+
+    Without ``rerank_corpus`` the ADC order IS the result (score =
+    approximate distance/similarity). With it, the top ``k·rerank_factor``
+    ADC candidates are joined back to their full vectors (broadcast of a
+    bounded candidate id set) and exact scores pick the final ``k`` —
+    the refine step of FAISS's IVFPQ+refine.
+    """
+    import pandas as pd
+
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"pq_knn_query metric must be 'l2' or 'cosine', got {metric!r}")
+    m, n_codes, dsub = codebooks.shape
+    q = np.asarray(query_vector, dtype=np.float64)
+    if metric == "cosine":
+        q = q / max(np.linalg.norm(q), 1e-300)
+    if q.shape[0] != m * dsub:
+        raise ValueError(
+            f"query dim {q.shape[0]} != codebook dim {m * dsub}"
+        )
+    # LUT[j, c] = contribution of code c in subspace j to the total
+    # score for THIS query: squared-L2 chunk distance, or unit-vector
+    # dot-product chunk. (m × n_codes doubles ≤ 16 KiB — closure-safe.)
+    if metric == "l2":
+        lut = np.stack(
+            [
+                ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+        ascending = True
+    else:
+        lut = np.stack(
+            [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+        )
+        ascending = False
+
+    id_type = encoded.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
+            )  # (n, m)
+            s = np.zeros(len(codes))
+            for j in range(m):
+                s += lut[j][codes[:, j]]
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_score": s})
+
+    scored = encoded.select(id_col, "pq_code").mapInPandas(
+        score, schema=f"{id_col} {id_type}, adc_score double"
+    )
+    order = (
+        F.col("adc_score").asc() if ascending else F.col("adc_score").desc()
+    )
+
+    if rerank_corpus is None:
+        out = scored.orderBy(order, F.col(id_col)).limit(k)
+        if score_decimals is not None:
+            out = out.withColumn(
+                "adc_score", F.round("adc_score", score_decimals)
+            )
+        return out
+
+    # Exact refine: bounded candidate set (k·rerank_factor ids) joined
+    # back to full vectors; Catalyst broadcasts the small side.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        _score as _exact_score,
+    )
+
+    candidates = scored.orderBy(order, F.col(id_col)).limit(
+        k * rerank_factor
+    )
+    exact = rerank_corpus.join(
+        F.broadcast(candidates.select(id_col)), id_col, "inner"
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
+    dist, exact_asc = _exact_score(metric, F.col(embedding_col), qlit)
+    if score_decimals is not None:
+        dist = F.round(dist, score_decimals)
+    return (
+        exact.withColumn("score", dist)
+        .select(id_col, "score")
+        .orderBy(
+            F.col("score").asc() if exact_asc else F.col("score").desc(),
+            F.col(id_col),
+        )
+        .limit(k)
+    )

@@ -5598,3 +5598,290 @@ def scalar_sequence_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("day"),
     ).withColumn("day", F.col("day").cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# Round 4 additions: interval-overlap join, embedding decontamination,
+# weighted source mixing, histogram profiling, and PQ compressed kNN —
+# the remaining training-pipeline shapes the registry did not yet cover.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_linenumber, l_suppkey,
+               CAST(l_shipdate AS DATE) AS s,
+               CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS e
+        FROM lineitem WHERE l_suppkey % 40 = 0
+    )
+    SELECT a.l_suppkey AS suppkey,
+           a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber,
+           b.l_orderkey AS b_orderkey, b.l_linenumber AS b_linenumber,
+           date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1 AS overlap_days
+    FROM li a JOIN li b
+      ON a.l_suppkey = b.l_suppkey
+     AND (a.l_orderkey < b.l_orderkey
+          OR (a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber))
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join via month-bucket blocking — the
+    scale-safe band-join pattern Spark lacks natively. A naive overlap
+    join is an inequality theta-join (BroadcastNestedLoop / cartesian
+    at scale); instead each interval explodes to the calendar months
+    it touches (<=3 rows here), the join becomes an EQUI-join on
+    (supplier, month) that hash-partitions and prunes like any other,
+    and the exact overlap predicate + pair-key dedup run on the
+    blocked candidates only. Same decompose-to-equi-join trick as the
+    SimHash Hamming bands (operators/dedup.py)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") % 40 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            F.col("l_shipdate").cast("date").alias("s"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                F.col("l_quantity").cast("int"),
+            ).alias("e"),
+        )
+        .withColumn(
+            "month",
+            F.explode(
+                F.sequence(
+                    F.trunc("s", "MM"), F.trunc("e", "MM"), F.expr("interval 1 month")
+                )
+            ),
+        )
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pair_lt = (F.col("a.l_orderkey") < F.col("b.l_orderkey")) | (
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+            & (F.col("a.month") == F.col("b.month")),
+        )
+        .filter(
+            pair_lt
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e"))
+        )
+        .select(
+            F.col("a.l_suppkey").alias("suppkey"),
+            F.col("a.l_orderkey").alias("a_orderkey"),
+            F.col("a.l_linenumber").alias("a_linenumber"),
+            F.col("b.l_orderkey").alias("b_orderkey"),
+            F.col("b.l_linenumber").alias("b_linenumber"),
+            (
+                F.datediff(
+                    F.least(F.col("a.e"), F.col("b.e")),
+                    F.greatest(F.col("a.s"), F.col("b.s")),
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("overlap_days"),
+        )
+        # an overlapping pair co-occurs in every shared month — dedup
+        # the pair key (bounded fan-in: <=3 months per interval)
+        .dropDuplicates(
+            ["suppkey", "a_orderkey", "a_linenumber", "b_orderkey", "b_linenumber"]
+        )
+    )
+
+
+@query(
+    "decontaminate_embedding_cosine",
+    """
+    WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE label = 9),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE label < 9),
+    s AS (
+        SELECT tr.vec_id,
+               round(
+                   list_sum(list_transform(list_zip(tr.embedding, ev.embedding),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (
+                       sqrt(list_sum(list_transform(tr.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(ev.embedding,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   ), 4) AS cs
+        FROM tr, ev
+    )
+    SELECT vec_id, count(*) AS n_eval_hits, max(cs) AS max_cos
+    FROM s WHERE cs >= 0.30
+    GROUP BY vec_id
+    """,
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: drop training vectors too
+    close (cosine >= threshold) to any held-out eval vector — the
+    semantic complement of `decontaminate_ngram_overlap` (paraphrased
+    leakage that n-gram overlap misses). The eval side is small by
+    construction, so it BROADCASTS and the cosine runs as a codegen
+    expression over one corpus scan: O(train x eval) FLOPs but O(train)
+    shuffle — at 100 TB the eval set is still a few thousand rows, so
+    the plan shape holds. Threshold 0.30 calibrated non-vacuous on the
+    fixture (157 flagged of 450 train rows)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("label") == 9).select(
+        F.col("vec_id").alias("ev_id"), F.col("embedding").alias("ev_emb")
+    )
+    tr = emb.filter(F.col("label") < 9).select("vec_id", "embedding")
+    cs = F.round(cosine_similarity(F.col("embedding"), F.col("ev_emb")), 4)
+    return (
+        tr.join(F.broadcast(ev))
+        .withColumn("cs", cs)
+        .filter(F.col("cs") >= 0.30)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("cs").alias("max_cos"),
+        )
+    )
+
+
+@query(
+    "mix_sources_by_weight",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 800
+                    WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 400
+                    ELSE 100 END AS keep_permille
+        FROM documents
+    )
+    SELECT doc_id, source, keep_permille
+    FROM w
+    WHERE {_HASH64.format(x="concat(CAST(doc_id AS VARCHAR), ':', source)")} % 1000
+          < keep_permille
+    """,
+)
+def mix_sources_by_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: per-source sampling rates (the training-mix
+    step that reweights corpora — e.g. 80% of curated sources, 10% of
+    crawl). Deterministic hash-mod draws instead of rand(): the same
+    row set is selected on every run and every engine (proven by the
+    DuckDB oracle), the filter pushes to the scan, and no seed
+    coordination or sort is needed. Changing the mix = changing one
+    literal map, not reshuffling data."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    keep = (
+        F.when(src_num < 5, 800).when(src_num < 10, 400).otherwise(100)
+    ).alias("keep_permille")
+    draw = F.pmod(
+        hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))),
+        F.lit(1000),
+    )
+    return (
+        d.select("doc_id", "source", keep)
+        .filter(draw < F.col("keep_permille"))
+    )
+
+
+@query(
+    "profile_histogram_orders",
+    """
+    SELECT CAST(least(floor(o_totalprice / 50000) + 1, 10) AS BIGINT) AS bucket,
+           count(*) AS n,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def profile_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the skew-visibility
+    profile run before choosing partition counts / salting for a new
+    table. One partial-agg pass, 10 output rows regardless of input
+    size. DuckDB lacks width_bucket, so the oracle states the
+    equivalent floor arithmetic (bounds chosen so no row falls in the
+    overflow bucket: fixture max 499,978 < 500,000)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(10))
+            .cast("bigint"),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), _money_sum(F.col("o_totalprice")).alias("total"))
+    )
+
+
+@query(
+    "knn_pq_adc_top5",
+    """
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 2),
+    scored AS (
+        SELECT
+            e.vec_id,
+            round(
+                list_sum(list_transform(list_zip(e.embedding, q.qe),
+                         p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                / (
+                    sqrt(list_sum(list_transform(e.embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                ), 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <> 2
+    )
+    SELECT vec_id, cos_sim
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+)
+def knn_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus kNN: PQ-encode the corpus (4·dim bytes -> 16
+    bytes/row), ADC-prescreen on codes only, exact-rerank the bounded
+    candidate set — FAISS's IVFPQ+refine recipe on Spark (operators/
+    pq.py). The oracle is EXACT brute-force cosine: with a prescreen
+    width of 40·k the refined top-5 provably matches it on this
+    corpus, so the approximation is checked, not trusted. At 100 TB
+    the win is that the scan/shuffle volume of the prescreen pass is
+    the compressed size."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        pq_encode,
+        pq_knn_query,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 2).select("embedding").first()["embedding"]
+    corpus = emb.filter(F.col("vec_id") != 2)
+    cb = pq_train(
+        corpus, embedding_col="embedding", m=16, n_codes=32, seed=7, normalize=True
+    )
+    enc = pq_encode(corpus, cb, id_col="vec_id", normalize=True)
+    return pq_knn_query(
+        enc,
+        cb,
+        list(qvec),
+        k=5,
+        id_col="vec_id",
+        metric="cosine",
+        rerank_corpus=corpus,
+        embedding_col="embedding",
+        rerank_factor=40,
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
