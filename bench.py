@@ -259,6 +259,51 @@ def main() -> None:
     encoded_pq.unpersist()
 
     # ------------------------------------------------------------------
+    # IVF-PQ combined index (FAISS "IVF64,PQ8" shape): coarse cells for
+    # pruning + residual PQ codes for in-cell ADC. A query scans
+    # ~nprobe/n_centroids of the corpus at 8 bytes/row — pruning AND
+    # compression stack, which is the full 100-TB retrieval story.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_search,
+    )
+
+    t0 = time.perf_counter()
+    enc_ivfpq, C_ivfpq, cb_ivfpq = ivf_pq_build(
+        corpus,
+        id_col="id",
+        n_centroids=64,
+        m=8,
+        n_codes=256,
+        seed=42,
+        sample_fraction=0.1,
+    )
+    enc_ivfpq = enc_ivfpq.cache()
+    enc_ivfpq.count()
+    timings["synth200k_ivfpq_build"] = round(time.perf_counter() - t0, 3)
+
+    def run_ivfpq_query() -> None:
+        rows = ivf_pq_search(
+            enc_ivfpq,
+            C_ivfpq,
+            cb_ivfpq,
+            qvec,
+            k=10,
+            id_col="id",
+            nprobe=4,
+            rerank_corpus=corpus,
+            embedding_col="embedding",
+            rerank_factor=8,
+            metric="cosine",
+            score_decimals=4,
+        ).collect()
+        assert rows[0]["id"] == 0, "IVF-PQ rerank lost the self-neighbor"
+
+    timings["synth200k_ivfpq_query"] = timed(run_ivfpq_query)
+    enc_ivfpq.unpersist()
+
+    # ------------------------------------------------------------------
     # Scale probe: IVF-cell-bucketed semantic near-dup on the same 200k
     # corpus with 2000 planted near-identical pairs (id%100==0 shares
     # id+1's base vector plus a ~1e-4 perturbation). Auto-sizing gives

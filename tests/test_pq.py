@@ -119,3 +119,140 @@ def test_pq_l2_metric_orders_ascending(spark):
     # the query's own row (vec_id=7) has ADC distance equal to its own
     # quantization error — it should rank first on the fixture
     assert rows[0]["vec_id"] == 7
+
+
+def test_ivf_pq_full_probe_rerank_is_exact(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_search,
+    )
+
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    enc, C, cb = ivf_pq_build(
+        emb, id_col="vec_id", n_centroids=8, m=16, n_codes=32, seed=7
+    )
+    exact = knn_query(
+        emb, q, k=5, id_col="vec_id", metric="cosine", score_decimals=4
+    ).collect()
+    got = ivf_pq_search(
+        enc,
+        C,
+        cb,
+        q,
+        k=5,
+        id_col="vec_id",
+        nprobe=8,  # full probe
+        rerank_corpus=emb,
+        embedding_col="embedding",
+        rerank_factor=40,  # 200 candidates of 500
+        metric="cosine",
+        score_decimals=4,
+    ).collect()
+    assert {r["vec_id"]: r["score"] for r in got} == {
+        r["vec_id"]: r["score"] for r in exact
+    }
+
+
+def test_ivf_pq_pruned_recall_and_pruning(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_search,
+    )
+
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    enc, C, cb = ivf_pq_build(
+        emb, id_col="vec_id", n_centroids=8, m=16, n_codes=32, seed=7
+    )
+    enc = enc.cache()
+    exact = [
+        r["vec_id"]
+        for r in knn_query(emb, q, k=10, id_col="vec_id", metric="l2").collect()
+    ]
+    got = ivf_pq_search(
+        enc, C, cb, q, k=10, id_col="vec_id", nprobe=6, metric="l2"
+    ).collect()
+    approx = [r["vec_id"] for r in got]
+    # The fixture is UNIFORM RANDOM 64-dim — neighbors do not cluster,
+    # so pruned recall is bounded by the probed fraction (~6/8) times
+    # ADC accuracy. Real embedding corpora cluster and do far better;
+    # the hard exactness claim is the full-probe test above.
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, (exact, approx)
+    # pruning really happened: candidates came from <= 6 cells, a
+    # strict subset of the corpus
+    probed = [int(c) for c in np.argsort(((C - np.asarray(q)) ** 2).sum(axis=1))[:6]]
+    n_scanned = enc.filter(F.col("ivf_cell").isin(probed)).count()
+    assert n_scanned < emb.count()
+    enc.unpersist()
+
+
+def test_ivf_pq_encoded_schema_is_compressed(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+    )
+
+    emb = _emb(spark)
+    enc, C, cb = ivf_pq_build(
+        emb, id_col="vec_id", n_centroids=4, m=8, n_codes=16, seed=7
+    )
+    assert set(enc.columns) == {"vec_id", "ivf_cell", "pq_code"}
+    rows = enc.limit(5).collect()
+    for r in rows:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 16 for c in r["pq_code"])
+        assert 0 <= r["ivf_cell"] < 4
+
+
+def test_pq_adc_expression_and_pandas_paths_agree(spark, monkeypatch):
+    """The codegen-expression ADC path and the Arrow fallback must
+    produce identical scores — the threshold only picks an execution
+    strategy, never a result."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import pq as pqmod
+
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    cb = pq_train(emb, embedding_col="embedding", m=8, n_codes=16, seed=7)
+    enc = pq_encode(emb, cb, id_col="vec_id").cache()
+    expr_rows = pq_knn_query(
+        enc, cb, q, k=20, id_col="vec_id", metric="l2", score_decimals=6
+    ).collect()
+    monkeypatch.setattr(pqmod, "ADC_EXPR_MAX_LUT", 0)  # force Pandas path
+    pandas_rows = pq_knn_query(
+        enc, cb, q, k=20, id_col="vec_id", metric="l2", score_decimals=6
+    ).collect()
+    enc.unpersist()
+    assert [(r["vec_id"], r["adc_score"]) for r in expr_rows] == [
+        (r["vec_id"], r["adc_score"]) for r in pandas_rows
+    ]
+
+
+def test_ivf_pq_write_read_roundtrip(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_read,
+        ivf_pq_search,
+        ivf_pq_write,
+    )
+
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    enc, C, cb = ivf_pq_build(
+        emb, id_col="vec_id", n_centroids=8, m=16, n_codes=32, seed=7
+    )
+    path = str(tmp_path / "ivfpq_index")
+    ivf_pq_write(enc, C, cb, path)
+    enc2, C2, cb2 = ivf_pq_read(spark, path)
+    np.testing.assert_array_equal(C, C2)
+    np.testing.assert_array_equal(cb, cb2)
+    # search through the persisted layout matches search on the live df
+    live = ivf_pq_search(
+        enc, C, cb, q, k=10, id_col="vec_id", nprobe=8, metric="l2"
+    ).collect()
+    persisted = ivf_pq_search(
+        enc2, C2, cb2, q, k=10, id_col="vec_id", nprobe=8, metric="l2"
+    ).collect()
+    assert [(r["vec_id"], r["adc_score"]) for r in live] == [
+        (r["vec_id"], r["adc_score"]) for r in persisted
+    ]

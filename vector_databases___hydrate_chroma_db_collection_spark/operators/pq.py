@@ -39,6 +39,11 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# ADC LUTs up to this many entries (m * n_codes) are inlined as literal
+# arrays into a codegen expression; larger ones fall back to an
+# Arrow-batched Pandas scorer. Module-level so tests can exercise both.
+ADC_EXPR_MAX_LUT = 4096
+
 
 def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 15) -> np.ndarray:
     """Plain seeded Lloyd on a driver-side sample slice (see
@@ -50,9 +55,16 @@ def _lloyd(X: np.ndarray, k: int, seed: int, n_iter: int = 15) -> np.ndarray:
         owner = np.argmin(
             (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T), axis=1
         )
-        sums = np.zeros_like(C)
-        np.add.at(sums, owner, X)
         counts = np.bincount(owner, minlength=k)
+        # per-dimension weighted bincount beats np.add.at (unbuffered)
+        # by ~10x at PQ subspace widths
+        sums = np.stack(
+            [
+                np.bincount(owner, weights=X[:, d], minlength=k)
+                for d in range(X.shape[1])
+            ],
+            axis=1,
+        )
         live = counts > 0
         C[live] = sums[live] / counts[live, None]
     return C
@@ -215,21 +227,44 @@ def pq_knn_query(
 
     id_type = encoded.schema[id_col].dataType.simpleString()
 
-    def score(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            codes = np.stack(
-                [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
-            )  # (n, m)
-            s = np.zeros(len(codes))
-            for j in range(m):
-                s += lut[j][codes[:, j]]
-            yield pd.DataFrame({id_col: pdf[id_col], "adc_score": s})
+    if m * n_codes <= ADC_EXPR_MAX_LUT:
+        # JVM path: the LUT rows become literal arrays and the score is
+        # m element_at lookups summed inside whole-stage codegen — no
+        # Python worker, no Arrow transfer, same speed class as the
+        # exact distance expression. This is the hot path at FAISS-
+        # typical sizes (m<=16, n_codes=256).
+        terms = [
+            F.element_at(
+                F.array(*[F.lit(float(v)) for v in lut[j]]),
+                F.col("pq_code").getItem(j).cast("int") + 1,
+            )
+            for j in range(m)
+        ]
+        adc = terms[0]
+        for t in terms[1:]:
+            adc = adc + t
+        scored = encoded.select(
+            id_col, adc.alias("adc_score")
+        )
+    else:
+        # Arrow-batched fallback for very large LUTs (wide m x big
+        # codebooks) where a literal expression tree would bloat
+        # codegen.
+        def score(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                codes = np.stack(
+                    [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
+                )  # (n, m)
+                s = np.zeros(len(codes))
+                for j in range(m):
+                    s += lut[j][codes[:, j]]
+                yield pd.DataFrame({id_col: pdf[id_col], "adc_score": s})
 
-    scored = encoded.select(id_col, "pq_code").mapInPandas(
-        score, schema=f"{id_col} {id_type}, adc_score double"
-    )
+        scored = encoded.select(id_col, "pq_code").mapInPandas(
+            score, schema=f"{id_col} {id_type}, adc_score double"
+        )
     order = (
         F.col("adc_score").asc() if ascending else F.col("adc_score").desc()
     )
@@ -266,4 +301,272 @@ def pq_knn_query(
             F.col(id_col),
         )
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the combined index — coarse cells for pruning, residual PQ codes
+# for in-cell scoring. This is the memory-AND-compute scale path (FAISS
+# "IVFx,PQy"): a query touches nprobe/n_centroids of the corpus, and what
+# it touches is m bytes/row, not 4·dim.
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_build(
+    corpus: DataFrame,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+    max_train_rows: int = 65_536,
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Build an IVF-PQ index -> (encoded_df, centroids, codebooks).
+
+    Classic residual design: rows are assigned to their nearest coarse
+    centroid (``ann.ivf_build``, one Arrow-batched scan), then PQ
+    codebooks are trained on RESIDUALS (x − centroid) — residuals
+    concentrate near zero, so the same code budget quantizes them much
+    more finely than raw vectors — and every row is encoded to
+    (cell, m codes) in a second scan. Distributed work is two corpus
+    scans; driver work is two bounded samples (coarse k-means +
+    residual PQ), the same memory contract as a broadcast join side.
+    ``sample_fraction`` thins BOTH training samples; ``max_train_rows``
+    hard-caps the residual sample regardless (Lloyd at k=256 touches
+    an (n × n_codes) distance matrix per iteration, so the cap bounds
+    driver memory traffic, and 64k rows is plenty for 256 codes).
+
+    ``encoded_df`` columns: (id, ivf_cell, pq_code). Persist it
+    partitioned by ``ivf_cell`` (``ann.ivf_write`` layout) and searches
+    prune partitions AND scan only m bytes/row.
+    """
+    import pandas as pd
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+    )
+
+    assigned, C = ivf_build(
+        corpus,
+        id_col=id_col,
+        embedding_col=embedding_col,
+        n_centroids=n_centroids,
+        seed=seed,
+        sample_fraction=sample_fraction,
+        metric="l2",
+    )
+    dim = C.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+
+    # Residual sample for PQ training — seeded exact-fraction sample,
+    # no prefix bias (same reasoning as ann._train_kmeans).
+    res_src = assigned.select(
+        F.col(embedding_col).alias("_e"), F.col("ivf_cell").alias("_c")
+    )
+    if sample_fraction is not None:
+        res_src = res_src.sample(sample_fraction, seed)
+    n = res_src.count()
+    if n > max_train_rows:
+        res_src = res_src.sample(max_train_rows / n, seed)
+    pdf = res_src.toPandas()
+    E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+    R = E - C[pdf["_c"].to_numpy()]
+    if len(R) > max_train_rows:
+        keep = np.random.RandomState(seed).choice(
+            len(R), max_train_rows, replace=False
+        )
+        R = R[np.sort(keep)]
+    dsub = dim // m
+    codebooks = np.stack(
+        [
+            _lloyd(
+                np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub]),
+                n_codes,
+                seed + j,
+            )
+            for j in range(m)
+        ]
+    )
+
+    c_sq = (codebooks * codebooks).sum(axis=2)  # (m, n_codes)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, ivf_cell int, pq_code array<smallint>"
+
+    def encode(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            Eb = np.stack([np.asarray(e, dtype=np.float64) for e in b[embedding_col]])
+            cells = b["ivf_cell"].to_numpy()
+            Rb = Eb - C[cells]
+            codes = np.empty((len(Rb), m), dtype=np.int16)
+            for j in range(m):
+                sub = Rb[:, j * dsub : (j + 1) * dsub]
+                codes[:, j] = np.argmin(
+                    c_sq[j][None, :] - 2.0 * (sub @ codebooks[j].T), axis=1
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "ivf_cell": cells,
+                    "pq_code": list(codes),
+                }
+            )
+
+    encoded = assigned.mapInPandas(encode, schema=out_schema)
+    return encoded, C, codebooks
+
+
+def ivf_pq_search(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vector: list[float],
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    nprobe: int = 3,
+    rerank_corpus: DataFrame | None = None,
+    embedding_col: str = "embedding",
+    rerank_factor: int = 8,
+    metric: str = "l2",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Search an IVF-PQ index: prune to ``nprobe`` cells, ADC-score
+    residual codes with a PER-CELL lookup table (the query residual
+    q − centroid differs per cell), optionally exact-rerank.
+
+    The shipped state is nprobe tables of m × n_codes doubles — a few
+    hundred KiB at FAISS-typical sizes — and the filter on ``ivf_cell``
+    is a literal IN-list, so a cell-partitioned layout statically
+    prunes. ``metric`` controls the RERANK scoring ("l2" or "cosine");
+    the ADC stage is always residual squared-L2, which ranks cosine
+    correctly for normalized corpora. With ``nprobe = n_centroids``
+    and a prescreen wide enough to cover the corpus the result is
+    exact — the oracle-checkable configuration.
+    """
+    import pandas as pd
+
+    m, n_codes, dsub = codebooks.shape
+    q = np.asarray(query_vector, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:nprobe]]
+    # Per-cell LUT: ||r_j - codebook_j[c]||^2 for r = q - centroid_cell.
+    luts = {}
+    for cell in cells:
+        r = q - centroids[cell]
+        luts[cell] = np.stack(
+            [
+                ((codebooks[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+                for j in range(m)
+            ]
+        )
+
+    id_type = encoded.schema[id_col].dataType.simpleString()
+
+    def score(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            codes = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in b["pq_code"]]
+            )
+            cell_arr = b["ivf_cell"].to_numpy()
+            s = np.zeros(len(codes))
+            for cell in np.unique(cell_arr):
+                mask = cell_arr == cell
+                lut = luts[int(cell)]
+                acc = np.zeros(mask.sum())
+                sub = codes[mask]
+                for j in range(m):
+                    acc += lut[j][sub[:, j]]
+                s[mask] = acc
+            yield pd.DataFrame({id_col: b[id_col], "adc_score": s})
+
+    pruned = encoded.filter(F.col("ivf_cell").isin(cells))
+    scored = pruned.select(id_col, "ivf_cell", "pq_code").mapInPandas(
+        score, schema=f"{id_col} {id_type}, adc_score double"
+    )
+
+    if rerank_corpus is None:
+        out = scored.orderBy(F.col("adc_score").asc(), F.col(id_col)).limit(k)
+        if score_decimals is not None:
+            out = out.withColumn(
+                "adc_score", F.round("adc_score", score_decimals)
+            )
+        return out
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        _score as _exact_score,
+    )
+
+    candidates = scored.orderBy(F.col("adc_score").asc(), F.col(id_col)).limit(
+        k * rerank_factor
+    )
+    exact = rerank_corpus.join(
+        F.broadcast(candidates.select(id_col)), id_col, "inner"
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
+    dist, exact_asc = _exact_score(metric, F.col(embedding_col), qlit)
+    if score_decimals is not None:
+        dist = F.round(dist, score_decimals)
+    return (
+        exact.withColumn("score", dist)
+        .select(id_col, "score")
+        .orderBy(
+            F.col("score").asc() if exact_asc else F.col("score").desc(),
+            F.col(id_col),
+        )
+        .limit(k)
+    )
+
+
+def ivf_pq_write(
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+) -> None:
+    """Persist an IVF-PQ index: codes partitioned by ``ivf_cell`` (so
+    searches get static partition pruning on the 8-byte rows) plus a
+    JSON sidecar with centroids + codebooks. Same contract as
+    ``ann.ivf_write``: the index is just a dataset — it scans, joins,
+    and replicates like any other table, and the sidecar is a few MB
+    at FAISS-typical sizes."""
+    import json
+    import os
+
+    encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
+        os.path.join(path, "cells")
+    )
+    with open(os.path.join(path, "ivf_pq_index.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": int(centroids.shape[0]),
+                "dim": int(centroids.shape[1]),
+                "m": int(codebooks.shape[0]),
+                "n_codes": int(codebooks.shape[1]),
+                "centroids": centroids.tolist(),
+                "codebooks": codebooks.tolist(),
+            },
+            f,
+        )
+
+
+def ivf_pq_read(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Load a persisted IVF-PQ index -> (encoded_df, centroids, codebooks)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "ivf_pq_index.json")) as f:
+        meta = json.load(f)
+    encoded = spark.read.parquet(os.path.join(path, "cells"))
+    return (
+        encoded,
+        np.asarray(meta["centroids"]),
+        np.asarray(meta["codebooks"]),
     )

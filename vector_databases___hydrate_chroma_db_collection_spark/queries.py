@@ -5885,3 +5885,73 @@ def knn_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_factor=40,
         score_decimals=4,
     ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "scalar_url_parse",
+    """
+    SELECT doc_id,
+           source || '.example.com'                    AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR)         AS path,
+           'lang=' || lang                             AS query,
+           lang                                        AS lang_param
+    FROM documents
+    WHERE doc_id < 300
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url — the first step of every
+    web-crawl pipeline (host-level dedup, domain quality lists, path
+    routing). The URLs are constructed from fixture columns so the
+    DuckDB oracle can state the expected parts exactly; the Spark side
+    must recover them THROUGH the real parser (HOST/PATH/QUERY + a
+    keyed query parameter), all codegen expressions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@query(
+    "agg_bitmap_distinct_users",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count) — the mergeable-and-exact alternative to both
+    COUNT(DISTINCT) (full shuffle of raw ids) and HLL (approximate).
+    Ids fold into fixed 4 KB bitmap buckets map-side, so the shuffle
+    carries one bitmap per (group, bucket) instead of one row per
+    distinct id — the same pre-aggregation shape a 100 TB distinct
+    count needs. The oracle is the plain COUNT(DISTINCT): the bitmap
+    pipeline must reproduce it exactly."""
+    e = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        e.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("cnt"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_users")
+    )
