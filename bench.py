@@ -179,7 +179,22 @@ def main() -> None:
         ivf_knn_join,
     )
 
-    t0 = time.perf_counter()
+    # Builds are timed with the same median-of-3 as queries: host
+    # background load swings a single one-shot build 2-4x (see
+    # BASELINE.md variance note), and a median is what the recorded
+    # baseline rows should be compared against.
+    def run_ivf_build() -> None:
+        a, _ = ivf_build(
+            corpus,
+            id_col="id",
+            n_centroids=64,
+            seed=42,
+            metric="cosine",
+            sample_fraction=0.1,
+        )
+        run_noop(a)
+
+    timings["synth200k_ivf_build"] = timed(run_ivf_build)
     assigned_ivf, cents = ivf_build(
         corpus,
         id_col="id",
@@ -190,7 +205,6 @@ def main() -> None:
     )
     assigned_ivf = assigned_ivf.cache()
     assigned_ivf.count()
-    timings["synth200k_ivf_build"] = round(time.perf_counter() - t0, 3)
 
     def run_ivf_join() -> None:
         rows = ivf_knn_join(
@@ -225,7 +239,18 @@ def main() -> None:
         pq_train,
     )
 
-    t0 = time.perf_counter()
+    def run_pq_encode() -> None:
+        cb = pq_train(
+            corpus.sample(0.1, 42),
+            embedding_col="embedding",
+            m=8,
+            n_codes=256,
+            seed=42,
+            normalize=True,
+        )
+        run_noop(pq_encode(corpus, cb, id_col="id", normalize=True))
+
+    timings["synth200k_pq_encode"] = timed(run_pq_encode)
     codebooks = pq_train(
         corpus.sample(0.1, 42),
         embedding_col="embedding",
@@ -238,7 +263,6 @@ def main() -> None:
         corpus, codebooks, id_col="id", normalize=True
     ).cache()
     encoded_pq.count()
-    timings["synth200k_pq_encode"] = round(time.perf_counter() - t0, 3)
 
     def run_pq_query() -> None:
         rows = pq_knn_query(
@@ -269,7 +293,19 @@ def main() -> None:
         ivf_pq_search,
     )
 
-    t0 = time.perf_counter()
+    def run_ivfpq_build() -> None:
+        e, _, _ = ivf_pq_build(
+            corpus,
+            id_col="id",
+            n_centroids=64,
+            m=8,
+            n_codes=256,
+            seed=42,
+            sample_fraction=0.1,
+        )
+        run_noop(e)
+
+    timings["synth200k_ivfpq_build"] = timed(run_ivfpq_build)
     enc_ivfpq, C_ivfpq, cb_ivfpq = ivf_pq_build(
         corpus,
         id_col="id",
@@ -281,7 +317,6 @@ def main() -> None:
     )
     enc_ivfpq = enc_ivfpq.cache()
     enc_ivfpq.count()
-    timings["synth200k_ivfpq_build"] = round(time.perf_counter() - t0, 3)
 
     def run_ivfpq_query() -> None:
         rows = ivf_pq_search(

@@ -5955,3 +5955,65 @@ def agg_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("event_type").agg(
         F.sum("cnt").alias("n_users")
     )
+
+
+@query(
+    "text_bigram_freq",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tok
+    ),
+    stats AS (
+        SELECT bigram, count(*) AS tf, count(DISTINCT doc_id) AS dfreq
+        FROM bg GROUP BY 1
+    ),
+    ranked AS (
+        SELECT bigram, tf, dfreq,
+               row_number() OVER (ORDER BY tf DESC, bigram) AS rank
+        FROM stats
+    )
+    SELECT bigram, tf, dfreq, rank FROM ranked WHERE rank <= 40
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram head: top-40 word pairs by frequency — the n-gram
+    statistics pass behind phrase mining, collocation scoring, and
+    n-gram LM features. Bigrams are built POSITIONALLY inside one
+    expression (sequence + element_at, no self-join of the token
+    table), so the plan is explode -> map-side-combinable agg ->
+    TakeOrderedAndProject over the distinct-bigram aggregate; rank
+    ties break on the bigram text for engine portability."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text("text"))
+    bigrams = F.when(
+        F.size(toks) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    stats = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("dfreq"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("bigram"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 40)
+    )
