@@ -256,3 +256,29 @@ def test_ivf_pq_write_read_roundtrip(spark, tmp_path):
     assert [(r["vec_id"], r["adc_score"]) for r in live] == [
         (r["vec_id"], r["adc_score"]) for r in persisted
     ]
+
+
+def test_ivf_pq_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted compressed layout must give STATIC partition
+    pruning on the nprobe cell filter — the point of partitioning the
+    8-byte code rows by ivf_cell."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_read,
+        ivf_pq_search,
+        ivf_pq_write,
+    )
+
+    emb = _emb(spark)
+    q = _query_vec(spark)
+    enc, C, cb = ivf_pq_build(
+        emb, id_col="vec_id", n_centroids=8, m=16, n_codes=32, seed=7
+    )
+    path = str(tmp_path / "ivfpq")
+    ivf_pq_write(enc, C, cb, path)
+    loaded, C2, cb2 = ivf_pq_read(spark, path)
+    assert loaded.count() == emb.count()
+    out = ivf_pq_search(loaded, C2, cb2, q, k=5, id_col="vec_id", nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan
+    assert out.count() == 5

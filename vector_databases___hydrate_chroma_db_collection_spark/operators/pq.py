@@ -331,9 +331,12 @@ def ivf_pq_build(
     codebooks are trained on RESIDUALS (x − centroid) — residuals
     concentrate near zero, so the same code budget quantizes them much
     more finely than raw vectors — and every row is encoded to
-    (cell, m codes) in a second scan. Distributed work is two corpus
-    scans; driver work is two bounded samples (coarse k-means +
-    residual PQ), the same memory contract as a broadcast join side.
+    (cell, m codes). Distributed work is the assignment scan run three
+    times (sizing count, training-sample collect, encode) — each a
+    cheap Arrow-batched pass; persist the ENCODED output (or the
+    corpus) if upstream recompute is expensive. Driver work is two
+    bounded samples (coarse k-means + residual PQ), the same memory
+    contract as a broadcast join side.
     ``sample_fraction`` thins BOTH training samples; ``max_train_rows``
     hard-caps the residual sample regardless (Lloyd at k=256 touches
     an (n × n_codes) distance matrix per iteration, so the cap bounds

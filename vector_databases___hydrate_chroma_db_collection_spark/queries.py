@@ -6017,3 +6017,93 @@ def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 40)
     )
+
+
+@query(
+    "collection_pq_knn_end_to_end",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_pq_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed indexed retrieval end-to-end: hydrate a collection,
+    build an IVF-PQ index over it (coarse cells + residual uint8
+    codes), PERSIST the index (cell-partitioned codes + JSON sidecar),
+    read it back, and answer a top-5 cosine query through ADC
+    prescreen + exact rerank. Full probe + a prescreen wider than the
+    corpus make the result exactly the brute-force oracle — the
+    plumbing (residual encode, persisted compressed layout, per-cell
+    LUT scoring, rerank join) is what's under test; the recall/probe
+    tradeoff is covered by `test_pq.py`."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_read,
+        ivf_pq_search,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_pq_e2e_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="e2e_pq",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "e2e_pq").filter(F.col("id") != "7")
+    qvec = list(
+        read_collection(spark, root, "e2e_pq")
+        .filter(F.col("id") == "7")
+        .first()["embedding"]
+    )
+    enc, cents, cbs = ivf_pq_build(
+        coll, id_col="id", n_centroids=8, m=16, n_codes=32, seed=7
+    )
+    ivf_pq_write(enc, cents, cbs, f"{root}/e2e_pq/_ivfpq")
+    enc2, cents2, cbs2 = ivf_pq_read(spark, f"{root}/e2e_pq/_ivfpq")
+    return ivf_pq_search(
+        enc2,
+        cents2,
+        cbs2,
+        qvec,
+        k=5,
+        id_col="id",
+        nprobe=8,
+        rerank_corpus=coll,
+        embedding_col="embedding",
+        rerank_factor=100,  # 500-candidate prescreen covers the corpus
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnsRenamed({"score": "cos_sim"})
