@@ -203,3 +203,28 @@ def test_simhash_hamming_banding_recall(spark):
     }
     assert got == brute
     assert all(v <= 3 for v in got.values())
+
+
+def test_dup_ngram_fraction_planted(spark):
+    """Docs sharing a long run of tokens show a high duplicated-shingle
+    fraction; a fully unique doc shows zero."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared + " unique-one tail-one"),
+        (2, shared + " unique-two tail-two"),
+        (3, "totally disjoint words nothing repeated anywhere here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r["id"]: r
+        for r in D.dup_ngram_fraction(
+            df, id_col="doc_id", text_col="text", n=3
+        ).collect()
+    }
+    # 10 tokens -> 8 distinct 3-gram shingles; the 6 built purely from
+    # the shared prefix appear in both doc 1 and doc 2.
+    assert out[1]["n_shingles"] == 8
+    assert out[1]["dup_shingles"] == 6
+    assert out[1]["dup_frac"] == 0.75
+    assert out[2]["dup_frac"] == 0.75
+    assert out[3]["dup_shingles"] == 0 and out[3]["dup_frac"] == 0.0

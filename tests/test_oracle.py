@@ -75,3 +75,28 @@ def test_all_queries_run_and_return_rows(spark):
     for name, fn in registry.QUERIES.items():
         df = fn(spark, SF_CORRECT)
         assert df.count() >= 0, name
+
+
+def test_redact_pii_all_categories(spark):
+    """Each PII category is replaced by its typed tag, in the
+    documented email -> ipv4 -> phone order."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    rows = [
+        ("write a.user+tag@sub.example.co.uk from 192.168.001.42 "
+         "or call +44 20 7946 0958 today",),
+        ("no pii at all here",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    got = df.select(
+        redact_pii("t").alias("red"), pii_counts("t").alias("c")
+    ).collect()
+    assert got[0]["red"] == (
+        "write [EMAIL] from [IPV4] or call [PHONE] today"
+    )
+    assert got[0]["c"].asDict() == {"n_email": 1, "n_ipv4": 1, "n_phone": 1}
+    assert got[1]["red"] == "no pii at all here"
+    assert got[1]["c"].asDict() == {"n_email": 0, "n_ipv4": 0, "n_phone": 0}

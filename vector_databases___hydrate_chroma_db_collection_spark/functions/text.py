@@ -121,6 +121,43 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(bpe_tokens(text))
 
 
+# PII patterns, RE2-compatible (no backreferences/lookaround) so the
+# SAME pattern strings run in Spark's Java regex AND DuckDB's RE2 —
+# a pattern that only compiles on one engine cannot be oracle-checked.
+# Replacement ORDER matters and is part of the contract: emails first
+# (they contain digit runs a phone pattern would chew), then IPv4
+# (dotted digit runs), then phone-like digit runs over what remains.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d -]{7,}\d",
+}
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tags — the standard scrubbing pass before
+    training-data release. Pure codegen regexp_replace chain (three
+    passes over the string, no UDF), so redacting 100 TB is a scan."""
+    out = _c(text)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    return out
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Struct of per-category PII match counts, counted in the same
+    left-to-right replacement order redact_pii uses (each category is
+    counted on the text with earlier categories already redacted, so
+    an email's digits are never double-counted as a phone)."""
+    stages = []
+    cur = _c(text)
+    for kind, pat in PII_PATTERNS.items():
+        stages.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    return F.struct(*stages)
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Order-sensitive document fingerprint: md5 of the normalized
     text (hex). md5 exists in both Spark and DuckDB, making the

@@ -125,12 +125,21 @@ def ivf_build(
     seed: int = 42,
     sample_fraction: float | None = None,
     metric: str = "l2",
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, np.ndarray]:
     """Train k-means centroids (driver-side numpy Lloyd on a bounded
     sample — see ``_train_kmeans`` for why not MLlib) and assign every
     row its nearest centroid in one Arrow-batched scan (the centroid
     matrix ships in the task closure; it is tiny). Returns
     (assigned_df, centroids).
+
+    ``n_rows``: pass the corpus row count when the caller already has
+    it and the sizing count inside ``_train_kmeans`` is skipped — at
+    scale that is one full scan saved per build. With
+    ``sample_fraction`` set the expected post-sample count is used;
+    binomial overshoot past the training cap is trimmed by the seeded
+    choice in ``_train_kmeans``, so the slight expectation error only
+    nudges the sample size, never the memory bound.
 
     Persist ``assigned_df`` partitioned by ``ivf_cell`` for pruning
     (``ivf_write``). ``metric="l2"`` reproduces classic Euclidean
@@ -145,7 +154,16 @@ def ivf_build(
         )
     base = corpus.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
     train = base if sample_fraction is None else base.sample(sample_fraction, seed)
-    C = _train_kmeans(train, "_e", n_centroids, seed=seed, metric=metric)
+    eff_rows = None
+    if n_rows is not None:
+        eff_rows = (
+            int(n_rows)
+            if sample_fraction is None
+            else max(1, int(n_rows * sample_fraction))
+        )
+    C = _train_kmeans(
+        train, "_e", n_centroids, seed=seed, metric=metric, n_rows=eff_rows
+    )
     spherical = metric == "cosine"
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     c_sq = (C * C).sum(axis=1)

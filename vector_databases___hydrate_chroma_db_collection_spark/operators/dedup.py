@@ -120,6 +120,51 @@ def _shingle_rows(
     )
 
 
+def dup_ngram_fraction(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-document duplicated n-gram fraction: the share of a
+    document's DISTINCT n-gram shingles that also occur in at least
+    one OTHER document (the train-set memorization signal of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — their substring-dup fraction, at shingle
+    granularity). Output: (id, n_shingles, dup_shingles, dup_frac).
+
+    Plan shape: explode distinct shingles -> one hash-agg for the
+    per-shingle document frequency -> 1:1 equi-join back (the agg
+    side has ONE row per shingle, so the join has no fan-out) ->
+    per-doc hash-agg. Three key-partitioned shuffles, no all-pairs
+    stage and no posting-list blowup — the document frequency is a
+    count, never a collected id list — so the shape survives a
+    100 TB corpus; popular shingles are plain aggregation skew,
+    which AQE splits."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_docs"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy(F.col("_id").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_docs") >= 2).cast("bigint")).alias("dup_shingles"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_shingles") / F.col("n_shingles").cast("double"),
+                decimals,
+            ),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,

@@ -323,6 +323,7 @@ def ivf_pq_build(
     seed: int = 42,
     sample_fraction: float | None = None,
     max_train_rows: int = 65_536,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """Build an IVF-PQ index -> (encoded_df, centroids, codebooks).
 
@@ -331,9 +332,12 @@ def ivf_pq_build(
     codebooks are trained on RESIDUALS (x − centroid) — residuals
     concentrate near zero, so the same code budget quantizes them much
     more finely than raw vectors — and every row is encoded to
-    (cell, m codes). Distributed work is the assignment scan run three
-    times (sizing count, training-sample collect, encode) — each a
-    cheap Arrow-batched pass; persist the ENCODED output (or the
+    (cell, m codes). The corpus is counted ONCE (a column-pruned
+    count, or zero times when the caller passes ``n_rows``) and that
+    count sizes BOTH training samples — assignment is 1:1 so the
+    residual side has the same cardinality — leaving the assignment
+    expression computed twice (training-sample collect, encode), each
+    a cheap Arrow-batched pass; persist the ENCODED output (or the
     corpus) if upstream recompute is expensive. Driver work is two
     bounded samples (coarse k-means + residual PQ), the same memory
     contract as a broadcast join side.
@@ -352,6 +356,7 @@ def ivf_pq_build(
         ivf_build,
     )
 
+    n = corpus.count() if n_rows is None else int(n_rows)
     assigned, C = ivf_build(
         corpus,
         id_col=id_col,
@@ -360,21 +365,26 @@ def ivf_pq_build(
         seed=seed,
         sample_fraction=sample_fraction,
         metric="l2",
+        n_rows=n,
     )
     dim = C.shape[1]
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
 
     # Residual sample for PQ training — seeded exact-fraction sample,
-    # no prefix bias (same reasoning as ann._train_kmeans).
+    # no prefix bias (same reasoning as ann._train_kmeans). Sized from
+    # the single corpus count (assignment is 1:1), NOT a second count
+    # over the assignment scan; binomial overshoot past the cap is
+    # trimmed by the seeded choice below.
     res_src = assigned.select(
         F.col(embedding_col).alias("_e"), F.col("ivf_cell").alias("_c")
     )
+    res_n = float(n)
     if sample_fraction is not None:
         res_src = res_src.sample(sample_fraction, seed)
-    n = res_src.count()
-    if n > max_train_rows:
-        res_src = res_src.sample(max_train_rows / n, seed)
+        res_n = max(1.0, n * sample_fraction)
+    if res_n > max_train_rows:
+        res_src = res_src.sample(max_train_rows / res_n, seed)
     pdf = res_src.toPandas()
     E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
     R = E - C[pdf["_c"].to_numpy()]

@@ -6107,3 +6107,398 @@ def collection_pq_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="cosine",
         score_decimals=4,
     ).withColumnsRenamed({"score": "cos_sim"})
+
+
+# --------------------------------------------------------------------------
+# Round 4 additions: per-document duplication fraction, PII scrubbing,
+# exact-sum distributed regression, bigram-LM quality scoring,
+# temperature-weighted source mixing, and deterministic 3-way splits.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_dup_ngram_fraction",
+    f"""
+    WITH {_SHINGLES_CTE},
+    dfreq AS (SELECT s, count(*) AS docs FROM shing GROUP BY 1)
+    SELECT sh.doc_id AS id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN d.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_shingles,
+           round(sum(CASE WHEN d.docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS dup_frac
+    FROM shing sh JOIN dfreq d USING (s)
+    GROUP BY 1
+    """,
+)
+def dedup_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated 3-gram fraction — the share of a doc's
+    distinct shingles that appear in at least one other document
+    (Lee et al. 2022's memorization signal, the filter behind
+    "drop documents that are >X% duplicated text"). Runs on the
+    dedup operator (operators/dedup.py::dup_ngram_fraction): one
+    document-frequency hash-agg, a fan-out-free 1:1 join back, one
+    per-doc agg — no all-pairs stage, so the shape holds at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.dup_ngram_fraction(d, id_col="doc_id", text_col="text", n=3)
+
+
+_PII_EMAIL = T.PII_PATTERNS["email"]
+_PII_IPV4 = T.PII_PATTERNS["ipv4"]
+_PII_PHONE = T.PII_PATTERNS["phone"]
+
+# Synthetic contact line woven deterministically from fixture columns
+# (the fixture corpus itself contains no PII, and a redaction query
+# whose counts are all zero would be a vacuous oracle).
+_PII_CONTACT_SQL = """
+    'doc ' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN lang = 'en'
+            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                 || '@data-' || source || '.org'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(n_chars % 256 AS VARCHAR) || '.7'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 1
+            THEN ' call +1 555 01'
+                 || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+            ELSE '' END
+"""
+
+
+@query(
+    "text_pii_redaction",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_PII_CONTACT_SQL} AS contact FROM documents
+    ),
+    r1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(contact, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_email,
+               regexp_replace(contact, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+        FROM base
+    ),
+    r2 AS (
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS BIGINT)
+                   AS n_ipv4,
+               regexp_replace(t1, '{_PII_IPV4}', '[IPV4]', 'g') AS t2
+        FROM r1
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone,
+           regexp_replace(t2, '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+    FROM r2
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training-data release: emails, IPv4
+    addresses, and phone-like digit runs replaced with typed tags,
+    plus per-category counts (functions/text.py::redact_pii /
+    pii_counts). The patterns are RE2-compatible so the SAME strings
+    run in Spark's Java regex and DuckDB — pattern portability IS the
+    oracle check. Fixture docs carry no PII, so a contact line is
+    woven deterministically from fixture columns on both sides;
+    redaction order (email -> ipv4 -> phone) is part of the contract.
+    Everything is a codegen regexp chain — scrubbing 100 TB is a
+    scan, no UDF, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    contact = F.concat(
+        F.lit("doc "),
+        did,
+        F.when(
+            F.col("lang") == "en",
+            F.concat(
+                F.lit(" contact user"), did, F.lit("@data-"),
+                F.col("source"), F.lit(".org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit("."), (F.col("n_chars") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        T.pii_counts(contact).alias("_c"),
+        T.redact_pii(contact).alias("redacted"),
+    ).select(
+        "doc_id",
+        F.col("_c.n_email").cast("bigint").alias("n_email"),
+        F.col("_c.n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("_c.n_phone").cast("bigint").alias("n_phone"),
+        "redacted",
+    )
+
+
+@query(
+    "agg_regression_exact_sums",
+    """
+    WITH pts AS (
+        SELECT event_type,
+               epoch_us(ts) - 1704067200000000 AS x,
+               CAST(round(value * 100) AS BIGINT) AS cy
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(sum(CAST(cy AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * cy) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sx2,
+               CAST(sum(CAST(cy AS HUGEINT) * cy) AS DOUBLE) AS sy2
+        FROM pts GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           round(((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+                 * 86400000000.0 / 100.0, 6) AS slope_per_day,
+           round((sy / n - ((n * sxy - sx * sy) / (n * sx2 - sx * sx))
+                  * (sx / n)) / 100.0, 6) AS intercept_value,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+                 6) AS pearson_r
+    FROM sums
+    """,
+)
+def agg_regression_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (slope/day, intercept, Pearson r) of
+    event value over time, computed from OVERFLOW-SAFE EXACT integer
+    sums — x as epoch-microsecond offsets, y as integer cents, the
+    five moment sums accumulated in decimal(38,0) (HUGEINT in the
+    oracle) — so partial-aggregation ORDER cannot change the result:
+    floating-point regr_slope differs in the last bits between a
+    32-way parallel sum and a sequential one, exact integer moments
+    do not. One map-side-combinable hash-agg; the closed-form OLS is
+    a projection over 6 numbers per group. This is the 100 TB-safe
+    way to fit millions of tiny per-group trends."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.lit(1_704_067_200_000_000)
+    )
+    cy = F.round(F.col("value") * 100).cast("bigint")
+    dec = "decimal(38,0)"
+    pts = e.select(
+        "event_type", x.alias("x"), cy.alias("cy")
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("cy").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("cy").cast(dec))
+        .cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec))
+        .cast("double").alias("sx2"),
+        F.sum(F.col("cy").cast(dec) * F.col("cy").cast(dec))
+        .cast("double").alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    slope = (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n_events"),
+        F.round(slope * 86400000000.0 / 100.0, 6).alias("slope_per_day"),
+        F.round((sy / n - slope * (sx / n)) / 100.0, 6).alias("intercept_value"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+@query(
+    "text_bigram_lm_score",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tok WHERE len(toks) > 1
+    ),
+    c12 AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+    c1 AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS cw
+        FROM bg GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(c12.cb::DOUBLE / c1.cw)), 4) AS avg_logp
+    FROM bg b
+    JOIN c12 USING (bigram)
+    JOIN c1 ON c1.w1 = split_part(b.bigram, ' ', 1)
+    GROUP BY 1
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: each document's mean bigram
+    log-likelihood under the corpus's own MLE bigram model
+    (avg ln c(w1,w2)/c(w1·)) — the cheap stand-in for model-based
+    perplexity filters in training-data pipelines (low scores =
+    unusual token transitions = boilerplate/garbled text). The model
+    IS an aggregation: two hash-aggs build the bigram and context
+    counts, two equi-joins score every position, one per-doc agg
+    averages — every stage map-side-combinable, no model broadcast
+    needed (the "LM" never leaves the cluster), so scoring 100 TB is
+    three shuffles over key-partitioned counts."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text("text"))
+    t = F.col("_t")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+        ),
+    )
+    bg = (
+        d.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") > 1)
+        .select("doc_id", F.explode(pairs).alias("bigram"))
+        .select("doc_id", "bigram", F.substring_index("bigram", " ", 1).alias("w1"))
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    return (
+        bg.join(c12, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cb").cast("double") / F.col("cw"))), 4
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@query(
+    "mix_temperature_sampling",
+    f"""
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    quota AS (
+        SELECT source,
+               CAST(floor(round(400.0 * pow(n_docs, 0.7)
+                    / (SELECT sum(pow(n_docs, 0.7)) FROM counts), 6))
+                    AS BIGINT) AS q
+        FROM counts
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM documents d
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quota USING (source)
+    WHERE r.rk <= quota.q
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (the multilingual/multi-
+    source rebalancing rule p_s ∝ n_s^T with T=0.7, as in mBERT/XLM-R
+    and data-mixture tuning): each source gets a quota proportional
+    to n^0.7 of a 400-doc target and fills it with its md5-ranked
+    first documents — deterministic across engines and runs, no
+    seeded RNG. The quota table is a few rows (one per source) so the
+    quota join broadcasts; the only real work is one per-source
+    window rank, which at 100 TB can swap to the hash-threshold
+    draw (sample_hash_deterministic) when exact quotas aren't
+    required."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum(F.pow("n_docs", 0.7)).alias("_t"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        # round before floor: a tree-vs-sequential float sum can land
+        # the raw quota a few ulps either side of an exact integer
+        # (uniform sources make this CERTAIN, not rare), and floor
+        # would amplify that into a whole-row diff.
+        F.floor(F.round(400.0 * F.pow("n_docs", 0.7) / F.col("_t"), 6))
+        .cast("bigint").alias("q"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .filter(F.col("rk") <= F.col("q"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "sample_train_val_test_split",
+    f"""
+    WITH tagged AS (
+        SELECT lang,
+               CASE WHEN {_HASH64.format(x='CAST(doc_id AS VARCHAR)')} % 10 < 8
+                    THEN 'train'
+                    WHEN {_HASH64.format(x='CAST(doc_id AS VARCHAR)')} % 10 = 8
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by id hash — the
+    reproducible alternative to randomSplit(): the SAME document
+    lands in the SAME split on any engine, any run, any cluster
+    size (no seed/partitioning coupling, which randomSplit has).
+    Output is the per-(lang, split) census — the check that
+    stratification looks sane before training. The split tag is a
+    pure projection (md5 mod 10), so splitting 100 TB adds nothing
+    to the scan; the census is one map-side-combinable agg."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(10))
+    split = (
+        F.when(h < 8, F.lit("train"))
+        .when(h == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
