@@ -38,6 +38,12 @@ HEADLINE = [
     "text_quality_scores",
     "text_language_id",
     "dedup_exact_groups",
+    "dedup_dup_ngram_fraction",
+    "text_bigram_lm_score",
+    "agg_regression_exact_sums",
+    "sketch_cms_heavy_hitters",
+    "graph_pagerank_trade_flows",
+    "layout_zorder_events",
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_cosine_pairs",
     "knn_join_gemm_top3",

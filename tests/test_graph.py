@@ -117,3 +117,42 @@ def test_asof_single_shuffle_plan(spark):
     # no join operator at all
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_pagerank_star_graph(spark):
+    """On a star a->hub from every leaf, the hub accumulates rank and
+    the total rank mass stays (1-d)·N + d·(non-dangling mass) — here
+    just sanity: hub rank strictly above every leaf, ranks positive."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, 0, 1.0) for i in range(1, 6)], "src int, dst int, w double"
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, src="src", dst="dst", weight="w", iterations=3
+        ).collect()
+    }
+    assert len(ranks) == 6
+    hub = ranks.pop(0)
+    assert all(hub > v for v in ranks.values())
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_pagerank_uniform_cycle_stays_uniform(spark):
+    """A directed cycle is rank-preserving: the uniform vector is the
+    exact fixpoint, so every node keeps 1/N after any number of
+    iterations — a closed-form correctness check."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+        pagerank,
+    )
+
+    n = 8
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src int, dst int"
+    )
+    ranks = pagerank(edges, src="src", dst="dst", iterations=4).collect()
+    assert all(abs(r["rank"] - 1.0 / n) < 1e-9 for r in ranks)

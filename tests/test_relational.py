@@ -182,3 +182,96 @@ def test_prefix_sum_tiebreak_makes_duplicate_keys_deterministic(spark):
             .count()
         )
         assert diff == 0
+
+
+def test_cms_estimate_one_sided_and_exact_when_wide(spark):
+    """CM guarantee: estimate >= true count always; with width >>
+    #distinct keys (no collisions) the estimate is EXACT."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    truth = df.groupBy(F.col("k").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    # narrow sketch: collisions possible, estimates one-sided
+    narrow = cms_estimate(
+        cms_counters(df, "k", depth=3, width=4), truth, "key", depth=3, width=4
+    )
+    assert all(r["cms_est"] >= r["true_cnt"] for r in narrow.collect())
+    # wide sketch: 7 keys into 1024 buckets x 4 rows -> exact
+    wide = cms_estimate(
+        cms_counters(df, "k", depth=4, width=1024),
+        truth, "key", depth=4, width=1024,
+    )
+    assert all(r["cms_est"] == r["true_cnt"] for r in wide.collect())
+
+
+def test_zorder_key_interleaves_and_orders_locally(spark):
+    """Bit-exact Morton check against a Python reference, plus the
+    locality property: the key of (x, y) differs from (x, y+1) only
+    above the y-bit positions."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.layout import (
+        zorder_key,
+    )
+    from pyspark.sql import functions as F
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(3, 5), (0, 0), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")]).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton(x, y)
+
+
+def test_ewma_closed_form_matches_recurrence(spark):
+    """window_ewma_user_value unrolls y_i = 0.9 y_{i-1} + 0.1 x_i into
+    a weighted window sum; its DuckDB oracle uses the SAME closed
+    form, so parity alone cannot catch a shared algebra error. This
+    asserts the closed form against the literal Python recurrence."""
+    import datetime
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    vals = [3.0, 1.0, 4.0, 1.5, 9.25]
+    y = vals[0]
+    for x in vals[1:]:
+        y = 0.9 * y + 0.1 * x
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (7, i, t0 + datetime.timedelta(seconds=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp, value double"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    seq = df.select(
+        "user_id", "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.9), F.col("n") - 1) * F.col("value")
+    ).otherwise(
+        F.lit(0.1) * F.pow(F.lit(0.9), F.col("n") - F.col("rn")) * F.col("value")
+    )
+    got = seq.groupBy("user_id").agg(F.sum(term).alias("ewma")).first()["ewma"]
+    assert abs(got - y) < 1e-9

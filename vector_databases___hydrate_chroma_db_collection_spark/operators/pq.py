@@ -106,16 +106,28 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
     dsub = dim // m
-    return np.stack(
-        [
-            _lloyd(
-                np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub]),
-                n_codes,
-                seed + j,
-            )
-            for j in range(m)
-        ]
-    )
+    return _train_subspaces(X, m, dsub, n_codes, seed)
+
+
+def _train_subspaces(
+    X: np.ndarray, m: int, dsub: int, n_codes: int, seed: int
+) -> np.ndarray:
+    """Run the m independent subspace Lloyd fits on a thread pool —
+    the per-iteration GEMM and bincounts release the GIL, so the m
+    fits run genuinely in parallel on driver cores. Results are
+    seed-determined per subspace, so the pool changes wall-clock
+    only, never the codebooks."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fit(j: int) -> np.ndarray:
+        return _lloyd(
+            np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub]),
+            n_codes,
+            seed + j,
+        )
+
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return np.stack(list(pool.map(fit, range(m))))
 
 
 def pq_encode(
@@ -394,16 +406,7 @@ def ivf_pq_build(
         )
         R = R[np.sort(keep)]
     dsub = dim // m
-    codebooks = np.stack(
-        [
-            _lloyd(
-                np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub]),
-                n_codes,
-                seed + j,
-            )
-            for j in range(m)
-        ]
-    )
+    codebooks = _train_subspaces(R, m, dsub, n_codes, seed)
 
     c_sq = (codebooks * codebooks).sum(axis=2)  # (m, n_codes)
     id_type = corpus.schema[id_col].dataType.simpleString()

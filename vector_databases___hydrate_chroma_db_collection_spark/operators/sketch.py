@@ -1,0 +1,104 @@
+"""Count-min sketch — sub-linear frequency estimation at 100 TB.
+
+Exact per-key counts over a high-cardinality key need a shuffle with
+one row per distinct key; a count-min sketch (Cormode & Muthukrishnan,
+"An improved data stream summary: the count-min sketch and its
+applications", J. Algorithms 2005) bounds the state at depth × width
+counters regardless of cardinality, at the cost of one-sided
+(over-)estimation error.
+
+Spark mapping: the sketch IS an aggregation. Each input row
+contributes +1 to one bucket per hash row; after map-side partial
+aggregation every partition emits at most depth·width counter rows,
+so the shuffle volume is bounded by the sketch size — the 100 TB scan
+reduces to a few-KB exchange. Estimates are then a broadcast-join of
+the queried keys against the counter table with a min() over hash
+rows — never a second corpus pass.
+
+The hash family is the repo's portable md5-based ``hash64`` with a
+``"j:"`` row prefix, so a DuckDB oracle reproduces every counter and
+estimate bit-for-bit (same contract as the MinHash family in
+``functions/hashes.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+    hash64,
+)
+
+
+def _bucket(key, row: int, width: int):
+    """Hash-row ``row``'s bucket for ``key`` — md5-portable."""
+    return F.pmod(
+        hash64(F.concat(F.lit(f"{row}:"), key.cast("string"))), F.lit(width)
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the sketch -> (hash_row, bucket, cnt), ≤ depth·width rows.
+
+    One scan: each input row expands to ``depth`` (row, bucket) pairs
+    via an inline array (no join, no extra scan per hash row); the
+    hash-partial-agg collapses them to counter rows before the
+    exchange, so the shuffle carries the sketch, not the data.
+    """
+    key = F.col(key_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("hash_row"), _bucket(key, j, width).alias("bucket")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.hash_row").alias("hash_row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys`` ->
+    (key_col…, cms_est). The counter table is ≤ depth·width rows, so
+    Spark broadcasts it; estimates are min over the key's ``depth``
+    counters (the classic one-sided CM bound: est ≥ true count).
+    Buckets that no key hashed into are absent from ``counters`` —
+    they read as 0 via the left join coalesce."""
+    key = F.col(key_col)
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("hash_row"),
+                        _bucket(key, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("*", F.col("p.hash_row").alias("hash_row"), F.col("p.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(counters), ["hash_row", "bucket"], "left")
+        .groupBy(*[F.col(c) for c in keys.columns])
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )

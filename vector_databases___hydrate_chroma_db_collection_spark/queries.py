@@ -6502,3 +6502,245 @@ def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+_PR_ITER_SQL = """
+    pr{t} AS (
+        SELECT nd.node,
+               0.15 / (SELECT n FROM nn)
+               + 0.85 * coalesce(sum(p.rank * m.p), 0) AS rank
+        FROM nodes nd
+        LEFT JOIN norm m ON m.dst = nd.node
+        LEFT JOIN pr{p} p ON p.node = m.src
+        GROUP BY 1
+    )"""
+
+
+@query(
+    "graph_pagerank_trade_flows",
+    f"""
+    WITH edges AS (
+        SELECT ns.n_name AS src, nc.n_name AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name <> nc.n_name
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+    norm AS (
+        SELECT e.src, e.dst, e.w / o.ow AS p
+        FROM edges e JOIN outw o USING (src)
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+    {_PR_ITER_SQL.format(t=1, p=0)},
+    {_PR_ITER_SQL.format(t=2, p=1)},
+    {_PR_ITER_SQL.format(t=3, p=2)}
+    SELECT node, round(rank, 6) AS rank FROM pr3
+    """,
+)
+def graph_pagerank_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the international trade-flow graph
+    (supplier nation -> customer nation, edge weight = shipped line
+    count, self-loops dropped): which nations CONCENTRATE trade
+    gravity, not just volume. Runs the iterative graph operator
+    (operators/graph.py::pagerank — fixed 3 damped rounds, each one
+    rank-join + destination re-agg, lineage checkpointed per round);
+    the oracle is the SAME recurrence unrolled as 3 SQL CTE levels,
+    which is what makes an iterative algorithm oracle-checkable at
+    all. The edge build is the q7 join shape: broadcast dims around
+    one fact shuffle."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+        pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    return pagerank(
+        edges, src="src", dst="dst", weight="w", iterations=3, decimals=6
+    )
+
+
+_CMS_BUCKET_SQL = (
+    _HASH64.format(x="CAST(j AS VARCHAR) || ':' || CAST({key} AS VARCHAR)")
+    + " % 256"
+)
+
+
+@query(
+    "sketch_cms_heavy_hitters",
+    f"""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    keys AS (
+        SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM lineitem GROUP BY 1
+    ),
+    top10 AS (
+        SELECT key, true_cnt FROM keys
+        ORDER BY true_cnt DESC, key LIMIT 10
+    ),
+    counters AS (
+        SELECT j, {_CMS_BUCKET_SQL.format(key='l_partkey')} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem CROSS JOIN js
+        GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT t.key, t.true_cnt, j,
+               {_CMS_BUCKET_SQL.format(key='t.key')} AS bucket
+        FROM top10 t CROSS JOIN js
+    )
+    SELECT p.key, p.true_cnt, min(c.cnt) AS cms_est
+    FROM probes p
+    JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation (operators/sketch.py):
+    the true top-10 parts by line count, each with its exact count and
+    its estimate from a 4x256-counter sketch. The sketch build's
+    shuffle is bounded by the SKETCH size (map-side partial agg
+    collapses to ≤ depth·width rows per partition) — the 100 TB story
+    for frequency tracking over unbounded key spaces — and estimates
+    are a broadcast probe of the counter table, never a second scan.
+    The md5-portable hash family makes every counter and estimate
+    bit-reproducible in the oracle; CM's one-sided guarantee
+    (est ≥ truth) is asserted in pytest."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counters = cms_counters(li, "l_partkey", depth=4, width=256)
+    top10 = (
+        li.groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "key")
+        .limit(10)
+    )
+    return cms_estimate(counters, top10, "key", depth=4, width=256)
+
+
+_ZORDER_SQL_X = "user_id"
+_ZORDER_SQL_Y = "CAST(round(value * 100) AS BIGINT)"
+
+
+@query(
+    "layout_zorder_events",
+    f"""
+    SELECT event_id,
+           {{z}} AS zval,
+           CAST(floor({{z}} / {1 << 26}) AS BIGINT) AS zbucket
+    FROM events
+    """.format(
+        z=__import__(
+            "vector_databases___hydrate_chroma_db_collection_spark.functions.layout",
+            fromlist=["zorder_key_sql"],
+        ).zorder_key_sql([_ZORDER_SQL_X, _ZORDER_SQL_Y], bits=16)
+    ),
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value-cents) —
+    the multi-dimensional file-clustering technique behind
+    OPTIMIZE ZORDER BY / Iceberg zorder rewrites: write files sorted
+    by zval and footer min/max stats prune scans filtered on EITHER
+    dimension. The key (functions/layout.py::zorder_key) is a pure
+    shift/mask/add projection — whole-stage codegen, zero shuffle to
+    compute; zbucket (top bits) is what a writer would range-
+    partition on. The oracle embeds the IDENTICAL arithmetic via
+    zorder_key_sql, proving the key is engine-portable (a layout job
+    and a reader written in different engines must agree on the
+    clustering)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.layout import (
+        zorder_key,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    z = zorder_key(
+        [F.col("user_id"), F.round(F.col("value") * 100).cast("bigint")],
+        bits=16,
+    )
+    return e.select("event_id", z.alias("zval")).withColumn(
+        "zbucket", F.floor(F.col("zval") / F.lit(1 << 26)).cast("bigint")
+    )
+
+
+@query(
+    "window_ewma_user_value",
+    """
+    WITH seq AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           round(sum(CASE WHEN rn = 1 THEN pow(0.9, n - 1) * value
+                          ELSE 0.1 * pow(0.9, n - rn) * value END), 4)
+               AS ewma
+    FROM seq GROUP BY 1
+    """,
+)
+def window_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event value
+    (y_i = 0.9·y_{i-1} + 0.1·x_i, y_1 = x_1) — the standard smoothed-
+    signal feature for user activity models. The recurrence is
+    SEQUENTIAL state, which naive Spark would fold in a single-task
+    loop; here it is algebraically unrolled into its closed form
+    y_n = 0.9^{n-1}·x_1 + 0.1·Σ 0.9^{n-i}·x_i, which is one ranked
+    window plus one order-independent weighted SUM — fully parallel,
+    two shuffles on the user key, no state store. The same unrolling
+    is how any linear recurrence (decay counters, leaky integrators,
+    discounted returns) distributes."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    term = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.9), F.col("n") - 1) * F.col("value")
+    ).otherwise(
+        F.lit(0.1) * F.pow(F.lit(0.9), F.col("n") - F.col("rn")) * F.col("value")
+    )
+    return seq.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.round(F.sum(term), 4).alias("ewma"),
+    )
