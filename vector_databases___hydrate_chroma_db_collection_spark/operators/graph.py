@@ -134,13 +134,21 @@ def pagerank(
         F.col(src).alias("_s"), F.col(dst).alias("_d"), w.alias("_w")
     )
     outw = e.groupBy("_s").agg(F.sum("_w").alias("_ow"))
-    norm = e.join(outw, "_s").select(
-        "_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p")
+    # Materialize the normalized edge table and node set ONCE — both
+    # are re-joined every iteration, and without the eager checkpoint
+    # Spark re-runs the full upstream edge build (often a multi-join
+    # over fact tables) per round. Checkpointing also truncates their
+    # lineage out of every iteration's plan.
+    norm = (
+        e.join(outw, "_s")
+        .select("_s", "_d", (F.col("_w") / F.col("_ow")).alias("_p"))
+        .localCheckpoint()
     )
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
+        norm.select(F.col("_s").alias("node"))
+        .unionByName(norm.select(F.col("_d").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()
     base = (1.0 - damping) / n_nodes

@@ -26,15 +26,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
-    hash64,
-)
-
-
 def _bucket(key, row: int, width: int):
-    """Hash-row ``row``'s bucket for ``key`` — md5-portable."""
+    """Hash-row ``row``'s bucket for ``key``: hex slice ``row`` of ONE
+    md5 digest, as a 32-bit int mod width. All hash rows share a
+    single md5 per input row (Spark's subexpression elimination and
+    DuckDB both compute the repeated md5 once per projection), which
+    is 4x cheaper than one keyed digest per row — and the slices of a
+    single md5 are the standard cheap stand-in for an independent
+    family. depth ≤ 4 (32 hex chars / 8)."""
     return F.pmod(
-        hash64(F.concat(F.lit(f"{row}:"), key.cast("string"))), F.lit(width)
+        F.conv(
+            F.substring(F.md5(key.cast("string").cast("binary")), 1 + 8 * row, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(width),
     )
 
 
@@ -52,6 +58,8 @@ def cms_counters(
     hash-partial-agg collapses them to counter rows before the
     exchange, so the shuffle carries the sketch, not the data.
     """
+    if depth > 4:
+        raise ValueError("cms depth > 4 exceeds the md5 slice budget")
     key = F.col(key_col)
     pairs = F.array(
         *[
@@ -82,6 +90,8 @@ def cms_estimate(
     counters (the classic one-sided CM bound: est ≥ true count).
     Buckets that no key hashed into are absent from ``counters`` —
     they read as 0 via the left join coalesce."""
+    if depth > 4:
+        raise ValueError("cms depth > 4 exceeds the md5 slice budget")
     key = F.col(key_col)
     probes = keys.select(
         "*",

@@ -6589,9 +6589,11 @@ def graph_pagerank_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hash-row j = hex slice j of ONE md5 per key (operators/sketch.py
+# shares the digest across rows via subexpression elimination)
 _CMS_BUCKET_SQL = (
-    _HASH64.format(x="CAST(j AS VARCHAR) || ':' || CAST({key} AS VARCHAR)")
-    + " % 256"
+    "CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1 + 8 * j, 8)) "
+    "AS BIGINT) % 256"
 )
 
 
