@@ -100,3 +100,34 @@ def test_redact_pii_all_categories(spark):
     assert got[0]["c"].asDict() == {"n_email": 1, "n_ipv4": 1, "n_phone": 1}
     assert got[1]["red"] == "no pii at all here"
     assert got[1]["c"].asDict() == {"n_email": 0, "n_ipv4": 0, "n_phone": 0}
+
+
+def test_redact_pii_idempotent_and_leak_free(spark):
+    """Properties: redaction is idempotent (tags contain no PII
+    shapes), and no category's pattern matches the redacted text."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        PII_PATTERNS,
+        redact_pii,
+    )
+
+    rows = [
+        ("a@b.co and c.d+e@f-g.org twice",),
+        ("ips 1.2.3.4 10.200.30.7 and phone 555 123 4567",),
+        ("+1 800-555-0100 ext x 192.168.0.1 u@v.io",),
+        ("clean text stays clean",),
+    ]
+    df = spark.createDataFrame(rows, "t string")
+    once = df.select(redact_pii("t").alias("r1"))
+    twice = once.select(
+        F.col("r1"), redact_pii("r1").alias("r2"),
+        *[
+            F.regexp_count("r1", F.lit(p)).alias(f"left_{k}")
+            for k, p in PII_PATTERNS.items()
+        ],
+    ).collect()
+    for r in twice:
+        assert r["r1"] == r["r2"]  # idempotent
+        for k in PII_PATTERNS:
+            assert r[f"left_{k}"] == 0  # nothing left to match

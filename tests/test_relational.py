@@ -275,3 +275,40 @@ def test_ewma_closed_form_matches_recurrence(spark):
     )
     got = seq.groupBy("user_id").agg(F.sum(term).alias("ewma")).first()["ewma"]
     assert abs(got - y) < 1e-9
+
+
+def test_zorder_key_hypothesis_roundtrip(spark):
+    """Property: the Morton key is a bijection on (x, y) — decode the
+    Spark-computed key in Python and recover both coordinates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.layout import (
+        zorder_key,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 65535), st.integers(0, 65535)
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def check(pairs):
+        df = spark.createDataFrame(pairs, "x int, y int")
+        got = df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")]).alias("z")
+        ).collect()
+        for r in got:
+            x = y = 0
+            for i in range(16):
+                x |= ((r["z"] >> (2 * i)) & 1) << i
+                y |= ((r["z"] >> (2 * i + 1)) & 1) << i
+            assert (x, y) == (r["x"], r["y"])
+
+    check()

@@ -475,3 +475,55 @@ def test_transform_with_state_gate_checks_state_store_provider(spark):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prior
             )
+
+
+def test_stream_cms_matches_batch_sketch(spark, tmp_path):
+    """Linearity check: the streamed-and-merged CMS over two
+    micro-batches equals the batch sketch of all the data — counter
+    table identical row-for-row, and estimates through the merged
+    state are the batch estimates."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.sketches import (
+        read_cms_state,
+        stream_cms_counters,
+    )
+
+    all_rows = spark.range(2000).select((F.col("id") % 13).alias("k"))
+    in_dir = tmp_path / "in"
+    all_rows.filter(F.col("id") % 2 == 0).write.parquet(str(in_dir / "b0"))
+    all_rows.filter(F.col("id") % 2 == 1).write.parquet(str(in_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(all_rows.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")  # force >1 micro-batch
+        .parquet(str(in_dir))
+    )
+    q = stream_cms_counters(
+        stream,
+        "k",
+        state_dir=str(tmp_path / "state"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        depth=4,
+        width=64,
+    )
+    q.awaitTermination(120)
+
+    merged = read_cms_state(spark, str(tmp_path / "state"))
+    batch = cms_counters(all_rows, "k", depth=4, width=64)
+    assert merged.exceptAll(batch).count() == 0
+    assert batch.exceptAll(merged).count() == 0
+
+    truth = all_rows.groupBy(F.col("k").alias("key")).agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    est_m = cms_estimate(merged, truth, "key", depth=4, width=64)
+    est_b = cms_estimate(batch, truth, "key", depth=4, width=64)
+    assert sorted(map(tuple, est_m.collect())) == sorted(
+        map(tuple, est_b.collect())
+    )

@@ -6746,3 +6746,135 @@ def window_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_events"),
         F.round(F.sum(term), 4).alias("ewma"),
     )
+
+
+_CMS64_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1 + 8 * j, 8)) "
+    "AS BIGINT) % 64"
+)
+
+
+@query(
+    "stream_cms_event_users",
+    f"""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j)
+    SELECT j AS hash_row,
+           {_CMS64_BUCKET_SQL.format(key='user_id')} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events CROSS JOIN js
+    GROUP BY 1, 2
+    """,
+)
+def stream_cms_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance END-TO-END: the events table is
+    replayed as a file stream in forced micro-batches, each batch's
+    CMS delta is merged into versioned pointer-swapped state
+    (streaming/sketches.py::stream_cms_counters), and the FINAL merged
+    counter table is returned. The oracle is the plain batch sketch
+    in SQL — CMS linearity (sketch of union = cellwise sum of
+    sketches) is exactly what makes a streaming sketch correct, so
+    the hash-equality here IS the merge-correctness proof, on top of
+    the pytest two-batch twin. State stays ≤ depth·width rows no
+    matter how many users the stream ever sees."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.sketches import (
+        read_cms_state,
+        stream_cms_counters,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    root = tempfile.mkdtemp(prefix="vdb_stream_cms_")
+    in_dir = f"{root}/in"
+    # two replay files -> two micro-batches via maxFilesPerTrigger
+    e.filter(F.col("user_id") % 2 == 0).write.parquet(f"{in_dir}/b0")
+    e.filter(F.col("user_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = stream_cms_counters(
+        stream,
+        "user_id",
+        state_dir=f"{root}/state",
+        checkpoint_dir=f"{root}/ckpt",
+        depth=4,
+        width=64,
+    )
+    q.awaitTermination(120)
+    return read_cms_state(spark, f"{root}/state")
+
+
+@query(
+    "source_csv_json_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_csv,
+           CAST(count(*) AS BIGINT) AS n_json,
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT)), 0) / 100.0
+                AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format round-trip: the events table is exported to CSV
+    (header, ISO timestamps) and JSON-lines, re-read through
+    explicit-schema readers (schema inference is forbidden at scale —
+    it costs an extra full pass and can flip types between runs), and
+    re-aggregated from EACH format. The oracle is the parquet truth:
+    per-type counts from the CSV copy and the JSON copy must both
+    equal the parquet count, and the value sum (order-independent
+    integer cents) must survive both text round-trips — the
+    CSV/JSON quoting, timestamp formatting, and float printing are
+    what's under test. Readers are single-pass, splittable scans; no
+    inference jobs appear in the plan."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="vdb_src_")
+    csv_dir, json_dir = f"{root}/csv", f"{root}/json"
+    out = e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out.write.option("header", True).mode("overwrite").csv(csv_dir)
+    out.write.mode("overwrite").json(json_dir)
+    schema = (
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    csv_agg = (
+        spark.read.option("header", True).schema(schema).csv(csv_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_csv"),
+            F.sum(cents).alias("_c_cents"),
+        )
+    )
+    json_agg = (
+        spark.read.schema(schema).json(json_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_json"),
+            F.sum(cents).alias("_j_cents"),
+        )
+    )
+    return (
+        csv_agg.join(json_agg, "event_type")
+        .filter(F.col("_c_cents") == F.col("_j_cents"))
+        .select(
+            "event_type",
+            "n_csv",
+            "n_json",
+            (F.round(F.col("_c_cents"), 0) / 100.0)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

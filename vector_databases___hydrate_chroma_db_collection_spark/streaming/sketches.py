@@ -1,0 +1,93 @@
+"""Streaming sketch maintenance — mergeable CMS state via foreachBatch.
+
+A count-min sketch is LINEAR: the sketch of a union is the cell-wise
+sum of the sketches. That makes it the natural streaming frequency
+state — each micro-batch contributes a bounded depth×width counter
+delta, merged into the running state by one tiny aggregation, and the
+state NEVER grows with the key cardinality (contrast a per-key
+`applyInPandasWithState` running count, whose state is O(distinct
+keys); see ``windows.stateful_user_totals`` for that shape).
+
+State durability follows the collection layer's versioned-dir +
+pointer protocol (``plans/collection.py::swap_data_dir`` reasoning):
+each merge writes a fresh ``v{batch}`` dir and atomically renames a
+pointer file, so readers always see a complete sketch and a crashed
+merge leaves the previous version live. Replays of a micro-batch
+after a crash-before-pointer-swap are idempotent (the merge re-runs
+from the same previous version); the pointer is the commit point.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+    cms_counters,
+)
+
+_POINTER = "_current"
+
+
+def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current merged counters, or None before the first commit."""
+    ptr = os.path.join(state_dir, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        version = f.read().strip()
+    return spark.read.parquet(os.path.join(state_dir, version))
+
+
+def _commit_cms_state(df: DataFrame, state_dir: str, batch_id: int) -> None:
+    version = f"v{batch_id}"
+    out = os.path.join(state_dir, version)
+    df.write.mode("overwrite").parquet(out)
+    tmp = os.path.join(state_dir, f"{_POINTER}.tmp.{batch_id}")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(state_dir, _POINTER))  # atomic commit
+
+
+def stream_cms_counters(
+    stream: DataFrame,
+    key_col: str,
+    *,
+    state_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    trigger_once: bool = True,
+):
+    """Maintain a CMS over a stream -> StreamingQuery.
+
+    Each micro-batch: sketch the batch (bounded aggregation), union
+    with the current state, re-aggregate to ≤ depth·width rows, commit
+    a new version. The merge cost is O(sketch), independent of both
+    the batch's and the stream's key cardinality — the 100 TB/day
+    frequency-tracking shape. Estimates over the merged state use
+    ``operators.sketch.cms_estimate`` unchanged (linearity means the
+    merged sketch IS the batch sketch of everything seen)."""
+    os.makedirs(state_dir, exist_ok=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_counters(batch_df, key_col, depth=depth, width=width)
+        prev = read_cms_state(batch_df.sparkSession, state_dir)
+        merged = (
+            delta
+            if prev is None
+            else prev.unionByName(delta)
+            .groupBy("hash_row", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        _commit_cms_state(merged, state_dir, batch_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
