@@ -15,10 +15,12 @@ reduces to a few-KB exchange. Estimates are then a broadcast-join of
 the queried keys against the counter table with a min() over hash
 rows — never a second corpus pass.
 
-The hash family is the repo's portable md5-based ``hash64`` with a
-``"j:"`` row prefix, so a DuckDB oracle reproduces every counter and
-estimate bit-for-bit (same contract as the MinHash family in
-``functions/hashes.py``).
+The hash family is ``depth`` disjoint 8-hex-char slices of ONE md5
+digest per key (computed once per row via subexpression elimination),
+so a DuckDB oracle reproduces every counter and estimate bit-for-bit
+(same portability contract as the MinHash family in
+``functions/hashes.py``) at a quarter of the hashing cost of one
+keyed digest per hash row.
 """
 
 from __future__ import annotations
