@@ -339,3 +339,61 @@ def test_modify_rename_and_metadata(spark, tmp_path):
     assert collection_count(spark, root, "api2") == 5
     with pytest.raises(Exception):
         load_manifest(root, "api")
+
+
+def test_time_travel_read_previous_version(spark, tmp_path):
+    """retain_previous=True keeps the pre-update dir readable: the
+    previous version still shows old metadata, versions lists both
+    dirs, and a zero-horizon vacuum sweeps the retained one."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+        read_collection,
+        vacuum_collection,
+    )
+
+    rows = [(i, f"doc {i}", [float(i), 0.0], "old") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, embedding array<float>, tag string"
+    )
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="tt",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="tag",
+    )
+    hydrate(spark, df, cfg)
+
+    updates = spark.createDataFrame(
+        [(str(i), {"tag": "new"}) for i in range(0, 10, 2)],
+        "id string, metadata map<string,string>",
+    )
+    n = collection_update(spark, root, "tt", updates, retain_previous=True)
+    assert n == 5
+
+    versions = collection_versions(root, "tt")
+    assert len(versions) == 2 and versions[-1][1] and not versions[0][1]
+    prev_name = versions[0][0]
+
+    cur = read_collection(spark, root, "tt")
+    prev = read_collection(spark, root, "tt", version=prev_name)
+    assert (
+        cur.filter(F.col("metadata")["tag"] == "new").count() == 5
+    )
+    assert prev.filter(F.col("metadata")["tag"] == "new").count() == 0
+    assert prev.count() == cur.count() == 10
+
+    removed = vacuum_collection(root, "tt", older_than_s=0.0)
+    assert any(prev_name in r for r in removed)
+    assert len(collection_versions(root, "tt")) == 1

@@ -243,6 +243,8 @@ def collection_update(
     root: str,
     name: str,
     updates: DataFrame,
+    *,
+    retain_previous: bool = False,
 ) -> int:
     """``collection.update``: overwrite document / metadata /
     embedding for EXISTING ids; ids not present in the collection are
@@ -341,7 +343,7 @@ def collection_update(
         )
     else:
         merged.write.mode("overwrite").parquet(staging)
-    swap_data_dir(root, manifest.name, staging)
+    swap_data_dir(root, manifest.name, staging, retain=retain_previous)
     return int(obs.get["matched"])
 
 
@@ -408,8 +410,11 @@ def collection_delete(
     ids: list[str] | None = None,
     where: dict | None = None,
     where_document: dict | None = None,
+    retain_previous: bool = False,
 ) -> int:
     """``collection.delete``: remove matching rows, return how many.
+    ``retain_previous`` keeps the pre-delete data dir readable as a
+    version (``read_collection(version=...)``) until vacuum.
 
     Bucketed layout + id-list: rewrites only the buckets the ids hash
     into; cost scales with touched buckets, not collection size. The
@@ -464,7 +469,7 @@ def collection_delete(
         clone_untouched_buckets(
             current_data_dir(root, manifest.name), staging, set(touched)
         )
-        swap_data_dir(root, manifest.name, staging)
+        swap_data_dir(root, manifest.name, staging, retain=retain_previous)
         return deleted
 
     from pyspark.sql import Observation
@@ -479,5 +484,5 @@ def collection_delete(
     if bucketed:
         writer = writer.partitionBy("id_bucket")
     writer.parquet(staging)
-    swap_data_dir(root, manifest.name, staging)
+    swap_data_dir(root, manifest.name, staging, retain=retain_previous)
     return int(n_before - obs.get["rows"])

@@ -99,13 +99,20 @@ def current_data_dir(root: str, name: str) -> str:
     return os.path.join(root, name, DATA_DIR)
 
 
-def swap_data_dir(root: str, name: str, staging: str) -> str:
+def swap_data_dir(
+    root: str, name: str, staging: str, *, retain: bool = False
+) -> str:
     """Atomically make ``staging`` (a fully-written data dir inside
     the collection) the active data dir; returns the retired dir.
     The only mutation visible to readers is one ``os.replace`` of the
-    pointer file (atomic on POSIX). The old dir is removed AFTER the
-    swap — a reader that already resolved it keeps a consistent view
-    until its scan finishes (local FS unlink keeps open files live)."""
+    pointer file (atomic on POSIX). By default the old dir is removed
+    AFTER the swap — a reader that already resolved it keeps a
+    consistent view until its scan finishes (local FS unlink keeps
+    open files live). ``retain=True`` keeps the retired dir as a
+    readable PREVIOUS VERSION (time travel via
+    ``read_collection(version=...)``) until ``vacuum_collection``'s
+    horizon sweeps it — the same retention contract as a lakehouse
+    VACUUM."""
     import shutil
 
     old = current_data_dir(root, name)
@@ -114,9 +121,36 @@ def swap_data_dir(root: str, name: str, staging: str) -> str:
     with open(tmp, "w") as f:
         f.write(os.path.basename(staging))
     os.replace(tmp, pointer)
-    if os.path.abspath(old) != os.path.abspath(staging):
+    if not retain and os.path.abspath(old) != os.path.abspath(staging):
         shutil.rmtree(old, ignore_errors=True)
     return old
+
+
+def collection_versions(root: str, name: str) -> list[tuple[str, bool]]:
+    """Readable data-dir versions, oldest-first -> [(dir_name,
+    is_active)]. Non-active entries exist only after a
+    ``retain=True`` swap (or a crashed rewrite) and live until
+    vacuum; the active dir is always present."""
+    base = os.path.join(validate_path(root), name)
+    load_manifest(root, name)
+    active = os.path.basename(current_data_dir(root, name))
+
+    def version_key(d: str) -> int:
+        if d == DATA_DIR:
+            return -1
+        try:
+            return int(d.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            return -2
+
+    dirs = [
+        d
+        for d in os.listdir(base)
+        if os.path.isdir(os.path.join(base, d))
+        and (d == DATA_DIR or d.startswith(DATA_DIR + "-"))
+        and version_key(d) >= -1
+    ]
+    return [(d, d == active) for d in sorted(dirs, key=version_key)]
 
 
 def clone_untouched_buckets(
@@ -272,16 +306,34 @@ def load_manifest(root: str, name: str) -> CollectionManifest:
 
 
 def read_collection(
-    spark: SparkSession, root: str, name: str, *, include_bucket: bool = False
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    include_bucket: bool = False,
+    version: str | None = None,
 ) -> DataFrame:
     """Scan a collection as a DataFrame (the reference can only
     count, sas:134; we get the whole relational surface). The
     canonical 4-column shape is returned regardless of layout;
     ``include_bucket=True`` keeps a bucketed collection's
     ``id_bucket`` partition column so callers can write plans that
-    prune buckets (filters on it skip whole hive partitions)."""
+    prune buckets (filters on it skip whole hive partitions).
+    ``version`` time-travels to a retained previous data dir (a
+    dir name from ``collection_versions``); versions exist after
+    ``retain_previous=True`` rewrites and until vacuum."""
     manifest = load_manifest(root, name)
-    df = spark.read.parquet(current_data_dir(root, manifest.name))
+    if version is None:
+        data_dir = current_data_dir(root, manifest.name)
+    else:
+        data_dir = os.path.join(validate_path(root), manifest.name, version)
+        known = {d for d, _ in collection_versions(root, manifest.name)}
+        if version not in known or not os.path.isdir(data_dir):
+            raise EngineError(
+                f"unknown collection version {version!r}; "
+                f"available: {sorted(known)}"
+            )
+    df = spark.read.parquet(data_dir)
     if manifest.n_buckets and not include_bucket:
         df = df.select("id", "document", "embedding", "metadata")
     return df
@@ -306,7 +358,12 @@ def collection_count(spark: SparkSession, root: str, name: str) -> int:
 
 
 def compact_collection(
-    spark: SparkSession, root: str, name: str, *, target_partitions: int | None = None
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    target_partitions: int | None = None,
+    retain_previous: bool = False,
 ) -> int:
     """Rewrite a collection's data into ``target_partitions`` files.
 
@@ -335,7 +392,7 @@ def compact_collection(
         ).parquet(staging)
     else:
         df.repartition(parts).write.mode("overwrite").parquet(staging)
-    swap_data_dir(root, manifest.name, staging)
+    swap_data_dir(root, manifest.name, staging, retain=retain_previous)
 
     n_after = spark.read.parquet(current_data_dir(root, manifest.name)).count()
     if n_after != n_before:  # pragma: no cover - safety net

@@ -6878,3 +6878,138 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@query(
+    "collection_time_travel",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           lang AS metadata_before,
+           'updated' AS metadata_after
+    FROM documents
+    WHERE doc_id < 50 AND doc_id % 7 = 0
+    """,
+)
+def collection_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel end-to-end: hydrate a collection, UPDATE a slice of
+    its metadata with ``retain_previous=True`` (the pointer-swap
+    protocol keeps the retired dir as a readable version instead of
+    deleting it — the lakehouse VACUUM-retention contract), then read
+    the CURRENT and PREVIOUS versions side by side and return the
+    changed rows' before/after metadata. The previous version is a
+    complete, immutable dir — no log replay, no copy — because every
+    rewrite already goes through versioned-dir + atomic pointer
+    commit; retention just skips the post-swap delete, and
+    ``vacuum_collection``'s horizon bounds how long versions
+    accumulate."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    root = tempfile.mkdtemp(prefix="vdb_tt_")
+    hydrate(
+        spark,
+        joined,
+        HydrationConfig(
+            collection_name="tt",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    updates = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(F.lit("lang"), F.lit("updated")).alias("metadata"),
+    )
+    collection_update(spark, root, "tt", updates, retain_previous=True)
+    prev_name = [v for v, active in collection_versions(root, "tt") if not active][0]
+    cur = read_collection(spark, root, "tt").select(
+        "id", F.col("metadata")["lang"].alias("metadata_after")
+    )
+    prev = read_collection(spark, root, "tt", version=prev_name).select(
+        "id", F.col("metadata")["lang"].alias("metadata_before")
+    )
+    return (
+        prev.join(cur, "id")
+        .filter(F.col("metadata_before") != F.col("metadata_after"))
+        .select("id", "metadata_before", "metadata_after")
+    )
+
+
+@query(
+    "udtf_chunk_documents",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS toks
+        FROM documents WHERE doc_id < 100
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CASE WHEN len(toks) <= 10 THEN 0
+                        ELSE CAST(ceil((len(toks) - 10) / 8.0) AS BIGINT)
+                   END)) AS i
+        FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 10), ' ')
+               AS chunk
+    FROM idx
+    """,
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: a row-to-rows chunker
+    registered and invoked through SQL's LATERAL — the fourth UDF
+    shape next to scalar pandas_udf, grouped applyInPandas, and
+    registered SQL UDFs. The UDTF is the API-coverage twin of the
+    EXPRESSION chunker (`text_chunking` / functions.text.chunk_tokens
+    — codegen, the production path at scale); a table function earns
+    its per-row Python cost only when the row fan-out logic genuinely
+    can't be expressed as array expressions. Window 10, step 8, same
+    normalization as the token helpers, so the DuckDB oracle
+    enumerates identical chunks."""
+    import math
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = [
+                t
+                for t in _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+                if t
+            ]
+            if not toks:
+                return
+            n = len(toks)
+            n_chunks = 1 if n <= 10 else math.ceil((n - 10) / 8.0) + 1
+            for i in range(int(n_chunks)):
+                yield i, " ".join(toks[i * 8 : i * 8 + 10])
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.chunk "
+        "FROM _udtf_docs, LATERAL chunk_doc(text) AS c"
+    )
