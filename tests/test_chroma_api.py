@@ -397,3 +397,49 @@ def test_time_travel_read_previous_version(spark, tmp_path):
     removed = vacuum_collection(root, "tt", older_than_s=0.0)
     assert any(prev_name in r for r in removed)
     assert len(collection_versions(root, "tt")) == 1
+
+
+def test_read_collection_unknown_version_raises_typed(spark, tmp_path):
+    """Typed EngineError (not a raw Spark path error) for a version
+    that does not exist — same error contract as missing tables."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.0, 0.0])], "doc_id int, text string, embedding array<float>"
+    )
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="nv",
+            root=str(tmp_path),
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+        ),
+    )
+    with pytest.raises(EngineError, match="unknown collection version"):
+        read_collection(spark, str(tmp_path), "nv", version="data-99")
+
+
+def test_cms_depth_guard(spark):
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+    )
+
+    df = spark.range(5).selectExpr("id as k")
+    with pytest.raises(ValueError, match="slice budget"):
+        cms_counters(df, "k", depth=5, width=16)
