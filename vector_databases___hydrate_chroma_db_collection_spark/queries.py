@@ -7013,3 +7013,99 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT doc_id, c.chunk_idx, c.chunk "
         "FROM _udtf_docs, LATERAL chunk_doc(text) AS c"
     )
+
+
+@query(
+    "agg_incremental_daily_totals",
+    """
+    SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT)), 0) / 100.0
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def agg_incremental_daily_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the daily summary is built by
+    MERGING a precomputed partial over the historical slice with a
+    partial over the delta slice (algebraic merge of count/sum
+    partials — the additive-state property every incremental ETL
+    relies on), and the oracle recomputes from the FULL table. At
+    100 TB the historical partial is a tiny stored summary, so the
+    daily refresh touches only the delta — this query proves the
+    merge path is bit-identical to full recompute (counts are exact;
+    sums merge in integer cents, so partial order cannot drift)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / 86400000000.0
+    ).cast("bigint")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    base = e.select(day.alias("day"), cents.alias("cents"), "event_id")
+    # "historical" summary (event_id % 5 != 0) and "delta" batch: the
+    # split is arbitrary — the point is the merge algebra.
+    def partial(df):
+        return df.groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+
+    hist = partial(base.filter(F.col("event_id") % 5 != 0))
+    delta = partial(base.filter(F.col("event_id") % 5 == 0))
+    return (
+        hist.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("cents").alias("_c"),
+        )
+        .select(
+            "day",
+            "n_events",
+            (F.round(F.col("_c"), 0) / 100.0).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_batch_tag
+    FROM events GROUP BY 1
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing dataset: an old batch written
+    WITHOUT a column and a new batch written WITH an added
+    ``batch_tag`` column are read together under ``mergeSchema`` —
+    the widened schema applies to both, old rows surface NULL for the
+    added column, and nothing is rewritten (schema-on-read, the only
+    viable evolution at 100 TB; a backfill rewrite is a choice, not a
+    requirement). The oracle derives the same counts from the
+    original table: rows that came through the tagged batch are
+    exactly the rows whose tag is non-null."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="vdb_evo_")
+    old = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    )
+    new = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", F.lit("b1").alias("batch_tag")
+    )
+    old.write.parquet(f"{root}/b0")
+    new.write.parquet(f"{root}/b1")
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(root)
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("batch_tag").isNotNull().cast("bigint")).alias(
+            "n_with_batch_tag"
+        ),
+    )
