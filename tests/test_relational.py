@@ -312,3 +312,24 @@ def test_zorder_key_hypothesis_roundtrip(spark):
             assert (x, y) == (r["x"], r["y"])
 
     check()
+
+
+def test_cms_estimate_survives_colliding_key_columns(spark):
+    """keys frames named like the counter schema (hash_row/bucket)
+    must pass through untouched — internal probe columns are
+    underscore-prefixed."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.range(100).select((F.col("id") % 5).alias("hash_row"))
+    counters = cms_counters(df, "hash_row", depth=2, width=512)
+    keys = df.groupBy(F.col("hash_row")).agg(
+        F.count(F.lit(1)).alias("bucket")  # deliberately colliding names
+    )
+    got = cms_estimate(counters, keys, "hash_row", depth=2, width=512)
+    assert sorted(got.columns) == ["bucket", "cms_est", "hash_row"]
+    assert all(r["cms_est"] == r["bucket"] for r in got.collect())  # exact (wide)

@@ -91,26 +91,43 @@ def cms_estimate(
     Spark broadcasts it; estimates are min over the key's ``depth``
     counters (the classic one-sided CM bound: est ≥ true count).
     Buckets that no key hashed into are absent from ``counters`` —
-    they read as 0 via the left join coalesce."""
+    they read as 0 via the left join coalesce. ``keys`` may carry any
+    passthrough columns except ``cms_est`` (internal probe columns
+    are underscore-prefixed to avoid collisions)."""
     if depth > 4:
         raise ValueError("cms depth > 4 exceeds the md5 slice budget")
+    if "cms_est" in keys.columns:
+        raise ValueError("keys already has a 'cms_est' column")
     key = F.col(key_col)
-    probes = keys.select(
-        "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("hash_row"),
-                        _bucket(key, j, width).alias("bucket"),
-                    )
-                    for j in range(depth)
-                ]
-            )
-        ).alias("p"),
-    ).select("*", F.col("p.hash_row").alias("hash_row"), F.col("p.bucket").alias("bucket"))
+    probes = (
+        keys.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("r"),
+                            _bucket(key, j, width).alias("b"),
+                        )
+                        for j in range(depth)
+                    ]
+                )
+            ).alias("_cms_p"),
+        )
+        .select(
+            "*",
+            F.col("_cms_p.r").alias("_cms_row"),
+            F.col("_cms_p.b").alias("_cms_bucket"),
+        )
+        .drop("_cms_p")
+    )
+    c = counters.select(
+        F.col("hash_row").alias("_cms_row"),
+        F.col("bucket").alias("_cms_bucket"),
+        F.col("cnt").alias("_cms_cnt"),
+    )
     return (
-        probes.join(F.broadcast(counters), ["hash_row", "bucket"], "left")
-        .groupBy(*[F.col(c) for c in keys.columns])
-        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+        probes.join(F.broadcast(c), ["_cms_row", "_cms_bucket"], "left")
+        .groupBy(*[F.col(col) for col in keys.columns])
+        .agg(F.min(F.coalesce("_cms_cnt", F.lit(0))).alias("cms_est"))
     )
