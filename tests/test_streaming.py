@@ -527,3 +527,104 @@ def test_stream_cms_matches_batch_sketch(spark, tmp_path):
     assert sorted(map(tuple, est_m.collect())) == sorted(
         map(tuple, est_b.collect())
     )
+
+
+def test_stream_hydrate_upsert_with_ts_col_latest_wins(spark, tmp_path):
+    """Regression (review finding): with ts_col set, upsert mode must
+    NOT watermark-dedup re-sent ids — the later update replaces the
+    stored row — and within one micro-batch the LATEST ts wins
+    deterministically."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def rows(batch):
+        return spark.createDataFrame(
+            batch,
+            "doc_id int, text string, embedding array<float>, ts timestamp",
+        )
+
+    in_dir = tmp_path / "in"
+    # batch 0: ids 0..4 at t0; id 0 appears TWICE in-batch (v0 then v1)
+    b0 = [(i, f"v0-{i}", [float(i), 1.0], t0) for i in range(5)]
+    b0.append((0, "v1-0", [0.0, 2.0], t0 + datetime.timedelta(seconds=30)))
+    # coalesce(1): one FILE per intended micro-batch — with
+    # maxFilesPerTrigger=1 every part file is its own batch, and a
+    # multi-file write would split the in-batch duplicate pair across
+    # batches (cross-batch order is arrival order, not ts order).
+    rows(b0).coalesce(1).write.parquet(str(in_dir / "b0"))
+    # batch 1: id 1 re-sent 2 minutes later (well inside any watermark)
+    rows(
+        [(1, "v2-1", [1.0, 3.0], t0 + datetime.timedelta(minutes=2))]
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+
+    stream = (
+        spark.readStream.schema(rows([]).schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_dir))
+    )
+    cfg = HydrationConfig(
+        collection_name="stream_ts_up",
+        root=str(tmp_path / "colls"),
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    q = stream_hydrate(
+        stream, cfg, dim=2, ts_col="ts", mode="upsert", trigger_once=True
+    )
+    assert q.awaitTermination(180)
+
+    coll = read_collection(spark, str(tmp_path / "colls"), "stream_ts_up")
+    got = {r["id"]: r["document"] for r in coll.collect()}
+    assert len(got) == 5
+    assert got["0"] == "v1-0"  # in-batch latest ts won
+    assert got["1"] == "v2-1"  # cross-batch update NOT swallowed by dedup
+
+
+def test_stream_cms_replay_after_commit_is_noop(spark, tmp_path):
+    """Regression (review finding): foreachBatch is at-least-once — a
+    batch replayed AFTER its state commit (crash between pointer swap
+    and checkpoint write) must not merge its delta twice. Simulated
+    by pre-committing state under the batch id the fresh stream will
+    replay (0): the final state must equal the pre-committed one."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.sketches import (
+        _commit_cms_state,
+        read_cms_state,
+        stream_cms_counters,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+    )
+
+    data = spark.range(500).select((F.col("id") % 7).alias("k"))
+    state_dir = str(tmp_path / "state")
+    state_dir_p = tmp_path / "state"
+    state_dir_p.mkdir()
+    # pre-commit: as if batch 0 already merged and crashed pre-checkpoint
+    pre = cms_counters(data, "k", depth=2, width=32)
+    _commit_cms_state(pre, state_dir, 0)
+    before = sorted(map(tuple, read_cms_state(spark, state_dir).collect()))
+
+    in_dir = tmp_path / "in"
+    data.coalesce(1).write.parquet(str(in_dir / "b0"))
+    stream = (
+        spark.readStream.schema(data.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(in_dir))
+    )
+    q = stream_cms_counters(
+        stream,
+        "k",
+        state_dir=state_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        depth=2,
+        width=32,
+    )
+    assert q.awaitTermination(120)
+
+    after = sorted(map(tuple, read_cms_state(spark, state_dir).collect()))
+    assert after == before  # replayed batch skipped, no double count

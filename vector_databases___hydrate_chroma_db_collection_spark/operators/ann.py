@@ -378,6 +378,51 @@ def ivf_knn_join(
     return rank_merge(candidates, k, metric=metric, score_decimals=score_decimals)
 
 
+def collect_bounded_sample(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    max_rows: int,
+    seed: int,
+    n_rows: int | None = None,
+    as_rows: bool = False,
+):
+    """Driver-side float64 matrix (or raw value list with
+    ``as_rows=True``) of ≤ ``max_rows`` sampled rows, drawn WITHOUT a
+    partition-prefix bias. Shared by every k-means-style
+    trainer (``_train_kmeans``, ``pq.pq_train``, ``pq.ivf_pq_build``)
+    so the sampling contract has exactly one implementation.
+
+    limit() alone would take the first partitions' rows, which on an
+    ordered or clustered corpus (time-ordered ingest, per-tenant
+    files) trains on the head of the distribution only. A seeded
+    uniform sample at EXACTLY the target fraction avoids that — and
+    with no trailing limit() there is no truncation bias either
+    (limit after an oversample drops tail-partition rows). Callers
+    that already know the row count pass ``n_rows`` so sizing adds
+    no extra scan; binomial overshoot past the cap (~0.2% at 262k)
+    is trimmed by a seeded unbiased choice after collect. The collect
+    is bounded (``max_rows`` × dim float64 — a few MB at typical
+    dims): the same memory contract as a broadcast join side.
+    """
+    vecs = df.select(F.col(vec_col).alias("_v"))
+    n = vecs.count() if n_rows is None else int(n_rows)
+    if n > max_rows:
+        vecs = vecs.sample(max_rows / n, seed)
+    pdf = vecs.toPandas()
+    vals = pdf["_v"]
+    if len(vals) > max_rows:
+        keep = np.sort(
+            np.random.RandomState(seed).choice(len(vals), max_rows, replace=False)
+        )
+        vals = vals.iloc[keep]
+    if as_rows:
+        # structured samples (e.g. (embedding, cell) pairs) — return
+        # the raw values; the caller shapes them
+        return list(vals)
+    return np.stack([np.asarray(e, dtype=np.float64) for e in vals])
+
+
 def _train_kmeans(
     sample: DataFrame,
     vec_col: str,
@@ -406,27 +451,9 @@ def _train_kmeans(
     iterations are plenty.
     """
     spherical = metric == "cosine"
-    vecs = sample.select(F.col(vec_col).alias("_v"))
-    # Bound the driver collect WITHOUT a partition-prefix bias: limit()
-    # alone would take the first partitions' rows, which on an ordered
-    # or clustered corpus (time-ordered ingest, per-tenant files)
-    # trains centroids on the head of the distribution only. A seeded
-    # uniform sample at EXACTLY the target fraction avoids that — and
-    # with no trailing limit() there is no truncation bias either
-    # (limit after an oversample drops tail-partition rows). Callers
-    # that already know the row count pass ``n_rows`` so sizing adds
-    # no extra scan; binomial overshoot past the cap (~0.2% at 262k)
-    # is trimmed by a seeded unbiased choice after collect.
-    n = vecs.count() if n_rows is None else int(n_rows)
-    if n > max_train_rows:
-        vecs = vecs.sample(max_train_rows / n, seed)
-    pdf = vecs.toPandas()
-    X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_v"]])
-    if len(X) > max_train_rows:
-        keep = np.random.RandomState(seed).choice(
-            len(X), max_train_rows, replace=False
-        )
-        X = X[np.sort(keep)]
+    X = collect_bounded_sample(
+        sample, vec_col, max_rows=max_train_rows, seed=seed, n_rows=n_rows
+    )
     if spherical:
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     rng = np.random.RandomState(seed)

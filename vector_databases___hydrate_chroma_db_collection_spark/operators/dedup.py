@@ -134,6 +134,10 @@ def dup_ngram_fraction(
     Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better" — their substring-dup fraction, at shingle
     granularity). Output: (id, n_shingles, dup_shingles, dup_frac).
+    Documents shorter than ``n`` tokens still contribute one short
+    shingle (word_shingles' contract), so every document with at
+    least one token appears in the output; only EMPTY documents are
+    absent — left-join and coalesce if the corpus contains them.
 
     Plan shape: repartition -> explode distinct shingles ONCE -> an
     unordered window count over the shingle key (the per-shingle

@@ -153,6 +153,11 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # Empty edge set (e.g. every edge filtered as a self-loop):
+        # the natural result is an empty rank table, not a
+        # ZeroDivisionError from the (1-d)/N teleport term.
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n_nodes
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):

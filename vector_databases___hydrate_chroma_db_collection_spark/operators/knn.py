@@ -215,6 +215,7 @@ def knn_join_gemm(
             embedding_col=corpus_embedding_col,
             n_centroids=n_centroids,
             metric="cosine" if metric == "cosine" else "l2",
+            n_rows=n,  # reuse the sizing count — no second corpus scan
         )
         return ivf_knn_join(
             queries,

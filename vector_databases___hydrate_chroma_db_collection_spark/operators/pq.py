@@ -89,17 +89,13 @@ def pq_train(
     trains on unit vectors (use for cosine corpora; encode with the
     same flag). ``dim`` must divide evenly by ``m``.
     """
-    vecs = corpus.select(F.col(embedding_col).alias("_v"))
-    n = vecs.count() if n_rows is None else int(n_rows)
-    if n > max_train_rows:
-        vecs = vecs.sample(max_train_rows / n, seed)
-    pdf = vecs.toPandas()
-    X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_v"]])
-    if len(X) > max_train_rows:
-        keep = np.random.RandomState(seed).choice(
-            len(X), max_train_rows, replace=False
-        )
-        X = X[np.sort(keep)]
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        collect_bounded_sample,
+    )
+
+    X = collect_bounded_sample(
+        corpus, embedding_col, max_rows=max_train_rows, seed=seed, n_rows=n_rows
+    )
     if normalize:
         X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
     dim = X.shape[1]
@@ -383,28 +379,32 @@ def ivf_pq_build(
     if dim % m != 0:
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
 
-    # Residual sample for PQ training — seeded exact-fraction sample,
-    # no prefix bias (same reasoning as ann._train_kmeans). Sized from
-    # the single corpus count (assignment is 1:1), NOT a second count
-    # over the assignment scan; binomial overshoot past the cap is
-    # trimmed by the seeded choice below.
-    res_src = assigned.select(
-        F.col(embedding_col).alias("_e"), F.col("ivf_cell").alias("_c")
+    # Residual sample for PQ training — the shared bounded-sample
+    # helper (ann.collect_bounded_sample: seeded exact-fraction
+    # sample, no prefix bias, seeded trim), sized from the single
+    # corpus count (assignment is 1:1), NOT a second count over the
+    # assignment scan. The (embedding, cell) pair rides as one struct
+    # column so residuals can be formed after the bounded collect.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        collect_bounded_sample,
     )
-    res_n = float(n)
+
+    res_src = assigned.select(
+        F.struct(
+            F.col(embedding_col).alias("e"), F.col("ivf_cell").alias("c")
+        ).alias("_ec")
+    )
+    res_n = n
     if sample_fraction is not None:
         res_src = res_src.sample(sample_fraction, seed)
-        res_n = max(1.0, n * sample_fraction)
-    if res_n > max_train_rows:
-        res_src = res_src.sample(max_train_rows / res_n, seed)
-    pdf = res_src.toPandas()
-    E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
-    R = E - C[pdf["_c"].to_numpy()]
-    if len(R) > max_train_rows:
-        keep = np.random.RandomState(seed).choice(
-            len(R), max_train_rows, replace=False
-        )
-        R = R[np.sort(keep)]
+        res_n = max(1, int(n * sample_fraction))
+    pairs = collect_bounded_sample(
+        res_src, "_ec", max_rows=max_train_rows, seed=seed, n_rows=res_n,
+        as_rows=True,
+    )
+    E = np.stack([np.asarray(p["e"], dtype=np.float64) for p in pairs])
+    cells = np.asarray([int(p["c"]) for p in pairs])
+    R = E - C[cells]
     dsub = dim // m
     codebooks = _train_subspaces(R, m, dsub, n_codes, seed)
 

@@ -93,14 +93,23 @@ def cms_estimate(
     Buckets that no key hashed into are absent from ``counters`` —
     they read as 0 via the left join coalesce. ``keys`` may carry any
     passthrough columns except ``cms_est`` (internal probe columns
-    are underscore-prefixed to avoid collisions)."""
+    are underscore-prefixed), of ANY type, and output cardinality
+    equals input cardinality — duplicate key rows stay duplicated
+    (the re-group after the probe explode keys on a per-row id, not
+    on the passthrough values)."""
     if depth > 4:
         raise ValueError("cms depth > 4 exceeds the md5 slice budget")
     if "cms_est" in keys.columns:
         raise ValueError("keys already has a 'cms_est' column")
     key = F.col(key_col)
+    # Row id BEFORE the probe explode: grouping back on it preserves
+    # input cardinality exactly and never asks Spark to group on a
+    # passthrough column (which fails for maps and collapses dups).
+    # monotonically_increasing_id is stable here because the id and
+    # the group-by consume it inside one plan, never across restarts.
+    tagged = keys.withColumn("_cms_rid", F.monotonically_increasing_id())
     probes = (
-        keys.select(
+        tagged.select(
             "*",
             F.explode(
                 F.array(
@@ -126,8 +135,13 @@ def cms_estimate(
         F.col("bucket").alias("_cms_bucket"),
         F.col("cnt").alias("_cms_cnt"),
     )
+    passthrough = [col for col in keys.columns]
     return (
         probes.join(F.broadcast(c), ["_cms_row", "_cms_bucket"], "left")
-        .groupBy(*[F.col(col) for col in keys.columns])
-        .agg(F.min(F.coalesce("_cms_cnt", F.lit(0))).alias("cms_est"))
+        .groupBy("_cms_rid")
+        .agg(
+            *[F.first(col).alias(col) for col in passthrough],
+            F.min(F.coalesce("_cms_cnt", F.lit(0))).alias("cms_est"),
+        )
+        .drop("_cms_rid")
     )

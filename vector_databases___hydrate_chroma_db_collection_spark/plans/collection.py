@@ -35,6 +35,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.errors import (
 MANIFEST_NAME = "_manifest.json"
 DATA_DIR = "data"
 CURRENT_POINTER = "_current"
+RETAINED_MARKER = "_retained"
 
 
 @dataclass(frozen=True)
@@ -117,6 +118,13 @@ def swap_data_dir(
 
     old = current_data_dir(root, name)
     pointer = os.path.join(root, name, CURRENT_POINTER)
+    if retain and os.path.abspath(old) != os.path.abspath(staging):
+        # Mark the retiring dir COMMITTED before the swap: it is the
+        # currently-active, complete file set, and the marker is what
+        # distinguishes a retained readable version from a crashed
+        # rewrite's partial staging dir (which never gets one).
+        with open(os.path.join(old, RETAINED_MARKER), "w") as f:
+            f.write("retained\n")
     tmp = pointer + ".tmp"
     with open(tmp, "w") as f:
         f.write(os.path.basename(staging))
@@ -128,9 +136,11 @@ def swap_data_dir(
 
 def collection_versions(root: str, name: str) -> list[tuple[str, bool]]:
     """Readable data-dir versions, oldest-first -> [(dir_name,
-    is_active)]. Non-active entries exist only after a
-    ``retain=True`` swap (or a crashed rewrite) and live until
-    vacuum; the active dir is always present."""
+    is_active)]. Non-active entries are ONLY dirs carrying the
+    committed-retained marker written by a ``retain=True`` swap —
+    a crashed rewrite's partial staging dir never gets the marker
+    and is never listed (it is vacuum's job to sweep it). Versions
+    live until vacuum; the active dir is always present."""
     base = os.path.join(validate_path(root), name)
     load_manifest(root, name)
     active = os.path.basename(current_data_dir(root, name))
@@ -149,6 +159,10 @@ def collection_versions(root: str, name: str) -> list[tuple[str, bool]]:
         if os.path.isdir(os.path.join(base, d))
         and (d == DATA_DIR or d.startswith(DATA_DIR + "-"))
         and version_key(d) >= -1
+        and (
+            d == active
+            or os.path.exists(os.path.join(base, d, RETAINED_MARKER))
+        )
     ]
     return [(d, d == active) for d in sorted(dirs, key=version_key)]
 

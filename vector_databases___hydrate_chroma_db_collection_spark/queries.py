@@ -6803,7 +6803,12 @@ def stream_cms_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth=4,
         width=64,
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_cms_event_users: availableNow stream did not drain "
+            "within 300s — partial state would corrupt the oracle compare"
+        )
     return read_cms_state(spark, f"{root}/state")
 
 

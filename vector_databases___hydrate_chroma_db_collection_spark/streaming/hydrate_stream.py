@@ -40,10 +40,12 @@ def stream_hydrate(
 ) -> StreamingQuery:
     """Continuously hydrate a canonical-shape stream into a collection.
 
-    - id dedup: within the watermark horizon via
-      ``dropDuplicatesWithinWatermark`` (bounded state — the unbounded
-      exact variant would OOM a year-long stream), falling back to
-      plain in-batch dedup when no ts column exists.
+    - id dedup (``mode="append"`` only): within the watermark horizon
+      via ``dropDuplicatesWithinWatermark`` (bounded state — the
+      unbounded exact variant would OOM a year-long stream), falling
+      back to plain stateful dedup when no ts column exists. Upsert
+      mode NEVER dedups at the stream level: a re-sent id must reach
+      the writer to replace its stored row.
     - dimension guard: same strict policy as batch hydrate.
     - ``mode="append"`` (default): each micro-batch is a partitioned
       Parquet append — the ingest path for immutable event streams.
@@ -51,7 +53,15 @@ def stream_hydrate(
       ``hydrate(on_duplicate='upsert')`` writer, so a re-sent id
       REPLACES its stored row (CDC-style streams); the rewrite
       inherits batch upsert's crash-atomicity (versioned dir +
-      pointer swap, bucket-pruned on bucketed layouts).
+      pointer swap, bucket-pruned on bucketed layouts). When one
+      micro-batch carries several updates for the same id, the row
+      with the LATEST ``ts_col`` wins (deterministic; equal
+      timestamps fall back to an arbitrary pick); without ``ts_col``
+      the pick is arbitrary — pass ``ts_col`` for CDC streams.
+      ACROSS micro-batches the last PROCESSED batch wins (standard
+      CDC contract: the source must deliver per-key updates in
+      order); the collection stores no event time, so out-of-order
+      cross-batch delivery is not detected.
     """
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")
@@ -70,7 +80,7 @@ def stream_hydrate(
         "embedding", lambda x: x.isNull()
     )
     data = data.filter(ok)
-    if ts_col:
+    if ts_col and mode == "append":
         from vector_databases___hydrate_chroma_db_collection_spark.streaming.windows import (
             watermark_ready,
         )
@@ -83,17 +93,30 @@ def stream_hydrate(
         # forever after (unbounded state — callers with long streams
         # should pass ts_col for the bounded watermark variant).
         data = data.dropDuplicates(["id"])
-    # mode == "upsert" without ts_col: NO stream-level dedup — a
-    # re-sent id must reach the writer to replace its stored row
-    # (stateful dropDuplicates would swallow it); in-batch duplicates
-    # are collapsed inside write_batch instead.
+    # mode == "upsert": NO stream-level dedup, with or without
+    # ts_col — a re-sent id must reach the writer to replace its
+    # stored row (stateful dropDuplicates[WithinWatermark] would
+    # swallow the update and freeze the stale row forever). In-batch
+    # duplicates are collapsed inside write_batch, latest-ts wins.
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        canonical = batch_df.withColumn(
+        picked = batch_df
+        if mode == "upsert":
+            if "_ts" in picked.columns:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("id").orderBy(F.col("_ts").desc())
+                picked = (
+                    picked.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_ts")
+                )
+            else:
+                picked = picked.dropDuplicates(["id"])
+        canonical = picked.withColumn(
             "metadata", F.create_map().cast("map<string,string>")
         ).select(*CANONICAL_COLUMNS)
         if mode == "upsert":
-            canonical = canonical.dropDuplicates(["id"])
             if canonical.isEmpty():
                 return
             from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (

@@ -12,9 +12,13 @@ State durability follows the collection layer's versioned-dir +
 pointer protocol (``plans/collection.py::swap_data_dir`` reasoning):
 each merge writes a fresh ``v{batch}`` dir and atomically renames a
 pointer file, so readers always see a complete sketch and a crashed
-merge leaves the previous version live. Replays of a micro-batch
-after a crash-before-pointer-swap are idempotent (the merge re-runs
-from the same previous version); the pointer is the commit point.
+merge leaves the previous version live. Replays are idempotent on
+BOTH sides of the commit point: a crash before the pointer swap
+re-runs the merge from the previous version, and a crash AFTER the
+swap but before the streaming checkpoint records the batch (Spark's
+at-least-once foreachBatch contract) is caught by the batch-id guard
+in ``stream_cms_counters`` — the pointer already names ``v{batch}``,
+so the replay is a no-op instead of a double count.
 """
 
 from __future__ import annotations
@@ -73,6 +77,15 @@ def stream_cms_counters(
     os.makedirs(state_dir, exist_ok=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        # Replay guard (foreachBatch is at-least-once): if the pointer
+        # already names this batch's version, the previous attempt
+        # crashed AFTER its commit — merging again would double-count
+        # every key in the batch, so the replay is a no-op.
+        ptr = os.path.join(state_dir, _POINTER)
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                if f.read().strip() == f"v{batch_id}":
+                    return
         delta = cms_counters(batch_df, key_col, depth=depth, width=width)
         prev = read_cms_state(batch_df.sparkSession, state_dir)
         merged = (
