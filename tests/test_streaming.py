@@ -605,8 +605,11 @@ def test_stream_cms_replay_after_commit_is_noop(spark, tmp_path):
     state_dir_p = tmp_path / "state"
     state_dir_p.mkdir()
     # pre-commit: as if batch 0 already merged and crashed pre-checkpoint
+    # (same checkpoint -> same run token, which is what the guard keys on)
+    import os as _os
+
     pre = cms_counters(data, "k", depth=2, width=32)
-    _commit_cms_state(pre, state_dir, 0)
+    _commit_cms_state(pre, state_dir, 0, _os.path.abspath(str(tmp_path / "ckpt")))
     before = sorted(map(tuple, read_cms_state(spark, state_dir).collect()))
 
     in_dir = tmp_path / "in"

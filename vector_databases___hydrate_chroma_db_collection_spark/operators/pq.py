@@ -361,6 +361,7 @@ def ivf_pq_build(
     import pandas as pd
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        collect_bounded_sample,
         ivf_build,
     )
 
@@ -385,10 +386,6 @@ def ivf_pq_build(
     # corpus count (assignment is 1:1), NOT a second count over the
     # assignment scan. The (embedding, cell) pair rides as one struct
     # column so residuals can be formed after the bounded collect.
-    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
-        collect_bounded_sample,
-    )
-
     res_src = assigned.select(
         F.struct(
             F.col(embedding_col).alias("e"), F.col("ivf_cell").alias("c")

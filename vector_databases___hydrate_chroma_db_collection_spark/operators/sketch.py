@@ -92,56 +92,34 @@ def cms_estimate(
     counters (the classic one-sided CM bound: est ≥ true count).
     Buckets that no key hashed into are absent from ``counters`` —
     they read as 0 via the left join coalesce. ``keys`` may carry any
-    passthrough columns except ``cms_est`` (internal probe columns
-    are underscore-prefixed), of ANY type, and output cardinality
-    equals input cardinality — duplicate key rows stay duplicated
-    (the re-group after the probe explode keys on a per-row id, not
-    on the passthrough values)."""
+    passthrough columns (any type) except ``cms_est`` or
+    ``_cms_``-prefixed names, and output cardinality equals input
+    cardinality STRUCTURALLY: the estimate is ``least()`` over
+    ``depth`` broadcast hash-row lookups — one tiny left join per
+    hash row, no explode, no re-group, no synthetic row ids — so
+    duplicate key rows stay duplicated and nothing depends on
+    row-identity stability under fault recovery."""
     if depth > 4:
         raise ValueError("cms depth > 4 exceeds the md5 slice budget")
-    if "cms_est" in keys.columns:
-        raise ValueError("keys already has a 'cms_est' column")
+    reserved = [
+        c for c in keys.columns if c == "cms_est" or c.startswith("_cms_")
+    ]
+    if reserved:
+        raise ValueError(f"keys has reserved column names: {reserved}")
     key = F.col(key_col)
-    # Row id BEFORE the probe explode: grouping back on it preserves
-    # input cardinality exactly and never asks Spark to group on a
-    # passthrough column (which fails for maps and collapses dups).
-    # monotonically_increasing_id is stable here because the id and
-    # the group-by consume it inside one plan, never across restarts.
-    tagged = keys.withColumn("_cms_rid", F.monotonically_increasing_id())
-    probes = (
-        tagged.select(
-            "*",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(j).alias("r"),
-                            _bucket(key, j, width).alias("b"),
-                        )
-                        for j in range(depth)
-                    ]
-                )
-            ).alias("_cms_p"),
+    out = keys
+    est_terms = []
+    for j in range(depth):
+        cj = counters.filter(F.col("hash_row") == j).select(
+            F.col("bucket").alias(f"_cms_b{j}"),
+            F.col("cnt").alias(f"_cms_c{j}"),
         )
-        .select(
-            "*",
-            F.col("_cms_p.r").alias("_cms_row"),
-            F.col("_cms_p.b").alias("_cms_bucket"),
+        out = out.withColumn(f"_cms_b{j}", _bucket(key, j, width)).join(
+            F.broadcast(cj), f"_cms_b{j}", "left"
         )
-        .drop("_cms_p")
-    )
-    c = counters.select(
-        F.col("hash_row").alias("_cms_row"),
-        F.col("bucket").alias("_cms_bucket"),
-        F.col("cnt").alias("_cms_cnt"),
-    )
-    passthrough = [col for col in keys.columns]
-    return (
-        probes.join(F.broadcast(c), ["_cms_row", "_cms_bucket"], "left")
-        .groupBy("_cms_rid")
-        .agg(
-            *[F.first(col).alias(col) for col in passthrough],
-            F.min(F.coalesce("_cms_cnt", F.lit(0))).alias("cms_est"),
-        )
-        .drop("_cms_rid")
-    )
+        est_terms.append(F.coalesce(F.col(f"_cms_c{j}"), F.lit(0)))
+    est = est_terms[0] if depth == 1 else F.least(*est_terms)
+    drop = [f"_cms_b{j}" for j in range(depth)] + [
+        f"_cms_c{j}" for j in range(depth)
+    ]
+    return out.withColumn("cms_est", est).drop(*drop)

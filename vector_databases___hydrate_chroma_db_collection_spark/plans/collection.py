@@ -139,8 +139,10 @@ def collection_versions(root: str, name: str) -> list[tuple[str, bool]]:
     is_active)]. Non-active entries are ONLY dirs carrying the
     committed-retained marker written by a ``retain=True`` swap —
     a crashed rewrite's partial staging dir never gets the marker
-    and is never listed (it is vacuum's job to sweep it). Versions
-    live until vacuum; the active dir is always present."""
+    and is never listed (it is vacuum's job to sweep it). A complete
+    retained dir from before the marker existed can be re-listed by
+    touching ``_retained`` inside it. Versions live until vacuum;
+    the active dir is always present."""
     base = os.path.join(validate_path(root), name)
     load_manifest(root, name)
     active = os.path.basename(current_data_dir(root, name))

@@ -62,6 +62,12 @@ def stream_hydrate(
       CDC contract: the source must deliver per-key updates in
       order); the collection stores no event time, so out-of-order
       cross-batch delivery is not detected.
+
+    Changing ``mode`` or ``ts_col`` across restarts changes the
+    stream's stateful-operator layout (append uses watermark dedup,
+    upsert uses none): restart such a change from a FRESH
+    ``checkpoint_dir`` — Spark rejects a checkpoint whose recorded
+    state operators no longer match the plan.
     """
     if mode not in ("append", "upsert"):
         raise ValueError(f"mode must be 'append' or 'upsert', got {mode!r}")

@@ -35,23 +35,33 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch impo
 _POINTER = "_current"
 
 
-def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
-    """Current merged counters, or None before the first commit."""
+def _read_pointer(state_dir: str) -> tuple[str, str] | None:
+    """(version, run_token) from the pointer file, or None."""
     ptr = os.path.join(state_dir, _POINTER)
     if not os.path.exists(ptr):
         return None
     with open(ptr) as f:
-        version = f.read().strip()
-    return spark.read.parquet(os.path.join(state_dir, version))
+        lines = f.read().splitlines()
+    return (lines[0], lines[1] if len(lines) > 1 else "")
 
 
-def _commit_cms_state(df: DataFrame, state_dir: str, batch_id: int) -> None:
+def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current merged counters, or None before the first commit."""
+    head = _read_pointer(state_dir)
+    if head is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, head[0]))
+
+
+def _commit_cms_state(
+    df: DataFrame, state_dir: str, batch_id: int, run_token: str = ""
+) -> None:
     version = f"v{batch_id}"
     out = os.path.join(state_dir, version)
     df.write.mode("overwrite").parquet(out)
     tmp = os.path.join(state_dir, f"{_POINTER}.tmp.{batch_id}")
     with open(tmp, "w") as f:
-        f.write(version)
+        f.write(f"{version}\n{run_token}")
     os.replace(tmp, os.path.join(state_dir, _POINTER))  # atomic commit
 
 
@@ -76,16 +86,22 @@ def stream_cms_counters(
     merged sketch IS the batch sketch of everything seen)."""
     os.makedirs(state_dir, exist_ok=True)
 
+    # The run token ties the replay guard to THIS stream's checkpoint:
+    # batch ids restart at 0 when a state_dir is reused with a fresh
+    # checkpoint, and without the token the guard would mistake the
+    # new run's first real batch for a replay and silently drop it.
+    run_token = os.path.abspath(checkpoint_dir)
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         # Replay guard (foreachBatch is at-least-once): if the pointer
-        # already names this batch's version, the previous attempt
-        # crashed AFTER its commit — merging again would double-count
-        # every key in the batch, so the replay is a no-op.
-        ptr = os.path.join(state_dir, _POINTER)
-        if os.path.exists(ptr):
-            with open(ptr) as f:
-                if f.read().strip() == f"v{batch_id}":
-                    return
+        # already names this batch's version FROM THIS CHECKPOINT, the
+        # previous attempt crashed after its commit — merging again
+        # would double-count every key in the batch, so the replay is
+        # a no-op. A matching version under a DIFFERENT checkpoint is
+        # a fresh run's genuine batch and merges normally.
+        head = _read_pointer(state_dir)
+        if head is not None and head == (f"v{batch_id}", run_token):
+            return
         delta = cms_counters(batch_df, key_col, depth=depth, width=width)
         prev = read_cms_state(batch_df.sparkSession, state_dir)
         merged = (
@@ -95,7 +111,7 @@ def stream_cms_counters(
             .groupBy("hash_row", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
         )
-        _commit_cms_state(merged, state_dir, batch_id)
+        _commit_cms_state(merged, state_dir, batch_id, run_token)
 
     writer = (
         stream.writeStream.foreachBatch(merge)
