@@ -464,3 +464,121 @@ def test_vacuum_removes_only_orphans(spark, sample, tmp_path):
     assert not orphan.exists()
     assert not (base / "_current.tmp").exists()
     assert collection_count(spark, str(tmp_path), "vac") == 3
+
+
+def _cfg(tmp_path, **kw):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+    )
+
+    base = dict(
+        collection_name="rg",
+        root=str(tmp_path),
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    base.update(kw)
+    return HydrationConfig(**base)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id int, text string, embedding array<float>"
+    )
+
+
+def test_on_duplicate_typo_raises_typed(spark, tmp_path):
+    """Review regression: an unknown policy must raise, never fall
+    through to a guard-free append."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import EngineError
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+
+    with pytest.raises(EngineError, match="on_duplicate"):
+        hydrate(
+            spark,
+            _frame(spark, [(1, "a", [1.0, 0.0])]),
+            _cfg(tmp_path, on_duplicate="ignore"),
+        )
+
+
+def test_first_policy_is_idempotent_retry(spark, tmp_path):
+    """Review regression: 'first' skips ids already stored, so
+    re-hydrating the same batch is a no-op, not a duplication."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    batch = _frame(spark, [(1, "a", [1.0, 0.0]), (2, "b", [0.0, 1.0])])
+    cfg = _cfg(tmp_path, on_duplicate="first")
+    hydrate(spark, batch, cfg)
+    rpt = hydrate(spark, batch, cfg)  # retry of the same batch
+    assert rpt.rows_written == 0
+    assert read_collection(spark, str(tmp_path), "rg").count() == 2
+
+
+def test_upsert_collapses_in_batch_duplicate_ids(spark, tmp_path):
+    """Review regression: upsert with the same id twice in one batch
+    stores exactly ONE row (deterministic: lowest document wins)."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    cfg = _cfg(tmp_path, on_duplicate="upsert")
+    hydrate(spark, _frame(spark, [(1, "orig", [1.0, 0.0])]), cfg)
+    hydrate(
+        spark,
+        _frame(spark, [(1, "zz-late", [0.5, 0.5]), (1, "aa-early", [0.2, 0.8])]),
+        cfg,
+    )
+    got = read_collection(spark, str(tmp_path), "rg").filter(F.col("id") == "1")
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["document"] == "aa-early"
+
+
+def test_empty_batch_into_existing_collection_no_ops(spark, tmp_path):
+    """Review regression: a zero-row incremental batch with dim=None
+    falls back to the manifest's dimension instead of crashing."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+
+    cfg = _cfg(tmp_path)
+    hydrate(spark, _frame(spark, [(1, "a", [1.0, 0.0])]), cfg)
+    rpt = hydrate(spark, _frame(spark, []), cfg)
+    assert rpt.rows_in == 0 and rpt.rows_written == 0
+    assert rpt.count_after == 1
+
+
+def test_file_scheme_root_survives_upsert_swap(spark, tmp_path):
+    """Review regression: a 'file:'-scheme root must resolve to the
+    same local path in EVERY component — pointer files, staging dirs,
+    and swaps — not just the manifest layer."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    cfg = _cfg(tmp_path, root=f"file:{tmp_path}", on_duplicate="upsert")
+    hydrate(spark, _frame(spark, [(1, "v1", [1.0, 0.0])]), cfg)
+    hydrate(spark, _frame(spark, [(1, "v2", [0.0, 1.0])]), cfg)  # swap path
+    got = read_collection(spark, str(tmp_path), "rg")
+    rows = {r["id"]: r["document"] for r in got.collect()}
+    assert rows == {"1": "v2"}

@@ -45,7 +45,7 @@ class PersistentClient:
     def __init__(self, path):
         self.path = path
 
-    def get_or_create_collection(self, name):
+    def get_or_create_collection(self, name, metadata=None):
         return _Collection(self.path, name)
 '''
 

@@ -53,10 +53,14 @@ class HydrationConfig:
       (sas:244-255, 527-538).
     - ``on_duplicate``: 'error' (Chroma add() semantics — duplicate
       ids rejected, both in-batch and vs the existing collection),
-      'first' (keep lowest id per key), 'upsert' (Chroma upsert()
-      semantics — incoming rows REPLACE existing rows with the same
-      id; implemented as an anti-join rewrite into a fresh versioned
-      data dir swapped in atomically).
+      'first' (skip duplicates: keep ONE row per in-batch id — the
+      lexicographically-lowest document — and drop incoming ids
+      already present in the collection, i.e. idempotent-retry
+      semantics), 'upsert' (Chroma upsert() semantics — incoming
+      rows REPLACE existing rows with the same id, in-batch
+      duplicates collapsed the same deterministic way; implemented
+      as an anti-join rewrite into a fresh versioned data dir
+      swapped in atomically). Any other value raises EngineError.
     - ``n_buckets``: create the collection hive-partitioned by
       ``id_bucket = pmod(xxhash64(id), n_buckets)``. Upserts then
       rewrite ONLY the buckets the incoming ids hash into — untouched
@@ -113,6 +117,20 @@ def build_hydration_input(df: DataFrame, cfg: HydrationConfig) -> DataFrame:
     return df.select(id_expr, doc_expr, emb_expr, meta_expr)
 
 
+def _collapse_in_batch(good: DataFrame) -> DataFrame:
+    """One row per in-batch id — deterministic: the row whose
+    ``document`` sorts lowest wins (ties on document: arbitrary among
+    byte-identical payload candidates)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.col("document"))
+    return (
+        good.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _infer_dim(df: DataFrame, cfg: HydrationConfig) -> int:
     if cfg.dim is not None:
         return cfg.dim
@@ -140,12 +158,52 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
     """
     if not cfg.enabled:
         raise DisabledError("hydration disabled via run-time trigger (cfg.enabled=False)")
+    if cfg.on_duplicate not in ("error", "first", "upsert"):
+        # A typo here would otherwise fall through to a guard-free
+        # append — the one mode whose purpose is corruption prevention
+        # must not be disableable by accident.
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            EngineError,
+        )
+
+        raise EngineError(
+            f"on_duplicate must be 'error', 'first' or 'upsert', "
+            f"got {cfg.on_duplicate!r}"
+        )
 
     # One cache of the canonical projection feeds dimension inference,
     # the input count, the dup-id guard, and the write — without it
     # each observable would rescan (and recompute) the source plan.
     data = build_hydration_input(df, cfg).cache()
-    dim = _infer_dim(data, cfg)
+    try:
+        return _hydrate_cached(spark, data, cfg)
+    finally:
+        # unpersist on EVERY exit — the expected validation errors
+        # (DuplicateIdError, dimension policy) are retryable, and a
+        # long session retrying them must not accumulate pinned cache
+        data.unpersist()
+
+
+def _hydrate_cached(
+    spark: SparkSession, data: DataFrame, cfg: HydrationConfig
+) -> HydrationReport:
+    try:
+        dim = _infer_dim(data, cfg)
+    except EmbeddingDimensionError:
+        # Empty incremental batch against an EXISTING collection: the
+        # manifest knows the dimension; a zero-row day is routine, not
+        # an error. A truly new collection with empty input re-raises.
+        from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+            load_manifest,
+        )
+
+        try:
+            dim = load_manifest(cfg.root, cfg.collection_name).dim
+        except Exception:
+            raise EmbeddingDimensionError(
+                "cannot infer embedding dimension from empty input "
+                "and no existing collection manifest to fall back to"
+            ) from None
     manifest = get_or_create_collection(
         cfg.root, cfg.collection_name, dim, cfg.metric, n_buckets=cfg.n_buckets
     )
@@ -195,10 +253,20 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
                 f"{cfg.collection_name!r}"
             )
     elif cfg.on_duplicate == "first":
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("id").orderBy(F.col("document"))
-        good = good.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        good = _collapse_in_batch(good)
+        if count_before > 0:
+            # idempotent retry: ids already stored are skipped, so
+            # re-hydrating the same batch is a no-op, never a
+            # store-level duplicate
+            existing_ids = read_collection(
+                spark, cfg.root, cfg.collection_name
+            ).select("id")
+            good = good.join(existing_ids, on="id", how="left_anti")
+    elif cfg.on_duplicate == "upsert":
+        # Chroma's upsert() rejects in-batch duplicate ids; ours
+        # collapses them deterministically (same rule as 'first') so
+        # the replace-set is well-defined before the anti-join rewrite
+        good = _collapse_in_batch(good)
 
     # observe() counts the written rows inside the write job itself —
     # no separate count action, no second cache.
@@ -272,7 +340,6 @@ def hydrate(spark: SparkSession, df: DataFrame, cfg: HydrationConfig) -> Hydrati
         )
         writer.parquet(out_path)
     rows_written = int(obs.get["rows"])
-    data.unpersist()
 
     count_after = _count(spark, cfg)
     report = HydrationReport(
@@ -298,14 +365,37 @@ def _count(spark: SparkSession, cfg: HydrationConfig) -> int:
     return collection_count(spark, cfg.root, cfg.collection_name)
 
 
-def mirror_to_chroma(df: DataFrame, persistent_path: str, collection_name: str, batch_size: int = 5000) -> None:
+def mirror_to_chroma(
+    df: DataFrame,
+    persistent_path: str,
+    collection_name: str,
+    batch_size: int = 5000,
+    *,
+    metric: str = "cosine",
+    parallelism: int | None = 1,
+) -> None:
     """Optional live-Chroma mirror of a canonical-shape DataFrame.
 
     Executor-local PersistentClient per partition, bounded batches —
     the distributed replacement for the reference's single monolithic
     ``collection.add`` (sas:177-190). Gated on chromadb availability;
     the Parquet dataset remains the source of truth either way.
+
+    ``metric`` sets the mirrored collection's ``hnsw:space``
+    (cosine/l2/dot->ip) so mirror queries rank like
+    ``collection_query`` on the Parquet truth. ``parallelism``
+    defaults to 1 because the embedded PersistentClient is a
+    single-writer SQLite store on ONE machine's disk — concurrent
+    partitions would contend on the database lock, and on a
+    multi-node cluster each executor would write a disjoint partial
+    mirror to its own local path. Pass ``parallelism=None`` to keep
+    the input partitioning ONLY when the client path is backed by a
+    server-mode deployment that handles concurrency.
     """
+    space = {"cosine": "cosine", "l2": "l2", "dot": "ip"}.get(metric)
+    if space is None:
+        raise ValueError(f"unknown metric {metric!r}")
+
     def write_partition(rows):
         try:
             import chromadb  # noqa: F401 — not installed in this container
@@ -314,7 +404,9 @@ def mirror_to_chroma(df: DataFrame, persistent_path: str, collection_name: str, 
                 "chromadb is not installed; the Parquet collection is the source of truth"
             ) from e
         client = chromadb.PersistentClient(path=persistent_path)
-        coll = client.get_or_create_collection(name=collection_name)
+        coll = client.get_or_create_collection(
+            name=collection_name, metadata={"hnsw:space": space}
+        )
         batch = []
         for row in rows:
             batch.append(row)
@@ -325,11 +417,15 @@ def mirror_to_chroma(df: DataFrame, persistent_path: str, collection_name: str, 
             _flush(coll, batch)
 
     def _flush(coll, batch):  # pragma: no cover
+        # chromadb rejects empty metadata dicts; rows hydrated without
+        # a metadata column carry {} and must mirror as None
+        metas = [dict(r["metadata"]) or None for r in batch]
         coll.add(
             ids=[r["id"] for r in batch],
             documents=[r["document"] for r in batch],
             embeddings=[list(r["embedding"]) for r in batch],
-            metadatas=[dict(r["metadata"]) for r in batch],
+            metadatas=None if all(m is None for m in metas) else metas,
         )
 
-    df.foreachPartition(write_partition)
+    out = df if parallelism is None else df.coalesce(parallelism)
+    out.foreachPartition(write_partition)

@@ -124,6 +124,10 @@ def compile_where(where: dict) -> Column:
                 combined = (combined & p) if key == "$and" else (combined | p)
             clauses.append(combined)
         elif isinstance(spec, dict):
+            if not spec:
+                raise EngineError(
+                    f"where key {key!r} has an empty operator dict"
+                )
             for op, v in spec.items():
                 clauses.append(_compile_cmp(key, op, v))
         else:

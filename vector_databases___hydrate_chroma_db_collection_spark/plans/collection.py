@@ -93,6 +93,7 @@ def current_data_dir(root: str, name: str) -> str:
     Collections created before the pointer existed resolve to the
     legacy ``data`` dir.
     """
+    root = validate_path(root)  # idempotent; strips a file: scheme
     pointer = os.path.join(root, name, CURRENT_POINTER)
     if os.path.exists(pointer):
         with open(pointer) as f:
@@ -116,6 +117,7 @@ def swap_data_dir(
     VACUUM."""
     import shutil
 
+    root = validate_path(root)
     old = current_data_dir(root, name)
     pointer = os.path.join(root, name, CURRENT_POINTER)
     if retain and os.path.abspath(old) != os.path.abspath(staging):
@@ -218,7 +220,7 @@ def clone_untouched_buckets(
 
 def next_data_dir(root: str, name: str) -> str:
     """A fresh versioned data-dir path (``data-N``) for rewrites."""
-    base = os.path.join(root, name)
+    base = os.path.join(validate_path(root), name)
     versions = [
         int(d.split("-", 1)[1])
         for d in os.listdir(base)
