@@ -631,3 +631,56 @@ def test_stream_cms_replay_after_commit_is_noop(spark, tmp_path):
 
     after = sorted(map(tuple, read_cms_state(spark, state_dir).collect()))
     assert after == before  # replayed batch skipped, no double count
+
+
+def test_stream_append_replay_is_idempotent(spark, tmp_path):
+    """Regression (review finding): an append-mode micro-batch
+    replayed after its parquet write (crash before checkpoint commit)
+    must not duplicate rows — deterministic published names keyed by
+    (checkpoint token, batch id) make the replay overwrite, not
+    re-append. Simulated by running the SAME input through the same
+    state with a cleared checkpoint (same token path => same names)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(30)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    in_dir = tmp_path / "in"
+    joined.coalesce(1).write.parquet(str(in_dir / "b0"))
+
+    cfg = HydrationConfig(
+        collection_name="stream_replay",
+        root=str(tmp_path / "colls"),
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+
+    def run():
+        stream = (
+            spark.readStream.schema(joined.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(in_dir))
+        )
+        q = stream_hydrate(
+            stream,
+            cfg,
+            dim=64,
+            trigger_once=True,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    import shutil
+
+    # crash simulation: the data landed but the checkpoint is lost ->
+    # Spark replays batch 0 with the same data and the same token path
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    run()
+
+    coll = read_collection(spark, str(tmp_path / "colls"), "stream_replay")
+    assert coll.count() == 30  # replayed batch replaced its own files
+    assert coll.select("id").distinct().count() == 30

@@ -94,6 +94,11 @@ def lsh_knn_query(
         if float(plane @ q) > 0:
             qbucket |= 1 << j
 
+    if hamming_probe > 2:
+        raise ValueError(
+            "hamming_probe supports 0, 1 or 2 (wider multi-probe is "
+            "not implemented — silently capping would overstate recall)"
+        )
     probes = {qbucket}
     if hamming_probe >= 1:
         probes |= {qbucket ^ (1 << j) for j in range(n_bits)}
@@ -349,7 +354,12 @@ def ivf_knn_join(
             scores = Qs @ Ms.T
             order_scores = -scores  # higher is better
         keep = min(m, scores.shape[1])
-        top = np.argpartition(order_scores, keep - 1, axis=1)[:, :keep]
+        # tie-aware per-query top-m (see knn._gemm_block_scorer): keep
+        # the lowest-id candidates among boundary ties, matching the
+        # deterministic (score, neighbor_id) final rank
+        top = np.empty((order_scores.shape[0], keep), dtype=np.int64)
+        for r in range(order_scores.shape[0]):
+            top[r] = np.lexsort((ids, order_scores[r]))[:keep]
         return pd.DataFrame(
             {
                 "qid": qids.repeat(keep),
@@ -745,6 +755,20 @@ def mllib_minhash_dedup_join(
     )
 
 
+def _local_sidecar_path(path: str) -> str:
+    """The JSON sidecar is written with driver-local file IO; a remote
+    scheme (s3a/hdfs/...) would silently land the Parquet cells remote
+    and the sidecar on the driver's local disk — a half-persisted
+    index. Accept local paths and the file: scheme only, loudly."""
+    if "://" in path and not path.startswith("file://"):
+        raise NotImplementedError(
+            f"index sidecars use driver-local file IO; got {path!r} — "
+            "persist to a locally-mounted path (or file:), or write "
+            "the sidecar through your object-store client"
+        )
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
 def ivf_write(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -759,6 +783,7 @@ def ivf_write(
     import json
     import os
 
+    path = _local_sidecar_path(path)
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, "cells")
     )
@@ -779,6 +804,7 @@ def ivf_read(spark, path: str) -> tuple[DataFrame, np.ndarray, str]:
     import json
     import os
 
+    path = _local_sidecar_path(path)
     with open(os.path.join(path, "ivf_index.json")) as f:
         meta = json.load(f)
     assigned = spark.read.parquet(os.path.join(path, "cells"))

@@ -249,13 +249,17 @@ def knn_join_gemm(
         blocks.append(
             ([x[0] for x in buf], np.asarray([list(x[1]) for x in buf], float))
         )
-    if not blocks:
-        return queries.sparkSession.createDataFrame(
-            [], "qid long, neighbor_id long, score double, rank int"
-        )
-
     id_field = corpus.schema[corpus_id_col].dataType.simpleString()
     qid_type = queries.schema[query_id_col].dataType.simpleString()
+    if not blocks:
+        # schema must match the non-empty path exactly (review fix:
+        # a hardcoded long/long here broke unions over empty batches)
+        return queries.sparkSession.createDataFrame(
+            [],
+            f"qid {qid_type}, neighbor_id {id_field}, "
+            "score double, rank int",
+        )
+
     out_schema = f"qid {qid_type}, neighbor_id {id_field}, score double"
     corpus_cols = corpus.select(corpus_id_col, corpus_embedding_col)
     m = k + slack
@@ -375,7 +379,17 @@ def _gemm_block_scorer(
                 cand_id = np.vstack([best_id, id_mat])
                 cand_score = np.vstack([best_score, scores])
             take = min(m, cand_key.shape[0])
-            idx = np.argpartition(-cand_key, take - 1, axis=0)[:take]  # (take, q)
+            # Tie-aware top-m: argpartition on the key alone keeps an
+            # ARBITRARY subset of boundary-tied candidates, which can
+            # drop the lowest-id tied neighbor rank_merge would pick —
+            # lexsort per query column ((key desc, id asc)) keeps the
+            # same candidates the final deterministic rank keeps.
+            # (``slack`` still covers ties introduced by downstream
+            # score rounding, as documented.)
+            idx = np.empty((take, cand_key.shape[1]), dtype=np.int64)
+            for c in range(cand_key.shape[1]):
+                order = np.lexsort((cand_id[:, c], -cand_key[:, c]))
+                idx[:, c] = order[:take]
             best_key = np.take_along_axis(cand_key, idx, axis=0)
             best_id = np.take_along_axis(cand_id, idx, axis=0)
             best_score = np.take_along_axis(cand_score, idx, axis=0)

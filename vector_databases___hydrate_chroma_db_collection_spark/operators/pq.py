@@ -553,6 +553,11 @@ def ivf_pq_write(
     import json
     import os
 
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+    )
+
+    path = _local_sidecar_path(path)
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, "cells")
     )
@@ -575,6 +580,11 @@ def ivf_pq_read(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     import json
     import os
 
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+    )
+
+    path = _local_sidecar_path(path)
     with open(os.path.join(path, "ivf_pq_index.json")) as f:
         meta = json.load(f)
     encoded = spark.read.parquet(os.path.join(path, "cells"))

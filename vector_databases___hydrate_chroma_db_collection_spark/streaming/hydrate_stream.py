@@ -145,12 +145,49 @@ def stream_hydrate(
         # Resolve the active data dir per micro-batch so a concurrent
         # compaction/upsert swap redirects subsequent appends.
         out_path = current_data_dir(cfg.root, manifest.name)
+        # Exactly-once append under foreachBatch's at-least-once
+        # contract: a plain .mode("append") would re-append the whole
+        # batch when a crash lands between the write and the
+        # checkpoint commit. Instead the batch is written to a private
+        # staging dir and PUBLISHED under deterministic names keyed by
+        # (checkpoint token, batch id); a replay first sweeps the
+        # previous attempt's files for this batch, then republishes —
+        # converging to exactly one copy no matter how many attempts.
+        import hashlib
+        import shutil
+
+        tok = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:8]
+        prefix = f"stream-{tok}-{batch_id}-"
+        coll_dir = os.path.dirname(out_path)
+        staging = os.path.join(coll_dir, f"_stream_staging-{tok}-{batch_id}")
         if manifest.n_buckets:
             canonical.withColumn(
                 "id_bucket", F.pmod(F.xxhash64("id"), F.lit(manifest.n_buckets))
-            ).write.mode("append").partitionBy("id_bucket").parquet(out_path)
+            ).write.mode("overwrite").partitionBy("id_bucket").parquet(staging)
         else:
-            canonical.write.mode("append").parquet(out_path)
+            canonical.write.mode("overwrite").parquet(staging)
+        # sweep a crashed prior attempt's published files
+        for dirpath, _, files in os.walk(out_path):
+            for fname in files:
+                if fname.startswith(prefix):
+                    os.remove(os.path.join(dirpath, fname))
+        # publish with deterministic names, preserving bucket subdirs
+        i = 0
+        for dirpath, _, files in os.walk(staging):
+            rel = os.path.relpath(dirpath, staging)
+            for fname in sorted(files):
+                if not fname.endswith(".parquet"):
+                    continue
+                dest_dir = (
+                    out_path if rel == "." else os.path.join(out_path, rel)
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                os.replace(
+                    os.path.join(dirpath, fname),
+                    os.path.join(dest_dir, f"{prefix}{i:05d}.parquet"),
+                )
+                i += 1
+        shutil.rmtree(staging, ignore_errors=True)
 
     writer = data.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint

@@ -53,16 +53,38 @@ def read_cms_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(state_dir, head[0]))
 
 
+def _version_name(batch_id: int, run_token: str) -> str:
+    """Version dir name is unique per (batch, run): a fresh run whose
+    batch ids restart at 0 writes v0-<newtok>, never overwriting the
+    v0-<oldtok> dir its own merge is reading from (overwriting a path
+    being read is both an AnalysisException and, if forced, data
+    loss)."""
+    import hashlib
+
+    tok8 = hashlib.md5(run_token.encode()).hexdigest()[:8] if run_token else "local"
+    return f"v{batch_id}-{tok8}"
+
+
 def _commit_cms_state(
     df: DataFrame, state_dir: str, batch_id: int, run_token: str = ""
 ) -> None:
-    version = f"v{batch_id}"
+    version = _version_name(batch_id, run_token)
     out = os.path.join(state_dir, version)
     df.write.mode("overwrite").parquet(out)
     tmp = os.path.join(state_dir, f"{_POINTER}.tmp.{batch_id}")
     with open(tmp, "w") as f:
         f.write(f"{version}\n{run_token}")
     os.replace(tmp, os.path.join(state_dir, _POINTER))  # atomic commit
+    # GC superseded versions AFTER the commit point: a continuous
+    # stream would otherwise leave one full sketch copy per
+    # micro-batch behind forever. Readers mid-scan of the retired dir
+    # keep their open files (local-FS unlink semantics — same
+    # contract as plans/collection.swap_data_dir).
+    import shutil
+
+    for d in os.listdir(state_dir):
+        if d.startswith("v") and d != version:
+            shutil.rmtree(os.path.join(state_dir, d), ignore_errors=True)
 
 
 def stream_cms_counters(
@@ -100,7 +122,10 @@ def stream_cms_counters(
         # a no-op. A matching version under a DIFFERENT checkpoint is
         # a fresh run's genuine batch and merges normally.
         head = _read_pointer(state_dir)
-        if head is not None and head == (f"v{batch_id}", run_token):
+        if head is not None and head == (
+            _version_name(batch_id, run_token),
+            run_token,
+        ):
             return
         delta = cms_counters(batch_df, key_col, depth=depth, width=width)
         prev = read_cms_state(batch_df.sparkSession, state_dir)
