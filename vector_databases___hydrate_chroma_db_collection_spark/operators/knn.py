@@ -166,15 +166,16 @@ def knn_join_gemm(
     The query side is materialized on the driver in BLOCKS of
     ``query_block_size`` rows (streamed via ``toLocalIterator`` — the
     driver never holds more than one partition of raw rows; each block
-    is kept only as a compact float64 matrix). Each block scores the
-    corpus through its own ``mapInPandas`` pass, so executor memory is
-    bounded by (arrow batch x block) score matrices and (k + slack) x
-    block candidate buffers regardless of total query count — a 100k+
-    query batch (offline retrieval eval) runs where the round-1
-    single-collect form concentrated the whole (batch x |Q|) score
-    matrix in every task. Blocks share one final per-qid merge, and a
-    query set at or under the block size takes the identical
-    single-pass plan as before.
+    is kept only as a compact float64 matrix). ALL blocks score inside
+    ONE ``mapInPandas`` corpus pass — per Arrow batch the scorer loops
+    the block list, so executor memory is bounded by a single (arrow
+    batch x block) score matrix plus the blocks' (k + slack) x block
+    candidate buffers regardless of total query count, and the corpus
+    is read once however many blocks there are (a per-block pass
+    design would rescan it |blocks| times). A 100k+ query batch
+    (offline retrieval eval) runs where the round-1 single-collect
+    form concentrated the whole (batch x |Q|) score matrix in every
+    task; blocks share one final per-qid merge.
 
     All arithmetic is float64 so scores match a double-precision
     oracle up to summation order. Partition-local selection keeps
@@ -264,20 +265,16 @@ def knn_join_gemm(
     corpus_cols = corpus.select(corpus_id_col, corpus_embedding_col)
     m = k + slack
 
-    block_outputs = [
-        corpus_cols.mapInPandas(
-            _gemm_block_scorer(
-                qids, Q, metric=metric, m=m,
-                corpus_id_col=corpus_id_col,
-                corpus_embedding_col=corpus_embedding_col,
-            ),
-            schema=out_schema,
-        )
-        for qids, Q in blocks
-    ]
-    candidates = block_outputs[0]
-    for extra in block_outputs[1:]:
-        candidates = candidates.unionByName(extra)
+    candidates = corpus_cols.mapInPandas(
+        _gemm_blocks_scorer(
+            blocks,
+            metric=metric,
+            m=m,
+            corpus_id_col=corpus_id_col,
+            corpus_embedding_col=corpus_embedding_col,
+        ),
+        schema=out_schema,
+    )
     return rank_merge(candidates, k, metric=metric, score_decimals=score_decimals)
 
 
@@ -321,37 +318,63 @@ def rank_merge(
     )
 
 
-def _gemm_block_scorer(
-    qids: list,
-    Q,
+def _gemm_blocks_scorer(
+    blocks: list,
     *,
     metric: str,
     m: int,
     corpus_id_col: str,
     corpus_embedding_col: str,
 ):
-    """Partition scorer for ONE query block: BLAS scores per Arrow
-    batch, running per-query top-m folded across the partition."""
+    """Partition scorer for ALL query blocks in ONE corpus pass.
+
+    Per Arrow batch the corpus slice is decoded once and scored
+    against each block in turn — peak memory is a single
+    (batch x block) score matrix plus each block's (m x block)
+    running-candidate buffers (the same buffers a per-block design
+    holds), while the corpus is read ONCE instead of once per block
+    (at the module's 100 TB design point a 16-block query batch
+    would otherwise scan 1.6 PB)."""
     import numpy as np
     import pandas as pd
 
-    if metric == "cosine":
-        Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
-    else:
-        Qn = Q
-    q_sq = (Q * Q).sum(axis=1)  # for l2
+    prepped = []
+    for qids, Q in blocks:
+        if metric == "cosine":
+            Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+        else:
+            Qn = Q
+        prepped.append((np.asarray(qids), Qn, (Q * Q).sum(axis=1)))
+
+    def _fold(state, keys, scores, id_mat):
+        if state is None:
+            cand_key, cand_id, cand_score = keys, id_mat, scores
+        else:
+            cand_key = np.vstack([state[0], keys])
+            cand_id = np.vstack([state[1], id_mat])
+            cand_score = np.vstack([state[2], scores])
+        take = min(m, cand_key.shape[0])
+        # Tie-aware top-m: argpartition on the key alone keeps an
+        # ARBITRARY subset of boundary-tied candidates, which can
+        # drop the lowest-id tied neighbor rank_merge would pick —
+        # lexsort per query column ((key desc, id asc)) keeps the
+        # same candidates the final deterministic rank keeps.
+        # (``slack`` still covers ties introduced by downstream
+        # score rounding, as documented.)
+        idx = np.empty((take, cand_key.shape[1]), dtype=np.int64)
+        for c in range(cand_key.shape[1]):
+            order = np.lexsort((cand_id[:, c], -cand_key[:, c]))
+            idx[:, c] = order[:take]
+        return (
+            np.take_along_axis(cand_key, idx, axis=0),
+            np.take_along_axis(cand_id, idx, axis=0),
+            np.take_along_axis(cand_score, idx, axis=0),
+        )
 
     def score_partition(batches):
-        # Running per-query top-m as (rows, q) candidate matrices:
-        # row r of column j is the r-th surviving candidate for query
-        # j. Ids are broadcast to a matrix so every column can keep a
-        # different candidate set.
-        best_key = None  # higher = better
-        best_id = None
-        best_score = None
+        state: list = [None] * len(prepped)
         for pdf in batches:
-            n_rows = len(pdf)
-            if n_rows == 0:
+            if len(pdf) == 0:
                 continue
             emb = np.asarray(
                 [np.asarray(e, dtype=np.float64) for e in pdf[corpus_embedding_col]]
@@ -361,48 +384,34 @@ def _gemm_block_scorer(
                 en = emb / np.maximum(
                     np.linalg.norm(emb, axis=1, keepdims=True), 1e-300
                 )
-                scores = en @ Qn.T  # (n, q)
-                keys = scores
-            elif metric == "dot":
-                scores = emb @ Qn.T
-                keys = scores
-            else:  # l2: dist^2 = |e|^2 - 2 e.q + |q|^2 ; key = -dist
+            elif metric == "l2":
                 e_sq = (emb * emb).sum(axis=1, keepdims=True)
-                d2 = np.maximum(e_sq - 2.0 * (emb @ Qn.T) + q_sq[None, :], 0.0)
-                scores = np.sqrt(d2)
-                keys = -scores
-            id_mat = np.broadcast_to(ids[:, None], keys.shape)
-            if best_key is None:
-                cand_key, cand_id, cand_score = keys, id_mat, scores
-            else:
-                cand_key = np.vstack([best_key, keys])
-                cand_id = np.vstack([best_id, id_mat])
-                cand_score = np.vstack([best_score, scores])
-            take = min(m, cand_key.shape[0])
-            # Tie-aware top-m: argpartition on the key alone keeps an
-            # ARBITRARY subset of boundary-tied candidates, which can
-            # drop the lowest-id tied neighbor rank_merge would pick —
-            # lexsort per query column ((key desc, id asc)) keeps the
-            # same candidates the final deterministic rank keeps.
-            # (``slack`` still covers ties introduced by downstream
-            # score rounding, as documented.)
-            idx = np.empty((take, cand_key.shape[1]), dtype=np.int64)
-            for c in range(cand_key.shape[1]):
-                order = np.lexsort((cand_id[:, c], -cand_key[:, c]))
-                idx[:, c] = order[:take]
-            best_key = np.take_along_axis(cand_key, idx, axis=0)
-            best_id = np.take_along_axis(cand_id, idx, axis=0)
-            best_score = np.take_along_axis(cand_score, idx, axis=0)
-        if best_key is None:
-            return
-        take = best_key.shape[0]
-        out = pd.DataFrame(
-            {
-                "qid": np.repeat(qids, take),
-                "neighbor_id": best_id.T.reshape(-1),
-                "score": best_score.T.reshape(-1),
-            }
-        )
-        yield out
+            for bi, (_, Qn, q_sq) in enumerate(prepped):
+                if metric == "cosine":
+                    scores = en @ Qn.T  # (n, q)
+                    keys = scores
+                elif metric == "dot":
+                    scores = emb @ Qn.T
+                    keys = scores
+                else:  # l2: dist^2 = |e|^2 - 2 e.q + |q|^2 ; key = -dist
+                    d2 = np.maximum(
+                        e_sq - 2.0 * (emb @ Qn.T) + q_sq[None, :], 0.0
+                    )
+                    scores = np.sqrt(d2)
+                    keys = -scores
+                id_mat = np.broadcast_to(ids[:, None], keys.shape)
+                state[bi] = _fold(state[bi], keys, scores, id_mat)
+        for (qids, _, _), st in zip(prepped, state):
+            if st is None:
+                continue
+            _, best_id, best_score = st
+            take = best_id.shape[0]
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(qids, take),
+                    "neighbor_id": best_id.T.reshape(-1),
+                    "score": best_score.T.reshape(-1),
+                }
+            )
 
     return score_partition
