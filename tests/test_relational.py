@@ -333,3 +333,36 @@ def test_cms_estimate_survives_colliding_key_columns(spark):
     got = cms_estimate(counters, keys, "hash_row", depth=2, width=512)
     assert sorted(got.columns) == ["bucket", "cms_est", "hash_row"]
     assert all(r["cms_est"] == r["bucket"] for r in got.collect())  # exact (wide)
+
+
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        salted_join,
+    )
+
+    a = spark.createDataFrame([(1, "a")], "k int, v string")
+    b = spark.createDataFrame([(1, "x"), (2, "y")], "k int, w string")
+    with pytest.raises(ValueError, match="phantom"):
+        salted_join(a, b, "k", buckets=4, how="right")
+    # left stays supported and correct
+    got = salted_join(a, b, "k", buckets=4, how="left").collect()
+    assert len(got) == 1 and got[0]["w"] == "x"
+
+
+def test_asof_join_ignores_null_right_timestamps(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        asof_join,
+    )
+
+    left = spark.createDataFrame([(1, 10)], "k int, lt int")
+    right = spark.createDataFrame(
+        [(1, None, "null-time"), (1, 50, "at-50")],
+        "k int, rt int, payload string",
+    )
+    got = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt"
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["payload"] is None  # no EARLIER right row; NULL rt excluded

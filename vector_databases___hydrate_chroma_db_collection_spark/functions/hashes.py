@@ -39,13 +39,20 @@ def fast_hash64(c: Column) -> Column:
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
     """n-word shingles over normalized tokens. Documents shorter than
-    n tokens produce a single (short) shingle so they still
-    participate. Returns ARRAY<STRING> (with duplicates; wrap in
-    array_distinct for set semantics)."""
+    n tokens (but non-empty) produce a single (short) shingle so they
+    still participate; EMPTY/whitespace-only documents produce ZERO
+    shingles — the earlier single-''-shingle behavior made every
+    empty doc a mutual jaccard-1.0 duplicate of every other and put
+    them all in one corpus-wide posting list (the quadratic
+    mega-bucket pathology). Returns ARRAY<STRING> (with duplicates;
+    wrap in array_distinct for set semantics)."""
     t = tokens(normalize_text(text))
     count = F.greatest(F.size(t) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), count), lambda i: F.concat_ws(" ", F.slice(t, i, n))
+    return F.when(F.size(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
     )
 
 
@@ -131,22 +138,31 @@ def simhash16(text: Column | str, portable: bool = True) -> Column:
     h = hash64 if portable else fast_hash64
     tok_hashes = F.transform(tokens(normalize_text(text)), lambda t: h(t))
 
-    # Bits unrolled statically (16 terms) so extraction is exact
-    # bitwise math — no float division on 60-bit hashes.
-    def votes_for(mask: Column) -> Column:
-        return F.aggregate(
-            tok_hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, v: acc + F.when(v.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("bigint")
-    for j in range(16):
-        mask = F.lit(1 << j).cast("bigint")
-        out = out + F.when(votes_for(mask) > 0, mask).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return out
+    # ONE aggregate whose accumulator packs all 16 vote counters (an
+    # array<bigint>), so every token is md5-hashed exactly ONCE. The
+    # earlier form ran one aggregate per bit — and interpreted
+    # higher-order functions get no subexpression elimination, so each
+    # token paid 16 md5 evaluations. Bit masks stay static Python
+    # ints, so extraction is exact bitwise math — no float division
+    # on 60-bit hashes.
+    votes = F.aggregate(
+        tok_hashes,
+        F.array(*[F.lit(0).cast("bigint") for _ in range(16)]),
+        lambda acc, v: F.array(
+            *[
+                F.element_at(acc, j + 1)
+                + F.when(v.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+                for j in range(16)
+            ]
+        ),
+    )
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(16)])
+    bits = F.zip_with(
+        votes,
+        masks,
+        lambda vote, m: F.when(vote > 0, m).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 ROLLING_BASE = 131

@@ -31,6 +31,18 @@ from pyspark.sql import functions as F
 from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import knn_query
 
 
+def np_round_half_up(a, decimals: int):
+    """numpy.round is round-half-to-EVEN; Spark and DuckDB round() are
+    half-UP (away from zero). Any numpy-computed value that must
+    hash-match an expression-form twin or a SQL oracle rounds through
+    this, or exact binary ties (e.g. power-of-two cosine components)
+    diverge in the last digit."""
+    import numpy as np
+
+    s = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_bits, dim)).astype(np.float64)
@@ -637,7 +649,7 @@ def ivf_neardup_pairs(
             ii, jj = np.nonzero(mask)
             if len(ii):
                 # exact float64 value + round for the rare survivors
-                exact = np.round(
+                exact = np_round_half_up(
                     np.einsum("ij,ij->i", M[blk.start + ii], M[jj]), decimals
                 )
                 keep = exact >= threshold

@@ -84,7 +84,12 @@ def exact_dedup(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
 
 
 def _shingle_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int, portable: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    portable: bool = True,
+    with_hash: bool = True,
 ) -> DataFrame:
     """(_id, shingle, h) — one row per (doc, distinct shingle), with
     the base hash reduced mod 2^31-1, computed ONCE and cached.
@@ -108,16 +113,19 @@ def _shingle_rows(
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     h = hash64 if portable else fast_hash64
-    return (
+    flat = (
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
         .repartition(target)
         .select(
             "_id",
             F.explode(F.array_distinct(word_shingles("_text", n))).alias("shingle"),
         )
-        .withColumn("h", F.pmod(h(F.col("shingle")), F.lit(MINHASH_P)))
-        .cache()
     )
+    if with_hash:
+        # the md5 is the dominant per-row cost — consumers that never
+        # read ``h`` (exact Jaccard) pass with_hash=False and skip it
+        flat = flat.withColumn("h", F.pmod(h(F.col("shingle")), F.lit(MINHASH_P)))
+    return flat.cache()
 
 
 def dup_ngram_fraction(
@@ -190,7 +198,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing >=1 shingle.
     Output: (id_a, id_b, jaccard) with id_a < id_b."""
-    sh = _shingle_rows(df, id_col, text_col, n)
+    sh = _shingle_rows(df, id_col, text_col, n, with_hash=False)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -252,6 +260,16 @@ def minhash_lsh_pairs(
         hash64,
     )
 
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes must be <= {len(MINHASH_A)} (frozen hash family)"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing hash functions would be silently "
+            "dropped and the 1-(1-j^r)^b recall curve would not match"
+        )
     rows_per_band = num_hashes // bands
     sh = _shingle_rows(df, id_col, text_col, n, portable)
 
@@ -346,14 +364,30 @@ def minhash_lsh_pairs(
     )
 
 
+def _simhash_values(
+    df: DataFrame, id_col: str, text_col: str, portable: bool
+) -> DataFrame:
+    """(_id, simhash) with token-less documents EXCLUDED: every
+    empty/whitespace doc hashes to 0, so keeping them would put all
+    of them into one quadratic candidate bucket of meaningless
+    "near-duplicates" in both the equi-join and the Hamming-band
+    paths."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text as _norm,
+        tokens as _toks,
+    )
+
+    return df.filter(F.size(_toks(_norm(text_col))) > 0).select(
+        F.col(id_col).alias("_id"), simhash16(text_col, portable).alias("simhash")
+    )
+
+
 def simhash_pairs(
     df: DataFrame, *, id_col: str, text_col: str, portable: bool = True
 ) -> DataFrame:
     """Documents with identical 16-bit SimHash — the cheap
     permutation-robust near-dup candidate set (one equi-join)."""
-    s = df.select(
-        F.col(id_col).alias("_id"), simhash16(text_col, portable).alias("simhash")
-    )
+    s = _simhash_values(df, id_col, text_col, portable)
     a, b = s.alias("a"), s.alias("b")
     return a.join(
         b,
@@ -391,8 +425,8 @@ def simhash_hamming_pairs(
     bands = max_distance + 1
     if not 1 <= bands <= 16:
         raise ValueError("max_distance must be in [0, 15]")
-    s = df.select(
-        F.col(id_col).alias("_id"), simhash16(text_col, portable).alias("sim")
+    s = _simhash_values(df, id_col, text_col, portable).withColumnRenamed(
+        "simhash", "sim"
     )
     base, rem = divmod(16, bands)
     band_structs = []
@@ -481,8 +515,11 @@ def embedding_neardup_pairs_gemm(
     import numpy as np
     import pandas as pd
 
-    n_rows_total = df.count()
-    if n_rows_total > max_broadcast_rows:
+    # bounded probe, not a full count: limit() pushes down, so the
+    # size guard stops scanning at max_broadcast_rows + 1 rows instead
+    # of executing the whole upstream plan a third time
+    probe = df.limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
         from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
             ivf_neardup_pairs,
         )
@@ -516,7 +553,11 @@ def embedding_neardup_pairs_gemm(
                 [np.asarray(e, dtype=np.float64) for e in pdf[embedding_col]]
             )
             En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
-            sims = np.round(En @ mat.T, decimals)  # (n, corpus)
+            from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+                np_round_half_up,
+            )
+
+            sims = np_round_half_up(En @ mat.T, decimals)  # (n, corpus)
             batch_ids = pdf[id_col].to_numpy()
             # only id_a < id_b pairs above threshold
             mask = sims >= threshold

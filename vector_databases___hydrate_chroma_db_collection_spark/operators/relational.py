@@ -39,7 +39,21 @@ def salted_join(
     Row multiplication happens only on ``small`` (x buckets), so use
     the smallest side that still can't broadcast. Deterministic given
     the seed (rand(seed) is reproducible per partition lineage).
+
+    Supported ``how``: inner / left / semi / anti — the shapes where
+    every skewed-side row carries exactly one salt and matches (or
+    not) against the exploded small side. right/full are REJECTED:
+    the small side's other salt copies would surface as NULL-padded
+    phantom rows and unmatched keys would appear once per bucket.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti"}
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti, got {how!r}: "
+            "right/full outer would emit per-salt phantom rows"
+        )
     salt = (F.rand(seed) * buckets).cast("int")
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(
@@ -127,7 +141,10 @@ def asof_join(
     # BEFORE left rows (an equal-time right row is visible); strict ->
     # left rows sort first (equal-time right rows are in the future).
     tb_r, tb_l = (0, 1) if not strict else (1, 0)
-    rows_r = right.select(
+    # NULL right timestamps would sort before every left row (asc
+    # NULLS FIRST) and leak as matches-before-everything; the
+    # documented contract is that they never match.
+    rows_r = right.filter(F.col(right_time).isNotNull()).select(
         F.col(on),
         F.col(right_time).alias("_t"),
         F.lit(tb_r).alias("_tb"),

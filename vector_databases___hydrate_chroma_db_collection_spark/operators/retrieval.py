@@ -50,11 +50,18 @@ def bm25_scores(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # localCheckpoint (lazy): the corpus-wide tokenize+explode is
+    # consumed by THREE branches (doc lengths, global stats via dl,
+    # term frequencies) — without materialization each branch re-runs
+    # it; the checkpoint stores the flat rows once and frees with the
+    # DataFrame (no session-wide cache entry to leak)
     tok = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens(normalize_text(text_col))).alias("_t"),
+    ).localCheckpoint(eager=False)
+    dl = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl")).localCheckpoint(
+        eager=False
     )
-    dl = tok.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
     globals_ = dl.agg(
         F.count(F.lit(1)).alias("_n_docs"),
         F.avg("_dl").alias("_avgdl"),

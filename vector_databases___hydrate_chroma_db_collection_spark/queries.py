@@ -1072,7 +1072,7 @@ shing AS (
            unnest(list_distinct(list_transform(
                range(1, greatest(len(t) - 2, 1) + 1),
                i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-    FROM toks
+    FROM toks WHERE len(t) > 0
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shing GROUP BY 1)
 """
