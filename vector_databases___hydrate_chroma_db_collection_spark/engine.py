@@ -35,9 +35,12 @@ def engine_session(
     spark: SparkSession | None = None, *, stop_on_exit: bool = False, **session_kwargs
 ):
     """Scoped engine run: validates liveness on entry; on exit drops
-    the temp views and cached data the run created (the reference's
-    global-macro cleanup, sas:544-587), optionally stopping the
-    session."""
+    the temp views the run created (the reference's global-macro
+    cleanup, sas:544-587), optionally stopping the session. The
+    session-wide cache is cleared only when the context CREATED the
+    session — Spark has no per-scope cache registry, and wiping a
+    borrowed session's cache would silently evict the caller's
+    pre-existing cached plans (a full upstream recompute at scale)."""
     from vector_databases___hydrate_chroma_db_collection_spark.session import get_spark
 
     own = spark is None
@@ -50,6 +53,10 @@ def engine_session(
         views_after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
         for view in views_after - views_before:
             spark.catalog.dropTempView(view)
-        spark.catalog.clearCache()
+        if own:
+            # only safe on a session this context created: clearCache
+            # is session-GLOBAL and would wipe a borrowing caller's
+            # caches along with ours
+            spark.catalog.clearCache()
         if stop_on_exit and own:
             spark.stop()

@@ -94,6 +94,11 @@ def extract_image_features(assets: DataFrame, *, decode: str = "deterministic_fa
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                if content is None:
+                    # per-asset degrade: a NULL payload yields NULL
+                    # features, never a task-killing TypeError
+                    rows.append((aid, None, None, None, None))
+                    continue
                 data = bytes(content)
                 d = dims(data)
                 w, h, c = d if d is not None else (None, None, None)
@@ -136,6 +141,9 @@ def extract_audio_features(assets: DataFrame, *, decode: str = "deterministic_fa
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                if content is None:
+                    rows.append((aid, None, None, None, None))
+                    continue
                 data = bytes(content)
                 f = features(data)
                 sr, duration_ms, rms = f if f is not None else (None, None, None)
@@ -159,15 +167,20 @@ def sample_video_frames(
     Output cardinality is bounded (max_frames per asset) so the
     downstream shuffle is predictable."""
 
+    # fail FAST at the driver: the unsupported configuration needs no
+    # data, so it must not surface as a retried executor PythonException
+    if decode == "real":
+        raise NotImplementedError(
+            "real video decode requires ffmpeg/av, which are not installed; "
+            "use decode='deterministic_fake'"
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if decode == "real":
-            raise NotImplementedError(
-                "real video decode requires ffmpeg/av, which are not installed; "
-                "use decode='deterministic_fake'"
-            )
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                if content is None:
+                    continue  # a NULL payload yields no sampled frames
                 data = bytes(content)
                 n_frames = min(max_frames, 1 + len(data) // max(every_n, 1))
                 for i in range(n_frames):

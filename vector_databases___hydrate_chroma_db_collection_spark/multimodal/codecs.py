@@ -115,7 +115,7 @@ def decode_wav(data: bytes) -> tuple[int, int, float] | None:
             raw = wf.readframes(n_frames)
     except (wave.Error, EOFError, struct.error):
         return None
-    if sr <= 0 or width not in (1, 2, 4):
+    if sr <= 0 or width not in (1, 2, 3, 4):
         return None
     duration_ms = int(round(n_frames * 1000.0 / sr))
     if not raw:
@@ -126,6 +126,12 @@ def decode_wav(data: bytes) -> tuple[int, int, float] | None:
     elif width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
         full_scale = 32768.0
+    elif width == 3:  # 24-bit little-endian: widen to int32 by byte view
+        b = np.frombuffer(raw[: (len(raw) // 3) * 3], dtype=np.uint8).reshape(-1, 3)
+        wide = np.zeros((b.shape[0], 4), dtype=np.uint8)
+        wide[:, 1:] = b  # low byte padding -> value << 8 in int32
+        samples = wide.view("<i4").astype(np.float64).ravel() / 256.0
+        full_scale = 8388608.0
     else:
         samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
         full_scale = 2147483648.0

@@ -98,6 +98,20 @@ def connected_components(
         labels = updated
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without a fixpoint means at least one
+        # true component is still split across labels — a silently
+        # wrong dedup keep-set downstream. Long chains (diameter >
+        # max_iter) are the trigger; raise loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "rounds — the graph has a longer chain than max_iter; "
+            "raise max_iter (cost: one join+agg round each)"
+        )
+    # Superseded per-round checkpoints are reclaimed by Spark's
+    # ContextCleaner once their Python references drop (only the
+    # final ``labels`` survives this frame) — accumulation during the
+    # loop is bounded by rounds x O(nodes) rows and transient.
     return labels
 
 

@@ -154,6 +154,12 @@ def pq_encode(
             if len(pdf) == 0:
                 continue
             E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+            if E.shape[1] != m * dsub:
+                raise ValueError(
+                    f"corpus embedding dim {E.shape[1]} != codebook dim "
+                    f"{m * dsub} — wider vectors would be SILENTLY "
+                    "truncated into valid-looking but wrong codes"
+                )
             if normalize:
                 E = E / np.maximum(
                     np.linalg.norm(E, axis=1, keepdims=True), 1e-300
@@ -172,6 +178,56 @@ def pq_encode(
         F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e")
     )
     return base.mapInPandas(encode, schema=out_schema)
+
+
+def _finish_adc(
+    scored: DataFrame,
+    order,
+    *,
+    k: int,
+    id_col: str,
+    score_decimals: int | None,
+    rerank_corpus: DataFrame | None,
+    embedding_col: str,
+    rerank_factor: int,
+    query_vector,
+    metric: str,
+):
+    """Shared tail of every ADC query: either the ADC order IS the
+    result, or the top k·rerank_factor candidates join back to full
+    vectors (broadcast of the bounded id set) and EXACT scores pick
+    the final k. One implementation for flat-PQ and IVF-PQ so the
+    rerank contract (tie-breaks on id, rounding order, candidate
+    join shape) cannot drift between the two paths."""
+    if rerank_corpus is None:
+        out = scored.orderBy(order, F.col(id_col)).limit(k)
+        if score_decimals is not None:
+            out = out.withColumn(
+                "adc_score", F.round("adc_score", score_decimals)
+            )
+        return out
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        _score as _exact_score,
+    )
+
+    candidates = scored.orderBy(order, F.col(id_col)).limit(k * rerank_factor)
+    exact = rerank_corpus.join(
+        F.broadcast(candidates.select(id_col)), id_col, "inner"
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
+    dist, exact_asc = _exact_score(metric, F.col(embedding_col), qlit)
+    if score_decimals is not None:
+        dist = F.round(dist, score_decimals)
+    return (
+        exact.withColumn("score", dist)
+        .select(id_col, "score")
+        .orderBy(
+            F.col("score").asc() if exact_asc else F.col("score").desc(),
+            F.col(id_col),
+        )
+        .limit(k)
+    )
 
 
 def pq_knn_query(
@@ -277,38 +333,17 @@ def pq_knn_query(
         F.col("adc_score").asc() if ascending else F.col("adc_score").desc()
     )
 
-    if rerank_corpus is None:
-        out = scored.orderBy(order, F.col(id_col)).limit(k)
-        if score_decimals is not None:
-            out = out.withColumn(
-                "adc_score", F.round("adc_score", score_decimals)
-            )
-        return out
-
-    # Exact refine: bounded candidate set (k·rerank_factor ids) joined
-    # back to full vectors; Catalyst broadcasts the small side.
-    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
-        _score as _exact_score,
-    )
-
-    candidates = scored.orderBy(order, F.col(id_col)).limit(
-        k * rerank_factor
-    )
-    exact = rerank_corpus.join(
-        F.broadcast(candidates.select(id_col)), id_col, "inner"
-    )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
-    dist, exact_asc = _exact_score(metric, F.col(embedding_col), qlit)
-    if score_decimals is not None:
-        dist = F.round(dist, score_decimals)
-    return (
-        exact.withColumn("score", dist)
-        .select(id_col, "score")
-        .orderBy(
-            F.col("score").asc() if exact_asc else F.col("score").desc(),
-            F.col(id_col),
-        )
-        .limit(k)
+    return _finish_adc(
+        scored,
+        order,
+        k=k,
+        id_col=id_col,
+        score_decimals=score_decimals,
+        rerank_corpus=rerank_corpus,
+        embedding_col=embedding_col,
+        rerank_factor=rerank_factor,
+        query_vector=query_vector,
+        metric=metric,
     )
 
 
@@ -414,6 +449,10 @@ def ivf_pq_build(
             if len(b) == 0:
                 continue
             Eb = np.stack([np.asarray(e, dtype=np.float64) for e in b[embedding_col]])
+            if Eb.shape[1] != dim:
+                raise ValueError(
+                    f"corpus embedding dim {Eb.shape[1]} != index dim {dim}"
+                )
             cells = b["ivf_cell"].to_numpy()
             Rb = Eb - C[cells]
             codes = np.empty((len(Rb), m), dtype=np.int16)
@@ -505,36 +544,17 @@ def ivf_pq_search(
         score, schema=f"{id_col} {id_type}, adc_score double"
     )
 
-    if rerank_corpus is None:
-        out = scored.orderBy(F.col("adc_score").asc(), F.col(id_col)).limit(k)
-        if score_decimals is not None:
-            out = out.withColumn(
-                "adc_score", F.round("adc_score", score_decimals)
-            )
-        return out
-
-    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
-        _score as _exact_score,
-    )
-
-    candidates = scored.orderBy(F.col("adc_score").asc(), F.col(id_col)).limit(
-        k * rerank_factor
-    )
-    exact = rerank_corpus.join(
-        F.broadcast(candidates.select(id_col)), id_col, "inner"
-    )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
-    dist, exact_asc = _exact_score(metric, F.col(embedding_col), qlit)
-    if score_decimals is not None:
-        dist = F.round(dist, score_decimals)
-    return (
-        exact.withColumn("score", dist)
-        .select(id_col, "score")
-        .orderBy(
-            F.col("score").asc() if exact_asc else F.col("score").desc(),
-            F.col(id_col),
-        )
-        .limit(k)
+    return _finish_adc(
+        scored,
+        F.col("adc_score").asc(),
+        k=k,
+        id_col=id_col,
+        score_decimals=score_decimals,
+        rerank_corpus=rerank_corpus,
+        embedding_col=embedding_col,
+        rerank_factor=rerank_factor,
+        query_vector=query_vector,
+        metric=metric,
     )
 
 

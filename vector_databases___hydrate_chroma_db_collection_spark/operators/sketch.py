@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
 def _bucket(key, row: int, width: int):
     """Hash-row ``row``'s bucket for ``key``: hex slice ``row`` of ONE
     md5 digest, as a 32-bit int mod width. All hash rows share a
@@ -35,10 +36,15 @@ def _bucket(key, row: int, width: int):
     DuckDB both compute the repeated md5 once per projection), which
     is 4x cheaper than one keyed digest per row — and the slices of a
     single md5 are the standard cheap stand-in for an independent
-    family. depth ≤ 4 (32 hex chars / 8)."""
+    family. depth ≤ 4 (32 hex chars / 8). NULL keys hash via a
+    control-character sentinel so counters and estimates agree on
+    them — md5(NULL) = NULL would give NULL buckets that never
+    equi-join, making cms_estimate return 0 for a key the counters
+    DID count (an underestimate, the one direction CM forbids)."""
+    keyed = F.coalesce(key.cast("string"), F.lit("\x00null\x00"))
     return F.pmod(
         F.conv(
-            F.substring(F.md5(key.cast("string").cast("binary")), 1 + 8 * row, 8),
+            F.substring(F.md5(keyed.cast("binary")), 1 + 8 * row, 8),
             16,
             10,
         ).cast("bigint"),

@@ -97,8 +97,14 @@ def read_wide_embeddings(
     out = df.select(*selected)
 
     if null_policy == "strict":
-        # Count offending rows in the same job via observe(); fail if
-        # any embedding cell was null. exists() keeps this in codegen.
+        # Eager validation probe: limit(1) short-circuits on the first
+        # offending row, but a CLEAN corpus pays one full upstream
+        # pass here before the caller's own action — inherent to
+        # fail-BEFORE-return semantics (an observe() inside the
+        # caller's job could only fail AFTER rows were consumed).
+        # Callers that cannot afford the extra pass use 'skip_row',
+        # whose filter rides the consuming job. exists() keeps the
+        # probe in codegen.
         has_null = F.exists("embedding", lambda x: x.isNull())
         bad = out.filter(has_null).limit(1).count()
         if bad:
