@@ -12,6 +12,11 @@ fully-warm query (JVM + parquet footers warmed before timing starts;
 plan compilation amortized by the median) — single-shot numbers at
 sf0.1 are dominated by scheduling noise and machine load, which is
 what made round-1 numbers drift ±15% between back-to-back suites.
+``queries_min`` records the MIN of the same 3 trials per query: for
+CPU-bound work the minimum is far more robust to concurrent host
+load (a background job inflates the median but rarely all three
+minima), so compare min-of-3 against BASELINE.md bands before
+calling a regression.
 One-shot exceptions: hydrate_collection (appends are stateful) and
 the synth corpus builds (cache materialization, reported separately).
 """
@@ -78,18 +83,29 @@ def main() -> None:
     def run_noop(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    def timed(fn, trials: int = 3) -> float:
+    timings_min: dict[str, float] = {}
+
+    def timed(fn, trials: int = 3, _name_box: list = []) -> float:
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
+        # Median is the contract number; min-of-3 is recorded alongside
+        # because it is far more robust to host load spikes for
+        # CPU-bound queries (a concurrent job inflates every trial's
+        # median but rarely all three minima — BASELINE.md r4 note).
+        timed.last_min = round(min(ts), 3)
         return round(statistics.median(ts), 3)
+
+    def record(name: str, fn, trials: int = 3) -> None:
+        timings[name] = timed(fn, trials)
+        timings_min[name] = timed.last_min
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        timings[name] = timed(lambda: run_noop(fn(spark, sf_dir)))
+        record(name, lambda fn=fn: run_noop(fn(spark, sf_dir)))
 
     # Hydration throughput: documents join embeddings -> collection dir.
     tmp = tempfile.mkdtemp(prefix="vdb_bench_")
@@ -152,23 +168,26 @@ def main() -> None:
     timings["synth200k_build"] = round(time.perf_counter() - t0, 3)
 
     qvec = list(corpus.filter(F.col("id") == 0).first()["embedding"])
-    timings["synth200k_knn_query"] = timed(
-        lambda: knn_query(corpus, qvec, k=10, id_col="id").count()
+    record(
+        "synth200k_knn_query",
+        lambda: knn_query(corpus, qvec, k=10, id_col="id").count(),
     )
 
     queries_side = corpus.filter(F.col("id") % 3125 == 0).select(
         F.col("id").alias("qid"), F.col("embedding").alias("q_embedding")
     )  # 64 queries
-    timings["synth200k_knn_join_gemm_64q"] = timed(
-        lambda: knn_join_gemm(queries_side, corpus, k=10, corpus_id_col="id").count()
+    record(
+        "synth200k_knn_join_gemm_64q",
+        lambda: knn_join_gemm(queries_side, corpus, k=10, corpus_id_col="id").count(),
     )
 
     bucketed = add_lsh_buckets(corpus, dim=dim, n_bits=8).cache()
     bucketed.count()
-    timings["synth200k_lsh_knn_query"] = timed(
+    record(
+        "synth200k_lsh_knn_query",
         lambda: lsh_knn_query(
             bucketed, qvec, k=10, id_col="id", n_bits=8, hamming_probe=1
-        ).count()
+        ).count(),
     )
     bucketed.unpersist()
 
@@ -200,7 +219,7 @@ def main() -> None:
         )
         run_noop(a)
 
-    timings["synth200k_ivf_build"] = timed(run_ivf_build)
+    record("synth200k_ivf_build", run_ivf_build)
     assigned_ivf, cents = ivf_build(
         corpus,
         id_col="id",
@@ -228,7 +247,7 @@ def main() -> None:
             "IVF join lost self-neighbors"
         )
 
-    timings["synth200k_ivf_knn_join_64q"] = timed(run_ivf_join)
+    record("synth200k_ivf_knn_join_64q", run_ivf_join)
     assigned_ivf.unpersist()
 
     # ------------------------------------------------------------------
@@ -256,7 +275,7 @@ def main() -> None:
         )
         run_noop(pq_encode(corpus, cb, id_col="id", normalize=True))
 
-    timings["synth200k_pq_encode"] = timed(run_pq_encode)
+    record("synth200k_pq_encode", run_pq_encode)
     codebooks = pq_train(
         corpus.sample(0.1, 42),
         embedding_col="embedding",
@@ -285,7 +304,7 @@ def main() -> None:
         ).collect()
         assert rows[0]["id"] == 0, "PQ rerank lost the self-neighbor"
 
-    timings["synth200k_pq_knn_query"] = timed(run_pq_query)
+    record("synth200k_pq_knn_query", run_pq_query)
     encoded_pq.unpersist()
 
     # ------------------------------------------------------------------
@@ -311,7 +330,7 @@ def main() -> None:
         )
         run_noop(e)
 
-    timings["synth200k_ivfpq_build"] = timed(run_ivfpq_build)
+    record("synth200k_ivfpq_build", run_ivfpq_build)
     enc_ivfpq, C_ivfpq, cb_ivfpq = ivf_pq_build(
         corpus,
         id_col="id",
@@ -341,7 +360,7 @@ def main() -> None:
         ).collect()
         assert rows[0]["id"] == 0, "IVF-PQ rerank lost the self-neighbor"
 
-    timings["synth200k_ivfpq_query"] = timed(run_ivfpq_query)
+    record("synth200k_ivfpq_query", run_ivfpq_query)
     enc_ivfpq.unpersist()
 
     # ------------------------------------------------------------------
@@ -402,7 +421,7 @@ def main() -> None:
         ).count()
         assert got == n // 100, f"expected {n // 100} planted near-dup pairs, got {got}"
 
-    timings["synth200k_ivf_neardup"] = timed(run_ivf_neardup)
+    record("synth200k_ivf_neardup", run_ivf_neardup)
     ndup.unpersist()
     corpus.unpersist()
 
@@ -453,7 +472,7 @@ def main() -> None:
         release_cache(res)  # free the shingle cache between trials
         assert n_pairs == n_docs // 100, f"expected {n_docs // 100} planted pairs, got {n_pairs}"
 
-    timings["synth50k_minhash_dedup"] = timed(run_minhash)
+    record("synth50k_minhash_dedup", run_minhash)
     docs.unpersist()
 
     # ------------------------------------------------------------------
@@ -486,7 +505,7 @@ def main() -> None:
         ]
         assert est >= true_top, f"CM bound violated: {est} < {true_top}"
 
-    timings["synth2m_cms_heavy_key"] = timed(run_cms_2m)
+    record("synth2m_cms_heavy_key", run_cms_2m)
     skewed.unpersist()
 
     # ------------------------------------------------------------------
@@ -523,7 +542,7 @@ def main() -> None:
         # ranks positive for every node that appears
         assert got["n"] > 9_000 and got["s"] > 0
 
-    timings["synth100k_pagerank"] = timed(run_pagerank_100k)
+    record("synth100k_pagerank", run_pagerank_100k)
     edges_pr.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -534,6 +553,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_min": timings_min,
                 "sf": sf,
             }
         )

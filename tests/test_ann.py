@@ -210,6 +210,37 @@ def test_gemm_neardup_auto_dispatches_to_ivf(spark):
     assert got == exact
 
 
+def test_gemm_neardup_byte_budget_dispatches_to_ivf(spark):
+    """The broadcast guard is a BYTE budget, not a row count: at the
+    fixture dim, a budget smaller than rows*dim*8 must route to the
+    IVF scale path even though the row cap alone would admit the
+    corpus — and the routed result still agrees with the exact form."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_gemm,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    routed = embedding_neardup_pairs_gemm(
+        emb,
+        id_col="vec_id",
+        embedding_col="embedding",
+        threshold=0.4,
+        max_broadcast_rows=n + 1,  # row cap alone would NOT dispatch
+        max_broadcast_bytes=(n // 2) * dim * 8,  # byte budget must
+    )
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in routed.collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(
+            emb, id_col="vec_id", embedding_col="embedding", threshold=0.4
+        ).collect()
+    }
+    assert got == exact
+
+
 def test_ivf_knn_join_exact_at_full_probe(spark):
     """nprobe == n_centroids probes every cell, so the IVF join must
     reproduce the exact knn_join output bit-for-bit (rounded)."""

@@ -54,6 +54,48 @@ def frame_hash(pdf) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+def _kind(dtype) -> str:
+    """Coarse type kind for driver-style type sensitivity.
+
+    The driver's value hash is type-sensitive: a DuckDB HUGEINT
+    (``sum()`` over any integer) surfaces via ``fetchdf()`` as float64
+    while Spark returns int64, and the two hash differently even when
+    every value is equal (the r4 ``join_salted_hot_keys`` red).
+    ``_canon`` deliberately erases that difference (5.0 -> "5") so
+    genuine float aggregates stay tolerant; this separate kind check
+    restores the sensitivity: integer-kind vs float-kind on the same
+    column is a local FAIL, predicting the driver red.
+    """
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "other"
+
+
+def kinds_match(got, want) -> bool:
+    for c in sorted(got.columns):
+        gk, wk = _kind(got[c].dtype), _kind(want[c].dtype)
+        if gk == wk:
+            continue
+        # pandas surfaces a nullable int column as float64 (NaN for
+        # NULL) or object; only flag the unambiguous int-vs-float case
+        # when neither side holds a NULL (no NaN to force the upcast).
+        if {gk, wk} == {"int", "float"}:
+            fcol = got[c] if gk == "float" else want[c]
+            if fcol.isna().any():
+                continue
+            return False
+        if "other" in (gk, wk):
+            continue  # object dtype is ambiguous (decimals, strings)
+    return True
+
+
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -95,7 +137,11 @@ def main() -> None:
                 entry["oracle_rows"] = len(want)
                 entry["rows_match"] = len(got) == len(want)
                 entry["schema_match"] = sorted(got.columns) == sorted(want.columns)
-                entry["hash_match"] = frame_hash(got) == frame_hash(want)
+                entry["hash_match"] = (
+                    frame_hash(got) == frame_hash(want)
+                    and entry["schema_match"]
+                    and kinds_match(got, want)
+                )
         except Exception as e:  # noqa: BLE001 - artifact records the failure
             entry["err"] = f"{type(e).__name__}: {e}"[:300]
         report[name] = entry

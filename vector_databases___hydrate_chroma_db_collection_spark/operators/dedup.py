@@ -496,6 +496,7 @@ def embedding_neardup_pairs_gemm(
     threshold: float = 0.9,
     decimals: int = 4,
     max_broadcast_rows: int = 1_000_000,
+    max_broadcast_bytes: int = 512 * 2**20,
 ) -> DataFrame:
     """Semantic near-dup via broadcast GEMM: the (normalized) corpus
     matrix is broadcast to executors; each partition's batch computes
@@ -505,8 +506,12 @@ def embedding_neardup_pairs_gemm(
     The expression form (embedding_neardup_pairs) evaluates 3 array
     folds per PAIR; this evaluates one BLAS op per batch — orders of
     magnitude faster at the same exactness. The broadcast side must
-    fit in executor memory (~0.5 GB per million rows at dim 64), so
-    corpora above ``max_broadcast_rows`` automatically take the
+    fit in executor memory, so the guard is a BYTE budget, not a row
+    count: the embedding dim is probed from one row and the row cap
+    is ``min(max_broadcast_rows, max_broadcast_bytes // (dim * 8))``
+    — at dim 64 the default 512 MB budget admits the full 1M-row cap,
+    at dim 768 it caps near 87k rows (a 1M-row×768 float64 broadcast
+    would be ~5.9 GB). Corpora above the cap automatically take the
     cell-bucketed scale path, ``ann.ivf_neardup_pairs`` — same output
     contract, candidate-pruned, nothing driver-materialized (its
     recall contract is documented there; pairs across distant cells
@@ -515,11 +520,20 @@ def embedding_neardup_pairs_gemm(
     import numpy as np
     import pandas as pd
 
+    # dim-aware byte budget: probe one row for the embedding width
+    # (limit-1 pushdown — no full scan), then shrink the row cap so
+    # rows * dim * 8 bytes stays inside max_broadcast_bytes
+    first = df.select(embedding_col).first()
+    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    row_cap = max_broadcast_rows
+    if dim > 0:
+        row_cap = min(row_cap, max(1, max_broadcast_bytes // (dim * 8)))
+
     # bounded probe, not a full count: limit() pushes down, so the
-    # size guard stops scanning at max_broadcast_rows + 1 rows instead
-    # of executing the whole upstream plan a third time
-    probe = df.limit(max_broadcast_rows + 1).count()
-    if probe > max_broadcast_rows:
+    # size guard stops scanning at row_cap + 1 rows instead of
+    # executing the whole upstream plan a third time
+    probe = df.limit(row_cap + 1).count()
+    if probe > row_cap:
         from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
             ivf_neardup_pairs,
         )

@@ -5327,7 +5327,7 @@ def scalar_translate_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_hot_keys",
     """
     SELECT o_orderstatus AS status,
-           sum(length(o_orderpriority)) AS total_weight,
+           CAST(sum(length(o_orderpriority)) AS BIGINT) AS total_weight,
            count(*) AS n
     FROM orders
     GROUP BY 1
