@@ -399,6 +399,61 @@ def test_time_travel_read_previous_version(spark, tmp_path):
     assert len(collection_versions(root, "tt")) == 1
 
 
+def test_vacuum_keep_last_retention(spark, tmp_path):
+    """keep_last protects the NEWEST retained versions from the age
+    horizon (VACUUM ... RETAIN), while crash orphans — dirs without
+    the committed-retained marker — stay sweepable."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+        vacuum_collection,
+    )
+
+    rows = [(i, f"doc {i}", [float(i), 0.0], "old") for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, embedding array<float>, tag string"
+    )
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="ret",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="tag",
+    )
+    hydrate(spark, df, cfg)
+    for tag in ("mid", "new"):
+        updates = spark.createDataFrame(
+            [(str(i), {"tag": tag}) for i in range(0, 10, 2)],
+            "id string, metadata map<string,string>",
+        )
+        collection_update(spark, root, "ret", updates, retain_previous=True)
+
+    versions = collection_versions(root, "ret")
+    assert len(versions) == 3  # original + mid retained + active
+    oldest, newest_retained = versions[0][0], versions[1][0]
+
+    # a crash orphan: staged dir with no retained marker, never swapped
+    orphan = os.path.join(root, "ret", "data-99")
+    os.makedirs(orphan)
+
+    removed = vacuum_collection(root, "ret", older_than_s=0.0, keep_last=1)
+    assert any(oldest in r for r in removed)
+    assert any("data-99" in r for r in removed)  # orphan not protected
+    assert not any(newest_retained in r for r in removed)
+    remaining = collection_versions(root, "ret")
+    assert [v for v, _ in remaining] == [newest_retained, versions[2][0]]
+
+
 def test_read_collection_unknown_version_raises_typed(spark, tmp_path):
     """Typed EngineError (not a raw Spark path error) for a version
     that does not exist — same error contract as missing tables."""

@@ -366,3 +366,86 @@ def test_asof_join_ignores_null_right_timestamps(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["payload"] is None  # no EARLIER right row; NULL rt excluded
+
+
+def test_bloom_filter_injected_into_probe_side(spark):
+    """With the runtime Bloom-filter thresholds opened (they gate on
+    scan sizes that are always exceeded at production scale), Catalyst
+    must inject a bloom_filter_agg over the selective build side and a
+    might_contain probe on the fact side of the merge join — and the
+    pruned plan must return the identical result."""
+    from vector_databases___hydrate_chroma_db_collection_spark.queries import (
+        QUERIES,
+    )
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        df = QUERIES["join_bloom_pruned_revenue"](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        pruned = {r["priority"]: (r["n_items"], r["revenue_cents"]) for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+    plain = QUERIES["join_bloom_pruned_revenue"](spark, SF_SMOKE)
+    assert "bloom_filter_agg" not in plain._jdf.queryExecution().optimizedPlan().toString()
+    unpruned = {r["priority"]: (r["n_items"], r["revenue_cents"]) for r in plain.collect()}
+    assert pruned == unpruned
+
+
+def test_rerank_grouped_edges(spark):
+    """Groups smaller than k emit all their rows with dense ranks;
+    ties break on ascending id; k < 1 raises."""
+    import pytest as _pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        rerank_grouped,
+    )
+
+    cand = spark.createDataFrame(
+        [
+            ("q1", 3, 0.5), ("q1", 1, 0.5), ("q1", 2, 0.9),
+            ("q2", 7, 0.1),
+        ],
+        "qid string, doc_id int, s double",
+    )
+    got = rerank_grouped(
+        cand,
+        group_col="qid",
+        id_col="doc_id",
+        scorer=lambda pdf: pdf["s"],
+        k=2,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["doc_id"], r["score"]))
+    assert sorted(by_q["q1"]) == [(1, 2, 0.9), (2, 1, 0.5)]  # tie -> lower id
+    assert sorted(by_q["q2"]) == [(1, 7, 0.1)]  # short group keeps all
+
+    with _pytest.raises(ValueError):
+        rerank_grouped(
+            cand, group_col="qid", id_col="doc_id",
+            scorer=lambda pdf: pdf["s"], k=0,
+        )

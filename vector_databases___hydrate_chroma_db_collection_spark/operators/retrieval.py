@@ -139,3 +139,77 @@ def rrf_fuse(
     return joined.select(
         F.col("_id").alias(id_col), F.round(contrib, decimals).alias("rrf")
     )
+
+
+def logistic_blend_scorer(
+    base_col: str,
+    feature_col: str,
+    *,
+    base_weight: float = 0.8,
+    feature_center: float = 40.0,
+    feature_scale: float = 20.0,
+):
+    """Deterministic stand-in for a LEARNED re-ranking model: blends
+    the retrieval score with a logistic transform of one document
+    feature, ``w*base + (1-w)*sigmoid((feat-center)/scale)``. A real
+    cross-encoder / GBDT reranker drops in by replacing the returned
+    callable with ``model.predict_proba`` over the same pandas batch
+    — the operator contract (``rerank_grouped``) only sees
+    ``pd.DataFrame -> pd.Series``."""
+    import numpy as np
+
+    def score(pdf):
+        x = (pdf[feature_col].astype("float64") - feature_center) / feature_scale
+        sig = 1.0 / (1.0 + np.exp(-x))
+        return base_weight * pdf[base_col].astype("float64") + (
+            1.0 - base_weight
+        ) * sig
+
+    return score
+
+
+def rerank_grouped(
+    candidates: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    scorer,
+    k: int,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Second-stage re-ranking as grouped ``applyInPandas``: each
+    retrieval group (one query's candidate list) arrives as ONE pandas
+    batch, the scorer runs vectorized over it, and only the top ``k``
+    re-scored rows leave the executor. This is the canonical two-tower
+    serving shape — a cheap first stage (ANN / BM25) bounds the
+    candidate set to tens of rows per query, so the expensive Python
+    model runs on k*|queries| rows, never on the corpus. The shuffle
+    is one hash partitioning by query id; no state, no driver data.
+
+    Determinism contract (oracle-checkable): scores are rounded to
+    ``score_decimals`` BEFORE ranking, and ties break on ascending
+    ``id_col`` — the same ORDER BY the SQL twin uses.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gt = candidates.schema[group_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{group_col} {gt}, {id_col} {it}, score double, rank int"
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        scored = pdf.assign(score=scorer(pdf).round(score_decimals))
+        top = scored.sort_values(
+            ["score", id_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pd.DataFrame(
+            {
+                group_col: top[group_col].values,
+                id_col: top[id_col].values,
+                "score": top["score"].values,
+                "rank": range(1, len(top) + 1),
+            }
+        )
+
+    return candidates.groupBy(group_col).applyInPandas(rerank, schema=out_schema)

@@ -421,13 +421,15 @@ def compact_collection(
 
 
 def vacuum_collection(
-    root: str, name: str, *, older_than_s: float = 3600.0
+    root: str, name: str, *, older_than_s: float = 3600.0, keep_last: int = 0
 ) -> list[str]:
     """Remove orphaned data dirs: versioned ``data-N`` dirs that are
     not the active one. The pointer-swap protocol deletes the retired
     dir after each successful swap, so orphans only appear when a
     rewrite CRASHED between writing its staging dir and swapping the
-    pointer — this is the janitor for those. The active dir (and the
+    pointer — this is the janitor for those — or when a swap was made
+    with ``retain=True`` (time-travel versions, which live until this
+    vacuum's retention policy sweeps them). The active dir (and the
     legacy ``data`` dir while it is active) is never touched; the
     pointer file is the single source of truth, so vacuuming while
     readers stream the ACTIVE dir is safe. Returns the removed paths.
@@ -440,6 +442,12 @@ def vacuum_collection(
     can legitimately run longer). The same horizon gates the stale
     pointer tmp file. Concurrent WRITERS remain externally
     coordinated, as everywhere in this layout.
+
+    ``keep_last`` is the RETENTION policy for time-travel versions:
+    the newest ``keep_last`` committed-retained versions (the ones
+    ``collection_versions`` lists) survive regardless of age — the
+    lakehouse ``VACUUM ... RETAIN`` contract. Crash orphans carry no
+    retained marker and are never protected by it.
     """
     import shutil
     import time
@@ -448,11 +456,15 @@ def vacuum_collection(
     load_manifest(root, name)  # typed error for unknown collections
     base = os.path.join(root, name)
     active = os.path.abspath(current_data_dir(root, name))
+    retained = [d for d, is_active in collection_versions(root, name) if not is_active]
+    protected = set(retained[-keep_last:]) if keep_last > 0 else set()
     horizon = time.time() - older_than_s
     removed = []
     for d in os.listdir(base):
         full = os.path.join(base, d)
         if not os.path.isdir(full) or os.path.abspath(full) == active:
+            continue
+        if d in protected:
             continue
         if d == DATA_DIR or d.startswith(DATA_DIR + "-"):
             try:

@@ -7114,3 +7114,233 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_with_batch_tag"
         ),
     )
+
+
+@query(
+    "collection_vacuum_retention",
+    """
+    WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id < 40),
+    v1 AS (
+        SELECT CASE WHEN doc_id % 5 = 0 THEN 'v2' ELSE lang END AS lang
+        FROM base
+    ),
+    v2 AS (
+        SELECT CASE WHEN doc_id % 10 = 0 THEN 'v3'
+                    WHEN doc_id % 5 = 0 THEN 'v2'
+                    ELSE lang END AS lang
+        FROM base
+    )
+    SELECT 1 AS version_idx, lang, count(*) AS n FROM v1 GROUP BY 2
+    UNION ALL
+    SELECT 2 AS version_idx, lang, count(*) AS n FROM v2 GROUP BY 2
+    """,
+)
+def collection_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a retention policy over the time-travel store:
+    hydrate, apply TWO retained updates (three on-disk versions), then
+    ``vacuum_collection(older_than_s=0, keep_last=1)`` — the newest
+    retained version survives regardless of age (the lakehouse
+    ``VACUUM ... RETAIN`` contract), the older one is swept. The
+    query returns per-lang counts for EVERY surviving version
+    oldest-first, so the oracle proves both halves of the policy: the
+    kept version's state (post-update-1) is readable, and the swept
+    version's state (the original) is GONE — had vacuum kept it, a
+    third version_idx would appear and the row counts would mismatch."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+        read_collection,
+        vacuum_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    root = tempfile.mkdtemp(prefix="vdb_vac_")
+    hydrate(
+        spark,
+        joined,
+        HydrationConfig(
+            collection_name="vac",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    for modulus, tag in ((5, "v2"), (10, "v3")):
+        updates = d.filter(F.col("doc_id") % modulus == 0).select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.create_map(F.lit("lang"), F.lit(tag)).alias("metadata"),
+        )
+        collection_update(spark, root, "vac", updates, retain_previous=True)
+    vacuum_collection(root, "vac", older_than_s=0.0, keep_last=1)
+
+    surviving = collection_versions(root, "vac")  # oldest-first
+    per_version = [
+        read_collection(spark, root, "vac", version=ver).select(
+            F.lit(idx).alias("version_idx"),
+            F.col("metadata")["lang"].alias("lang"),
+        )
+        for idx, (ver, _active) in enumerate(surviving, start=1)
+    ]
+    from functools import reduce
+
+    return (
+        reduce(DataFrame.unionByName, per_version)
+        .groupBy("version_idx", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "join_bloom_pruned_revenue",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY 1
+    """,
+)
+def join_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning: a merge-hinted shuffle join
+    where the build side is highly selective (o_totalprice > 400000
+    keeps ~2% of orders). With
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` (default on)
+    and the application-side scan above its size threshold — always
+    true at 100 TB, forced via thresholds in the plan test — Catalyst
+    injects ``bloom_filter_agg`` over the filtered build keys and a
+    ``might_contain`` probe into the lineitem SCAN, so ~98% of fact
+    rows drop before the shuffle instead of after the join. The
+    rewrite is answer-preserving (Bloom filters have no false
+    negatives); this oracle proves that identity, and
+    test_relational.py::test_bloom_filter_injected_into_probe_side
+    proves the plan shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "rerank_learned_scorer_top3",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ),
+    cand AS (
+        SELECT q.qid, e.vec_id,
+               round({_COS_DOUBLE.format(a='e.embedding', b='q.qe')}, 4)
+                   AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <= 400 AND e.vec_id <> q.qid
+    ),
+    top10 AS (
+        SELECT qid, vec_id, cos_sim,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos_sim DESC, vec_id
+               ) AS rn
+        FROM cand
+    ),
+    feat AS (
+        SELECT t.qid, t.vec_id AS doc_id, t.cos_sim,
+               len({_TOKS.format(x=_NORM)}) AS n_tokens
+        FROM top10 t JOIN documents d ON d.doc_id = t.vec_id
+        WHERE t.rn <= 10
+    ),
+    scored AS (
+        SELECT qid, doc_id,
+               round(0.8 * cos_sim
+                     + 0.2 * (1.0 / (1.0 + exp(-(n_tokens - 40.0) / 20.0))),
+                     6) AS score
+        FROM feat
+    ),
+    ranked AS (
+        SELECT qid, doc_id, score,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT qid, doc_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def rerank_learned_scorer_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with a grouped-applyInPandas reranker: a
+    cheap exact first stage bounds each query's candidates to 10, a
+    feature join adds a document signal (token count), then
+    ``rerank_grouped`` re-scores each query's candidate list as ONE
+    Arrow batch with a learned-scorer stub (logistic blend — a real
+    cross-encoder's ``predict_proba`` drops into the same callable)
+    and emits only the top 3. The expensive Python stage touches
+    k*|queries| rows, never the corpus — the serving shape that holds
+    at 100 TB. Scores round before ranking and ties break on doc_id,
+    so the SQL twin reproduces the ranking exactly."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        token_count,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        logistic_blend_scorer,
+        rerank_grouped,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") <= 400)
+    cand = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    top10 = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+    feat = top10.join(docs, top10.vec_id == docs.doc_id).select(
+        "qid", "doc_id", "cos_sim", "n_tokens"
+    )
+    return rerank_grouped(
+        feat,
+        group_col="qid",
+        id_col="doc_id",
+        scorer=logistic_blend_scorer("cos_sim", "n_tokens"),
+        k=3,
+    )
