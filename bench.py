@@ -98,7 +98,15 @@ def main() -> None:
         timed.last_min = round(min(ts), 3)
         return round(statistics.median(ts), 3)
 
-    def record(name: str, fn, trials: int = 3) -> None:
+    def record(name: str, fn, trials: int = 3, warmup: bool = False) -> None:
+        # warmup=True runs one UNTIMED execution first: entries whose
+        # first call pays heavy one-off costs (pandas-UDF JIT, Arrow
+        # serializer init, broadcast build) take 2-3 calls to reach
+        # steady state, and the recorded BASELINE.md bands for them are
+        # warm-steady-state numbers (solo re-runs), so timing from the
+        # second call is what makes the median comparable to its band.
+        if warmup:
+            fn()
         timings[name] = timed(fn, trials)
         timings_min[name] = timed.last_min
 
@@ -421,7 +429,9 @@ def main() -> None:
         ).count()
         assert got == n // 100, f"expected {n // 100} planted near-dup pairs, got {got}"
 
-    record("synth200k_ivf_neardup", run_ivf_neardup)
+    # First call pays k-means broadcast + Arrow/GEMM worker warm-up
+    # (~15-25 s observed vs 5-7 s steady) — warm once, then time.
+    record("synth200k_ivf_neardup", run_ivf_neardup, warmup=True)
     ndup.unpersist()
     corpus.unpersist()
 

@@ -453,6 +453,11 @@ def test_vacuum_keep_last_retention(spark, tmp_path):
     remaining = collection_versions(root, "ret")
     assert [v for v, _ in remaining] == [newest_retained, versions[2][0]]
 
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_collection(root, "ret", keep_last=-1)
+
 
 def test_read_collection_unknown_version_raises_typed(spark, tmp_path):
     """Typed EngineError (not a raw Spark path error) for a version

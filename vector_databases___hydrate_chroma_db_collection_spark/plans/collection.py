@@ -452,6 +452,8 @@ def vacuum_collection(
     import shutil
     import time
 
+    if keep_last < 0:
+        raise ValueError(f"keep_last must be >= 0, got {keep_last}")
     root = validate_path(root)
     load_manifest(root, name)  # typed error for unknown collections
     base = os.path.join(root, name)
