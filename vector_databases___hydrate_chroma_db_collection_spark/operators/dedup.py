@@ -51,10 +51,10 @@ from vector_databases___hydrate_chroma_db_collection_spark.functions.vector impo
 )
 
 
-def _attach_cache(result: DataFrame, cached: DataFrame) -> DataFrame:
-    """Hang the cached dependency off the result so callers can
-    release it after materializing (see ``release_cache``)."""
-    result._dedup_cached_deps = [cached]  # type: ignore[attr-defined]
+def _attach_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Hang the cached dependencies off the result so callers can
+    release them after materializing (see ``release_cache``)."""
+    result._dedup_cached_deps = list(cached)  # type: ignore[attr-defined]
     return result
 
 
@@ -241,7 +241,8 @@ def minhash_lsh_pairs(
     is 1-(1-j^2)^8 (~0.93 at j=0.5, ~0.9996 at j=0.8). Candidates are
     found by a self-join on (band, band_hash) — the only shuffle
     whose width depends on data similarity, bounded by bucket sizes.
-    Verification recomputes exact Jaccard only for candidate pairs.
+    Verification recomputes Jaccard only for candidate pairs, over
+    the hashed shingle sets (8-byte join keys, not shingle strings).
 
     Mega-bucket guard: a band bucket holding near-identical
     boilerplate (s docs) would emit s^2/2 candidate pairs and skew
@@ -282,7 +283,12 @@ def minhash_lsh_pairs(
         ).alias(f"_s{j}")
         for j in range(num_hashes)
     ]
-    sig = sh.groupBy("_id").agg(*perms)
+    # The signature table is tiny (one row per doc, 16 bigints) but
+    # feeds FOUR plan branches (small-pair x/y sides, star pairs,
+    # bucket stats); without a cache each branch re-runs the 16-perm
+    # aggregate over the full shingle stream. Cache it; released with
+    # the shingle cache via release_cache.
+    sig = sh.groupBy("_id").agg(*perms).cache()
 
     # Bands: hash the concatenated slice values (identical string form
     # to functions.hashes.lsh_bands, so the SQL oracle is unchanged).
@@ -335,16 +341,22 @@ def minhash_lsh_pairs(
         .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
     )
     candidates = small_pairs.unionByName(star_pairs).distinct()
-    # Verify candidates with exact Jaccard on the cached shingle rows:
-    # count shared shingles via an equi-join on (candidate id, shingle).
+    # Verify candidates with Jaccard over the HASHED shingle rows:
+    # count shared shingles via an equi-join on (candidate id, h).
+    # Joining on the 8-byte hash instead of the shingle string keeps
+    # the widest shuffle of the verify stage narrow — at corpus scale
+    # the string payload dominates the exchange. The hash is the same
+    # md5-mod-P value the oracle computes, so a (cosmically rare,
+    # ~2^-31 per shingle pair) collision is DETERMINISTIC and
+    # reproduced bit-for-bit by the SQL twin — parity is unaffected.
     # (An array_intersect-per-pair variant measured slower cold — the
     # collect_list re-assembly shuffle outweighs the explode joins.)
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("_id").alias("id_a"), F.col("shingle").alias("sh_a"))
-    b = sh.select(F.col("_id").alias("b_id"), F.col("shingle").alias("sh_b"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("h").alias("h_a"))
+    b = sh.select(F.col("_id").alias("b_id"), F.col("h").alias("h_b"))
     shared = (
         candidates.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("b_id")) & (F.col("sh_a") == F.col("sh_b")))
+        .join(b, (F.col("id_b") == F.col("b_id")) & (F.col("h_a") == F.col("h_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -361,6 +373,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold),
         sh,
+        sig,
     )
 
 

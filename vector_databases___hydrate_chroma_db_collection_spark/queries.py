@@ -1153,7 +1153,9 @@ _BAND_H = _HASH64.format(
         SELECT c.id_a, c.id_b, count(*) AS c
         FROM cand c
         JOIN shing a ON a.doc_id = c.id_a
-        JOIN shing b ON b.doc_id = c.id_b AND b.s = a.s
+        JOIN shing b ON b.doc_id = c.id_b
+         AND ({_HASH64.format(x='b.s')} % {MINHASH_P})
+           = ({_HASH64.format(x='a.s')} % {MINHASH_P})
         GROUP BY 1, 2
     )
     SELECT id_a, id_b,
