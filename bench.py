@@ -58,6 +58,9 @@ HEADLINE = [
     "q7_nation_trade_flows",
     "q18_large_orders",
     "collection_knn_end_to_end",
+    "pipeline_training_data_end_to_end",
+    "join_bloom_pruned_revenue",
+    "rerank_learned_scorer_top3",
 ]
 
 

@@ -7346,3 +7346,147 @@ def rerank_learned_scorer_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         scorer=logistic_blend_scorer("cos_sim", "n_tokens"),
         k=3,
     )
+
+
+@query(
+    "pipeline_training_data_end_to_end",
+    f"""
+    WITH pool AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 97 <> 0 AND doc_id % 11 = 0
+    ),
+    fp AS (SELECT doc_id, md5({_NORM}) AS f FROM pool),
+    surv AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+    sdocs AS (
+        SELECT d.doc_id, d.text FROM documents d JOIN surv s USING (doc_id)
+    ),
+    qbase AS (
+        SELECT doc_id,
+               len({_TOKS.format(x='text')}) AS tok_cnt,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS praw,
+               len(list_filter({_TOKS.format(x='lower(text)')},
+                   t -> list_contains({_SW['en']}, t)))::DOUBLE
+                   / greatest(len({_TOKS.format(x='lower(text)')}), 1) AS swraw
+        FROM sdocs
+    ),
+    keepq AS (
+        SELECT doc_id FROM qbase
+        WHERE round(0.4 * least(tok_cnt / 100.0, 1.0)
+                    + 0.4 * (1.0 - praw)
+                    + 0.2 * least(swraw / 0.1, 1.0), 6) >= 0.7
+    ),
+    {_SHINGLES_CTE},
+    tr_sh AS (
+        SELECT s.doc_id, s.s FROM shing s JOIN keepq k USING (doc_id)
+    ),
+    ev_sh AS (
+        SELECT DISTINCT s FROM shing WHERE doc_id % 97 = 0
+    ),
+    contaminated AS (
+        SELECT t.doc_id
+        FROM tr_sh t JOIN ev_sh e ON t.s = e.s
+        GROUP BY t.doc_id
+        HAVING count(DISTINCT t.s) >= 3
+    ),
+    clean AS (
+        SELECT doc_id FROM keepq
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    train AS (
+        SELECT doc_id FROM clean
+        WHERE {_HASH64.format(x='CAST(doc_id AS VARCHAR)')} % 10 < 8
+    ),
+    counted AS (
+        SELECT t.doc_id, len({_TOKS.format(x=_NORM)}) AS tok_cnt
+        FROM train t JOIN documents d USING (doc_id)
+    ),
+    binned AS (
+        SELECT doc_id, tok_cnt,
+               CAST(floor(coalesce(sum(tok_cnt) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) / 2048.0) AS BIGINT) AS seq_id
+        FROM counted
+    )
+    SELECT seq_id,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(tok_cnt) AS BIGINT) AS tokens
+    FROM binned GROUP BY 1
+    """,
+)
+def pipeline_training_data_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preparation pipeline as ONE Catalyst
+    DAG — the composition proof that the engine's pieces chain:
+    exact dedup (survivor = min id per normalized fingerprint) ->
+    quality gate (>= 0.7 on the text_quality_scores formula) ->
+    benchmark decontamination (drop docs sharing >= 3 distinct
+    3-gram shingles with the held-out doc_id %% 97 eval slice) ->
+    deterministic 80%% hash split -> token-budget sequence packing
+    (distributed prefix scan, 2048/seq). Every stage is the same
+    operator its standalone query uses, so this one oracle pins the
+    joint semantics end-to-end. Plan shape: hash-agg dedup, pure
+    projections for quality/split tags, one broadcast shingle join
+    for decontamination, the two-level prefix scan for packing — no
+    stage widens beyond its standalone cost, so the composition
+    scales exactly as its parts do."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+        word_shingles,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        prefix_sum,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+
+    # The fixture has no exact duplicates, so plant re-keyed copies of
+    # a slice: dedup MUST collapse them back onto the original ids or
+    # the extra docs shift the split/packing and the oracle mismatches
+    # — the stage is load-bearing, not decorative.
+    base_pool = d.filter(~is_eval).select("doc_id", "text")
+    planted = base_pool.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    pool = base_pool.unionByName(planted)
+    surv = exact_dedup(pool, id_col="doc_id", text_col="text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    sdocs = d.join(surv, "doc_id").select("doc_id", "text")
+
+    feat = T.add_text_features(sdocs)
+    keepq = feat.filter(F.col("quality") >= 0.7).select("doc_id", "text")
+
+    tr_sh = keepq.select(
+        "doc_id", F.explode(F.array_distinct(word_shingles("text", 3))).alias("s")
+    )
+    ev_sh = (
+        d.filter(is_eval)
+        .select(F.explode(F.array_distinct(word_shingles("text", 3))).alias("s"))
+        .distinct()
+    )
+    contaminated = (
+        tr_sh.join(F.broadcast(ev_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("_shared"))
+        .filter(F.col("_shared") >= 3)
+        .select("doc_id")
+    )
+    clean = keepq.join(contaminated, "doc_id", "left_anti")
+
+    train = clean.filter(
+        F.pmod(hash64(F.col("doc_id").cast("string")), F.lit(10)) < 8
+    )
+    counted = train.select("doc_id", T.token_count("text").alias("tok_cnt"))
+    binned = prefix_sum(
+        counted, order_col="doc_id", value_col="tok_cnt", out_col="_before"
+    ).withColumn("seq_id", F.floor(F.col("_before") / 2048.0).cast("bigint"))
+    return binned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("tok_cnt").cast("bigint").alias("tokens"),
+    )
