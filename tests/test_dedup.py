@@ -91,11 +91,50 @@ def test_minhash_mega_bucket_guard(spark, corpus):
 def test_release_cache_unpersists_shingles(spark, corpus):
     res = D.minhash_lsh_pairs(corpus, id_col="doc_id", text_col="text", threshold=0.3)
     res.collect()
-    cached = res._dedup_cached_deps[0]
-    assert cached.storageLevel.useMemory  # cache active after materialize
+    deps = res._dedup_cached_deps
+    assert len(deps) == 2  # shingle rows + signature table
+    for cached in deps:
+        assert cached.storageLevel.useMemory  # caches active after materialize
     D.release_cache(res)
-    assert not cached.storageLevel.useMemory
+    for cached in deps:
+        assert not cached.storageLevel.useMemory
     D.release_cache(corpus)  # no attached cache -> no-op
+
+
+def test_minhash_hash_verify_matches_string_jaccard_random(spark):
+    """Property check for the hash-keyed verification: on random
+    corpora, every pair minhash reports must carry the SAME jaccard
+    the exact string-shingle operator computes — hash collisions
+    would inflate the shared count and break this equality."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [f"tok{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(4, 18)
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(n)]
+        rows.append((i, " ".join(words)))
+        if i % 7 == 0:  # plant a near-identical neighbor
+            mutated = list(words)
+            mutated[rng.randrange(len(mutated))] = vocab[0]
+            rows.append((i + 1000, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(
+            df, id_col="doc_id", text_col="text", threshold=0.2
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(
+            df, id_col="doc_id", text_col="text", threshold=0.2
+        ).collect()
+    }
+    assert lsh, "random corpus must produce at least the planted pairs"
+    for k, v in lsh.items():
+        assert exact[k] == v, k
 
 
 def test_simhash_identical_for_permuted_tokens(spark):
