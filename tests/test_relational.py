@@ -449,3 +449,46 @@ def test_rerank_grouped_edges(spark):
             cand, group_col="qid", id_col="doc_id",
             scorer=lambda pdf: pdf["s"], k=0,
         )
+
+
+def test_mmr_rerank_skips_redundant_twin(spark):
+    """Two near-identical top candidates: plain relevance ranks them
+    1-2, but MMR's redundancy penalty must push the twin below a less
+    relevant but orthogonal candidate; ranks and k<1 validation hold."""
+    import pytest as _pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    rows = [
+        # (qid, doc_id, embedding, cos_sim): docs 1,2 are twins along
+        # the query axis; doc 3 is orthogonal with lower relevance
+        (1, 1, [1.0, 0.0, 0.0], 0.99),
+        (1, 2, [0.999, 0.01, 0.0], 0.985),
+        (1, 3, [0.0, 1.0, 0.0], 0.80),
+    ]
+    cand = spark.createDataFrame(
+        rows, "qid int, doc_id int, embedding array<double>, cos_sim double"
+    )
+    got = {
+        r["rank"]: r["doc_id"]
+        for r in mmr_rerank(
+            cand,
+            group_col="qid",
+            id_col="doc_id",
+            vec_col="embedding",
+            base_score_col="cos_sim",
+            k=3,
+            lam=0.7,
+        ).collect()
+    }
+    # mmr(doc2 | {1}) = .7*.985 - .3*~1.0 ≈ .39
+    # mmr(doc3 | {1}) = .7*.80  - .3*0.0  = .56 -> the orthogonal doc wins
+    assert got == {1: 1, 2: 3, 3: 2}
+
+    with _pytest.raises(ValueError):
+        mmr_rerank(
+            cand, group_col="qid", id_col="doc_id", vec_col="embedding",
+            base_score_col="cos_sim", k=0,
+        )

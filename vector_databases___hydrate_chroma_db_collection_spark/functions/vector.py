@@ -79,3 +79,30 @@ def quantize_int8(a: Column | str, scale: Column) -> Column:
 def dequantize_int8(q: Column | str, scale: Column) -> Column:
     q = F.col(q) if isinstance(q, str) else q
     return F.transform(q, lambda v: _as_double(v) * scale / 127.0)
+
+
+def maxsim_score(doc: Column | str, query: Column | str, m: int) -> Column:
+    """Late-interaction (ColBERT-style) MaxSim: both vectors are
+    treated as ``m`` contiguous sub-vectors ("token" slots), and the
+    score is sum over QUERY slots of the max cosine against any DOC
+    slot. Captures partial/many-to-one matches a single pooled cosine
+    flattens away. Pure Catalyst HOF expression — no UDF, no shuffle;
+    at production scale pre-split the slots into columns at ingest so
+    the inner lambda is not re-sliced per pair."""
+    d = F.col(doc) if isinstance(doc, str) else doc
+    q = F.col(query) if isinstance(query, str) else query
+    sub_len = (F.size(d) / m).cast("int")
+
+    def sub(arr: Column, i: Column) -> Column:
+        return F.slice(arr, (i - 1) * sub_len + 1, sub_len)
+
+    per_q = F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda i: F.array_max(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(m)),
+                lambda j: cosine_similarity(sub(q, i), sub(d, j)),
+            )
+        ),
+    )
+    return F.aggregate(per_q, F.lit(0.0), lambda acc, x: acc + x)

@@ -213,3 +213,76 @@ def rerank_grouped(
         )
 
     return candidates.groupBy(group_col).applyInPandas(rerank, schema=out_schema)
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    base_score_col: str,
+    k: int,
+    lam: float = 0.7,
+    sim_decimals: int = 4,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking as grouped
+    ``applyInPandas``: within each query's bounded candidate list,
+    greedily pick the item maximizing
+    ``lam * relevance - (1 - lam) * max_similarity_to_already_picked``
+    — the standard redundancy penalty for RAG context selection
+    (Carbonell & Goldstein 1998). Sequential by nature, but the
+    sequence is per query over tens of rows, so the Python stage
+    costs k*|queries| steps while the corpus-scale work stays in the
+    first-stage retrieval — same serving shape as ``rerank_grouped``.
+
+    Determinism contract: pairwise cosines round half-up to
+    ``sim_decimals`` and MMR values to ``score_decimals`` BEFORE each
+    argmax; ties break on ascending ``id_col``. The SQL twin unrolls
+    the same greedy steps, so the selection is oracle-checkable.
+    Output: (group, id, rank 1..k).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        np_round_half_up,
+    )
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    gt = candidates.schema[group_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"{group_col} {gt}, {id_col} {it}, rank int"
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+        sims = np_round_half_up(En @ En.T, sim_decimals)
+        base = pdf[base_score_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        picked: list[int] = []
+        alive = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            if not picked:
+                score = base.copy()
+            else:
+                penalty = sims[:, picked].max(axis=1)
+                score = np_round_half_up(
+                    lam * base - (1.0 - lam) * penalty, score_decimals
+                )
+            score[~alive] = -np.inf
+            best = int(np.argmax(score))  # first max = smallest id (sorted)
+            picked.append(best)
+            alive[best] = False
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[picked].values,
+                id_col: pdf[id_col].iloc[picked].values,
+                "rank": range(1, len(picked) + 1),
+            }
+        )
+
+    return candidates.groupBy(group_col).applyInPandas(mmr, schema=out_schema)

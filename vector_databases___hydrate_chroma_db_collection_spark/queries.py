@@ -7490,3 +7490,163 @@ def pipeline_training_data_end_to_end(spark: SparkSession, sf_dir: str) -> DataF
         F.count(F.lit(1)).alias("docs"),
         F.sum("tok_cnt").cast("bigint").alias("tokens"),
     )
+
+
+_SUBCOS = _COS_DOUBLE.format(
+    a="list_slice(e.embedding, (i - 1) * 16 + 1, i * 16)",
+    b="list_slice(q.qe, (j - 1) * 16 + 1, j * 16)",
+)
+
+
+@query(
+    "retrieval_maxsim_top10",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, 5), j ->
+                   list_max(list_transform(range(1, 5), i -> {_SUBCOS}))
+               )), 4) AS maxsim
+        FROM embeddings e, q
+        WHERE e.vec_id <= 300 AND e.vec_id <> 5
+    )
+    SELECT vec_id, maxsim
+    FROM scored
+    ORDER BY maxsim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def retrieval_maxsim_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction retrieval (ColBERT-style MaxSim): each
+    embedding is treated as 4 contiguous 16-dim sub-vector slots and
+    the score is sum over query slots of the max cosine against any
+    document slot — partial matches score where a single pooled
+    cosine flattens them. The scoring is one Catalyst HOF expression
+    over the scan (no UDF, no shuffle) feeding
+    TakeOrderedAndProject, the same shuffle-free top-k shape as exact
+    kNN; at 100 TB the slots would be pre-split into columns at
+    ingest and the plan is otherwise unchanged."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxsim_score,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 5).select(F.col("embedding").alias("qe"))
+    return (
+        emb.filter((F.col("vec_id") <= 300) & (F.col("vec_id") != 5))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(maxsim_score("embedding", "qe", 4), 4).alias("maxsim"),
+        )
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_MMR_COS0 = _COS_DOUBLE.format(a="e.embedding", b="q.qe")
+_MMR_COS1 = _COS_DOUBLE.format(a="c.de", b="p.e1")
+_MMR_COS2 = _COS_DOUBLE.format(a="c.de", b="r.e2")
+
+
+@query(
+    "rerank_mmr_diversity_top3",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id IN (1, 2, 3)
+    ),
+    cand0 AS (
+        SELECT q.qid, e.vec_id, e.embedding AS de,
+               round({_MMR_COS0}, 4) AS cos_sim
+        FROM embeddings e, q
+        WHERE e.vec_id <= 300 AND e.vec_id <> q.qid
+    ),
+    cand AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM cand0) WHERE rn <= 8
+    ),
+    p1 AS (SELECT qid, vec_id AS id1, de AS e1 FROM cand WHERE rn = 1),
+    m2 AS (
+        SELECT c.qid, c.vec_id, c.de,
+               round(0.7 * c.cos_sim
+                     - 0.3 * round({_MMR_COS1}, 4), 6) AS mmr
+        FROM cand c JOIN p1 p USING (qid)
+        WHERE c.vec_id <> p.id1
+    ),
+    p2 AS (
+        SELECT qid, vec_id AS id2, de AS e2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rr
+            FROM m2) WHERE rr = 1
+    ),
+    m3 AS (
+        SELECT c.qid, c.vec_id,
+               round(0.7 * c.cos_sim
+                     - 0.3 * greatest(round({_MMR_COS1}, 4),
+                                      round({_MMR_COS2}, 4)), 6) AS mmr
+        FROM cand c JOIN p1 p USING (qid) JOIN p2 r USING (qid)
+        WHERE c.vec_id <> p.id1 AND c.vec_id <> r.id2
+    ),
+    p3 AS (
+        SELECT qid, vec_id AS id3 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rr
+            FROM m3) WHERE rr = 1
+    )
+    SELECT qid, id1 AS doc_id, CAST(1 AS INT) AS rank FROM p1
+    UNION ALL SELECT qid, id2 AS doc_id, CAST(2 AS INT) AS rank FROM p2
+    UNION ALL SELECT qid, id3 AS doc_id, CAST(3 AS INT) AS rank FROM p3
+    """,
+)
+def rerank_mmr_diversity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity selection over each
+    query's top-8 cosine candidates: rank 1 is the most relevant,
+    ranks 2-3 maximize 0.7*relevance - 0.3*max-similarity-to-picked
+    — the redundancy penalty that keeps RAG context windows from
+    filling with near-duplicates. The greedy loop runs as grouped
+    applyInPandas over <= 8 rows per query (operator
+    ``retrieval.mmr_rerank``); the oracle UNROLLS the same greedy
+    steps (pick1 -> penalized argmax -> pick2 -> ...), with pairwise
+    cosines rounded half-up to 4 and MMR values to 6 on both sides,
+    ties on ascending id — a sequential algorithm made
+    hash-checkable."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        mmr_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    cand = (
+        emb.filter(F.col("vec_id") <= 300)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    top8 = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    return mmr_rerank(
+        top8.select("qid", "doc_id", "embedding", "cos_sim"),
+        group_col="qid",
+        id_col="doc_id",
+        vec_col="embedding",
+        base_score_col="cos_sim",
+        k=3,
+        lam=0.7,
+    )
