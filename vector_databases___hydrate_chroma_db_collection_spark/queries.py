@@ -7650,3 +7650,74 @@ def rerank_mmr_diversity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         lam=0.7,
     )
+
+
+@query(
+    "events_funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t1
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id
+         AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 2 DAY
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id
+         AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 2 DAY
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+    UNION ALL
+    SELECT 'view>click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis with a conversion window: users who
+    viewed, then clicked strictly after their first view AND within 2
+    days of it, then purchased within 2 days of that first qualifying
+    click — the sequencing + window constraints are what separate a
+    funnel from three independent counts (a purchase before the view,
+    or a week later, must not convert; at the fixture the stages are
+    150 -> 96 -> 58, so both constraints bind). Each stage is one
+    map-side-combinable min-agg plus an equi-join on user_id; the
+    stage joins shrink monotonically, so the chain costs less than
+    the first scan and nothing buffers per-user event lists."""
+    win = F.expr("INTERVAL 2 DAYS")
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(label).alias("stage"), "users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view>click"))
+        .unionByName(stage(p, "view>click>purchase"))
+    )
