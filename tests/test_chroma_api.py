@@ -503,3 +503,55 @@ def test_cms_depth_guard(spark):
     df = spark.range(5).selectExpr("id as k")
     with pytest.raises(ValueError, match="slice budget"):
         cms_counters(df, "k", depth=5, width=16)
+
+
+def test_collection_diff_classifies_changes(spark, tmp_path):
+    """Diff of a version against itself is empty; an embedding-only
+    rewrite surfaces as 'changed' (payload compare covers all three
+    fields, with maps compared as sorted entries)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_diff,
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+    )
+
+    rows = [(i, f"doc {i}", [float(i), 1.0], "t") for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, text string, embedding array<float>, tag string"
+    )
+    root = str(tmp_path)
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="cd",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="tag",
+        ),
+    )
+    updates = spark.createDataFrame(
+        [("2", [9.0, 9.0])], "id string, embedding array<float>"
+    )
+    collection_update(spark, root, "cd", updates, retain_previous=True)
+    prev = [v for v, active in collection_versions(root, "cd") if not active][0]
+
+    got = {
+        r["id"]: r["change"]
+        for r in collection_diff(spark, root, "cd", from_version=prev).collect()
+    }
+    assert got == {"2": "changed"}  # embedding-only change detected
+
+    active = [v for v, a in collection_versions(root, "cd") if a][0]
+    same = collection_diff(
+        spark, root, "cd", from_version=active, to_version=active
+    ).collect()
+    assert same == []

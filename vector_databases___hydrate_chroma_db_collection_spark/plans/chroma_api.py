@@ -490,3 +490,56 @@ def collection_delete(
     writer.parquet(staging)
     swap_data_dir(root, manifest.name, staging, retain=retain_previous)
     return int(n_before - obs.get["rows"])
+
+
+def collection_diff(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    from_version: str,
+    to_version: str | None = None,
+) -> DataFrame:
+    """CDC-style diff between two readable collection versions (the
+    change-data-feed a lakehouse exposes): rows present only in the
+    newer state are ``added``, only in the older ``removed``, and rows
+    whose (document, metadata, embedding) payload differs ``changed``;
+    unchanged rows are dropped. ``to_version=None`` means the current
+    state. One full-outer join on id — cost scales with the two
+    versions, not with history, because every version is a complete
+    dir (no log replay). Maps are compared as sorted entry arrays
+    (MapType itself is not comparable in Spark)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    def state(version: str | None) -> DataFrame:
+        df = read_collection(spark, root, name, version=version)
+        return df.select(
+            F.col("id"),
+            F.struct(
+                F.col("document"),
+                F.sort_array(F.map_entries(F.col("metadata"))).alias("_meta"),
+                F.col("embedding"),
+            ).alias("_payload"),
+        )
+
+    a = state(from_version).select(
+        F.col("id").alias("_id_a"), F.col("_payload").alias("_pa")
+    )
+    b = state(to_version).select(
+        F.col("id").alias("_id_b"), F.col("_payload").alias("_pb")
+    )
+    j = a.join(b, a["_id_a"] == b["_id_b"], "full_outer")
+    change = (
+        F.when(F.col("_id_b").isNull(), F.lit("removed"))
+        .when(F.col("_id_a").isNull(), F.lit("added"))
+        .when(~(F.col("_pa").eqNullSafe(F.col("_pb"))), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("_id_a"), F.col("_id_b")).alias("id"),
+            change.alias("change"),
+        )
+        .filter(F.col("change").isNotNull())
+    )

@@ -7721,3 +7721,80 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "view>click"))
         .unionByName(stage(p, "view>click>purchase"))
     )
+
+
+@query(
+    "collection_version_diff",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, 'removed' AS change
+    FROM documents WHERE doc_id < 50 AND doc_id % 13 = 0
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'changed'
+    FROM documents WHERE doc_id < 50 AND doc_id % 7 = 0 AND doc_id % 13 <> 0
+    UNION ALL
+    SELECT CAST(doc_id + 1000 AS VARCHAR), 'added'
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def collection_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between collection versions: hydrate, then
+    update metadata (%7, retaining the original version), delete ids
+    (%13), and upsert 10 re-keyed new docs — then ``collection_diff``
+    classifies every id as added / removed / changed against the
+    retained original (delete wins over update for ids hit by both,
+    e.g. id 0). One full-outer join of two complete version dirs — no
+    log replay, the same reason time travel is O(1) here. The oracle
+    derives the expected change set straight from the base table."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete,
+        collection_diff,
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_diff_")
+
+    def cfg(on_duplicate: str = "error") -> HydrationConfig:
+        return HydrationConfig(
+            collection_name="vd",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+            on_duplicate=on_duplicate,
+        )
+
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg())
+    updates = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(F.lit("lang"), F.lit("updated")).alias("metadata"),
+    )
+    collection_update(spark, root, "vd", updates, retain_previous=True)
+    doomed = [str(r["doc_id"]) for r in d.filter(F.col("doc_id") % 13 == 0).collect()]
+    collection_delete(spark, root, "vd", ids=doomed)
+    newbies = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text", "lang")
+    )
+    hydrate(
+        spark,
+        newbies.join(
+            e.select((F.col("vec_id") + 1000).alias("doc_id"), "embedding"),
+            "doc_id",
+        ),
+        cfg(on_duplicate="upsert"),
+    )
+    original = [v for v, active in collection_versions(root, "vd") if not active][0]
+    return collection_diff(spark, root, "vd", from_version=original)
