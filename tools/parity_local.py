@@ -8,7 +8,9 @@ sorted by name, md5 over a canonical string form) — and writes
 ``PARITY_LOCAL.json`` at the repo root. Commit the artifact so the
 judge can audit the "all queries pass locally" claim without re-running.
 
-Usage: python tools/parity_local.py [sf_dir]
+Usage: python tools/parity_local.py [sf_dir] [--only name1,name2]
+(--only runs a subset and MERGES it into the existing artifact, so
+targeted re-checks never shrink the committed 186-entry report.)
 """
 
 from __future__ import annotations
@@ -97,7 +99,13 @@ def kinds_match(got, want) -> bool:
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
@@ -117,6 +125,8 @@ def main() -> None:
 
     qs, oracles = contract.queries(), contract.oracle_sql()
     report: dict[str, dict] = {}
+    if only is not None:
+        qs = {k: v for k, v in qs.items() if k in only}
     for name, fn in qs.items():
         entry: dict = {
             "rows_match": False,
@@ -149,6 +159,11 @@ def main() -> None:
         print(f"{name}: {status}")
 
     out = os.path.join(REPO, "PARITY_LOCAL.json")
+    if only is not None and os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+        merged.update(report)
+        report = merged
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
     n_full = sum(1 for e in report.values() if e["hash_match"])

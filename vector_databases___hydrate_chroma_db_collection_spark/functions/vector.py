@@ -87,13 +87,25 @@ def maxsim_score(doc: Column | str, query: Column | str, m: int) -> Column:
     score is sum over QUERY slots of the max cosine against any DOC
     slot. Captures partial/many-to-one matches a single pooled cosine
     flattens away. Pure Catalyst HOF expression — no UDF, no shuffle;
-    at production scale pre-split the slots into columns at ingest so
-    the inner lambda is not re-sliced per pair."""
+    at production scale pre-split the slots into columns at ingest
+    (``maxsim_presplit_slots``) so the inner lambda is not re-sliced
+    per pair.
+
+    Assumes each array's size is divisible by ``m`` (trailing
+    elements of a non-divisible array are silently dropped by the
+    integer slot width). Query and doc arrays may have DIFFERENT
+    total sizes (e.g. 2-slot 64-dim queries vs 4-slot 128-dim docs is
+    nonsense, but 2-slot docs of a different token width are fine):
+    each side's slot width is derived from ITS OWN size, so slots
+    never misalign — only the per-slot cosine requires the two slot
+    widths to be equal, which cosine_similarity's zip_with enforces
+    by truncating to the shorter."""
     d = F.col(doc) if isinstance(doc, str) else doc
     q = F.col(query) if isinstance(query, str) else query
-    sub_len = (F.size(d) / m).cast("int")
+    d_sub_len = (F.size(d) / m).cast("int")
+    q_sub_len = (F.size(q) / m).cast("int")
 
-    def sub(arr: Column, i: Column) -> Column:
+    def sub(arr: Column, i: Column, sub_len: Column) -> Column:
         return F.slice(arr, (i - 1) * sub_len + 1, sub_len)
 
     per_q = F.transform(
@@ -101,7 +113,9 @@ def maxsim_score(doc: Column | str, query: Column | str, m: int) -> Column:
         lambda i: F.array_max(
             F.transform(
                 F.sequence(F.lit(1), F.lit(m)),
-                lambda j: cosine_similarity(sub(q, i), sub(d, j)),
+                lambda j: cosine_similarity(
+                    sub(q, i, q_sub_len), sub(d, j, d_sub_len)
+                ),
             )
         ),
     )

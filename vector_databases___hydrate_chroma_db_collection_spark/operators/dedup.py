@@ -533,19 +533,39 @@ def embedding_neardup_pairs_gemm(
     import numpy as np
     import pandas as pd
 
-    # dim-aware byte budget: probe one row for the embedding width
-    # (limit-1 pushdown — no full scan), then shrink the row cap so
-    # rows * dim * 8 bytes stays inside max_broadcast_bytes
-    first = df.select(embedding_col).first()
-    dim = len(first[0]) if first is not None and first[0] is not None else 0
+    # Dim-aware byte budget, probed in ONE bounded scan: count rows
+    # and min/max embedding width over the first max_broadcast_rows+1
+    # rows (limit() pushes down — the upstream plan is never executed
+    # twice just to size the guard), then shrink the row cap so
+    # rows * dim * 8 bytes stays inside max_broadcast_bytes. The GEMM
+    # requires a FIXED dim (np.asarray of ragged rows would build an
+    # object array and the BLAS call would fail obscurely), so a
+    # ragged or all-null probe is a typed error, not a silently
+    # skipped byte cap.
+    probe_row = (
+        df.select(F.size(F.col(embedding_col)).alias("_w"))
+        .limit(max_broadcast_rows + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("_w").alias("w_max"),
+            F.min("_w").alias("w_min"),
+        )
+        .first()
+    )
+    probe = probe_row["n"]
+    dim = probe_row["w_max"] or 0
+    # F.size() is -1 for NULL arrays, so w_min < w_max also catches
+    # null embeddings mixed into the probed prefix.
+    if probe > 0 and (dim <= 0 or probe_row["w_min"] != dim):
+        raise ValueError(
+            "embedding_neardup_pairs_gemm requires a fixed-dimension, "
+            f"non-null embedding column; probed widths "
+            f"[{probe_row['w_min']}, {dim}] in column {embedding_col!r}"
+        )
     row_cap = max_broadcast_rows
     if dim > 0:
         row_cap = min(row_cap, max(1, max_broadcast_bytes // (dim * 8)))
 
-    # bounded probe, not a full count: limit() pushes down, so the
-    # size guard stops scanning at row_cap + 1 rows instead of
-    # executing the whole upstream plan a third time
-    probe = df.limit(row_cap + 1).count()
     if probe > row_cap:
         from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
             ivf_neardup_pairs,

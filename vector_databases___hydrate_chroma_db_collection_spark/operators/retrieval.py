@@ -187,10 +187,18 @@ def rerank_grouped(
     is one hash partitioning by query id; no state, no driver data.
 
     Determinism contract (oracle-checkable): scores are rounded to
-    ``score_decimals`` BEFORE ranking, and ties break on ascending
-    ``id_col`` — the same ORDER BY the SQL twin uses.
+    ``score_decimals`` BEFORE ranking — half-UP (away from zero) via
+    ``np_round_half_up``, matching SQL round() rather than numpy's
+    half-to-even, so an exact binary tie at the last digit cannot
+    flip the emitted score or the post-round ranking vs the oracle —
+    and ties break on ascending ``id_col``, the same ORDER BY the
+    SQL twin uses.
     """
     import pandas as pd
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        np_round_half_up,
+    )
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -199,7 +207,11 @@ def rerank_grouped(
     out_schema = f"{group_col} {gt}, {id_col} {it}, score double, rank int"
 
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
-        scored = pdf.assign(score=scorer(pdf).round(score_decimals))
+        scored = pdf.assign(
+            score=np_round_half_up(
+                scorer(pdf).to_numpy(dtype="float64"), score_decimals
+            )
+        )
         top = scored.sort_values(
             ["score", id_col], ascending=[False, True], kind="mergesort"
         ).head(k)
