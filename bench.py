@@ -69,6 +69,10 @@ HEADLINE = [
     "pipeline_training_data_end_to_end",
     "join_bloom_pruned_revenue",
     "rerank_learned_scorer_top3",
+    # MaxSim pair: same oracle answer; the presplit row measures what
+    # moving slicing to ingest buys at the same corpus
+    "retrieval_maxsim_top10",
+    "retrieval_maxsim_presplit_top10",
 ]
 
 
@@ -445,6 +449,74 @@ def main() -> None:
     record("synth200k_ivf_neardup", run_ivf_neardup, warmup=True)
     ndup.unpersist()
     corpus.unpersist()
+
+    # ------------------------------------------------------------------
+    # Scale probe: 1M x 64 IVF-PQ — 5x the 200k probe, the largest
+    # in-sandbox vector corpus (the sf0.1 fixture x500). Build stacks
+    # coarse k-means (256 cells, driver-trained on a bounded 2%
+    # sample) with residual PQ (8 sub-bytes/row, 32x compression);
+    # query probes 16/256 cells (~6% of the corpus at 8 B/row) + exact
+    # rerank. The in-bench assert checks self-recall through the
+    # rerank path, so the timing is also a correctness probe of the
+    # full 100-TB retrieval shape at the biggest scale we can host.
+    # ------------------------------------------------------------------
+    n1m = 1_000_000
+    corpus1m = (
+        spark.range(n1m)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select("id", vec.alias("embedding"))
+        .cache()
+    )
+    t0 = time.perf_counter()
+    corpus1m.count()
+    timings["synth1m_build"] = round(time.perf_counter() - t0, 3)
+    qvec1m = list(corpus1m.filter(F.col("id") == 0).first()["embedding"])
+
+    def run_ivfpq_build_1m() -> None:
+        e, _, _ = ivf_pq_build(
+            corpus1m,
+            id_col="id",
+            n_centroids=256,
+            m=8,
+            n_codes=256,
+            seed=42,
+            sample_fraction=0.02,
+        )
+        run_noop(e)
+
+    record("synth1m_ivfpq_build", run_ivfpq_build_1m)
+    enc_1m, C_1m, cb_1m = ivf_pq_build(
+        corpus1m,
+        id_col="id",
+        n_centroids=256,
+        m=8,
+        n_codes=256,
+        seed=42,
+        sample_fraction=0.02,
+    )
+    enc_1m = enc_1m.cache()
+    enc_1m.count()
+
+    def run_ivfpq_query_1m() -> None:
+        rows = ivf_pq_search(
+            enc_1m,
+            C_1m,
+            cb_1m,
+            qvec1m,
+            k=10,
+            id_col="id",
+            nprobe=16,
+            rerank_corpus=corpus1m,
+            embedding_col="embedding",
+            rerank_factor=8,
+            metric="cosine",
+            score_decimals=4,
+        ).collect()
+        assert rows[0]["id"] == 0, "1M IVF-PQ rerank lost the self-neighbor"
+
+    record("synth1m_ivfpq_query", run_ivfpq_query_1m, warmup=True)
+    enc_1m.unpersist()
+    corpus1m.unpersist()
 
     # ------------------------------------------------------------------
     # Scale probe: MinHash+LSH dedup on a synthetic 50k-doc corpus

@@ -356,3 +356,186 @@ def test_ivf_knn_join_l2_metric(spark):
         q, emb, k=2, metric="l2", corpus_id_col="vec_id", score_decimals=4
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Persisted-index staleness contract: a sidecar stamped with the source
+# collection's etag refuses to load after the collection mutates.
+# ---------------------------------------------------------------------------
+
+
+def _make_collection(spark, tmp_path, name):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name=name,
+            root=str(tmp_path),
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+        ),
+    )
+    return str(tmp_path)
+
+
+def test_collection_etag_changes_on_update_and_append(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    root = _make_collection(spark, tmp_path, "etag_c")
+    e0 = collection_etag(root, "etag_c")
+    assert e0 == collection_etag(root, "etag_c")  # deterministic
+
+    # update swaps the _current data dir -> etag changes
+    coll = read_collection(spark, root, "etag_c")
+    upd = (
+        coll.filter(F.col("id") == "7")
+        .select(F.lit("3").alias("id"), "embedding")
+    )
+    assert collection_update(spark, root, "etag_c", upd) == 1
+    e1 = collection_etag(root, "etag_c")
+    assert e1 != e0
+
+    # plain append adds files inside the same dir -> etag changes again
+    # (re-read: the update swap retired the data dir `coll` referenced)
+    coll = read_collection(spark, root, "etag_c")
+    extra = coll.filter(F.col("id") == "7").select(
+        F.lit("99991").alias("doc_id"),
+        F.col("document").alias("text"),
+        "embedding",
+    )
+    hydrate(
+        spark,
+        extra,
+        HydrationConfig(
+            collection_name="etag_c",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+        ),
+    )
+    assert collection_etag(root, "etag_c") != e1
+
+
+def test_ivf_read_raises_stale_after_update(spark, tmp_path):
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_read,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _make_collection(spark, tmp_path, "stale_a")
+    coll = read_collection(spark, root, "stale_a")
+    n = coll.count()
+    assigned, C = ivf_build(coll, n_centroids=4, seed=42)
+    path = f"{root}/stale_a/_ivf"
+    ivf_write(assigned, C, path, source=(root, "stale_a"))
+
+    # fresh: loads fine
+    loaded, C2, metric = ivf_read(spark, path)
+    assert loaded.count() == n
+
+    upd = coll.filter(F.col("id") == "7").select(F.lit("3").alias("id"), "embedding")
+    collection_update(spark, root, "stale_a", upd)
+
+    with pytest.raises(StaleIndexError, match="STALE"):
+        ivf_read(spark, path)
+    # explicit opt-out still serves
+    loaded2, _, _ = ivf_read(spark, path, verify_source=False)
+    assert loaded2.count() == n
+
+    # one-call remedy: rebuild from the CURRENT collection, re-stamp
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_refresh,
+    )
+
+    loaded3, C3, metric3 = ivf_refresh(spark, path)
+    assert loaded3.count() == n and metric3 == metric
+    # the refreshed index serves the UPDATED vector for id '3'
+    v3 = loaded3.filter(F.col("id") == "3").first()["embedding"]
+    v7 = loaded3.filter(F.col("id") == "7").first()["embedding"]
+    assert list(v3) == list(v7)
+    # and a plain ivf_read now passes the staleness gate again
+    ivf_read(spark, path)
+
+
+def test_ivf_read_unstamped_index_never_checks(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_read,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, C = ivf_build(
+        emb.select(F.col("vec_id").alias("id"), "embedding"), n_centroids=4, seed=1
+    )
+    path = str(tmp_path / "plain_ivf")
+    ivf_write(assigned, C, path)  # no source stamp
+    loaded, _, _ = ivf_read(spark, path)
+    assert loaded.count() == emb.count()
+
+
+def test_ivf_pq_read_raises_stale_after_delete(spark, tmp_path):
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_read,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _make_collection(spark, tmp_path, "stale_pq")
+    coll = read_collection(spark, root, "stale_pq")
+    n = coll.count()
+    enc, C, cb = ivf_pq_build(
+        coll, id_col="id", n_centroids=4, m=8, n_codes=16, seed=42
+    )
+    path = f"{root}/stale_pq/_ivfpq"
+    ivf_pq_write(enc, C, cb, path, source=(root, "stale_pq"))
+
+    enc2, _, _ = ivf_pq_read(spark, path)
+    assert enc2.count() == n
+
+    collection_delete(spark, root, "stale_pq", ids=["7"])
+
+    with pytest.raises(StaleIndexError, match="STALE"):
+        ivf_pq_read(spark, path)
+    enc3, _, _ = ivf_pq_read(spark, path, verify_source=False)
+    assert enc3.count() == n

@@ -582,3 +582,133 @@ def test_file_scheme_root_survives_upsert_swap(spark, tmp_path):
     got = read_collection(spark, str(tmp_path), "rg")
     rows = {r["id"]: r["document"] for r in got.collect()}
     assert rows == {"1": "v2"}
+
+
+# ---------------------------------------------------------------------------
+# Step-compat front-end: the reference's literal parameter names
+# (step:1 /ui; the standalone %let block, sas:21-30) drive the whole
+# sas:126-193 data path through hydrate_from_step.
+# ---------------------------------------------------------------------------
+
+
+def test_from_step_params_literal_let_values(tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+    )
+
+    cfg = HydrationConfig.from_step_params(
+        {
+            # exact %let values from sas:21-30 (path rerooted into tmp)
+            "inputTable": "PUBLIC.Topics_20240123",
+            "inputTable_lib": "PUBLIC",
+            "casHostPath": "sas-cas-server-default-client",
+            "casHostPort": 5570,
+            "persistentPath": f"sasserver:{tmp_path}",
+            "collectionName": "new_collection",
+            "embeddingPattern": "_Col",
+            "docId": "__unique_id_",
+            "textVar": "Text_Review",
+            "metadataColumn": "Target_Rating",
+        }
+    )
+    assert cfg.collection_name == "new_collection"
+    assert cfg.root == str(tmp_path)  # sasserver: scheme stripped
+    assert cfg.id_col == "__unique_id_"
+    assert cfg.text_col == "Text_Review"
+    assert cfg.metadata_col == "Target_Rating"
+    assert cfg.metadata_key == "rating"  # sas:181 hard-coded key
+    assert cfg.enabled
+
+
+def test_from_step_params_run_trigger_and_typos(tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+    )
+
+    off = HydrationConfig.from_step_params(
+        {
+            "collectionName": "c",
+            "persistentPathName": str(tmp_path),
+            "_hcdc_run_trigger": "0",
+        }
+    )
+    assert not off.enabled
+    with pytest.raises(ValueError, match="unknown step parameters"):
+        HydrationConfig.from_step_params(
+            {"collectionName": "c", "colectionName": "typo"}
+        )
+    with pytest.raises(ValueError, match="collectionName"):
+        HydrationConfig.from_step_params({"persistentPath": str(tmp_path)})
+
+
+def test_hydrate_from_step_round_trip(spark, tmp_path):
+    """sas:21-30 %let values -> hydrated collection: ids stringified
+    via the double-typed CAS shape (Q2: str(1.0) == '1.0'), metadata
+    under the hard-coded 'rating' key (sas:181), drop_nulls vector
+    assembly (Q1, sas:162) filtered by the write-time dim guard."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate_from_step,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    wide = spark.createDataFrame(
+        [
+            (1.0, "great product", 5.0, 0.1, 0.2, 0.3, "x"),
+            (2.0, "bad product", 1.0, 0.4, 0.5, 0.6, "y"),
+        ],
+        "__unique_id_ double, Text_Review string, Target_Rating double, "
+        "_Col1 float, _Col2 float, _Col3 float, decoy_column string",
+    )
+    report = hydrate_from_step(
+        spark,
+        wide,
+        {
+            "inputTable": "PUBLIC.Topics_20240123",
+            "inputTable_lib": "PUBLIC",
+            "casHostPath": "sas-cas-server-default-client",
+            "casHostPort": 5570,
+            "persistentPath": f"sasserver:{tmp_path}",
+            "collectionName": "new_collection",
+            "embeddingPattern": "_Col",
+            "docId": "__unique_id_",
+            "textVar": "Text_Review",
+            "metadataColumn": "Target_Rating",
+        },
+    )
+    assert report.count_after == 2 == report.rows_written
+    rows = {
+        r["id"]: r
+        for r in read_collection(spark, str(tmp_path), "new_collection").collect()
+    }
+    assert set(rows) == {"1.0", "2.0"}  # Q2 via double-typed ids
+    assert rows["1.0"]["document"] == "great product"
+    assert dict(rows["1.0"]["metadata"]) == {"rating": "5.0"}
+    assert [round(v, 4) for v in rows["2.0"]["embedding"]] == [0.4, 0.5, 0.6]
+
+
+def test_hydrate_from_step_disabled_trigger(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        DisabledError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate_from_step,
+    )
+
+    wide = spark.createDataFrame(
+        [(1.0, "t", 0.1)], "__unique_id_ double, Text_Review string, _Col1 float"
+    )
+    with pytest.raises(DisabledError):
+        hydrate_from_step(
+            spark,
+            wide,
+            {
+                "persistentPath": f"sasserver:{tmp_path}",
+                "collectionName": "c",
+                "embeddingPattern": "_Col",
+                "docId": "__unique_id_",
+                "textVar": "Text_Review",
+                "_hcdc_run_trigger": 0,
+            },
+        )

@@ -174,3 +174,113 @@ def test_column_pruning_keeps_bytes_out_of_metadata_plans(assets, tmp_path):
     df = spark.read.parquet(path).filter("modality = 'image'").select("asset_id", "meta")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Real video container-header parsing (codecs.sniff_video): hand-built
+# MP4 boxes and an AVI MainAVIHeader, parsed bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_bytes(width=640, height=360, timescale=600, duration=3000) -> bytes:
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        build_mp4,
+    )
+
+    return build_mp4(
+        width=width, height=height, timescale=timescale, duration=duration
+    )
+
+
+def _avi_bytes(width=320, height=240, usec_per_frame=40000, total_frames=250) -> bytes:
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        build_avi,
+    )
+
+    return build_avi(
+        width=width,
+        height=height,
+        usec_per_frame=usec_per_frame,
+        total_frames=total_frames,
+    )
+
+
+def test_sniff_video_parses_mp4_boxes():
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        sniff_video,
+    )
+
+    container, w, h, dur, nf = sniff_video(
+        _mp4_bytes(width=640, height=360, timescale=600, duration=3000)
+    )
+    assert container.startswith("mp4")
+    assert (w, h) == (640, 360)
+    assert dur == 5000  # 3000 ticks / 600 ticks-per-sec = 5 s
+    assert nf is None  # frame count is not in the MP4 movie header
+
+
+def test_sniff_video_parses_avi_header():
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        sniff_video,
+    )
+
+    container, w, h, dur, nf = sniff_video(
+        _avi_bytes(width=320, height=240, usec_per_frame=40000, total_frames=250)
+    )
+    assert container == "avi"
+    assert (w, h) == (320, 240)
+    assert dur == 10000  # 250 frames * 40 ms
+    assert nf == 250
+
+
+def test_sniff_video_mkv_magic_and_garbage():
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        sniff_video,
+    )
+
+    assert sniff_video(b"\x1a\x45\xdf\xa3" + b"\x00" * 16)[0] == "mkv"
+    assert sniff_video(b"not a video at all") is None
+
+
+def test_extract_video_features_real_headers(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.binary import (
+        extract_video_features,
+    )
+
+    mp4 = _mp4_bytes()
+    avi = _avi_bytes()
+    assets = spark.createDataFrame(
+        [
+            ("v1", "video", bytearray(mp4), {}),
+            ("v2", "video", bytearray(avi), {}),
+            ("v3", "video", bytearray(b"garbage"), {}),
+            ("i1", "image", bytearray(b"x"), {}),
+        ],
+        "asset_id string, modality string, content binary, meta map<string,string>",
+    )
+    rows = {
+        r["asset_id"]: r
+        for r in extract_video_features(assets, decode="real").collect()
+    }
+    assert set(rows) == {"v1", "v2", "v3"}  # modality filter held
+    assert rows["v1"]["width"] == 640 and rows["v1"]["duration_ms"] == 5000
+    assert rows["v2"]["n_frames"] == 250 and rows["v2"]["height"] == 240
+    assert rows["v3"]["container"] is None  # per-asset degrade
+    assert rows["v3"]["sha256"] == hashlib.sha256(b"garbage").hexdigest()
+
+
+def test_sample_video_frames_headers_mode_uses_real_duration(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.binary import (
+        sample_video_frames,
+    )
+
+    assets = spark.createDataFrame(
+        [("v1", "video", bytearray(_avi_bytes(total_frames=250)), {})],
+        "asset_id string, modality string, content binary, meta map<string,string>",
+    )
+    # 10 s of real parsed duration / 2000 ms grid = 5 sampled frames
+    out = sample_video_frames(
+        assets, every_n=2000, max_frames=8, decode="headers"
+    ).collect()
+    assert len(out) == 5
+    assert [r["frame_idx"] for r in out] == [0, 1, 2, 3, 4]

@@ -234,3 +234,103 @@ def test_quantized_knn_preserves_neighbors(spark):
     exact = {r["vec_id"] for r in knn_query(e, qvec, k=10, id_col="vec_id").collect()}
     quant = {r["vec_id"] for r in knn_query(deq, qvec, k=10, id_col="vec_id").collect()}
     assert len(exact & quant) >= 8
+
+
+# ---------------------------------------------------------------------------
+# Pre-split MaxSim: identical scores to the slicing form, with the
+# slicing moved out of the per-pair expression (ingest-side layout).
+# ---------------------------------------------------------------------------
+
+
+def test_maxsim_presplit_matches_sliced_form(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxsim_score,
+        maxsim_score_presplit,
+        split_slots,
+    )
+
+    rows = [
+        (1, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]),
+        (2, [0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2, 0.1]),
+        (3, [1.0, 0.0, -1.0, 0.5, 0.25, -0.25, 2.0, -2.0]),
+    ]
+    df = spark.createDataFrame(rows, "id int, v array<float>")
+    q = [0.3, -0.1, 0.9, 0.2, 0.0, 0.4, -0.6, 0.7]
+    qcol = F.lit(q).cast("array<float>")
+    m = 4
+
+    sliced = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", F.round(maxsim_score("v", qcol, m), 6).alias("s")
+        ).collect()
+    }
+    presplit = {
+        r["id"]: r["s"]
+        for r in df.select(
+            "id", split_slots("v", m).alias("slots")
+        )
+        .select(
+            "id",
+            F.round(
+                maxsim_score_presplit("slots", split_slots(qcol, m)), 6
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert sliced == presplit
+
+
+def test_maxsim_presplit_plan_has_no_per_pair_slicing(spark):
+    """The production claim: pre-splitting moves ALL slice calls out
+    of the scoring expression. The sliced form embeds 2*m^2 slices in
+    the per-pair expression; the presplit form's scorer embeds zero
+    (its slices live in the per-ROW slot projections below the join).
+    """
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxsim_score,
+        maxsim_score_presplit,
+        split_slots,
+    )
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(4)]
+    corpus = spark.createDataFrame(rows, "id int, v array<float>")
+    qdf = spark.createDataFrame([(9, [0.5] * 8)], "qid int, qv array<float>")
+    m = 4
+
+    unsplit = (
+        corpus.crossJoin(F.broadcast(qdf))
+        .select("id", maxsim_score("v", "qv", m).alias("s"))
+    )
+    presplit = (
+        corpus.select("id", split_slots("v", m).alias("d_slots"))
+        .crossJoin(
+            F.broadcast(qdf.select(split_slots("qv", m).alias("q_slots")))
+        )
+        .select("id", maxsim_score_presplit("d_slots", "q_slots").alias("s"))
+    )
+    plan_unsplit = unsplit._jdf.queryExecution().optimizedPlan().toString()
+    plan_presplit = presplit._jdf.queryExecution().optimizedPlan().toString()
+    # Sliced form: the per-pair scoring expression (the Project
+    # computing alias `s`, ABOVE the join) contains slice calls —
+    # re-evaluated for every (i, j) slot pair of every row pair.
+    unsplit_scoring = [
+        ln for ln in plan_unsplit.splitlines() if " AS s" in ln
+    ]
+    assert unsplit_scoring and any("slice(" in ln for ln in unsplit_scoring)
+    # Presplit form: the scoring expression is slice-FREE; every
+    # slice call sits in a per-ROW slot projection below the join
+    # (lines defining d_slots / q_slots), evaluated once per input
+    # row, never per pair.
+    presplit_scoring = [
+        ln for ln in plan_presplit.splitlines() if " AS s" in ln
+    ]
+    assert presplit_scoring and all(
+        "slice(" not in ln for ln in presplit_scoring
+    )
+    slot_defs = [
+        ln
+        for ln in plan_presplit.splitlines()
+        if "AS d_slots" in ln or "AS q_slots" in ln
+    ]
+    assert slot_defs and all("slice(" in ln for ln in slot_defs)

@@ -152,3 +152,44 @@ def test_drop_nulls_matches_pandas_oracle(spark, cells):
         assert len(got[key]) == len(expect)
         for a, b in zip(got[key], expect):
             assert math.isclose(a, b, rel_tol=1e-6)
+
+
+def test_pattern_regex_mode(wide):
+    # sas:148 — the commented-out re.search variant: unanchored search,
+    # full regex syntax available
+    assert pattern_columns(wide, r"_Col\d+", mode="regex") == [
+        "_Col1",
+        "_Col2",
+        "_Col3",
+    ]
+    # anchored regex excludes nothing here but proves syntax passes through
+    assert pattern_columns(wide, r"^_Col[13]$", mode="regex") == ["_Col1", "_Col3"]
+
+
+def test_pattern_regex_no_match_raises(wide):
+    with pytest.raises(PatternMatchError):
+        pattern_columns(wide, r"^Embedding_\d+$", mode="regex")
+
+
+def test_pattern_bad_mode_raises(wide):
+    with pytest.raises(ValueError):
+        pattern_columns(wide, "_Col", mode="glob")
+
+
+def test_read_wide_regex_matches_substring(spark, wide):
+    a = read_wide_embeddings(
+        wide,
+        id_col="__unique_id_",
+        text_col="Text_Review",
+        embedding_pattern="_Col",
+        null_policy="skip_row",
+    ).collect()
+    b = read_wide_embeddings(
+        wide,
+        id_col="__unique_id_",
+        text_col="Text_Review",
+        embedding_pattern=r"_Col\d",
+        null_policy="skip_row",
+        pattern_mode="regex",
+    ).collect()
+    assert a == b

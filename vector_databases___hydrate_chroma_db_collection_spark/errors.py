@@ -46,3 +46,13 @@ class CollectionNotFoundError(EngineError):
 class DisabledError(EngineError):
     """Pipeline node disabled via run-time trigger (reference:
     `_hcdc_run_trigger`, sas:244-255, 527-538)."""
+
+
+class StaleIndexError(EngineError):
+    """A persisted ANN index sidecar recorded a source-collection
+    etag that no longer matches the collection's current state (an
+    update/delete/upsert swapped the ``_current`` data dir, or an
+    append added files): serving the index could return deleted ids
+    or miss updated vectors. Rebuild the index from the current
+    collection (or read with ``verify_source=False`` to accept the
+    staleness explicitly)."""

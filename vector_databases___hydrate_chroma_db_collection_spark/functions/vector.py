@@ -120,3 +120,42 @@ def maxsim_score(doc: Column | str, query: Column | str, m: int) -> Column:
         ),
     )
     return F.aggregate(per_q, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def split_slots(a: Column | str, m: int) -> Column:
+    """``ARRAY<FLOAT>`` -> ``ARRAY<ARRAY<FLOAT>>`` of ``m``
+    contiguous sub-vector slots — the INGEST-side half of MaxSim.
+    Project this ONCE per row (at write time, or in the select
+    feeding the scorer) and score with ``maxsim_score_presplit``:
+    slicing then costs m slices per ROW instead of 2·m² slices per
+    PAIR inside ``maxsim_score``'s inner lambda — the difference
+    between O(corpus) and O(corpus × queries) slice work, which is
+    the production layout the ``maxsim_score`` docstring promises.
+    Same m-divisibility assumption as ``maxsim_score``."""
+    a = F.col(a) if isinstance(a, str) else a
+    sub_len = (F.size(a) / m).cast("int")
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(m)),
+        lambda i: F.slice(a, (i - 1) * sub_len + 1, sub_len),
+    )
+
+
+def maxsim_score_presplit(
+    doc_slots: Column | str, query_slots: Column | str
+) -> Column:
+    """MaxSim over PRE-SPLIT slot arrays (``split_slots`` output):
+    sum over query slots of the max cosine against any doc slot —
+    identical scores to ``maxsim_score`` on the unsplit vectors, but
+    the expression contains ZERO slice calls; the per-pair work is
+    exactly the m×m cosine lattice. Slot counts may differ between
+    query and doc (scores over min(m_q) query slots vs all doc
+    slots). Pure Catalyst HOF — no UDF, no shuffle."""
+    d = F.col(doc_slots) if isinstance(doc_slots, str) else doc_slots
+    q = F.col(query_slots) if isinstance(query_slots, str) else query_slots
+    per_q = F.transform(
+        q,
+        lambda qs: F.array_max(
+            F.transform(d, lambda ds: cosine_similarity(qs, ds))
+        ),
+    )
+    return F.aggregate(per_q, F.lit(0.0), lambda acc, x: acc + x)

@@ -22,8 +22,14 @@ Decode modes:
   ``wave`` + numpy — sample rate, duration, and true RMS from the
   actual samples. Compressed codecs (mp3/ogg) need librosa/soundfile
   and yield NULLs when those are absent.
-- ``decode=real`` (video): still gated — container demuxing requires
-  ffmpeg/av; raises NotImplementedError naming the dependency.
+- ``decode=real`` (video features): container-HEADER parsing via
+  ``codecs.sniff_video`` — MP4-family box walk (mvhd duration, tkhd
+  geometry) and AVI MainAVIHeader (frames, geometry, duration), no
+  codec needed; Matroska/WebM recognized by magic only. Frame PIXEL
+  decode (``sample_video_frames(decode='real')``) stays gated —
+  demuxing/decoding needs ffmpeg/av; raises NotImplementedError.
+  ``decode='headers'`` samples frame TIMESTAMPS from the real parsed
+  duration instead (fingerprints stay content-hashes).
 
 At 100 TB the binary column dominates I/O: keep assets in their own
 table, filter/join on metadata first, and only pipe the surviving
@@ -52,6 +58,11 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = "asset_id string, frame_idx int, frame_sha256 string"
+
+VIDEO_FEATURE_SCHEMA = (
+    "asset_id string, container string, width int, height int, "
+    "duration_ms long, n_frames int, sha256 string"
+)
 
 
 def _fake_dims(content: bytes) -> tuple[int, int, int]:
@@ -160,29 +171,119 @@ def extract_audio_features(assets: DataFrame, *, decode: str = "deterministic_fa
     )
 
 
+def extract_video_features(
+    assets: DataFrame, *, decode: str = "deterministic_fake"
+) -> DataFrame:
+    """(asset_id, container, width, height, duration_ms, n_frames,
+    sha256) per video asset. ``decode='real'`` parses the CONTAINER
+    HEADER (``codecs.sniff_video``: MP4-family boxes, AVI
+    MainAVIHeader, Matroska magic) — the same
+    no-external-dependency contract as the image sniffers; bytes no
+    parser recognizes yield NULL features (sha256 still populated).
+    Pixel/codec decode is not needed for this schema and stays
+    behind ``sample_video_frames(decode='real')``'s gate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+                sniff_video as features,
+            )
+        else:
+            def features(data: bytes):
+                h = hashlib.sha256(data).digest()
+                return (
+                    ("mp4", "avi", "mkv")[h[0] % 3],
+                    160 + h[1] % 4096,
+                    120 + h[2] % 2160,
+                    1000 + int.from_bytes(h[3:6], "big") % 3_600_000,
+                    1 + h[6],
+                )
+
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                if content is None:
+                    rows.append((aid, None, None, None, None, None, None))
+                    continue
+                data = bytes(content)
+                f = features(data)
+                container, w, h, dur, nf = (
+                    f if f is not None else (None, None, None, None, None)
+                )
+                rows.append(
+                    (aid, container, w, h, dur, nf, hashlib.sha256(data).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "container",
+                    "width",
+                    "height",
+                    "duration_ms",
+                    "n_frames",
+                    "sha256",
+                ],
+            )
+
+    return (
+        assets.filter("modality = 'video'")
+        .select("asset_id", "content")
+        .mapInPandas(run, schema=VIDEO_FEATURE_SCHEMA)
+    )
+
+
 def sample_video_frames(
     assets: DataFrame, *, every_n: int = 10, max_frames: int = 8, decode: str = "deterministic_fake"
 ) -> DataFrame:
     """Explode each video asset into sampled frame fingerprints.
     Output cardinality is bounded (max_frames per asset) so the
-    downstream shuffle is predictable."""
+    downstream shuffle is predictable.
+
+    Modes: ``deterministic_fake`` fingerprints hash-derived pseudo
+    frames; ``headers`` samples frame indices UNIFORMLY OVER THE REAL
+    PARSED DURATION (``codecs.sniff_video``) — the sampling grid a
+    production frame-sampler would use — while fingerprints remain
+    content hashes (no pixel decode exists without ffmpeg);
+    ``real`` (actual pixel decode) raises NotImplementedError naming
+    the dependency."""
 
     # fail FAST at the driver: the unsupported configuration needs no
     # data, so it must not surface as a retried executor PythonException
     if decode == "real":
         raise NotImplementedError(
-            "real video decode requires ffmpeg/av, which are not installed; "
-            "use decode='deterministic_fake'"
+            "real video frame decode requires ffmpeg/av, which are not "
+            "installed; use decode='headers' (real container timing, "
+            "hash fingerprints) or decode='deterministic_fake'"
         )
+    if decode not in ("deterministic_fake", "headers"):
+        raise ValueError(f"unknown decode mode {decode!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "headers":
+            from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+                sniff_video,
+            )
+
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 if content is None:
                     continue  # a NULL payload yields no sampled frames
                 data = bytes(content)
-                n_frames = min(max_frames, 1 + len(data) // max(every_n, 1))
+                if decode == "headers":
+                    meta = sniff_video(data)
+                    dur = meta[3] if meta is not None else None
+                    nf = meta[4] if meta is not None else None
+                    # frames every `every_n` ms of REAL duration,
+                    # capped; unparseable timing degrades to 1 frame
+                    n_frames = (
+                        min(max_frames, max(1, int(dur // max(every_n, 1))))
+                        if dur
+                        else min(max_frames, nf or 1)
+                    )
+                else:
+                    n_frames = min(max_frames, 1 + len(data) // max(every_n, 1))
                 for i in range(n_frames):
                     fp = hashlib.sha256(data + i.to_bytes(4, "big")).hexdigest()
                     rows.append((aid, i, fp))

@@ -137,3 +137,160 @@ def decode_wav(data: bytes) -> tuple[int, int, float] | None:
         full_scale = 2147483648.0
     rms = float(np.sqrt(np.mean((samples / full_scale) ** 2)))
     return (sr, duration_ms, round(rms, 6))
+
+
+def _sniff_mp4(data: bytes):
+    """ISO BMFF (MP4/MOV/M4V) header walk: duration from
+    ``moov/mvhd`` (duration/timescale), geometry from the first
+    video-plausible ``trak/tkhd`` (16.16 fixed-point width/height).
+    Box framing per ISO/IEC 14496-12 §4.2 (32-bit size, size==1 =>
+    64-bit largesize, size==0 => to-end-of-file)."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    brand = data[8:12].decode("latin-1").strip()
+
+    def boxes(start: int, end: int):
+        off = start
+        while off + 8 <= end:
+            (size,) = struct.unpack(">I", data[off : off + 4])
+            btype = data[off + 4 : off + 8]
+            hdr = 8
+            if size == 1:
+                if off + 16 > end:
+                    return
+                (size,) = struct.unpack(">Q", data[off + 8 : off + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                return
+            yield btype, off + hdr, off + size
+            off += size
+
+    duration_ms = None
+    width = height = None
+
+    def walk(start: int, end: int) -> None:
+        nonlocal duration_ms, width, height
+        for btype, a, b in boxes(start, end):
+            if btype in (b"moov", b"trak"):
+                walk(a, b)
+            elif btype == b"mvhd" and b - a >= 20:
+                ver = data[a]
+                try:
+                    if ver == 1:
+                        (timescale,) = struct.unpack(">I", data[a + 20 : a + 24])
+                        (duration,) = struct.unpack(">Q", data[a + 24 : a + 32])
+                    else:
+                        (timescale,) = struct.unpack(">I", data[a + 12 : a + 16])
+                        (duration,) = struct.unpack(">I", data[a + 16 : a + 20])
+                except struct.error:
+                    continue
+                if timescale > 0:
+                    duration_ms = int(duration * 1000 // timescale)
+            elif btype == b"tkhd":
+                # v0: 76 bytes of fields+matrix before width; v1: 88
+                off_wh = a + (88 if data[a] == 1 else 76)
+                if off_wh + 8 <= b:
+                    w_fp, h_fp = struct.unpack(
+                        ">II", data[off_wh : off_wh + 8]
+                    )
+                    w, h = w_fp >> 16, h_fp >> 16
+                    if w > 0 and h > 0:  # audio/hint tracks carry 0x0
+                        width, height = w, h
+
+    walk(0, len(data))
+    return (f"mp4/{brand}" if brand else "mp4", width, height, duration_ms, None)
+
+
+def _sniff_avi(data: bytes):
+    """AVI/RIFF: the ``avih`` MainAVIHeader chunk carries
+    micro-seconds-per-frame, total frames, and geometry as
+    little-endian u32s (OpenDML / msdn AVIMAINHEADER layout)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        return None
+    i = data.find(b"avih")
+    if i < 0 or i + 8 + 40 > len(data):
+        return ("avi", None, None, None, None)
+    # skip chunk id (4) + chunk size (4); fields are u32 LE
+    f = struct.unpack("<10I", data[i + 8 : i + 48])
+    usec_per_frame, total_frames, width, height = f[0], f[4], f[8], f[9]
+    duration_ms = (
+        int(usec_per_frame * total_frames // 1000)
+        if usec_per_frame > 0 and total_frames > 0
+        else None
+    )
+    return (
+        "avi",
+        width or None,
+        height or None,
+        duration_ms,
+        total_frames or None,
+    )
+
+
+def sniff_video(data: bytes):
+    """(container, width, height, duration_ms, n_frames) from the
+    container header, or ``None`` for unrecognized bytes. Real
+    parsing, no codec needed: MP4-family boxes and AVI/RIFF headers
+    carry geometry and timing in plain structs; Matroska/WebM is
+    recognized by EBML magic but its variable-length element tree is
+    not walked (fields come back NULL — frame PIXEL decode would
+    need ffmpeg either way and stays behind the decode='real' gate)."""
+    if len(data) >= 4 and data[:4] == b"\x1a\x45\xdf\xa3":
+        return ("mkv", None, None, None, None)
+    got = _sniff_mp4(data)
+    if got is not None:
+        return got
+    return _sniff_avi(data)
+
+
+def build_mp4(
+    *, width: int = 640, height: int = 360, timescale: int = 600, duration: int = 3000
+) -> bytes:
+    """Minimal VALID ISO BMFF fixture (ftyp + moov{mvhd v0,
+    trak{tkhd v0}}) for tests and oracle-checked queries —
+    ``sniff_video`` round-trips every field. Duration is
+    ``duration/timescale`` seconds."""
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 16
+        + b"\x00\x01\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00\x00\x01\x00\x00\x00\x00\x00\x00"
+        + b"\x00\x00\x00\x00\x00\x00\x00\x00\x40\x00\x00\x00"
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    return ftyp + moov
+
+
+def build_avi(
+    *,
+    width: int = 320,
+    height: int = 240,
+    usec_per_frame: int = 40000,
+    total_frames: int = 250,
+) -> bytes:
+    """Minimal VALID AVI/RIFF fixture (LIST hdrl > avih
+    MainAVIHeader) — ``sniff_video`` round-trips every field."""
+    avih_fields = struct.pack(
+        "<10I", usec_per_frame, 0, 0, 0, total_frames, 0, 1, 0, width, height
+    )
+    avih = b"avih" + struct.pack("<I", len(avih_fields)) + avih_fields
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+    body = b"AVI " + hdrl
+    return b"RIFF" + struct.pack("<I", len(body)) + body

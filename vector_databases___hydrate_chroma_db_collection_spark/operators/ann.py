@@ -781,21 +781,76 @@ def _local_sidecar_path(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
 
 
+def _source_stamp(source: tuple[str, str] | None) -> dict | None:
+    """Staleness stamp for an index built FROM a collection: record
+    (root, name, etag-at-build). Readers re-derive the etag and
+    refuse to serve an index whose source has since been mutated —
+    without this, a persisted index keeps answering with ids a
+    ``collection_delete`` removed or vectors a ``collection_update``
+    replaced (plans/chroma_api.py:245,409 swap the ``_current`` data
+    dir; appends add files; ``collection_etag`` changes either way)."""
+    if source is None:
+        return None
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+    )
+
+    root, name = source
+    return {"root": root, "name": name, "etag": collection_etag(root, name)}
+
+
+def _check_source_stamp(meta: dict, path: str, verify_source: bool) -> None:
+    src = meta.get("source")
+    if src is None or not verify_source:
+        return
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+    )
+
+    try:
+        now = collection_etag(src["root"], src["name"])
+    except Exception as e:
+        raise StaleIndexError(
+            f"index at {path!r} was built from collection "
+            f"{src['name']!r} at {src['root']!r}, which is no longer "
+            f"readable ({e}); rebuild the index or pass "
+            "verify_source=False"
+        ) from e
+    if now != src["etag"]:
+        raise StaleIndexError(
+            f"index at {path!r} is STALE: collection {src['name']!r} "
+            f"at {src['root']!r} changed since the index was built "
+            f"(etag {src['etag'][:12]} -> {now[:12]}). Rebuild the "
+            "index from the current collection, or pass "
+            "verify_source=False to serve it anyway"
+        )
+
+
 def ivf_write(
     assigned: DataFrame,
     centroids: np.ndarray,
     path: str,
     *,
     metric: str = "cosine",
+    source: tuple[str, str] | None = None,
 ) -> None:
     """Persist an IVF index: the assigned corpus partitioned by
     ``ivf_cell`` (so queries get partition pruning) plus a JSON
     sidecar with centroids + metric. The index is just a dataset — it
-    scans, joins, and replicates like any other table."""
+    scans, joins, and replicates like any other table.
+
+    ``source=(root, name)`` stamps the sidecar with the source
+    collection's ``collection_etag`` so ``ivf_read`` can detect (and
+    refuse) a stale index after the collection is updated, deleted
+    from, or appended to."""
     import json
     import os
 
     path = _local_sidecar_path(path)
+    stamp = _source_stamp(source)
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, "cells")
     )
@@ -806,18 +861,79 @@ def ivf_write(
                 "n_centroids": int(centroids.shape[0]),
                 "dim": int(centroids.shape[1]),
                 "centroids": centroids.tolist(),
+                "source": stamp,
             },
             f,
         )
 
 
-def ivf_read(spark, path: str) -> tuple[DataFrame, np.ndarray, str]:
-    """Load a persisted IVF index -> (assigned_df, centroids, metric)."""
+def ivf_read(
+    spark, path: str, *, verify_source: bool = True
+) -> tuple[DataFrame, np.ndarray, str]:
+    """Load a persisted IVF index -> (assigned_df, centroids, metric).
+
+    If the sidecar carries a source-collection stamp (``ivf_write``'s
+    ``source=``), the collection's CURRENT etag is re-derived and a
+    mismatch raises ``StaleIndexError`` — a reader can never silently
+    serve ids the collection has since deleted or replaced. Indexes
+    built from arbitrary DataFrames carry no stamp and load as-is."""
     import json
     import os
 
     path = _local_sidecar_path(path)
     with open(os.path.join(path, "ivf_index.json")) as f:
         meta = json.load(f)
+    _check_source_stamp(meta, path, verify_source)
     assigned = spark.read.parquet(os.path.join(path, "cells"))
     return assigned, np.asarray(meta["centroids"]), meta["metric"]
+
+
+def ivf_refresh(
+    spark,
+    path: str,
+    *,
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, np.ndarray, str]:
+    """The remedy ``StaleIndexError`` prescribes, as one call: re-read
+    the source collection the sidecar names, rebuild the index with
+    the sidecar's own build parameters (n_centroids, metric),
+    overwrite the persisted cells, re-stamp with the collection's
+    CURRENT etag, and return the freshly-loaded
+    (assigned_df, centroids, metric). Only works on stamped indexes —
+    an index built from an arbitrary DataFrame has no recorded source
+    to rebuild from (ValueError says so)."""
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_index.json")) as f:
+        meta = json.load(f)
+    src = meta.get("source")
+    if src is None:
+        raise ValueError(
+            f"index at {path!r} carries no source-collection stamp; "
+            "rebuild it from the original DataFrame with ivf_build + ivf_write"
+        )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    coll = read_collection(spark, src["root"], src["name"])
+    assigned, centroids = ivf_build(
+        coll,
+        id_col="id",
+        embedding_col="embedding",
+        n_centroids=int(meta["n_centroids"]),
+        metric=meta["metric"],
+        seed=seed,
+        sample_fraction=sample_fraction,
+    )
+    ivf_write(
+        assigned,
+        centroids,
+        path,
+        metric=meta["metric"],
+        source=(src["root"], src["name"]),
+    )
+    return ivf_read(spark, path)

@@ -84,6 +84,72 @@ class HydrationConfig:
     dim: int | None = None
     n_buckets: int | None = None
 
+    @classmethod
+    def from_step_params(cls, params: dict) -> "HydrationConfig":
+        """Build a config from the reference's LITERAL parameter names
+        (step:1 /ui control ids; standalone ``%let`` names, sas:21-30)
+        so a ``.step`` flow ports without hand-translation:
+
+        ``collectionName``, ``persistentPathName`` (UI) /
+        ``persistentPath`` (%let, ``sasserver:`` prefix stripped,
+        default ``/tmp`` per README.md:82), ``docId``, ``textVar``,
+        ``metadataColumn`` (optional; blank = unset),
+        ``_hcdc_run_trigger`` (run-time gate, sas:527-538; "0"/0 =>
+        disabled). Connection/table-binding params the Spark engine
+        has no use for (``inputTable``, ``inputTable_lib``,
+        ``casHostPath``, ``casHostPort``, ``embeddingPattern``) are
+        accepted and ignored — the caller binds the DataFrame and the
+        wide-source pattern itself (``hydrate_from_step`` consumes
+        ``embeddingPattern``). Unknown keys raise, catching typos.
+
+        Reference-compat semantics baked in: the metadata key is the
+        hard-coded ``"rating"`` whatever column was chosen (sas:181).
+        """
+        known_ignored = {
+            "inputTable",
+            "inputTable_lib",
+            "casHostPath",
+            "casHostPort",
+            "embeddingPattern",
+            "patternMode",
+            "nullPolicy",
+        }
+        consumed = {
+            "collectionName",
+            "persistentPathName",
+            "persistentPath",
+            "docId",
+            "textVar",
+            "metadataColumn",
+            "_hcdc_run_trigger",
+        }
+        unknown = set(params) - known_ignored - consumed
+        if unknown:
+            raise ValueError(
+                f"unknown step parameters {sorted(unknown)}; expected a subset "
+                f"of {sorted(consumed | known_ignored)}"
+            )
+        if "collectionName" not in params:
+            raise ValueError("step parameters must include collectionName")
+        root = str(
+            params.get("persistentPathName")
+            or params.get("persistentPath")
+            or "/tmp"
+        )
+        if root.startswith("sasserver:"):
+            root = root[len("sasserver:"):]
+        meta = params.get("metadataColumn") or None
+        trigger = params.get("_hcdc_run_trigger", 1)
+        return cls(
+            collection_name=str(params["collectionName"]),
+            root=root,
+            id_col=str(params.get("docId", "id")),
+            text_col=str(params.get("textVar", "document")),
+            metadata_col=str(meta) if meta else None,
+            metadata_key="rating" if meta else None,
+            enabled=str(trigger).strip() not in ("0", "0.0", "false", "False"),
+        )
+
 
 @dataclass
 class HydrationReport:
@@ -429,3 +495,54 @@ def mirror_to_chroma(
 
     out = df if parallelism is None else df.coalesce(parallelism)
     out.foreachPartition(write_partition)
+
+
+def hydrate_from_step(
+    spark: SparkSession,
+    df: DataFrame,
+    params: dict,
+    *,
+    null_policy: str = "drop_nulls",
+    on_duplicate: str = "error",
+    n_buckets: int | None = None,
+) -> HydrationReport:
+    """Run the reference's WHOLE job from its literal ``.step``
+    parameter dict (step:1 /ui; sas:21-30): pattern-select the wide
+    embedding block (``embeddingPattern``, sas:156-161; optional
+    ``patternMode: "regex"`` = the sas:148 variant), assemble vectors
+    under the reference's per-row null behavior (Q1 — default here is
+    the literal ``drop_nulls``; pass ``nullPolicy`` in the dict or
+    ``null_policy=`` to harden), stringify ids (Q2, sas:178), bind
+    metadata under the hard-coded ``"rating"`` key (sas:181), and
+    hydrate the collection at ``persistentPathName`` — i.e. the
+    sas:126-193 data path as one distributed Spark job.
+    """
+    cfg = HydrationConfig.from_step_params(params)
+    if "embeddingPattern" not in params:
+        raise ValueError("step parameters must include embeddingPattern")
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.wide import (
+        read_wide_embeddings,
+    )
+
+    canonical = read_wide_embeddings(
+        df,
+        id_col=cfg.id_col,
+        text_col=cfg.text_col,
+        embedding_pattern=str(params["embeddingPattern"]),
+        metadata_col=cfg.metadata_col,
+        null_policy=str(params.get("nullPolicy", null_policy)),
+        pattern_mode=str(params.get("patternMode", "substring")),
+    )
+    run_cfg = HydrationConfig(
+        collection_name=cfg.collection_name,
+        root=cfg.root,
+        id_col="id",
+        text_col="document",
+        embedding_col="embedding",
+        metadata_col="metadata_value" if cfg.metadata_col else None,
+        metadata_key="rating" if cfg.metadata_col else None,
+        enabled=cfg.enabled,
+        on_duplicate=on_duplicate,
+        n_buckets=n_buckets,
+    )
+    return hydrate(spark, canonical, run_cfg)

@@ -563,21 +563,27 @@ def ivf_pq_write(
     centroids: np.ndarray,
     codebooks: np.ndarray,
     path: str,
+    *,
+    source: tuple[str, str] | None = None,
 ) -> None:
     """Persist an IVF-PQ index: codes partitioned by ``ivf_cell`` (so
     searches get static partition pruning on the 8-byte rows) plus a
     JSON sidecar with centroids + codebooks. Same contract as
     ``ann.ivf_write``: the index is just a dataset — it scans, joins,
     and replicates like any other table, and the sidecar is a few MB
-    at FAISS-typical sizes."""
+    at FAISS-typical sizes. ``source=(root, name)`` stamps the
+    sidecar with the source collection's etag so ``ivf_pq_read``
+    refuses a stale index after collection mutations."""
     import json
     import os
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _local_sidecar_path,
+        _source_stamp,
     )
 
     path = _local_sidecar_path(path)
+    stamp = _source_stamp(source)
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, "cells")
     )
@@ -590,23 +596,32 @@ def ivf_pq_write(
                 "n_codes": int(codebooks.shape[1]),
                 "centroids": centroids.tolist(),
                 "codebooks": codebooks.tolist(),
+                "source": stamp,
             },
             f,
         )
 
 
-def ivf_pq_read(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
-    """Load a persisted IVF-PQ index -> (encoded_df, centroids, codebooks)."""
+def ivf_pq_read(
+    spark, path: str, *, verify_source: bool = True
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Load a persisted IVF-PQ index -> (encoded_df, centroids,
+    codebooks). Same staleness contract as ``ann.ivf_read``: a
+    source-collection stamp whose etag no longer matches raises
+    ``StaleIndexError`` instead of silently serving deleted/replaced
+    rows."""
     import json
     import os
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _check_source_stamp,
         _local_sidecar_path,
     )
 
     path = _local_sidecar_path(path)
     with open(os.path.join(path, "ivf_pq_index.json")) as f:
         meta = json.load(f)
+    _check_source_stamp(meta, path, verify_source)
     encoded = spark.read.parquet(os.path.join(path, "cells"))
     return (
         encoded,

@@ -171,6 +171,38 @@ def collection_versions(root: str, name: str) -> list[tuple[str, bool]]:
     return [(d, d == active) for d in sorted(dirs, key=version_key)]
 
 
+def collection_etag(root: str, name: str) -> str:
+    """Cheap content-identity tag for the collection's CURRENT state:
+    md5 over the active data dir's NAME plus its sorted (relative
+    path, size) file listing.
+
+    Why both components: update/delete/upsert rewrites swap the
+    ``_current`` pointer to a fresh ``data-N`` dir (name changes even
+    when hardlink-cloned untouched buckets keep identical sizes),
+    while plain hydration APPENDS add files inside the same dir (the
+    listing changes). Either mutation therefore changes the etag —
+    which is exactly the invalidation contract persisted ANN index
+    sidecars need (``ann.ivf_write``/``pq.ivf_pq_write`` record it;
+    the readers re-derive and compare). Driver-side listing only —
+    no data is read, cost is one os.walk over file metadata."""
+    import hashlib
+
+    data_dir = current_data_dir(root, name)
+    if not os.path.isdir(data_dir):
+        raise CollectionNotFoundError(
+            f"collection {name!r} at {root!r} has no data dir {data_dir!r}"
+        )
+    entries = []
+    for dirpath, _dirnames, filenames in os.walk(data_dir):
+        for fn in filenames:
+            p = os.path.join(dirpath, fn)
+            entries.append(
+                f"{os.path.relpath(p, data_dir)}:{os.path.getsize(p)}"
+            )
+    payload = os.path.basename(data_dir) + "\n" + "\n".join(sorted(entries))
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def clone_untouched_buckets(
     data_dir: str, staging: str, touched: set[int]
 ) -> int:

@@ -4576,6 +4576,105 @@ def collection_ivf_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame
     ).withColumnRenamed("score", "cos_sim")
 
 
+@query(
+    "collection_ivf_knn_stale_rebuild",
+    """
+    WITH base AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), donor AS (SELECT emb FROM base WHERE id = '7'),
+    corpus AS (
+        SELECT b.id,
+               CASE WHEN b.id = '3' THEN donor.emb ELSE b.emb END AS emb
+        FROM base b, donor
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_ivf_knn_stale_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-staleness contract, end-to-end and LOAD-BEARING:
+    hydrate a collection, persist an IVF index stamped with the
+    collection's etag (``ivf_write(source=...)``), then
+    ``collection_update`` one document's embedding (id '3' takes id
+    '7''s vector — the mutation an un-invalidated index would miss).
+    ``ivf_read`` must now raise ``StaleIndexError``; the query
+    REQUIRES it (no exception => EngineError), rebuilds the index
+    from the updated collection, and answers top-5 through the fresh
+    index. The oracle scores the UPDATED corpus brute-force, so the
+    result only matches if the rebuild actually served the new
+    vector (id '3' surfaces at cos_sim 1.0)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "stale_ivf")
+    coll = read_collection(spark, root, "stale_ivf")
+    assigned, centroids = ivf_build(coll, n_centroids=8, seed=42)
+    idx_path = f"{root}/stale_ivf/_ivf"
+    ivf_write(
+        assigned, centroids, idx_path, metric="cosine", source=(root, "stale_ivf")
+    )
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+
+    # Mutate: id '3' takes id '7''s embedding (SQL-expressible so the
+    # oracle can reproduce it), swapping the _current data dir.
+    donor = coll.filter(F.col("id") == "7").select(F.col("embedding"))
+    upd = donor.select(F.lit("3").alias("id"), F.col("embedding"))
+    assert collection_update(spark, root, "stale_ivf", upd) == 1
+
+    try:
+        ivf_read(spark, idx_path)
+    except StaleIndexError:
+        pass  # the contract under test
+    else:
+        raise EngineError(
+            "persisted IVF index served a mutated collection without "
+            "raising StaleIndexError"
+        )
+
+    # Rebuild from the CURRENT collection; re-stamp; serve.
+    coll2 = read_collection(spark, root, "stale_ivf")
+    assigned2, centroids2 = ivf_build(coll2, n_centroids=8, seed=42)
+    ivf_write(
+        assigned2, centroids2, idx_path, metric="cosine", source=(root, "stale_ivf")
+    )
+    assigned3, centroids3, _metric = ivf_read(spark, idx_path)
+    return ivf_search(
+        assigned3.filter(F.col("id") != "7"),
+        centroids3,
+        qvec,
+        k=5,
+        nprobe=8,
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
 # --------------------------------------------------------------------------
 # Chroma client-API surface (plans/chroma_api.py): filtered vector query,
 # paged get, predicate delete — the retrieval/maintenance half the
@@ -5156,6 +5255,53 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.create_map().cast("map<string,string>").alias("meta"),
     )
     return extract_audio_features(assets).select("asset_id", "sha256")
+
+
+@query(
+    "multimodal_video_features",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'mp4/isom' ELSE 'avi' END AS container,
+           CASE WHEN doc_id % 2 = 0 THEN 640 ELSE 320 END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN 5000 ELSE 10000 END AS duration_ms,
+           CASE WHEN doc_id % 2 = 0 THEN NULL ELSE 250 END AS n_frames
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video half of the multimodal plumbing with REAL container
+    parsing in the distributed path: each asset is a valid MP4 or AVI
+    header (``codecs.build_mp4``/``build_avi``) plus row-unique
+    trailing bytes, and ``extract_video_features(decode='real')``
+    must recover geometry/duration/frame-count from the actual box /
+    RIFF structs (``codecs.sniff_video``) — the oracle states the
+    expected values as constants (the content digest is unit-tested;
+    DuckDB's sha256 is VARCHAR-only so it cannot re-derive a binary
+    digest). Pixel decode needs ffmpeg and stays gated; header
+    parsing is the no-dependency production contract, same as the
+    image sniffers."""
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.binary import (
+        extract_video_features,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        build_avi,
+        build_mp4,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    template = F.when(
+        F.col("doc_id") % 2 == 0, F.lit(bytearray(build_mp4()))
+    ).otherwise(F.lit(bytearray(build_avi())))
+    assets = d.select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("video").alias("modality"),
+        F.concat(template, F.encode("text", "UTF-8")).alias("content"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    return extract_video_features(assets, decode="real").select(
+        "asset_id", "container", "width", "duration_ms", "n_frames"
+    )
 
 
 # --------------------------------------------------------------------------
@@ -7538,6 +7684,57 @@ def retrieval_maxsim_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(maxsim_score("embedding", "qe", 4), 4).alias("maxsim"),
+        )
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "retrieval_maxsim_presplit_top10",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, 5), j ->
+                   list_max(list_transform(range(1, 5), i -> {_SUBCOS}))
+               )), 4) AS maxsim
+        FROM embeddings e, q
+        WHERE e.vec_id <= 300 AND e.vec_id <> 5
+    )
+    SELECT vec_id, maxsim
+    FROM scored
+    ORDER BY maxsim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def retrieval_maxsim_presplit_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``retrieval_maxsim_top10``'s PRODUCTION layout: slots are
+    split ONCE per row at ingest (``split_slots`` — m slices per
+    row in the scan projection) and the scorer
+    (``maxsim_score_presplit``) contains zero slice calls, so the
+    per-pair work is exactly the m×m cosine lattice instead of
+    re-slicing both vectors 2·m² times per comparison. Same oracle,
+    same answer, the plan a 100 TB late-interaction corpus wants —
+    at real scale the slot column is persisted at write time and the
+    scan never touches the unsplit vector at all."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxsim_score_presplit,
+        split_slots,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 5).select(
+        split_slots("embedding", 4).alias("q_slots")
+    )
+    corpus = emb.filter((F.col("vec_id") <= 300) & (F.col("vec_id") != 5)).select(
+        "vec_id", split_slots("embedding", 4).alias("d_slots")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(maxsim_score_presplit("d_slots", "q_slots"), 4).alias("maxsim"),
         )
         .orderBy(F.desc("maxsim"), F.asc("vec_id"))
         .limit(10)

@@ -38,15 +38,36 @@ from vector_databases___hydrate_chroma_db_collection_spark.errors import (
 NULL_POLICIES = ("strict", "drop_nulls", "skip_row")
 
 
-def pattern_columns(df: DataFrame, pattern: str) -> list[str]:
-    """Columns whose name contains ``pattern`` as a substring, in
-    schema order — the semantics of pandas ``filter(like=...)``
-    (reference sas:161; a commented-out regex variant exists at
-    sas:148). Raises instead of silently producing 0-dim vectors."""
-    cols = [c for c in df.columns if pattern in c]
+PATTERN_MODES = ("substring", "regex")
+
+
+def pattern_columns(
+    df: DataFrame, pattern: str, mode: str = "substring"
+) -> list[str]:
+    """Columns whose name matches ``pattern``, in schema order.
+
+    - ``substring`` (default): the semantics of pandas
+      ``filter(like=...)`` — the reference's live code path
+      (sas:161).
+    - ``regex``: ``re.search`` semantics — the reference's
+      commented-out alternative (sas:148,
+      ``filter(lambda x: re.search(r'_Col', x), ...)``); unanchored,
+      so ``_Col`` matches anywhere in the name, and full regex syntax
+      (``_Col\\d+$`` etc.) is available.
+
+    Raises instead of silently producing 0-dim vectors."""
+    if mode not in PATTERN_MODES:
+        raise ValueError(f"pattern mode must be one of {PATTERN_MODES}, got {mode!r}")
+    if mode == "regex":
+        import re
+
+        rx = re.compile(pattern)
+        cols = [c for c in df.columns if rx.search(c)]
+    else:
+        cols = [c for c in df.columns if pattern in c]
     if not cols:
         raise PatternMatchError(
-            f"embedding pattern {pattern!r} matched no columns among {df.columns}"
+            f"embedding pattern {pattern!r} ({mode}) matched no columns among {df.columns}"
         )
     return cols
 
@@ -74,6 +95,7 @@ def read_wide_embeddings(
     embedding_pattern: str,
     metadata_col: str | None = None,
     null_policy: str = "strict",
+    pattern_mode: str = "substring",
 ) -> DataFrame:
     """Reference-shaped table -> canonical hydration input.
 
@@ -84,7 +106,7 @@ def read_wide_embeddings(
     document the divergence for integer-typed ids instead of forcing
     doubles).
     """
-    cols = pattern_columns(df, embedding_pattern)
+    cols = pattern_columns(df, embedding_pattern, pattern_mode)
     emb = assemble_embedding(cols, null_policy)
 
     selected = [
