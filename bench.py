@@ -73,6 +73,8 @@ HEADLINE = [
     # moving slicing to ingest buys at the same corpus
     "retrieval_maxsim_top10",
     "retrieval_maxsim_presplit_top10",
+    # binary prescreen vs the exact flagship (knn_top5_cosine above)
+    "knn_binary_prescreen_top5",
 ]
 
 

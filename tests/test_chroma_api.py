@@ -555,3 +555,59 @@ def test_collection_diff_classifies_changes(spark, tmp_path):
         spark, root, "cd", from_version=active, to_version=active
     ).collect()
     assert same == []
+
+
+# ---------------------------------------------------------------------------
+# Client-level surface: create (strict) / list / delete collections.
+# ---------------------------------------------------------------------------
+
+
+def test_create_collection_strict_vs_get_or_create(tmp_path):
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        InvalidPathError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        create_collection,
+        get_or_create_collection,
+    )
+
+    m = create_collection(str(tmp_path), "c_strict", dim=8)
+    assert m.dim == 8
+    # strict: same params still an error
+    with pytest.raises(InvalidPathError, match="already exists"):
+        create_collection(str(tmp_path), "c_strict", dim=8)
+    # idempotent path still fine
+    assert get_or_create_collection(str(tmp_path), "c_strict", dim=8).dim == 8
+
+
+def test_list_and_delete_collections(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        CollectionNotFoundError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        create_collection,
+        delete_collection,
+        list_collections,
+    )
+
+    root = str(tmp_path)
+    create_collection(root, "alpha", dim=4)
+    create_collection(root, "beta", dim=8, n_buckets=4)
+    os.makedirs(os.path.join(root, "not_a_collection"))  # skipped, not an error
+
+    got = list_collections(root)
+    assert [m.name for m in got] == ["alpha", "beta"]
+    assert got[1].n_buckets == 4
+
+    delete_collection(root, "alpha")
+    assert [m.name for m in list_collections(root)] == ["beta"]
+    assert not os.path.exists(os.path.join(root, "alpha"))
+    with pytest.raises(CollectionNotFoundError):
+        delete_collection(root, "alpha")
+    assert list_collections(str(tmp_path / "missing_root")) == []

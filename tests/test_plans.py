@@ -99,3 +99,14 @@ def test_simhash_hamming_no_cross_join(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_binary_prescreen_two_stage_topk_no_shuffle(spark):
+    """The binary-kNN serving claim: both stages are
+    TakeOrderedAndProject (prescreen k*factor, rerank k) with no
+    exchange between them and no join anywhere."""
+    df = registry.QUERIES["knn_binary_prescreen_top5"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("TakeOrderedAndProject") == 2, plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan.replace("ReusedExchange", "")

@@ -334,3 +334,78 @@ def test_maxsim_presplit_plan_has_no_per_pair_slicing(spark):
         if "AS d_slots" in ln or "AS q_slots" in ln
     ]
     assert slot_defs and all("slice(" in ln for ln in slot_defs)
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization: packing equivalence, Hamming, and the
+# prescreen+rerank recall contract.
+# ---------------------------------------------------------------------------
+
+
+def test_binary_quantize_matches_driver_packing(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        binary_quantize,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        pack_sign_bits,
+    )
+
+    vecs = [
+        [0.5, -0.2, 0.0, 1.0] * 16,          # 64 dims, 2 words
+        [-1.0] * 33 + [1.0] * 31,            # crosses the word boundary
+        [1.0] * 32,                          # all ones -> 2^32 - 1 (needs long)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<float>"
+    )
+    got = {r["id"]: list(r["b"]) for r in df.select("id", binary_quantize("v").alias("b")).collect()}
+    for i, v in enumerate(vecs):
+        assert got[i] == pack_sign_bits(v), i
+    assert got[2][0] == 2**32 - 1  # top bit set without overflow
+
+
+def test_hamming_distance_counts_flipped_bits(spark):
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        hamming_distance,
+    )
+
+    df = spark.createDataFrame([(1,)], "id int")
+    d = df.select(
+        hamming_distance(
+            F.lit([0b1010, 0b1111]).cast("array<bigint>"),
+            F.lit([0b0110, 0b1110]).cast("array<bigint>"),
+        ).alias("h")
+    ).first()["h"]
+    assert d == 3  # 1010^0110 = 1100 (2 bits) + 1111^1110 = 0001 (1 bit)
+
+
+def test_binary_prescreen_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+        knn_query_binary,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 7)
+    exact = [
+        r["vec_id"] for r in knn_query(corpus, qvec, k=5, id_col="vec_id").collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in knn_query_binary(
+            corpus, qvec, k=5, id_col="vec_id", prescreen_factor=8
+        ).collect()
+    ]
+    # SimHash bound: high-cosine neighbors survive a 40-candidate
+    # Hamming prescreen on 64 sign bits with high probability
+    assert len(set(exact) & set(approx)) >= 3, (exact, approx)

@@ -159,3 +159,58 @@ def maxsim_score_presplit(
         ),
     )
     return F.aggregate(per_q, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def binary_quantize(a: Column | str) -> Column:
+    """1-bit (sign) quantization: ``ARRAY<FLOAT>`` ->
+    ``ARRAY<BIGINT>`` of 32-bit words, bit = (x > 0), packed
+    big-endian-within-word via a Horner fold (``acc*2 + bit`` — no
+    shift builtin needed, and 32 bits per word keeps every value
+    < 2^32 so it is overflow-exact in BOTH Spark, which would wrap
+    silently at 64 bits, and DuckDB, which would raise).
+
+    The 100 TB story: a 768-dim float32 embedding (3 KB) becomes 24
+    words (192 B as BIGINTs; 96 B of true bit payload after parquet
+    bit-packing) — 16-32x smaller at rest and in cache — and
+    candidate generation becomes xor+popcount
+    (``hamming_distance``) — the standard binary-prescreen + exact
+    rerank serving shape (e.g. faiss IndexBinaryFlat front-ends).
+    Sign quantization preserves angular neighborhoods: Hamming on
+    sign bits estimates angle via the SimHash bound (Charikar 2002,
+    STOC — same identity ``operators/dedup.simhash`` uses on text
+    features). Nulls inside the vector count as <= 0 (bit 0);
+    trailing positions past ``size(a)`` in the last word are 0."""
+    a = F.col(a) if isinstance(a, str) else a
+    n_words = F.ceil(F.size(a) / F.lit(32)).cast("int")
+
+    def word(w: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(31)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2
+            + F.when(
+                F.element_at(a, (w * 32 + b + 1).cast("int")) > 0, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    return F.transform(F.sequence(F.lit(0), n_words - 1), word)
+
+
+def hamming_distance(x: Column | str, y: Column | str) -> Column:
+    """Hamming distance between two packed bit vectors
+    (``binary_quantize`` output): sum of ``bit_count(xor(word))``.
+    Pure codegen — xor + popcount per word, no UDF. Arrays of
+    different word counts compare over the shorter (zip_with NULLs
+    are skipped via coalesce-to-0)."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    per_word = F.zip_with(
+        x, y, lambda p, q: F.bit_count(p.bitwiseXOR(q))
+    )
+    return F.aggregate(
+        per_word,
+        F.lit(0),
+        lambda acc, v: acc + F.coalesce(v, F.lit(0)),
+    )

@@ -83,6 +83,73 @@ def knn_query(
     return scored.orderBy(*order).limit(k).select(id_col, "score")
 
 
+def pack_sign_bits(vec: list[float]) -> list[int]:
+    """Driver-side twin of ``functions.vector.binary_quantize`` for a
+    literal query vector: 32-bit words, Horner-packed sign bits —
+    bit-identical to the expression form so a packed query literal
+    joins the packed corpus column."""
+    words = []
+    for w in range(0, (len(vec) + 31) // 32):
+        acc = 0
+        for b in range(32):
+            i = w * 32 + b
+            acc = acc * 2 + (1 if i < len(vec) and vec[i] > 0 else 0)
+        words.append(acc)
+    return words
+
+
+def knn_query_binary(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    prescreen_factor: int = 8,
+    metric: str = "cosine",
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Top-k via BINARY PRESCREEN + exact rerank: Hamming distance on
+    1-bit sign-quantized vectors (``binary_quantize`` /
+    ``hamming_distance`` — xor+popcount per 32-bit word, pure
+    codegen) selects ``k * prescreen_factor`` candidates, and only
+    those get the full float distance. At 100 TB the packed column is
+    what scans (16-32x less I/O than float32); the Hamming/angle
+    relationship is the SimHash bound (Charikar 2002), so high-cosine
+    neighbors survive the prescreen with overwhelming probability —
+    recall vs exact top-k is asserted in tests, and both stages are
+    deterministic (distance, then id, ascending), so the whole
+    operator is SQL-oracle-checkable.
+
+    Plan shape: Scan -> Project(pack+popcount) ->
+    TakeOrderedAndProject(k*factor) -> Project(exact distance) ->
+    TakeOrderedAndProject(k). No join, no shuffle."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance,
+    )
+
+    if k < 1 or prescreen_factor < 1:
+        raise ValueError("k and prescreen_factor must be >= 1")
+    qbits = F.array(*[F.lit(int(w)).cast("long") for w in pack_sign_bits(query_vector)])
+    ham = hamming_distance(binary_quantize(embedding_col), qbits)
+    cand = (
+        corpus.select(id_col, embedding_col, ham.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+        .limit(k * prescreen_factor)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    score, asc = _score(metric, F.col(embedding_col), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = cand.withColumn("score", score)
+    order = [
+        F.col("score").asc() if asc else F.col("score").desc(),
+        F.col(id_col).asc(),
+    ]
+    return scored.orderBy(*order).limit(k).select(id_col, "score")
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -295,6 +295,67 @@ def get_or_create_collection(
     return manifest
 
 
+def create_collection(
+    root: str,
+    name: str,
+    dim: int,
+    metric: str = "cosine",
+    *,
+    n_buckets: int | None = None,
+) -> CollectionManifest:
+    """Chroma ``client.create_collection`` semantics: STRICT creation
+    — an existing collection of the same name is an error even when
+    every parameter matches (use ``get_or_create_collection`` for
+    the reference's idempotent path, sas:132)."""
+    root = validate_path(root)
+    if os.path.exists(_manifest_file(root, name)):
+        raise InvalidPathError(
+            f"collection {name!r} already exists under {root!r}; "
+            "use get_or_create_collection for idempotent creation"
+        )
+    return get_or_create_collection(
+        root, name, dim, metric, n_buckets=n_buckets
+    )
+
+
+def list_collections(root: str) -> list[CollectionManifest]:
+    """Chroma ``client.list_collections``: every collection under the
+    root (a directory carrying a readable manifest), name-sorted.
+    Driver-side directory listing only — no data touched, no Spark
+    session needed. Non-collection directories (no manifest, corrupt
+    manifest) are skipped, not errors: the root is shared space."""
+    root = validate_path(root)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for entry in sorted(os.listdir(root)):
+        if not os.path.isdir(os.path.join(root, entry)):
+            continue
+        try:
+            out.append(load_manifest(root, entry))
+        except Exception:  # noqa: BLE001 - non-collections are skipped
+            continue
+    return out
+
+
+def delete_collection(root: str, name: str) -> None:
+    """Chroma ``client.delete_collection``: remove the collection —
+    manifest, every data-dir version, persisted index sidecars —
+    irreversibly. Missing collection raises (Chroma errors too).
+    The manifest is unlinked FIRST so a crash mid-delete leaves a
+    directory that ``list_collections``/``load_manifest`` already
+    refuse, never a half-readable collection."""
+    import shutil
+
+    root = validate_path(root)
+    base = os.path.join(root, name)
+    mf = _manifest_file(root, name)
+    if not os.path.exists(mf):
+        raise CollectionNotFoundError(f"no collection {name!r} under {root}")
+    os.remove(mf)
+    shutil.rmtree(base, ignore_errors=True)
+
+
 def modify_collection(
     root: str,
     name: str,

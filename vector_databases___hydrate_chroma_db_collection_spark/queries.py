@@ -7741,6 +7741,66 @@ def retrieval_maxsim_presplit_top10(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_PACKBITS = """list_transform(range(0, 2), w ->
+        list_reduce(list_transform(range(0, 32), b ->
+            CASE WHEN {arr}[w*32+b+1] > 0 THEN 1::BIGINT ELSE 0::BIGINT END),
+            (acc, x) -> acc*2 + x))"""
+
+_BKNN_COS = _COS_DOUBLE.format(a="c.emb", b="q.qe")
+
+
+@query(
+    "knn_binary_prescreen_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    qbits AS (SELECT {_PACKBITS.format(arr="qe")} AS qb FROM q),
+    cand AS (
+        SELECT e.vec_id, e.embedding AS emb,
+               list_sum(list_transform(
+                   list_zip({_PACKBITS.format(arr="e.embedding")}, qb.qb),
+                   p -> bit_count(xor(p[1], p[2])))) AS hamming
+        FROM embeddings e, qbits qb
+        WHERE e.vec_id <> 7
+        ORDER BY hamming, e.vec_id
+        LIMIT 40
+    ),
+    scored AS (
+        SELECT c.vec_id, round({_BKNN_COS}, 4) AS cos_sim
+        FROM cand c, q
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def knn_binary_prescreen_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized kNN serving shape: 1-bit sign packing
+    (32-bit Horner words — overflow-exact in both engines), Hamming
+    xor+popcount prescreen to 8x candidates, exact cosine rerank of
+    only the survivors. The oracle replays BOTH stages bit-for-bit
+    (same packing fold, same (distance, id) tiebreaks), so the
+    approximation itself is what's checked, not just the final
+    ranking. At 100 TB the packed column is the scan (16-32x less
+    I/O); plan is scan -> popcount top-(k*8) -> rerank top-k, no
+    shuffle (two TakeOrderedAndProject stages)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query_binary,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    return (
+        knn_query_binary(
+            emb.filter(F.col("vec_id") != 7),
+            qvec,
+            k=5,
+            id_col="vec_id",
+            prescreen_factor=8,
+            metric="cosine",
+            score_decimals=4,
+        )
+        .withColumnRenamed("score", "cos_sim")
+    )
+
+
 _MMR_COS0 = _COS_DOUBLE.format(a="e.embedding", b="q.qe")
 _MMR_COS1 = _COS_DOUBLE.format(a="c.de", b="p.e1")
 _MMR_COS2 = _COS_DOUBLE.format(a="c.de", b="r.e2")
