@@ -75,6 +75,9 @@ HEADLINE = [
     "retrieval_maxsim_presplit_top10",
     # binary prescreen vs the exact flagship (knn_top5_cosine above)
     "knn_binary_prescreen_top5",
+    # r6 curation additions: rule-based gate + importance weighting
+    "text_gopher_filters",
+    "mix_dsir_importance_top20",
 ]
 
 

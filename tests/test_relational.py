@@ -492,3 +492,37 @@ def test_mmr_rerank_skips_redundant_twin(spark):
             cand, group_col="qid", id_col="doc_id", vec_col="embedding",
             base_score_col="cos_sim", k=0,
         )
+
+
+def test_gopher_flags_canonical_rules(spark):
+    """Published Gopher thresholds on constructed documents: a clean
+    English paragraph passes; too-short, symbol-spammed, and
+    stopword-free documents each fail on exactly the intended rule."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        gopher_flags,
+    )
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs with "
+        "great speed to have some fun in fields of green grass today "
+    ) * 3  # 66 words, all alpha, plenty of distinct stopwords
+    short = "the cat sat on the mat"  # 6 words < 50
+    symbols = ("the data ### and ### that ### have ### with " * 12)  # symbol spam
+    nostop = "alpha beta gamma delta epsilon zeta eta theta " * 8  # no stopwords
+
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, symbols), (4, nostop)], "id int, text string"
+    )
+    rows = {
+        r["id"]: r["g"]
+        for r in df.select("id", gopher_flags("text").alias("g")).collect()
+    }
+    assert rows[1]["gopher_pass"] is True
+    assert rows[2]["gopher_pass"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["gopher_pass"] is False and rows[3]["symbol_ratio"] >= 0.1
+    assert rows[4]["gopher_pass"] is False and rows[4]["has_stopwords"] is False
+    # rule independence: the failing docs fail ONLY their target rule
+    assert rows[3]["has_stopwords"] is True
+    assert rows[4]["n_words"] >= 50

@@ -263,3 +263,84 @@ def add_text_features(df, text_col: str = "text"):
             F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und")),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags(
+    text: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1) as ONE struct
+    expression — the standard pre-training repetition/garbage gate:
+
+    - ``n_words`` within [min_words, max_words],
+    - ``mean_word_len`` within [3, 10] characters,
+    - ``symbol_ratio`` (# of ``#`` / ``...`` occurrences per word)
+      below 0.1,
+    - ``alpha_word_frac`` (words containing at least one letter)
+      above 0.8,
+    - at least 2 DISTINCT common-English stopwords present
+      (``GOPHER_STOPWORDS``).
+
+    Returns STRUCT(n_words, mean_word_len, symbol_ratio,
+    alpha_word_frac, has_stopwords, gopher_pass) — project the
+    fields you filter on; everything stays in whole-stage codegen
+    (split + higher-order functions, no UDF). Ratios are rounded to
+    4 decimals so a SQL oracle reproduces them bit-for-bit. The
+    published word-count bounds (50..100k) are defaults; pass
+    corpus-appropriate bounds explicitly for short-document sets."""
+    t = _c(text)
+    ws = tokens(t)
+    n = F.size(ws)
+    nd = n.cast("double")
+    mean_len = F.round(
+        F.aggregate(
+            ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ).cast("double")
+        / nd,
+        4,
+    )
+    symbol_ratio = F.round(
+        F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), F.lit(0))).cast(
+            "double"
+        )
+        / nd,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nd,
+        4,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(ws, F.lower), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    has_stop = stop_hits >= F.lit(min_stopword_hits)
+    gopher_pass = (
+        (n >= F.lit(min_words))
+        & (n <= F.lit(max_words))
+        & (mean_len >= F.lit(min_mean_word_len))
+        & (mean_len <= F.lit(max_mean_word_len))
+        & (symbol_ratio < F.lit(max_symbol_ratio))
+        & (alpha_frac > F.lit(min_alpha_word_frac))
+        & has_stop
+    )
+    return F.struct(
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        has_stop.alias("has_stopwords"),
+        gopher_pass.alias("gopher_pass"),
+    )

@@ -854,6 +854,63 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_gopher_filters",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                     / len(ws), 4) AS mean_word_len,
+               round(n_sym::DOUBLE / len(ws), 4) AS symbol_ratio,
+               round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                     / len(ws), 4) AS alpha_word_frac,
+               len(list_distinct(list_intersect(
+                   list_transform(ws, w -> lower(w)),
+                   ['the','be','to','of','and','that','have','with']))) >= 1
+                   AS has_stopwords
+        FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           has_stopwords,
+           (n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+            AND has_stopwords) AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate (Rae et al. 2021, Table A1) over
+    the corpus: word-count bounds, mean word length, symbol ratio,
+    alphabetic-word fraction, distinct-stopword presence, and the
+    combined pass flag — the standard pre-training garbage filter,
+    one struct expression in whole-stage codegen (split + HOFs, no
+    UDF, no shuffle; the oracle recomputes every rule from the same
+    tokenization). Fixture adaptations, both documented: min_words=30
+    (fixture docs are 10-99 words) and min_stopword_hits=1 (the
+    synthetic vocabulary carries only 'the' from the canonical list)
+    so the pass flag actually partitions the corpus; the published
+    50..100k / >=2 thresholds are the function's defaults."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.withColumn("_g", T.gopher_flags("text", min_words=30, min_stopword_hits=1))
+    return g.select(
+        "doc_id",
+        F.col("_g.n_words").alias("n_words"),
+        F.col("_g.mean_word_len").alias("mean_word_len"),
+        F.col("_g.symbol_ratio").alias("symbol_ratio"),
+        F.col("_g.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("_g.has_stopwords").alias("has_stopwords"),
+        F.col("_g.gopher_pass").alias("gopher_pass"),
+    )
+
+
 _LANGID_ORACLE = f"""
 WITH hits AS (
     SELECT doc_id,
@@ -7798,6 +7855,185 @@ def knn_binary_prescreen_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
             score_decimals=4,
         )
         .withColumnRenamed("score", "cos_sim")
+    )
+
+
+@query(
+    "mix_dsir_importance_top20",
+    """
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                   ' '), w -> w <> '')) AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) % 1024 AS b
+        FROM toks
+    ),
+    s_cnt AS (SELECT b, count(*) AS s_c FROM feats GROUP BY b),
+    t_cnt AS (SELECT b, count(*) AS t_c FROM feats WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT count(*) AS s_tot,
+               count(*) FILTER (WHERE lang = 'en') AS t_tot
+        FROM feats
+    ),
+    doc_b AS (
+        SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b
+    ),
+    core AS (
+        SELECT d.doc_id,
+               sum(d.c * (ln(COALESCE(t.t_c, 0) + 1) - ln(s.s_c + 1))) AS core,
+               sum(d.c) AS n_toks
+        FROM doc_b d
+        JOIN s_cnt s USING (b)
+        LEFT JOIN t_cnt t USING (b)
+        GROUP BY d.doc_id
+    )
+    SELECT c.doc_id,
+           round(c.core + c.n_toks * (ln(tot.s_tot + 1024) - ln(tot.t_tot + 1024)),
+                 4) AS dsir_weight
+    FROM core c, tot
+    ORDER BY dsir_weight DESC, c.doc_id
+    LIMIT 20
+    """,
+)
+def mix_dsir_importance_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): rank documents by the hashed-n-gram log importance weight
+    log p_target / p_source, with the 'en' slice as the target and
+    the whole corpus as the source. Features are word unigrams hashed
+    to 1024 buckets via the portable md5 family (so DuckDB reproduces
+    every bucket); probabilities are add-one smoothed. The scale
+    shape is what matters: both bucket tables are BOUNDED at 1024
+    rows (broadcast joins), the totals are one scalar aggregate, and
+    the per-doc weight is a map-side-combinable sum — the 100 TB
+    corpus is scanned once however big it is. Selecting top-k by
+    weight IS the resampling step's deterministic skeleton (DSIR
+    proper adds Gumbel noise; seeded noise drops into the same ORDER
+    BY)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    B = 1024
+    d = load_table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.explode(T.tokens(T.normalize_text("text"))).alias("w"),
+    ).select(
+        "doc_id", "lang", F.pmod(hash64(F.col("w")), F.lit(B)).alias("b")
+    )
+    s_cnt = feats.groupBy("b").agg(F.count(F.lit(1)).alias("s_c"))
+    t_cnt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t_c"))
+    )
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("s_tot"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_tot"),
+    )
+    doc_b = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    core = (
+        doc_b.join(F.broadcast(s_cnt), "b")
+        .join(F.broadcast(t_cnt), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("c")
+                * (
+                    F.log(F.coalesce(F.col("t_c"), F.lit(0)) + F.lit(1))
+                    - F.log(F.col("s_c") + F.lit(1))
+                )
+            ).alias("core"),
+            F.sum("c").alias("n_toks"),
+        )
+    )
+    return (
+        core.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("core")
+                + F.col("n_toks")
+                * (
+                    F.log(F.col("s_tot") + F.lit(B))
+                    - F.log(F.col("t_tot") + F.lit(B))
+                ),
+                4,
+            ).alias("dsir_weight"),
+        )
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "quality_centroid_scores",
+    f"""
+    WITH en AS (
+        SELECT e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en'
+    ),
+    centroid AS (SELECT list_value(avg(emb[1]), avg(emb[2]), avg(emb[3]), avg(emb[4]), avg(emb[5]), avg(emb[6]), avg(emb[7]), avg(emb[8]), avg(emb[9]), avg(emb[10]), avg(emb[11]), avg(emb[12]), avg(emb[13]), avg(emb[14]), avg(emb[15]), avg(emb[16]), avg(emb[17]), avg(emb[18]), avg(emb[19]), avg(emb[20]), avg(emb[21]), avg(emb[22]), avg(emb[23]), avg(emb[24]), avg(emb[25]), avg(emb[26]), avg(emb[27]), avg(emb[28]), avg(emb[29]), avg(emb[30]), avg(emb[31]), avg(emb[32]), avg(emb[33]), avg(emb[34]), avg(emb[35]), avg(emb[36]), avg(emb[37]), avg(emb[38]), avg(emb[39]), avg(emb[40]), avg(emb[41]), avg(emb[42]), avg(emb[43]), avg(emb[44]), avg(emb[45]), avg(emb[46]), avg(emb[47]), avg(emb[48]), avg(emb[49]), avg(emb[50]), avg(emb[51]), avg(emb[52]), avg(emb[53]), avg(emb[54]), avg(emb[55]), avg(emb[56]), avg(emb[57]), avg(emb[58]), avg(emb[59]), avg(emb[60]), avg(emb[61]), avg(emb[62]), avg(emb[63]), avg(emb[64])) AS c FROM en),
+    scored AS (
+        SELECT d.doc_id,
+               round(
+                   list_sum(list_transform(list_zip(e.embedding, c.c),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.c,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS centroid_sim
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        CROSS JOIN centroid c
+    )
+    SELECT doc_id, centroid_sim
+    FROM scored ORDER BY centroid_sim DESC, doc_id LIMIT 20
+    """,
+)
+def quality_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, centroid flavor: embed-and-rank
+    against the mean vector of a trusted reference slice (here the
+    'en' documents) — the serving shape of classifier-based data
+    curation (FineWeb-Edu / phi-style filters score documents with a
+    small model; the infrastructure cost is identical, one broadcast
+    model/centroid + one scan). The centroid is ONE aggregation
+    (64 per-dimension avgs in a single pass), broadcast as a 1-row
+    frame; scoring is the usual codegen cosine feeding
+    TakeOrderedAndProject. Swapping the centroid for a real
+    classifier means replacing the cosine expression with a
+    pandas_udf over the same broadcast — the plan does not change
+    shape."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    cent = (
+        joined.filter(F.col("lang") == "en")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("embedding", i)) for i in range(1, 65)]
+            ).alias("c")
+        )
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    return (
+        joined.crossJoin(F.broadcast(cent))
+        .select(
+            "doc_id",
+            F.round(cosine_similarity("embedding", "c"), 4).alias("centroid_sim"),
+        )
+        .orderBy(F.desc("centroid_sim"), F.asc("doc_id"))
+        .limit(20)
     )
 
 
