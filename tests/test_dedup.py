@@ -267,3 +267,24 @@ def test_dup_ngram_fraction_planted(spark):
     assert out[1]["dup_frac"] == 0.75
     assert out[2]["dup_frac"] == 0.75
     assert out[3]["dup_shingles"] == 0 and out[3]["dup_frac"] == 0.0
+
+
+def test_gemm_neardup_rejects_null_embedding_rows(spark):
+    """A NULL embedding mixed into valid rows must raise the typed
+    fixed-dim error, not die inside np.asarray — F.size(NULL) is NULL
+    (min/max aggregates skip it), so the guard counts nulls
+    explicitly."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        embedding_neardup_pairs_gemm,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0, 2.0])],
+        "vec_id int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="NULL rows"):
+        embedding_neardup_pairs_gemm(
+            df, id_col="vec_id", embedding_col="embedding", threshold=0.5
+        )

@@ -284,3 +284,39 @@ def test_sample_video_frames_headers_mode_uses_real_duration(spark):
     ).collect()
     assert len(out) == 5
     assert [r["frame_idx"] for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_sniff_avi_ignores_avih_bytes_in_payload():
+    """'avih' occurring inside frame payload must NOT be parsed as
+    the header: the sniffer walks RIFF chunk framing, so a movi
+    payload containing the magic yields NULL fields, not garbage
+    geometry."""
+    import struct
+
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        sniff_video,
+    )
+
+    # RIFF/AVI with ONLY a movi LIST whose payload embeds b"avih"
+    payload = b"00dc" + struct.pack("<I", 48) + b"avih" + b"\xff" * 44
+    movi = b"LIST" + struct.pack("<I", 4 + len(payload)) + b"movi" + payload
+    body = b"AVI " + movi
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    container, w, h, dur, nf = sniff_video(data)
+    assert container == "avi"
+    assert (w, h, dur, nf) == (None, None, None, None)
+
+
+def test_sniff_avi_truncated_header_degrades_to_nulls():
+    import struct
+
+    from vector_databases___hydrate_chroma_db_collection_spark.multimodal.codecs import (
+        build_avi,
+        sniff_video,
+    )
+
+    whole = build_avi()
+    truncated = whole[:40]  # cuts inside the avih chunk
+    got = sniff_video(truncated)
+    assert got is not None and got[0] == "avi"
+    assert got[1:] == (None, None, None, None)

@@ -526,3 +526,22 @@ def test_gopher_flags_canonical_rules(spark):
     # rule independence: the failing docs fail ONLY their target rule
     assert rows[3]["has_stopwords"] is True
     assert rows[4]["n_words"] >= 50
+
+
+def test_gopher_flags_empty_doc_classifies_not_crashes(spark):
+    """An empty / whitespace-only document must CLASSIFY as failing
+    the gate (ratios 0.0), never raise — Spark 4 ANSI divides by zero
+    loudly, and a quality filter exists precisely to eat garbage."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        gopher_flags,
+    )
+
+    df = spark.createDataFrame([(1, ""), (2, "   \t  ")], "id int, text string")
+    rows = {
+        r["id"]: r["g"]
+        for r in df.select("id", gopher_flags("text").alias("g")).collect()
+    }
+    for i in (1, 2):
+        assert rows[i]["n_words"] == 0
+        assert rows[i]["gopher_pass"] is False
+        assert rows[i]["mean_word_len"] == 0.0

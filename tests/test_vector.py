@@ -409,3 +409,41 @@ def test_binary_prescreen_recall_vs_exact(spark):
     # SimHash bound: high-cosine neighbors survive a 40-candidate
     # Hamming prescreen on 64 sign bits with high probability
     assert len(set(exact) & set(approx)) >= 3, (exact, approx)
+
+
+def test_binary_quantize_non_multiple_of_32_dims(spark):
+    """dim % 32 != 0 must pad the last word with 0 bits, not raise —
+    Spark 4's default ANSI mode errors on out-of-range element_at, so
+    the overhang indexes must never be evaluated."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        binary_quantize,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        pack_sign_bits,
+    )
+
+    vecs = [[1.0] * 33, [1.0, -1.0] * 25, [0.5] * 100]  # 33, 50, 100 dims
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, v array<float>"
+    )
+    got = {
+        r["id"]: list(r["b"])
+        for r in df.select("id", binary_quantize("v").alias("b")).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == pack_sign_bits(v), i
+
+
+def test_maxsim_mismatched_slot_widths_yield_null_not_garbage(spark):
+    """Documented contract: unequal slot widths null the score (the
+    cosine's zip_with pads with NULLs) — callers must keep equal
+    widths; the score must never silently truncate."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxsim_score,
+    )
+
+    df = spark.createDataFrame([([1.0] * 8, [1.0] * 4)], "d array<float>, q array<float>")
+    row = df.select(maxsim_score("d", "q", 2).alias("s")).first()
+    assert row["s"] is None

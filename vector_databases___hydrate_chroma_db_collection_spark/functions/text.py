@@ -298,11 +298,18 @@ def gopher_flags(
     (split + higher-order functions, no UDF). Ratios are rounded to
     4 decimals so a SQL oracle reproduces them bit-for-bit. The
     published word-count bounds (50..100k) are defaults; pass
-    corpus-appropriate bounds explicitly for short-document sets."""
+    corpus-appropriate bounds explicitly for short-document sets.
+
+    Empty / whitespace-only documents are the gate's bread and
+    butter, so they must CLASSIFY (ratios 0.0, ``gopher_pass``
+    false via the word-count bound), never crash: the ratio
+    denominators are floored at 1 because Spark 4's default ANSI
+    mode raises on division by zero — one empty doc in a 100 TB
+    corpus must not abort the filtering job."""
     t = _c(text)
     ws = tokens(t)
     n = F.size(ws)
-    nd = n.cast("double")
+    nd = F.greatest(n.cast("double"), F.lit(1.0))
     mean_len = F.round(
         F.aggregate(
             ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)

@@ -93,33 +93,21 @@ def maxsim_score(doc: Column | str, query: Column | str, m: int) -> Column:
 
     Assumes each array's size is divisible by ``m`` (trailing
     elements of a non-divisible array are silently dropped by the
-    integer slot width). Query and doc arrays may have DIFFERENT
-    total sizes (e.g. 2-slot 64-dim queries vs 4-slot 128-dim docs is
-    nonsense, but 2-slot docs of a different token width are fine):
-    each side's slot width is derived from ITS OWN size, so slots
-    never misalign — only the per-slot cosine requires the two slot
-    widths to be equal, which cosine_similarity's zip_with enforces
-    by truncating to the shorter."""
+    integer slot width). Each side's slot width is derived from ITS
+    OWN size, so same-width slots never misalign whatever the total
+    lengths are — but the per-slot cosine REQUIRES the two slot
+    widths to be equal: ``zip_with`` pads the shorter array with
+    NULLs, which poison the dot-product aggregate, so mismatched
+    widths yield a NULL score (sorting nulls-last), not a truncated
+    one. Keep ``size(doc) == size(query)`` (or at least equal
+    ``size/m``) — the repo's queries use equal-dim corpora.
+
+    Implementation: exactly ``maxsim_score_presplit`` over
+    ``split_slots`` of each side — one definition of the slot math
+    and one of the scoring lattice."""
     d = F.col(doc) if isinstance(doc, str) else doc
     q = F.col(query) if isinstance(query, str) else query
-    d_sub_len = (F.size(d) / m).cast("int")
-    q_sub_len = (F.size(q) / m).cast("int")
-
-    def sub(arr: Column, i: Column, sub_len: Column) -> Column:
-        return F.slice(arr, (i - 1) * sub_len + 1, sub_len)
-
-    per_q = F.transform(
-        F.sequence(F.lit(1), F.lit(m)),
-        lambda i: F.array_max(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(m)),
-                lambda j: cosine_similarity(
-                    sub(q, i, q_sub_len), sub(d, j, d_sub_len)
-                ),
-            )
-        ),
-    )
-    return F.aggregate(per_q, F.lit(0.0), lambda acc, x: acc + x)
+    return maxsim_score_presplit(split_slots(d, m), split_slots(q, m))
 
 
 def split_slots(a: Column | str, m: int) -> Column:
@@ -147,9 +135,12 @@ def maxsim_score_presplit(
     sum over query slots of the max cosine against any doc slot —
     identical scores to ``maxsim_score`` on the unsplit vectors, but
     the expression contains ZERO slice calls; the per-pair work is
-    exactly the m×m cosine lattice. Slot counts may differ between
-    query and doc (scores over min(m_q) query slots vs all doc
-    slots). Pure Catalyst HOF — no UDF, no shuffle."""
+    exactly the m×m cosine lattice. Slot COUNTS may differ between
+    query and doc (the score sums over the query's slots against all
+    doc slots), but slot WIDTHS must be equal — ``zip_with`` inside
+    the cosine pads the shorter slot with NULLs, which poison the
+    aggregate and null the whole score. Pure Catalyst HOF — no UDF,
+    no shuffle."""
     d = F.col(doc_slots) if isinstance(doc_slots, str) else doc_slots
     q = F.col(query_slots) if isinstance(query_slots, str) else query_slots
     per_q = F.transform(
@@ -179,20 +170,25 @@ def binary_quantize(a: Column | str) -> Column:
     sign bits estimates angle via the SimHash bound (Charikar 2002,
     STOC — same identity ``operators/dedup.simhash`` uses on text
     features). Nulls inside the vector count as <= 0 (bit 0);
-    trailing positions past ``size(a)`` in the last word are 0."""
+    trailing positions past ``size(a)`` in the last word are 0 (the
+    index is bounds-guarded BEFORE ``element_at`` — Spark 4's
+    default ANSI mode raises on out-of-range element_at, so a
+    dim % 32 != 0 corpus must never evaluate the overhang)."""
     a = F.col(a) if isinstance(a, str) else a
-    n_words = F.ceil(F.size(a) / F.lit(32)).cast("int")
+    n = F.size(a)
+    n_words = F.ceil(n / F.lit(32)).cast("int")
 
     def word(w: Column) -> Column:
+        def bit(acc: Column, b: Column) -> Column:
+            idx = (w * 32 + b + 1).cast("int")
+            in_range = idx <= n
+            return acc * 2 + F.when(
+                in_range & (F.element_at(a, F.when(in_range, idx).otherwise(F.lit(1))) > 0),
+                F.lit(1),
+            ).otherwise(F.lit(0)).cast("long")
+
         return F.aggregate(
-            F.sequence(F.lit(0), F.lit(31)),
-            F.lit(0).cast("long"),
-            lambda acc, b: acc * 2
-            + F.when(
-                F.element_at(a, (w * 32 + b + 1).cast("int")) > 0, F.lit(1)
-            )
-            .otherwise(F.lit(0))
-            .cast("long"),
+            F.sequence(F.lit(0), F.lit(31)), F.lit(0).cast("long"), bit
         )
 
     return F.transform(F.sequence(F.lit(0), n_words - 1), word)

@@ -206,14 +206,38 @@ def _sniff_mp4(data: bytes):
 def _sniff_avi(data: bytes):
     """AVI/RIFF: the ``avih`` MainAVIHeader chunk carries
     micro-seconds-per-frame, total frames, and geometry as
-    little-endian u32s (OpenDML / msdn AVIMAINHEADER layout)."""
+    little-endian u32s (OpenDML / msdn AVIMAINHEADER layout).
+
+    The header is located by WALKING the RIFF chunk framing
+    ([fourcc][u32 size][payload], word-aligned; LIST chunks carry a
+    subtype then sub-chunks) rather than a raw byte search — at
+    corpus scale the 4-byte pattern 'avih' routinely occurs inside
+    compressed frame payload, and unpacking arbitrary movi bytes as
+    the header would emit garbage geometry instead of NULLs."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         return None
-    i = data.find(b"avih")
-    if i < 0 or i + 8 + 40 > len(data):
+
+    def find_avih(start: int, end: int, depth: int = 0):
+        off = start
+        while off + 8 <= end and depth < 8:
+            fourcc = data[off : off + 4]
+            (size,) = struct.unpack("<I", data[off + 4 : off + 8])
+            body_start, body_end = off + 8, off + 8 + size
+            if body_end > end:
+                return None  # truncated chunk: stop, do not guess
+            if fourcc == b"avih":
+                return body_start if size >= 40 else None
+            if fourcc == b"LIST" and size >= 4:
+                got = find_avih(body_start + 4, body_end, depth + 1)
+                if got is not None:
+                    return got
+            off = body_end + (size & 1)  # chunks are word-aligned
+        return None
+
+    i = find_avih(12, len(data))
+    if i is None:
         return ("avi", None, None, None, None)
-    # skip chunk id (4) + chunk size (4); fields are u32 LE
-    f = struct.unpack("<10I", data[i + 8 : i + 48])
+    f = struct.unpack("<10I", data[i : i + 40])
     usec_per_frame, total_frames, width, height = f[0], f[4], f[8], f[9]
     duration_ms = (
         int(usec_per_frame * total_frames // 1000)

@@ -836,6 +836,7 @@ def ivf_write(
     *,
     metric: str = "cosine",
     source: tuple[str, str] | None = None,
+    build: dict | None = None,
 ) -> None:
     """Persist an IVF index: the assigned corpus partitioned by
     ``ivf_cell`` (so queries get partition pruning) plus a JSON
@@ -845,7 +846,16 @@ def ivf_write(
     ``source=(root, name)`` stamps the sidecar with the source
     collection's ``collection_etag`` so ``ivf_read`` can detect (and
     refuse) a stale index after the collection is updated, deleted
-    from, or appended to."""
+    from, or appended to.
+
+    ``build`` records the TRAINING parameters (the kwargs passed to
+    ``ivf_build``: metric, seed, sample_fraction, ...) so
+    ``ivf_refresh`` can reproduce the same clustering. The ``metric``
+    kwarg here is the SEARCH metric and may legitimately differ from
+    the build metric (e.g. l2-trained cells served with cosine
+    scoring) — without the explicit ``build`` record a refresh would
+    have to guess, and guessing the wrong training metric silently
+    swaps the cell layout."""
     import json
     import os
 
@@ -862,6 +872,7 @@ def ivf_write(
                 "dim": int(centroids.shape[1]),
                 "centroids": centroids.tolist(),
                 "source": stamp,
+                "build": build,
             },
             f,
         )
@@ -897,12 +908,20 @@ def ivf_refresh(
 ) -> tuple[DataFrame, np.ndarray, str]:
     """The remedy ``StaleIndexError`` prescribes, as one call: re-read
     the source collection the sidecar names, rebuild the index with
-    the sidecar's own build parameters (n_centroids, metric),
-    overwrite the persisted cells, re-stamp with the collection's
-    CURRENT etag, and return the freshly-loaded
-    (assigned_df, centroids, metric). Only works on stamped indexes —
-    an index built from an arbitrary DataFrame has no recorded source
-    to rebuild from (ValueError says so)."""
+    the sidecar's RECORDED build parameters (the ``build`` dict
+    ``ivf_write`` stored: training metric, seed, sample_fraction —
+    n_centroids comes from the sidecar either way), overwrite the
+    persisted cells, re-stamp with the collection's CURRENT etag, and
+    return the freshly-loaded (assigned_df, centroids, metric).
+
+    Only works on stamped indexes — an index built from an arbitrary
+    DataFrame has no recorded source to rebuild from (ValueError says
+    so). Sidecars written WITHOUT a ``build`` record fall back to the
+    search metric plus this function's seed/sample_fraction kwargs —
+    note the search metric is not necessarily the training metric
+    (l2-trained cells are often served with cosine), so pre-``build``
+    indexes should be refreshed once with explicit intent and
+    re-written with the record."""
     import json
     import os
 
@@ -919,15 +938,19 @@ def ivf_refresh(
         read_collection,
     )
 
+    build = meta.get("build") or {}
+    build_metric = build.get("metric", meta["metric"])
+    build_seed = int(build.get("seed", seed))
+    build_sf = build.get("sample_fraction", sample_fraction)
     coll = read_collection(spark, src["root"], src["name"])
     assigned, centroids = ivf_build(
         coll,
         id_col="id",
         embedding_col="embedding",
         n_centroids=int(meta["n_centroids"]),
-        metric=meta["metric"],
-        seed=seed,
-        sample_fraction=sample_fraction,
+        metric=build_metric,
+        seed=build_seed,
+        sample_fraction=build_sf,
     )
     ivf_write(
         assigned,
@@ -935,5 +958,10 @@ def ivf_refresh(
         path,
         metric=meta["metric"],
         source=(src["root"], src["name"]),
+        build={
+            "metric": build_metric,
+            "seed": build_seed,
+            "sample_fraction": build_sf,
+        },
     )
     return ivf_read(spark, path)

@@ -549,18 +549,25 @@ def embedding_neardup_pairs_gemm(
             F.count(F.lit(1)).alias("n"),
             F.max("_w").alias("w_max"),
             F.min("_w").alias("w_min"),
+            # NULL arrays must be counted EXPLICITLY: F.size(NULL) is
+            # NULL (not -1) under Spark 4's default ANSI mode, and
+            # min/max aggregates skip NULLs, so a null row mixed with
+            # valid rows would otherwise sail through the width check
+            # and die obscurely inside np.asarray.
+            F.count(F.when(F.col("_w").isNull(), 1)).alias("n_null"),
         )
         .first()
     )
     probe = probe_row["n"]
     dim = probe_row["w_max"] or 0
-    # F.size() is -1 for NULL arrays, so w_min < w_max also catches
-    # null embeddings mixed into the probed prefix.
-    if probe > 0 and (dim <= 0 or probe_row["w_min"] != dim):
+    if probe > 0 and (
+        dim <= 0 or probe_row["w_min"] != dim or probe_row["n_null"] > 0
+    ):
         raise ValueError(
             "embedding_neardup_pairs_gemm requires a fixed-dimension, "
             f"non-null embedding column; probed widths "
-            f"[{probe_row['w_min']}, {dim}] in column {embedding_col!r}"
+            f"[{probe_row['w_min']}, {dim}] with {probe_row['n_null']} "
+            f"NULL rows in column {embedding_col!r}"
         )
     row_cap = max_broadcast_rows
     if dim > 0:

@@ -4667,11 +4667,13 @@ def collection_ivf_knn_stale_rebuild(spark: SparkSession, sf_dir: str) -> DataFr
     ``collection_update`` one document's embedding (id '3' takes id
     '7''s vector — the mutation an un-invalidated index would miss).
     ``ivf_read`` must now raise ``StaleIndexError``; the query
-    REQUIRES it (no exception => EngineError), rebuilds the index
-    from the updated collection, and answers top-5 through the fresh
-    index. The oracle scores the UPDATED corpus brute-force, so the
-    result only matches if the rebuild actually served the new
-    vector (id '3' surfaces at cos_sim 1.0)."""
+    REQUIRES it (no exception => EngineError), rebuilds via the
+    one-call remedy ``ivf_refresh`` (which replays the sidecar's
+    RECORDED build parameters against the current collection and
+    re-stamps), and answers top-5 through the fresh index. The oracle
+    scores the UPDATED corpus brute-force, so the result only matches
+    if the rebuild actually served the new vector (id '3' surfaces at
+    cos_sim 1.0)."""
     from vector_databases___hydrate_chroma_db_collection_spark.errors import (
         EngineError,
         StaleIndexError,
@@ -4679,6 +4681,7 @@ def collection_ivf_knn_stale_rebuild(spark: SparkSession, sf_dir: str) -> DataFr
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         ivf_build,
         ivf_read,
+        ivf_refresh,
         ivf_search,
         ivf_write,
     )
@@ -4694,15 +4697,24 @@ def collection_ivf_knn_stale_rebuild(spark: SparkSession, sf_dir: str) -> DataFr
     assigned, centroids = ivf_build(coll, n_centroids=8, seed=42)
     idx_path = f"{root}/stale_ivf/_ivf"
     ivf_write(
-        assigned, centroids, idx_path, metric="cosine", source=(root, "stale_ivf")
+        assigned,
+        centroids,
+        idx_path,
+        metric="cosine",
+        source=(root, "stale_ivf"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
     )
     qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
 
     # Mutate: id '3' takes id '7''s embedding (SQL-expressible so the
-    # oracle can reproduce it), swapping the _current data dir.
+    # oracle can reproduce it), swapping the _current data dir. A
+    # plain call + raise, NOT an assert — the mutation is load-bearing
+    # and must survive python -O.
     donor = coll.filter(F.col("id") == "7").select(F.col("embedding"))
     upd = donor.select(F.lit("3").alias("id"), F.col("embedding"))
-    assert collection_update(spark, root, "stale_ivf", upd) == 1
+    n_upd = collection_update(spark, root, "stale_ivf", upd)
+    if n_upd != 1:
+        raise EngineError(f"expected exactly 1 updated row, got {n_upd}")
 
     try:
         ivf_read(spark, idx_path)
@@ -4714,13 +4726,9 @@ def collection_ivf_knn_stale_rebuild(spark: SparkSession, sf_dir: str) -> DataFr
             "raising StaleIndexError"
         )
 
-    # Rebuild from the CURRENT collection; re-stamp; serve.
-    coll2 = read_collection(spark, root, "stale_ivf")
-    assigned2, centroids2 = ivf_build(coll2, n_centroids=8, seed=42)
-    ivf_write(
-        assigned2, centroids2, idx_path, metric="cosine", source=(root, "stale_ivf")
-    )
-    assigned3, centroids3, _metric = ivf_read(spark, idx_path)
+    # One-call remedy: rebuild from the CURRENT collection with the
+    # recorded build params, re-stamp, serve.
+    assigned3, centroids3, _metric = ivf_refresh(spark, idx_path)
     return ivf_search(
         assigned3.filter(F.col("id") != "7"),
         centroids3,
