@@ -5445,6 +5445,83 @@ def agg_hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_quantile_sketch",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95,
+           TRUE AS sketch_within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (``percentile_approx``, the
+    Greenwald-Khanna-style mergeable summary) vs the exact
+    interpolated percentile, same oracle contract as the HLL queries:
+    the exact twin is hash-checked and a within-tolerance boolean
+    covers the sketch (accuracy 10000 => rank error <= 1e-4; the 1%
+    VALUE tolerance is generous next to that). The 100 TB point:
+    exact quantiles need a full sort or per-group materialization,
+    while the sketch is a bounded map-side-combinable state — this is
+    how percentile dashboards survive scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    exact_p50 = F.round(F.percentile("l_extendedprice", F.lit(0.5)), 2)
+    exact_p95 = F.round(F.percentile("l_extendedprice", F.lit(0.95)), 2)
+    approx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_p50.alias("exact_p50"),
+            exact_p95.alias("exact_p95"),
+            approx.alias("_apx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_p50",
+            "exact_p95",
+            (
+                (
+                    F.abs(F.element_at("_apx", 1) - F.col("exact_p50"))
+                    <= 0.01 * F.col("exact_p50")
+                )
+                & (
+                    F.abs(F.element_at("_apx", 2) - F.col("exact_p95"))
+                    <= 0.01 * F.col("exact_p95")
+                )
+            ).alias("sketch_within_tol"),
+        )
+    )
+
+
+@query(
+    "agg_mode_ship_priority",
+    """
+    SELECT o_orderpriority,
+           mode(l_returnflag ORDER BY l_returnflag) AS top_returnflag,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_mode_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mode()`` — the most frequent value per group (Spark 4 /
+    DuckDB both ship it natively). Ties are broken deterministically:
+    Spark's mode(deterministic=true) returns the LOWEST value among
+    the tied maxima and DuckDB's ORDER BY inside the aggregate pins
+    the same choice, so the hash compare is tie-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.mode("l_returnflag", True).alias("top_returnflag"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "window_range_time_30d",
     """
     SELECT o_orderkey AS orderkey,
