@@ -447,3 +447,37 @@ def test_maxsim_mismatched_slot_widths_yield_null_not_garbage(spark):
     df = spark.createDataFrame([([1.0] * 8, [1.0] * 4)], "d array<float>, q array<float>")
     row = df.select(maxsim_score("d", "q", 2).alias("s")).first()
     assert row["s"] is None
+
+
+def test_matryoshka_prescreen_recall_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+        knn_query_matryoshka,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 7)
+    exact = [
+        r["vec_id"] for r in knn_query(corpus, qvec, k=5, id_col="vec_id").collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in knn_query_matryoshka(
+            corpus, qvec, k=5, id_col="vec_id", prefix_dim=16, prescreen_factor=8
+        ).collect()
+    ]
+    # a 16/64-dim prefix keeps most true neighbors in a 40-candidate cut
+    assert len(set(exact) & set(approx)) >= 3, (exact, approx)
+    # degenerate bounds validate loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="prefix_dim"):
+        knn_query_matryoshka(corpus, qvec, k=5, id_col="vec_id", prefix_dim=999)

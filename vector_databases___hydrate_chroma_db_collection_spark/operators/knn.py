@@ -150,6 +150,70 @@ def knn_query_binary(
     return scored.orderBy(*order).limit(k).select(id_col, "score")
 
 
+def knn_query_matryoshka(
+    corpus: DataFrame,
+    query_vector: list[float],
+    k: int = 5,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    prefix_dim: int = 16,
+    prescreen_factor: int = 8,
+    metric: str = "cosine",
+    score_decimals: int | None = None,
+    prescreen_decimals: int | None = 4,
+) -> DataFrame:
+    """Top-k via MATRYOSHKA (truncated-dimension) prescreen + full
+    rerank: score the FIRST ``prefix_dim`` dimensions only (MRL,
+    Kusupati et al. 2022 — Matryoshka-trained embeddings pack coarse
+    semantics into the prefix, so a 16-of-768 slice preserves
+    neighborhood structure), keep ``k * prescreen_factor``
+    candidates, then rerank the survivors with the full vector. The
+    complement of ``knn_query_binary``: that shrinks BYTES PER
+    DIMENSION (1 bit), this shrinks DIMENSIONS — at 100 TB the
+    prefix can live as its own thin column so the prescreen scan
+    reads prefix_dim/dim of the data, and the two compose (binary
+    prefix). Both stages are deterministic ((score, id) ordering), so
+    the whole operator is SQL-oracle-checkable.
+
+    Plan shape: Scan -> Project(prefix distance) ->
+    TakeOrderedAndProject(k*factor) -> Project(full distance) ->
+    TakeOrderedAndProject(k). No join, no shuffle."""
+    if k < 1 or prescreen_factor < 1 or prefix_dim < 1:
+        raise ValueError("k, prescreen_factor and prefix_dim must be >= 1")
+    if prefix_dim > len(query_vector):
+        raise ValueError(
+            f"prefix_dim {prefix_dim} exceeds query dim {len(query_vector)}"
+        )
+    q_prefix = F.array(*[F.lit(float(x)) for x in query_vector[:prefix_dim]])
+    pre_score, pre_asc = _score(
+        metric, F.slice(F.col(embedding_col), 1, prefix_dim), q_prefix
+    )
+    if prescreen_decimals is not None:
+        # The candidate CUT must be engine-portable: rounding the
+        # prescreen score before ordering removes last-ulp summation
+        # differences at the top-(k*factor) boundary vs a SQL oracle.
+        pre_score = F.round(pre_score, prescreen_decimals)
+    cand = (
+        corpus.select(id_col, embedding_col, pre_score.alias("_pre"))
+        .orderBy(
+            F.col("_pre").asc() if pre_asc else F.col("_pre").desc(),
+            F.col(id_col).asc(),
+        )
+        .limit(k * prescreen_factor)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    score, asc = _score(metric, F.col(embedding_col), q)
+    if score_decimals is not None:
+        score = F.round(score, score_decimals)
+    scored = cand.withColumn("score", score)
+    order = [
+        F.col("score").asc() if asc else F.col("score").desc(),
+        F.col(id_col).asc(),
+    ]
+    return scored.orderBy(*order).limit(k).select(id_col, "score")
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1709,6 +1709,173 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VCOS = _COS_DOUBLE.format(a="e.embedding", b="q.qe")
+
+
+@query(
+    "retrieval_matryoshka_prescreen_top5",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    cand AS (
+        SELECT e.vec_id, e.embedding AS emb,
+               round(
+                   list_sum(list_transform(list_zip(list_slice(e.embedding, 1, 16), list_slice(q.qe, 1, 16)),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(list_slice(e.embedding, 1, 16),
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(list_slice(q.qe, 1, 16),
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS pre
+        FROM embeddings e, q
+        WHERE e.vec_id <> 7
+        ORDER BY pre DESC, e.vec_id
+        LIMIT 40
+    ),
+    scored AS (
+        SELECT c.vec_id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM cand c, q
+    )
+    SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 5
+    """,
+)
+def retrieval_matryoshka_prescreen_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (truncated-dimension) retrieval (MRL, Kusupati et
+    al. 2022): prescreen on the FIRST 16 of 64 dimensions (a quarter
+    of the scan bytes when the prefix is materialized as its own
+    column), exact full-dim rerank of the 40 survivors. The oracle
+    replays both stages — prefix cosine cut included — so the
+    approximation itself is hash-checked; dimensional truncation is
+    the complement of the binary prescreen's bit truncation and the
+    two compose at 100 TB."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query_matryoshka,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(emb.filter(F.col("vec_id") == 7).first()["embedding"])
+    return knn_query_matryoshka(
+        emb.filter(F.col("vec_id") != 7),
+        qvec,
+        k=5,
+        id_col="vec_id",
+        prefix_dim=16,
+        prescreen_factor=8,
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "hybrid_search_minmax_fusion",
+    f"""
+    WITH {_BM25_SQL_BASE},
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    vec AS (
+        SELECT e.vec_id AS doc_id,
+               round({_VCOS}, 4) AS cos
+        FROM embeddings e, q
+    ),
+    vtop AS (
+        SELECT doc_id, cos FROM (
+            SELECT doc_id, cos,
+                   row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+            FROM vec) WHERE r <= 50
+    ),
+    btop AS (
+        SELECT doc_id, bm25 FROM (
+            SELECT doc_id, bm25,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+            FROM bscore) WHERE r <= 50
+    ),
+    vn AS (SELECT min(cos) AS mn, max(cos) AS mx FROM vtop),
+    bn AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM btop),
+    fused AS (
+        SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
+               round(0.6 * coalesce(
+                         CASE WHEN vn.mx = vn.mn THEN 0.5
+                              ELSE (v.cos - vn.mn) / (vn.mx - vn.mn) END, 0)
+                   + 0.4 * coalesce(
+                         CASE WHEN bn.mx = bn.mn THEN 0.5
+                              ELSE (b.bm25 - bn.mn) / (bn.mx - bn.mn) END, 0),
+                     6) AS fused
+        FROM vtop v
+        FULL JOIN btop b ON v.doc_id = b.doc_id
+        CROSS JOIN vn CROSS JOIN bn
+    ),
+    final AS (
+        SELECT doc_id, fused,
+               row_number() OVER (ORDER BY fused DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT doc_id, fused, rank FROM final WHERE rank <= 10
+    """,
+)
+def hybrid_search_minmax_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by NORMALIZED WEIGHTED SCORE fusion — the
+    standard alternative to RRF when calibrated score magnitudes
+    matter: each bounded top-50 list is min-max normalized to [0, 1]
+    (degenerate all-equal lists pin to 0.5) and fused as
+    0.6*vector + 0.4*lexical, missing side contributing 0. The
+    min/max are 1-row aggregates over ALREADY-BOUNDED lists
+    (broadcast cross join, no second corpus pass), inputs are rounded
+    before normalizing so both engines divide identical doubles, and
+    the fused score rounds to 6 before ranking — fully
+    hash-checkable, same plan skeleton as hybrid_search_rrf."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        bm25_scores,
+        top_ranks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 7).select("embedding").first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    vec = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity(F.col("embedding"), qlit), 4).alias("cos"),
+    )
+    vtop = top_ranks(vec, "cos", id_col="doc_id", k=50).select("doc_id", "cos")
+    btop = top_ranks(
+        bm25_scores(d, list(_BM25_TERMS), id_col="doc_id", text_col="text"),
+        "bm25",
+        id_col="doc_id",
+        k=50,
+    ).select("doc_id", "bm25")
+
+    def norm(df, col):
+        stats = df.agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+        out = df.crossJoin(F.broadcast(stats))
+        normed = F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+            (F.col(col) - F.col("mn")) / (F.col("mx") - F.col("mn"))
+        )
+        return out.select("doc_id", normed.alias(f"_n_{col}"))
+
+    fused = (
+        norm(vtop, "cos")
+        .join(norm(btop, "bm25"), "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                0.6 * F.coalesce(F.col("_n_cos"), F.lit(0.0))
+                + 0.4 * F.coalesce(F.col("_n_bm25"), F.lit(0.0)),
+                6,
+            ).alias("fused"),
+        )
+    )
+    return top_ranks(fused, "fused", id_col="doc_id", k=10).select(
+        "doc_id", "fused", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @query(
     "hybrid_search_rrf",
     f"""
