@@ -684,3 +684,59 @@ def test_stream_append_replay_is_idempotent(spark, tmp_path):
     coll = read_collection(spark, str(tmp_path / "colls"), "stream_replay")
     assert coll.count() == 30  # replayed batch replaced its own files
     assert coll.select("id").distinct().count() == 30
+
+
+def test_stream_knn_serve_matches_batch(spark, tmp_path):
+    """Streaming vector retrieval (foreachBatch over the batch
+    knn_join): two micro-batches of query embeddings served against a
+    static corpus must produce exactly the batch twin's rows — the
+    micro-batch function IS the batch operator, and no state store is
+    involved."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.knn_stream import (
+        stream_knn_serve,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id").between(400, 409)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    d = tmp_path / "q_stream"
+    queries.filter(F.col("qid") % 2 == 0).write.parquet(str(d / "b0"))
+    queries.filter(F.col("qid") % 2 == 1).write.parquet(str(d / "b1"))
+
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    sink = "stream_knn_parity"
+    q = stream_knn_serve(
+        stream,
+        corpus,
+        k=3,
+        sink_table=sink,
+        checkpoint_dir=str(tmp_path / "ckpt_knn"),
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
+            for r in spark.table(sink).collect()
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {sink}")
+    want = {
+        (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in knn_join(queries, corpus, k=3, score_decimals=4).collect()
+    }
+    assert len(want) == 10 * 3
+    assert got == want
