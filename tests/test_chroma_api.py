@@ -611,3 +611,38 @@ def test_list_and_delete_collections(spark, tmp_path):
     with pytest.raises(CollectionNotFoundError):
         delete_collection(root, "alpha")
     assert list_collections(str(tmp_path / "missing_root")) == []
+
+
+def test_collection_name_traversal_rejected(spark, tmp_path):
+    """Names are single path components: a traversal ('../x') or
+    absolute name must raise BEFORE any filesystem mutation —
+    delete_collection rmtree's the joined path, so an unvalidated
+    name could irreversibly delete OUTSIDE the collection root."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        InvalidPathError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        create_collection,
+        delete_collection,
+        load_manifest,
+        modify_collection,
+    )
+
+    root = str(tmp_path / "colls")
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    (victim / "_manifest.json").write_text("{}")  # decoy manifest
+    create_collection(root, "ok", dim=4)
+
+    for bad in ("../victim", "/abs/path", "a/b", "..", "", "."):
+        with pytest.raises(InvalidPathError):
+            delete_collection(root, bad)
+        with pytest.raises(InvalidPathError):
+            create_collection(root, bad, dim=4)
+        with pytest.raises(InvalidPathError):
+            load_manifest(root, bad)
+    with pytest.raises(InvalidPathError):
+        modify_collection(root, "ok", new_name="../victim2")
+    assert victim.exists() and (victim / "_manifest.json").exists()

@@ -5,6 +5,7 @@ and incremental collection hydration via foreachBatch."""
 from __future__ import annotations
 
 import os
+import shutil
 import time
 
 import pytest
@@ -719,24 +720,42 @@ def test_stream_knn_serve_matches_batch(spark, tmp_path):
         .parquet(str(d))
     )
     sink = "stream_knn_parity"
-    q = stream_knn_serve(
-        stream,
-        corpus,
-        k=3,
-        sink_table=sink,
-        checkpoint_dir=str(tmp_path / "ckpt_knn"),
-    )
-    q.awaitTermination(120)
+    sink_dir = str(tmp_path / "knn_sink")
+
+    def run():
+        q = stream_knn_serve(
+            stream,
+            corpus,
+            k=3,
+            sink_path=sink_dir,
+            sink_table=sink,
+            checkpoint_dir=str(tmp_path / "ckpt_knn"),
+        )
+        q.awaitTermination(120)
+
+    run()
     try:
         got = {
             (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
             for r in spark.table(sink).collect()
         }
+        want = {
+            (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
+            for r in knn_join(queries, corpus, k=3, score_decimals=4).collect()
+        }
+        assert len(want) == 10 * 3
+        assert got == want
+        # Replay idempotence: wiping the checkpoint replays every
+        # micro-batch with the same batch ids; deterministic per-batch
+        # partition overwrite must converge to the SAME row set (a
+        # plain append sink would double every row here).
+        shutil.rmtree(str(tmp_path / "ckpt_knn"))
+        run()
+        replayed = spark.read.parquet(sink_dir).drop("batch_id").collect()
+        assert len(replayed) == 10 * 3
+        assert {
+            (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
+            for r in replayed
+        } == want
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {sink}")
-    want = {
-        (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
-        for r in knn_join(queries, corpus, k=3, score_decimals=4).collect()
-    }
-    assert len(want) == 10 * 3
-    assert got == want
+        spark.catalog.dropTempView(sink)

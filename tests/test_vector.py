@@ -434,6 +434,28 @@ def test_binary_quantize_non_multiple_of_32_dims(spark):
         assert got[i] == pack_sign_bits(v), i
 
 
+def test_binary_quantize_empty_vector_yields_empty_words(spark):
+    """A zero-length embedding must quantize to an EMPTY word array,
+    not raise: n_words=0 makes sequence(0, n_words-1) the DESCENDING
+    [0, -1], and word -1's idx <= 0 would reach element_at and raise
+    under Spark 4 ANSI — one empty row would abort a whole
+    knn_query_binary scan without the guard."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        binary_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(0, []), (1, [1.0] * 33), (2, None)], "id int, v array<float>"
+    )
+    got = {
+        r["id"]: (None if r["b"] is None else list(r["b"]))
+        for r in df.select("id", binary_quantize("v").alias("b")).collect()
+    }
+    assert got[0] == []
+    assert len(got[1]) == 2 and got[1][0] != 0
+    assert got[2] is None  # NULL vector stays NULL, does not raise
+
+
 def test_maxsim_mismatched_slot_widths_yield_null_not_garbage(spark):
     """Documented contract: unequal slot widths null the score (the
     cosine's zip_with pads with NULLs) — callers must keep equal

@@ -173,7 +173,11 @@ def binary_quantize(a: Column | str) -> Column:
     trailing positions past ``size(a)`` in the last word are 0 (the
     index is bounds-guarded BEFORE ``element_at`` — Spark 4's
     default ANSI mode raises on out-of-range element_at, so a
-    dim % 32 != 0 corpus must never evaluate the overhang)."""
+    dim % 32 != 0 corpus must never evaluate the overhang). A
+    zero-length (or NULL-sized) input yields an EMPTY word array —
+    without the guard, ``sequence(0, n_words-1)`` with n_words=0 is
+    the DESCENDING [0, -1] and word -1's idx<=0 would reach
+    element_at and raise under ANSI."""
     a = F.col(a) if isinstance(a, str) else a
     n = F.size(a)
     n_words = F.ceil(n / F.lit(32)).cast("int")
@@ -181,7 +185,7 @@ def binary_quantize(a: Column | str) -> Column:
     def word(w: Column) -> Column:
         def bit(acc: Column, b: Column) -> Column:
             idx = (w * 32 + b + 1).cast("int")
-            in_range = idx <= n
+            in_range = (idx >= 1) & (idx <= n)
             return acc * 2 + F.when(
                 in_range & (F.element_at(a, F.when(in_range, idx).otherwise(F.lit(1))) > 0),
                 F.lit(1),
@@ -191,7 +195,11 @@ def binary_quantize(a: Column | str) -> Column:
             F.sequence(F.lit(0), F.lit(31)), F.lit(0).cast("long"), bit
         )
 
-    return F.transform(F.sequence(F.lit(0), n_words - 1), word)
+    return (
+        F.when(a.isNull(), F.lit(None).cast("array<bigint>"))
+        .when(n_words > 0, F.transform(F.sequence(F.lit(0), n_words - 1), word))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
 
 
 def hamming_distance(x: Column | str, y: Column | str) -> Column:

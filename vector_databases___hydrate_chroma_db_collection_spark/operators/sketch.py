@@ -107,13 +107,21 @@ def cms_estimate(
     row-identity stability under fault recovery.
 
     The counters plan is materialized EAGERLY here, exactly once
-    (``localCheckpoint`` — the sketch is bounded at depth·width rows
-    by construction, so this is a few-KB block write). Without it,
-    each of the ``depth`` broadcast builds re-executed the whole
-    upstream aggregation — four full input scans for depth 4 when
-    the caller passes an unmaterialized plan, which at 100 TB is the
-    difference between one pass and four (and was the r5 2M-key
-    bench regression: 1.2-1.6 s -> 3.2 s)."""
+    (``persist()`` + a ``count()`` action — the sketch is bounded at
+    depth·width rows by construction, so this caches a few KB).
+    Without it, each of the ``depth`` broadcast builds re-executed
+    the whole upstream aggregation — four full input scans for depth
+    4 when the caller passes an unmaterialized plan, which at 100 TB
+    is the difference between one pass and four (and was the r5
+    2M-key bench regression: 1.2-1.6 s -> 3.2 s). NOTE this call is
+    therefore EAGER, not a lazy plan-builder: it runs the upstream
+    aggregation job at call time. ``persist`` (not
+    ``localCheckpoint``) keeps the lineage, so an executor loss
+    recomputes the lost blocks instead of failing the downstream
+    action. The cache entry is left pinned for the returned plan's
+    lifetime (it is only depth·width rows); callers that point-query
+    one sketch many times benefit, and LRU eviction reclaims it
+    otherwise."""
     if depth > 4:
         raise ValueError("cms depth > 4 exceeds the md5 slice budget")
     reserved = [
@@ -122,7 +130,8 @@ def cms_estimate(
     if reserved:
         raise ValueError(f"keys has reserved column names: {reserved}")
     key = F.col(key_col)
-    mat = counters.localCheckpoint(eager=True)
+    mat = counters.persist()
+    mat.count()
     out = keys
     est_terms = []
     for j in range(depth):

@@ -62,8 +62,32 @@ class CollectionManifest:
         return os.path.join(root, self.name)
 
 
+def validate_name(name: str) -> str:
+    """Collection names are single path components INSIDE the root.
+    Without this check, ``os.path.join(root, name)`` with a traversal
+    (``../x``) or absolute name escapes the root — and
+    ``delete_collection`` would then ``rmtree`` OUTSIDE it. Every
+    name-keyed op funnels through ``_manifest_file``, so validating
+    here covers create/load/list/delete/modify uniformly."""
+    bad = (
+        not name
+        or name in (".", "..")
+        or os.path.isabs(name)
+        or "/" in name
+        or (os.sep != "/" and os.sep in name)
+        or (os.altsep is not None and os.altsep in name)
+        or "\x00" in name
+    )
+    if bad:
+        raise InvalidPathError(
+            f"invalid collection name {name!r}: must be a single "
+            "relative path component (no separators, no '..')"
+        )
+    return name
+
+
 def _manifest_file(root: str, name: str) -> str:
-    return os.path.join(root, name, MANIFEST_NAME)
+    return os.path.join(root, validate_name(name), MANIFEST_NAME)
 
 
 def validate_path(root: str) -> str:
@@ -372,7 +396,7 @@ def modify_collection(
     root = validate_path(root)
     manifest = load_manifest(root, name)
     if new_name is not None and new_name != name:
-        target = os.path.join(root, new_name)
+        target = os.path.join(root, validate_name(new_name))
         if os.path.exists(target):
             raise InvalidPathError(f"collection {new_name!r} already exists")
         # Crash-safety: the dir move is the commit point. If we die

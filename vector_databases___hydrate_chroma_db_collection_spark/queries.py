@@ -1798,10 +1798,12 @@ def retrieval_matryoshka_prescreen_top5(spark: SparkSession, sf_dir: str) -> Dat
     fused AS (
         SELECT coalesce(v.doc_id, b.doc_id) AS doc_id,
                round(0.6 * coalesce(
-                         CASE WHEN vn.mx = vn.mn THEN 0.5
+                         CASE WHEN v.doc_id IS NULL THEN NULL
+                              WHEN vn.mx = vn.mn THEN 0.5
                               ELSE (v.cos - vn.mn) / (vn.mx - vn.mn) END, 0)
                    + 0.4 * coalesce(
-                         CASE WHEN bn.mx = bn.mn THEN 0.5
+                         CASE WHEN b.doc_id IS NULL THEN NULL
+                              WHEN bn.mx = bn.mn THEN 0.5
                               ELSE (b.bm25 - bn.mn) / (bn.mx - bn.mn) END, 0),
                      6) AS fused
         FROM vtop v

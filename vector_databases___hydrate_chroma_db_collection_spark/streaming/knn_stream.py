@@ -23,6 +23,8 @@ twin in the registry is ``knn_join_top3``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
@@ -42,6 +44,7 @@ def stream_knn_serve(
     corpus_embedding_col: str = "embedding",
     metric: str = "cosine",
     score_decimals: int | None = 4,
+    sink_path: str | None = None,
     sink_table: str = "stream_knn_results",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
@@ -49,19 +52,46 @@ def stream_knn_serve(
     """Serve a STREAM of query embeddings against a static corpus:
     every micro-batch of queries runs the batch ``knn_join`` (the
     corpus plan is re-used each batch, like the static side of a
-    stream-static join) and appends (qid, neighbor_id, score, rank)
-    rows to an in-memory sink table. Exactly-once per micro-batch
-    follows from foreachBatch's replay semantics plus the append-only
-    sink keyed by (qid, rank) — a replayed batch rewrites the same
-    rows.
+    stream-static join) and publishes (qid, neighbor_id, score, rank)
+    rows to a Parquet sink directory partitioned by micro-batch.
 
-    ``sink_table`` names the memory sink; pass a unique name per
-    concurrent stream. For production sinks swap the ``write`` call
-    inside ``serve_batch`` for a parquet/Kafka writer — the retrieval
-    plan is unchanged.
+    Exactly-once is REAL here, not assumed: ``foreachBatch`` is
+    at-least-once (a crash between the write and the checkpoint
+    commit replays the batch), so each batch writes with
+    ``mode("overwrite")`` into the DETERMINISTIC subdirectory
+    ``<sink_path>/batch_id=<id>`` — a replayed attempt overwrites its
+    own previous files and the sink converges to exactly one copy of
+    every (qid, rank) row regardless of attempt count. This is the
+    same replay-idempotence contract as ``stream_hydrate``'s
+    deterministic publish names, using partition-directory overwrite
+    instead of file renames because each batch owns a whole partition.
+
+    ``sink_path`` defaults to ``<checkpoint_dir>/../<sink_table>_data``
+    when a checkpoint is given, else a Spark-warehouse-relative dir.
+    ``sink_table`` names a TEMP VIEW registered over the sink
+    directory after each batch (``batch_id`` appears as a partition
+    column), so callers can ``spark.table(sink_table)``; pass a
+    unique name per concurrent stream. For production swap the writer
+    for Kafka/Delta — the retrieval plan is unchanged.
     """
 
-    def serve_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    # The view must land in the CALLER's session catalog: foreachBatch
+    # hands the batch a CLONED session whose temp-view registry is
+    # invisible to the original, so batch_df.sparkSession would
+    # register a view nobody can read.
+    origin_session = query_stream.sparkSession
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = origin_session
+        if sink_path is not None:
+            base = sink_path
+        elif checkpoint_dir is not None:
+            base = os.path.join(
+                os.path.dirname(os.path.abspath(checkpoint_dir)),
+                f"{sink_table}_data",
+            )
+        else:
+            base = os.path.join("spark-warehouse", f"{sink_table}_data")
         if batch_df.isEmpty():
             return
         out = knn_join(
@@ -75,7 +105,14 @@ def stream_knn_serve(
             metric=metric,
             score_decimals=score_decimals,
         )
-        out.write.mode("append").saveAsTable(sink_table)
+        # Deterministic per-batch partition dir; overwrite makes the
+        # replayed attempt idempotent (see module docstring).
+        out.write.mode("overwrite").parquet(
+            os.path.join(base, f"batch_id={batch_id}")
+        )
+        spark.read.option("basePath", base).parquet(base).createOrReplaceTempView(
+            sink_table
+        )
 
     writer = query_stream.writeStream.foreachBatch(serve_batch)
     if checkpoint_dir is not None:
