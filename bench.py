@@ -78,6 +78,10 @@ HEADLINE = [
     # r6 curation additions: rule-based gate + importance weighting
     "text_gopher_filters",
     "mix_dsir_importance_top20",
+    # r7 additions: positional ExactSubstr coverage (window-hash
+    # analytic + islands merge) and inverted-index build + probe
+    "dedup_exact_substring_coverage",
+    "text_inverted_index",
 ]
 
 
@@ -571,6 +575,28 @@ def main() -> None:
         assert n_pairs == n_docs // 100, f"expected {n_docs // 100} planted pairs, got {n_pairs}"
 
     record("synth50k_minhash_dedup", run_minhash)
+
+    # Same 50k corpus, ExactSubstr-style positional coverage at k=8:
+    # the 500 planted pairs are verbatim-identical 24-token docs, so
+    # exactly 1000 docs must come back fully covered (coverage 1.0) —
+    # recall asserted in-bench; everything else is random 5000-word
+    # text whose 8-grams cannot collide cross-doc.
+    def run_exact_substring_50k() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            exact_substring_coverage,
+            release_cache,
+        )
+
+        res = exact_substring_coverage(
+            docs, id_col="doc_id", text_col="text", k=8
+        )
+        n_full = res.filter(F.col("coverage") == 1.0).count()
+        release_cache(res)
+        assert n_full == 2 * (n_docs // 100), (
+            f"expected {2 * (n_docs // 100)} fully-covered planted dups, got {n_full}"
+        )
+
+    record("synth50k_exact_substring", run_exact_substring_50k)
     docs.unpersist()
 
     # ------------------------------------------------------------------
@@ -605,6 +631,63 @@ def main() -> None:
 
     record("synth2m_cms_heavy_key", run_cms_2m)
     skewed.unpersist()
+
+    # ------------------------------------------------------------------
+    # Scale probe: heavily skewed equi-join at 2M rows — 50% of the
+    # fact side lands on ONE key, the dim side (500k rows, wide
+    # payload) is above the broadcast threshold, so this is the
+    # sort-merge shape where a hot key becomes a straggler task.
+    # Measured twice: the naive join (AQE's skew-join splitting is ON
+    # and may absorb it at runtime) and the explicit salted_join
+    # (operators/relational.py — the plan-level insurance that also
+    # covers shapes AQE skew handling can't, e.g. aggregations over
+    # the same key). Row-count equality asserted between both paths.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        salted_join,
+    )
+
+    n_fact, n_dim = 2_000_000, 500_000
+    fact = (
+        spark.range(n_fact)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(
+            F.when(F.col("id") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_dim)))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        .cache()
+    )
+    fact.count()
+    dim = (
+        spark.range(n_dim)
+        .select(
+            F.col("id").alias("k"),
+            F.repeat(F.concat(F.lit("payload-"), F.col("id").cast("string")), 8).alias(
+                "label"
+            ),
+        )
+        .cache()
+    )
+    dim.count()
+    expected_rows = fact.count()  # every fact key exists in dim
+
+    # hint("merge") pins sort-merge: Spark's stats for range-derived
+    # plans underestimate the dim side and would broadcast it, which
+    # has no skew problem to measure.
+    def run_skew_naive() -> None:
+        got = fact.join(dim.hint("merge"), "k").count()
+        assert got == expected_rows, (got, expected_rows)
+
+    def run_skew_salted() -> None:
+        got = salted_join(fact, dim.hint("merge"), "k", buckets=8).count()
+        assert got == expected_rows, (got, expected_rows)
+
+    record("synth2m_skew_join_naive", run_skew_naive)
+    record("synth2m_skew_join_salted", run_skew_salted)
+    fact.unpersist()
+    dim.unpersist()
 
     # ------------------------------------------------------------------
     # Scale probe: PageRank on a synthetic 100k-edge directed graph

@@ -646,3 +646,69 @@ def test_collection_name_traversal_rejected(spark, tmp_path):
     with pytest.raises(InvalidPathError):
         modify_collection(root, "ok", new_name="../victim2")
     assert victim.exists() and (victim / "_manifest.json").exists()
+
+
+def test_export_import_roundtrip(spark, tmp_path):
+    """export_collection writes a self-contained flat snapshot;
+    import_collection restores it (optionally re-bucketed) with rows,
+    dim/metric, and collection metadata intact — and refuses to
+    overwrite an existing collection."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        CollectionNotFoundError,
+        InvalidPathError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        export_collection,
+        import_collection,
+        load_manifest,
+        modify_collection,
+        read_collection,
+    )
+
+    root = str(tmp_path / "src_root")
+    rows = [(str(i), f"doc {i}", [float(i), 0.5, -1.0], {"k": "v"}) for i in range(40)]
+    df = spark.createDataFrame(
+        rows,
+        "id string, document string, embedding array<float>, "
+        "metadata map<string,string>",
+    )
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(collection_name="src", root=root, n_buckets=4),
+    )
+    modify_collection(root, "src", metadata={"owner": "team-a"})
+
+    snap = str(tmp_path / "snapshot")
+    export_collection(spark, root, "src", snap)
+    # snapshot is self-contained flat parquet + manifest
+    assert spark.read.parquet(snap + "/data").count() == 40
+    assert "id_bucket" not in spark.read.parquet(snap + "/data").columns
+
+    root2 = str(tmp_path / "dst_root")
+    m = import_collection(spark, snap, root2, name="restored", n_buckets=2)
+    got = read_collection(spark, root2, "restored")
+    assert got.count() == 40
+    assert sorted(r["id"] for r in got.select("id").collect()) == sorted(
+        r[0] for r in rows
+    )
+    m2 = load_manifest(root2, "restored")
+    assert m2.dim == 3 and m2.n_buckets == 2
+    assert m2.metadata == {"owner": "team-a"}
+    # bucketed layout actually materialized
+    bucketed = read_collection(spark, root2, "restored", include_bucket=True)
+    assert "id_bucket" in bucketed.columns
+    assert bucketed.select("id_bucket").distinct().count() == 2
+
+    # refuses to clobber live data
+    with pytest.raises(InvalidPathError):
+        import_collection(spark, snap, root2, name="restored")
+    # non-snapshot dir is a typed error
+    with pytest.raises(CollectionNotFoundError):
+        import_collection(spark, str(tmp_path / "nope"), root2, name="x")

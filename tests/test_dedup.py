@@ -288,3 +288,134 @@ def test_gemm_neardup_rejects_null_embedding_rows(spark):
         embedding_neardup_pairs_gemm(
             df, id_col="vec_id", embedding_col="embedding", threshold=0.5
         )
+
+
+def test_exact_substring_coverage_interval_union(spark):
+    """Hand-built corpus pinning the positional semantics: docs 1 and
+    2 share an 8-token span embedded at different offsets, overlapping
+    duplicated windows union-merge (never double-count), and a doc
+    whose only repeats are WITHIN itself scores zero (cross-doc
+    requires min(id) != max(id) over the window hash)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        exact_substring_coverage,
+        release_cache,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        # 12 tokens: shared span at positions 3-10
+        (1, "x1 y1 " + shared + " z1 w1"),
+        # 10 tokens: shared span at positions 1-8
+        (2, shared + " q2 r2"),
+        # self-repetition only: 16 tokens, every 8-window repeats
+        # within doc 3 but nowhere else
+        (3, "rep sep tep uep vep wep xep yep " * 2),
+        # too short for any 8-window
+        (4, "tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = exact_substring_coverage(df, id_col="doc_id", text_col="text", k=8)
+    got = {r["id"]: r.asDict() for r in out.collect()}
+    release_cache(out)
+    # each doc contains the shared span exactly once -> 1 dup window,
+    # 8 covered tokens
+    assert got[1]["dup_windows"] == 1 and got[1]["covered_tokens"] == 8
+    assert got[1]["coverage"] == round(8 / 12, 4)
+    assert got[2]["dup_windows"] == 1 and got[2]["coverage"] == 0.8
+    assert got[3]["dup_windows"] == 0 and got[3]["coverage"] == 0.0
+    assert got[4]["n_tokens"] == 2 and got[4]["coverage"] == 0.0
+
+    # overlap merge: doc 5/6 share a 9-token span -> TWO overlapping
+    # 8-windows whose union is 9 tokens, not 16
+    span9 = shared + " india"
+    df2 = spark.createDataFrame(
+        [(5, span9 + " k5"), (6, "m6 " + span9)],
+        "doc_id int, text string",
+    )
+    out2 = exact_substring_coverage(df2, id_col="doc_id", text_col="text", k=8)
+    got2 = {r["id"]: r.asDict() for r in out2.collect()}
+    release_cache(out2)
+    assert got2[5]["dup_windows"] == 2 and got2[5]["covered_tokens"] == 9
+    assert got2[6]["dup_windows"] == 2 and got2[6]["covered_tokens"] == 9
+
+
+def test_exact_substring_coverage_matches_python_oracle_random(spark):
+    """Property check on a random small-vocab corpus (natural
+    cross-doc window collisions): per-doc (n_tokens, dup_windows,
+    covered_tokens) must equal a direct python computation — exercises
+    the min!=max cross-doc analytic, the islands merge, and the
+    short/empty-doc edges against an independent implementation."""
+    import random
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        exact_substring_coverage,
+        release_cache,
+    )
+
+    k = 4
+    rng = random.Random(20260814)
+    vocab = [f"t{i}" for i in range(8)]  # tiny vocab -> real collisions
+    rows = []
+    for i in range(30):
+        n = rng.randint(0, 12)  # includes empty and shorter-than-k docs
+        rows.append((i, " ".join(vocab[rng.randrange(len(vocab))] for _ in range(n))))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # independent python oracle
+    occ: dict[tuple, set] = {}
+    toks = {i: t.split() for i, t in rows}
+    for i, t in toks.items():
+        for p in range(len(t) - k + 1):
+            occ.setdefault(tuple(t[p : p + k]), set()).add(i)
+    want = {}
+    for i, t in toks.items():
+        if not t:
+            continue
+        covered: set = set()
+        dw = 0
+        for p in range(len(t) - k + 1):
+            if len(occ[tuple(t[p : p + k])]) >= 2:
+                dw += 1
+                covered.update(range(p, p + k))
+        want[i] = (len(t), dw, len(covered))
+
+    res = exact_substring_coverage(df, id_col="doc_id", text_col="text", k=k)
+    got = {
+        r["id"]: (r["n_tokens"], r["dup_windows"], r["covered_tokens"])
+        for r in res.collect()
+    }
+    release_cache(res)
+    assert got == want
+    # sanity: the tiny vocab actually produced duplicated windows
+    assert any(v[1] > 0 for v in want.values())
+
+
+def test_exact_substring_removal_keeps_earliest_copy(spark):
+    """The earliest doc keeps its text verbatim; a later doc loses
+    exactly the span that exists upstream; a verbatim full duplicate
+    collapses to the empty string; within-doc repetition alone is
+    never cut."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        exact_substring_removal,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, shared + " tail1 tail2"),
+        (2, "head2 " + shared + " tail3"),  # loses the shared span
+        (3, shared),                        # full duplicate -> empty
+        (4, "rep sep tep uep vep wep xep yep " * 2),  # self-repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["id"]: r.asDict()
+        for r in exact_substring_removal(
+            df, id_col="doc_id", text_col="text", k=8
+        ).collect()
+    }
+    assert got[1]["cleaned_text"] == rows[0][1]  # earliest: verbatim
+    assert got[1]["kept_tokens"] == 10
+    assert got[2]["cleaned_text"] == "head2 tail3"
+    assert got[2]["kept_tokens"] == 2
+    assert got[3]["cleaned_text"] == "" and got[3]["kept_tokens"] == 0
+    assert got[4]["kept_tokens"] == got[4]["n_tokens"] == 16

@@ -110,3 +110,15 @@ def test_binary_prescreen_two_stage_topk_no_shuffle(spark):
     assert plan.count("TakeOrderedAndProject") == 2, plan
     assert "Join" not in plan
     assert "Exchange" not in plan.replace("ReusedExchange", "")
+
+
+def test_partitioned_layout_prunes_partitions(spark):
+    """The hive-partitioned roundtrip must satisfy the event_type
+    filter with PARTITION pruning (directory listing), not row
+    filtering: the scan's PartitionFilters carry the predicate and
+    only 1/5 of the partitions is read."""
+    df = registry.QUERIES["layout_partitioned_write_prune"](spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan and "event_type" in plan, plan
+    # the predicate must NOT degrade to a post-scan row filter
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" not in plan

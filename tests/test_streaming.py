@@ -759,3 +759,77 @@ def test_stream_knn_serve_matches_batch(spark, tmp_path):
         } == want
     finally:
         spark.catalog.dropTempView(sink)
+
+
+def test_stream_knn_serve_with_ivf_index(spark, tmp_path):
+    """retrieval_fn plugs an ANN index into the streaming serve path:
+    the IVF index is built ONCE outside the stream and reused by every
+    micro-batch (the static side of the topology). With nprobe = all
+    cells the IVF result is exact, so the streamed rows must equal the
+    batch knn_join twin exactly."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_knn_join,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.knn_stream import (
+        stream_knn_serve,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id").between(400, 405)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    assigned, centroids = ivf_build(corpus, id_col="id", n_centroids=4)
+    assigned = assigned.cache()
+    assigned.count()
+
+    def serve_ivf(batch_queries):
+        return ivf_knn_join(
+            batch_queries,
+            assigned,
+            centroids,
+            k=3,
+            nprobe=4,  # all cells -> exact
+            metric="cosine",
+            score_decimals=4,
+        )
+
+    d = tmp_path / "q_stream_ivf"
+    queries.write.parquet(str(d / "b0"))
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    sink_dir = str(tmp_path / "ivf_sink")
+    q = stream_knn_serve(
+        stream,
+        corpus,
+        retrieval_fn=serve_ivf,
+        sink_path=sink_dir,
+        sink_table="stream_knn_ivf",
+        checkpoint_dir=str(tmp_path / "ckpt_ivf"),
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
+            for r in spark.table("stream_knn_ivf").collect()
+        }
+    finally:
+        spark.catalog.dropTempView("stream_knn_ivf")
+        assigned.unpersist()
+    want = {
+        (r["qid"], r["rank"]): (r["neighbor_id"], r["score"])
+        for r in knn_join(queries, corpus, k=3, score_decimals=4).collect()
+    }
+    assert len(want) == 6 * 3
+    assert got == want

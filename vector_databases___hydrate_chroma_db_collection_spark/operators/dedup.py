@@ -187,6 +187,218 @@ def dup_ngram_fraction(
     )
 
 
+def exact_substring_coverage(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    decimals: int = 4,
+) -> DataFrame:
+    """ExactSubstr dedup signal (Lee et al. 2022, §4.1 — their
+    suffix-array pass finds verbatim >=50-token spans shared across
+    documents; this is the distributed equivalent at k-token window
+    granularity): for every document, the fraction of its TOKEN
+    POSITIONS covered by at least one k-token window whose exact
+    token sequence also occurs in a DIFFERENT document. Unlike
+    ``dup_ngram_fraction`` (share of distinct shingles that are
+    duplicated anywhere), this is positional — overlapping duplicated
+    windows are union-merged, so the output is the actual fraction of
+    text an ExactSubstr-style cut would remove.
+
+    Output: (id, n_tokens, dup_windows, covered_tokens, coverage) —
+    one row per document with >= 1 token; docs shorter than ``k``
+    tokens have zero windows and coverage 0.
+
+    Plan shape, 100 TB honest:
+    1. one tokenize + positional-window explode (rows = total tokens,
+       same order as the corpus scan — no all-pairs stage anywhere);
+       windows carry the md5-derived 64-bit hash of the k-token
+       string, not the string (8-byte shuffle keys);
+    2. cross-document windows are detected with ONE analytic pass:
+       ``min(id) != max(id)`` over a window partitioned by the hash —
+       no distinct, no self-join, no posting-list collection (a
+       count-distinct would need a pre-distinct shuffle; min!=max is
+       an order-free streaming aggregate over the same shuffle);
+    3. per-document interval union by the classic gaps-and-islands
+       running ``max(end)`` — one window sort WITHIN each document
+       (bounded by document length, never corpus length);
+    4. hash-agg per document + one 1:1 join back for token counts.
+    Three key-partitioned shuffles total (window hash, doc id sort,
+    doc id agg). Mega-common windows (boilerplate) are plain window
+    skew, which AQE splits; they produce NO candidate pairs because
+    nothing here enumerates pairs."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        tokens,
+    )
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(target)
+        .select("_id", tokens(normalize_text("_text")).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select("_id", "_t", F.size("_t").alias("n_tokens"))
+    )
+    toks = toks.persist()
+    win = toks.filter(F.col("n_tokens") >= k).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(k - 1)),
+                lambda i: hash64(F.concat_ws(" ", F.slice("_t", i, k))),
+            )
+        ).alias("_pos0", "_wh"),
+    )
+    # cross-doc test without distinct or join: over all occurrences of
+    # one window hash, min(id) != max(id)  <=>  >= 2 distinct docs
+    wh = Window.partitionBy("_wh")
+    dup = win.withColumn(
+        "_cross", F.min("_id").over(wh) != F.max("_id").over(wh)
+    ).filter(F.col("_cross"))
+    # gaps-and-islands union of [start, end] = [pos0+1, pos0+k] per doc
+    wd = (
+        Window.partitionBy("_id")
+        .orderBy("_pos0")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_pos0") + 1
+    end = F.col("_pos0") + k
+    prev_end = F.coalesce(F.max(end).over(wd), F.lit(0))
+    per_doc = (
+        dup.withColumn(
+            "_inc", F.greatest(end - F.greatest(start - 1, prev_end), F.lit(0))
+        )
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_windows"),
+            F.sum("_inc").alias("covered_tokens"),
+        )
+    )
+    out = (
+        toks.select("_id", "n_tokens")
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias("id"),
+            "n_tokens",
+            F.coalesce(F.col("dup_windows"), F.lit(0)).alias("dup_windows"),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).alias(
+                "covered_tokens"
+            ),
+        )
+        .withColumn(
+            "coverage",
+            F.round(
+                F.col("covered_tokens") / F.col("n_tokens").cast("double"),
+                decimals,
+            ),
+        )
+    )
+    return _attach_cache(out, toks)
+
+
+def exact_substring_removal(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """The CUT half of ExactSubstr dedup (Lee et al. 2022 §4.1 remove
+    all-but-one occurrence of every duplicated >= k-token span; doc
+    granularity here): a token position is removed when it sits in a
+    k-token window whose exact sequence ALSO occurs in an EARLIER
+    document (``min(id) over the window hash < this id``) — so the
+    earliest document keeps its text verbatim and later copies lose
+    exactly the spans that already exist upstream. Deterministic and
+    order-free: ownership is a pure function of ids, not of execution
+    order.
+
+    Output: (id, n_tokens, kept_tokens, cleaned_text) — one row per
+    non-empty doc; a fully-duplicated doc keeps 0 tokens and an empty
+    string (downstream filters drop it, which IS the dedup).
+
+    Plan shape on top of ``exact_substring_coverage``'s stages: the
+    cut intervals explode to covered POSITIONS (fan-out k per dup
+    window, bounded by dup density), the token stream posexplodes
+    once (rows = corpus tokens, the same cardinality the tokenizer
+    already produced), the kept set is one anti-join on (id, pos),
+    and the text rebuilds with an order-free
+    ``sort_array(collect_list(struct(pos, tok)))`` per doc — grouped
+    by doc, so the collected list is bounded by DOCUMENT length,
+    never corpus length."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        tokens,
+    )
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    toks = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+        .repartition(target)
+        .select("_id", tokens(normalize_text("_text")).alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select("_id", "_t", F.size("_t").alias("n_tokens"))
+        .localCheckpoint(eager=False)
+    )
+    win = toks.filter(F.col("n_tokens") >= k).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(k - 1)),
+                lambda i: hash64(F.concat_ws(" ", F.slice("_t", i, k))),
+            )
+        ).alias("_pos0", "_wh"),
+    )
+    wh = Window.partitionBy("_wh")
+    owned_elsewhere = win.withColumn(
+        "_min_id", F.min("_id").over(wh)
+    ).filter(F.col("_min_id") < F.col("_id"))
+    covered = owned_elsewhere.select(
+        "_id",
+        F.explode(
+            F.sequence(F.col("_pos0") + 1, F.col("_pos0") + F.lit(k))
+        ).alias("_p"),
+    ).distinct()
+    positions = toks.select(
+        "_id", F.posexplode("_t").alias("_p0", "_tok")
+    ).select("_id", (F.col("_p0") + 1).alias("_p"), "_tok")
+    kept = positions.join(covered, ["_id", "_p"], "anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        toks.select("_id", "n_tokens")
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias("id"),
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     *,

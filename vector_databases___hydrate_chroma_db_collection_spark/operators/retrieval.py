@@ -93,6 +93,52 @@ def bm25_scores(
     )
 
 
+def inverted_postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Build an inverted index over the corpus — the data structure
+    behind every lexical search engine, materialized the only way
+    that survives 100 TB: postings as DISTRIBUTED ROWS, never as
+    collected arrays (a per-term ``collect_list`` would put a
+    stop-word's entire posting list — potentially most of the corpus
+    — into one struct in one task; as rows, a hot term is ordinary
+    partition skew that AQE splits).
+
+    Returns ``(postings, term_stats)``:
+    - postings:   (term, id_col, tf) — one row per distinct
+      (term, document) pair, tf = in-document term frequency. This
+      IS the index: a searcher filters ``term isin query`` and
+      aggregates per document (exactly what ``bm25_scores`` computes
+      on the fly; building once amortizes it across queries).
+    - term_stats: (term, df, total_tf) — the per-term dictionary
+      (document frequency + corpus frequency), e.g. for idf, vocab
+      pruning, or stop-word discovery.
+
+    ``min_df`` drops hapax/rare terms from BOTH outputs (index-size
+    control; the dictionary is filtered with a broadcast semi-join so
+    the postings shuffle happens once). Plan: one tokenize + explode
+    -> (term, id) hash-agg -> term hash-agg; two key-partitioned
+    shuffles, all aggregates map-side combinable."""
+    tok = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens(normalize_text(text_col))).alias("term"),
+    )
+    postings = tok.groupBy("term", "_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    if min_df > 1:
+        stats = stats.filter(F.col("df") >= min_df)
+        postings = postings.join(
+            F.broadcast(stats.select("term")), "term", "semi"
+        )
+    return postings.withColumnRenamed("_id", id_col), stats
+
+
 def top_ranks(
     scored: DataFrame,
     score_col: str,

@@ -537,6 +537,91 @@ def compact_collection(
     return n_after
 
 
+def export_collection(
+    spark: SparkSession, root: str, name: str, dest: str
+) -> str:
+    """Export a collection to a SELF-CONTAINED portable snapshot dir:
+    ``dest/_manifest.json`` + ``dest/data/*.parquet`` in the
+    canonical flat 4-column schema. The Chroma analogue is copying a
+    PersistentClient directory to ship a hydrated store to another
+    host (the reference's persistentPath IS such a directory,
+    sas:126-131); ours is engine-portable parquet, so the snapshot is
+    readable by anything that reads parquet — no manifest pointer,
+    no bucket dirs, no version history (a snapshot is one version by
+    definition).
+
+    The data copy is a distributed Spark write (scan -> write, fully
+    partition-parallel, no driver materialization), NOT a file copy:
+    it resolves the ``_current`` pointer once, so a concurrent
+    upsert/compaction swap mid-export still yields a CONSISTENT
+    snapshot of whichever version the export started from. Returns
+    ``dest``."""
+    manifest = load_manifest(root, name)
+    dest = validate_path(dest)
+    os.makedirs(dest, exist_ok=True)
+    df = read_collection(spark, root, name)  # resolves pointer ONCE
+    df.write.mode("overwrite").parquet(os.path.join(dest, DATA_DIR))
+    snap = CollectionManifest(
+        **{**asdict(manifest), "version": 1, "n_buckets": None}
+    )
+    tmp = os.path.join(dest, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(asdict(snap), f)
+    os.replace(tmp, os.path.join(dest, MANIFEST_NAME))
+    return dest
+
+
+def import_collection(
+    spark: SparkSession,
+    snapshot: str,
+    root: str,
+    *,
+    name: str | None = None,
+    n_buckets: int | None = None,
+) -> CollectionManifest:
+    """Import an ``export_collection`` snapshot as a NEW collection
+    under ``root`` (errors if the target name already exists — import
+    never silently merges into live data). ``name`` defaults to the
+    snapshot's recorded name; ``n_buckets`` re-buckets on ingest
+    (recomputing ``id_bucket`` from the ids), so a flat snapshot can
+    land as a bucketed collection ready for pruned upserts. The data
+    load is a distributed scan -> write into the fresh collection's
+    data dir, then the standard atomic pointer swap publishes it."""
+    snapshot = validate_path(snapshot)
+    mf_path = os.path.join(snapshot, MANIFEST_NAME)
+    if not os.path.exists(mf_path):
+        raise CollectionNotFoundError(
+            f"no snapshot manifest at {mf_path!r}; not an exported snapshot"
+        )
+    with open(mf_path) as f:
+        snap = CollectionManifest(**json.load(f))
+    target = name or snap.name
+    if os.path.exists(_manifest_file(root, target)):
+        raise InvalidPathError(
+            f"collection {target!r} already exists under {root!r}; "
+            "import refuses to overwrite live data"
+        )
+    manifest = get_or_create_collection(
+        root, target, snap.dim, snap.metric, n_buckets=n_buckets
+    )
+    if snap.metadata:
+        manifest = modify_collection(root, target, metadata=snap.metadata)
+    df = spark.read.parquet(os.path.join(snapshot, DATA_DIR)).select(
+        "id", "document", "embedding", "metadata"
+    )
+    staging = next_data_dir(root, target)
+    if n_buckets:
+        from pyspark.sql import functions as F
+
+        df.withColumn(
+            "id_bucket", F.pmod(F.xxhash64("id"), F.lit(n_buckets))
+        ).write.mode("overwrite").partitionBy("id_bucket").parquet(staging)
+    else:
+        df.write.mode("overwrite").parquet(staging)
+    swap_data_dir(root, target, staging)
+    return manifest
+
+
 def vacuum_collection(
     root: str, name: str, *, older_than_s: float = 3600.0, keep_last: int = 0
 ) -> list[str]:

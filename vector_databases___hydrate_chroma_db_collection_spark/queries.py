@@ -6602,6 +6602,558 @@ def dedup_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dup_ngram_fraction(d, id_col="doc_id", text_col="text", n=3)
 
 
+_ESS_K = 8  # ExactSubstr window length in tokens
+
+
+@query(
+    "dedup_exact_substring_coverage",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS t FROM documents
+    ),
+    nt AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks WHERE len(t) > 0),
+    wl AS (
+        SELECT doc_id,
+               list_transform(range(1, n_tokens - {_ESS_K} + 2),
+                   i -> {_HASH64.format(
+                       x=f"array_to_string(list_slice(t, i, i + {_ESS_K - 1}), ' ')"
+                   )}) AS ws
+        FROM nt WHERE n_tokens >= {_ESS_K}
+    ),
+    win AS (
+        SELECT doc_id, unnest(range(1, len(ws) + 1)) AS s, unnest(ws) AS wh
+        FROM wl
+    ),
+    cw AS (
+        SELECT doc_id, s, s + {_ESS_K - 1} AS e,
+               min(doc_id) OVER (PARTITION BY wh)
+                   <> max(doc_id) OVER (PARTITION BY wh) AS x
+        FROM win
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pe
+        FROM cw WHERE x
+    ),
+    pd AS (
+        SELECT doc_id, count(*) AS dup_windows,
+               CAST(sum(greatest(e - greatest(s - 1, pe), 0)) AS BIGINT)
+                   AS covered_tokens
+        FROM isl GROUP BY 1
+    )
+    SELECT n.doc_id AS id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(p.dup_windows, 0) AS dup_windows,
+           coalesce(p.covered_tokens, 0) AS covered_tokens,
+           round(coalesce(p.covered_tokens, 0)::DOUBLE / n.n_tokens, 4)
+               AS coverage
+    FROM nt n LEFT JOIN pd p USING (doc_id)
+    """,
+)
+def dedup_exact_substring_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr coverage (Lee et al. 2022 §4.1, the suffix-array
+    dedup, at 8-token window granularity): per document, the fraction
+    of TOKEN POSITIONS inside at least one 8-token window whose exact
+    token sequence also occurs in a different document — overlapping
+    duplicated windows union-merged by a gaps-and-islands running
+    max, i.e. the actual share of text an ExactSubstr cut removes
+    (positional, unlike dedup_dup_ngram_fraction's distinct-shingle
+    share). Cross-doc detection is one min(id)!=max(id) analytic over
+    the window-hash partition — no distinct, no self-join, no
+    posting-list collection (operators/dedup.py::
+    exact_substring_coverage; three bounded shuffles at any scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = D.exact_substring_coverage(
+        d, id_col="doc_id", text_col="text", k=_ESS_K
+    )
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_windows",
+        "covered_tokens",
+        "coverage",
+    )
+
+
+@query(
+    "dedup_exact_substring_removal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS t FROM documents
+    ),
+    nt AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks WHERE len(t) > 0),
+    wl AS (
+        SELECT doc_id,
+               list_transform(range(1, n_tokens - {_ESS_K} + 2),
+                   i -> {_HASH64.format(
+                       x=f"array_to_string(list_slice(t, i, i + {_ESS_K - 1}), ' ')"
+                   )}) AS ws
+        FROM nt WHERE n_tokens >= {_ESS_K}
+    ),
+    win AS (
+        SELECT doc_id, unnest(range(1, len(ws) + 1)) AS s, unnest(ws) AS wh
+        FROM wl
+    ),
+    owned AS (
+        SELECT doc_id, s,
+               min(doc_id) OVER (PARTITION BY wh) AS min_id
+        FROM win
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, unnest(range(s, s + {_ESS_K})) AS p
+        FROM owned WHERE min_id < doc_id
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(1, len(t) + 1)) AS p, unnest(t) AS tok
+        FROM nt
+    ),
+    kept AS (
+        SELECT pos.doc_id, pos.p, pos.tok
+        FROM pos LEFT JOIN covered c USING (doc_id, p)
+        WHERE c.p IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, count(*) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+        FROM kept GROUP BY 1
+    )
+    SELECT n.doc_id AS id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+           coalesce(r.kept_tokens, 0) AS kept_tokens,
+           coalesce(r.cleaned_text, '') AS cleaned_text
+    FROM nt n LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_exact_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of ExactSubstr dedup: token positions inside an
+    8-token window whose exact sequence also occurs in an EARLIER doc
+    (min id over the window hash < this id) are removed and the text
+    rebuilt from the survivors — the earliest doc keeps its text
+    verbatim, later copies lose exactly the spans that already exist
+    upstream, a fully-duplicated doc collapses to the empty string
+    (operators/dedup.py::exact_substring_removal; rebuild is an
+    order-free sort_array(collect_list) bounded by DOCUMENT length).
+    Complements dedup_exact_substring_coverage (the MEASURE half)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = D.exact_substring_removal(
+        d, id_col="doc_id", text_col="text", k=_ESS_K
+    )
+    return out.select(
+        "id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "kept_tokens",
+        "cleaned_text",
+    )
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS t FROM documents
+    ),
+    tf AS (
+        SELECT t AS term, doc_id, count(*) AS tf FROM tok
+        WHERE t IN {str(tuple(_BM25_TERMS))} GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY 1
+    ),
+    r AS (
+        SELECT tf.term, tf.doc_id, tf.tf, st.df, st.total_tf,
+               row_number() OVER (PARTITION BY tf.term
+                   ORDER BY tf.tf DESC, tf.doc_id) AS rank
+        FROM tf JOIN st USING (term)
+    )
+    SELECT term, doc_id, tf, df, total_tf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (operators/retrieval.py::
+    inverted_postings) — postings as DISTRIBUTED ROWS (term, doc, tf)
+    plus the per-term dictionary (df, total_tf), the layout that
+    survives a stop-word's corpus-sized posting list at 100 TB where
+    a collect_list posting array cannot. The query materializes the
+    index and serves a dictionary lookup: for the fixture term set,
+    the top-5 postings per term by (tf, doc) with term stats
+    attached — i.e. the exact probe a lexical searcher runs."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        inverted_postings,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    probe = postings.filter(F.col("term").isin(list(_BM25_TERMS)))
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        probe.join(F.broadcast(stats), "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("term", "doc_id", "tf", "df", "total_tf", "rank")
+    )
+
+
+@query(
+    "collection_export_import",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '5'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '5'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot portability roundtrip: hydrate a BUCKETED collection,
+    ``export_collection`` it to a self-contained flat snapshot
+    (manifest + canonical parquet — readable by anything), then
+    ``import_collection`` the snapshot under a new root/name and
+    serve a top-5 cosine query from the IMPORTED copy. The oracle is
+    the brute-force scan of the original corpus, so the whole
+    export->import->query path is value-checked; both data moves are
+    distributed scan->write jobs, never driver-side file copies
+    (plans/collection.py::export_collection/import_collection)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        export_collection,
+        import_collection,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_exp_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="src",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+            n_buckets=4,
+        ),
+    )
+    snap = export_collection(
+        spark, root, "src", tempfile.mkdtemp(prefix="vdb_snap_")
+    )
+    root2 = tempfile.mkdtemp(prefix="vdb_imp_")
+    import_collection(spark, snap, root2, name="restored")
+    coll = read_collection(spark, root2, "restored")
+    qvec = list(coll.filter(F.col("id") == "5").first()["embedding"])
+    return knn_query(
+        coll.filter(F.col("id") != "5"),
+        qvec,
+        k=5,
+        id_col="id",
+        embedding_col="embedding",
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "layout_partitioned_write_prune",
+    """
+    SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_clicks,
+           round(sum(value), 2) AS click_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned DISK LAYOUT as an operator: events are
+    written ``partitionBy(event_type)`` (the standard coarse
+    first-level layout under Z-order's intra-file clustering,
+    functions/layout.py), then read back with an event_type filter —
+    which Spark satisfies by LISTING only the matching partition
+    directory: the scan's PartitionFilters prune 4/5 of the data
+    before any file is opened (asserted in tests/test_plans.py). The
+    oracle aggregates the original table, so the roundtrip through
+    the partitioned layout is value-checked, not just plan-checked.
+    Every run writes a fresh temp dir (driver re-invocations stay
+    idempotent)."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="vdb_layout_")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    return back.groupBy(
+        F.date_format(F.date_trunc("day", "ts").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    )
+
+
+@query(
+    "vocab_bpe_pair_merges",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS.format(x=_NORM)}) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                   i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1))) AS pair,
+               cnt
+        FROM wc WHERE length(w) >= 2
+    ),
+    agg AS (
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS merges FROM pairs GROUP BY 1
+    ),
+    r AS (
+        SELECT pair, merges,
+               row_number() OVER (ORDER BY merges DESC, pair) AS rank
+        FROM agg
+    )
+    SELECT pair, merges, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+    """,
+)
+def vocab_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration's core computation (Sennrich et al.
+    2016): corpus-frequency-weighted counts of ADJACENT symbol pairs
+    within words (character-level init), whose argmax is the next
+    merge rule. The scale-critical trick: pairs are counted over the
+    DISTINCT-WORD table weighted by word count — the pair explode
+    touches |vocab| rows, not |corpus| tokens (the standard dictionary
+    optimization; at 100 TB the vocab table is millions of rows while
+    the token stream is trillions). Words shorter than 2 chars are
+    filtered BEFORE the pair transform: sequence(1, len-1) at len=1
+    is the DESCENDING [1, 0] (same ANSI trap as binary_quantize)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens(normalize_text("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.col("w")
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.concat(
+                        w.substr(i, F.lit(1)),
+                        F.lit(" "),
+                        w.substr(i + 1, F.lit(1)),
+                    ),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("merges"))
+    )
+    from pyspark.sql import Window
+
+    ranked = pairs.orderBy(F.col("merges").desc(), F.col("pair")).limit(20)
+    return ranked.select(
+        "pair",
+        "merges",
+        F.row_number()
+        .over(Window.orderBy(F.col("merges").desc(), F.col("pair")))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+@query(
+    "timeseries_gap_fill_daily",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+               round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+    ),
+    days AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM span
+    ),
+    joined AS (
+        SELECT d.user_id, d.day, dl.v,
+               CASE WHEN dl.v IS NULL THEN 1 ELSE 0 END AS is_gap
+        FROM days d LEFT JOIN daily dl USING (user_id, day)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+           is_gap
+    FROM joined
+    """,
+)
+def timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill: each user's daily
+    spend series is completed to EVERY calendar day between their
+    first and last active day (sequence + explode — generated rows,
+    no join against a calendar table), missing days flagged and
+    forward-filled with ``last(v, ignorenulls)`` over the per-user
+    ordered frame. The gap-generation fan-out is bounded by each
+    user's own span, and the fill window sorts WITHIN user partitions
+    only — both properties hold when users number in the billions.
+    The first day per user is never null (the span starts at an
+    observed day), so the fill is total."""
+    # lazy localCheckpoint: daily feeds BOTH the span aggregate and
+    # the gap left-join — without it each branch re-runs the events
+    # scan + agg (same two-consumer pattern as bm25_scores' token
+    # stream)
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .localCheckpoint(eager=False)
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    days = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = days.join(daily, ["user_id", "day"], "left").withColumn(
+        "is_gap", F.when(F.col("v").isNull(), 1).otherwise(0)
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        F.col("is_gap").cast("int").alias("is_gap"),
+    )
+
+
+@query(
+    "mix_negative_sampling",
+    f"""
+    WITH n AS (SELECT count(*) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+    draws AS (
+        SELECT a.doc_id, j,
+               {_HASH64.format(
+                   x="CAST(a.doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)"
+               )} % n.n_docs AS raw
+        FROM anchors a, unnest(range(1, 5)) AS jj(j), n
+    ),
+    negs AS (
+        SELECT doc_id, j,
+               CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n_docs FROM n)
+                    ELSE raw END AS neg_id
+        FROM draws
+    )
+    SELECT ng.doc_id, CAST(ng.j AS BIGINT) AS j, ng.neg_id, d.source AS neg_source
+    FROM negs ng JOIN documents d ON d.doc_id = ng.neg_id
+    """,
+)
+def mix_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-batch negative sampling for contrastive
+    training (the data-prep step behind every embedding-model recipe,
+    e.g. DPR/SimCSE): each anchor draws 4 pseudo-random corpus
+    negatives via the portable md5 hash of (anchor, draw index) mod
+    corpus size, collision with the anchor bumped to the next id.
+    Hash draws instead of rand() make the sample reproducible across
+    runs, engines, AND retries (a task retry with rand() would
+    silently resample — the same reason the hash split operator
+    exists). Corpus size enters as a broadcast 1-row aggregate, the
+    negative fetch is one equi-join on neg_id; nothing here scales
+    worse than the corpus scan."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    draws = (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(4))).alias("j"),
+            "n_docs",
+        )
+        .withColumn(
+            "raw",
+            hash64(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % F.col("n_docs"),
+        )
+        .withColumn(
+            "neg_id",
+            F.when(
+                F.col("raw") == F.col("doc_id"),
+                (F.col("raw") + 1) % F.col("n_docs"),
+            ).otherwise(F.col("raw")),
+        )
+    )
+    return draws.join(
+        d.select(F.col("doc_id").alias("neg_id"), F.col("source")), "neg_id"
+    ).select(
+        "doc_id",
+        F.col("j").cast("long").alias("j"),
+        "neg_id",
+        F.col("source").alias("neg_source"),
+    )
+
+
 _PII_EMAIL = T.PII_PATTERNS["email"]
 _PII_IPV4 = T.PII_PATTERNS["ipv4"]
 _PII_PHONE = T.PII_PATTERNS["phone"]

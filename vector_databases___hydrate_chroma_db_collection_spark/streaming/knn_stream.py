@@ -44,6 +44,7 @@ def stream_knn_serve(
     corpus_embedding_col: str = "embedding",
     metric: str = "cosine",
     score_decimals: int | None = 4,
+    retrieval_fn=None,
     sink_path: str | None = None,
     sink_table: str = "stream_knn_results",
     checkpoint_dir: str | None = None,
@@ -65,6 +66,15 @@ def stream_knn_serve(
     same replay-idempotence contract as ``stream_hydrate``'s
     deterministic publish names, using partition-directory overwrite
     instead of file renames because each batch owns a whole partition.
+
+    ``retrieval_fn`` swaps the per-batch retrieval plan: a callable
+    ``(batch_queries: DataFrame) -> DataFrame`` replacing the default
+    exact ``knn_join`` — pass e.g. a partial over ``ivf_knn_join``
+    with a pre-built index to serve the stream from an ANN index (the
+    static side is built ONCE outside the stream and reused every
+    micro-batch, exactly like a stream-static join's static plan;
+    tests/test_streaming.py drives this with IVF). The exactly-once
+    sink contract is independent of the retrieval plan.
 
     ``sink_path`` defaults to ``<checkpoint_dir>/../<sink_table>_data``
     when a checkpoint is given, else a Spark-warehouse-relative dir.
@@ -94,17 +104,20 @@ def stream_knn_serve(
             base = os.path.join("spark-warehouse", f"{sink_table}_data")
         if batch_df.isEmpty():
             return
-        out = knn_join(
-            batch_df,
-            corpus,
-            k=k,
-            query_id_col=query_id_col,
-            query_embedding_col=query_embedding_col,
-            corpus_id_col=corpus_id_col,
-            corpus_embedding_col=corpus_embedding_col,
-            metric=metric,
-            score_decimals=score_decimals,
-        )
+        if retrieval_fn is not None:
+            out = retrieval_fn(batch_df)
+        else:
+            out = knn_join(
+                batch_df,
+                corpus,
+                k=k,
+                query_id_col=query_id_col,
+                query_embedding_col=query_embedding_col,
+                corpus_id_col=corpus_id_col,
+                corpus_embedding_col=corpus_embedding_col,
+                metric=metric,
+                score_decimals=score_decimals,
+            )
         # Deterministic per-batch partition dir; overwrite makes the
         # replayed attempt idempotent (see module docstring).
         out.write.mode("overwrite").parquet(
