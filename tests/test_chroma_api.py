@@ -712,3 +712,42 @@ def test_export_import_roundtrip(spark, tmp_path):
     # non-snapshot dir is a typed error
     with pytest.raises(CollectionNotFoundError):
         import_collection(spark, str(tmp_path / "nope"), root2, name="x")
+
+
+def test_query_batch_matches_single_queries(spark, tmp_path):
+    """collection_query_batch must reproduce collection_query row-for-
+    row per embedding (same filters, same metric conventions), carry
+    the positional qid, and honor include_distance."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query,
+        collection_query_batch,
+    )
+
+    root = _hydrated(spark, tmp_path)
+    vecs = [[1.0, 0.0], [0.0, 1.0]]
+    batch = collection_query_batch(
+        spark, root, "api", vecs, n_results=3,
+        where={"rating": {"$lte": 4}}, score_decimals=4,
+        include_distance=True,
+    ).collect()
+    for qid, v in enumerate(vecs):
+        single = collection_query(
+            spark, root, "api", v, n_results=3,
+            where={"rating": {"$lte": 4}}, score_decimals=4,
+        ).collect()
+        got = [r for r in batch if r["qid"] == qid]
+        assert [r["id"] for r in got] == [r["id"] for r in single]
+        assert [r["score"] for r in got] == [r["score"] for r in single]
+        assert [r["document"] for r in got] == [r["document"] for r in single]
+        assert [r["rank"] for r in got] == list(range(1, len(single) + 1))
+        for r in got:
+            assert abs(r["distance"] - (1.0 - r["score"])) < 1e-9
+
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import EngineError
+
+    with pytest.raises(EngineError):
+        collection_query_batch(spark, root, "api", [])
+    with pytest.raises(EngineError):
+        collection_query_batch(spark, root, "api", [[1.0, 0.0, 0.0]])

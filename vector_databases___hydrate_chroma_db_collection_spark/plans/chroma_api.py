@@ -406,6 +406,82 @@ def collection_query(
     return scored.orderBy(*order).limit(n_results).select(*cols)
 
 
+def collection_query_batch(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vectors: list[list[float]],
+    n_results: int = 10,
+    *,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    score_decimals: int | None = None,
+    include_distance: bool = False,
+) -> DataFrame:
+    """``collection.query`` with MULTIPLE query embeddings — Chroma's
+    native signature (``query_embeddings`` is a list; results come
+    back per query). Returns one row per (query, neighbor):
+    ``(qid, rank, id, document, metadata, score[, distance])`` with
+    ``qid`` the 0-based index into ``query_vectors``, mirroring
+    Chroma's positional result lists.
+
+    Plan: the query batch broadcasts (it is request-sized, never
+    corpus-sized), the filtered collection streams ONCE through
+    ``knn_join``'s two-level top-k (per-partition partial top-k, then
+    a per-query merge of <= k x partitions candidates — the shuffle
+    carries queries x k rows, not the corpus), and the payload
+    columns re-attach via one equi-join on id bounded by
+    queries x k rows. Same metric/distance conventions as
+    ``collection_query`` (see its docstring), with one divergence:
+    when ``score_decimals`` is set, ``distance`` derives from the
+    ROUNDED score (the join discards the unrounded value) — rank
+    order is unaffected."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join,
+    )
+
+    manifest = load_manifest(root, name)
+    if not query_vectors:
+        raise EngineError("query_vectors must be non-empty")
+    for i, v in enumerate(query_vectors):
+        if len(v) != manifest.dim:
+            raise EngineError(
+                f"query vector {i} dim {len(v)} != collection dim {manifest.dim}"
+            )
+    corpus = _filtered(
+        read_collection(spark, root, name), None, where, where_document
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+        "qid int, q_embedding array<float>",
+    )
+    nn = knn_join(
+        queries,
+        corpus,
+        k=n_results,
+        metric=manifest.metric,
+        score_decimals=score_decimals,
+    )
+    out = nn.join(
+        corpus.select(
+            F.col("id").alias("neighbor_id"), "document", "metadata"
+        ),
+        "neighbor_id",
+    )
+    cols = ["qid", "rank", "id", "document", "metadata", "score"]
+    out = out.withColumnRenamed("neighbor_id", "id")
+    if include_distance:
+        asc_metric = manifest.metric == "l2"
+        dist = (
+            F.col("score") * F.col("score")
+            if asc_metric
+            else F.lit(1.0) - F.col("score")
+        )
+        out = out.withColumn("distance", dist)
+        cols.append("distance")
+    return out.select(*cols).orderBy("qid", "rank")
+
+
 def collection_delete(
     spark: SparkSession,
     root: str,

@@ -6919,6 +6919,89 @@ def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "collection_query_batch_top3",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text AS document,
+               e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    q AS (
+        SELECT 0 AS qid, emb AS qe FROM corpus WHERE id = '7'
+        UNION ALL
+        SELECT 1 AS qid, emb AS qe FROM corpus WHERE id = '11'
+    ),
+    scored AS (
+        SELECT q.qid, c.id, c.document,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS score
+        FROM corpus c, q
+    ),
+    ranked AS (
+        SELECT qid, id, document, score,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id) AS rank
+        FROM scored
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, id, document, score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def collection_query_batch_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma's NATIVE multi-embedding ``collection.query`` signature
+    (``query_embeddings`` is a list; results are positional per
+    query): hydrate a collection, then answer a 2-query batch with
+    payload columns attached, via
+    plans/chroma_api.py::collection_query_batch — the query batch
+    broadcasts through knn_join's two-level top-k (shuffle carries
+    queries x k rows, never the corpus) and documents re-attach by
+    one bounded equi-join. Oracle replays both queries brute-force."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_qb_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="qb",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+        ),
+    )
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.filter(F.col("vec_id").isin([7, 11])).collect()
+    }
+    return collection_query_batch(
+        spark,
+        root,
+        "qb",
+        [vecs[7], vecs[11]],
+        n_results=3,
+        score_decimals=4,
+    ).select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id", "document", "score"
+    )
+
+
+@query(
     "vocab_bpe_pair_merges",
     f"""
     WITH tok AS (
