@@ -1,0 +1,148 @@
+"""Unit tests for the training-pipeline operators added in round 7:
+exact greedy sequence packing (operators/pack.py) and per-document
+benchmark decontamination (operators/decontaminate.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators.decontaminate import (
+    decontaminate,
+    ngram_overlap,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.pack import (
+    pack_bins_summary,
+    pack_greedy,
+)
+
+
+def _sized(spark, rows):
+    return spark.createDataFrame(rows, "shard string, doc_id long, tok long")
+
+
+def test_pack_greedy_reference_semantics(spark):
+    # budget 10; docs in id order: 4, 4, 4, 11, 1 ->
+    # bin0 = [4, 4] (fill 8; next 4 would overflow),
+    # bin1 = [4] then 11 won't fit -> bin2 = [11] (own bin, > budget),
+    # bin3 = [1]
+    df = _sized(
+        spark,
+        [("a", 1, 4), ("a", 2, 4), ("a", 3, 4), ("a", 4, 11), ("a", 5, 1)],
+    )
+    got = {
+        r["doc_id"]: (r["bin_id"], r["bin_fill"])
+        for r in pack_greedy(
+            df, id_col="doc_id", size_col="tok", shard_col="shard", budget=10
+        ).collect()
+    }
+    assert got == {1: (0, 4), 2: (0, 8), 3: (1, 4), 4: (2, 11), 5: (3, 1)}
+
+
+def test_pack_greedy_never_splits_and_is_shard_independent(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"s{i % 5}", i, rng.randint(1, 300)) for i in range(400)
+    ]
+    df = _sized(spark, rows)
+    packed = pack_greedy(
+        df, id_col="doc_id", size_col="tok", shard_col="shard", budget=512
+    )
+    pdf = packed.toPandas()
+    assert len(pdf) == 400  # cardinality preserved
+    # every row keeps its full token count (no splitting)
+    tokens = {(r, i): t for r, i, t in rows}
+    for row in pdf.itertuples():
+        assert tokens[(row.shard, row.doc_id)] == row.n_tokens
+    # greedy invariants per (shard, bin): fill <= budget unless the
+    # bin is a single over-budget doc; bins are contiguous in id order
+    for (_, _), grp in pdf.groupby(["shard", "bin_id"]):
+        total = grp["n_tokens"].sum()
+        assert total <= 512 or len(grp) == 1
+        assert grp["bin_fill"].max() == total
+    for _, grp in pdf.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        assert (grp["bin_id"].diff().dropna() >= 0).all()
+        assert grp["bin_id"].iloc[0] == 0
+
+
+def test_pack_bins_summary(spark):
+    df = _sized(spark, [("a", 1, 4), ("a", 2, 4), ("a", 3, 9)])
+    packed = pack_greedy(
+        df, id_col="doc_id", size_col="tok", shard_col="shard", budget=10
+    )
+    out = {
+        r["bin_id"]: (r["n_docs"], r["bin_tokens"])
+        for r in pack_bins_summary(packed, shard_col="shard").collect()
+    }
+    assert out == {0: (2, 8), 1: (1, 9)}
+
+
+def test_pack_greedy_rejects_bad_budget(spark):
+    df = _sized(spark, [("a", 1, 4)])
+    with pytest.raises(ValueError):
+        pack_greedy(df, id_col="doc_id", size_col="tok", shard_col="shard", budget=0)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ngram_overlap_fraction_and_gate(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark engines here"),
+            (3, ""),  # zero n-grams -> frac 0, never contaminated
+        ],
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps over something")])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_overlap(
+            docs, bench, id_col="doc_id", text_col="text", n=3, threshold=0.3
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # doc1: 7 trigrams, bench shares "quick brown fox", "brown fox
+    # jumps", "fox jumps over" -> 3/7
+    assert got[1]["n_ngrams"] == 7
+    assert got[1]["n_overlap"] == 3
+    assert got[1]["contaminated"] is True
+    assert got[2]["n_overlap"] == 0 and got[2]["contaminated"] is False
+    assert got[3]["n_ngrams"] == 0
+    assert got[3]["overlap_frac"] == 0.0
+    assert got[3]["contaminated"] is False
+
+
+def test_decontaminate_filters_and_preserves_columns(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "completely unrelated text about spark engines here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    bench = _docs(spark, [(100, "quick brown fox jumps over something")])
+    kept = decontaminate(
+        docs, bench, id_col="doc_id", text_col="text", n=3, threshold=0.3
+    )
+    assert kept.columns == ["doc_id", "text", "lang"]
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+
+
+def test_ngram_overlap_portable_matches_fast(spark):
+    docs = _docs(
+        spark,
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)],
+    )
+    bench = _docs(spark, [(0, "alpha beta gamma delta 3 epsilon zeta")])
+    kw = dict(id_col="doc_id", text_col="text", n=3, threshold=0.5)
+    a = ngram_overlap(docs, bench, portable=True, **kw).orderBy("doc_id").collect()
+    b = ngram_overlap(docs, bench, portable=False, **kw).orderBy("doc_id").collect()
+    assert a == b
+    flagged = [r["doc_id"] for r in a if r["contaminated"]]
+    assert flagged == [3]

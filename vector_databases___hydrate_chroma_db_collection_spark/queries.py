@@ -9180,3 +9180,108 @@ def collection_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     original = [v for v, active in collection_versions(root, "vd") if not active][0]
     return collection_diff(spark, root, "vd", from_version=original)
+
+
+@query(
+    "pack_greedy_bins",
+    f"""
+    WITH RECURSIVE counted AS (
+        SELECT doc_id, lang AS shard,
+               CAST(len({_TOKS.format(x=_NORM)}) AS BIGINT) AS tok_cnt
+        FROM documents
+    ),
+    ordered AS (
+        SELECT shard, doc_id, tok_cnt,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM counted
+    ),
+    packed(shard, rn, doc_id, tok_cnt, bin_id, bin_fill) AS (
+        SELECT shard, rn, doc_id, tok_cnt, CAST(0 AS BIGINT), tok_cnt
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.tok_cnt,
+               CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.tok_cnt > 256
+                    THEN p.bin_id + 1 ELSE p.bin_id END,
+               CASE WHEN p.bin_fill > 0 AND p.bin_fill + o.tok_cnt > 256
+                    THEN o.tok_cnt ELSE p.bin_fill + o.tok_cnt END
+        FROM packed p JOIN ordered o
+          ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, tok_cnt AS n_tokens, bin_id, bin_fill
+    FROM packed
+    """,
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT greedy sequence packing (operators/pack.py): documents
+    never straddle a bin — a bin closes when the next document no
+    longer fits, and an over-budget document gets a bin of its own.
+    Complements pack_sequences_by_token_budget, whose contiguous
+    floor-cumsum fill SPLITS documents across sequence boundaries
+    (the packed-pretraining discipline); this is the
+    sample-integrity discipline (SFT/eval batches, where a document
+    must stay whole). Sharded by lang: one hash shuffle, then each
+    shard packs in ONE ordered Arrow pass (applyInPandas) — shards
+    are the parallelism unit at scale. The oracle replays the greedy
+    recurrence as a DuckDB recursive CTE."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pack import (
+        pack_greedy,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    counted = d.select(
+        "doc_id",
+        F.col("lang").alias("shard"),
+        T.token_count(T.normalize_text("text")).alias("tok_cnt"),
+    )
+    return pack_greedy(
+        counted, id_col="doc_id", size_col="tok_cnt", shard_col="shard", budget=256
+    ).select("shard", "doc_id", "n_tokens", "bin_id", "bin_fill")
+
+
+@query(
+    "decontaminate_overlap_fraction",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT s FROM shing WHERE doc_id % 41 = 0),
+    hits AS (
+        SELECT sh.doc_id, count(*) AS c
+        FROM shing sh JOIN bench b ON b.s = sh.s
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(z.n_sh, 0) AS BIGINT) AS n_ngrams,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(h.c, 0)::DOUBLE
+                 / greatest(coalesce(z.n_sh, 0), 1), 4) AS overlap_frac,
+           round(coalesce(h.c, 0)::DOUBLE
+                 / greatest(coalesce(z.n_sh, 0), 1), 4) >= 0.2 AS contaminated
+    FROM documents d
+    LEFT JOIN sizes z ON z.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def decontaminate_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination FRACTION against a benchmark slice
+    (doc_id % 41 == 0 plays the eval suite): share of a doc's
+    distinct 3-grams that appear anywhere in the benchmark, plus the
+    >= 0.2 gate — the GPT-3-style dirty-document score, complementing
+    decontaminate_ngram_overlap's pairwise (train_doc, eval_doc)
+    listing. Engine plan (operators/decontaminate.py): benchmark
+    n-gram HASHES broadcast (8 B/row), docs explode to distinct
+    n-gram hashes inside the scan stage, one map-side-combinable agg
+    per doc — the only shuffle carries one row per document. Note the
+    benchmark docs themselves score 1.0 (they are their own
+    n-grams), which keeps the gate non-vacuous on the fixture."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.decontaminate import (
+        ngram_overlap,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_overlap(
+        d,
+        d.filter(F.col("doc_id") % 41 == 0),
+        id_col="doc_id",
+        text_col="text",
+        n=3,
+        threshold=0.2,
+    )
