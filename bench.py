@@ -525,6 +525,58 @@ def main() -> None:
 
     record("synth1m_ivfpq_query", run_ivfpq_query_1m, warmup=True)
     enc_1m.unpersist()
+
+    # ------------------------------------------------------------------
+    # Scale probe: binary-prescreen kNN at 1M — sign-pack the corpus
+    # ONCE (the ingest-side layout: 2 packed words vs 64 floats, the
+    # 16-32x scan-I/O cut claimed for 100 TB serving), then answer a
+    # query by xor+popcount prescreen + exact rerank over the packed
+    # column. Contrast entry synth1m_knn_exact scans the float column
+    # with the same shuffle-free TakeOrderedAndProject plan, so the
+    # pair measures exactly the payload-width effect at 1M rows.
+    # Self-recall asserted through the rerank path.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        binary_quantize,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        hamming_distance as _hd,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query as _knn_query,
+        pack_sign_bits,
+    )
+
+    packed1m = corpus1m.select(
+        "id", "embedding", binary_quantize("embedding").alias("bits")
+    ).cache()
+    packed1m.count()
+    qbits1m = F.array(
+        *[F.lit(int(w)).cast("long") for w in pack_sign_bits(qvec1m)]
+    )
+
+    def run_binary_1m() -> None:
+        cand = (
+            packed1m.select(
+                "id", "embedding", _hd("bits", qbits1m).alias("hamming")
+            )
+            .orderBy(F.col("hamming").asc(), F.col("id").asc())
+            .limit(5 * 8)
+        )
+        rows = _knn_query(
+            cand, qvec1m, k=5, id_col="id", metric="cosine", score_decimals=4
+        ).collect()
+        assert rows[0]["id"] == 0, "1M binary prescreen lost the self-neighbor"
+
+    def run_exact_1m() -> None:
+        rows = _knn_query(
+            corpus1m, qvec1m, k=5, id_col="id", metric="cosine", score_decimals=4
+        ).collect()
+        assert rows[0]["id"] == 0
+
+    record("synth1m_knn_binary", run_binary_1m, warmup=True)
+    record("synth1m_knn_exact", run_exact_1m, warmup=True)
+    packed1m.unpersist()
     corpus1m.unpersist()
 
     # ------------------------------------------------------------------

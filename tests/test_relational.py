@@ -545,3 +545,48 @@ def test_gopher_flags_empty_doc_classifies_not_crashes(spark):
         assert rows[i]["n_words"] == 0
         assert rows[i]["gopher_pass"] is False
         assert rows[i]["mean_word_len"] == 0.0
+
+
+def test_scd2_from_changelog_semantics(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    rows = [
+        # key 1: a, a, b, b, a -> periods a[1,3) b[3,5) a[5,None)
+        (1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "b"), (1, 5, "a"),
+        # key 2: NULL, NULL, x -> periods NULL[1,3) x[3,None)
+        (2, 1, None), (2, 2, None), (2, 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, attr string")
+    got = [
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_changelog(
+            df, key_col="k", ts_col="t", attr_cols=["attr"]
+        ).orderBy("k", "valid_from").collect()
+    ]
+    assert got == [
+        (1, "a", 1, 3, False),
+        (1, "b", 3, 5, False),
+        (1, "a", 5, None, True),
+        (2, None, 1, 3, False),
+        (2, "x", 3, None, True),
+    ]
+    # exactly one open period per key
+    cur = [g for g in got if g[4]]
+    assert len(cur) == 2
+
+
+def test_scd2_single_exchange(spark):
+    """Both window passes must share ONE shuffle on the key."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b")], "k long, t long, attr string"
+    )
+    plan = scd2_from_changelog(
+        df, key_col="k", ts_col="t", attr_cols=["attr"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1

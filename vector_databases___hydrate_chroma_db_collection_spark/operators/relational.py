@@ -237,3 +237,63 @@ def prefix_sum(
         .withColumn(out_col, (F.col("_local") + F.col("_offset")).cast("bigint"))
         .drop("_pid", "_local")
     )
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change log: collapse a
+    per-key event stream into validity intervals, one row per
+    ATTRIBUTE CHANGE — ``(key, *attrs, valid_from, valid_to,
+    is_current)`` with ``valid_to`` NULL on the open (current) row.
+    Consecutive rows whose attributes are unchanged are merged into
+    one interval (the standard changelog->dimension compaction, e.g.
+    building a customer-segment dimension from raw events).
+
+    Change detection is null-safe struct comparison against the
+    previous row (``<=>`` lifted over a struct of ``attr_cols``), so
+    NULL -> NULL is "no change" and NULL -> value is a change.
+    ``tiebreak_col`` makes the within-key order total when ``ts_col``
+    can tie (e.g. an event id); ties without a tiebreaker are
+    nondeterministic exactly like any SQL window would be.
+
+    Scale shape: ONE shuffle on ``key_col``, then two window passes
+    (lag to find change rows, lead over the filtered change rows to
+    close intervals) inside the same per-key partitioning — Catalyst
+    reuses the exchange, and per-key state is a single previous row,
+    never the key's history. Dimension keys are typically
+    well-distributed; a hot key degrades to one task sorting that
+    key's events, the same bound as any per-key window."""
+    from pyspark.sql import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col is not None else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    # lag of a struct of the attributes; the row_number()==1 test (not
+    # _prev IS NULL) marks the first row changed even when every
+    # attribute is NULL, so all-NULL leading rows still open a period
+    marked = (
+        df.withColumn("_prev", F.lag(attrs).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_chg",
+            (F.col("_rn") == 1) | ~F.col("_prev").eqNullSafe(attrs),
+        )
+    )
+    change_rows = marked.filter(F.col("_chg"))
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        change_rows.withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .select(
+            key_col,
+            *attr_cols,
+            F.col(ts_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )

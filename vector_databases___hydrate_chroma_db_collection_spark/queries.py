@@ -9285,3 +9285,135 @@ def decontaminate_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFram
         n=3,
         threshold=0.2,
     )
+
+
+@query(
+    "scd2_user_event_type",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts, event_type
+        FROM ordered
+        WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+    ),
+    iv AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+    )
+    SELECT user_id, event_type,
+           epoch_us(valid_from) AS valid_from_us,
+           epoch_us(valid_to) AS valid_to_us,
+           valid_to IS NULL AS is_current
+    FROM iv
+    """,
+)
+def scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> SCD2 dimension (operators/relational.py::
+    scd2_from_changelog): each user's event stream compacts into
+    validity intervals of their event_type attribute — consecutive
+    unchanged rows merge, every attribute flip opens a period, the
+    open period carries valid_to NULL / is_current true. The classic
+    warehouse shape for building dimension history from CDC streams.
+    Plan: ONE shuffle on user_id feeds both window passes (lag to
+    mark changes, lead over the filtered change rows to close
+    periods) — Catalyst reuses the exchange. Timestamps project to
+    epoch micros so both engines hash identical integers."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = scd2_from_changelog(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
+@query(
+    "scd2_point_in_time_revenue",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(event_type) OVER w AS prev_type,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_id, ts, event_type FROM ordered
+        WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS segment, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+    )
+    SELECT d.segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events e
+    JOIN dim d
+      ON d.user_id = e.user_id
+     AND e.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension that
+    scd2_user_event_type builds: every event joins the dimension row
+    whose validity interval covers its timestamp, then value rolls up
+    by the then-active segment. The fact->dimension-history join is
+    an equi-join on the KEY plus an interval predicate — so the
+    shuffle is keyed (user_id), never a broadcast-nested-loop over
+    time ranges; per key the interval check is a residual filter on
+    the joined rows. This is the standard "attribute facts to the
+    dimension version that was true at event time" warehouse query,
+    run here with the dimension built in the same plan (CDC ->
+    SCD2 -> PIT join, no materialization step)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.relational import (
+        scd2_from_changelog,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    dim = scd2_from_changelog(
+        e,
+        key_col="user_id",
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        "valid_from",
+        "valid_to",
+    )
+    joined = e.join(
+        dim,
+        (e.user_id == dim.user_id)
+        & (e.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (e.ts < dim.valid_to)),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _money_sum(F.col("value")).alias("total_value"),
+    )
