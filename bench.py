@@ -652,6 +652,67 @@ def main() -> None:
     docs.unpersist()
 
     # ------------------------------------------------------------------
+    # Scale probe: MinHash+LSH dedup at 1M docs — 20x the 50k probe,
+    # extending the dedup scale curve the same way the 1M-vector
+    # IVF-PQ probe extends the ANN curve. 2000 planted near-dup pairs
+    # over a 50k-word vocabulary (vocab scaled with the corpus so
+    # shingle sparsity — and therefore LSH bucket occupancy — stays
+    # real-corpus-like; a fixed 5k vocab at 1M docs would overfill
+    # buckets and measure candidate-explosion, not the operator).
+    # Warm-up run excluded from timing (first run pays the shingle
+    # cache build); exact planted-pair recall asserted every trial.
+    # ------------------------------------------------------------------
+    n_docs_1m = 1_000_000
+    dup_base_1m = F.when(
+        F.col("id") % 500 == 0, F.col("id") + 1
+    ).otherwise(F.col("id"))
+    doc_text_1m = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(dup_base_1m.cast("string"), j.cast("string")),
+                    F.lit(50_000),
+                ).cast("string"),
+            ),
+        ),
+    )
+    t0 = time.perf_counter()
+    docs1m = (
+        spark.range(n_docs_1m)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(F.col("id").alias("doc_id"), doc_text_1m.alias("text"))
+        .cache()
+    )
+    docs1m.count()
+    timings["synth1m_docs_build"] = round(time.perf_counter() - t0, 3)
+
+    def run_minhash_1m() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            release_cache,
+        )
+
+        res = minhash_lsh_pairs(
+            docs1m,
+            id_col="doc_id",
+            text_col="text",
+            n=3,
+            num_hashes=16,
+            bands=8,
+            threshold=0.5,
+        )
+        n_pairs = res.count()
+        release_cache(res)
+        assert n_pairs == n_docs_1m // 500, (
+            f"expected {n_docs_1m // 500} planted pairs, got {n_pairs}"
+        )
+
+    record("synth1m_minhash_dedup", run_minhash_1m, warmup=True)
+    docs1m.unpersist()
+
+    # ------------------------------------------------------------------
     # Scale probe: CMS over 2M skewed keys (~130x the fixture's
     # distinct-user load). The whole point of the sketch is that this
     # costs one scan + a sketch-sized shuffle; the in-bench assert

@@ -734,14 +734,19 @@ def test_query_batch_matches_single_queries(spark, tmp_path):
         single = collection_query(
             spark, root, "api", v, n_results=3,
             where={"rating": {"$lte": 4}}, score_decimals=4,
+            include_distance=True,
         ).collect()
         got = [r for r in batch if r["qid"] == qid]
         assert [r["id"] for r in got] == [r["id"] for r in single]
         assert [r["score"] for r in got] == [r["score"] for r in single]
         assert [r["document"] for r in got] == [r["document"] for r in single]
         assert [r["rank"] for r in got] == list(range(1, len(single) + 1))
-        for r in got:
-            assert abs(r["distance"] - (1.0 - r["score"])) < 1e-9
+        # shared precision contract: distance derives from the
+        # UNROUNDED score on BOTH entry points, byte-identical
+        for r, s in zip(got, single):
+            assert abs(r["distance"] - s["distance"]) < 1e-12
+            # and within rounding slack of the rounded score
+            assert abs(r["distance"] - (1.0 - r["score"])) < 5e-5
 
     import pytest
 

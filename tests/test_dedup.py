@@ -91,7 +91,7 @@ def test_minhash_mega_bucket_guard(spark, corpus):
 def test_release_cache_unpersists_shingles(spark, corpus):
     res = D.minhash_lsh_pairs(corpus, id_col="doc_id", text_col="text", threshold=0.3)
     res.collect()
-    deps = res._dedup_cached_deps
+    deps = res._spark_graft_cached_deps
     assert len(deps) == 2  # shingle rows + signature table
     for cached in deps:
         assert cached.storageLevel.useMemory  # caches active after materialize

@@ -712,3 +712,126 @@ def test_hydrate_from_step_disabled_trigger(spark, tmp_path):
                 "_hcdc_run_trigger": 0,
             },
         )
+
+
+REFERENCE_STEP = (
+    "/root/reference/Vector Databases - Hydrate Chroma DB Collection.step"
+)
+
+
+def test_step_file_controls_match_reference_ui():
+    """parse_step_controls on the ACTUAL reference .step file must
+    recover the step:1 /ui control schema: the five input-parameter
+    controls, the output collectionName, and the three configuration
+    controls, with the UI's required flags and the sasserver:/tmp
+    path default."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        parse_step_controls,
+    )
+
+    if not os.path.exists(REFERENCE_STEP):
+        pytest.skip("reference .step file not present")
+    c = parse_step_controls(REFERENCE_STEP)
+    assert set(c) == {
+        "inputTable", "textVar", "docId", "embeddingPattern",
+        "metadataColumn", "collectionName", "persistentPathName",
+        "casHostPath", "casHostPort",
+    }
+    required = {k for k, v in c.items() if v["required"]}
+    assert required == {
+        "inputTable", "textVar", "docId", "embeddingPattern",
+        "collectionName",
+    }
+    assert c["persistentPathName"]["default"] == "sasserver:/tmp"
+    assert c["casHostPort"]["type"] == "numberfield"
+
+
+def test_step_file_value_validation(tmp_path):
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        step_params_from_file,
+    )
+
+    if not os.path.exists(REFERENCE_STEP):
+        pytest.skip("reference .step file not present")
+    base = {
+        "inputTable": "PUBLIC.Topics_20240123",
+        "textVar": "Text_Review",
+        "docId": "__unique_id_",
+        "embeddingPattern": "_Col",
+        "collectionName": "new_collection",
+    }
+    # unknown control id = typo guard
+    with pytest.raises(ValueError, match="unknown step controls"):
+        step_params_from_file(REFERENCE_STEP, {**base, "colectionName": "x"})
+    # missing required control raises with the UI label
+    missing = dict(base)
+    del missing["embeddingPattern"]
+    with pytest.raises(ValueError, match="pattern representing"):
+        step_params_from_file(REFERENCE_STEP, missing)
+    # numberfield coercion + rejection
+    with pytest.raises(ValueError, match="numberfield"):
+        step_params_from_file(REFERENCE_STEP, {**base, "casHostPort": "not-a-port"})
+    p = step_params_from_file(REFERENCE_STEP, {**base, "casHostPort": "5570"})
+    assert p["casHostPort"] == 5570.0
+    # absent optional path control falls back to the .step placeholder
+    assert p["persistentPathName"] == "sasserver:/tmp"
+    # trigger passes through
+    p2 = step_params_from_file(
+        REFERENCE_STEP, {**base, "_hcdc_run_trigger": "0"}
+    )
+    assert p2["_hcdc_run_trigger"] == "0"
+
+
+def test_hydrate_from_step_file_round_trip(spark, tmp_path):
+    """The full product path: the reference's one-line .step file +
+    a flow instance's values -> hydrated collection with the same
+    Q1/Q2/'rating' semantics as hydrate_from_step."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate_from_step_file,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    if not os.path.exists(REFERENCE_STEP):
+        pytest.skip("reference .step file not present")
+    wide = spark.createDataFrame(
+        [
+            (1.0, "great product", 5.0, 0.1, 0.2, 0.3, "x"),
+            (2.0, "bad product", 1.0, 0.4, 0.5, 0.6, "y"),
+        ],
+        "__unique_id_ double, Text_Review string, Target_Rating double, "
+        "_Col1 float, _Col2 float, _Col3 float, decoy_column string",
+    )
+    report = hydrate_from_step_file(
+        spark,
+        wide,
+        REFERENCE_STEP,
+        {
+            "inputTable": "PUBLIC.Topics_20240123",
+            "casHostPath": "sas-cas-server-default-client",
+            "casHostPort": 5570,
+            "persistentPathName": f"sasserver:{tmp_path}",
+            "collectionName": "new_collection",
+            "embeddingPattern": "_Col",
+            "docId": "__unique_id_",
+            "textVar": "Text_Review",
+            "metadataColumn": "Target_Rating",
+        },
+    )
+    assert report.count_after == 2 == report.rows_written
+    rows = {
+        r["id"]: r
+        for r in read_collection(
+            spark, str(tmp_path), "new_collection"
+        ).collect()
+    }
+    assert set(rows) == {"1.0", "2.0"}
+    assert dict(rows["1.0"]["metadata"]) == {"rating": "5.0"}
+    assert [round(v, 4) for v in rows["2.0"]["embedding"]] == [0.4, 0.5, 0.6]

@@ -146,3 +146,29 @@ def test_ngram_overlap_portable_matches_fast(spark):
     assert a == b
     flagged = [r["doc_id"] for r in a if r["contaminated"]]
     assert flagged == [3]
+
+
+def test_decontamination_broadcast_guard_dispatch(spark):
+    """The bench-side broadcast is guarded, not assumed: with a
+    forced tiny row budget the plan must drop to a shuffled join (no
+    broadcast of the hash set); results are identical either way."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.decontaminate import (
+        ngram_overlap,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma iota")], ["bid", "text"]
+    )
+    wide = ngram_overlap(docs, bench, n=3, threshold=0.1)
+    tiny = ngram_overlap(
+        docs, bench, n=3, threshold=0.1, max_bench_broadcast_rows=1
+    )
+    tiny_plan = tiny._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in tiny_plan, tiny_plan
+    assert sorted(map(tuple, wide.collect())) == sorted(
+        map(tuple, tiny.collect())
+    )

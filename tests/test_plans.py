@@ -122,3 +122,39 @@ def test_partitioned_layout_prunes_partitions(spark):
     assert "PartitionFilters: [" in plan and "event_type" in plan, plan
     # the predicate must NOT degrade to a post-scan row filter
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" not in plan
+
+
+def test_exact_substring_no_window_over_hash(spark):
+    """The ExactSubstr cross-doc test must be a map-side-combinable
+    groupBy over the window hash + join back, NOT a Window analytic
+    partitioned by the hash: Window exchanges have no partial
+    aggregation and AQE's skew mitigation does not split them, so a
+    corpus-common 8-token sequence would funnel every occurrence into
+    one task at scale. The only Window allowed in the coverage plan is
+    the per-document gaps-and-islands sort (bounded by doc length)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        exact_substring_coverage,
+        exact_substring_removal,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "one two three four five six seven eight nine"),
+         ("b", "one two three four five six seven eight ten")],
+        ["doc_id", "text"],
+    )
+    for fn in (exact_substring_coverage, exact_substring_removal):
+        out = fn(df, id_col="doc_id", text_col="text", k=8)
+        plan = plan_of(out)
+        # the hash-keyed min/max must partial-aggregate (>= 2
+        # HashAggregate around the exchange; q1-style assertion)
+        assert plan.count("HashAggregate") >= 2, plan
+        # no Window operator keyed on the window hash
+        for line in plan.splitlines():
+            if "Window " in line or line.strip().startswith("Window"):
+                assert "_wh" not in line, plan
+    # coverage keeps exactly one Window: the per-doc islands pass
+    cov_plan = plan_of(
+        exact_substring_coverage(df, id_col="doc_id", text_col="text", k=8)
+    )
+    win_lines = [ln for ln in cov_plan.splitlines() if "Window [" in ln]
+    assert len(win_lines) == 1 and "_id" in win_lines[0], cov_plan

@@ -590,3 +590,28 @@ def test_scd2_single_exchange(spark):
         df, key_col="k", ts_col="t", attr_cols=["attr"]
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cms_estimate_release_hook(spark):
+    """cms_estimate pins its counter cache eagerly; the shared
+    release hook must unpersist it deterministically (r7 advice —
+    many sketches in one session otherwise accumulate pinned
+    CacheManager entries)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators._cache import (
+        release_cache,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.sketch import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    counters = cms_counters(df, "k", depth=2, width=64)
+    keys = spark.createDataFrame([(0,), (3,)], "key bigint")
+    est = cms_estimate(counters, keys, "key", depth=2, width=64)
+    assert est.count() == 2
+    deps = est._spark_graft_cached_deps
+    assert len(deps) == 1 and deps[0].storageLevel.useMemory
+    release_cache(est)
+    assert not deps[0].storageLevel.useMemory
+    release_cache(est)  # idempotent no-op after deps cleared

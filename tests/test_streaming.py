@@ -833,3 +833,48 @@ def test_stream_knn_serve_with_ivf_index(spark, tmp_path):
     }
     assert len(want) == 6 * 3
     assert got == want
+
+
+def test_stream_knn_serve_view_exists_before_first_batch(spark, tmp_path):
+    """The sink temp view must be queryable BEFORE any batch lands and
+    after a stream whose batches are all empty — a consumer polling
+    spark.table(sink) must see an empty, correctly-typed result, not
+    TABLE_OR_VIEW_NOT_FOUND (r7 advice)."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.knn_stream import (
+        stream_knn_serve,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("id"), "embedding"
+    )
+    queries = emb.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    d = tmp_path / "q_stream_empty"
+    # zero-row file: the source has a schema but every batch is empty
+    queries.limit(0).write.parquet(str(d / "b0"))
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    sink = "stream_knn_empty_view"
+    q = stream_knn_serve(
+        stream,
+        corpus,
+        k=3,
+        sink_path=str(tmp_path / "knn_empty_sink"),
+        sink_table=sink,
+        checkpoint_dir=str(tmp_path / "ckpt_knn_empty"),
+    )
+    try:
+        # registered at start(), before any batch commits
+        cols = spark.table(sink).columns
+        assert cols == ["qid", "neighbor_id", "score", "rank", "batch_id"]
+        q.awaitTermination(120)
+        assert spark.table(sink).count() == 0
+    finally:
+        spark.catalog.dropTempView(sink)

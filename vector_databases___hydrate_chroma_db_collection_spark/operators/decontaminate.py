@@ -74,6 +74,7 @@ def ngram_overlap(
     threshold: float = 0.1,
     decimals: int = 4,
     portable: bool = True,
+    max_bench_broadcast_rows: int = 8_000_000,
 ) -> DataFrame:
     """Per-document benchmark overlap:
     ``(id_col, n_ngrams, n_overlap, overlap_frac, contaminated)``.
@@ -87,7 +88,17 @@ def ngram_overlap(
     n-gram hashes in the scan stage, the broadcast semi-probe marks
     hits, and ONE hash aggregation per doc id (map-side combinable)
     produces the counts. Nothing quadratic, nothing corpus-sized on
-    the build side. See module docstring for the 100 TB shape."""
+    the build side. See module docstring for the 100 TB shape.
+
+    The "benchmark sets are request-sized" assumption is GUARDED, not
+    assumed (same discipline as the dedup GEMM's byte budget): the
+    distinct-hash count is probed with a bounded ``limit(cap+1)``
+    count, and a pathological "benchmark" above
+    ``max_bench_broadcast_rows`` (default 8M hashes ≈ 64 MB of 8-byte
+    keys before overhead) falls back to a shuffled hash-keyed join —
+    same answer, no executor-OOM from an unbounded broadcast build.
+    The probed hash set is lazily localCheckpointed so the probe and
+    the join share one computation of the distinct."""
     from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
         fast_hash64,
         hash64,
@@ -95,10 +106,14 @@ def ngram_overlap(
     )
 
     h = hash64 if portable else fast_hash64
-    bench = F.broadcast(
-        benchmark_ngram_hashes(
-            benchmark, text_col=bench_text_col, n=n, portable=portable
-        )
+    bench_hashes = benchmark_ngram_hashes(
+        benchmark, text_col=bench_text_col, n=n, portable=portable
+    ).localCheckpoint(eager=False)
+    n_bench = bench_hashes.limit(max_bench_broadcast_rows + 1).count()
+    bench = (
+        F.broadcast(bench_hashes)
+        if n_bench <= max_bench_broadcast_rows
+        else bench_hashes.hint("shuffle_hash")
     )
     flat = docs.select(
         F.col(id_col).alias("_id"),
@@ -146,6 +161,7 @@ def decontaminate(
     n: int = 3,
     threshold: float = 0.1,
     portable: bool = True,
+    max_bench_broadcast_rows: int = 8_000_000,
 ) -> DataFrame:
     """The filter form: ``docs`` minus contaminated rows (all original
     columns preserved). One broadcast probe + one per-doc agg + one
@@ -161,6 +177,7 @@ def decontaminate(
             n=n,
             threshold=threshold,
             portable=portable,
+            max_bench_broadcast_rows=max_bench_broadcast_rows,
         )
         .filter(~F.col("contaminated"))
         .select(id_col)

@@ -51,20 +51,13 @@ from vector_databases___hydrate_chroma_db_collection_spark.functions.vector impo
 )
 
 
-def _attach_cache(result: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Hang the cached dependencies off the result so callers can
-    release them after materializing (see ``release_cache``)."""
-    result._dedup_cached_deps = list(cached)  # type: ignore[attr-defined]
-    return result
-
-
-def release_cache(result: DataFrame) -> None:
-    """Unpersist the shingle-row cache backing a dedup result. Call
-    after the result is materialized (collected/written); a no-op for
-    results without an attached cache. ``spark.catalog.clearCache()``
-    is the blunt session-wide alternative."""
-    for dep in getattr(result, "_dedup_cached_deps", []):
-        dep.unpersist()
+# shared cache-lifecycle helpers (re-exported here for back-compat:
+# dedup was the first operator family with a deterministic release
+# hook; sketch.py uses the same ones)
+from vector_databases___hydrate_chroma_db_collection_spark.operators._cache import (  # noqa: E402
+    attach_cache as _attach_cache,
+    release_cache,
+)
 
 
 def exact_dedup(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
@@ -215,19 +208,25 @@ def exact_substring_coverage(
        same order as the corpus scan — no all-pairs stage anywhere);
        windows carry the md5-derived 64-bit hash of the k-token
        string, not the string (8-byte shuffle keys);
-    2. cross-document windows are detected with ONE analytic pass:
-       ``min(id) != max(id)`` over a window partitioned by the hash —
-       no distinct, no self-join, no posting-list collection (a
-       count-distinct would need a pre-distinct shuffle; min!=max is
-       an order-free streaming aggregate over the same shuffle);
+    2. cross-document windows are detected with a MAP-SIDE-COMBINABLE
+       hash aggregate: ``groupBy(hash).agg(min(id), max(id))`` — a
+       boilerplate hash that occurs a billion times collapses to one
+       row per map task BEFORE the shuffle (partial_min/partial_max),
+       so no single reducer ever sees all occurrences of a common
+       window. ``min != max``  <=>  >= 2 distinct docs (no distinct,
+       no self-join, no posting-list collection). The surviving hash
+       set then left-semi-joins back onto the window rows keyed on the
+       same 8-byte hash — and a join on a skewed key IS what AQE's
+       skew mitigation splits at runtime (OptimizeSkewedJoin covers
+       joins, NOT window exchanges, which is why this is a groupBy +
+       join rather than ``min over (partition by hash)``);
     3. per-document interval union by the classic gaps-and-islands
        running ``max(end)`` — one window sort WITHIN each document
        (bounded by document length, never corpus length);
     4. hash-agg per document + one 1:1 join back for token counts.
-    Three key-partitioned shuffles total (window hash, doc id sort,
-    doc id agg). Mega-common windows (boilerplate) are plain window
-    skew, which AQE splits; they produce NO candidate pairs because
-    nothing here enumerates pairs."""
+    Mega-common windows (boilerplate) therefore cost one combined row
+    per map task plus an AQE-splittable join probe; they produce NO
+    candidate pairs because nothing here enumerates pairs."""
     from pyspark.sql import Window
 
     from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
@@ -245,8 +244,14 @@ def exact_substring_coverage(
         .select("_id", tokens(normalize_text("_text")).alias("_t"))
         .filter(F.size("_t") > 0)
         .select("_id", "_t", F.size("_t").alias("n_tokens"))
+        # lazy localCheckpoint, NOT persist(): two consumers (the
+        # window explode and the final token-count join) share the
+        # tokenized corpus, and RDD-level checkpoint blocks are freed
+        # by the ContextCleaner once the result plan is GC'd — a
+        # CacheManager persist() would pin executor storage until an
+        # explicit unpersist that registry callers never issue.
+        .localCheckpoint(eager=False)
     )
-    toks = toks.persist()
     win = toks.filter(F.col("n_tokens") >= k).select(
         "_id",
         F.posexplode(
@@ -256,12 +261,17 @@ def exact_substring_coverage(
             )
         ).alias("_pos0", "_wh"),
     )
-    # cross-doc test without distinct or join: over all occurrences of
-    # one window hash, min(id) != max(id)  <=>  >= 2 distinct docs
-    wh = Window.partitionBy("_wh")
-    dup = win.withColumn(
-        "_cross", F.min("_id").over(wh) != F.max("_id").over(wh)
-    ).filter(F.col("_cross"))
+    # cross-doc test: min(id) != max(id) <=> >= 2 distinct docs.
+    # groupBy (partial-aggregated map-side) + semi-join back, NOT a
+    # window over _wh: a corpus-common hash partial-aggregates to one
+    # row per map task, and the join back is AQE-skew-splittable.
+    cross_hashes = (
+        win.groupBy("_wh")
+        .agg(F.min("_id").alias("_min_id"), F.max("_id").alias("_max_id"))
+        .filter(F.col("_min_id") != F.col("_max_id"))
+        .select("_wh")
+    )
+    dup = win.join(cross_hashes, "_wh", "semi")
     # gaps-and-islands union of [start, end] = [pos0+1, pos0+k] per doc
     wd = (
         Window.partitionBy("_id")
@@ -300,7 +310,7 @@ def exact_substring_coverage(
             ),
         )
     )
-    return _attach_cache(out, toks)
+    return out
 
 
 def exact_substring_removal(
@@ -333,8 +343,6 @@ def exact_substring_removal(
     ``sort_array(collect_list(struct(pos, tok)))`` per doc — grouped
     by doc, so the collected list is bounded by DOCUMENT length,
     never corpus length."""
-    from pyspark.sql import Window
-
     from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
         hash64,
     )
@@ -361,10 +369,21 @@ def exact_substring_removal(
             )
         ).alias("_pos0", "_wh"),
     )
-    wh = Window.partitionBy("_wh")
-    owned_elsewhere = win.withColumn(
-        "_min_id", F.min("_id").over(wh)
-    ).filter(F.col("_min_id") < F.col("_id"))
+    # earliest-owner test via map-side-combinable groupBy + join back
+    # (NOT a window over _wh — see exact_substring_coverage's plan
+    # notes: partial_min collapses boilerplate hashes per map task and
+    # the join on _wh is AQE-skew-splittable). Hashes confined to one
+    # doc (min == max) can never satisfy min < id, so they are pruned
+    # before the join.
+    owners = (
+        win.groupBy("_wh")
+        .agg(F.min("_id").alias("_min_id"), F.max("_id").alias("_max_id"))
+        .filter(F.col("_min_id") != F.col("_max_id"))
+        .select("_wh", "_min_id")
+    )
+    owned_elsewhere = win.join(owners, "_wh").filter(
+        F.col("_min_id") < F.col("_id")
+    )
     covered = owned_elsewhere.select(
         "_id",
         F.explode(

@@ -497,6 +497,155 @@ def mirror_to_chroma(
     out.foreachPartition(write_partition)
 
 
+def parse_step_controls(path: str) -> dict:
+    """Parse a SAS Studio custom-step ``.step`` file's embedded UI
+    definition (step:1 ``/ui`` — a JSON string of ``pages`` ->
+    ``section`` containers -> typed controls) into a flat control
+    schema ``{control_id: {"type", "label", "required", "default"}}``.
+
+    The ``.step`` file is the step DEFINITION, not a flow instance —
+    it carries which parameters exist, their UI types
+    (``textfield``/``numberfield``/``columnselector``/``inputtable``/
+    ``path``), whether each is required (``required: true`` for
+    fields, ``min >= 1`` for column selectors), and the placeholder
+    that doubles as the documented default for the ``path`` control
+    (``sasserver:/tmp``, README.md:82). Display-only nodes (``text``)
+    are skipped; ``section``/``page`` containers are recursed.
+    """
+    import json
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        InvalidPathError,
+    )
+
+    try:
+        with open(path, "r", encoding="utf-8") as fh:
+            doc = json.load(fh)
+    except FileNotFoundError as e:
+        raise InvalidPathError(f"no .step file at {path}") from e
+    except json.JSONDecodeError as e:
+        raise InvalidPathError(f"{path} is not a JSON .step file: {e}") from e
+    ui = doc.get("ui")
+    if ui is None:
+        raise InvalidPathError(f"{path} has no /ui page definition")
+    if isinstance(ui, str):
+        ui = json.loads(ui)
+
+    controls: dict = {}
+
+    def visit(node) -> None:
+        if isinstance(node, list):
+            for child in node:
+                visit(child)
+            return
+        if not isinstance(node, dict):
+            return
+        ntype = node.get("type")
+        if ntype in ("page", "section"):
+            visit(node.get("children", []))
+            return
+        if ntype in ("text", None):
+            return
+        required = bool(node.get("required")) or (
+            isinstance(node.get("min"), (int, float)) and node["min"] >= 1
+        )
+        default = None
+        if ntype == "path" and node.get("placeholder"):
+            default = node["placeholder"]
+        controls[node["id"]] = {
+            "type": ntype,
+            "label": node.get("label", ""),
+            "required": required,
+            "default": default,
+        }
+
+    for page in ui.get("pages", []):
+        visit(page)
+    if not controls:
+        raise InvalidPathError(f"{path} defines no input controls")
+    return controls
+
+
+def step_params_from_file(path: str, values: dict | None = None) -> dict:
+    """Validate ``values`` (a flow instance's parameter bindings,
+    keyed by control id) against the ``.step`` file's control schema
+    and return the parameter dict ``from_step_params`` consumes.
+
+    Contract (the product front-end's behavior, re-expressed):
+    unknown ids raise (typo guard — the UI cannot submit a control it
+    does not render), missing REQUIRED controls raise with the
+    control's label (the UI blocks submission), ``numberfield``
+    values must be numeric, and absent optional controls fall back to
+    the control's default when the ``.step`` declares one (the
+    ``path`` placeholder ``sasserver:/tmp``). The run-time trigger
+    ``_hcdc_run_trigger`` (sas:527-538) is not a UI control but IS a
+    step parameter; it passes through untouched.
+    """
+    values = dict(values or {})
+    controls = parse_step_controls(path)
+    trigger = values.pop("_hcdc_run_trigger", None)
+    unknown = set(values) - set(controls)
+    if unknown:
+        raise ValueError(
+            f"values bind unknown step controls {sorted(unknown)}; "
+            f"{path} defines {sorted(controls)}"
+        )
+    params: dict = {}
+    for cid, spec in controls.items():
+        if cid in values and values[cid] not in (None, ""):
+            v = values[cid]
+            if spec["type"] == "numberfield" and not isinstance(
+                v, (int, float)
+            ):
+                try:
+                    v = float(v)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"step control {cid!r} ({spec['label']!r}) is a "
+                        f"numberfield; got {v!r}"
+                    ) from None
+            params[cid] = v
+        elif spec["default"] is not None:
+            params[cid] = spec["default"]
+        elif spec["required"]:
+            raise ValueError(
+                f"required step control {cid!r} ({spec['label']!r}) "
+                "has no value"
+            )
+    if trigger is not None:
+        params["_hcdc_run_trigger"] = trigger
+    return params
+
+
+def hydrate_from_step_file(
+    spark: SparkSession,
+    df: DataFrame,
+    step_path: str,
+    values: dict,
+    *,
+    null_policy: str = "drop_nulls",
+    on_duplicate: str = "error",
+    n_buckets: int | None = None,
+) -> HydrationReport:
+    """``hydrate_from_step`` driven by the ACTUAL ``.step`` file: the
+    file supplies the control schema (ids, required flags, the
+    ``sasserver:/tmp`` path default), ``values`` supplies the flow
+    instance's bindings, and the validated parameter dict runs the
+    sas:126-193 data path as one Spark job. This closes the last
+    front-end seam with the reference's product path: a flow built
+    against the reference's one-line ``.step`` replays here with the
+    same ids, the same required-field gating, and the same defaults.
+    """
+    return hydrate_from_step(
+        spark,
+        df,
+        step_params_from_file(step_path, values),
+        null_policy=null_policy,
+        on_duplicate=on_duplicate,
+        n_buckets=n_buckets,
+    )
+
+
 def hydrate_from_step(
     spark: SparkSession,
     df: DataFrame,

@@ -225,6 +225,7 @@ def knn_join(
     corpus_embedding_col: str = "embedding",
     metric: str = "cosine",
     score_decimals: int | None = None,
+    include_raw_score: bool = False,
 ) -> DataFrame:
     """For each query row, the k nearest corpus rows.
 
@@ -233,13 +234,21 @@ def knn_join(
     (qid, scan partition id) so the final per-query merge sees at
     most k candidates per partition. Exact and UDF-free; for large
     query batches or very high dimensions prefer ``knn_join_gemm``.
-    Output: one row per (qid, neighbor) with rank 1..k.
+    Output: one row per (qid, neighbor) with rank 1..k; with
+    ``include_raw_score`` an extra ``raw_score`` column carries the
+    UNROUNDED score even when ``score_decimals`` rounds ``score`` —
+    ranking stays on the rounded value, so callers that derive a
+    secondary measure (e.g. Chroma's ``distance``) from the raw score
+    keep the same rank order as the rounded contract.
     """
-    score, asc = _score(
+    raw_score, asc = _score(
         metric, F.col(corpus_embedding_col), F.col(query_embedding_col)
     )
-    if score_decimals is not None:
-        score = F.round(score, score_decimals)
+    score = (
+        F.round(raw_score, score_decimals)
+        if score_decimals is not None
+        else raw_score
+    )
     # Orderable key: ascending sort always; negate descending metrics.
     sort_key = score if asc else -score
 
@@ -247,6 +256,7 @@ def knn_join(
         F.col(query_id_col).alias("qid"),
         F.col(corpus_id_col).alias("neighbor_id"),
         score.alias("score"),
+        raw_score.alias("raw_score"),
         sort_key.alias("_key"),
         F.spark_partition_id().alias("_pid"),
     )
@@ -255,24 +265,31 @@ def knn_join(
     # agg collapses it locally; only aggregated buffers shuffle.
     local = pairs.groupBy("qid", "_pid").agg(
         F.slice(
-            F.array_sort(F.collect_list(F.struct("_key", "neighbor_id", "score"))),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("_key", "neighbor_id", "score", "raw_score")
+                )
+            ),
             1,
             k,
         ).alias("nn")
     )
     # Level 2: merge partition-local top-k lists; shuffle carries only
     # O(|Q| * k * P) candidate rows.
+    out_cols = [
+        "qid",
+        F.col("nn.neighbor_id").alias("neighbor_id"),
+        F.col("nn.score").alias("score"),
+        (F.col("rank0") + 1).alias("rank"),
+    ]
+    if include_raw_score:
+        out_cols.append(F.col("nn.raw_score").alias("raw_score"))
     topk = (
         local.select("qid", F.explode("nn").alias("nn"))
         .groupBy("qid")
         .agg(F.slice(F.array_sort(F.collect_list("nn")), 1, k).alias("nn"))
         .select("qid", F.posexplode("nn").alias("rank0", "nn"))
-        .select(
-            "qid",
-            F.col("nn.neighbor_id").alias("neighbor_id"),
-            F.col("nn.score").alias("score"),
-            (F.col("rank0") + 1).alias("rank"),
-        )
+        .select(*out_cols)
     )
     return topk
 

@@ -139,6 +139,74 @@ def inverted_postings(
     return postings.withColumnRenamed("_id", id_col), stats
 
 
+def bm25_from_index(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    query_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 4,
+) -> DataFrame:
+    """BM25 served FROM a materialized inverted index
+    (``inverted_postings`` output) instead of from raw text — the
+    amortization the index exists for: the corpus-wide tokenize +
+    explode happens at BUILD time, and every query thereafter touches
+    only the postings rows of its own terms (a filter the parquet
+    reader turns into a predicate-pushdown scan when the index is
+    persisted) plus the tiny per-term dictionary.
+
+    Identical scores to ``bm25_scores`` when the index was built with
+    ``min_df=1``: doc length is ``sum(tf)`` over the doc's postings
+    (every token occurrence is counted by exactly one (term, doc)
+    row), corpus size and avgdl derive from the same doc-length rows,
+    df comes from ``term_stats``. With ``min_df > 1`` the pruned
+    terms' occurrences drop out of the length model — prune AFTER
+    scoring-relevant terms are safe, or keep a separate length table.
+
+    Returns (id_col, bm25) rounded to ``decimals``; docs matching no
+    query term emit no row."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    # lazy localCheckpoint: doc lengths feed both the globals and the
+    # scoring join (same two-consumer shape as bm25_scores)
+    dl = (
+        postings.groupBy(F.col(id_col).alias("_id"))
+        .agg(F.sum("tf").alias("_dl"))
+        .localCheckpoint(eager=False)
+    )
+    globals_ = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tf = postings.filter(F.col("term").isin(list(query_terms))).select(
+        F.col(id_col).alias("_id"), "term", F.col("tf").alias("_tf")
+    )
+    dfreq = term_stats.filter(
+        F.col("term").isin(list(query_terms))
+    ).select("term", F.col("df").alias("_df"))
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("_tf")
+        * (k1 + 1.0)
+        / (
+            F.col("_tf")
+            + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("_id")
+        .agg(F.round(F.sum(idf * tf_part), decimals).alias("bm25"))
+        .select(F.col("_id").alias(id_col), "bm25")
+    )
+
+
 def top_ranks(
     scored: DataFrame,
     score_col: str,

@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_databases___hydrate_chroma_db_collection_spark.operators._cache import (
+    attach_cache,
+)
+
 
 def _bucket(key, row: int, width: int):
     """Hash-row ``row``'s bucket for ``key``: hex slice ``row`` of ONE
@@ -118,10 +122,13 @@ def cms_estimate(
     aggregation job at call time. ``persist`` (not
     ``localCheckpoint``) keeps the lineage, so an executor loss
     recomputes the lost blocks instead of failing the downstream
-    action. The cache entry is left pinned for the returned plan's
-    lifetime (it is only depth·width rows); callers that point-query
-    one sketch many times benefit, and LRU eviction reclaims it
-    otherwise."""
+    action. The cache entry rides on the returned DataFrame: call
+    ``operators._cache.release_cache(result)`` once the result is
+    materialized to unpersist it deterministically (each entry is only
+    depth·width rows, but CacheManager entries are never GC'd, so many
+    sketches in one session would otherwise accumulate pinned
+    entries). Callers that point-query one sketch many times should
+    release only after the last query."""
     if depth > 4:
         raise ValueError("cms depth > 4 exceeds the md5 slice budget")
     reserved = [
@@ -147,4 +154,4 @@ def cms_estimate(
     drop = [f"_cms_b{j}" for j in range(depth)] + [
         f"_cms_c{j}" for j in range(depth)
     ]
-    return out.withColumn("cms_est", est).drop(*drop)
+    return attach_cache(out.withColumn("cms_est", est).drop(*drop), mat)

@@ -431,11 +431,13 @@ def collection_query_batch(
     a per-query merge of <= k x partitions candidates — the shuffle
     carries queries x k rows, not the corpus), and the payload
     columns re-attach via one equi-join on id bounded by
-    queries x k rows. Same metric/distance conventions as
-    ``collection_query`` (see its docstring), with one divergence:
-    when ``score_decimals`` is set, ``distance`` derives from the
-    ROUNDED score (the join discards the unrounded value) — rank
-    order is unaffected."""
+    queries x k rows. Same metric/distance conventions AND the same
+    precision contract as ``collection_query``: ``score`` rounds when
+    ``score_decimals`` is set (ranking is on the rounded value, id
+    tiebreak), while ``distance`` always derives from the UNROUNDED
+    score (``knn_join`` carries it through as ``raw_score``) — a
+    distance threshold ported from Chroma behaves identically on both
+    entry points."""
     from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
         knn_join,
     )
@@ -461,6 +463,7 @@ def collection_query_batch(
         k=n_results,
         metric=manifest.metric,
         score_decimals=score_decimals,
+        include_raw_score=include_distance,
     )
     out = nn.join(
         corpus.select(
@@ -472,11 +475,8 @@ def collection_query_batch(
     out = out.withColumnRenamed("neighbor_id", "id")
     if include_distance:
         asc_metric = manifest.metric == "l2"
-        dist = (
-            F.col("score") * F.col("score")
-            if asc_metric
-            else F.lit(1.0) - F.col("score")
-        )
+        raw = F.col("raw_score")
+        dist = raw * raw if asc_metric else F.lit(1.0) - raw
         out = out.withColumn("distance", dist)
         cols.append("distance")
     return out.select(*cols).orderBy("qid", "rank")

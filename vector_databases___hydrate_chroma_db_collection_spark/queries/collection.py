@@ -1,0 +1,1185 @@
+"""Collection lifecycle: hydrate, sources, layout, time travel, Chroma API.
+
+Split from the original single-file registry (r8); every query keeps
+its exact name, body, and oracle — `tools/parity_local.py` guards the
+registry contract across the split.
+"""
+
+from __future__ import annotations
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    _COS_SQL,
+    _HASH64,
+    _ZORDER_SQL_X,
+    _ZORDER_SQL_Y,
+    _hydrate_docs_collection,
+    knn_query,
+    load_table,
+    query,
+)
+
+
+@query(
+    "hydrate_canonical_shape",
+    """
+    SELECT CAST(d.doc_id AS VARCHAR) AS id,
+           d.text AS document,
+           len(e.embedding) AS dim,
+           d.lang AS metadata_value
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def hydrate_canonical_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's entire pipeline (sas:126-193) as one declarative
+    plan: join documents to embeddings, project to canonical collection
+    schema (id stringified per quirk Q2; metadata keyed by column)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        build_hydration_input,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    canon = build_hydration_input(
+        joined,
+        HydrationConfig(
+            collection_name="docs",
+            root="/tmp/unused",
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    return canon.select(
+        "id",
+        "document",
+        F.size("embedding").alias("dim"),
+        F.element_at("metadata", "lang").alias("metadata_value"),
+    )
+
+
+@query(
+    "collection_knn_end_to_end",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '3'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '3'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full story in one query: hydrate a collection
+    (join docs+embeddings -> canonical schema -> Parquet dataset with
+    manifest), read it back as a table, answer a top-5 cosine query
+    from the stored embeddings. Every run uses a fresh temp dir, so
+    the driver's repeated invocations stay idempotent."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_e2e_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="e2e",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "e2e")
+    qvec = list(coll.filter(F.col("id") == "3").first()["embedding"])
+    return knn_query(
+        coll.filter(F.col("id") != "3"),
+        qvec,
+        k=5,
+        id_col="id",
+        embedding_col="embedding",
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "collection_ivf_knn_end_to_end",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_ivf_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed retrieval end-to-end: hydrate a collection, build an
+    IVF index over it, PERSIST the index (cell-partitioned parquet +
+    centroids), read it back, and answer a top-5 cosine query through
+    it. nprobe = n_centroids makes the search exhaustive, so the
+    oracle is the exact brute-force SQL — the plumbing (index build,
+    persisted layout, pruned scan path) is what's under test; recall
+    tradeoffs of nprobe < n_cells are covered by pytest recall tests."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_ivf_e2e_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="e2e_ivf",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "e2e_ivf")
+    assigned, centroids = ivf_build(coll, n_centroids=8, seed=42)
+    ivf_write(assigned, centroids, f"{root}/e2e_ivf/_ivf", metric="cosine")
+    assigned2, centroids2, _metric = ivf_read(spark, f"{root}/e2e_ivf/_ivf")
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_search,
+    )
+
+    return ivf_search(
+        assigned2.filter(F.col("id") != "7"),
+        centroids2,
+        qvec,
+        k=5,
+        nprobe=8,
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "collection_ivf_knn_stale_rebuild",
+    """
+    WITH base AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), donor AS (SELECT emb FROM base WHERE id = '7'),
+    corpus AS (
+        SELECT b.id,
+               CASE WHEN b.id = '3' THEN donor.emb ELSE b.emb END AS emb
+        FROM base b, donor
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_ivf_knn_stale_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-staleness contract, end-to-end and LOAD-BEARING:
+    hydrate a collection, persist an IVF index stamped with the
+    collection's etag (``ivf_write(source=...)``), then
+    ``collection_update`` one document's embedding (id '3' takes id
+    '7''s vector — the mutation an un-invalidated index would miss).
+    ``ivf_read`` must now raise ``StaleIndexError``; the query
+    REQUIRES it (no exception => EngineError), rebuilds via the
+    one-call remedy ``ivf_refresh`` (which replays the sidecar's
+    RECORDED build parameters against the current collection and
+    re-stamps), and answers top-5 through the fresh index. The oracle
+    scores the UPDATED corpus brute-force, so the result only matches
+    if the rebuild actually served the new vector (id '3' surfaces at
+    cos_sim 1.0)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_refresh,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "stale_ivf")
+    coll = read_collection(spark, root, "stale_ivf")
+    assigned, centroids = ivf_build(coll, n_centroids=8, seed=42)
+    idx_path = f"{root}/stale_ivf/_ivf"
+    ivf_write(
+        assigned,
+        centroids,
+        idx_path,
+        metric="cosine",
+        source=(root, "stale_ivf"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+
+    # Mutate: id '3' takes id '7''s embedding (SQL-expressible so the
+    # oracle can reproduce it), swapping the _current data dir. A
+    # plain call + raise, NOT an assert — the mutation is load-bearing
+    # and must survive python -O.
+    donor = coll.filter(F.col("id") == "7").select(F.col("embedding"))
+    upd = donor.select(F.lit("3").alias("id"), F.col("embedding"))
+    n_upd = collection_update(spark, root, "stale_ivf", upd)
+    if n_upd != 1:
+        raise EngineError(f"expected exactly 1 updated row, got {n_upd}")
+
+    try:
+        ivf_read(spark, idx_path)
+    except StaleIndexError:
+        pass  # the contract under test
+    else:
+        raise EngineError(
+            "persisted IVF index served a mutated collection without "
+            "raising StaleIndexError"
+        )
+
+    # One-call remedy: rebuild from the CURRENT collection with the
+    # recorded build params, re-stamp, serve.
+    assigned3, centroids3, _metric = ivf_refresh(spark, idx_path)
+    return ivf_search(
+        assigned3.filter(F.col("id") != "7"),
+        centroids3,
+        qvec,
+        k=5,
+        nprobe=8,
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "collection_filtered_query",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text, d.lang,
+               e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '3'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+        WHERE c.lang IN ('en', 'de') AND contains(c.text, 'data')
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 5
+    """,
+)
+def collection_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.query(where=..., where_document=...)``:
+    metadata + document predicates compiled to native Columns and
+    applied BEFORE the distance expression (pre-filtering — exact
+    recall, and the filter prunes the scan ahead of the math), then
+    top-5 cosine via TakeOrderedAndProject. Shuffle-free."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apiq")
+    coll = read_collection(spark, root, "apiq")
+    qvec = list(coll.filter(F.col("id") == "3").first()["embedding"])
+    return collection_query(
+        spark,
+        root,
+        "apiq",
+        qvec,
+        n_results=5,
+        where={"lang": {"$in": ["en", "de"]}},
+        where_document={"$contains": "data"},
+        score_decimals=4,
+    ).select("id", "score")
+
+
+@query(
+    "collection_delete_where",
+    """
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE lang <> 'de'
+    GROUP BY lang
+    """,
+)
+def collection_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.delete(where=...)`` on a bucketed layout:
+    survivors rewritten into a fresh versioned dir, ``_current``
+    pointer swapped atomically; the remaining per-language counts
+    prove exactly the matching rows died."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apid", n_buckets=8)
+    collection_delete(spark, root, "apid", where={"lang": "de"})
+    return (
+        read_collection(spark, root, "apid")
+        .groupBy(F.col("metadata")["lang"].alias("lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "collection_get_page",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, text AS document
+    FROM documents
+    ORDER BY id
+    LIMIT 10 OFFSET 5
+    """,
+)
+def collection_get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.get(limit=, offset=)``: id-ordered page
+    via TakeOrderedAndProject over offset+limit rows (driver cost
+    bounded by the page end, not the collection)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_get,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apig")
+    return collection_get(spark, root, "apig", limit=10, offset=5).select(
+        "id", "document"
+    )
+
+
+@query(
+    "collection_update_bucketed",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           CASE WHEN doc_id % 10 = 0 THEN 'REDACTED' ELSE text END AS document
+    FROM documents
+    """,
+)
+def collection_update_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma ``collection.update`` end-to-end on a bucketed layout:
+    every 10th document redacted in place. Exercises the crash-atomic
+    bucketed rewrite (touched buckets written to a fresh versioned
+    dir, untouched buckets hardlink-cloned, pointer swap) and the
+    distributed bucket pruning (driver sees bucket numbers, never the
+    id list); the oracle is the expected final state."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = _hydrate_docs_collection(spark, sf_dir, "apiup", n_buckets=8)
+    d = load_table(spark, sf_dir, "documents")
+    updates = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lit("REDACTED").alias("document"),
+    )
+    collection_update(spark, root, "apiup", updates)
+    return read_collection(spark, root, "apiup").select("id", "document")
+
+
+# --------------------------------------------------------------------------
+# Round-4 third batch: training-order shuffle/sharding and corpus
+# vocabulary — the data-ordering half of a training-data pipeline.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "shard_interleave_documents",
+    f"""
+    WITH hashed AS (
+        SELECT doc_id, lang,
+               {_HASH64.format(x="concat('shuffle42:', CAST(doc_id AS VARCHAR))")} AS h
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           h % 8 AS shard,
+           row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+    FROM hashed
+    """,
+)
+def shard_interleave_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding for training order: a
+    seeded engine-portable hash gives every document a pseudorandom
+    rank, the shard is hash mod n_shards, and the within-shard
+    position is the rank order — the reproducible replacement for
+    rand()-shuffling a 100 TB corpus before writing training shards.
+    One shuffle on the shard key; each shard sorts independently (the
+    inherent cost of a defined training order), no global sort, no
+    driver state. Changing the seed string reshuffles everything
+    deterministically."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    h = hash64(F.concat(F.lit("shuffle42:"), F.col("doc_id").cast("string")))
+    hashed = d.select("doc_id", "lang", h.alias("h"))
+    shard = F.pmod(F.col("h"), F.lit(8))
+    w = Window.partitionBy(shard).orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id",
+        "lang",
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos"),
+    ).withColumn("pos", F.col("pos").cast("bigint"))
+
+
+@query(
+    "collection_pq_knn_end_to_end",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_pq_knn_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed indexed retrieval end-to-end: hydrate a collection,
+    build an IVF-PQ index over it (coarse cells + residual uint8
+    codes), PERSIST the index (cell-partitioned codes + JSON sidecar),
+    read it back, and answer a top-5 cosine query through ADC
+    prescreen + exact rerank. Full probe + a prescreen wider than the
+    corpus make the result exactly the brute-force oracle — the
+    plumbing (residual encode, persisted compressed layout, per-cell
+    LUT scoring, rerank join) is what's under test; the recall/probe
+    tradeoff is covered by `test_pq.py`."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_read,
+        ivf_pq_search,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_pq_e2e_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="e2e_pq",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "e2e_pq").filter(F.col("id") != "7")
+    qvec = list(
+        read_collection(spark, root, "e2e_pq")
+        .filter(F.col("id") == "7")
+        .first()["embedding"]
+    )
+    enc, cents, cbs = ivf_pq_build(
+        coll, id_col="id", n_centroids=8, m=16, n_codes=32, seed=7
+    )
+    ivf_pq_write(enc, cents, cbs, f"{root}/e2e_pq/_ivfpq")
+    enc2, cents2, cbs2 = ivf_pq_read(spark, f"{root}/e2e_pq/_ivfpq")
+    return ivf_pq_search(
+        enc2,
+        cents2,
+        cbs2,
+        qvec,
+        k=5,
+        id_col="id",
+        nprobe=8,
+        rerank_corpus=coll,
+        embedding_col="embedding",
+        rerank_factor=100,  # 500-candidate prescreen covers the corpus
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnsRenamed({"score": "cos_sim"})
+
+
+@query(
+    "collection_export_import",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '5'),
+    scored AS (
+        SELECT c.id,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '5'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_export_import(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot portability roundtrip: hydrate a BUCKETED collection,
+    ``export_collection`` it to a self-contained flat snapshot
+    (manifest + canonical parquet — readable by anything), then
+    ``import_collection`` the snapshot under a new root/name and
+    serve a top-5 cosine query from the IMPORTED copy. The oracle is
+    the brute-force scan of the original corpus, so the whole
+    export->import->query path is value-checked; both data moves are
+    distributed scan->write jobs, never driver-side file copies
+    (plans/collection.py::export_collection/import_collection)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        export_collection,
+        import_collection,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_exp_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="src",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+            n_buckets=4,
+        ),
+    )
+    snap = export_collection(
+        spark, root, "src", tempfile.mkdtemp(prefix="vdb_snap_")
+    )
+    root2 = tempfile.mkdtemp(prefix="vdb_imp_")
+    import_collection(spark, snap, root2, name="restored")
+    coll = read_collection(spark, root2, "restored")
+    qvec = list(coll.filter(F.col("id") == "5").first()["embedding"])
+    return knn_query(
+        coll.filter(F.col("id") != "5"),
+        qvec,
+        k=5,
+        id_col="id",
+        embedding_col="embedding",
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "layout_partitioned_write_prune",
+    """
+    SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           count(*) AS n_clicks,
+           round(sum(value), 2) AS click_value
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def layout_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned DISK LAYOUT as an operator: events are
+    written ``partitionBy(event_type)`` (the standard coarse
+    first-level layout under Z-order's intra-file clustering,
+    functions/layout.py), then read back with an event_type filter —
+    which Spark satisfies by LISTING only the matching partition
+    directory: the scan's PartitionFilters prune 4/5 of the data
+    before any file is opened (asserted in tests/test_plans.py). The
+    oracle aggregates the original table, so the roundtrip through
+    the partitioned layout is value-checked, not just plan-checked.
+    Every run writes a fresh temp dir (driver re-invocations stay
+    idempotent)."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="vdb_layout_")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    return back.groupBy(
+        F.date_format(F.date_trunc("day", "ts").cast("date"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 2).alias("click_value"),
+    )
+
+
+@query(
+    "collection_query_batch_top3",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text AS document,
+               e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    q AS (
+        SELECT 0 AS qid, emb AS qe FROM corpus WHERE id = '7'
+        UNION ALL
+        SELECT 1 AS qid, emb AS qe FROM corpus WHERE id = '11'
+    ),
+    scored AS (
+        SELECT q.qid, c.id, c.document,
+               round(
+                   list_sum(list_transform(list_zip(c.emb, q.qe),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(c.emb,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(q.qe,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS score
+        FROM corpus c, q
+    ),
+    ranked AS (
+        SELECT qid, id, document, score,
+               row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, id) AS rank
+        FROM scored
+    )
+    SELECT qid, CAST(rank AS BIGINT) AS rank, id, document, score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def collection_query_batch_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma's NATIVE multi-embedding ``collection.query`` signature
+    (``query_embeddings`` is a list; results are positional per
+    query): hydrate a collection, then answer a 2-query batch with
+    payload columns attached, via
+    plans/chroma_api.py::collection_query_batch — the query batch
+    broadcasts through knn_join's two-level top-k (shuffle carries
+    queries x k rows, never the corpus) and documents re-attach by
+    one bounded equi-join. Oracle replays both queries brute-force."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_qb_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="qb",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+        ),
+    )
+    vecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in e.filter(F.col("vec_id").isin([7, 11])).collect()
+    }
+    return collection_query_batch(
+        spark,
+        root,
+        "qb",
+        [vecs[7], vecs[11]],
+        n_results=3,
+        score_decimals=4,
+    ).select(
+        "qid", F.col("rank").cast("long").alias("rank"), "id", "document", "score"
+    )
+
+
+@query(
+    "layout_zorder_events",
+    f"""
+    SELECT event_id,
+           {{z}} AS zval,
+           CAST(floor({{z}} / {1 << 26}) AS BIGINT) AS zbucket
+    FROM events
+    """.format(
+        z=__import__(
+            "vector_databases___hydrate_chroma_db_collection_spark.functions.layout",
+            fromlist=["zorder_key_sql"],
+        ).zorder_key_sql([_ZORDER_SQL_X, _ZORDER_SQL_Y], bits=16)
+    ),
+)
+def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, value-cents) —
+    the multi-dimensional file-clustering technique behind
+    OPTIMIZE ZORDER BY / Iceberg zorder rewrites: write files sorted
+    by zval and footer min/max stats prune scans filtered on EITHER
+    dimension. The key (functions/layout.py::zorder_key) is a pure
+    shift/mask/add projection — whole-stage codegen, zero shuffle to
+    compute; zbucket (top bits) is what a writer would range-
+    partition on. The oracle embeds the IDENTICAL arithmetic via
+    zorder_key_sql, proving the key is engine-portable (a layout job
+    and a reader written in different engines must agree on the
+    clustering)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.layout import (
+        zorder_key,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    z = zorder_key(
+        [F.col("user_id"), F.round(F.col("value") * 100).cast("bigint")],
+        bits=16,
+    )
+    return e.select("event_id", z.alias("zval")).withColumn(
+        "zbucket", F.floor(F.col("zval") / F.lit(1 << 26)).cast("bigint")
+    )
+
+
+@query(
+    "source_csv_json_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_csv,
+           CAST(count(*) AS BIGINT) AS n_json,
+           CAST(round(sum(CAST(round(value * 100) AS BIGINT)), 0) / 100.0
+                AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-format round-trip: the events table is exported to CSV
+    (header, ISO timestamps) and JSON-lines, re-read through
+    explicit-schema readers (schema inference is forbidden at scale —
+    it costs an extra full pass and can flip types between runs), and
+    re-aggregated from EACH format. The oracle is the parquet truth:
+    per-type counts from the CSV copy and the JSON copy must both
+    equal the parquet count, and the value sum (order-independent
+    integer cents) must survive both text round-trips — the
+    CSV/JSON quoting, timestamp formatting, and float printing are
+    what's under test. Readers are single-pass, splittable scans; no
+    inference jobs appear in the plan."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="vdb_src_")
+    csv_dir, json_dir = f"{root}/csv", f"{root}/json"
+    out = e.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    out.write.option("header", True).mode("overwrite").csv(csv_dir)
+    out.write.mode("overwrite").json(json_dir)
+    schema = (
+        "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    csv_agg = (
+        spark.read.option("header", True).schema(schema).csv(csv_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_csv"),
+            F.sum(cents).alias("_c_cents"),
+        )
+    )
+    json_agg = (
+        spark.read.schema(schema).json(json_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_json"),
+            F.sum(cents).alias("_j_cents"),
+        )
+    )
+    return (
+        csv_agg.join(json_agg, "event_type")
+        .filter(F.col("_c_cents") == F.col("_j_cents"))
+        .select(
+            "event_type",
+            "n_csv",
+            "n_json",
+            (F.round(F.col("_c_cents"), 0) / 100.0)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "collection_time_travel",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id,
+           lang AS metadata_before,
+           'updated' AS metadata_after
+    FROM documents
+    WHERE doc_id < 50 AND doc_id % 7 = 0
+    """,
+)
+def collection_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel end-to-end: hydrate a collection, UPDATE a slice of
+    its metadata with ``retain_previous=True`` (the pointer-swap
+    protocol keeps the retired dir as a readable version instead of
+    deleting it — the lakehouse VACUUM-retention contract), then read
+    the CURRENT and PREVIOUS versions side by side and return the
+    changed rows' before/after metadata. The previous version is a
+    complete, immutable dir — no log replay, no copy — because every
+    rewrite already goes through versioned-dir + atomic pointer
+    commit; retention just skips the post-swap delete, and
+    ``vacuum_collection``'s horizon bounds how long versions
+    accumulate."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    root = tempfile.mkdtemp(prefix="vdb_tt_")
+    hydrate(
+        spark,
+        joined,
+        HydrationConfig(
+            collection_name="tt",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    updates = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(F.lit("lang"), F.lit("updated")).alias("metadata"),
+    )
+    collection_update(spark, root, "tt", updates, retain_previous=True)
+    prev_name = [v for v, active in collection_versions(root, "tt") if not active][0]
+    cur = read_collection(spark, root, "tt").select(
+        "id", F.col("metadata")["lang"].alias("metadata_after")
+    )
+    prev = read_collection(spark, root, "tt", version=prev_name).select(
+        "id", F.col("metadata")["lang"].alias("metadata_before")
+    )
+    return (
+        prev.join(cur, "id")
+        .filter(F.col("metadata_before") != F.col("metadata_after"))
+        .select("id", "metadata_before", "metadata_after")
+    )
+
+
+@query(
+    "source_schema_evolution",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_batch_tag
+    FROM events GROUP BY 1
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a growing dataset: an old batch written
+    WITHOUT a column and a new batch written WITH an added
+    ``batch_tag`` column are read together under ``mergeSchema`` —
+    the widened schema applies to both, old rows surface NULL for the
+    added column, and nothing is rewritten (schema-on-read, the only
+    viable evolution at 100 TB; a backfill rewrite is a choice, not a
+    requirement). The oracle derives the same counts from the
+    original table: rows that came through the tagged batch are
+    exactly the rows whose tag is non-null."""
+    import tempfile
+
+    e = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="vdb_evo_")
+    old = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    )
+    new = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", F.lit("b1").alias("batch_tag")
+    )
+    old.write.parquet(f"{root}/b0")
+    new.write.parquet(f"{root}/b1")
+    merged = (
+        spark.read.option("mergeSchema", True)
+        .option("recursiveFileLookup", True)
+        .parquet(root)
+    )
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("batch_tag").isNotNull().cast("bigint")).alias(
+            "n_with_batch_tag"
+        ),
+    )
+
+
+@query(
+    "collection_vacuum_retention",
+    """
+    WITH base AS (SELECT doc_id, lang FROM documents WHERE doc_id < 40),
+    v1 AS (
+        SELECT CASE WHEN doc_id % 5 = 0 THEN 'v2' ELSE lang END AS lang
+        FROM base
+    ),
+    v2 AS (
+        SELECT CASE WHEN doc_id % 10 = 0 THEN 'v3'
+                    WHEN doc_id % 5 = 0 THEN 'v2'
+                    ELSE lang END AS lang
+        FROM base
+    )
+    SELECT 1 AS version_idx, lang, count(*) AS n FROM v1 GROUP BY 2
+    UNION ALL
+    SELECT 2 AS version_idx, lang, count(*) AS n FROM v2 GROUP BY 2
+    """,
+)
+def collection_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM with a retention policy over the time-travel store:
+    hydrate, apply TWO retained updates (three on-disk versions), then
+    ``vacuum_collection(older_than_s=0, keep_last=1)`` — the newest
+    retained version survives regardless of age (the lakehouse
+    ``VACUUM ... RETAIN`` contract), the older one is swept. The
+    query returns per-lang counts for EVERY surviving version
+    oldest-first, so the oracle proves both halves of the policy: the
+    kept version's state (post-update-1) is readable, and the swept
+    version's state (the original) is GONE — had vacuum kept it, a
+    third version_idx would appear and the row counts would mismatch."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+        read_collection,
+        vacuum_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    root = tempfile.mkdtemp(prefix="vdb_vac_")
+    hydrate(
+        spark,
+        joined,
+        HydrationConfig(
+            collection_name="vac",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    for modulus, tag in ((5, "v2"), (10, "v3")):
+        updates = d.filter(F.col("doc_id") % modulus == 0).select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.create_map(F.lit("lang"), F.lit(tag)).alias("metadata"),
+        )
+        collection_update(spark, root, "vac", updates, retain_previous=True)
+    vacuum_collection(root, "vac", older_than_s=0.0, keep_last=1)
+
+    surviving = collection_versions(root, "vac")  # oldest-first
+    per_version = [
+        read_collection(spark, root, "vac", version=ver).select(
+            F.lit(idx).alias("version_idx"),
+            F.col("metadata")["lang"].alias("lang"),
+        )
+        for idx, (ver, _active) in enumerate(surviving, start=1)
+    ]
+    from functools import reduce
+
+    return (
+        reduce(DataFrame.unionByName, per_version)
+        .groupBy("version_idx", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "collection_version_diff",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS id, 'removed' AS change
+    FROM documents WHERE doc_id < 50 AND doc_id % 13 = 0
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR), 'changed'
+    FROM documents WHERE doc_id < 50 AND doc_id % 7 = 0 AND doc_id % 13 <> 0
+    UNION ALL
+    SELECT CAST(doc_id + 1000 AS VARCHAR), 'added'
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def collection_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between collection versions: hydrate, then
+    update metadata (%7, retaining the original version), delete ids
+    (%13), and upsert 10 re-keyed new docs — then ``collection_diff``
+    classifies every id as added / removed / changed against the
+    retained original (delete wins over update for ids hit by both,
+    e.g. id 0). One full-outer join of two complete version dirs — no
+    log replay, the same reason time travel is O(1) here. The oracle
+    derives the expected change set straight from the base table."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete,
+        collection_diff,
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_versions,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_diff_")
+
+    def cfg(on_duplicate: str = "error") -> HydrationConfig:
+        return HydrationConfig(
+            collection_name="vd",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+            on_duplicate=on_duplicate,
+        )
+
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg())
+    updates = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.create_map(F.lit("lang"), F.lit("updated")).alias("metadata"),
+    )
+    collection_update(spark, root, "vd", updates, retain_previous=True)
+    doomed = [str(r["doc_id"]) for r in d.filter(F.col("doc_id") % 13 == 0).collect()]
+    collection_delete(spark, root, "vd", ids=doomed)
+    newbies = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text", "lang")
+    )
+    hydrate(
+        spark,
+        newbies.join(
+            e.select((F.col("vec_id") + 1000).alias("doc_id"), "embedding"),
+            "doc_id",
+        ),
+        cfg(on_duplicate="upsert"),
+    )
+    original = [v for v, active in collection_versions(root, "vd") if not active][0]
+    return collection_diff(spark, root, "vd", from_version=original)

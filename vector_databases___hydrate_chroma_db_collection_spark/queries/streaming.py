@@ -1,0 +1,238 @@
+"""Structured Streaming twins: windows, joins, CDC hydration, stateful ops.
+
+Split from the original single-file registry (r8); every query keeps
+its exact name, body, and oracle — `tools/parity_local.py` guards the
+registry contract across the split.
+"""
+
+from __future__ import annotations
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401
+    DataFrame,
+    F,
+    SparkSession,
+    W,
+    _CMS64_BUCKET_SQL,
+    load_table,
+    query,
+)
+
+
+@query(
+    "stream_tumbling_event_stats",
+    """
+    SELECT strftime(to_timestamp((epoch_us(ts) // 1000000 // 21600) * 21600),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS cnt,
+           round(sum(value), 4) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return W.tumbling_event_stats(e, window="6 hours")
+
+
+@query(
+    "stream_sliding_user_activity",
+    """
+    WITH buckets AS (
+        SELECT user_id, ts,
+               (epoch_us(ts) // 1000000 // 21600) * 21600 AS b
+        FROM events
+    ), expanded AS (
+        SELECT user_id, to_timestamp(b) AS window_start FROM buckets
+        UNION ALL
+        SELECT user_id, to_timestamp(b - 21600) AS window_start FROM buckets
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           user_id, count(*) AS cnt
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def stream_sliding_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding by 6h: every event lands in exactly two
+    windows (its bucket's window and the one starting 6h earlier) —
+    which is what the UNION ALL oracle enumerates."""
+    e = load_table(spark, sf_dir, "events")
+    return W.sliding_user_activity(e, window="12 hours", slide="6 hours")
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH ordered AS (
+        SELECT user_id, value, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+        SELECT user_id, us, value,
+               CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 300000000
+                    OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, us, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(to_timestamp(min(us) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(to_timestamp((max(us) + 300000000) // 1000000), '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS events,
+           round(sum(value), 4) AS value_sum
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (gap 5 min). The oracle reproduces
+    F.session_window with classic lag+cumsum sessionization over
+    microsecond epochs; session end = last event + gap."""
+    e = load_table(spark, sf_dir, "events")
+    return W.session_windows(e, gap="5 minutes")
+
+
+@query(
+    "stream_dedup_by_id",
+    """
+    SELECT count(*) AS total, count(DISTINCT event_id) AS distinct_ids
+    FROM events
+    """,
+)
+def stream_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of dropDuplicatesWithinWatermark: dedup by id then
+    count (fixture ids are unique, so total == distinct_ids — the
+    streaming test exercises the duplicate path with injected dups)."""
+    e = load_table(spark, sf_dir, "events")
+    deduped = W.dedup_within_watermark(e)
+    return deduped.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("event_id").alias("distinct_ids"),
+    )
+
+
+@query(
+    "stream_attribution_join",
+    """
+    SELECT t.user_id, t.event_id AS trigger_id, c.event_id AS conversion_id,
+           round((epoch_us(c.ts) - epoch_us(t.ts)) / 1000000.0, 6) AS gap_seconds
+    FROM events t
+    JOIN events c
+      ON c.user_id = t.user_id
+     AND c.ts > t.ts
+     AND c.ts <= t.ts + INTERVAL 30 MINUTE
+    WHERE t.event_type = 'click' AND c.event_type = 'purchase'
+    """,
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join (the streaming
+    variant with watermark state eviction is exercised in
+    tests/test_streaming.py with exact parity to this plan)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.joins import (
+        attributed_events,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = attributed_events(
+        e.filter(F.col("event_type") == "click"),
+        e.filter(F.col("event_type") == "purchase"),
+        within="30 minutes",
+    )
+    return out.select(
+        "user_id",
+        "trigger_id",
+        "conversion_id",
+        F.round("gap_seconds", 6).alias("gap_seconds"),
+    )
+
+
+@query(
+    "stream_static_join_nation",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+    WHERE e.event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1
+    """,
+)
+def stream_static_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static join: each (streaming) event
+    enriched against a broadcast static dimension, then aggregated.
+    In Structured Streaming the static side is re-broadcast per
+    micro-batch with no state store involved — the standard
+    dimension-enrichment topology; tests/test_streaming.py drives the
+    identical plan through readStream and diffs against this twin.
+    sum(value) stays deterministic at 2 decimals because each group
+    sums ~hundreds of doubles (error ~1e-10, far under the
+    rounding)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.joins import (
+        enrich_with_static,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    n = load_table(spark, sf_dir, "nation")
+    return enrich_with_static(
+        e, n, key_expr=lambda f: f["user_id"] % 25, dim_key="n_nationkey"
+    )
+
+
+@query(
+    "stream_cms_event_users",
+    f"""
+    WITH js AS (SELECT unnest([0, 1, 2, 3]) AS j)
+    SELECT j AS hash_row,
+           {_CMS64_BUCKET_SQL.format(key='user_id')} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events CROSS JOIN js
+    GROUP BY 1, 2
+    """,
+)
+def stream_cms_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance END-TO-END: the events table is
+    replayed as a file stream in forced micro-batches, each batch's
+    CMS delta is merged into versioned pointer-swapped state
+    (streaming/sketches.py::stream_cms_counters), and the FINAL merged
+    counter table is returned. The oracle is the plain batch sketch
+    in SQL — CMS linearity (sketch of union = cellwise sum of
+    sketches) is exactly what makes a streaming sketch correct, so
+    the hash-equality here IS the merge-correctness proof, on top of
+    the pytest two-batch twin. State stays ≤ depth·width rows no
+    matter how many users the stream ever sees."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.sketches import (
+        read_cms_state,
+        stream_cms_counters,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    root = tempfile.mkdtemp(prefix="vdb_stream_cms_")
+    in_dir = f"{root}/in"
+    # two replay files -> two micro-batches via maxFilesPerTrigger
+    e.filter(F.col("user_id") % 2 == 0).write.parquet(f"{in_dir}/b0")
+    e.filter(F.col("user_id") % 2 == 1).write.parquet(f"{in_dir}/b1")
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+    )
+    q = stream_cms_counters(
+        stream,
+        "user_id",
+        state_dir=f"{root}/state",
+        checkpoint_dir=f"{root}/ckpt",
+        depth=4,
+        width=64,
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "stream_cms_event_users: availableNow stream did not drain "
+            "within 300s — partial state would corrupt the oracle compare"
+        )
+    return read_cms_state(spark, f"{root}/state")

@@ -1,0 +1,954 @@
+"""Text analysis: tokenization, quality, TF-IDF, BM25, fingerprints, vocab.
+
+Split from the original single-file registry (r8); every query keeps
+its exact name, body, and oracle — `tools/parity_local.py` guards the
+registry contract across the split.
+"""
+
+from __future__ import annotations
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401
+    DataFrame,
+    F,
+    MINHASH_P,
+    SparkSession,
+    T,
+    _BM25_SQL_BASE,
+    _BM25_TERMS,
+    _BPE_RE,
+    _HASH64,
+    _LANGID_ORACLE,
+    _NORM,
+    _PII_CONTACT_SQL,
+    _PII_EMAIL,
+    _PII_IPV4,
+    _PII_PHONE,
+    _SW,
+    _TOKS,
+    load_table,
+    query,
+)
+
+
+@query(
+    "text_stats_by_lang",
+    f"""
+    SELECT lang,
+           count(*) AS cnt,
+           round(avg(len({_TOKS.format(x='text')})), 4) AS avg_tokens,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg(T.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({_TOKS.format(x='text')}) AS tok_cnt,
+               length(text) AS char_cnt,
+               (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+                   / greatest(length(text), 1) AS praw,
+               len(list_filter({_TOKS.format(x='lower(text)')},
+                   t -> list_contains({_SW['en']}, t)))::DOUBLE
+                   / greatest(len({_TOKS.format(x='lower(text)')}), 1) AS swraw
+        FROM documents
+    )
+    SELECT doc_id, tok_cnt, char_cnt,
+           round(praw, 6) AS punct_ratio,
+           round(swraw, 6) AS stopword_ratio,
+           round(0.4 * least(tok_cnt / 100.0, 1.0)
+                 + 0.4 * (1.0 - praw)
+                 + 0.2 * least(swraw / 0.1, 1.0), 6) AS quality
+    FROM base
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return T.add_text_features(d).select(
+        "doc_id", "tok_cnt", "char_cnt", "punct_ratio", "stopword_ratio", "quality"
+    )
+
+
+@query(
+    "text_gopher_filters",
+    r"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS ws,
+               len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ws) AS n_words,
+               round(list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                     / len(ws), 4) AS mean_word_len,
+               round(n_sym::DOUBLE / len(ws), 4) AS symbol_ratio,
+               round(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                     / len(ws), 4) AS alpha_word_frac,
+               len(list_distinct(list_intersect(
+                   list_transform(ws, w -> lower(w)),
+                   ['the','be','to','of','and','that','have','with']))) >= 1
+                   AS has_stopwords
+        FROM base
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           has_stopwords,
+           (n_words >= 30 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8
+            AND has_stopwords) AS gopher_pass
+    FROM m
+    """,
+)
+def text_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality gate (Rae et al. 2021, Table A1) over
+    the corpus: word-count bounds, mean word length, symbol ratio,
+    alphabetic-word fraction, distinct-stopword presence, and the
+    combined pass flag — the standard pre-training garbage filter,
+    one struct expression in whole-stage codegen (split + HOFs, no
+    UDF, no shuffle; the oracle recomputes every rule from the same
+    tokenization). Fixture adaptations, both documented: min_words=30
+    (fixture docs are 10-99 words) and min_stopword_hits=1 (the
+    synthetic vocabulary carries only 'the' from the canonical list)
+    so the pass flag actually partitions the corpus; the published
+    50..100k / >=2 thresholds are the function's defaults."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.withColumn("_g", T.gopher_flags("text", min_words=30, min_stopword_hits=1))
+    return g.select(
+        "doc_id",
+        F.col("_g.n_words").alias("n_words"),
+        F.col("_g.mean_word_len").alias("mean_word_len"),
+        F.col("_g.symbol_ratio").alias("symbol_ratio"),
+        F.col("_g.alpha_word_frac").alias("alpha_word_frac"),
+        F.col("_g.has_stopwords").alias("has_stopwords"),
+        F.col("_g.gopher_pass").alias("gopher_pass"),
+    )
+
+
+@query("text_language_id", _LANGID_ORACLE)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        T.add_text_features(d)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp_md5,
+           sha256({_NORM}) AS fp_sha256
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    norm = T.normalize_text("text")
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("fp_md5"),
+        F.sha2(norm.cast("binary"), 256).alias("fp_sha256"),
+    )
+
+
+@query(
+    "text_bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS bpe_tok_cnt,
+           len({_TOKS.format(x='text')}) AS ws_tok_cnt,
+           round(CAST(length(text) AS DOUBLE)
+                 / greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1),
+                 4) AS chars_per_bpe_tok
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting for training pipelines: whitespace tokens vs a
+    BPE-ish pre-tokenizer split. Pure projection — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = T.bpe_token_count("text")
+    return d.select(
+        "doc_id",
+        bpe.alias("bpe_tok_cnt"),
+        T.token_count("text").alias("ws_tok_cnt"),
+        F.round(
+            F.length("text").cast("double") / F.greatest(bpe, F.lit(1)), 4
+        ).alias("chars_per_bpe_tok"),
+    )
+
+
+@query(
+    "text_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, token,
+               round(tf * ln(n_docs::DOUBLE / dfreq), 4) AS tfidf
+        FROM tf JOIN dfq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, token, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, token) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — the classic distinctive-term
+    extractor for corpus triage. Three map-side-combinable hash aggs
+    (term frequency, document frequency, corpus size), one equi-join
+    on token, a broadcast of the single-row corpus count, and one
+    bounded per-doc window; every expression codegen. Rank is over
+    the ROUNDED score (ties broken by token) so ordering is
+    engine-portable."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(normalize_text("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    total = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tfidf", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@query(
+    "text_bm25_scores",
+    f"""
+    WITH {_BM25_SQL_BASE},
+    ranked AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bscore
+    )
+    SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75, Lucene idf) top-20 for a fixed
+    3-term query — the lexical retrieval half of hybrid search
+    (operators/retrieval.py::bm25_scores). The rank is over the
+    ROUNDED score with id tiebreak so ordering is engine-portable."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        bm25_scores,
+        top_ranks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, list(_BM25_TERMS), id_col="doc_id", text_col="text")
+    return top_ranks(scored, "bm25", id_col="doc_id", k=20).select(
+        "doc_id", "bm25", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "text_bm25_from_index",
+    f"""
+    WITH {_BM25_SQL_BASE},
+    ranked AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM bscore
+    )
+    SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served FROM the materialized inverted index — the proof
+    of the index's amortization claim: ``inverted_postings`` builds
+    (term, doc, tf) postings + the term dictionary ONCE, both persist
+    to parquet, and scoring reads ONLY the index — the corpus text is
+    never re-tokenized (operators/retrieval.py::bm25_from_index; doc
+    lengths reconstruct as sum(tf) per doc, exact at min_df=1). The
+    query-term filter pushes into the postings scan, so each query
+    touches its own terms' rows, not the corpus. Same oracle as
+    text_bm25_scores: identical top-20 scores prove the index path is
+    a lossless substitute for the from-raw-text path. Every run
+    writes a fresh temp dir (driver re-invocations stay idempotent)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        bm25_from_index,
+        inverted_postings,
+        top_ranks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    out = tempfile.mkdtemp(prefix="vdb_bm25_index_")
+    postings.write.mode("overwrite").parquet(out + "/postings")
+    stats.write.mode("overwrite").parquet(out + "/term_stats")
+    scored = bm25_from_index(
+        spark.read.parquet(out + "/postings"),
+        spark.read.parquet(out + "/term_stats"),
+        list(_BM25_TERMS),
+        id_col="doc_id",
+    )
+    return top_ranks(scored, "bm25", id_col="doc_id", k=20).select(
+        "doc_id", "bm25", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@query(
+    "text_rolling_fingerprint",
+    f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform({_TOKS.format(x=_NORM)},
+                   t -> {_HASH64.format(x='t')} % {MINHASH_P}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(hs) = 0 THEN 0
+                ELSE list_reduce(hs, (a, b) -> (a * 131 + b) % {MINHASH_P})
+           END AS rfp
+    FROM th
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin–Karp fingerprint over normalized tokens
+    (functions/hashes.py::rolling_hash) — distinguishes documents that
+    are token permutations of each other, which the md5-of-normalized-
+    text and SimHash fingerprints cannot."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        rolling_hash,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_hash(T.tokens(T.normalize_text("text"))).alias("rfp"),
+    )
+
+
+@query(
+    "text_levenshtein_names",
+    """
+    SELECT n1.n_name AS name_a, n2.n_name AS name_b,
+           levenshtein(n1.n_name, n2.n_name) AS dist
+    FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+    WHERE levenshtein(n1.n_name, n2.n_name) <= 2
+    """,
+)
+def text_levenshtein_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k1"), F.col("n_name").alias("name_a")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k2"), F.col("n_name").alias("name_b")
+    )
+    return (
+        n1.join(n2, F.col("k1") < F.col("k2"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 2)
+    )
+
+
+@query(
+    "text_chunking",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS t
+        FROM documents WHERE doc_id < 100
+    ), meta AS (
+        SELECT doc_id, t,
+               1 + CAST(floor((greatest(len(t) - 16, 0) + 11) / 12.0) AS INT) AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               array_to_string(list_slice(t, i * 12 + 1, i * 12 + 16), ' ') AS chunk_text,
+               len(list_slice(t, i * 12 + 1, i * 12 + 16)) AS chunk_tokens
+        FROM meta, unnest(range(0, n_chunks)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           concat(CAST(doc_id AS VARCHAR), '#', CAST(chunk_idx AS VARCHAR)) AS chunk_id,
+           chunk_text, chunk_tokens
+    FROM chunks
+    """,
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking: overlapping 16-token windows, step 12, one row
+    per chunk with a derived chunk id ready for hydration."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunked = d.select(
+        "doc_id", F.explode(T.chunk_tokens("text", window=16, step=12)).alias("c")
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("c.chunk_idx").cast("string")).alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+    )
+
+
+@query(
+    "text_repetition_quality",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS tok FROM documents
+    ),
+    per_tok AS (
+        SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           round(count(*)::DOUBLE / sum(c), 4) AS distinct_ratio,
+           round(max(c)::DOUBLE / sum(c), 4) AS top_token_share
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token ratio, and the share of the single most frequent
+    token (boilerplate/spam indicator). Two map-side-combinable
+    hash aggregations keyed by doc_id — no windows, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.explode(T.tokens(T.normalize_text(F.col("text")))).alias("tok")
+    )
+    per_tok = t.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 4).alias("distinct_ratio"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_token_share"),
+    )
+
+
+@query(
+    "text_regexp_extract_counts",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[aeiou]+'))                AS vowel_runs,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g'))   AS letter_chars
+    FROM documents
+    """,
+)
+def text_regexp_extract_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all + global regexp_replace as corpus-statistics
+    primitives (run-counts, alphabet-only lengths). Character classes
+    only — the regex subset every engine's dialect agrees on. Spark's
+    regexp_replace is global by default; DuckDB needs the 'g' flag."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("vowel_runs"),
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        .cast("bigint")
+        .alias("letter_chars"),
+    )
+
+
+@query(
+    "vocab_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS token
+        FROM documents
+    ),
+    stats AS (
+        SELECT token, count(*) AS total_tf,
+               count(DISTINCT doc_id) AS dfreq
+        FROM tok GROUP BY 1
+    ),
+    ranked AS (
+        SELECT token, total_tf, dfreq,
+               row_number() OVER (ORDER BY total_tf DESC, token) AS rank
+        FROM stats
+    )
+    SELECT token, total_tf, dfreq, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by total frequency with
+    document frequencies — the first pass of tokenizer/vocab training
+    and stopword discovery. One explode + one map-side-combinable
+    agg; the global top-50 is a TakeOrderedAndProject over the
+    (bounded) distinct-token aggregate, never a full sort of the
+    corpus. Rank ties break on the token so ordering is
+    engine-portable."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(normalize_text("text"))).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.count_distinct("doc_id").alias("dfreq"),
+    )
+    # TakeOrderedAndProject keeps 50 rows; the unpartitioned
+    # row_number window then runs over those 50 rows only, never the
+    # full vocabulary.
+    top = stats.orderBy(F.col("total_tf").desc(), "token").limit(50)
+    w = Window.orderBy(F.col("total_tf").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+@query(
+    "text_bigram_freq",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tok
+    ),
+    stats AS (
+        SELECT bigram, count(*) AS tf, count(DISTINCT doc_id) AS dfreq
+        FROM bg GROUP BY 1
+    ),
+    ranked AS (
+        SELECT bigram, tf, dfreq,
+               row_number() OVER (ORDER BY tf DESC, bigram) AS rank
+        FROM stats
+    )
+    SELECT bigram, tf, dfreq, rank FROM ranked WHERE rank <= 40
+    """,
+)
+def text_bigram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram head: top-40 word pairs by frequency — the n-gram
+    statistics pass behind phrase mining, collocation scoring, and
+    n-gram LM features. Bigrams are built POSITIONALLY inside one
+    expression (sequence + element_at, no self-join of the token
+    table), so the plan is explode -> map-side-combinable agg ->
+    TakeOrderedAndProject over the distinct-bigram aggregate; rank
+    ties break on the bigram text for engine portability."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text("text"))
+    bigrams = F.when(
+        F.size(toks) > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    stats = bg.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("dfreq"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("bigram"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 40)
+    )
+
+
+@query(
+    "text_inverted_index",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS.format(x=_NORM)}) AS t FROM documents
+    ),
+    tf AS (
+        SELECT t AS term, doc_id, count(*) AS tf FROM tok
+        WHERE t IN {str(tuple(_BM25_TERMS))} GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY 1
+    ),
+    r AS (
+        SELECT tf.term, tf.doc_id, tf.tf, st.df, st.total_tf,
+               row_number() OVER (PARTITION BY tf.term
+                   ORDER BY tf.tf DESC, tf.doc_id) AS rank
+        FROM tf JOIN st USING (term)
+    )
+    SELECT term, doc_id, tf, df, total_tf, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (operators/retrieval.py::
+    inverted_postings) — postings as DISTRIBUTED ROWS (term, doc, tf)
+    plus the per-term dictionary (df, total_tf), the layout that
+    survives a stop-word's corpus-sized posting list at 100 TB where
+    a collect_list posting array cannot. The query materializes the
+    index and serves a dictionary lookup: for the fixture term set,
+    the top-5 postings per term by (tf, doc) with term stats
+    attached — i.e. the exact probe a lexical searcher runs."""
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        inverted_postings,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    probe = postings.filter(F.col("term").isin(list(_BM25_TERMS)))
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        probe.join(F.broadcast(stats), "term")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("term", "doc_id", "tf", "df", "total_tf", "rank")
+    )
+
+
+@query(
+    "vocab_bpe_pair_merges",
+    f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS.format(x=_NORM)}) AS w FROM documents
+    ),
+    wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                   i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1))) AS pair,
+               cnt
+        FROM wc WHERE length(w) >= 2
+    ),
+    agg AS (
+        SELECT pair, CAST(sum(cnt) AS BIGINT) AS merges FROM pairs GROUP BY 1
+    ),
+    r AS (
+        SELECT pair, merges,
+               row_number() OVER (ORDER BY merges DESC, pair) AS rank
+        FROM agg
+    )
+    SELECT pair, merges, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 20
+    """,
+)
+def vocab_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training iteration's core computation (Sennrich et al.
+    2016): corpus-frequency-weighted counts of ADJACENT symbol pairs
+    within words (character-level init), whose argmax is the next
+    merge rule. The scale-critical trick: pairs are counted over the
+    DISTINCT-WORD table weighted by word count — the pair explode
+    touches |vocab| rows, not |corpus| tokens (the standard dictionary
+    optimization; at 100 TB the vocab table is millions of rows while
+    the token stream is trillions). Words shorter than 2 chars are
+    filtered BEFORE the pair transform: sequence(1, len-1) at len=1
+    is the DESCENDING [1, 0] (same ANSI trap as binary_quantize)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens(normalize_text("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.col("w")
+    pairs = (
+        wc.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.concat(
+                        w.substr(i, F.lit(1)),
+                        F.lit(" "),
+                        w.substr(i + 1, F.lit(1)),
+                    ),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("merges"))
+    )
+    from pyspark.sql import Window
+
+    ranked = pairs.orderBy(F.col("merges").desc(), F.col("pair")).limit(20)
+    return ranked.select(
+        "pair",
+        "merges",
+        F.row_number()
+        .over(Window.orderBy(F.col("merges").desc(), F.col("pair")))
+        .cast("long")
+        .alias("rank"),
+    )
+
+
+@query(
+    "text_pii_redaction",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_PII_CONTACT_SQL} AS contact FROM documents
+    ),
+    r1 AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(contact, '{_PII_EMAIL}')) AS BIGINT)
+                   AS n_email,
+               regexp_replace(contact, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+        FROM base
+    ),
+    r2 AS (
+        SELECT doc_id, n_email,
+               CAST(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS BIGINT)
+                   AS n_ipv4,
+               regexp_replace(t1, '{_PII_IPV4}', '[IPV4]', 'g') AS t2
+        FROM r1
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           CAST(len(regexp_extract_all(t2, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phone,
+           regexp_replace(t2, '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+    FROM r2
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing before training-data release: emails, IPv4
+    addresses, and phone-like digit runs replaced with typed tags,
+    plus per-category counts (functions/text.py::redact_pii /
+    pii_counts). The patterns are RE2-compatible so the SAME strings
+    run in Spark's Java regex and DuckDB — pattern portability IS the
+    oracle check. Fixture docs carry no PII, so a contact line is
+    woven deterministically from fixture columns on both sides;
+    redaction order (email -> ipv4 -> phone) is part of the contract.
+    Everything is a codegen regexp chain — scrubbing 100 TB is a
+    scan, no UDF, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    contact = F.concat(
+        F.lit("doc "),
+        did,
+        F.when(
+            F.col("lang") == "en",
+            F.concat(
+                F.lit(" contact user"), did, F.lit("@data-"),
+                F.col("source"), F.lit(".org"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit("."), (F.col("n_chars") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" call +1 555 01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id",
+        T.pii_counts(contact).alias("_c"),
+        T.redact_pii(contact).alias("redacted"),
+    ).select(
+        "doc_id",
+        F.col("_c.n_email").cast("bigint").alias("n_email"),
+        F.col("_c.n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("_c.n_phone").cast("bigint").alias("n_phone"),
+        "redacted",
+    )
+
+
+@query(
+    "text_bigram_lm_score",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS toks FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        FROM tok WHERE len(toks) > 1
+    ),
+    c12 AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+    c1 AS (
+        SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS cw
+        FROM bg GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(c12.cb::DOUBLE / c1.cw)), 4) AS avg_logp
+    FROM bg b
+    JOIN c12 USING (bigram)
+    JOIN c1 ON c1.w1 = split_part(b.bigram, ' ', 1)
+    GROUP BY 1
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: each document's mean bigram
+    log-likelihood under the corpus's own MLE bigram model
+    (avg ln c(w1,w2)/c(w1·)) — the cheap stand-in for model-based
+    perplexity filters in training-data pipelines (low scores =
+    unusual token transitions = boilerplate/garbled text). The model
+    IS an aggregation: two hash-aggs build the bigram and context
+    counts, two equi-joins score every position, one per-doc agg
+    averages — every stage map-side-combinable, no model broadcast
+    needed (the "LM" never leaves the cluster), so scoring 100 TB is
+    three shuffles over key-partitioned counts."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        normalize_text,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(normalize_text("text"))
+    t = F.col("_t")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+        ),
+    )
+    bg = (
+        d.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") > 1)
+        .select("doc_id", F.explode(pairs).alias("bigram"))
+        .select("doc_id", "bigram", F.substring_index("bigram", " ", 1).alias("w1"))
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cw"))
+    return (
+        bg.join(c12, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("cb").cast("double") / F.col("cw"))), 4
+            ).alias("avg_logp"),
+        )
+    )
+
+
+@query(
+    "quality_centroid_scores",
+    f"""
+    WITH en AS (
+        SELECT e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.lang = 'en'
+    ),
+    centroid AS (SELECT list_value(avg(emb[1]), avg(emb[2]), avg(emb[3]), avg(emb[4]), avg(emb[5]), avg(emb[6]), avg(emb[7]), avg(emb[8]), avg(emb[9]), avg(emb[10]), avg(emb[11]), avg(emb[12]), avg(emb[13]), avg(emb[14]), avg(emb[15]), avg(emb[16]), avg(emb[17]), avg(emb[18]), avg(emb[19]), avg(emb[20]), avg(emb[21]), avg(emb[22]), avg(emb[23]), avg(emb[24]), avg(emb[25]), avg(emb[26]), avg(emb[27]), avg(emb[28]), avg(emb[29]), avg(emb[30]), avg(emb[31]), avg(emb[32]), avg(emb[33]), avg(emb[34]), avg(emb[35]), avg(emb[36]), avg(emb[37]), avg(emb[38]), avg(emb[39]), avg(emb[40]), avg(emb[41]), avg(emb[42]), avg(emb[43]), avg(emb[44]), avg(emb[45]), avg(emb[46]), avg(emb[47]), avg(emb[48]), avg(emb[49]), avg(emb[50]), avg(emb[51]), avg(emb[52]), avg(emb[53]), avg(emb[54]), avg(emb[55]), avg(emb[56]), avg(emb[57]), avg(emb[58]), avg(emb[59]), avg(emb[60]), avg(emb[61]), avg(emb[62]), avg(emb[63]), avg(emb[64])) AS c FROM en),
+    scored AS (
+        SELECT d.doc_id,
+               round(
+                   list_sum(list_transform(list_zip(e.embedding, c.c),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(e.embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(c.c,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS centroid_sim
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        CROSS JOIN centroid c
+    )
+    SELECT doc_id, centroid_sim
+    FROM scored ORDER BY centroid_sim DESC, doc_id LIMIT 20
+    """,
+)
+def quality_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, centroid flavor: embed-and-rank
+    against the mean vector of a trusted reference slice (here the
+    'en' documents) — the serving shape of classifier-based data
+    curation (FineWeb-Edu / phi-style filters score documents with a
+    small model; the infrastructure cost is identical, one broadcast
+    model/centroid + one scan). The centroid is ONE aggregation
+    (64 per-dimension avgs in a single pass), broadcast as a 1-row
+    frame; scoring is the usual codegen cosine feeding
+    TakeOrderedAndProject. Swapping the centroid for a real
+    classifier means replacing the cosine expression with a
+    pandas_udf over the same broadcast — the plan does not change
+    shape."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    cent = (
+        joined.filter(F.col("lang") == "en")
+        .agg(
+            F.array(
+                *[F.avg(F.element_at("embedding", i)) for i in range(1, 65)]
+            ).alias("c")
+        )
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    return (
+        joined.crossJoin(F.broadcast(cent))
+        .select(
+            "doc_id",
+            F.round(cosine_similarity("embedding", "c"), 4).alias("centroid_sim"),
+        )
+        .orderBy(F.desc("centroid_sim"), F.asc("doc_id"))
+        .limit(20)
+    )

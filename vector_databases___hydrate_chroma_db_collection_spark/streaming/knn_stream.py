@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
@@ -77,12 +78,21 @@ def stream_knn_serve(
     sink contract is independent of the retrieval plan.
 
     ``sink_path`` defaults to ``<checkpoint_dir>/../<sink_table>_data``
-    when a checkpoint is given, else a Spark-warehouse-relative dir.
-    ``sink_table`` names a TEMP VIEW registered over the sink
-    directory after each batch (``batch_id`` appears as a partition
-    column), so callers can ``spark.table(sink_table)``; pass a
-    unique name per concurrent stream. For production swap the writer
-    for Kafka/Delta — the retrieval plan is unchanged.
+    when a checkpoint is given, else ``<sink_table>_data`` under the
+    session's ``spark.sql.warehouse.dir`` (NOT the process CWD — a
+    driver launched from a read-only or ephemeral working directory
+    must still have a writable default sink).
+    ``sink_table`` names a TEMP VIEW over the sink directory, so
+    callers can ``spark.table(sink_table)``; it is registered (empty,
+    with the retrieval plan's schema plus the ``batch_id`` partition
+    column) BEFORE the stream starts — a consumer that reads before
+    the first batch, or a stream whose batches are all empty, sees an
+    empty result instead of TABLE_OR_VIEW_NOT_FOUND — and re-pointed
+    at the parquet directory after each batch (file listings snapshot
+    at view creation, so re-registration is what makes new batch
+    partitions visible). Pass a unique name per concurrent stream.
+    For production swap the writer for Kafka/Delta — the retrieval
+    plan is unchanged.
     """
 
     # The view must land in the CALLER's session catalog: foreachBatch
@@ -91,17 +101,46 @@ def stream_knn_serve(
     # register a view nobody can read.
     origin_session = query_stream.sparkSession
 
+    if sink_path is not None:
+        base = sink_path
+    elif checkpoint_dir is not None:
+        base = os.path.join(
+            os.path.dirname(os.path.abspath(checkpoint_dir)),
+            f"{sink_table}_data",
+        )
+    else:
+        warehouse = origin_session.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        )
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[len("file:") :]
+        base = os.path.join(warehouse, f"{sink_table}_data")
+
+    # Register the sink view up front with the retrieval plan's
+    # schema: build the plan over a ZERO-ROW frame of the stream's
+    # schema (plan construction is lazy — nothing executes) and add
+    # the batch_id partition column the parquet reader will discover.
+    empty_queries = origin_session.createDataFrame([], query_stream.schema)
+    if retrieval_fn is not None:
+        proto = retrieval_fn(empty_queries)
+    else:
+        proto = knn_join(
+            empty_queries,
+            corpus,
+            k=k,
+            query_id_col=query_id_col,
+            query_embedding_col=query_embedding_col,
+            corpus_id_col=corpus_id_col,
+            corpus_embedding_col=corpus_embedding_col,
+            metric=metric,
+            score_decimals=score_decimals,
+        )
+    proto.limit(0).withColumn(
+        "batch_id", F.lit(0).cast("int")
+    ).createOrReplaceTempView(sink_table)
+
     def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = origin_session
-        if sink_path is not None:
-            base = sink_path
-        elif checkpoint_dir is not None:
-            base = os.path.join(
-                os.path.dirname(os.path.abspath(checkpoint_dir)),
-                f"{sink_table}_data",
-            )
-        else:
-            base = os.path.join("spark-warehouse", f"{sink_table}_data")
         if batch_df.isEmpty():
             return
         if retrieval_fn is not None:
