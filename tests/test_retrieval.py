@@ -34,3 +34,89 @@ def test_inverted_postings_rows_and_stats(spark):
     terms2 = {r["term"] for r in stats2.collect()}
     assert terms2 == {"spark", "data", "joins"}  # 'unique' pruned
     assert {r["term"] for r in postings2.collect()} == terms2
+
+
+def test_positional_postings_and_phrase_match(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick brown fox"),
+            (2, "quick brown quick fox"),
+            (3, "the the the"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = positional_postings(docs, id_col="doc_id", text_col="text")
+    # positions are 1-based per doc, one row per occurrence
+    rows = {(r["doc_id"], r["pos"]): r["term"] for r in idx.collect()}
+    assert rows[(1, 1)] == "the" and rows[(1, 4)] == "fox"
+    assert (4, 1) not in rows  # empty doc emits nothing
+
+    # 3-term phrase: doc 1 has it twice, doc 2 zero times
+    got = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(
+            idx, ["quick", "brown", "fox"], id_col="doc_id"
+        ).collect()
+    }
+    assert got == {1: 2}
+    # single-term phrase degrades to occurrence count
+    got1 = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(idx, ["the"], id_col="doc_id").collect()
+    }
+    assert got1 == {1: 2, 3: 3}
+    # repeated-term phrase must respect positions, not bags
+    gotrep = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(idx, ["the", "the"], id_col="doc_id").collect()
+    }
+    assert gotrep == {3: 2}
+    # absent phrase -> empty
+    assert phrase_match(idx, ["fox", "trot"], id_col="doc_id").count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        phrase_match(idx, [], id_col="doc_id")
+
+
+def test_proximity_match_within_distance(spark):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        positional_postings,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x x beta"),       # dist 3
+            (2, "alpha x x x beta"),     # dist 4 - excluded
+            (3, "beta alpha"),           # dist 1, order-free
+            (4, "alpha alpha beta"),     # two pairs within 3
+        ],
+        ["doc_id", "text"],
+    )
+    idx = positional_postings(docs, id_col="doc_id", text_col="text")
+    got = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_match(
+            idx, "alpha", "beta", max_distance=3, id_col="doc_id"
+        ).collect()
+    }
+    assert got == {1: 1, 3: 1, 4: 2}
+    # same-term proximity: unordered distinct pairs
+    same = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_match(
+            idx, "alpha", "alpha", max_distance=3, id_col="doc_id"
+        ).collect()
+    }
+    assert same == {4: 1}
+    import pytest
+
+    with pytest.raises(ValueError):
+        proximity_match(idx, "a", "b", max_distance=0)

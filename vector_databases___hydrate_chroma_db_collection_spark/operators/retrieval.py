@@ -139,6 +139,109 @@ def inverted_postings(
     return postings.withColumnRenamed("_id", id_col), stats
 
 
+def positional_postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """POSITIONAL inverted index: one row per token OCCURRENCE —
+    ``(term, id_col, pos)`` with 1-based position — the structure
+    phrase and proximity queries need (``inverted_postings``'s
+    (term, doc, tf) rows can answer "which docs contain X" but not
+    "where"). Positions stay as distributed rows, never per-term
+    arrays: a stop-word's occurrence list is partition skew AQE can
+    split, not a giant struct in one task. Rows = corpus tokens —
+    the same cardinality the tokenizer already produced, so building
+    this index costs one tokenize + posexplode, no shuffle at all
+    (persist partitioned/sorted by term to get pushdown on serve)."""
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(normalize_text(text_col))).alias("_p0", "term"),
+    ).select("term", F.col("_id").alias(id_col), (F.col("_p0") + 1).alias("pos"))
+
+
+def phrase_match(
+    postings: DataFrame,
+    phrase_terms: list[str],
+    *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over a positional index: documents where
+    ``phrase_terms`` occur CONSECUTIVELY, with the match count.
+    Output: (id_col, n_matches), one row per matching doc.
+
+    The classic positional-intersection plan: each term's postings
+    are filtered FIRST (term predicates push into the index scan —
+    each join side carries one term's occurrences, not the corpus),
+    then successive equi-joins on (doc, pos - offset) keep only
+    positions where term_i sits exactly i tokens after term_0. k-1
+    hash joins for a k-term phrase, each keyed on (doc, pos) — a hot
+    term is ordinary join skew (AQE-splittable), and join input sizes
+    shrink monotonically as the prefix constrains. Single-term
+    phrases degrade to an occurrence count per doc."""
+    if not phrase_terms:
+        raise ValueError("phrase_terms must be non-empty")
+    base = postings.filter(F.col("term") == phrase_terms[0]).select(
+        F.col(id_col).alias("_id"), F.col("pos").alias("_pos")
+    )
+    for i, t in enumerate(phrase_terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col).alias("_id"),
+            (F.col("pos") - i).alias("_pos"),
+        )
+        base = base.join(nxt, ["_id", "_pos"])
+    return (
+        base.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(F.col("_id").alias(id_col), "n_matches")
+    )
+
+
+def proximity_match(
+    postings: DataFrame,
+    term_a: str,
+    term_b: str,
+    *,
+    max_distance: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Proximity search ("terms within N tokens", Lucene slop): count
+    of (pos_a, pos_b) occurrence pairs with
+    ``0 < |pos_a - pos_b| <= max_distance`` per document. Output:
+    (id_col, n_pairs), one row per doc with >= 1 qualifying pair.
+
+    Plan: both sides filter to ONE term's postings first (pushdown on
+    a persisted index), then an equi-join on the doc id with the
+    distance test as a residual filter — a per-document band join
+    whose fan-out is bounded by tf_a x tf_b within one doc, never
+    cross-corpus. The same-term case (term_a == term_b) counts
+    unordered distinct pairs via pos_a < pos_b."""
+    if max_distance < 1:
+        raise ValueError("max_distance must be >= 1")
+    pa = postings.filter(F.col("term") == term_a).select(
+        F.col(id_col).alias("_id"), F.col("pos").alias("_pa")
+    )
+    pb = postings.filter(F.col("term") == term_b).select(
+        F.col(id_col).alias("_id"), F.col("pos").alias("_pb")
+    )
+    dist_ok = (
+        F.abs(F.col("_pa") - F.col("_pb")) <= max_distance
+    )
+    pair_ok = (
+        (F.col("_pa") < F.col("_pb"))
+        if term_a == term_b
+        else (F.col("_pa") != F.col("_pb"))
+    )
+    return (
+        pa.join(pb, "_id")
+        .filter(dist_ok & pair_ok)
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("_id").alias(id_col), "n_pairs")
+    )
+
+
 def bm25_from_index(
     postings: DataFrame,
     term_stats: DataFrame,

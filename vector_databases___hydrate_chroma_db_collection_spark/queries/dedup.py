@@ -617,3 +617,83 @@ def decontaminate_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFram
         n=3,
         threshold=0.2,
     )
+
+
+@query(
+    "dedup_cluster_keep_canonical",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pr AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes s1 ON s1.doc_id = id_a
+        JOIN sizes s2 ON s2.doc_id = id_b
+        WHERE round(c::DOUBLE / (s1.n_sh + s2.n_sh - c), 4) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pr
+        UNION ALL
+        SELECT id_b, id_a FROM pr
+    ),
+    reach(node, r) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.node
+    ),
+    comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+    assign AS (
+        SELECT d.doc_id,
+               CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sz AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM assign GROUP BY 1
+    )
+    SELECT a.doc_id, s.cluster_size
+    FROM assign a JOIN sz s USING (component)
+    WHERE a.doc_id = a.component
+    """,
+)
+def dedup_cluster_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUT half of cluster dedup (complements
+    dedup_connected_components, the MEASURE half): near-dup pair
+    graph -> connected components -> keep exactly ONE canonical doc
+    per cluster (the min doc_id = the component label itself, so the
+    keep test is the shuffle-free ``doc_id == component``), reporting
+    how many near-duplicates each survivor absorbed. Singletons
+    survive as clusters of one — the output IS the deduplicated
+    corpus id set, the thing a training pipeline feeds downstream.
+    One extra map-side-combinable count per component on top of the
+    component assignment; no new shuffle shape at 100 TB."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(
+        d, id_col="doc_id", text_col="text", n=3, threshold=0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    D.release_cache(pairs)
+    assign = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        )
+    )
+    sizes = assign.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assign.filter(F.col("doc_id") == F.col("component"))
+        .join(sizes, "component")
+        .select("doc_id", "cluster_size")
+    )

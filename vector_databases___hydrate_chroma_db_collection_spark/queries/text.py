@@ -952,3 +952,81 @@ def quality_centroid_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("centroid_sim"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "text_phrase_search",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)
+    ),
+    p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = 'table'),
+    p2 AS (SELECT doc_id, pos - 2 AS pos FROM tok WHERE term = 'scan'),
+    m AS (
+        SELECT p0.doc_id FROM p0
+        JOIN p1 USING (doc_id, pos)
+        JOIN p2 USING (doc_id, pos)
+    )
+    SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("fast table scan") over the POSITIONAL
+    inverted index (operators/retrieval.py::positional_postings /
+    phrase_match): per-term postings filter first (pushdown when the
+    index is persisted), then k-1 equi-joins on (doc, pos - offset)
+    intersect consecutive positions — the classic positional-
+    intersection plan, with hot-term skew handled as ordinary
+    AQE-splittable join skew. The oracle replays tokenization,
+    positional explode, and the position-offset joins in SQL, so the
+    index structure itself is value-checked."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = positional_postings(d, id_col="doc_id", text_col="text")
+    return phrase_match(idx, ["fast", "table", "scan"], id_col="doc_id")
+
+
+@query(
+    "text_proximity_search",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)
+    ),
+    pa AS (SELECT doc_id, pos AS pa FROM tok WHERE term = 'vector'),
+    pb AS (SELECT doc_id, pos AS pb FROM tok WHERE term = 'query'),
+    m AS (
+        SELECT pa.doc_id
+        FROM pa JOIN pb USING (doc_id)
+        WHERE abs(pa - pb) <= 3 AND pa <> pb
+    )
+    SELECT doc_id, count(*) AS n_pairs FROM m GROUP BY 1
+    """,
+)
+def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search (Lucene slop): documents where 'vector' and
+    'query' occur within 3 tokens, with the qualifying pair count
+    (operators/retrieval.py::proximity_match over the positional
+    index). Per-term postings filter first; the distance test is a
+    residual on a doc-keyed equi-join, so fan-out is bounded by
+    within-doc term frequencies — never cross-corpus."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        positional_postings,
+        proximity_match,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = positional_postings(d, id_col="doc_id", text_col="text")
+    return proximity_match(idx, "vector", "query", max_distance=3, id_col="doc_id")
