@@ -1,0 +1,163 @@
+"""Solo idle-host re-measure of bench probes flagged out-of-band.
+
+Replicates the exact bench.py setups for synth200k_ivf_neardup and
+synth100k_pagerank (same synthetic data, same warm-up discipline) but
+runs each ALONE in a fresh session, min-of-3, so the number is free of
+in-suite cache pressure and concurrent host load. Usage:
+
+    python tools/probe_solo.py [ivf_neardup] [pagerank]
+
+Prints one JSON line per probe; does not touch BENCH_LOCAL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    which = set(sys.argv[1:]) or {"ivf_neardup", "pagerank"}
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("probe-solo")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def min_of_3(fn) -> list[float]:
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(round(time.perf_counter() - t0, 3))
+        return ts
+
+    if "ivf_neardup" in which:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+            ivf_neardup_pairs,
+        )
+
+        n, dim = 200_000, 64
+        dup_base_v = F.when(F.col("id") % 100 == 0, F.col("id") + 1).otherwise(
+            F.col("id")
+        )
+        ndup_vec = F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda j: (
+                (
+                    F.pmod(
+                        F.xxhash64(
+                            F.concat(
+                                dup_base_v.cast("string"), F.lit("#"), j.cast("string")
+                            )
+                        ),
+                        F.lit(2000),
+                    )
+                    - 1000
+                ).cast("double")
+                / 1000.0
+                + (
+                    F.pmod(
+                        F.xxhash64(
+                            F.concat(
+                                F.col("id").cast("string"), F.lit("@"), j.cast("string")
+                            )
+                        ),
+                        F.lit(21),
+                    )
+                    - 10
+                ).cast("double")
+                / 100000.0
+            ).cast("float"),
+        )
+        ndup = (
+            spark.range(n)
+            .repartition(cpus)
+            .select("id", ndup_vec.alias("embedding"))
+            .cache()
+        )
+        ndup.count()
+
+        def run_ivf_neardup() -> None:
+            got = ivf_neardup_pairs(
+                ndup,
+                id_col="id",
+                embedding_col="embedding",
+                threshold=0.9,
+                sample_fraction=0.05,
+            ).count()
+            assert got == n // 100, f"expected {n // 100} pairs, got {got}"
+
+        run_ivf_neardup()  # warm-up (k-means broadcast + Arrow worker spin-up)
+        trials = min_of_3(run_ivf_neardup)
+        print(
+            json.dumps(
+                {
+                    "probe": "synth200k_ivf_neardup",
+                    "trials": trials,
+                    "min": min(trials),
+                }
+            )
+        )
+        ndup.unpersist()
+
+    if "pagerank" in which:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.graph import (
+            pagerank,
+        )
+
+        n_edges, n_nodes_pr = 100_000, 10_000
+        edges_pr = (
+            spark.range(n_edges)
+            .repartition(cpus)
+            .select(
+                F.pmod(F.xxhash64(F.col("id").cast("string")), F.lit(n_nodes_pr)).alias(
+                    "src"
+                ),
+                F.pmod(
+                    F.xxhash64(F.concat(F.col("id").cast("string"), F.lit("#d"))),
+                    F.lit(n_nodes_pr),
+                ).alias("dst"),
+            )
+            .cache()
+        )
+        edges_pr.count()
+
+        def run_pagerank_100k() -> None:
+            ranks = pagerank(
+                edges_pr, src="src", dst="dst", iterations=3, decimals=None
+            )
+            got = ranks.agg(
+                F.sum("rank").alias("s"), F.count(F.lit(1)).alias("n")
+            ).first()
+            assert got["n"] > 9_000 and got["s"] > 0
+
+        trials = min_of_3(run_pagerank_100k)
+        print(
+            json.dumps(
+                {
+                    "probe": "synth100k_pagerank",
+                    "trials": trials,
+                    "min": min(trials),
+                }
+            )
+        )
+        edges_pr.unpersist()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
