@@ -649,7 +649,148 @@ def main() -> None:
         )
 
     record("synth50k_exact_substring", run_exact_substring_50k)
+
+    # ------------------------------------------------------------------
+    # Streaming-serve probe: LSH novelty gate. The 50k corpus band
+    # table is built ONCE (the amortized index — timed separately),
+    # then a 2k-doc "micro-batch" (1k verbatim copies of corpus docs
+    # + 1k docs over a disjoint vocabulary) is gated against it. The
+    # planted copies must all collide (identical text -> identical
+    # signature -> all 8 bands hit); the disjoint-vocab docs share no
+    # shingle with the corpus, so any non-novel verdict there would
+    # be a band-hash accident of the frozen family — asserted exact.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        lsh_band_rows,
+        novelty_gate,
+    )
+
+    band_holder = {}
+
+    def run_novelty_band_build() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            release_cache,
+        )
+
+        prev = band_holder.pop("bands", None)
+        if prev is not None:
+            prev.unpersist()
+        bands_tbl = lsh_band_rows(docs, id_col="doc_id", text_col="text").cache()
+        n_bands = bands_tbl.count()
+        release_cache(bands_tbl)  # shingle cache; the band table stays
+        assert n_bands == n_docs * 8, f"expected {n_docs * 8} band rows, got {n_bands}"
+        band_holder["bands"] = bands_tbl
+
+    record("synth50k_novelty_band_build", run_novelty_band_build)
+
+    planted_inc = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    novel_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda j: F.concat(
+                F.lit("novel"),
+                F.pmod(
+                    F.xxhash64(F.col("id").cast("string"), j.cast("string")),
+                    F.lit(5000),
+                ).cast("string"),
+            ),
+        ),
+    )
+    novel_inc = (
+        spark.range(n_docs // 50)
+        .select((F.col("id") + 2_000_000).alias("doc_id"), novel_text.alias("text"))
+    )
+    incoming = planted_inc.unionByName(novel_inc).cache()
+    n_inc = incoming.count()
+
+    def run_novelty_gate_2k() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            release_cache,
+        )
+
+        res = novelty_gate(
+            incoming, band_holder["bands"], id_col="doc_id", text_col="text"
+        )
+        agg = res.groupBy("novel").count().collect()
+        release_cache(res)
+        got = {r["novel"]: r["count"] for r in agg}
+        assert got.get(False, 0) == n_inc // 2 and got.get(True, 0) == n_inc // 2, (
+            f"expected {n_inc // 2} suspects + {n_inc // 2} novel, got {got}"
+        )
+
+    record("synth50k_novelty_gate_2k", run_novelty_gate_2k)
+    band_holder["bands"].unpersist()
+    incoming.unpersist()
     docs.unpersist()
+
+    # ------------------------------------------------------------------
+    # ExactSubstr hot-key probe: 200k docs where 5% share a verbatim
+    # 8-token boilerplate PREFIX — i.e. one window hash carried by
+    # 10k documents, the exact shape the r8 skew fix moved from a
+    # window analytic (one task per hash, no partial agg) to a
+    # map-side-combinable groupBy + AQE-splittable join. Coverage for
+    # a boilerplate doc is exactly the 8 prefix tokens of 32 (0.25);
+    # random 20k-vocab tails cannot collide cross-doc.
+    # ------------------------------------------------------------------
+    n_docs_bp = 200_000
+    is_bp = F.col("id") % 20 == 0
+    # 32 tokens per doc. Boilerplate docs: 8 shared "boiler*" tokens,
+    # then a doc-UNIQUE token (so windows 2-9 can never collide
+    # cross-doc — without it, ~39% of bp docs would share their first
+    # tail token with another bp doc and window 2 would extend the
+    # covered span nondeterministically), then 23 random tokens.
+    # Non-bp docs: unique token + 31 random. 8-gram collisions inside
+    # the 20k-vocab random tails need 8 consecutive matches — never.
+    def _rand_toks(lo: int, hi: int):
+        return F.transform(
+            F.sequence(F.lit(lo), F.lit(hi)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(
+                        F.col("id").cast("string"), j.cast("string"), F.lit("bp")
+                    ),
+                    F.lit(20_000),
+                ).cast("string"),
+            ),
+        )
+
+    uniq_tok = F.array(F.concat(F.lit("u"), F.col("id").cast("string")))
+    bp_prefix = F.array(*[F.lit(f"boiler{i}") for i in range(8)])
+    bp_text = F.concat_ws(
+        " ",
+        F.when(
+            is_bp, F.concat(bp_prefix, uniq_tok, _rand_toks(1, 23))
+        ).otherwise(F.concat(uniq_tok, _rand_toks(1, 31))),
+    )
+    docs_bp = (
+        spark.range(n_docs_bp)
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .select(F.col("id").alias("doc_id"), bp_text.alias("text"))
+        .cache()
+    )
+    docs_bp.count()
+
+    def run_exact_substring_boilerplate() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            exact_substring_coverage,
+            release_cache,
+        )
+
+        res = exact_substring_coverage(
+            docs_bp, id_col="doc_id", text_col="text", k=8
+        )
+        n_bp = res.filter(F.col("coverage") == 0.25).count()
+        release_cache(res)
+        assert n_bp == n_docs_bp // 20, (
+            f"expected {n_docs_bp // 20} boilerplate docs at coverage 0.25, got {n_bp}"
+        )
+
+    record("synth200k_exact_substring_hotkey", run_exact_substring_boilerplate)
+    docs_bp.unpersist()
 
     # ------------------------------------------------------------------
     # Scale probe: MinHash+LSH dedup at 1M docs — 20x the 50k probe,

@@ -419,3 +419,43 @@ def test_exact_substring_removal_keeps_earliest_copy(spark):
     assert got[2]["kept_tokens"] == 2
     assert got[3]["cleaned_text"] == "" and got[3]["kept_tokens"] == 0
     assert got[4]["kept_tokens"] == got[4]["n_tokens"] == 16
+
+
+def test_lsh_band_rows_contract(spark, corpus):
+    """Band table shape: 8 rows per non-empty doc (bands 0..7),
+    byte-identical rows for exact and normalization-equal duplicates,
+    and >=1 shared band for the 1-token near-dup (frozen hash family
+    makes this deterministic, not flaky)."""
+    bands = D.lsh_band_rows(corpus, id_col="doc_id", text_col="text")
+    rows = bands.collect()
+    D.release_cache(bands)
+    per: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append((r["band"], r["h"]))
+    assert set(per) == {1, 2, 3, 4, 5, 6}
+    assert all(sorted(b for b, _ in v) == list(range(8)) for v in per.values())
+    assert sorted(per[1]) == sorted(per[2])
+    assert sorted(per[1]) == sorted(per[3])
+    assert len(set(per[1]) & set(per[4])) >= 1
+    assert not set(per[1]) & set(per[5])
+
+
+def test_novelty_gate_planted(spark, corpus):
+    """Novelty gate vs a reference corpus: an exact duplicate hits
+    all 8 bands, novel text hits none, and an empty doc (zero
+    shingles) gates as novel with 0 hits instead of erroring."""
+    incoming = spark.createDataFrame(
+        [
+            (101, BASE),  # exact dup of reference doc 1
+            (102, "entirely novel prose about gradient descent convergence "
+                  "rates and cosine learning schedules in optimizer theory"),
+            (103, "   "),  # whitespace-only: zero shingles
+        ],
+        "doc_id int, text string",
+    )
+    ref_bands = D.lsh_band_rows(corpus, id_col="doc_id", text_col="text")
+    out = D.novelty_gate(incoming, ref_bands, id_col="doc_id", text_col="text")
+    got = {r["doc_id"]: (r["n_hit_bands"], r["novel"]) for r in out.collect()}
+    D.release_cache(out)
+    D.release_cache(ref_bands)
+    assert got == {101: (8, False), 102: (0, True), 103: (0, True)}

@@ -878,3 +878,68 @@ def test_stream_knn_serve_view_exists_before_first_batch(spark, tmp_path):
         assert spark.table(sink).count() == 0
     finally:
         spark.catalog.dropTempView(sink)
+
+
+def test_stream_novelty_serve_matches_batch(spark, tmp_path):
+    """Streaming near-dup novelty gate (foreachBatch over the batch
+    novelty_gate): two micro-batches of documents probed against a
+    static corpus band table must produce exactly the batch twin's
+    rows, and a planted duplicate of a corpus doc must hit all 8
+    bands."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        lsh_band_rows,
+        novelty_gate,
+        release_cache,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        stream_novelty_serve,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    reference = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    planted = reference.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    incoming = (
+        docs.filter(F.col("doc_id").between(40, 49))
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    ref_bands = lsh_band_rows(reference, id_col="doc_id", text_col="text")
+
+    d = tmp_path / "doc_stream"
+    incoming.filter(F.col("doc_id") % 2 == 0).write.parquet(str(d / "b0"))
+    incoming.filter(F.col("doc_id") % 2 == 1).write.parquet(str(d / "b1"))
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+    )
+    sink = "stream_novelty_parity"
+    q = stream_novelty_serve(
+        stream,
+        ref_bands,
+        sink_path=str(tmp_path / "novelty_sink"),
+        sink_table=sink,
+        checkpoint_dir=str(tmp_path / "ckpt_novelty"),
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            r["doc_id"]: (r["n_hit_bands"], r["novel"])
+            for r in spark.table(sink).collect()
+        }
+        batch = novelty_gate(incoming, ref_bands, id_col="doc_id", text_col="text")
+        want = {
+            r["doc_id"]: (r["n_hit_bands"], r["novel"]) for r in batch.collect()
+        }
+        release_cache(batch)
+        assert got == want
+        assert len(got) == 11
+        assert got[1007] == (8, False)
+    finally:
+        release_cache(ref_bands)
+        spark.catalog.dropTempView(sink)

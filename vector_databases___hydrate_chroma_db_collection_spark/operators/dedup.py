@@ -859,3 +859,285 @@ def embedding_neardup_pairs_gemm(
             )
 
     return df.select(id_col, embedding_col).mapInPandas(run, schema=out_schema)
+
+
+def lsh_band_rows(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Per-document LSH band keys as flat rows ``(id, band, h)``.
+
+    The first half of ``minhash_lsh_pairs`` (shingle -> signature ->
+    bands) exposed as its own operator, because two consumers need
+    the band table WITHOUT the pair self-join:
+
+    - building a persisted corpus band index once (write it out
+      partitioned/bucketed by ``(band, h)``; incremental ingest
+      appends only the new docs' rows), and
+    - probing that index with a small batch of incoming docs
+      (``novelty_gate``), where materializing candidate PAIRS is
+      wasted work — membership is enough.
+
+    Shape: one explode to (doc, distinct shingle) rows (md5 per
+    shingle computed ONCE, in codegen, not inside a per-permutation
+    lambda), one map-side-combinable hash aggregate for the 16
+    permutation minima, then a pure projection into ``bands`` rows
+    per doc. One shuffle total, keyed by doc id. Documents with zero
+    shingles (empty/whitespace text) produce NO rows — the same
+    contract as ``minhash_lsh_pairs`` (see ``word_shingles``).
+
+    The band hash uses the identical string form as
+    ``functions.hashes.lsh_bands``, so rows produced here join
+    exactly against any other band table in the repo and against the
+    DuckDB oracle family.
+    """
+    sh = _shingle_rows(df, id_col, text_col, n, portable)
+    out = _band_rows_from_shingles(sh, id_col, num_hashes, bands)
+    return _attach_cache(out, sh)
+
+
+def _band_rows_from_shingles(
+    sh: DataFrame, id_out: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(_id, h) shingle rows -> (id_out, band, h) band rows: one
+    map-side-combinable aggregate for the permutation minima, then a
+    pure projection. Shared by ``lsh_band_rows`` and the verified
+    gate (which reuses ONE shingle pass for bands + sizes + the
+    exact-Jaccard join)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        hash64,
+    )
+
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes must be <= {len(MINHASH_A)} (frozen hash family)"
+        )
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+    perms = [
+        F.min(
+            F.pmod(
+                F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]),
+                F.lit(MINHASH_P),
+            )
+        ).alias(f"_s{j}")
+        for j in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*perms)
+    band_structs = []
+    for b in range(bands):
+        piece = [
+            F.col(f"_s{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hash64(F.concat_ws(",", *piece)).alias("h"),
+            )
+        )
+    return sig.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
+        F.col("_id").alias(id_out),
+        F.col("b.band").alias("band"),
+        F.col("b.h").alias("h"),
+    )
+
+
+def novelty_gate(
+    incoming: DataFrame,
+    reference_bands: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Near-duplicate NOVELTY gate: which incoming documents look new
+    relative to an already-ingested corpus?
+
+    ``reference_bands`` is a prebuilt ``(band, h)`` table (the output
+    of ``lsh_band_rows`` over the corpus — persist it once, append
+    increments). Each incoming doc's bands probe it with one
+    equi-join; a doc whose bands all miss is *novel* (no corpus doc
+    is a MinHash near-duplicate candidate), a doc with hits is a
+    suspect for the usual exact-Jaccard verification.
+
+    Output: one row per incoming doc —
+    ``(id_col, n_hit_bands, novel)`` with ``n_hit_bands`` counting
+    how many of its ``bands`` band-buckets exist in the corpus
+    (0..bands; a soft evidence score) and ``novel = (n_hit_bands
+    == 0)``. Docs with no shingles (empty text) gate as novel with 0
+    hits.
+
+    Scale shape: the corpus side is arbitrary size — the probe is an
+    equi-join on ``(band, h)`` (AQE handles skewed boilerplate
+    buckets), the aggregate is map-side combinable, and nothing is
+    ever broadcast or collected from the corpus. The incoming side is
+    a micro-batch in the streaming deployment
+    (``streaming.neardup_stream.stream_novelty_serve``), so per-batch
+    work is |batch| * bands rows, independent of corpus size.
+    """
+    inc = lsh_band_rows(
+        incoming,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        portable=portable,
+    )
+    ref = reference_bands.select("band", "h").distinct()
+    hits = (
+        inc.join(ref, ["band", "h"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_bands"))
+    )
+    out = (
+        incoming.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_bands"), F.lit(0).cast("bigint")).alias(
+                "n_hit_bands"
+            ),
+            (F.coalesce(F.col("n_hit_bands"), F.lit(0)) == 0).alias("novel"),
+        )
+    )
+    return _attach_cache(out, *getattr(inc, "_spark_graft_cached_deps", ()))
+
+
+def neardup_gate_verified(
+    incoming: DataFrame,
+    reference_bands: DataFrame,
+    reference_shingles: DataFrame,
+    reference_sizes: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    decimals: int = 4,
+    portable: bool = True,
+) -> DataFrame:
+    """The FULL serving-path dedup decision: LSH candidates from a
+    persisted corpus index, then exact-Jaccard verification, then one
+    verdict row per incoming document —
+
+        (id_col, best_match_id, best_jaccard, is_dup)
+
+    ``best_match_id``/``best_jaccard`` name the corpus document with
+    the highest verified Jaccard among this doc's LSH candidates
+    (ties broken by ascending match id; NULL when no band collides),
+    and ``is_dup = best_jaccard >= threshold``. Where
+    ``novelty_gate`` answers "does anything LOOK similar" from band
+    membership alone, this answers the question an ingest pipeline
+    actually gates on: "IS this a near-duplicate, of what, how near"
+    — without ever touching corpus text at serve time.
+
+    The three reference tables are the persisted index
+    (``operators.band_index.band_index_write(...,
+    include_shingles=True)``): band rows ``(id, band, h)``, shingle
+    posting rows ``(id, h)``, and per-doc shingle-set sizes
+    ``(id, n_sh)``. All three are plain datasets; sizes are persisted
+    because recomputing them would be a full corpus-shingle pass per
+    serve call.
+
+    Scale shape: ONE shingle pass over the incoming batch feeds
+    bands, sizes, and the verify join (the ``minhash_lsh_pairs``
+    economy, applied cross-corpus); candidates come from an equi-join
+    on ``(band, h)`` (AQE-skew-splittable — a boilerplate bucket with
+    s corpus members yields s candidates for the colliding doc, never
+    s^2); verification joins candidate pairs on the 8-byte shingle
+    hash. Per-batch cost is bounded by |batch| x bucket occupancy,
+    independent of corpus size.
+    """
+    inc_sh = _shingle_rows(incoming, id_col, text_col, n, portable)
+    inc_bands = _band_rows_from_shingles(inc_sh, "_inc_id", num_hashes, bands)
+
+    ref_id_t = dict(reference_bands.dtypes)[
+        [c for c in reference_bands.columns if c not in ("band", "h")][0]
+    ]
+    ref_id = [c for c in reference_bands.columns if c not in ("band", "h")][0]
+
+    cand = (
+        inc_bands.join(
+            reference_bands.select(
+                F.col(ref_id).alias("_ref_id"), "band", "h"
+            ),
+            ["band", "h"],
+        )
+        .select("_inc_id", "_ref_id")
+        .distinct()
+    )
+    ref_sh_id = [c for c in reference_shingles.columns if c != "h"][0]
+    a = inc_sh.select(F.col("_id").alias("_inc_id"), F.col("h").alias("h_a"))
+    b = reference_shingles.select(
+        F.col(ref_sh_id).alias("_b_id"), F.col("h").alias("h_b")
+    )
+    shared = (
+        cand.join(a, "_inc_id")
+        .join(b, (F.col("_ref_id") == F.col("_b_id")) & (F.col("h_a") == F.col("h_b")))
+        .groupBy("_inc_id", "_ref_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    inc_sizes = inc_sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_na"))
+    ref_size_id = [c for c in reference_sizes.columns if c != "n_sh"][0]
+    jac = (
+        shared.join(inc_sizes.withColumnRenamed("_id", "_inc_id"), "_inc_id")
+        .join(
+            reference_sizes.select(
+                F.col(ref_size_id).alias("_ref_id"), F.col("n_sh").alias("_nb")
+            ),
+            "_ref_id",
+        )
+        .select(
+            "_inc_id",
+            "_ref_id",
+            F.round(
+                F.col("_shared").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_shared")),
+                decimals,
+            ).alias("_j"),
+        )
+    )
+    from pyspark.sql import Window
+
+    best = (
+        jac.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_inc_id").orderBy(
+                    F.col("_j").desc(), F.col("_ref_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    out = (
+        incoming.select(F.col(id_col))
+        .join(best.withColumnRenamed("_inc_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.col("_ref_id").cast(ref_id_t).alias("best_match_id"),
+            F.col("_j").alias("best_jaccard"),
+            F.coalesce(F.col("_j") >= threshold, F.lit(False)).alias("is_dup"),
+        )
+    )
+    return _attach_cache(out, inc_sh)

@@ -1183,3 +1183,248 @@ def collection_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     original = [v for v, active in collection_versions(root, "vd") if not active][0]
     return collection_diff(spark, root, "vd", from_version=original)
+
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401,E402
+    _BAND_H,
+    _MINHASH_BASE,
+    _MINHASH_SIG,
+    _NORM,
+    _TOKS,
+)
+
+
+@query(
+    "collection_neardup_gate",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS t FROM documents
+    ),
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref AS (
+        SELECT DISTINCT bu.b, bu.h
+        FROM buckets bu JOIN embeddings e ON e.vec_id = bu.doc_id
+        WHERE bu.doc_id % 7 <> 0
+    ),
+    inc AS (SELECT doc_id, b, h FROM buckets WHERE doc_id % 7 = 0),
+    hits AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc i JOIN ref r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(h.c, 0) = 0 AS novel
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def collection_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-duplicate gate served FROM a persisted
+    band index over a hydrated collection: hydrate the corpus (docs
+    with embeddings, doc_id % 7 != 0) into a collection, build its
+    MinHash band table from the DOCUMENT column, persist it with a
+    source-collection etag stamp (``band_index_write``), load it back
+    through the staleness check (``band_index_read``), and gate the
+    incoming docs (doc_id % 7 == 0) against it. The oracle recomputes
+    the same gate brute-force from the raw tables, so the result only
+    matches if the index round-trip preserved the band family
+    bit-for-bit. Staleness -> StaleIndexError -> refresh is driven in
+    tests/test_band_index.py (the collection-mutation path is not
+    SQL-expressible in one statement)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_read,
+        band_index_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        lsh_band_rows,
+        novelty_gate,
+        release_cache,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus_in = d.filter(F.col("doc_id") % 7 != 0)
+    root = tempfile.mkdtemp(prefix="vdb_bandgate_")
+    hydrate(
+        spark,
+        corpus_in.join(e, corpus_in.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="band_gate",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "band_gate")
+    bands_tbl = lsh_band_rows(coll, id_col="id", text_col="document")
+    idx_path = f"{root}/band_gate/_bands"
+    band_index_write(
+        bands_tbl,
+        idx_path,
+        id_col="id",
+        text_col="document",
+        source=(root, "band_gate"),
+    )
+    release_cache(bands_tbl)
+    ref_bands, _meta = band_index_read(spark, idx_path)
+    incoming = d.filter(F.col("doc_id") % 7 == 0)
+    return novelty_gate(incoming, ref_bands, id_col="doc_id", text_col="text")
+
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401,E402
+    MINHASH_P,
+    _SHINGLES_CTE,
+)
+
+
+@query(
+    "collection_neardup_gate_verified",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    corp AS (
+        SELECT d.doc_id FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id % 7 <> 0
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id AS inc_id, r.doc_id AS ref_id
+        FROM buckets i
+        JOIN buckets r ON i.b = r.b AND i.h = r.h
+        JOIN corp c ON c.doc_id = r.doc_id
+        WHERE i.doc_id % 7 = 0
+    ),
+    shared AS (
+        SELECT c.inc_id, c.ref_id, count(*) AS cs
+        FROM cand c
+        JOIN shing a ON a.doc_id = c.inc_id
+        JOIN shing b ON b.doc_id = c.ref_id
+         AND ({_HASH64.format(x='b.s')} % {MINHASH_P})
+           = ({_HASH64.format(x='a.s')} % {MINHASH_P})
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT inc_id, ref_id,
+               round(cs::DOUBLE / (s1.n_sh + s2.n_sh - cs), 4) AS j
+        FROM shared
+        JOIN sizes s1 ON s1.doc_id = inc_id
+        JOIN sizes s2 ON s2.doc_id = ref_id
+    ),
+    best AS (
+        SELECT inc_id, ref_id, j,
+               row_number() OVER (
+                   PARTITION BY inc_id
+                   ORDER BY j DESC, CAST(ref_id AS VARCHAR) ASC
+               ) AS rn
+        FROM jac
+    )
+    SELECT d.doc_id,
+           CAST(b.ref_id AS VARCHAR) AS best_match_id,
+           b.j AS best_jaccard,
+           coalesce(b.j >= 0.5, FALSE) AS is_dup
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.inc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def collection_neardup_gate_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full serving-path dedup DECISION from a persisted index:
+    hydrate the corpus collection, build the verification-capable
+    band index in one shingle pass (``band_index_build(...,
+    include_shingles=True)`` persists bands + shingle postings +
+    sizes), then answer, for every incoming doc, "is it a near-dup,
+    of which corpus doc, at what exact Jaccard" — never touching
+    corpus text at serve time. The oracle recomputes candidates AND
+    the exact Jaccard brute-force from the raw tables, so the result
+    only matches if the persisted posting/size tables carry the
+    complete verification state."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_build,
+        band_index_read_verified,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        neardup_gate_verified,
+        release_cache,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus_in = d.filter(F.col("doc_id") % 7 != 0)
+    root = tempfile.mkdtemp(prefix="vdb_bandgate_v_")
+    hydrate(
+        spark,
+        corpus_in.join(e, corpus_in.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="band_gate_v",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "band_gate_v")
+    idx_path = f"{root}/band_gate_v/_bands"
+    band_index_build(
+        coll,
+        idx_path,
+        id_col="id",
+        text_col="document",
+        include_shingles=True,
+        source=(root, "band_gate_v"),
+    )
+    bands_t, sh_t, sizes_t, _meta = band_index_read_verified(spark, idx_path)
+    incoming = d.filter(F.col("doc_id") % 7 == 0)
+    out = neardup_gate_verified(
+        incoming,
+        bands_t,
+        sh_t,
+        sizes_t,
+        id_col="doc_id",
+        text_col="text",
+        threshold=0.5,
+    )
+    return out

@@ -236,3 +236,58 @@ def stream_cms_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within 300s — partial state would corrupt the oracle compare"
         )
     return read_cms_state(spark, f"{root}/state")
+
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401,E402
+    D,
+    _BAND_H,
+    _MINHASH_BASE,
+    _MINHASH_SIG,
+    _NORM,
+    _SHINGLES_CTE,
+    _TOKS,
+)
+
+
+@query(
+    "stream_neardup_novelty_gate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref AS (SELECT DISTINCT b, h FROM buckets WHERE doc_id % 10 <> 0),
+    inc AS (SELECT doc_id, b, h FROM buckets WHERE doc_id % 10 = 0),
+    hits AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc i JOIN ref r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(h.c, 0) = 0 AS novel
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def stream_neardup_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming novelty gate
+    (streaming/neardup_stream.py): documents with doc_id % 10 == 0
+    play the incoming stream, the rest are the already-ingested
+    corpus whose LSH band table is the static side. The micro-batch
+    function IS this batch operator, so the streaming parity test
+    (tests/test_streaming.py) and this oracle check the same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    reference = d.filter(F.col("doc_id") % 10 != 0)
+    incoming = d.filter(F.col("doc_id") % 10 == 0)
+    ref_bands = D.lsh_band_rows(reference, id_col="doc_id", text_col="text")
+    return D.novelty_gate(incoming, ref_bands, id_col="doc_id", text_col="text")

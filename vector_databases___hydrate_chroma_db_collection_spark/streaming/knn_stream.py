@@ -29,6 +29,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from vector_databases___hydrate_chroma_db_collection_spark.operators._cache import (
+    release_cache,
+)
 from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
     knn_join,
 )
@@ -138,6 +141,10 @@ def stream_knn_serve(
     proto.limit(0).withColumn(
         "batch_id", F.lit(0).cast("int")
     ).createOrReplaceTempView(sink_table)
+    # The proto plan exists only for its schema; if the retrieval fn
+    # attached persisted intermediates (never materialized — plan
+    # construction is lazy), drop the registrations now.
+    release_cache(proto)
 
     def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = origin_session
@@ -162,6 +169,11 @@ def stream_knn_serve(
         out.write.mode("overwrite").parquet(
             os.path.join(base, f"batch_id={batch_id}")
         )
+        # Retrieval plans that persist intermediates (e.g. the
+        # novelty gate's shingle cache) attach them to the result;
+        # release per batch or a long stream pins one cache entry per
+        # micro-batch. No-op for plans without attached caches.
+        release_cache(out)
         spark.read.option("basePath", base).parquet(base).createOrReplaceTempView(
             sink_table
         )
