@@ -33,6 +33,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
     _check_source_stamp,
@@ -113,9 +114,14 @@ def band_index_write(
     p = _local_sidecar_path(path)
     stamp = _source_stamp(source)
     band_rows.write.mode("overwrite").parquet(os.path.join(p, "bands"))
+    # Pre-distincted bucket keys: novelty serving needs only (band, h)
+    # MEMBERSHIP, so the distinct is paid once at build time instead
+    # of once per serve call (novelty_gate skips its defensive
+    # distinct when handed a two-column key table).
+    band_rows.select("band", "h").distinct().write.mode("overwrite").parquet(
+        os.path.join(p, "bucket_keys")
+    )
     if shingles is not None:
-        from pyspark.sql import functions as F
-
         sh = shingles.select(F.col("_id").alias(id_col), "h")
         sh.write.mode("overwrite").parquet(os.path.join(p, "shingles"))
         (
@@ -132,6 +138,7 @@ def band_index_write(
                 "num_hashes": num_hashes,
                 "bands": bands,
                 "id_col": id_col,
+                "id_type": dict(band_rows.dtypes)[id_col],
                 "text_col": text_col,
                 "source": stamp,
                 "has_shingles": shingles is not None,
@@ -154,6 +161,22 @@ def band_index_read(
         meta = json.load(f)
     _check_source_stamp(meta, path, verify_source)
     return spark.read.parquet(os.path.join(p, "bands")), meta
+
+
+def band_index_bucket_keys(
+    spark: SparkSession, path: str, *, verify_source: bool = True
+) -> DataFrame:
+    """The pre-distincted ``(band, h)`` bucket-key table — the only
+    corpus state a pure NOVELTY serve needs. Distinct is paid at
+    build/append time, so handing this to ``novelty_gate`` skips the
+    per-serve corpus-side distinct entirely (the gate trusts
+    two-column references to be duplicate-free; this table is kept
+    that way by ``band_index_write`` and ``band_index_append``)."""
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, _SIDECAR)) as f:
+        meta = json.load(f)
+    _check_source_stamp(meta, path, verify_source)
+    return spark.read.parquet(os.path.join(p, "bucket_keys"))
 
 
 def band_index_read_verified(
@@ -214,3 +237,90 @@ def band_index_refresh(spark: SparkSession, path: str) -> tuple[DataFrame, dict]
         source=(src["root"], src["name"]),
     )
     return band_index_read(spark, path)
+
+
+def band_index_append(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str | None = None,
+    text_col: str | None = None,
+) -> int:
+    """Incremental ingest: extend a persisted band index with the
+    rows for ``new_docs`` ONLY — no corpus recompute. This is the
+    append path the index docstrings promise: signatures are per-doc,
+    so adding documents to the corpus adds ``bands`` rows per doc
+    (plus postings/sizes when the index is verification-capable) and
+    touches nothing already on disk.
+
+    ``new_docs`` uses the sidecar's recorded id/text columns by
+    default; pass ``id_col``/``text_col`` when the new batch carries
+    different column names (values are still hashed with the RECORDED
+    n/num_hashes/bands so appended rows join the existing family).
+
+    The sidecar is re-stamped with the source collection's CURRENT
+    etag — call this AFTER appending the same docs to the collection,
+    and the index transitions stale -> fresh without the full
+    ``band_index_refresh`` rebuild. (Appends only: updates or deletes
+    change existing docs' rows and need the full refresh; this
+    function cannot detect which kind of mutation happened, so the
+    caller owns that contract — the same trust model as any
+    warehouse incremental-maintenance path.)
+
+    Returns the number of new documents indexed.
+    """
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        _band_rows_from_shingles,
+        _shingle_rows,
+    )
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, _SIDECAR)) as f:
+        meta = json.load(f)
+    ic = id_col or meta["id_col"]
+    tc = text_col or meta["text_col"]
+    sh_cached = _shingle_rows(new_docs, ic, tc, meta["n"])
+    # Appended files must carry the EXISTING parquet schema — the id
+    # is cast to the recorded type (e.g. int doc_ids appended to a
+    # collection-backed index whose ids are strings).
+    id_type = meta.get("id_type")
+    sh = (
+        sh_cached.withColumn("_id", F.col("_id").cast(id_type))
+        if id_type
+        else sh_cached
+    )
+    band_rows = _band_rows_from_shingles(
+        sh, meta["id_col"], meta["num_hashes"], meta["bands"]
+    )
+    band_rows.write.mode("append").parquet(os.path.join(p, "bands"))
+    # keep bucket_keys duplicate-free: append only keys the corpus
+    # has never produced (anti-join against the persisted set — the
+    # set is small relative to bands/, and the novelty-serve counting
+    # contract depends on it staying distinct)
+    existing_keys = spark.read.parquet(os.path.join(p, "bucket_keys"))
+    (
+        band_rows.select("band", "h")
+        .distinct()
+        .join(existing_keys, ["band", "h"], "left_anti")
+        .write.mode("append")
+        .parquet(os.path.join(p, "bucket_keys"))
+    )
+    if meta.get("has_shingles"):
+        sh.select(F.col("_id").alias(meta["id_col"]), "h").write.mode(
+            "append"
+        ).parquet(os.path.join(p, "shingles"))
+        (
+            sh.groupBy(F.col("_id").alias(meta["id_col"]))
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .write.mode("append")
+            .parquet(os.path.join(p, "sizes"))
+        )
+    n_new = sh.select("_id").distinct().count()
+    sh_cached.unpersist()
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+        with open(os.path.join(p, _SIDECAR), "w") as f:
+            json.dump(meta, f)
+    return n_new

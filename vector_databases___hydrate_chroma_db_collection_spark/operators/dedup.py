@@ -1000,7 +1000,14 @@ def novelty_gate(
         bands=bands,
         portable=portable,
     )
-    ref = reference_bands.select("band", "h").distinct()
+    # A two-column reference is a pre-distincted bucket-key table
+    # (band_index_bucket_keys keeps it duplicate-free at build/append
+    # time) — trust it and skip the per-serve distinct; references
+    # that still carry doc ids are deduplicated here because join
+    # multiplicity would inflate n_hit_bands.
+    ref = reference_bands.select("band", "h")
+    if set(reference_bands.columns) != {"band", "h"}:
+        ref = ref.distinct()
     hits = (
         inc.join(ref, ["band", "h"])
         .groupBy(id_col)

@@ -1246,6 +1246,7 @@ def collection_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_bucket_keys,
         band_index_read,
         band_index_write,
     )
@@ -1289,9 +1290,12 @@ def collection_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         source=(root, "band_gate"),
     )
     release_cache(bands_tbl)
-    ref_bands, _meta = band_index_read(spark, idx_path)
+    band_index_read(spark, idx_path)  # staleness gate (fresh here)
+    # pure novelty needs only bucket MEMBERSHIP: serve from the
+    # pre-distincted key table, skipping the per-serve distinct
+    ref_keys = band_index_bucket_keys(spark, idx_path)
     incoming = d.filter(F.col("doc_id") % 7 == 0)
-    return novelty_gate(incoming, ref_bands, id_col="doc_id", text_col="text")
+    return novelty_gate(incoming, ref_keys, id_col="doc_id", text_col="text")
 
 
 from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401,E402

@@ -749,3 +749,55 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, "view>click"))
         .unionByName(stage(p, "view>click>purchase"))
     )
+
+
+@query(
+    "events_sequence_pattern",
+    """
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS INT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v[cse]*p')) AS INT) AS n_funnels,
+           len(regexp_extract_all(seq, 'v[cse]*p')) > 0 AS matched
+    FROM seqs
+    """,
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching, Spark-first:
+    per user, the time-ordered event-type initials collapse into one
+    string (collect_list of (ts, event_id, type) structs, array_sort
+    — the struct sort makes ties deterministic — then a transform to
+    initials), and the row pattern V (NOT P)* P becomes the regex
+    'v[cse]*p' counted with regexp_count. Non-overlapping greedy
+    scanning is identical between Java regex and DuckDB's RE2 for
+    this alternation-free pattern, so the count is fully
+    oracle-checked. Scale shape: one groupBy(user) shuffle; the
+    per-key sequence is bounded by a user's event count (sessionize
+    first for unbounded keys) — no window over the whole timeline,
+    no self-join over event pairs (compare events_funnel_conversion,
+    which counts a 3-step funnel via min-timestamps; this matches an
+    arbitrary regex program over the full sequence)."""
+    e = load_table(spark, sf_dir, "events")
+    seq = e.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: F.substring(s["event_type"], 1, 1),
+            ),
+        ).alias("seq")
+    )
+    n = F.regexp_count(F.col("seq"), F.lit("v[cse]*p"))
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        n.cast("int").alias("n_funnels"),
+        (n > 0).alias("matched"),
+    )
