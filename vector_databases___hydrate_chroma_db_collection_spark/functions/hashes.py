@@ -188,3 +188,48 @@ def rolling_hash(toks: Column, *, base: int = ROLLING_BASE, portable: bool = Tru
             acc * F.lit(base) + F.pmod(h(t), F.lit(MINHASH_P)), F.lit(MINHASH_P)
         ),
     )
+
+
+def minhash_signature_onepass(
+    shingles: Column, num_hashes: int = 16, portable: bool = True
+) -> Column:
+    """MinHash signature as a PURE PER-ROW expression — the shape
+    Structured Streaming needs (no aggregate, so it is legal in any
+    streaming projection) and the shape ``minhash_from_base`` cannot
+    deliver efficiently: Catalyst's CollapseProject inlines a base
+    column referenced by N permutations back into each of them, so
+    the md5 runs N times per shingle. Here ONE ``F.aggregate`` pass
+    carries all ``num_hashes`` running minima in an array accumulator
+    (the same trick as ``simhash16``'s packed vote counters), so each
+    shingle is hashed exactly once regardless of permutation count.
+
+    Returns NULL for rows with zero shingles (empty/whitespace text)
+    — the aggregate's init value is a sentinel that never survives a
+    non-empty pass, and NULL keeps the "empty docs produce no bands"
+    contract when the caller explodes the banded signature.
+
+    Values are IDENTICAL to ``minhash_signature`` / the DuckDB oracle
+    family (same base hash, same affine permutations)."""
+    if num_hashes > len(MINHASH_A):
+        raise ValueError(f"num_hashes must be <= {len(MINHASH_A)}")
+    h = hash64 if portable else fast_hash64
+    init = F.array(*[F.lit(MINHASH_P).cast("bigint") for _ in range(num_hashes)])
+    sig = F.aggregate(
+        shingles,
+        init,
+        lambda acc, s: (
+            lambda base: F.array(
+                *[
+                    F.least(
+                        F.element_at(acc, j + 1),
+                        F.pmod(
+                            F.lit(MINHASH_A[j]) * base + F.lit(MINHASH_B[j]),
+                            F.lit(MINHASH_P),
+                        ),
+                    )
+                    for j in range(num_hashes)
+                ]
+            )
+        )(F.pmod(h(s), F.lit(MINHASH_P))),
+    )
+    return F.when(F.size(shingles) > 0, sig)
