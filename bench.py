@@ -794,6 +794,30 @@ def main() -> None:
         )
 
     record("synth200k_exact_substring_hotkey", run_exact_substring_boilerplate)
+
+    # Same 200k boilerplate corpus, dup_ngram_fraction's hot key: the
+    # 8-token shared prefix yields SIX 3-gram shingles each carried by
+    # 10k documents (the r9 fix moved the per-shingle document
+    # frequency from a COUNT window over the shingle key — one task
+    # per hot shingle, no partial agg — to a map-side-combinable
+    # groupBy + AQE-splittable join back). Only bp docs can reach 6
+    # duplicated shingles: tails are doc-unique-token + 20k-vocab
+    # randoms, so cross-doc tail collisions sit at the birthday floor
+    # (~2 shingles corpus-wide), far below 6 in any one doc.
+    def run_dup_ngram_boilerplate() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            dup_ngram_fraction,
+            release_cache,
+        )
+
+        res = dup_ngram_fraction(docs_bp, id_col="doc_id", text_col="text", n=3)
+        n_hot = res.filter(F.col("dup_shingles") >= 6).count()
+        release_cache(res)
+        assert n_hot == n_docs_bp // 20, (
+            f"expected {n_docs_bp // 20} boilerplate docs with >=6 dup shingles, got {n_hot}"
+        )
+
+    record("synth200k_dup_ngram_hotkey", run_dup_ngram_boilerplate)
     docs_bp.unpersist()
 
     # ------------------------------------------------------------------
@@ -906,11 +930,28 @@ def main() -> None:
     incoming_1m = planted_1m.unionByName(novel_1m).cache()
     n_inc_1m = incoming_1m.count()
 
-    # Serving discipline: pure novelty probes the pre-distincted
-    # bucket-key table (what band_index_bucket_keys persists), so the
-    # corpus-side distinct is paid once here, not once per serve.
-    keys1m = bands1m_holder["bands"].select("band", "h").distinct().cache()
-    keys1m.count()
+    # Serving discipline (r9): persist the index in the BUCKETED
+    # layout (bands + pre-distincted bucket_keys clustered by
+    # (band, h)) and serve every gate from the persisted table — the
+    # corpus-side distinct is paid once at write time, and the gate's
+    # join needs NO corpus-side Exchange at all (the probe batch is
+    # shuffled into the corpus's bucketing; test_band_index.py
+    # freezes the plan). The write is timed as its own entry: it is
+    # the amortized one-time cost every subsequent serve call skips.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_bucket_keys,
+        band_index_write,
+    )
+
+    bidx_dir = tempfile.mkdtemp(prefix="bench_bandidx_")
+
+    def run_band_index_write_1m() -> None:
+        band_index_write(
+            bands1m_holder["bands"], bidx_dir, id_col="doc_id", num_buckets=32
+        )
+
+    record("synth1m_novelty_index_write", run_band_index_write_1m)
+    keys1m = band_index_bucket_keys(spark, bidx_dir)
 
     def run_novelty_gate_2k_1m() -> None:
         from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
@@ -937,7 +978,7 @@ def main() -> None:
         assert novel_fp <= 2, f"novel false positives above floor: {novel_fp}"
 
     record("synth1m_novelty_gate_2k", run_novelty_gate_2k_1m)
-    keys1m.unpersist()
+    shutil.rmtree(bidx_dir, ignore_errors=True)
     bands1m_holder["bands"].unpersist()
     incoming_1m.unpersist()
     docs1m.unpersist()

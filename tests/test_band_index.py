@@ -334,3 +334,203 @@ def test_bucket_keys_gate_equals_full_bands_gate(spark, tmp_path):
     assert got_k == got_b
     # docs 35-39 are ingested corpus members -> all 8 bands hit
     assert all(got_k[i] == (8, False) for i in range(35, 40))
+
+
+def test_bucketed_gate_no_corpus_exchange(spark, tmp_path):
+    """The serving-layout contract: a gate probing a BUCKETED index
+    joins the corpus side in place — the only Exchange in the join is
+    the probe batch shuffled into the corpus's existing (band, h)
+    bucketing. Differential assertion against the identical gate over
+    a plain (unbucketed) key table: exactly one Exchange disappears,
+    and the bucketed scan is marked Bucketed: true."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_bucket_keys,
+        band_index_build,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(40)
+    p_bucketed = str(tmp_path / "bk_bucketed")
+    p_plain = str(tmp_path / "bk_plain")
+    band_index_build(d, p_bucketed, id_col="doc_id", text_col="text")
+    band_index_build(
+        d, p_plain, id_col="doc_id", text_col="text", num_buckets=None
+    )
+    incoming = d.limit(5).select("doc_id", "text")
+
+    prev = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plans = {}
+        for label, path in (("bucketed", p_bucketed), ("plain", p_plain)):
+            keys = band_index_bucket_keys(spark, path)
+            out = novelty_gate(incoming, keys, id_col="doc_id", text_col="text")
+            plans[label] = out._jdf.queryExecution().executedPlan().toString()
+            release_cache(out)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "Bucketed: true" in plans["bucketed"], plans["bucketed"]
+    assert "Bucketed: true" not in plans["plain"]
+    assert (
+        plans["bucketed"].count("Exchange")
+        == plans["plain"].count("Exchange") - 1
+    ), plans["bucketed"]
+
+
+def test_band_index_append_double_ingest_idempotent(spark, tmp_path):
+    """Replaying an already-appended batch must be a no-op under the
+    default guard: zero newly-indexed docs, identical band/posting/
+    size row counts, identical verified-gate verdicts — the hole the
+    r8 caller-trusted contract left open (a re-append would double
+    posting weights and shift Jaccard verdicts)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_build,
+        band_index_read_verified,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        neardup_gate_verified,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "dbl_idx")
+    band_index_build(
+        d.filter(F.col("doc_id") < 30),
+        path,
+        id_col="doc_id",
+        text_col="text",
+        include_shingles=True,
+    )
+    batch = d.filter(F.col("doc_id").between(30, 39))
+    assert band_index_append(spark, path, batch) == 10
+
+    def snapshot():
+        bands_t, sh_t, sizes_t, _ = band_index_read_verified(spark, path)
+        probe = d.filter(F.col("doc_id").between(35, 44)).select("doc_id", "text")
+        out = neardup_gate_verified(
+            probe, bands_t, sh_t, sizes_t, id_col="doc_id", text_col="text"
+        )
+        verdicts = {
+            r["doc_id"]: (r["best_match_id"], r["best_jaccard"], r["is_dup"])
+            for r in out.collect()
+        }
+        release_cache(out)
+        return bands_t.count(), sh_t.count(), sizes_t.count(), verdicts
+
+    before = snapshot()
+    # replay the same batch, plus one genuinely new doc: only the new
+    # doc is indexed
+    replay = d.filter(F.col("doc_id").between(30, 40))
+    assert band_index_append(spark, path, replay) == 1
+    bands_n, sh_n, sizes_n, verdicts_n = snapshot()
+    # the genuinely-new doc 40 flips to dup (it IS indexed now); every
+    # replayed doc's verdict is bit-identical — no doubled postings
+    assert verdicts_n[40] == (40, 1.0, True)
+    assert {k: v for k, v in verdicts_n.items() if k != 40} == {
+        k: v for k, v in before[3].items() if k != 40
+    }
+    assert bands_n == before[0] + 8 and sizes_n == before[2] + 1
+    # pure replay: nothing appended at all
+    assert band_index_append(spark, path, batch) == 0
+    assert snapshot() == (bands_n, sh_n, sizes_n, verdicts_n)
+
+
+def test_band_index_append_on_existing_error(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_build,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "err_idx")
+    band_index_build(
+        d.filter(F.col("doc_id") < 20), path, id_col="doc_id", text_col="text"
+    )
+    with pytest.raises(ValueError, match="already\\s+indexed"):
+        band_index_append(
+            spark,
+            path,
+            d.filter(F.col("doc_id").between(15, 24)),
+            on_existing="error",
+        )
+    with pytest.raises(ValueError, match="on_existing"):
+        band_index_append(
+            spark, path, d.limit(1), on_existing="maybe"
+        )
+
+
+def test_band_index_append_expected_prev_etag(spark, tmp_path):
+    """Opt-in foreign-mutation fence: an append that asserts the etag
+    it observed before its own collection write fails loudly when the
+    sidecar records a different stamp (someone else updated the
+    collection since the index was built) instead of silently
+    re-stamping a stale index fresh."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_build,
+        band_index_read,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="fence",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    first = d.filter(F.col("doc_id") < 30)
+    hydrate(spark, first.join(e, first.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "fence")
+    path = f"{root}/fence/_bands"
+    band_index_build(
+        coll, path, id_col="id", text_col="document", source=(root, "fence")
+    )
+    etag0 = collection_etag(root, "fence")
+
+    # happy path: caller observes etag0, appends to the collection,
+    # then appends to the index asserting etag0 — matches the stamp
+    nxt = d.filter(F.col("doc_id").between(30, 34))
+    hydrate(spark, nxt.join(e, nxt.doc_id == e.vec_id), cfg)
+    new_docs = nxt.select(
+        F.col("doc_id").cast("string").alias("id"), F.col("text").alias("document")
+    )
+    assert (
+        band_index_append(spark, path, new_docs, expected_prev_etag=etag0) == 5
+    )
+    band_index_read(spark, path)  # fresh again
+
+    # foreign mutation: an update the appender did not perform — the
+    # appender's observed etag no longer matches the sidecar stamp
+    etag1 = collection_etag(root, "fence")
+    upd = spark.createDataFrame([("3", SENTINEL)], "id string, document string")
+    assert collection_update(spark, root, "fence", upd) == 1
+    etag2 = collection_etag(root, "fence")
+    assert etag2 != etag1
+    more = d.filter(F.col("doc_id").between(35, 39)).select(
+        F.col("doc_id").cast("string").alias("id"), F.col("text").alias("document")
+    )
+    with pytest.raises(StaleIndexError, match="mutated by something other"):
+        band_index_append(spark, path, more, expected_prev_etag=etag2)

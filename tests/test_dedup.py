@@ -459,3 +459,38 @@ def test_novelty_gate_planted(spark, corpus):
     D.release_cache(out)
     D.release_cache(ref_bands)
     assert got == {101: (8, False), 102: (0, True), 103: (0, True)}
+
+
+def test_minhash_signature_onepass_parity(spark):
+    """ADVICE r8: minhash_signature_onepass claims value-identity with
+    minhash_signature — prove it, including the short-shingle edge and
+    the NULL-on-empty contract (the streaming projection relies on
+    NULL to keep "empty docs produce no bands")."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        minhash_signature,
+        minhash_signature_onepass,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "one two"),  # shorter than n -> single short shingle
+            (4, "   "),      # whitespace-only -> zero shingles
+        ],
+        "doc_id int, text string",
+    )
+    sh = F.array_distinct(word_shingles("text", 3))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            minhash_signature(sh).alias("classic"),
+            minhash_signature_onepass(sh).alias("onepass"),
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert rows[i]["onepass"] == rows[i]["classic"], i
+        assert len(rows[i]["onepass"]) == 16
+    assert rows[4]["onepass"] is None

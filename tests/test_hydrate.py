@@ -835,3 +835,144 @@ def test_hydrate_from_step_file_round_trip(spark, tmp_path):
     assert set(rows) == {"1.0", "2.0"}
     assert dict(rows["1.0"]["metadata"]) == {"rating": "5.0"}
     assert [round(v, 4) for v in rows["2.0"]["embedding"]] == [0.4, 0.5, 0.6]
+
+
+def test_near_dup_policy_skip_and_error(spark, tmp_path):
+    """Dedup-on-ingest through the hydrate front door: planted
+    near-dups of already-ingested content are gated via the persisted
+    band index — skipped and accounted under 'skip', typed error
+    under 'error'; novel rows always land."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+        NearDuplicateError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_build,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    base_a = (
+        "the quick brown fox jumps over the lazy dog near the wide "
+        "river bank while birds sing in the tall green trees"
+    )
+    base_b = (
+        "catalyst turns declarative plans into distributed physical "
+        "operators with pushdown pruning and whole stage codegen"
+    )
+    corpus = _frame(
+        spark, [(1, base_a, [1.0, 0.0]), (2, base_b, [0.0, 1.0])]
+    )
+    hydrate(spark, corpus, _cfg(tmp_path, collection_name="ndp"))
+    idx = str(tmp_path / "ndp" / "_bands")
+    band_index_build(
+        read_collection(spark, str(tmp_path), "ndp"),
+        idx,
+        id_col="id",
+        text_col="document",
+        include_shingles=True,
+        source=(str(tmp_path), "ndp"),
+    )
+
+    batch = _frame(
+        spark,
+        [
+            (101, base_a, [0.5, 0.5]),                     # verbatim near-dup
+            (102, base_b.replace("codegen", "fusion"), [0.5, 0.5]),  # near-dup
+            (103, "entirely novel prose about reward models and "
+                  "preference data curation pipelines at scale", [0.9, 0.1]),
+        ],
+    )
+    with pytest.raises(NearDuplicateError, match="near-duplicates"):
+        hydrate(
+            spark,
+            batch,
+            _cfg(
+                tmp_path,
+                collection_name="ndp",
+                near_dup_index=idx,
+                near_dup_policy="error",
+            ),
+        )
+
+    rpt = hydrate(
+        spark,
+        batch,
+        _cfg(
+            tmp_path,
+            collection_name="ndp",
+            near_dup_index=idx,
+            near_dup_policy="skip",
+        ),
+    )
+    assert rpt.rows_written == 1 and rpt.rows_rejected == 2
+    assert any("2 near-duplicate rows skipped" in n for n in rpt.notes)
+    ids = {
+        r["id"]
+        for r in read_collection(spark, str(tmp_path), "ndp").select("id").collect()
+    }
+    assert ids == {"1", "2", "103"}
+
+    with pytest.raises(EngineError, match="near_dup_policy"):
+        hydrate(
+            spark,
+            _frame(spark, [(9, "x", [1.0, 0.0])]),
+            _cfg(
+                tmp_path,
+                collection_name="ndp",
+                near_dup_index=idx,
+                near_dup_policy="maybe",
+            ),
+        )
+
+
+def test_near_dup_policy_band_only_membership(spark, tmp_path):
+    """A band-only index (no shingles) falls back to the conservative
+    membership gate: any band hit rejects the row."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_build,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    text = (
+        "structured streaming maintains watermarked state across "
+        "micro batches with exactly once sinks and idempotent writes"
+    )
+    hydrate(
+        spark,
+        _frame(spark, [(1, text, [1.0, 0.0])]),
+        _cfg(tmp_path, collection_name="ndb"),
+    )
+    idx = str(tmp_path / "ndb" / "_bands")
+    band_index_build(
+        read_collection(spark, str(tmp_path), "ndb"),
+        idx,
+        id_col="id",
+        text_col="document",
+    )
+    rpt = hydrate(
+        spark,
+        _frame(
+            spark,
+            [
+                (201, text, [0.2, 0.8]),
+                (202, "novel words entirely disjoint vocabulary here "
+                      "nothing shared with the ingested corpus", [0.3, 0.7]),
+            ],
+        ),
+        _cfg(
+            tmp_path, collection_name="ndb", near_dup_index=idx,
+            near_dup_policy="skip",
+        ),
+    )
+    assert rpt.rows_written == 1 and rpt.rows_rejected == 1
+    assert any("band membership" in n for n in rpt.notes)

@@ -158,3 +158,28 @@ def test_exact_substring_no_window_over_hash(spark):
     )
     win_lines = [ln for ln in cov_plan.splitlines() if "Window [" in ln]
     assert len(win_lines) == 1 and "_id" in win_lines[0], cov_plan
+
+
+def test_dup_ngram_no_window_over_shingle(spark):
+    """dup_ngram_fraction's per-shingle document frequency must be a
+    map-side-combinable groupBy + equi-join back, never a COUNT
+    window partitioned by the shingle key: a corpus-common shingle
+    (license boilerplate) would otherwise funnel every occurrence
+    into one task with no partial aggregation, and AQE cannot split
+    a window exchange (the same r8 finding ExactSubstr fixed)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        dup_ngram_fraction,
+        release_cache,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "one two three four five"), ("b", "one two three six seven")],
+        ["doc_id", "text"],
+    )
+    out = dup_ngram_fraction(df, id_col="doc_id", text_col="text", n=3)
+    plan = plan_of(out)
+    assert "Window" not in plan, plan
+    # doc-freq groupBy(shingle) and per-doc groupBy(id) both partial-
+    # aggregate: >= 2 HashAggregates per groupBy around its exchange
+    assert plan.count("HashAggregate") >= 4, plan
+    release_cache(out)

@@ -56,3 +56,11 @@ class StaleIndexError(EngineError):
     or miss updated vectors. Rebuild the index from the current
     collection (or read with ``verify_source=False`` to accept the
     staleness explicitly)."""
+
+
+class NearDuplicateError(EngineError):
+    """Hydration input contains near-duplicates of already-ingested
+    corpus content and the collection was hydrated with
+    ``near_dup_policy='error'`` (the content-level sibling of
+    ``DuplicateIdError``: same id semantics Chroma enforces, applied
+    to document TEXT via the persisted MinHash band index)."""

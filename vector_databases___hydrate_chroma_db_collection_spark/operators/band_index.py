@@ -18,8 +18,17 @@ Scale notes: the band table is ``bands`` rows per corpus document
 joins, appends and replicates like any other table. Incremental
 ingest appends only the new documents' rows (signatures are per-doc,
 so no global recompute); probing it (``novelty_gate``) is one
-equi-join on ``(band, h)``. At cluster scale write it bucketed by
-``h`` so repeated serving skips the corpus-side shuffle.
+equi-join on ``(band, h)``. The serving layout makes that join
+exchange-free on the corpus side: ``bands/`` and ``bucket_keys/``
+are written as Spark BUCKETED tables clustered by ``(band, h)``
+(``num_buckets``, recorded in the sidecar), so a gate's probe batch
+is shuffled into the corpus's existing bucketing and the
+corpus-scale table is scanned in place — the shuffle cost of a serve
+call is |batch| * bands rows, never the corpus
+(``tests/test_band_index.py`` freezes the no-corpus-Exchange plan).
+Bucketed datasets are registered in the session catalog on
+read/append (``CREATE TABLE IF NOT EXISTS ... CLUSTERED BY ...
+LOCATION``), so a fresh session serves an index written by another.
 
 Reference provenance: the reference (sas:126-193) hydrates a Chroma
 collection for retrieval; a production hydration pipeline gates
@@ -29,8 +38,10 @@ this index is that gate's corpus state.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +53,80 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import 
 )
 
 _SIDECAR = "band_index.json"
+_BUCKET_COLS = ("band", "h")
+
+
+def _bucket_table(path: str, part: str) -> str:
+    """Deterministic session-catalog name for a bucketed index part:
+    the catalog entry is session-local metadata over the files at
+    ``path``; any session re-derives the same name from the path."""
+    digest = hashlib.md5(os.path.abspath(path).encode("utf-8")).hexdigest()[:12]
+    return f"band_index_{digest}_{part}"
+
+
+def _register_bucketed(
+    spark: SparkSession, path: str, part: str, ddl: str, nb: int
+) -> str:
+    """Idempotently (re-)register the bucketed table over the
+    persisted files and refresh cached file listings. Returns the
+    table name; ``spark.table(name)`` scans with ``Bucketed: true``
+    (hash-distributed on (band, h)), which is what lets the gate's
+    join skip the corpus-side Exchange."""
+    tbl = _bucket_table(path, part)
+    loc = os.path.join(_local_sidecar_path(path), part)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING PARQUET "
+        f"CLUSTERED BY (band, h) SORTED BY (band, h) INTO {nb} BUCKETS "
+        f"LOCATION '{loc}'"
+    )
+    spark.sql(f"REFRESH TABLE {tbl}")
+    return tbl
+
+
+def _write_part(
+    df: DataFrame, path: str, part: str, nb: int | None, mode: str = "overwrite"
+) -> None:
+    """Persist one index dataset. ``nb`` set: a bucketed catalog
+    table clustered+sorted by (band, h) — ``repartition`` onto the
+    bucket keys first so each task owns whole buckets (one file per
+    bucket, not files-per-task-per-bucket). ``nb`` None: plain
+    parquet (the pre-r9 layout, still readable)."""
+    loc = os.path.join(_local_sidecar_path(path), part)
+    if nb is None:
+        df.write.mode(mode).parquet(loc)
+        return
+    spark = df.sparkSession
+    tbl = _bucket_table(path, part)
+    writer = (
+        df.repartition(nb, *_BUCKET_COLS)
+        .write.bucketBy(nb, *_BUCKET_COLS)
+        .sortBy(*_BUCKET_COLS)
+    )
+    if mode == "overwrite":
+        # A fresh session overwriting an existing on-disk index has
+        # files but no catalog entry; CTAS refuses a non-empty
+        # location, so clear both sides first (the sidecar write
+        # below re-commits the index atomically for readers that
+        # follow the read API).
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
+        writer.option("path", loc).mode("overwrite").saveAsTable(tbl)
+    else:
+        ddl = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
+        _register_bucketed(spark, path, part, ddl, nb)
+        writer.mode("append").saveAsTable(tbl)
+        spark.sql(f"REFRESH TABLE {tbl}")
+
+
+def _read_part(
+    spark: SparkSession, path: str, part: str, meta: dict
+) -> DataFrame:
+    nb = meta.get("num_buckets")
+    loc = os.path.join(_local_sidecar_path(path), part)
+    if nb is None:
+        return spark.read.parquet(loc)
+    tbl = _register_bucketed(spark, path, part, meta["ddl"][part], nb)
+    return spark.table(tbl)
 
 
 def band_index_build(
@@ -55,6 +140,7 @@ def band_index_build(
     bands: int = 8,
     include_shingles: bool = False,
     source: tuple[str, str] | None = None,
+    num_buckets: int | None = 32,
 ) -> None:
     """One-call build: shingle the corpus ONCE, derive band rows (and
     optionally the shingle postings + sizes for verified serving)
@@ -78,6 +164,7 @@ def band_index_build(
         text_col=text_col,
         source=source,
         shingles=sh if include_shingles else None,
+        num_buckets=num_buckets,
     )
     sh.unpersist()
 
@@ -93,6 +180,7 @@ def band_index_write(
     text_col: str = "text",
     source: tuple[str, str] | None = None,
     shingles: DataFrame | None = None,
+    num_buckets: int | None = 32,
 ) -> None:
     """Persist a corpus band table (the output of ``lsh_band_rows``
     over the corpus) plus its sidecar.
@@ -104,6 +192,13 @@ def band_index_write(
     gate everything as novel). ``source=(root, name)`` stamps the
     sidecar with the collection's current etag.
 
+    ``num_buckets`` (default 32): write ``bands/`` and
+    ``bucket_keys/`` as bucketed tables clustered by ``(band, h)`` —
+    the serving layout; every gate call joins the corpus side
+    exchange-free. Pass ``None`` for plain parquet (portable to
+    engines without Spark bucketing; each serve then shuffles the
+    corpus side).
+
     ``shingles`` (optional): the corpus shingle-hash rows
     ``(id, h)`` — pass ``lsh_band_rows``'s attached shingle cache (it
     is already materialized by the band write) to ALSO persist the
@@ -112,15 +207,15 @@ def band_index_write(
     ``neardup_gate_verified`` serves LSH candidates AND exact-Jaccard
     verdicts without ever touching corpus text again."""
     p = _local_sidecar_path(path)
+    os.makedirs(p, exist_ok=True)
     stamp = _source_stamp(source)
-    band_rows.write.mode("overwrite").parquet(os.path.join(p, "bands"))
+    keys = band_rows.select("band", "h").distinct()
     # Pre-distincted bucket keys: novelty serving needs only (band, h)
     # MEMBERSHIP, so the distinct is paid once at build time instead
     # of once per serve call (novelty_gate skips its defensive
     # distinct when handed a two-column key table).
-    band_rows.select("band", "h").distinct().write.mode("overwrite").parquet(
-        os.path.join(p, "bucket_keys")
-    )
+    _write_part(band_rows, path, "bands", num_buckets)
+    _write_part(keys, path, "bucket_keys", num_buckets)
     if shingles is not None:
         sh = shingles.select(F.col("_id").alias(id_col), "h")
         sh.write.mode("overwrite").parquet(os.path.join(p, "shingles"))
@@ -142,6 +237,15 @@ def band_index_write(
                 "text_col": text_col,
                 "source": stamp,
                 "has_shingles": shingles is not None,
+                "num_buckets": num_buckets,
+                "ddl": {
+                    "bands": ", ".join(
+                        f"`{c}` {t}" for c, t in band_rows.dtypes
+                    ),
+                    "bucket_keys": ", ".join(
+                        f"`{c}` {t}" for c, t in keys.dtypes
+                    ),
+                },
             },
             f,
         )
@@ -155,12 +259,14 @@ def band_index_read(
     Same staleness contract as ``ivf_read``: a stamped sidecar whose
     source collection has since changed raises ``StaleIndexError`` —
     a gate can never silently treat deleted/replaced corpus text as
-    still ingested. Unstamped indexes load as-is."""
+    still ingested. Unstamped indexes load as-is. Bucketed indexes
+    come back as catalog-table scans (``Bucketed: true``), so joins
+    against them need no corpus-side Exchange."""
     p = _local_sidecar_path(path)
     with open(os.path.join(p, _SIDECAR)) as f:
         meta = json.load(f)
     _check_source_stamp(meta, path, verify_source)
-    return spark.read.parquet(os.path.join(p, "bands")), meta
+    return _read_part(spark, path, "bands", meta), meta
 
 
 def band_index_bucket_keys(
@@ -176,7 +282,7 @@ def band_index_bucket_keys(
     with open(os.path.join(p, _SIDECAR)) as f:
         meta = json.load(f)
     _check_source_stamp(meta, path, verify_source)
-    return spark.read.parquet(os.path.join(p, "bucket_keys"))
+    return _read_part(spark, path, "bucket_keys", meta)
 
 
 def band_index_read_verified(
@@ -235,6 +341,7 @@ def band_index_refresh(spark: SparkSession, path: str) -> tuple[DataFrame, dict]
         bands=meta["bands"],
         include_shingles=bool(meta.get("has_shingles")),
         source=(src["root"], src["name"]),
+        num_buckets=meta.get("num_buckets"),
     )
     return band_index_read(spark, path)
 
@@ -246,6 +353,8 @@ def band_index_append(
     *,
     id_col: str | None = None,
     text_col: str | None = None,
+    on_existing: str = "skip",
+    expected_prev_etag: str | None = None,
 ) -> int:
     """Incremental ingest: extend a persisted band index with the
     rows for ``new_docs`` ONLY — no corpus recompute. This is the
@@ -259,16 +368,29 @@ def band_index_append(
     different column names (values are still hashed with the RECORDED
     n/num_hashes/bands so appended rows join the existing family).
 
+    Double-ingest is guarded, not caller-trusted: incoming ids are
+    anti-joined against the ids the index already holds (``sizes/``
+    when the index is verification-capable, else the distinct ids of
+    ``bands/`` — one bounded join either way). ``on_existing="skip"``
+    (default) silently drops re-appended ids so replaying a batch is
+    idempotent; ``"error"`` raises ValueError naming the count, for
+    pipelines where a replay indicates a bug. Without the guard a
+    re-append would duplicate band/posting rows and double posting
+    weights in ``neardup_gate_verified``.
+
     The sidecar is re-stamped with the source collection's CURRENT
     etag — call this AFTER appending the same docs to the collection,
     and the index transitions stale -> fresh without the full
-    ``band_index_refresh`` rebuild. (Appends only: updates or deletes
+    ``band_index_refresh`` rebuild. Appends only: updates or deletes
     change existing docs' rows and need the full refresh; this
-    function cannot detect which kind of mutation happened, so the
-    caller owns that contract — the same trust model as any
-    warehouse incremental-maintenance path.)
+    function cannot detect which KIND of mutation happened, so pass
+    ``expected_prev_etag`` (the etag you observed before mutating the
+    collection — what the sidecar currently records) to assert the
+    only change since the last stamp was your own append;
+    ``StaleIndexError`` is raised on mismatch instead of silently
+    marking a foreign mutation fresh.
 
-    Returns the number of new documents indexed.
+    Returns the number of new documents indexed (after the guard).
     """
     from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
         _band_rows_from_shingles,
@@ -278,13 +400,60 @@ def band_index_append(
     p = _local_sidecar_path(path)
     with open(os.path.join(p, _SIDECAR)) as f:
         meta = json.load(f)
+    if on_existing not in ("skip", "error"):
+        raise ValueError(
+            f"on_existing must be 'skip' or 'error', got {on_existing!r}"
+        )
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"band index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the append expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this append "
+                "since the index was last stamped — run "
+                "band_index_refresh instead"
+            )
     ic = id_col or meta["id_col"]
     tc = text_col or meta["text_col"]
-    sh_cached = _shingle_rows(new_docs, ic, tc, meta["n"])
+    id_type = meta.get("id_type")
+
+    # -- double-ingest guard: one bounded anti-join on the id --------
+    if meta.get("has_shingles"):
+        have = spark.read.parquet(os.path.join(p, "sizes")).select(
+            F.col(meta["id_col"]).alias("_have_id")
+        )
+    else:
+        have = _read_part(spark, path, "bands", meta).select(
+            F.col(meta["id_col"]).alias("_have_id")
+        ).distinct()
+    inc_id = F.col(ic).cast(id_type) if id_type else F.col(ic)
+    fresh = new_docs.join(have, inc_id == F.col("_have_id"), "left_anti")
+    if on_existing == "error":
+        n_dup = new_docs.join(have, inc_id == F.col("_have_id"), "left_semi").count()
+        if n_dup:
+            raise ValueError(
+                f"band_index_append: {n_dup} incoming id(s) are already "
+                f"indexed at {path!r}; re-appending would duplicate "
+                "band/posting rows (pass on_existing='skip' to make "
+                "replays idempotent)"
+            )
+    # Materialize the guarded batch BEFORE any append below: the
+    # anti-join's lineage reads sizes/ (or bands/), which this call
+    # appends to — localCheckpoint cuts the lineage so no append's
+    # write action re-lists a directory it is writing into.
+    fresh = fresh.localCheckpoint(eager=True)
+
+    sh_cached = _shingle_rows(fresh, ic, tc, meta["n"])
     # Appended files must carry the EXISTING parquet schema — the id
     # is cast to the recorded type (e.g. int doc_ids appended to a
     # collection-backed index whose ids are strings).
-    id_type = meta.get("id_type")
     sh = (
         sh_cached.withColumn("_id", F.col("_id").cast(id_type))
         if id_type
@@ -293,19 +462,21 @@ def band_index_append(
     band_rows = _band_rows_from_shingles(
         sh, meta["id_col"], meta["num_hashes"], meta["bands"]
     )
-    band_rows.write.mode("append").parquet(os.path.join(p, "bands"))
+    nb = meta.get("num_buckets")
+    _write_part(band_rows, path, "bands", nb, mode="append")
     # keep bucket_keys duplicate-free: append only keys the corpus
     # has never produced (anti-join against the persisted set — the
     # set is small relative to bands/, and the novelty-serve counting
-    # contract depends on it staying distinct)
-    existing_keys = spark.read.parquet(os.path.join(p, "bucket_keys"))
-    (
+    # contract depends on it staying distinct). Materialized before
+    # the append so the write never re-reads its own target.
+    existing_keys = _read_part(spark, path, "bucket_keys", meta)
+    new_keys = (
         band_rows.select("band", "h")
         .distinct()
         .join(existing_keys, ["band", "h"], "left_anti")
-        .write.mode("append")
-        .parquet(os.path.join(p, "bucket_keys"))
+        .localCheckpoint(eager=True)
     )
+    _write_part(new_keys, path, "bucket_keys", nb, mode="append")
     if meta.get("has_shingles"):
         sh.select(F.col("_id").alias(meta["id_col"]), "h").write.mode(
             "append"

@@ -140,31 +140,27 @@ def dup_ngram_fraction(
     least one token appears in the output; only EMPTY documents are
     absent — left-join and coalesce if the corpus contains them.
 
-    Plan shape: repartition -> explode distinct shingles ONCE -> an
-    unordered window count over the shingle key (the per-shingle
-    document frequency) -> per-doc hash-agg. Two key-partitioned
-    shuffles, no all-pairs stage and no posting-list blowup — the
-    document frequency is a count, never a collected id list — so
-    the shape survives a 100 TB corpus. A groupBy+self-join would
-    compute the same thing in three shuffles AND re-run the whole
-    tokenize+explode pipeline on the join's second branch (measured
-    ~5x slower at sf0.1); the window form shares the one exploded
-    stream. Popular shingles are plain window skew, which AQE
-    splits."""
-    from pyspark.sql import Window
-
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    sh = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .repartition(target)
-        .select(
-            "_id",
-            F.explode(F.array_distinct(word_shingles("_text", n))).alias("s"),
-        )
-    )
-    return (
-        sh.withColumn("_docs", F.count(F.lit(1)).over(Window.partitionBy("s")))
+    Plan shape: explode distinct shingles ONCE into a cached flat
+    stream (``_shingle_rows`` — the ``minhash_lsh_pairs`` economy),
+    then ``groupBy(shingle).count()`` for the per-shingle document
+    frequency and an equi-join back onto the same cached stream,
+    then the per-doc hash-agg. The frequency aggregate is MAP-SIDE
+    COMBINABLE: a corpus-common shingle (license boilerplate carried
+    by millions of documents) is reduced to partial counts inside
+    every task before the shuffle, and the join back is an ordinary
+    equi-join AQE's skew-join splits. The previous form — a COUNT
+    window partitioned by the shingle key — shuffled every occurrence
+    of a hot shingle into ONE task with no partial aggregation, and
+    AQE cannot split a window exchange; at 100x that is billions of
+    rows through a single task. The cached stream means the second
+    branch of the join re-reads cached rows, not the tokenize
+    pipeline. Call ``release_cache(result)`` once materialized.
+    Hot-key probe: bench.py ``synth200k_dup_ngram_hotkey`` (one
+    boilerplate shingle run planted across 10k of 200k docs)."""
+    sh = _shingle_rows(df, id_col, text_col, n, with_hash=False)
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_docs"))
+    out = (
+        sh.join(doc_freq, "shingle")
         .groupBy(F.col("_id").alias("id"))
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -178,6 +174,7 @@ def dup_ngram_fraction(
             ),
         )
     )
+    return _attach_cache(out, sh)
 
 
 def exact_substring_coverage(
@@ -923,7 +920,7 @@ def _band_rows_from_shingles(
         )
     if num_hashes % bands != 0:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     rows_per_band = num_hashes // bands
     perms = [

@@ -61,6 +61,21 @@ class HydrationConfig:
       duplicates collapsed the same deterministic way; implemented
       as an anti-join rewrite into a fresh versioned data dir
       swapped in atomically). Any other value raises EngineError.
+    - ``near_dup_index``/``near_dup_policy``/``near_dup_threshold``:
+      content-level dedup-on-ingest — gate the incoming batch against
+      a PERSISTED MinHash band index (``operators.band_index``) built
+      from what the collection already holds. With a
+      verification-capable index (``include_shingles=True``) a row is
+      a near-dup when its best exact-Jaccard match reaches
+      ``near_dup_threshold``; a band-only index falls back to the
+      conservative membership gate (any band hit = suspect).
+      ``near_dup_policy='skip'`` drops near-dups (accounted in
+      ``rows_rejected`` + a note), ``'error'`` raises the typed
+      ``NearDuplicateError``. The index's own etag staleness check
+      runs on every read, so the gate can never silently compare
+      against deleted corpus state. Ingesting through this flag makes
+      the reference's hydrate front door a near-dup-safe ingest path
+      (gate -> write -> ``band_index_append`` the survivors).
     - ``n_buckets``: create the collection hive-partitioned by
       ``id_bucket = pmod(xxhash64(id), n_buckets)``. Upserts then
       rewrite ONLY the buckets the incoming ids hash into — untouched
@@ -83,6 +98,9 @@ class HydrationConfig:
     on_duplicate: str = "error"
     dim: int | None = None
     n_buckets: int | None = None
+    near_dup_index: str | None = None
+    near_dup_policy: str = "skip"
+    near_dup_threshold: float = 0.5
 
     @classmethod
     def from_step_params(cls, params: dict) -> "HydrationConfig":
@@ -283,6 +301,10 @@ def _hydrate_cached(
     )
     good = data.filter(ok)
 
+    nd_note = None
+    if cfg.near_dup_index is not None:
+        good, nd_note = _apply_near_dup_gate(spark, good, cfg)
+
     count_before = _count(spark, cfg)
 
     # Duplicate-id policy. Chroma's add() errors on duplicates both
@@ -420,7 +442,84 @@ def _hydrate_cached(
         report.notes.append(
             f"{report.rows_rejected} rows rejected (dimension/null policy or duplicate id)"
         )
+    if nd_note:
+        report.notes.append(nd_note)
     return report
+
+
+def _apply_near_dup_gate(
+    spark: SparkSession, good: DataFrame, cfg: HydrationConfig
+) -> tuple[DataFrame, str | None]:
+    """Content-level dedup-on-ingest against the persisted band index
+    at ``cfg.near_dup_index`` (see HydrationConfig docstring). Returns
+    (filtered rows, accounting note). The verdict id set is
+    incoming-batch bounded and eagerly materialized so the write plan
+    never re-runs the gate's joins, and the gate's shingle caches are
+    released before the write starts."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+        NearDuplicateError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        _SIDECAR,
+        band_index_bucket_keys,
+        band_index_read_verified,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        neardup_gate_verified,
+        novelty_gate,
+        release_cache,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+    )
+
+    if cfg.near_dup_policy not in ("skip", "error"):
+        raise EngineError(
+            f"near_dup_policy must be 'skip' or 'error', got "
+            f"{cfg.near_dup_policy!r}"
+        )
+    with open(os.path.join(_local_sidecar_path(cfg.near_dup_index), _SIDECAR)) as f:
+        meta = json.load(f)
+    fam = dict(n=meta["n"], num_hashes=meta["num_hashes"], bands=meta["bands"])
+    if meta.get("has_shingles"):
+        bands_t, sh_t, sizes_t, _ = band_index_read_verified(
+            spark, cfg.near_dup_index
+        )
+        verdict = neardup_gate_verified(
+            good, bands_t, sh_t, sizes_t,
+            id_col="id", text_col="document",
+            threshold=cfg.near_dup_threshold, **fam,
+        )
+        dup_pred = F.col("is_dup")
+    else:
+        keys = band_index_bucket_keys(spark, cfg.near_dup_index)
+        verdict = novelty_gate(
+            good, keys, id_col="id", text_col="document", **fam
+        )
+        dup_pred = ~F.col("novel")
+    dup_ids = verdict.filter(dup_pred).select("id").localCheckpoint(eager=True)
+    release_cache(verdict)
+    n_dup = dup_ids.count()
+    if n_dup == 0:
+        return good, None
+    if cfg.near_dup_policy == "error":
+        example = dup_ids.limit(1).collect()[0]["id"]
+        raise NearDuplicateError(
+            f"{n_dup} incoming row(s) are near-duplicates of content "
+            f"already in collection {cfg.collection_name!r} (e.g. id "
+            f"{example!r}, gated via the band index at "
+            f"{cfg.near_dup_index!r}); drop them or hydrate with "
+            "near_dup_policy='skip'"
+        )
+    mode = "verified Jaccard" if meta.get("has_shingles") else "band membership"
+    return (
+        good.join(dup_ids, "id", "left_anti"),
+        f"{n_dup} near-duplicate rows skipped by near_dup_policy ({mode})",
+    )
 
 
 def _count(spark: SparkSession, cfg: HydrationConfig) -> int:

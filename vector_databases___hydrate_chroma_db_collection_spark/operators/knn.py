@@ -252,24 +252,26 @@ def knn_join(
     # Orderable key: ascending sort always; negate descending metrics.
     sort_key = score if asc else -score
 
-    pairs = corpus.join(F.broadcast(queries)).select(
+    # raw_score widens every candidate struct through BOTH top-k
+    # aggregation levels — carry it only when the caller asked.
+    pair_cols = [
         F.col(query_id_col).alias("qid"),
         F.col(corpus_id_col).alias("neighbor_id"),
         score.alias("score"),
-        raw_score.alias("raw_score"),
         sort_key.alias("_key"),
         F.spark_partition_id().alias("_pid"),
-    )
+    ]
+    struct_fields = ["_key", "neighbor_id", "score"]
+    if include_raw_score:
+        pair_cols.insert(3, raw_score.alias("raw_score"))
+        struct_fields.append("raw_score")
+    pairs = corpus.join(F.broadcast(queries)).select(*pair_cols)
     # Level 1: top-k per (query, corpus-partition). Each (qid, pid)
     # group lives entirely in one scan partition, so the partial hash
     # agg collapses it locally; only aggregated buffers shuffle.
     local = pairs.groupBy("qid", "_pid").agg(
         F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct("_key", "neighbor_id", "score", "raw_score")
-                )
-            ),
+            F.array_sort(F.collect_list(F.struct(*struct_fields))),
             1,
             k,
         ).alias("nn")

@@ -291,3 +291,146 @@ def stream_neardup_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = d.filter(F.col("doc_id") % 10 == 0)
     ref_bands = D.lsh_band_rows(reference, id_col="doc_id", text_col="text")
     return D.novelty_gate(incoming, ref_bands, id_col="doc_id", text_col="text")
+
+
+@query(
+    "stream_novelty_ingest_loop",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref1 AS (SELECT DISTINCT b, h FROM buckets WHERE doc_id % 10 NOT IN (0, 5)),
+    inc1 AS (SELECT doc_id, b, h FROM buckets WHERE doc_id % 10 = 0),
+    hits1 AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc1 i JOIN ref1 r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    out1 AS (
+        SELECT d.doc_id,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+               coalesce(h.c, 0) = 0 AS novel
+        FROM documents d LEFT JOIN hits1 h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 10 = 0
+    ),
+    ref2 AS (
+        SELECT b, h FROM ref1
+        UNION
+        SELECT b, h FROM buckets
+        WHERE doc_id IN (SELECT doc_id FROM out1 WHERE novel)
+    ),
+    inc2 AS (
+        SELECT doc_id + 5 AS doc_id, b, h FROM buckets WHERE doc_id % 10 = 0
+    ),
+    hits2 AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc2 i JOIN ref2 r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    out2 AS (
+        SELECT d.doc_id + 5 AS doc_id,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+               coalesce(h.c, 0) = 0 AS novel
+        FROM documents d LEFT JOIN hits2 h ON h.doc_id = d.doc_id + 5
+        WHERE d.doc_id % 10 = 0
+    )
+    SELECT doc_id, n_hit_bands, novel, 1 AS batch FROM out1
+    UNION ALL
+    SELECT doc_id, n_hit_bands, novel, 2 AS batch FROM out2
+    """,
+)
+def stream_novelty_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental ingest loop END-TO-END across two micro-batches
+    — the full production cycle the r8 pieces only proved separately:
+
+      batch 1: gate incoming docs (doc_id % 10 == 0) against a
+               PERSISTED bucketed band index built from a hydrated
+               collection (doc_id % 10 not in (0, 5));
+               hydrate the docs that gated NOVEL into the collection;
+               ``band_index_append`` them into the index, asserting
+               the ``expected_prev_etag`` fence (the only collection
+               mutation since the index stamp is this loop's own
+               hydrate) — the index transitions stale -> fresh
+               without a rebuild;
+      batch 2: gate VERBATIM COPIES of every batch-1 doc (ids + 5)
+               against the re-read index.
+
+    The loop's consistency proof is in the verdicts: a doc that gated
+    novel in batch 1 MUST gate duplicate (all 8 bands hit) in batch
+    2, because — and only because — batch 1's ingest appended it; a
+    batch-1 suspect's copy keeps its batch-1 hit count (its hits come
+    from the original corpus, not the append). Batch-1 verdicts are
+    eagerly materialized (localCheckpoint) BEFORE the append so the
+    returned plan can never lazily re-read post-append index state.
+    The oracle replays both rounds brute-force in SQL (ref2 = corpus
+    buckets UNION novel batch-1 buckets). Output: one row per
+    (incoming doc, batch)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_bucket_keys,
+        band_index_build,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_ingest_loop_")
+    cfg = HydrationConfig(
+        collection_name="loop",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter((F.col("doc_id") % 10 != 0) & (F.col("doc_id") % 10 != 5))
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    idx = f"{root}/loop/_bands"
+    band_index_build(
+        read_collection(spark, root, "loop"),
+        idx,
+        id_col="id",
+        text_col="document",
+        source=(root, "loop"),
+    )
+    etag0 = collection_etag(root, "loop")
+
+    b1 = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    gated1 = D.novelty_gate(
+        b1, band_index_bucket_keys(spark, idx), id_col="doc_id", text_col="text"
+    )
+    out1 = gated1.localCheckpoint(eager=True)
+    D.release_cache(gated1)
+
+    novel1 = b1.join(out1.filter("novel").select("doc_id"), "doc_id")
+    hydrate(spark, novel1.join(e, novel1.doc_id == e.vec_id), cfg)
+    band_index_append(
+        spark, idx, novel1, id_col="doc_id", text_col="text",
+        expected_prev_etag=etag0,
+    )
+
+    b2 = b1.select((F.col("doc_id") + 5).alias("doc_id"), "text")
+    out2 = D.novelty_gate(
+        b2, band_index_bucket_keys(spark, idx), id_col="doc_id", text_col="text"
+    )
+    return out1.withColumn("batch", F.lit(1)).unionByName(
+        out2.withColumn("batch", F.lit(2))
+    )

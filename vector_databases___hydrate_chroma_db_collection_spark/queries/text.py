@@ -1030,3 +1030,57 @@ def text_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     idx = positional_postings(d, id_col="doc_id", text_col="text")
     return proximity_match(idx, "vector", "query", max_distance=3, id_col="doc_id")
+
+
+@query(
+    "text_phrase_search_from_index",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)
+    ),
+    p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = 'table'),
+    p2 AS (SELECT doc_id, pos - 2 AS pos FROM tok WHERE term = 'scan'),
+    m AS (
+        SELECT p0.doc_id FROM p0
+        JOIN p1 USING (doc_id, pos)
+        JOIN p2 USING (doc_id, pos)
+    )
+    SELECT doc_id, count(*) AS n_matches FROM m GROUP BY 1
+    """,
+)
+def text_phrase_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search served FROM the PERSISTED positional index — the
+    amortization proof BM25 got in r8, applied to positional queries:
+    ``positional_postings`` runs ONCE at build time, the (term, doc,
+    pos) rows persist term-clustered (repartition + sortWithinPartitions
+    on term, so each parquet row group covers a narrow term range and
+    the per-term filters of ``phrase_match`` prune via min/max stats —
+    PushedFilters on a sorted column), and the serve-time plan reads
+    ONLY the phrase terms' occurrence rows. The corpus text is never
+    re-tokenized at serve time. Same oracle as ``text_phrase_search``:
+    identical matches prove the persisted index is a lossless
+    substitute for the on-the-fly index. Fresh temp dir per run
+    (driver re-invocations stay idempotent)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="vdb_pos_index_")
+    (
+        positional_postings(d, id_col="doc_id", text_col="text")
+        .repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(out + "/postings")
+    )
+    idx = spark.read.parquet(out + "/postings")
+    return phrase_match(idx, ["fast", "table", "scan"], id_col="doc_id")
