@@ -943,3 +943,138 @@ def test_stream_novelty_serve_matches_batch(spark, tmp_path):
     finally:
         release_cache(ref_bands)
         spark.catalog.dropTempView(sink)
+
+
+def test_stream_novelty_ingest_loop_across_batches(spark, tmp_path):
+    """The FULL incremental-ingest loop through real micro-batches
+    (streaming/neardup_stream.py::stream_novelty_ingest): batch 0's
+    novel docs are hydrated + appended into the persisted band index
+    inside the stream, so batch 1's verbatim copies gate as
+    duplicates — parity-checked against the batch twins run round by
+    round, and the index must end the stream FRESH (etag re-stamped
+    by the in-stream appends)."""
+    import glob
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_build,
+        band_index_bucket_keys,
+        band_index_read,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        lsh_band_rows,
+        novelty_gate,
+        release_cache,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        stream_novelty_ingest,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="ingest",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") < 30)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    idx = f"{root}/ingest/_bands"
+    band_index_build(
+        read_collection(spark, root, "ingest"),
+        idx,
+        id_col="id",
+        text_col="document",
+        source=(root, "ingest"),
+    )
+
+    def with_emb(docs):
+        return docs.join(
+            e.select(
+                (F.col("vec_id") % 30).alias("_k"), "embedding"
+            ).dropDuplicates(["_k"]),
+            docs.doc_id % 30 == F.col("_k"),
+        ).drop("_k")
+
+    b0 = d.filter(F.col("doc_id").between(40, 44)).select(
+        "doc_id", "text"
+    ).unionByName(
+        d.filter(F.col("doc_id") == 7).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+    b1 = b0.filter(F.col("doc_id") < 1000).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).unionByName(
+        d.filter(F.col("doc_id") == 60).select("doc_id", "text")
+    )
+    sdir = tmp_path / "ingest_stream"
+    with_emb(b0).coalesce(1).write.parquet(str(sdir / "b0"))
+    with_emb(b1).coalesce(1).write.parquet(str(sdir / "b1"))
+    now = time.time()
+    for sub, t in (("b0", now - 200), ("b1", now - 100)):
+        for fp in glob.glob(str(sdir / sub / "*")):
+            os.utime(fp, (t, t))
+
+    schema = with_emb(b0).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(sdir))
+    )
+    sink = "stream_ingest_loop_parity"
+    q = stream_novelty_ingest(
+        stream,
+        index_path=idx,
+        hydration_cfg=cfg,
+        sink_path=str(tmp_path / "ingest_sink"),
+        sink_table=sink,
+        checkpoint_dir=str(tmp_path / "ckpt_ingest"),
+    )
+    assert q.awaitTermination(180), "availableNow stream did not drain"
+    try:
+        got = {
+            r["doc_id"]: (r["n_hit_bands"], r["novel"])
+            for r in spark.table(sink).collect()
+        }
+        # batch twins, round by round, against the PRE-stream corpus
+        ref0 = lsh_band_rows(corpus, id_col="doc_id", text_col="text")
+        want0 = novelty_gate(b0, ref0, id_col="doc_id", text_col="text")
+        w0 = {r["doc_id"]: (r["n_hit_bands"], r["novel"]) for r in want0.collect()}
+        novel0 = b0.join(
+            want0.filter("novel").select("doc_id"), "doc_id"
+        )
+        ref1 = ref0.select("band", "h").unionByName(
+            lsh_band_rows(novel0, id_col="doc_id", text_col="text").select(
+                "band", "h"
+            )
+        )
+        want1 = novelty_gate(b1, ref1, id_col="doc_id", text_col="text")
+        w1 = {r["doc_id"]: (r["n_hit_bands"], r["novel"]) for r in want1.collect()}
+        release_cache(want0)
+        release_cache(want1)
+        release_cache(ref0)
+        assert got == {**w0, **w1}
+        # structural anchors: the corpus copy is a dup in batch 0; every
+        # batch-0 NOVEL doc's batch-1 copy is a full-band dup
+        assert got[1007] == (8, False)
+        for doc_id, (_, novel) in w0.items():
+            if novel:
+                assert got[doc_id + 1000] == (8, False), doc_id
+        # the loop hydrated exactly the novel docs (both batches)
+        n_novel = sum(v[1] for v in got.values())
+        assert (
+            read_collection(spark, root, "ingest").count() == 30 + n_novel
+        )
+        # and the in-stream appends re-stamped the index: fresh read
+        band_index_read(spark, idx)
+        keys = band_index_bucket_keys(spark, idx)
+        assert keys.count() == keys.distinct().count()
+    finally:
+        spark.catalog.dropTempView(sink)

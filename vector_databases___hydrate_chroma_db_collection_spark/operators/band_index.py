@@ -251,6 +251,16 @@ def band_index_write(
         )
 
 
+def band_index_meta(path: str) -> dict:
+    """The sidecar's BUILD record (n / num_hashes / bands / column
+    bindings / bucket layout / source stamp) without loading any
+    data — what a serving caller needs to hash its probe side with
+    the index's exact family."""
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, _SIDECAR)) as f:
+        return json.load(f)
+
+
 def band_index_read(
     spark: SparkSession, path: str, *, verify_source: bool = True
 ) -> tuple[DataFrame, dict]:

@@ -456,16 +456,13 @@ def _apply_near_dup_gate(
     incoming-batch bounded and eagerly materialized so the write plan
     never re-runs the gate's joins, and the gate's shingle caches are
     released before the write starts."""
-    import json
-    import os
-
     from vector_databases___hydrate_chroma_db_collection_spark.errors import (
         EngineError,
         NearDuplicateError,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
-        _SIDECAR,
         band_index_bucket_keys,
+        band_index_meta,
         band_index_read_verified,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
@@ -473,17 +470,13 @@ def _apply_near_dup_gate(
         novelty_gate,
         release_cache,
     )
-    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
-        _local_sidecar_path,
-    )
 
     if cfg.near_dup_policy not in ("skip", "error"):
         raise EngineError(
             f"near_dup_policy must be 'skip' or 'error', got "
             f"{cfg.near_dup_policy!r}"
         )
-    with open(os.path.join(_local_sidecar_path(cfg.near_dup_index), _SIDECAR)) as f:
-        meta = json.load(f)
+    meta = band_index_meta(cfg.near_dup_index)
     fam = dict(n=meta["n"], num_hashes=meta["num_hashes"], bands=meta["bands"])
     if meta.get("has_shingles"):
         bands_t, sh_t, sizes_t, _ = band_index_read_verified(

@@ -90,4 +90,102 @@ def stream_novelty_serve(
     return base_serve
 
 
-__all__ = ["stream_novelty_serve", "novelty_gate", "release_cache"]
+def stream_novelty_ingest(
+    doc_stream: DataFrame,
+    *,
+    index_path: str,
+    hydration_cfg,
+    sink_path: str | None = None,
+    sink_table: str = "stream_novelty_ingest_results",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """The FULL incremental-ingest loop as one streaming query: per
+    micro-batch, gate the incoming documents against the CURRENT
+    persisted band index, hydrate the novel ones into the collection,
+    ``band_index_append`` them into the index, and publish every
+    verdict row ``(id, n_hit_bands, novel)`` — so a document that
+    gates novel in batch N is flagged duplicate in batch N+1 because,
+    and only because, batch N ingested it.
+
+    ``hydration_cfg`` is the ``HydrationConfig`` for the target
+    collection; its ``id_col``/``text_col`` name the stream's columns
+    (the stream must also carry ``embedding_col``). The index at
+    ``index_path`` is re-read EVERY batch (its bucket_keys table is
+    refreshed on read), and its band family comes from the sidecar —
+    a probe can never be hashed with the wrong ``n``.
+
+    Replay safety (a foreachBatch body can re-run after a crash):
+    hydration is forced to ``on_duplicate='first'`` (already-stored
+    ids skip) and ``band_index_append`` carries its own double-ingest
+    guard, so re-running a batch is a no-op on both stores; the
+    verdict sink overwrites its ``batch_id=N`` partition
+    (``stream_knn_serve``'s exactly-once contract). The
+    ``expected_prev_etag`` fence is deliberately NOT used here — on
+    replay the observed etag is already post-hydrate, so the fence
+    would false-positive; the append guard provides the idempotence
+    the fence exists to protect. The append's re-stamp keeps the
+    index fresh for the next batch's staleness-checked read.
+
+    Batch-local caches (the gate's shingle rows, the checkpointed
+    verdict) are released before the batch function returns, so long
+    streams do not pin executor storage.
+    """
+    from dataclasses import replace
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_bucket_keys,
+        band_index_meta,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+
+    cfg = replace(hydration_cfg, on_duplicate="first")
+    ic, tc = cfg.id_col, cfg.text_col
+
+    def ingest(batch_docs: DataFrame) -> DataFrame:
+        spark = batch_docs.sparkSession
+        meta = band_index_meta(index_path)
+        keys = band_index_bucket_keys(spark, index_path)
+        gated = novelty_gate(
+            batch_docs.select(ic, tc),
+            keys,
+            id_col=ic,
+            text_col=tc,
+            n=meta["n"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+        )
+        out = gated.localCheckpoint(eager=True)
+        release_cache(gated)
+        novel_docs = batch_docs.join(out.filter("novel").select(ic), ic)
+        hydrate(spark, novel_docs, cfg)
+        # Unconditional: a replay after a crash between hydrate and
+        # append sees rows_written == 0 but still owes the INDEX its
+        # rows — the append's own double-ingest guard (not hydrate's
+        # outcome) decides what is genuinely new on the index side.
+        band_index_append(
+            spark, index_path, novel_docs.select(ic, tc),
+            id_col=ic, text_col=tc,
+        )
+        return out
+
+    return stream_knn_serve(
+        doc_stream,
+        corpus=None,  # unused: retrieval_fn overrides the knn plan
+        retrieval_fn=ingest,
+        sink_path=sink_path,
+        sink_table=sink_table,
+        checkpoint_dir=checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+__all__ = [
+    "stream_novelty_serve",
+    "stream_novelty_ingest",
+    "novelty_gate",
+    "release_cache",
+]
