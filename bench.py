@@ -959,12 +959,19 @@ def main() -> None:
         )
 
         res = novelty_gate(incoming_1m, keys1m, id_col="doc_id", text_col="text")
-        planted_hit = res.filter(
-            (F.col("doc_id") < 20_000_000) & ~F.col("novel")
-        ).count()
-        novel_fp = res.filter(
-            (F.col("doc_id") >= 20_000_000) & ~F.col("novel")
-        ).count()
+        # Both assertion counts in ONE action: the r9 two-filtered-count
+        # form executed the probe-minhash + corpus join TWICE, doubling
+        # the recorded serve cost (r10 instrumentation: the gate's wall
+        # is probe-side work + the bucketed join, not the corpus scan).
+        row = res.agg(
+            F.count(
+                F.when((F.col("doc_id") < 20_000_000) & ~F.col("novel"), 1)
+            ).alias("planted_hit"),
+            F.count(
+                F.when((F.col("doc_id") >= 20_000_000) & ~F.col("novel"), 1)
+            ).alias("novel_fp"),
+        ).first()
+        planted_hit, novel_fp = row["planted_hit"], row["novel_fp"]
         release_cache(res)
         # Recall is structural (identical text -> identical bands):
         # every planted copy MUST collide. The disjoint-vocab docs sit

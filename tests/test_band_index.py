@@ -534,3 +534,203 @@ def test_band_index_append_expected_prev_etag(spark, tmp_path):
     )
     with pytest.raises(StaleIndexError, match="mutated by something other"):
         band_index_append(spark, path, more, expected_prev_etag=etag2)
+
+
+def test_novelty_gate_excluding_replay_stable(spark, tmp_path):
+    """The streaming ingest loop's replay hazard, isolated: after a
+    batch's docs have ALREADY been appended to the index (the state a
+    foreachBatch replay observes when the crashed attempt got as far
+    as band_index_append), novelty_gate_excluding must still publish
+    the FIRST attempt's verdicts, while the plain gate flips them to
+    duplicate."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_build,
+        band_index_read,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate_excluding,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "replay_idx")
+    corpus = d.filter(F.col("doc_id") < 30)
+    band_index_build(corpus, path, id_col="doc_id", text_col="text")
+
+    # batch: 5 novel docs + 1 verbatim copy of a corpus doc
+    batch = d.filter(F.col("doc_id").between(40, 44)).select(
+        "doc_id", "text"
+    ).unionByName(
+        d.filter(F.col("doc_id") == 7).select(
+            (F.col("doc_id") + 1000).alias("doc_id"), "text"
+        )
+    )
+
+    def verdicts(gate_fn):
+        out = gate_fn()
+        got = {
+            r["doc_id"]: (r["n_hit_bands"], r["novel"]) for r in out.collect()
+        }
+        release_cache(out)
+        return got
+
+    bands_t, meta = band_index_read(spark, path)
+    first = verdicts(
+        lambda: novelty_gate_excluding(
+            batch, bands_t, ref_id_col="doc_id", id_col="doc_id", text_col="text"
+        )
+    )
+    plain_first = verdicts(
+        lambda: novelty_gate(batch, bands_t, id_col="doc_id", text_col="text")
+    )
+    # no batch doc is indexed yet -> exclusion is a no-op
+    assert first == plain_first
+    assert first[1007] == (8, False)
+
+    # the crashed attempt appended the batch's novel docs
+    novel = batch.filter(F.col("doc_id") != 1007)
+    assert band_index_append(spark, path, novel) == 5
+
+    bands_t2, _ = band_index_read(spark, path, verify_source=False)
+    replay = verdicts(
+        lambda: novelty_gate_excluding(
+            batch, bands_t2, ref_id_col="doc_id", id_col="doc_id", text_col="text"
+        )
+    )
+    plain_replay = verdicts(
+        lambda: novelty_gate(batch, bands_t2, id_col="doc_id", text_col="text")
+    )
+    assert replay == first, "exclusion gate must reproduce first-attempt verdicts"
+    # ...while the plain gate is poisoned by the batch's own rows
+    assert all(not v[1] for v in plain_replay.values())
+
+
+def test_band_index_append_torn_replay_exactly_once(spark, tmp_path):
+    """Tear the multi-part append at EVERY part boundary (crash after
+    k successful part writes), then replay the same batch: every part
+    must land exactly once — no doubled band/posting/size rows, no
+    permanently-lost parts — and the verified gate's verdicts must be
+    bit-identical to an untorn append's."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        neardup_gate_verified,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    probe = d.filter(F.col("doc_id").between(35, 44)).select("doc_id", "text")
+    batch = d.filter(F.col("doc_id").between(30, 39))
+
+    def build(path):
+        bi.band_index_build(
+            d.filter(F.col("doc_id") < 30),
+            path,
+            id_col="doc_id",
+            text_col="text",
+            include_shingles=True,
+        )
+
+    def snapshot(path):
+        bands_t, sh_t, sizes_t, meta = bi.band_index_read_verified(spark, path)
+        ids_t = spark.read.parquet(
+            f"{path}/{meta['locations']['ids']}"
+        )
+        out = neardup_gate_verified(
+            probe, bands_t, sh_t, sizes_t, id_col="doc_id", text_col="text"
+        )
+        verdicts = {
+            r["doc_id"]: (r["best_match_id"], r["best_jaccard"], r["is_dup"])
+            for r in out.collect()
+        }
+        release_cache(out)
+        return (
+            bands_t.count(),
+            sh_t.count(),
+            sizes_t.count(),
+            ids_t.count(),
+            verdicts,
+        )
+
+    # reference: the untorn append
+    ref_path = str(tmp_path / "untorn")
+    build(ref_path)
+    assert bi.band_index_append(spark, ref_path, batch) == 10
+    want = snapshot(ref_path)
+
+    real_append_part = bi._append_part
+    # part-write order inside band_index_append:
+    #   bands -> bucket_keys -> shingles -> sizes -> ids
+    for crash_after in range(5):
+        path = str(tmp_path / f"torn_{crash_after}")
+        build(path)
+        calls = {"n": 0}
+
+        def tearing(df, p, part, nb, meta, _k=crash_after):
+            if calls["n"] == _k:
+                raise RuntimeError(f"torn after {calls['n']} part writes")
+            calls["n"] += 1
+            return real_append_part(df, p, part, nb, meta)
+
+        bi._append_part = tearing
+        try:
+            with pytest.raises(RuntimeError, match="torn"):
+                bi.band_index_append(spark, path, batch)
+        finally:
+            bi._append_part = real_append_part
+        # the sidecar must still carry the in-flight marker
+        assert bi.band_index_meta(path).get("pending_append") is True
+        # replay the SAME batch: heals to exactly-once
+        n = bi.band_index_append(spark, path, batch)
+        assert n == 10, f"crash_after={crash_after}: replay returned {n}"
+        assert bi.band_index_meta(path).get("pending_append") is None
+        got = snapshot(path)
+        assert got == want, f"crash_after={crash_after}: {got[:4]} != {want[:4]}"
+        # a second replay is a pure no-op
+        assert bi.band_index_append(spark, path, batch) == 0
+        assert snapshot(path) == want
+
+
+def test_band_index_rebuild_changes_bucket_spec_same_session(spark, tmp_path):
+    """An index rebuilt at the same path with a DIFFERENT num_buckets
+    must never be scanned through the first build's catalog entry:
+    the catalog name digests the (data directory, bucket count) pair,
+    and rebuilds write fresh versioned directories — so the stale
+    entry's bucket spec can't silently mis-distribute the gate join
+    (which would drop matches, gating ingested docs as novel)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_bucket_keys,
+        band_index_build,
+        band_index_meta,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    corpus = d.filter(F.col("doc_id") < 40)
+    path = str(tmp_path / "respec_idx")
+    band_index_build(corpus, path, id_col="doc_id", text_col="text", num_buckets=32)
+    # serve once so the 32-bucket catalog entry exists in THIS session
+    probe = d.filter(F.col("doc_id").between(35, 44)).select("doc_id", "text")
+    out = novelty_gate(
+        probe, band_index_bucket_keys(spark, path), id_col="doc_id", text_col="text"
+    )
+    first = {r["doc_id"]: r["novel"] for r in out.collect()}
+    release_cache(out)
+    assert all(not first[i] for i in range(35, 40))
+
+    loc_before = band_index_meta(path)["locations"]["bucket_keys"]
+    band_index_build(corpus, path, id_col="doc_id", text_col="text", num_buckets=8)
+    meta = band_index_meta(path)
+    assert meta["num_buckets"] == 8
+    assert meta["locations"]["bucket_keys"] != loc_before
+    # the superseded directory is gone after the sidecar commit
+    import os as _os
+
+    assert not _os.path.exists(f"{path}/{loc_before}")
+    out2 = novelty_gate(
+        probe, band_index_bucket_keys(spark, path), id_col="doc_id", text_col="text"
+    )
+    second = {r["doc_id"]: r["novel"] for r in out2.collect()}
+    release_cache(out2)
+    # identical verdicts through the new bucket spec — a stale-catalog
+    # mis-distribution would gate the ingested docs 35..39 as novel
+    assert second == first

@@ -172,3 +172,76 @@ def test_decontamination_broadcast_guard_dispatch(spark):
     assert sorted(map(tuple, wide.collect())) == sorted(
         map(tuple, tiny.collect())
     )
+
+
+def test_remove_repeated_segments_keep_first_in_place(spark):
+    """Rae-style within-doc repetition removal: repeated lines drop,
+    first occurrences keep their original positions, separator runs
+    collapse (empty segments dedup like any other), and a doc with no
+    repeats round-trips unchanged."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        remove_repeated_segments,
+    )
+
+    rows = [
+        (1, "nav\nintro text\nnav\nbody text\nnav\nintro text"),
+        (2, "a\nb\nc"),
+        (3, "x\n\n\nx\n\ny"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r["id"]: r["clean"]
+        for r in df.select(
+            "id", remove_repeated_segments("t").alias("clean")
+        ).collect()
+    }
+    assert got[1] == "nav\nintro text\nbody text"
+    assert got[2] == "a\nb\nc"
+    assert got[3] == "x\n\ny"        # separator run -> one empty segment
+    assert got[4] == ""
+    # custom separator (paragraphs)
+    para = spark.createDataFrame(
+        [(1, "p1||p2||p1||p3")], "id int, t string"
+    ).select(remove_repeated_segments("t", sep="||").alias("c"))
+    assert para.first()["c"] == "p1||p2||p3"
+
+
+def test_canonical_url_strips_tracking_and_case(spark):
+    """Web-dedup canonicalization: scheme+host lowercase, fragment
+    dropped, utm_*/click-ids stripped with remaining param order
+    preserved; query-less URLs and fully-tracking queries both end
+    bare; extra drop_params prefixes compose."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        canonical_url,
+    )
+
+    rows = [
+        (1, "HTTPS://WWW.Example.COM/Page/1?id=1&utm_source=feed&b=2#top"),
+        (2, "https://www.example.com/Page/1?id=1&b=2&gclid=xyz#sec9"),
+        (3, "https://example.com/plain"),
+        (4, "http://example.com/p?utm_campaign=x&fbclid=1"),
+        (5, "https://example.com/p?keep=1&ref=home"),
+    ]
+    df = spark.createDataFrame(rows, "id int, u string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("u").alias("c")).collect()
+    }
+    # case folded, fragment gone, tracking gone, order of kept params stable
+    assert got[1] == "https://www.example.com/Page/1?id=1&b=2"
+    assert got[2] == "https://www.example.com/Page/1?id=1&b=2"
+    assert got[1] == got[2]  # the dedup collapse this exists for
+    assert got[3] == "https://example.com/plain"
+    assert got[4] == "http://example.com/p"
+    assert got[5] == "https://example.com/p?keep=1&ref=home"
+    got_extra = (
+        df.filter("id = 5")
+        .select(canonical_url("u", drop_params=("ref",)).alias("c"))
+        .first()["c"]
+    )
+    assert got_extra == "https://example.com/p?keep=1"

@@ -120,3 +120,54 @@ def test_proximity_match_within_distance(spark):
 
     with pytest.raises(ValueError):
         proximity_match(idx, "a", "b", max_distance=0)
+
+
+def test_positional_index_serve_pushes_term_filters(spark, tmp_path):
+    """The from-index serve contract (text_phrase_search_from_index /
+    text_proximity_search_from_index): reading the PERSISTED
+    term-clustered postings, the per-term filters reach the parquet
+    scan as PushedFilters — the scan reads the query terms' rows, not
+    the corpus — and the served verdicts equal the in-memory index's."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        phrase_match,
+        positional_postings,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "vector search with a fast table scan and a vector query plan"),
+            (2, "query the vector store"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id int, text string",
+    )
+    out = str(tmp_path / "postings")
+    (
+        positional_postings(docs, id_col="doc_id", text_col="text")
+        .repartition(4, "term")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    idx = spark.read.parquet(out)
+
+    prox = proximity_match(idx, "vector", "query", max_distance=3, id_col="doc_id")
+    plan = prox._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(term," in plan, plan
+    phrase = phrase_match(idx, ["fast", "table", "scan"], id_col="doc_id")
+    plan_ph = phrase._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(term," in plan_ph, plan_ph
+
+    # lossless substitute: persisted-index verdicts == in-memory's
+    mem = positional_postings(docs, id_col="doc_id", text_col="text")
+    got = {r["doc_id"]: r["n_pairs"] for r in prox.collect()}
+    want = {
+        r["doc_id"]: r["n_pairs"]
+        for r in proximity_match(
+            mem, "vector", "query", max_distance=3, id_col="doc_id"
+        ).collect()
+    }
+    assert got == want and got[2] == 1

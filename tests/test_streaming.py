@@ -1078,3 +1078,77 @@ def test_stream_novelty_ingest_loop_across_batches(spark, tmp_path):
         assert keys.count() == keys.distinct().count()
     finally:
         spark.catalog.dropTempView(sink)
+
+
+def test_stream_novelty_ingest_construction_has_no_side_effects(spark, tmp_path):
+    """Constructing the ingest stream makes a zero-row schema-probe
+    call into the batch function; that probe must NOT hydrate, append,
+    or re-stamp the sidecar (the r9 proto ran real jobs — an eager
+    localCheckpoint, a full hydrate of an empty batch, and a
+    band_index_append that re-stamped the etag — before the stream
+    started). A stream over an EMPTY source drains without touching
+    either store."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_build,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        stream_novelty_ingest,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="proto",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") < 20)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    idx = f"{root}/proto/_bands"
+    band_index_build(
+        read_collection(spark, root, "proto"),
+        idx,
+        id_col="id",
+        text_col="document",
+        source=(root, "proto"),
+    )
+    with open(f"{idx}/band_index.json", "rb") as f:
+        sidecar_before = f.read()
+    n_before = read_collection(spark, root, "proto").count()
+
+    sdir = tmp_path / "empty_stream"
+    sdir.mkdir()
+    schema = "doc_id bigint, text string, embedding array<double>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(sdir))
+    )
+    sink = "stream_ingest_proto_probe"
+    q = stream_novelty_ingest(
+        stream,
+        index_path=idx,
+        hydration_cfg=cfg,
+        sink_path=str(tmp_path / "proto_sink"),
+        sink_table=sink,
+        checkpoint_dir=str(tmp_path / "ckpt_proto"),
+    )
+    try:
+        assert q.awaitTermination(60), "empty availableNow stream did not drain"
+        # schema contract still holds: the pre-registered view exists
+        assert {f.name for f in spark.table(sink).schema.fields} >= {
+            "doc_id",
+            "n_hit_bands",
+            "novel",
+        }
+        with open(f"{idx}/band_index.json", "rb") as f:
+            assert f.read() == sidecar_before, "sidecar was re-stamped"
+        assert read_collection(spark, root, "proto").count() == n_before
+    finally:
+        spark.catalog.dropTempView(sink)

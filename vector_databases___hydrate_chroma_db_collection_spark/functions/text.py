@@ -10,6 +10,8 @@ oracle harness.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -350,4 +352,71 @@ def gopher_flags(
         alpha_frac.alias("alpha_word_frac"),
         has_stop.alias("has_stopwords"),
         gopher_pass.alias("gopher_pass"),
+    )
+
+
+def remove_repeated_segments(
+    text: Column | str, *, sep: str = "\n"
+) -> Column:
+    """Within-document repetition REMOVAL (Rae et al. 2021, Gopher
+    App. A): rewrite a document by dropping every repeated
+    line/paragraph, keeping each distinct segment's FIRST occurrence
+    in its original position — the standard pre-dedup normalization
+    for web corpora, where navigation chrome and boilerplate repeat
+    inside a single page. This REWRITES text; ``gopher_flags`` /
+    repetition ratios only MEASURE it.
+
+    Pure codegen array expressions (split -> positional keep-first
+    filter -> rejoin): ``array_position`` returns a segment's first
+    1-based index, so a segment survives exactly when it sits at its
+    own first occurrence. Empty segments (separator runs) dedup like
+    any other segment — the first survives, so separator runs
+    collapse. No shuffle, no UDF; per-row cost is O(segments^2) in
+    the worst case, bounded by document length, embarrassingly
+    parallel across the corpus."""
+    import re as _re
+
+    parts = F.split(_c(text), _re.escape(sep))
+    kept = F.filter(
+        parts, lambda x, i: F.array_position(parts, x) == i + F.lit(1)
+    )
+    return F.array_join(kept, sep)
+
+
+def canonical_url(url: Column | str, *, drop_params: tuple = ()) -> Column:
+    """Canonicalize a URL for exact web dedup: lowercase the scheme
+    and host, drop the fragment, and strip tracking query parameters
+    (``utm_*`` and the common click ids, plus any extra prefixes in
+    ``drop_params``), preserving the order of the parameters that
+    remain. Two crawls of the same page that differ only in tracking
+    noise — ``?utm_source=feed`` vs ``?utm_source=tw#ref`` — collapse
+    to one canonical key; dedup is then a single hash-shuffle on that
+    key (see queries/dedup.py::dedup_canonical_url), the cheapest
+    highest-yield dedup pass a web corpus gets.
+
+    All codegen expressions over Spark's real URL parser
+    (``parse_url`` PROTOCOL/HOST/PATH/QUERY) — no UDF; NULL-safe for
+    URLs without a query string."""
+    u = _c(url)
+    tracked = ("utm_", "gclid", "fbclid", "msclkid", "mc_eid") + tuple(
+        drop_params
+    )
+    q = F.parse_url(u, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(q, F.lit("")), "&"),
+        lambda p: (p != F.lit(""))
+        & ~reduce(
+            lambda a, b: a | b,
+            [p.startswith(F.lit(t)) for t in tracked],
+        ),
+    )
+    q_canon = F.array_join(kept, "&")
+    return F.concat(
+        F.lower(F.parse_url(u, F.lit("PROTOCOL"))),
+        F.lit("://"),
+        F.lower(F.parse_url(u, F.lit("HOST"))),
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")),
+        F.when(q_canon == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), q_canon)
+        ),
     )

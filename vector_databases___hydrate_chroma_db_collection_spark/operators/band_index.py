@@ -5,13 +5,13 @@ batch gates and streaming micro-batches.
 ``operators.dedup.lsh_band_rows`` computes a corpus band table; this
 module gives it the same durable-index lifecycle as the IVF sidecar
 (``operators/ann.py::ivf_write/ivf_read/ivf_refresh``): the index is
-just a Parquet dataset plus a JSON sidecar that records the BUILD
+a set of Parquet datasets plus a JSON sidecar that records the BUILD
 parameters (shingle ``n``, ``num_hashes``, ``bands``, the id/text
-column names) and an optional source-collection etag stamp.
-``band_index_read`` raises ``StaleIndexError`` once the collection
-changes under the index; ``band_index_refresh`` is the one-call
-remedy — replay the recorded build against the CURRENT collection,
-overwrite, re-stamp.
+column names), the current data-directory of every part, and an
+optional source-collection etag stamp. ``band_index_read`` raises
+``StaleIndexError`` once the collection changes under the index;
+``band_index_refresh`` is the one-call remedy — replay the recorded
+build against the CURRENT collection, overwrite, re-stamp.
 
 Scale notes: the band table is ``bands`` rows per corpus document
 (8-byte keys; ~100 GB per billion docs at the defaults) — it scans,
@@ -19,7 +19,7 @@ joins, appends and replicates like any other table. Incremental
 ingest appends only the new documents' rows (signatures are per-doc,
 so no global recompute); probing it (``novelty_gate``) is one
 equi-join on ``(band, h)``. The serving layout makes that join
-exchange-free on the corpus side: ``bands/`` and ``bucket_keys/``
+exchange-free on the corpus side: ``bands`` and ``bucket_keys``
 are written as Spark BUCKETED tables clustered by ``(band, h)``
 (``num_buckets``, recorded in the sidecar), so a gate's probe batch
 is shuffled into the corpus's existing bucketing and the
@@ -29,6 +29,30 @@ call is |batch| * bands rows, never the corpus
 Bucketed datasets are registered in the session catalog on
 read/append (``CREATE TABLE IF NOT EXISTS ... CLUSTERED BY ...
 LOCATION``), so a fresh session serves an index written by another.
+The catalog name is a digest of the part's CURRENT data directory
+AND its bucket count, so a rebuild at the same index path (which
+writes a fresh versioned directory, possibly with a different
+``num_buckets``) can never be served through a stale catalog entry's
+old bucket spec — the stale entry's name simply stops being derived.
+
+Durability contracts:
+
+* **Rebuild is atomic for readers.** ``band_index_write`` writes
+  every part into a FRESH versioned directory (``bands_v2``, ...)
+  and commits them by swapping the sidecar's ``locations`` map last
+  (atomic temp+rename). Readers that follow the read API (sidecar
+  first, as all functions here do) see the complete old index until
+  the swap and the complete new index after it; the old directories
+  are removed only after the commit.
+* **Append is torn-write-safe.** ``band_index_append`` records a
+  ``pending_append`` marker in the sidecar before touching any data,
+  appends its parts, writes the guard's source-of-truth ``ids``
+  dataset LAST, and clears the marker in the final sidecar commit.
+  A crash mid-append leaves the marker set; the replay sees it and
+  anti-joins each part's incoming rows against what that part
+  already holds for the batch's ids, so a torn append replays to
+  exactly-once row counts (``tests/test_band_index.py`` tears the
+  append at every boundary and replays).
 
 Reference provenance: the reference (sas:126-193) hydrates a Chroma
 collection for retrieval; a production hydration pipeline gates
@@ -54,26 +78,69 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import 
 
 _SIDECAR = "band_index.json"
 _BUCKET_COLS = ("band", "h")
+_PARTS = ("bands", "bucket_keys", "shingles", "sizes", "ids")
 
 
-def _bucket_table(path: str, part: str) -> str:
+def _sidecar_write(p: str, meta: dict) -> None:
+    """Atomic sidecar commit: temp file + rename, so a reader never
+    observes a half-written JSON and a crash mid-write leaves the
+    previous sidecar (hence the previous index state) intact."""
+    tmp = os.path.join(p, _SIDECAR + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(p, _SIDECAR))
+
+
+def _sidecar_read(p: str) -> dict:
+    with open(os.path.join(p, _SIDECAR)) as f:
+        return json.load(f)
+
+
+def _part_dir(meta: dict, part: str) -> str:
+    """Relative data directory for a part. Pre-versioning sidecars
+    have no ``locations`` map — their parts live at the bare part
+    name (the legacy layout, still readable)."""
+    return (meta.get("locations") or {}).get(part, part)
+
+
+def _part_loc(path: str, part: str, meta: dict) -> str:
+    return os.path.join(_local_sidecar_path(path), _part_dir(meta, part))
+
+
+def _fresh_part_dir(p: str, part: str) -> str:
+    """Next unused versioned directory name for a part (``bands_v1``,
+    ``bands_v2``, ...). Scans the filesystem, not the sidecar, so a
+    crashed build's orphan directory is never reused."""
+    v = 1
+    while os.path.exists(os.path.join(p, f"{part}_v{v}")):
+        v += 1
+    return f"{part}_v{v}"
+
+
+def _bucket_table(loc: str, nb: int) -> str:
     """Deterministic session-catalog name for a bucketed index part:
     the catalog entry is session-local metadata over the files at
-    ``path``; any session re-derives the same name from the path."""
-    digest = hashlib.md5(os.path.abspath(path).encode("utf-8")).hexdigest()[:12]
-    return f"band_index_{digest}_{part}"
+    ``loc``; any session re-derives the same name from the same
+    (data directory, bucket count) pair. Folding ``nb`` into the
+    digest means an index rebuilt with a different bucket spec can
+    never be scanned through an older session's catalog entry —
+    Spark would trust the stale entry's hash distribution, skip the
+    exchange, and silently miss join matches."""
+    digest = hashlib.md5(
+        f"{os.path.abspath(loc)}|{nb}".encode("utf-8")
+    ).hexdigest()[:12]
+    return f"band_index_{digest}"
 
 
 def _register_bucketed(
-    spark: SparkSession, path: str, part: str, ddl: str, nb: int
+    spark: SparkSession, loc: str, ddl: str, nb: int
 ) -> str:
     """Idempotently (re-)register the bucketed table over the
     persisted files and refresh cached file listings. Returns the
     table name; ``spark.table(name)`` scans with ``Bucketed: true``
     (hash-distributed on (band, h)), which is what lets the gate's
     join skip the corpus-side Exchange."""
-    tbl = _bucket_table(path, part)
-    loc = os.path.join(_local_sidecar_path(path), part)
+    tbl = _bucket_table(loc, nb)
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING PARQUET "
         f"CLUSTERED BY (band, h) SORTED BY (band, h) INTO {nb} BUCKETS "
@@ -83,50 +150,87 @@ def _register_bucketed(
     return tbl
 
 
-def _write_part(
-    df: DataFrame, path: str, part: str, nb: int | None, mode: str = "overwrite"
-) -> None:
-    """Persist one index dataset. ``nb`` set: a bucketed catalog
-    table clustered+sorted by (band, h) — ``repartition`` onto the
-    bucket keys first so each task owns whole buckets (one file per
-    bucket, not files-per-task-per-bucket). ``nb`` None: plain
-    parquet (the pre-r9 layout, still readable)."""
-    loc = os.path.join(_local_sidecar_path(path), part)
+def _write_new_part(df: DataFrame, path: str, part: str, nb: int | None) -> str:
+    """Persist one part into a FRESH versioned directory; returns the
+    directory name for the sidecar's ``locations`` map. The write is
+    invisible to readers until the caller commits the sidecar.
+
+    ``nb`` set: a bucketed catalog table clustered+sorted by
+    (band, h) — ``repartition`` onto the bucket keys first so each
+    task owns whole buckets (one file per bucket, not
+    files-per-task-per-bucket). ``nb`` None: plain parquet."""
+    p = _local_sidecar_path(path)
+    d = _fresh_part_dir(p, part)
+    loc = os.path.join(p, d)
     if nb is None:
-        df.write.mode(mode).parquet(loc)
-        return
-    spark = df.sparkSession
-    tbl = _bucket_table(path, part)
-    writer = (
+        df.write.mode("overwrite").parquet(loc)
+        return d
+    (
         df.repartition(nb, *_BUCKET_COLS)
         .write.bucketBy(nb, *_BUCKET_COLS)
         .sortBy(*_BUCKET_COLS)
+        .option("path", loc)
+        .saveAsTable(_bucket_table(loc, nb))
     )
-    if mode == "overwrite":
-        # A fresh session overwriting an existing on-disk index has
-        # files but no catalog entry; CTAS refuses a non-empty
-        # location, so clear both sides first (the sidecar write
-        # below re-commits the index atomically for readers that
-        # follow the read API).
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(loc, ignore_errors=True)
-        writer.option("path", loc).mode("overwrite").saveAsTable(tbl)
-    else:
-        ddl = ", ".join(f"`{c}` {t}" for c, t in df.dtypes)
-        _register_bucketed(spark, path, part, ddl, nb)
-        writer.mode("append").saveAsTable(tbl)
-        spark.sql(f"REFRESH TABLE {tbl}")
+    return d
+
+
+def _append_part(
+    df: DataFrame, path: str, part: str, nb: int | None, meta: dict
+) -> None:
+    """Append rows into a part's CURRENT directory (bucketed parts go
+    through the catalog table so the files carry the bucket spec)."""
+    loc = _part_loc(path, part, meta)
+    if nb is None:
+        df.write.mode("append").parquet(loc)
+        return
+    spark = df.sparkSession
+    tbl = _register_bucketed(spark, loc, meta["ddl"][part], nb)
+    (
+        df.repartition(nb, *_BUCKET_COLS)
+        .write.bucketBy(nb, *_BUCKET_COLS)
+        .sortBy(*_BUCKET_COLS)
+        .mode("append")
+        .saveAsTable(tbl)
+    )
+    spark.sql(f"REFRESH TABLE {tbl}")
 
 
 def _read_part(
     spark: SparkSession, path: str, part: str, meta: dict
 ) -> DataFrame:
     nb = meta.get("num_buckets")
-    loc = os.path.join(_local_sidecar_path(path), part)
-    if nb is None:
+    loc = _part_loc(path, part, meta)
+    if nb is None or part not in ("bands", "bucket_keys"):
         return spark.read.parquet(loc)
-    tbl = _register_bucketed(spark, path, part, meta["ddl"][part], nb)
+    tbl = _register_bucketed(spark, loc, meta["ddl"][part], nb)
     return spark.table(tbl)
+
+
+def _drop_part_dirs(
+    spark: SparkSession, path: str, old_meta: dict | None, new_locations: dict
+) -> None:
+    """Post-commit cleanup of a rebuild: remove superseded data
+    directories and their catalog entries. Runs only AFTER the new
+    sidecar is committed, so a crash here leaks directories (safe)
+    rather than breaking readers."""
+    if old_meta is None:
+        return
+    p = _local_sidecar_path(path)
+    old_nb = old_meta.get("num_buckets")
+    for part in _PARTS:
+        old_d = _part_dir(old_meta, part)
+        old_loc = os.path.join(p, old_d)
+        if old_d == new_locations.get(part) or not os.path.exists(old_loc):
+            continue
+        if old_nb is not None and part in ("bands", "bucket_keys"):
+            try:
+                spark.sql(
+                    f"DROP TABLE IF EXISTS {_bucket_table(old_loc, old_nb)}"
+                )
+            except Exception:
+                pass
+        shutil.rmtree(old_loc, ignore_errors=True)
 
 
 def band_index_build(
@@ -192,63 +296,75 @@ def band_index_write(
     gate everything as novel). ``source=(root, name)`` stamps the
     sidecar with the collection's current etag.
 
-    ``num_buckets`` (default 32): write ``bands/`` and
-    ``bucket_keys/`` as bucketed tables clustered by ``(band, h)`` —
-    the serving layout; every gate call joins the corpus side
-    exchange-free. Pass ``None`` for plain parquet (portable to
-    engines without Spark bucketing; each serve then shuffles the
-    corpus side).
+    ``num_buckets`` (default 32): write ``bands`` and ``bucket_keys``
+    as bucketed tables clustered by ``(band, h)`` — the serving
+    layout; every gate call joins the corpus side exchange-free. Pass
+    ``None`` for plain parquet (portable to engines without Spark
+    bucketing; each serve then shuffles the corpus side).
 
     ``shingles`` (optional): the corpus shingle-hash rows
     ``(id, h)`` — pass ``lsh_band_rows``'s attached shingle cache (it
     is already materialized by the band write) to ALSO persist the
-    exact-verification side: posting rows under ``shingles/`` and
-    per-doc set sizes under ``sizes/``. With them on disk,
+    exact-verification side: posting rows under ``shingles`` and
+    per-doc set sizes under ``sizes``. With them on disk,
     ``neardup_gate_verified`` serves LSH candidates AND exact-Jaccard
-    verdicts without ever touching corpus text again."""
+    verdicts without ever touching corpus text again.
+
+    Always also persists ``ids`` — one row per indexed document id,
+    the append guard's source of truth (one extra map-side-combinable
+    distinct at build time; for shingled layouts it is derived from
+    the already-aggregated sizes rows).
+
+    Every part lands in a fresh versioned directory and the sidecar's
+    ``locations`` map is swapped last, so a REBUILD over an existing
+    index is atomic for concurrent readers (they see old-complete or
+    new-complete, never a torn mix); superseded directories are
+    removed after the commit."""
     p = _local_sidecar_path(path)
     os.makedirs(p, exist_ok=True)
+    old_meta = (
+        _sidecar_read(p) if os.path.exists(os.path.join(p, _SIDECAR)) else None
+    )
     stamp = _source_stamp(source)
     keys = band_rows.select("band", "h").distinct()
     # Pre-distincted bucket keys: novelty serving needs only (band, h)
     # MEMBERSHIP, so the distinct is paid once at build time instead
     # of once per serve call (novelty_gate skips its defensive
     # distinct when handed a two-column key table).
-    _write_part(band_rows, path, "bands", num_buckets)
-    _write_part(keys, path, "bucket_keys", num_buckets)
+    locations = {
+        "bands": _write_new_part(band_rows, path, "bands", num_buckets),
+        "bucket_keys": _write_new_part(keys, path, "bucket_keys", num_buckets),
+    }
     if shingles is not None:
         sh = shingles.select(F.col("_id").alias(id_col), "h")
-        sh.write.mode("overwrite").parquet(os.path.join(p, "shingles"))
-        (
-            shingles.groupBy(F.col("_id").alias(id_col))
-            .agg(F.count(F.lit(1)).alias("n_sh"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(p, "sizes"))
+        sizes = shingles.groupBy(F.col("_id").alias(id_col)).agg(
+            F.count(F.lit(1)).alias("n_sh")
         )
-    with open(os.path.join(p, _SIDECAR), "w") as f:
-        json.dump(
-            {
-                "kind": "minhash_band_index",
-                "n": n,
-                "num_hashes": num_hashes,
-                "bands": bands,
-                "id_col": id_col,
-                "id_type": dict(band_rows.dtypes)[id_col],
-                "text_col": text_col,
-                "source": stamp,
-                "has_shingles": shingles is not None,
-                "num_buckets": num_buckets,
-                "ddl": {
-                    "bands": ", ".join(
-                        f"`{c}` {t}" for c, t in band_rows.dtypes
-                    ),
-                    "bucket_keys": ", ".join(
-                        f"`{c}` {t}" for c, t in keys.dtypes
-                    ),
-                },
-            },
-            f,
-        )
+        locations["shingles"] = _write_new_part(sh, path, "shingles", None)
+        locations["sizes"] = _write_new_part(sizes, path, "sizes", None)
+        ids = sizes.select(id_col)
+    else:
+        ids = band_rows.select(id_col).distinct()
+    locations["ids"] = _write_new_part(ids, path, "ids", None)
+    meta = {
+        "kind": "minhash_band_index",
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "id_col": id_col,
+        "id_type": dict(band_rows.dtypes)[id_col],
+        "text_col": text_col,
+        "source": stamp,
+        "has_shingles": shingles is not None,
+        "num_buckets": num_buckets,
+        "locations": locations,
+        "ddl": {
+            "bands": ", ".join(f"`{c}` {t}" for c, t in band_rows.dtypes),
+            "bucket_keys": ", ".join(f"`{c}` {t}" for c, t in keys.dtypes),
+        },
+    }
+    _sidecar_write(p, meta)
+    _drop_part_dirs(band_rows.sparkSession, path, old_meta, locations)
 
 
 def band_index_meta(path: str) -> dict:
@@ -256,9 +372,7 @@ def band_index_meta(path: str) -> dict:
     bindings / bucket layout / source stamp) without loading any
     data — what a serving caller needs to hash its probe side with
     the index's exact family."""
-    p = _local_sidecar_path(path)
-    with open(os.path.join(p, _SIDECAR)) as f:
-        return json.load(f)
+    return _sidecar_read(_local_sidecar_path(path))
 
 
 def band_index_read(
@@ -271,10 +385,15 @@ def band_index_read(
     a gate can never silently treat deleted/replaced corpus text as
     still ingested. Unstamped indexes load as-is. Bucketed indexes
     come back as catalog-table scans (``Bucketed: true``), so joins
-    against them need no corpus-side Exchange."""
+    against them need no corpus-side Exchange.
+
+    A sidecar with ``pending_append`` set marks a torn (crashed)
+    append: the parts may be missing that batch's tail, which reads
+    exactly like a pre-append index — safe to gate against (documents
+    of the torn batch gate as not-yet-ingested); replaying the append
+    heals it."""
     p = _local_sidecar_path(path)
-    with open(os.path.join(p, _SIDECAR)) as f:
-        meta = json.load(f)
+    meta = _sidecar_read(p)
     _check_source_stamp(meta, path, verify_source)
     return _read_part(spark, path, "bands", meta), meta
 
@@ -289,8 +408,7 @@ def band_index_bucket_keys(
     two-column references to be duplicate-free; this table is kept
     that way by ``band_index_write`` and ``band_index_append``)."""
     p = _local_sidecar_path(path)
-    with open(os.path.join(p, _SIDECAR)) as f:
-        meta = json.load(f)
+    meta = _sidecar_read(p)
     _check_source_stamp(meta, path, verify_source)
     return _read_part(spark, path, "bucket_keys", meta)
 
@@ -309,11 +427,10 @@ def band_index_read_verified(
             "re-write it with band_index_write(..., shingles=...) to "
             "serve verified gates"
         )
-    p = _local_sidecar_path(path)
     return (
         bands,
-        spark.read.parquet(os.path.join(p, "shingles")),
-        spark.read.parquet(os.path.join(p, "sizes")),
+        _read_part(spark, path, "shingles", meta),
+        _read_part(spark, path, "sizes", meta),
         meta,
     )
 
@@ -330,9 +447,7 @@ def band_index_refresh(spark: SparkSession, path: str) -> tuple[DataFrame, dict]
         read_collection,
     )
 
-    p = _local_sidecar_path(path)
-    with open(os.path.join(p, _SIDECAR)) as f:
-        meta = json.load(f)
+    meta = _sidecar_read(_local_sidecar_path(path))
     src = meta.get("source")
     if src is None:
         raise ValueError(
@@ -354,6 +469,17 @@ def band_index_refresh(spark: SparkSession, path: str) -> tuple[DataFrame, dict]
         num_buckets=meta.get("num_buckets"),
     )
     return band_index_read(spark, path)
+
+
+def _present_ids(part_df: DataFrame, id_name: str, fresh_ids: DataFrame) -> DataFrame:
+    """Which of the replayed batch's ids already have rows in this
+    part? One semi-join of the part against the (small, broadcast)
+    batch id set — the torn-append healing probe."""
+    return (
+        part_df.select(F.col(id_name).alias("_pid"))
+        .join(F.broadcast(fresh_ids), F.col("_pid") == F.col("_fid"), "left_semi")
+        .distinct()
+    )
 
 
 def band_index_append(
@@ -379,14 +505,26 @@ def band_index_append(
     n/num_hashes/bands so appended rows join the existing family).
 
     Double-ingest is guarded, not caller-trusted: incoming ids are
-    anti-joined against the ids the index already holds (``sizes/``
-    when the index is verification-capable, else the distinct ids of
-    ``bands/`` — one bounded join either way). ``on_existing="skip"``
-    (default) silently drops re-appended ids so replaying a batch is
-    idempotent; ``"error"`` raises ValueError naming the count, for
-    pipelines where a replay indicates a bug. Without the guard a
-    re-append would duplicate band/posting rows and double posting
-    weights in ``neardup_gate_verified``.
+    anti-joined against the index's ``ids`` dataset (one row per
+    indexed doc — the guard's single source of truth, written LAST in
+    every append so a torn append can never hide rows behind it;
+    legacy indexes without it fall back to ``sizes``/distinct
+    ``bands`` ids and are healed with a full ``ids`` dataset by their
+    first append). ``on_existing="skip"`` (default) silently drops
+    re-appended ids so replaying a batch is idempotent;
+    ``"error"`` raises ValueError naming the count, for pipelines
+    where a replay indicates a bug. Without the guard a re-append
+    would duplicate band/posting rows and double posting weights in
+    ``neardup_gate_verified``.
+
+    Torn appends replay exactly-once: a ``pending_append`` marker is
+    committed to the sidecar before any data write and cleared by the
+    final commit. A replay that finds the marker set anti-joins each
+    part's incoming rows against the rows that part ALREADY holds for
+    the batch's ids, so whatever subset of parts the crashed attempt
+    landed is never doubled and whatever it missed is filled in
+    (``bucket_keys`` is key-anti-joined on every append and needs no
+    marker).
 
     The sidecar is re-stamped with the source collection's CURRENT
     etag — call this AFTER appending the same docs to the collection,
@@ -408,8 +546,7 @@ def band_index_append(
     )
 
     p = _local_sidecar_path(path)
-    with open(os.path.join(p, _SIDECAR)) as f:
-        meta = json.load(f)
+    meta = _sidecar_read(p)
     if on_existing not in ("skip", "error"):
         raise ValueError(
             f"on_existing must be 'skip' or 'error', got {on_existing!r}"
@@ -433,16 +570,29 @@ def band_index_append(
     ic = id_col or meta["id_col"]
     tc = text_col or meta["text_col"]
     id_type = meta.get("id_type")
+    torn = bool(meta.get("pending_append"))
 
     # -- double-ingest guard: one bounded anti-join on the id --------
-    if meta.get("has_shingles"):
-        have = spark.read.parquet(os.path.join(p, "sizes")).select(
+    # Source of truth is the ids dataset (written LAST by every
+    # append, so a torn append under-reports — replays re-run, never
+    # skip). Legacy pre-ids indexes derive the set once and are
+    # healed below.
+    locations = dict(meta.get("locations") or {})
+    heal_ids = "ids" not in locations
+    if not heal_ids:
+        have = _read_part(spark, path, "ids", meta).select(
+            F.col(meta["id_col"]).alias("_have_id")
+        )
+    elif meta.get("has_shingles"):
+        have = _read_part(spark, path, "sizes", meta).select(
             F.col(meta["id_col"]).alias("_have_id")
         )
     else:
-        have = _read_part(spark, path, "bands", meta).select(
-            F.col(meta["id_col"]).alias("_have_id")
-        ).distinct()
+        have = (
+            _read_part(spark, path, "bands", meta)
+            .select(F.col(meta["id_col"]).alias("_have_id"))
+            .distinct()
+        )
     inc_id = F.col(ic).cast(id_type) if id_type else F.col(ic)
     fresh = new_docs.join(have, inc_id == F.col("_have_id"), "left_anti")
     if on_existing == "error":
@@ -455,10 +605,26 @@ def band_index_append(
                 "replays idempotent)"
             )
     # Materialize the guarded batch BEFORE any append below: the
-    # anti-join's lineage reads sizes/ (or bands/), which this call
-    # appends to — localCheckpoint cuts the lineage so no append's
-    # write action re-lists a directory it is writing into.
+    # anti-join's lineage reads datasets this call appends to —
+    # localCheckpoint cuts the lineage so no append's write action
+    # re-lists a directory it is writing into.
     fresh = fresh.localCheckpoint(eager=True)
+
+    def _commit(n: int) -> int:
+        meta.pop("pending_append", None)
+        if locations != (meta.get("locations") or {}):
+            meta["locations"] = locations
+        src = meta.get("source")
+        if src is not None:
+            meta["source"] = _source_stamp((src["root"], src["name"]))
+        _sidecar_write(p, meta)
+        return n
+
+    if not fresh.take(1):
+        # Nothing genuinely new (pure replay of a COMPLETED append, or
+        # an all-duplicate batch): no data writes; still clear any
+        # marker and re-stamp.
+        return _commit(0)
 
     sh_cached = _shingle_rows(fresh, ic, tc, meta["n"])
     # Appended files must carry the EXISTING parquet schema — the id
@@ -472,13 +638,44 @@ def band_index_append(
     band_rows = _band_rows_from_shingles(
         sh, meta["id_col"], meta["num_hashes"], meta["bands"]
     )
+    fresh_ids = fresh.select(inc_id.alias("_fid")).distinct()
+    n_new = fresh_ids.count()
+
+    if torn:
+        # The previous append crashed between parts: drop, per part,
+        # the batch ids that part already holds (a doc's rows land
+        # atomically per part, so presence of the id means the full
+        # row set is there).
+        present_b = _present_ids(
+            _read_part(spark, path, "bands", meta), meta["id_col"], fresh_ids
+        )
+        band_rows = band_rows.join(
+            present_b, band_rows[meta["id_col"]] == F.col("_pid"), "left_anti"
+        )
+        if meta.get("has_shingles"):
+            present_sh = _present_ids(
+                _read_part(spark, path, "shingles", meta),
+                meta["id_col"],
+                fresh_ids,
+            )
+            present_sz = _present_ids(
+                _read_part(spark, path, "sizes", meta),
+                meta["id_col"],
+                fresh_ids,
+            )
+
+    # -- mark the append in flight BEFORE any data write -------------
+    meta["pending_append"] = True
+    _sidecar_write(p, meta)
+
     nb = meta.get("num_buckets")
-    _write_part(band_rows, path, "bands", nb, mode="append")
+    band_rows = band_rows.localCheckpoint(eager=True)
+    _append_part(band_rows, path, "bands", nb, meta)
     # keep bucket_keys duplicate-free: append only keys the corpus
     # has never produced (anti-join against the persisted set — the
-    # set is small relative to bands/, and the novelty-serve counting
-    # contract depends on it staying distinct). Materialized before
-    # the append so the write never re-reads its own target.
+    # set is small relative to bands, and the novelty-serve counting
+    # contract depends on it staying distinct). This is idempotent by
+    # construction, so it needs no torn-replay special case.
     existing_keys = _read_part(spark, path, "bucket_keys", meta)
     new_keys = (
         band_rows.select("band", "h")
@@ -486,22 +683,65 @@ def band_index_append(
         .join(existing_keys, ["band", "h"], "left_anti")
         .localCheckpoint(eager=True)
     )
-    _write_part(new_keys, path, "bucket_keys", nb, mode="append")
+    _append_part(new_keys, path, "bucket_keys", nb, meta)
     if meta.get("has_shingles"):
-        sh.select(F.col("_id").alias(meta["id_col"]), "h").write.mode(
-            "append"
-        ).parquet(os.path.join(p, "shingles"))
-        (
-            sh.groupBy(F.col("_id").alias(meta["id_col"]))
-            .agg(F.count(F.lit(1)).alias("n_sh"))
-            .write.mode("append")
-            .parquet(os.path.join(p, "sizes"))
+        sh_rows = sh.select(F.col("_id").alias(meta["id_col"]), "h")
+        size_rows = sh.groupBy(F.col("_id").alias(meta["id_col"])).agg(
+            F.count(F.lit(1)).alias("n_sh")
         )
-    n_new = sh.select("_id").distinct().count()
+        if torn:
+            sh_rows = sh_rows.join(
+                present_sh,
+                sh_rows[meta["id_col"]] == F.col("_pid"),
+                "left_anti",
+            )
+            size_rows = size_rows.join(
+                present_sz,
+                size_rows[meta["id_col"]] == F.col("_pid"),
+                "left_anti",
+            )
+        sh_rows = sh_rows.localCheckpoint(eager=True)
+        size_rows = size_rows.localCheckpoint(eager=True)
+        _append_part(sh_rows, path, "shingles", None, meta)
+        _append_part(size_rows, path, "sizes", None, meta)
+    # -- guard source of truth LAST ----------------------------------
+    appended_ids = (
+        fresh_ids.select(F.col("_fid").cast(id_type).alias(meta["id_col"]))
+        if id_type
+        else fresh_ids.select(F.col("_fid").alias(meta["id_col"]))
+    )
+    if heal_ids:
+        # One-time migration for pre-ids indexes: persist the FULL id
+        # set (existing + this batch) into a fresh directory and point
+        # the sidecar at it in the final commit.
+        full = have.select(F.col("_have_id").alias(meta["id_col"])).unionByName(
+            appended_ids
+        )
+        locations["ids"] = _write_new_part(full, path, "ids", None)
+    else:
+        if torn:
+            present_i = _present_ids(
+                _read_part(spark, path, "ids", meta), meta["id_col"], fresh_ids
+            )
+            appended_ids = appended_ids.join(
+                present_i,
+                appended_ids[meta["id_col"]] == F.col("_pid"),
+                "left_anti",
+            )
+        _append_part(
+            appended_ids.localCheckpoint(eager=True), path, "ids", None, meta
+        )
     sh_cached.unpersist()
-    src = meta.get("source")
-    if src is not None:
-        meta["source"] = _source_stamp((src["root"], src["name"]))
-        with open(os.path.join(p, _SIDECAR), "w") as f:
-            json.dump(meta, f)
-    return n_new
+    return _commit(n_new)
+
+
+__all__ = [
+    "band_index_build",
+    "band_index_write",
+    "band_index_meta",
+    "band_index_read",
+    "band_index_bucket_keys",
+    "band_index_read_verified",
+    "band_index_refresh",
+    "band_index_append",
+]

@@ -495,7 +495,7 @@ def minhash_lsh_pairs(
         )
     if num_hashes % bands != 0:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"num_hashes ({num_hashes}) must be divisible by bands "
             f"({bands}) — trailing hash functions would be silently "
             "dropped and the 1-(1-j^r)^b recall curve would not match"
         )
@@ -1007,6 +1007,81 @@ def novelty_gate(
         ref = ref.distinct()
     hits = (
         inc.join(ref, ["band", "h"])
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_bands"))
+    )
+    out = (
+        incoming.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_bands"), F.lit(0).cast("bigint")).alias(
+                "n_hit_bands"
+            ),
+            (F.coalesce(F.col("n_hit_bands"), F.lit(0)) == 0).alias("novel"),
+        )
+    )
+    return _attach_cache(out, *getattr(inc, "_spark_graft_cached_deps", ()))
+
+
+def novelty_gate_excluding(
+    incoming: DataFrame,
+    reference_band_rows: DataFrame,
+    *,
+    ref_id_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    portable: bool = True,
+) -> DataFrame:
+    """Replay-stable novelty gate: same verdict contract as
+    ``novelty_gate`` (one row per incoming doc, ``(id, n_hit_bands,
+    novel)``), but probed against an id-CARRYING corpus band table
+    with every contributor row whose id is in the incoming batch
+    itself EXCLUDED before counting.
+
+    Why this exists: the streaming ingest loop
+    (``streaming.neardup_stream.stream_novelty_ingest``) gates a
+    batch, hydrates the novel docs, and appends them to the index —
+    and a ``foreachBatch`` body can be REPLAYED after a crash between
+    the append and the sink commit. A plain ``novelty_gate`` replay
+    would then find the batch's own rows already in the index and
+    republish its novel docs as duplicates. Excluding the batch's id
+    set makes the verdict a pure function of (batch, index MINUS
+    batch) — identical on first run (the batch isn't indexed yet, the
+    anti-join drops nothing) and on every replay.
+
+    Scale shape: the exclusion is one broadcast anti-join of the
+    (small) batch id set against the corpus band table — it preserves
+    the table's (band, h) bucketing, so the membership probe that
+    follows is still exchange-free on the corpus side. The membership
+    probe is LEFT SEMI (each incoming band row matches at most once),
+    so the undistincted multiplicity of the full band table never
+    inflates ``n_hit_bands``. Cost vs the ``bucket_keys`` fast path:
+    the corpus scan carries the id column and pre-distinct rows —
+    that is the price of attribution; serve paths that never append
+    (no replay hazard) should keep probing ``bucket_keys``.
+    """
+    inc = lsh_band_rows(
+        incoming,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        portable=portable,
+    )
+    ref_type = dict(reference_band_rows.dtypes)[ref_id_col]
+    batch_ids = (
+        incoming.select(F.col(id_col).cast(ref_type).alias("_x_id")).distinct()
+    )
+    ref = reference_band_rows.join(
+        F.broadcast(batch_ids), F.col(ref_id_col) == F.col("_x_id"), "left_anti"
+    ).select("band", "h")
+    hits = (
+        inc.join(ref, ["band", "h"], "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_bands"))
     )

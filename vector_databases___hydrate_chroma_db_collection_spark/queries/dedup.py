@@ -697,3 +697,66 @@ def dedup_cluster_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes, "component")
         .select("doc_id", "cluster_size")
     )
+
+
+@query(
+    "dedup_canonical_url",
+    """
+    WITH pages AS (
+        SELECT doc_id, doc_id // 2 AS page FROM documents WHERE doc_id < 1000
+    )
+    SELECT 'https://www.example' || CAST(page % 5 AS VARCHAR)
+               || '.com/page/' || CAST(page AS VARCHAR)
+               || '?id=' || CAST(page AS VARCHAR) AS canonical_url,
+           count(*) AS n_variants,
+           min(doc_id) AS keeper_id
+    FROM pages
+    GROUP BY 1
+    """,
+)
+def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL exact dedup — the cheapest highest-yield dedup
+    pass a web corpus gets: canonicalize every crawl URL (lowercase
+    scheme+host, strip utm_*/click-id tracking params, drop the
+    fragment; functions/text.py::canonical_url over Spark's real
+    parse_url — all codegen, no UDF), then collapse to one keeper per
+    canonical key with ONE hash-shuffle (group by canonical). The
+    fixture carries no URL column, so the query constructs two
+    same-page variants per page id from fixture columns — even docs
+    get an UPPERCASED scheme/host + utm_source/fbclid + fragment, odd
+    docs a gclid — and the canonicalizer must collapse each pair; the
+    oracle states the expected canonical form directly (the same
+    construct-then-verify pattern as scalar_url_parse). 100 TB shape:
+    pure projection + one digest-keyed exchange; AQE handles
+    hot-domain skew on the canonical key."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        canonical_url,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    page = F.expr("doc_id DIV 2")
+    pstr = page.cast("string")
+    even = F.col("doc_id") % 2 == 0
+    did = F.col("doc_id").cast("string")
+    host = F.when(
+        even, F.concat(F.lit("WWW.Example"), (page % 5).cast("string"), F.lit(".COM"))
+    ).otherwise(
+        F.concat(F.lit("www.example"), (page % 5).cast("string"), F.lit(".com"))
+    )
+    scheme = F.when(even, F.lit("HTTPS")).otherwise(F.lit("https"))
+    tracking = F.when(
+        even, F.concat(F.lit("&utm_source=feed&fbclid="), did)
+    ).otherwise(F.concat(F.lit("&gclid=g"), did))
+    frag = F.when(even, F.lit("#top")).otherwise(F.concat(F.lit("#sec"), did))
+    url = F.concat(
+        scheme, F.lit("://"), host, F.lit("/page/"), pstr,
+        F.lit("?id="), pstr, tracking, frag,
+    )
+    return (
+        d.select("doc_id", canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )

@@ -1084,3 +1084,128 @@ def text_phrase_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     idx = spark.read.parquet(out + "/postings")
     return phrase_match(idx, ["fast", "table", "scan"], id_col="doc_id")
+
+
+@query(
+    "text_proximity_search_from_index",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)
+    ),
+    pa AS (SELECT doc_id, pos AS pa FROM tok WHERE term = 'vector'),
+    pb AS (SELECT doc_id, pos AS pb FROM tok WHERE term = 'query'),
+    m AS (
+        SELECT pa.doc_id
+        FROM pa JOIN pb USING (doc_id)
+        WHERE abs(pa - pb) <= 3 AND pa <> pb
+    )
+    SELECT doc_id, count(*) AS n_pairs FROM m GROUP BY 1
+    """,
+)
+def text_proximity_search_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search served FROM the PERSISTED positional index —
+    the second half of the amortization story
+    (``text_phrase_search_from_index`` landed phrase in r9; this
+    closes proximity): ``positional_postings`` runs ONCE at build
+    time, the (term, doc, pos) rows persist term-clustered
+    (repartition + sortWithinPartitions on term, so each parquet row
+    group covers a narrow term range and ``proximity_match``'s
+    per-term filters prune via min/max stats — PushedFilters on a
+    sorted column; tests/test_retrieval.py freezes the plan), and the
+    serve-time plan reads ONLY the two query terms' occurrence rows.
+    The corpus text is never re-tokenized at serve time. Same oracle
+    as ``text_proximity_search``: identical (doc, pair-count) rows
+    prove the persisted index is a lossless substitute for the
+    on-the-fly one. Fresh temp dir per run (driver re-invocations
+    stay idempotent)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        positional_postings,
+        proximity_match,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="vdb_pos_index_")
+    (
+        positional_postings(d, id_col="doc_id", text_col="text")
+        .repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(out + "/postings")
+    )
+    idx = spark.read.parquet(out + "/postings")
+    return proximity_match(idx, "vector", "query", max_distance=3, id_col="doc_id")
+
+
+@query(
+    "text_repetition_removal",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               'subscribe to our newsletter' AS bo,
+               coalesce(array_to_string(list_slice(string_split(coalesce(text, ''), ' '), 1, 12), ' '), '') AS c1,
+               coalesce(array_to_string(list_slice(string_split(coalesce(text, ''), ' '), 13, 24), ' '), '') AS c2
+        FROM documents WHERE doc_id < 400
+    ),
+    raw AS (
+        SELECT doc_id,
+               bo || chr(10) || c1 || chr(10) || bo || chr(10) || c2
+                  || chr(10) || bo || chr(10) || c1 AS t
+        FROM base
+    ),
+    lines AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw),
+    kept AS (
+        SELECT doc_id, i, ls[i] AS line
+        FROM lines, UNNEST(generate_series(1, len(ls))) AS g(i)
+        WHERE list_position(ls, ls[i]) = i
+    ),
+    agg AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY i) AS cleaned,
+               count(*) AS n_lines_clean
+        FROM kept GROUP BY 1
+    )
+    SELECT l.doc_id,
+           CAST(len(l.ls) AS BIGINT) AS n_lines_raw,
+           a.n_lines_clean,
+           a.cleaned
+    FROM lines l JOIN agg a USING (doc_id)
+    """,
+)
+def text_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition REMOVAL (Rae et al. 2021 App. A —
+    the standard pre-dedup normalization for web corpora): rewrite
+    each document by dropping repeated lines, keeping first
+    occurrences in position (functions/text.py::
+    remove_repeated_segments — pure codegen split/filter/rejoin, no
+    UDF, no shuffle). The fixture's documents are single-line, so the
+    query PLANTS the boilerplate identically in both engines: each
+    doc becomes 6 lines — nav chrome repeated 3x around two content
+    chunks, with chunk 1 repeated verbatim at the end (the
+    footer-duplicates-the-header pattern) — and the operator must
+    collapse them to <= 4 lines, preserving order. Oracle replays
+    keep-first positionally via list_position."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        remove_repeated_segments,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    # coalesce NULL text to '' so both engines build the same planted
+    # doc (DuckDB's || propagates NULL; concat_ws skips it)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    bo = F.lit("subscribe to our newsletter")
+    c1 = F.array_join(F.slice(words, 1, 12), " ")
+    c2 = F.array_join(F.slice(words, 13, 12), " ")
+    raw = F.concat_ws("\n", bo, c1, bo, c2, bo, c1)
+    cleaned = remove_repeated_segments(raw, sep="\n")
+    return d.select(
+        "doc_id",
+        F.size(F.split(raw, "\n")).cast("bigint").alias("n_lines_raw"),
+        F.size(F.split(cleaned, "\n")).cast("bigint").alias("n_lines_clean"),
+        cleaned.alias("cleaned"),
+    )

@@ -115,28 +115,43 @@ def stream_novelty_ingest(
     refreshed on read), and its band family comes from the sidecar —
     a probe can never be hashed with the wrong ``n``.
 
-    Replay safety (a foreachBatch body can re-run after a crash):
-    hydration is forced to ``on_duplicate='first'`` (already-stored
-    ids skip) and ``band_index_append`` carries its own double-ingest
-    guard, so re-running a batch is a no-op on both stores; the
-    verdict sink overwrites its ``batch_id=N`` partition
-    (``stream_knn_serve``'s exactly-once contract). The
+    Replay safety (a foreachBatch body can re-run after a crash at
+    ANY point): hydration is forced to ``on_duplicate='first'``
+    (already-stored ids skip), ``band_index_append`` carries its own
+    double-ingest + torn-write guards, the verdict sink overwrites
+    its ``batch_id=N`` partition (``stream_knn_serve``'s exactly-once
+    contract), and the verdicts themselves are REPLAY-STABLE: the
+    gate runs through ``novelty_gate_excluding``, which discounts
+    corpus band rows contributed by the batch's own ids — so a replay
+    after the crashed attempt already appended the batch still
+    publishes the verdicts of the FIRST attempt (a doc that gated
+    novel in batch N stays novel on batch N's replay, and flips to
+    duplicate only in batch N+1). The index is read with
+    ``verify_source=False``: inside the loop the sidecar stamp is
+    transiently stale by design (between hydrate and the append's
+    re-stamp), and the loop itself is the only writer that matters —
+    the staleness check is for OUT-OF-BAND readers. The
     ``expected_prev_etag`` fence is deliberately NOT used here — on
     replay the observed etag is already post-hydrate, so the fence
     would false-positive; the append guard provides the idempotence
-    the fence exists to protect. The append's re-stamp keeps the
-    index fresh for the next batch's staleness-checked read.
+    the fence exists to protect.
 
     Batch-local caches (the gate's shingle rows, the checkpointed
     verdict) are released before the batch function returns, so long
-    streams do not pin executor storage.
+    streams do not pin executor storage. The zero-row schema-probe
+    call ``stream_knn_serve`` makes at stream-construction time is
+    short-circuited to the lazy gate plan alone — no hydrate, no
+    append, no sidecar re-stamp, no job runs before the stream
+    starts.
     """
     from dataclasses import replace
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
         band_index_append,
-        band_index_bucket_keys,
-        band_index_meta,
+        band_index_read,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate_excluding,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
         hydrate,
@@ -147,17 +162,23 @@ def stream_novelty_ingest(
 
     def ingest(batch_docs: DataFrame) -> DataFrame:
         spark = batch_docs.sparkSession
-        meta = band_index_meta(index_path)
-        keys = band_index_bucket_keys(spark, index_path)
-        gated = novelty_gate(
+        bands_t, meta = band_index_read(spark, index_path, verify_source=False)
+        gated = novelty_gate_excluding(
             batch_docs.select(ic, tc),
-            keys,
+            bands_t,
+            ref_id_col=meta["id_col"],
             id_col=ic,
             text_col=tc,
             n=meta["n"],
             num_hashes=meta["num_hashes"],
             bands=meta["bands"],
         )
+        if batch_docs.isEmpty():
+            # stream_knn_serve's schema probe (and any empty batch):
+            # the lazy gate plan carries the output schema; running
+            # hydrate/append here would execute real jobs and re-stamp
+            # the sidecar as a side effect of CONSTRUCTING the stream.
+            return gated
         out = gated.localCheckpoint(eager=True)
         release_cache(gated)
         novel_docs = batch_docs.join(out.filter("novel").select(ic), ic)
