@@ -539,3 +539,85 @@ def test_ivf_pq_read_raises_stale_after_delete(spark, tmp_path):
         ivf_pq_read(spark, path)
     enc3, _, _ = ivf_pq_read(spark, path, verify_source=False)
     assert enc3.count() == n
+
+
+def test_ivf_rebuild_is_atomic_for_readers(spark, tmp_path):
+    """Rebuilding an IVF index at the same path writes a fresh
+    versioned cells directory and swaps the sidecar pointer last —
+    the r10 lifecycle (same as band_index_write): the superseded
+    directory is removed only after the commit, reads resolve through
+    the sidecar's location, and a pre-versioning layout (cells at the
+    bare name, no location key) still loads."""
+    import json
+    import os
+    import shutil
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned, centroids = ivf_build(emb, id_col="vec_id", n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf_atomic")
+    ivf_write(assigned, centroids, path)
+    with open(f"{path}/ivf_index.json") as f:
+        loc1 = json.load(f)["location"]
+    assert loc1 == "cells_v1" and os.path.isdir(f"{path}/{loc1}")
+
+    # rebuild with different params at the SAME path
+    assigned2, centroids2 = ivf_build(emb, id_col="vec_id", n_centroids=4, seed=7)
+    ivf_write(assigned2, centroids2, path)
+    with open(f"{path}/ivf_index.json") as f:
+        meta2 = json.load(f)
+    assert meta2["location"] != loc1
+    assert not os.path.exists(f"{path}/{loc1}"), "superseded dir not cleaned"
+    loaded, c2, _ = ivf_read(spark, path)
+    assert c2.shape[0] == 4 and loaded.count() == emb.count()
+    q = _query_vec(spark)
+    assert ivf_search(loaded, c2, q, k=5, id_col="vec_id", nprobe=2).count() == 5
+
+    # legacy layout: cells at the bare name, sidecar without location
+    legacy = str(tmp_path / "ivf_legacy")
+    os.makedirs(legacy)
+    shutil.copytree(f"{path}/{meta2['location']}", f"{legacy}/cells")
+    meta_legacy = {k: v for k, v in meta2.items() if k != "location"}
+    with open(f"{legacy}/ivf_index.json", "w") as f:
+        json.dump(meta_legacy, f)
+    loaded_l, c_l, _ = ivf_read(spark, legacy)
+    assert loaded_l.count() == emb.count() and c_l.shape[0] == 4
+
+
+def test_ivf_pq_rebuild_is_atomic_for_readers(spark, tmp_path):
+    """Same atomic-rebuild contract for the IVF-PQ sidecar."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_read,
+        ivf_pq_write,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    enc, cents, books = ivf_pq_build(
+        emb, id_col="vec_id", n_centroids=4, m=8, n_codes=16, seed=42
+    )
+    path = str(tmp_path / "ivfpq_atomic")
+    ivf_pq_write(enc, cents, books, path)
+    with open(f"{path}/ivf_pq_index.json") as f:
+        loc1 = json.load(f)["location"]
+    assert loc1 == "cells_v1"
+
+    enc2, cents2, books2 = ivf_pq_build(
+        emb, id_col="vec_id", n_centroids=2, m=8, n_codes=16, seed=7
+    )
+    ivf_pq_write(enc2, cents2, books2, path)
+    with open(f"{path}/ivf_pq_index.json") as f:
+        meta2 = json.load(f)
+    assert meta2["location"] != loc1
+    assert not os.path.exists(f"{path}/{loc1}")
+    loaded, c2, b2 = ivf_pq_read(spark, path)
+    assert c2.shape[0] == 2 and loaded.count() == emb.count()

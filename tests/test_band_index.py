@@ -734,3 +734,74 @@ def test_band_index_rebuild_changes_bucket_spec_same_session(spark, tmp_path):
     # identical verdicts through the new bucket spec — a stale-catalog
     # mis-distribution would gate the ingested docs 35..39 as novel
     assert second == first
+
+
+def test_band_index_compact_bounds_files_and_preserves_content(spark, tmp_path):
+    """Compaction is the small-files remedy for append-grown indexes:
+    after three appends each bucketed part holds ~4x num_buckets
+    files; compact rewrites every part to a bounded count (bucketed:
+    exactly num_buckets) behind the atomic sidecar swap, verdicts are
+    bit-identical, the double-ingest guard still works, a torn index
+    refuses to compact, and appends keep working afterwards."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        neardup_gate_verified,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "compact_idx")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20),
+        path,
+        id_col="doc_id",
+        text_col="text",
+        include_shingles=True,
+        num_buckets=4,
+    )
+    for lo, hi in ((20, 29), (30, 39), (40, 44)):
+        bi.band_index_append(spark, path, d.filter(F.col("doc_id").between(lo, hi)))
+
+    probe = d.filter(F.col("doc_id").between(40, 54)).select("doc_id", "text")
+
+    def snapshot():
+        bands_t, sh_t, sizes_t, _ = bi.band_index_read_verified(spark, path)
+        out = neardup_gate_verified(
+            probe, bands_t, sh_t, sizes_t, id_col="doc_id", text_col="text"
+        )
+        verdicts = {
+            r["doc_id"]: (r["best_match_id"], r["best_jaccard"], r["is_dup"])
+            for r in out.collect()
+        }
+        release_cache(out)
+        return bands_t.count(), sh_t.count(), sizes_t.count(), verdicts
+
+    before = snapshot()
+    report = bi.band_index_compact(spark, path)
+    # bucketed parts: grew past num_buckets with appends, now exactly it
+    for part in ("bands", "bucket_keys"):
+        grown, compacted = report[part]
+        assert grown > 4 and compacted == 4, (part, report[part])
+    # every part shrank-or-held; none exploded
+    for part, (b, a) in report.items():
+        assert a <= max(b, 4), (part, b, a)
+    assert snapshot() == before, "compaction changed content"
+    # guard intact: a replayed old batch appends nothing
+    assert bi.band_index_append(
+        spark, path, d.filter(F.col("doc_id").between(30, 39))
+    ) == 0
+    # and genuinely-new appends still work on the compacted layout
+    assert bi.band_index_append(
+        spark, path, d.filter(F.col("doc_id").between(45, 49))
+    ) == 5
+    after_new = snapshot()
+    assert after_new[0] == before[0] + 5 * 8
+    assert all(after_new[3][i] == (i, 1.0, True) for i in range(45, 50))
+
+    # torn index refuses to compact
+    meta = bi.band_index_meta(path)
+    meta["pending_append"] = True
+    bi._sidecar_write(bi._local_sidecar_path(path), meta)
+    with pytest.raises(ValueError, match="pending_append"):
+        bi.band_index_compact(spark, path)

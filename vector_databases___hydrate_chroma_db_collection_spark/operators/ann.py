@@ -781,6 +781,51 @@ def _local_sidecar_path(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
 
 
+def _atomic_sidecar_write(p: str, fname: str, meta: dict) -> None:
+    """Atomic sidecar commit: temp file + rename, so a reader never
+    observes a half-written JSON and a crash mid-write leaves the
+    previous sidecar (hence the previous index state) intact."""
+    import json
+    import os
+
+    tmp = os.path.join(p, fname + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(p, fname))
+
+
+def _fresh_cells_dir(p: str) -> str:
+    """Next unused versioned data directory (``cells_v1``, ...) — a
+    REBUILD never writes into the directory readers are scanning;
+    the sidecar's ``location`` pointer is swapped last (atomic), so
+    readers that follow the read API (sidecar first) see the complete
+    old index until the commit and the complete new index after.
+    Scans the filesystem, not the sidecar, so a crashed rebuild's
+    orphan directory is never reused."""
+    import os
+
+    v = 1
+    while os.path.exists(os.path.join(p, f"cells_v{v}")):
+        v += 1
+    return f"cells_v{v}"
+
+
+def _drop_old_cells(p: str, old_meta: dict | None, new_dir: str) -> None:
+    """Post-commit cleanup of a rebuild: remove the superseded data
+    directory. Runs only AFTER the new sidecar is committed, so a
+    crash here leaks a directory (safe) rather than breaking
+    readers. Pre-versioning indexes kept cells at the bare ``cells``
+    name — handled by the same fallback the readers use."""
+    import os
+    import shutil
+
+    if old_meta is None:
+        return
+    old_dir = old_meta.get("location", "cells")
+    if old_dir != new_dir:
+        shutil.rmtree(os.path.join(p, old_dir), ignore_errors=True)
+
+
 def _source_stamp(source: tuple[str, str] | None) -> dict | None:
     """Staleness stamp for an index built FROM a collection: record
     (root, name, etag-at-build). Readers re-derive the etag and
@@ -860,22 +905,34 @@ def ivf_write(
     import os
 
     path = _local_sidecar_path(path)
+    os.makedirs(path, exist_ok=True)
+    old_meta = None
+    if os.path.exists(os.path.join(path, "ivf_index.json")):
+        with open(os.path.join(path, "ivf_index.json")) as f:
+            old_meta = json.load(f)
     stamp = _source_stamp(source)
+    # Rebuild-is-atomic-for-readers: fresh versioned data dir, sidecar
+    # location swapped last, superseded dir removed after the commit
+    # (the same lifecycle as band_index_write; the r9 in-place
+    # overwrite gave concurrent readers read failures mid-rebuild).
+    cells_dir = _fresh_cells_dir(path)
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-        os.path.join(path, "cells")
+        os.path.join(path, cells_dir)
     )
-    with open(os.path.join(path, "ivf_index.json"), "w") as f:
-        json.dump(
-            {
-                "metric": metric,
-                "n_centroids": int(centroids.shape[0]),
-                "dim": int(centroids.shape[1]),
-                "centroids": centroids.tolist(),
-                "source": stamp,
-                "build": build,
-            },
-            f,
-        )
+    _atomic_sidecar_write(
+        path,
+        "ivf_index.json",
+        {
+            "metric": metric,
+            "n_centroids": int(centroids.shape[0]),
+            "dim": int(centroids.shape[1]),
+            "centroids": centroids.tolist(),
+            "source": stamp,
+            "build": build,
+            "location": cells_dir,
+        },
+    )
+    _drop_old_cells(path, old_meta, cells_dir)
 
 
 def ivf_read(
@@ -895,7 +952,10 @@ def ivf_read(
     with open(os.path.join(path, "ivf_index.json")) as f:
         meta = json.load(f)
     _check_source_stamp(meta, path, verify_source)
-    assigned = spark.read.parquet(os.path.join(path, "cells"))
+    # pre-versioning sidecars have no "location" — cells at bare name
+    assigned = spark.read.parquet(
+        os.path.join(path, meta.get("location", "cells"))
+    )
     return assigned, np.asarray(meta["centroids"]), meta["metric"]
 
 

@@ -81,6 +81,18 @@ _BUCKET_COLS = ("band", "h")
 _PARTS = ("bands", "bucket_keys", "shingles", "sizes", "ids")
 
 
+def _bucket_id(nb: int):
+    """The writer-side bucket assignment, as an expression:
+    ``pmod(murmur3(band, h), nb)`` — ``F.hash`` IS the hash Spark's
+    bucketing uses, so repartitioning on THIS puts each whole bucket
+    in exactly one task and ``bucketBy`` then writes exactly one file
+    per bucket. Repartitioning on the raw columns is NOT reliable for
+    that: over a bucketed-table scan the planner can elide the
+    exchange and leave several tasks per bucket, multiplying files
+    (observed on compaction reads)."""
+    return F.pmod(F.hash(*[F.col(c) for c in _BUCKET_COLS]), F.lit(nb))
+
+
 def _sidecar_write(p: str, meta: dict) -> None:
     """Atomic sidecar commit: temp file + rename, so a reader never
     observes a half-written JSON and a crash mid-write leaves the
@@ -166,7 +178,7 @@ def _write_new_part(df: DataFrame, path: str, part: str, nb: int | None) -> str:
         df.write.mode("overwrite").parquet(loc)
         return d
     (
-        df.repartition(nb, *_BUCKET_COLS)
+        df.repartition(nb, _bucket_id(nb))
         .write.bucketBy(nb, *_BUCKET_COLS)
         .sortBy(*_BUCKET_COLS)
         .option("path", loc)
@@ -187,7 +199,7 @@ def _append_part(
     spark = df.sparkSession
     tbl = _register_bucketed(spark, loc, meta["ddl"][part], nb)
     (
-        df.repartition(nb, *_BUCKET_COLS)
+        df.repartition(nb, _bucket_id(nb))
         .write.bucketBy(nb, *_BUCKET_COLS)
         .sortBy(*_BUCKET_COLS)
         .mode("append")
@@ -735,6 +747,73 @@ def band_index_append(
     return _commit(n_new)
 
 
+def _part_files(loc: str) -> int:
+    """Data-file count of a persisted part (parquet files only —
+    _SUCCESS/CRC bookkeeping excluded)."""
+    n = 0
+    for root, _dirs, files in os.walk(loc):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def band_index_compact(spark: SparkSession, path: str) -> dict:
+    """Compact an append-grown index: every ``band_index_append``
+    lands one-or-more new files PER PART PER BATCH (a bucketed append
+    adds ``num_buckets`` files each time), so a long-running ingest
+    loop degrades scans with per-file open/footer costs — the classic
+    small-files problem. This rewrites each part's CURRENT rows into
+    a fresh versioned directory with a bounded file count (bucketed
+    parts: exactly ``num_buckets`` files, one whole bucket per file;
+    plain parts: one file per shuffle partition) and commits by the
+    same atomic sidecar swap as a rebuild — concurrent readers see
+    the pre-compact index until the swap, the post-compact index
+    after, never a torn mix. Content is untouched: the source stamp
+    is carried over unchanged (compaction is not a freshness event),
+    and the double-ingest guard keeps working because ``ids`` is
+    rewritten with everything it held.
+
+    Refuses a torn index (``pending_append`` set): the torn batch's
+    rows are only partially on disk, and compacting would launder the
+    marker away — replay the append first; its healing path is the
+    fix.
+
+    Returns ``{part: (files_before, files_after)}``.
+    """
+    p = _local_sidecar_path(path)
+    meta = _sidecar_read(p)
+    if meta.get("pending_append"):
+        raise ValueError(
+            f"band index at {path!r} has a torn append in flight "
+            "(pending_append is set); replay the interrupted "
+            "band_index_append — its guard heals the torn parts — "
+            "before compacting"
+        )
+    nb = meta.get("num_buckets")
+    plain_target = nb or spark.sparkContext.defaultParallelism
+    old_locations = dict(meta.get("locations") or {})
+    parts = ["bands", "bucket_keys"]
+    if meta.get("has_shingles"):
+        parts += ["shingles", "sizes"]
+    if "ids" in old_locations or os.path.isdir(os.path.join(p, "ids")):
+        parts.append("ids")
+    report = {}
+    new_locations = dict(old_locations)
+    for part in parts:
+        before = _part_files(_part_loc(path, part, meta))
+        df = _read_part(spark, path, part, meta)
+        part_nb = nb if part in ("bands", "bucket_keys") else None
+        if part_nb is None:
+            df = df.repartition(plain_target)
+        new_locations[part] = _write_new_part(df, path, part, part_nb)
+        after = _part_files(os.path.join(p, new_locations[part]))
+        report[part] = (before, after)
+    meta["locations"] = new_locations
+    _sidecar_write(p, meta)
+    old_meta = dict(meta, locations=old_locations)
+    _drop_part_dirs(spark, path, old_meta, new_locations)
+    return report
+
+
 __all__ = [
     "band_index_build",
     "band_index_write",
@@ -744,4 +823,5 @@ __all__ = [
     "band_index_read_verified",
     "band_index_refresh",
     "band_index_append",
+    "band_index_compact",
 ]

@@ -578,28 +578,41 @@ def ivf_pq_write(
     import os
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _atomic_sidecar_write,
+        _drop_old_cells,
+        _fresh_cells_dir,
         _local_sidecar_path,
         _source_stamp,
     )
 
     path = _local_sidecar_path(path)
+    os.makedirs(path, exist_ok=True)
+    old_meta = None
+    if os.path.exists(os.path.join(path, "ivf_pq_index.json")):
+        with open(os.path.join(path, "ivf_pq_index.json")) as f:
+            old_meta = json.load(f)
     stamp = _source_stamp(source)
+    # Rebuild-is-atomic-for-readers: same versioned-dir + sidecar-swap
+    # lifecycle as ivf_write / band_index_write.
+    cells_dir = _fresh_cells_dir(path)
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-        os.path.join(path, "cells")
+        os.path.join(path, cells_dir)
     )
-    with open(os.path.join(path, "ivf_pq_index.json"), "w") as f:
-        json.dump(
-            {
-                "n_centroids": int(centroids.shape[0]),
-                "dim": int(centroids.shape[1]),
-                "m": int(codebooks.shape[0]),
-                "n_codes": int(codebooks.shape[1]),
-                "centroids": centroids.tolist(),
-                "codebooks": codebooks.tolist(),
-                "source": stamp,
-            },
-            f,
-        )
+    _atomic_sidecar_write(
+        path,
+        "ivf_pq_index.json",
+        {
+            "n_centroids": int(centroids.shape[0]),
+            "dim": int(centroids.shape[1]),
+            "m": int(codebooks.shape[0]),
+            "n_codes": int(codebooks.shape[1]),
+            "centroids": centroids.tolist(),
+            "codebooks": codebooks.tolist(),
+            "source": stamp,
+            "location": cells_dir,
+        },
+    )
+    _drop_old_cells(path, old_meta, cells_dir)
 
 
 def ivf_pq_read(
@@ -622,7 +635,10 @@ def ivf_pq_read(
     with open(os.path.join(path, "ivf_pq_index.json")) as f:
         meta = json.load(f)
     _check_source_stamp(meta, path, verify_source)
-    encoded = spark.read.parquet(os.path.join(path, "cells"))
+    # pre-versioning sidecars have no "location" — cells at bare name
+    encoded = spark.read.parquet(
+        os.path.join(path, meta.get("location", "cells"))
+    )
     return (
         encoded,
         np.asarray(meta["centroids"]),

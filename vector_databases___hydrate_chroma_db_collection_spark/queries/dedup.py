@@ -760,3 +760,73 @@ def dedup_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_id"),
         )
     )
+
+
+@query(
+    "dedup_neardup_gate_compacted",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS t FROM documents
+    ),
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref AS (
+        SELECT DISTINCT b, h FROM buckets WHERE doc_id % 7 <> 0
+    ),
+    inc AS (SELECT doc_id, b, h FROM buckets WHERE doc_id % 7 = 0),
+    hits AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc i JOIN ref r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(h.c, 0) = 0 AS novel
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 7 = 0
+    """,
+)
+def dedup_neardup_gate_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band index's FULL maintenance lifecycle under the driver's
+    hash gate: build from half the corpus, ``band_index_append`` the
+    other half (two incremental batches — the small-files growth
+    path), then ``band_index_compact`` (rewrite every part into a
+    bounded-file-count versioned directory, atomic sidecar swap), and
+    serve a novelty gate from the compacted index. The oracle
+    recomputes the gate brute-force over the WHOLE corpus, so the
+    result only matches if append preserved the band family across
+    batches AND compaction was content-lossless. File-count bounds
+    and torn-append interplay are pinned in tests/test_band_index.py
+    (not SQL-expressible)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_build,
+        band_index_bucket_keys,
+        band_index_compact,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 7
+    build = d.filter(mod.isin(1, 2, 3))
+    batch1 = d.filter(mod.isin(4, 5))
+    batch2 = d.filter(mod == 6)
+    incoming = d.filter(mod == 0).select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="vdb_compact_gate_") + "/idx"
+    band_index_build(build, idx, id_col="doc_id", text_col="text")
+    band_index_append(spark, idx, batch1)
+    band_index_append(spark, idx, batch2)
+    band_index_compact(spark, idx)
+    keys = band_index_bucket_keys(spark, idx)
+    return D.novelty_gate(incoming, keys, id_col="doc_id", text_col="text")

@@ -790,3 +790,73 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(
         counted, id_col="doc_id", size_col="tok_cnt", shard_col="shard", budget=256
     ).select("shard", "doc_id", "n_tokens", "bin_id", "bin_fill")
+
+
+@query(
+    "curation_host_quality",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               source || '.example.com' AS host,
+               n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en
+        FROM documents
+    ),
+    stats AS (
+        SELECT host,
+               count(*) AS host_docs,
+               round(avg(n_chars), 4) AS host_avg_chars,
+               round(avg(is_en), 4) AS host_en_frac
+        FROM base
+        GROUP BY 1
+    )
+    SELECT b.doc_id, b.host, s.host_docs, s.host_avg_chars, s.host_en_frac,
+           (s.host_en_frac >= 0.44 AND s.host_avg_chars >= 280.0) AS host_pass
+    FROM base b JOIN stats s USING (host)
+    """,
+)
+def curation_host_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level quality lists — the web-curation pass between URL
+    canonicalization and document filters (CCNet/RefinedWeb style):
+    aggregate per-HOST statistics (doc count, mean length, fraction
+    English) and join them back onto every document as features plus
+    a host-level gate, so a spammy domain fails as a UNIT even when
+    individual pages slip per-doc filters. The host is recovered
+    THROUGH the real URL parser from a constructed URL (fixture has
+    no URL column — same construct-then-verify pattern as
+    scalar_url_parse / dedup_canonical_url).
+
+    100 TB shape: one map-side-combinable groupBy on host (host
+    cardinality is ~10^7 for the web — millions of times smaller than
+    the doc count) and one join back that AQE plans broadcast-side
+    when the host table fits, shuffle otherwise; per-host skew
+    (one host with 10^9 docs) is aggregate-side partial-combine plus
+    AQE skew-join on the join back. No UDF, no window."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    base = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        "n_chars",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("is_en"),
+    )
+    stats = base.groupBy("host").agg(
+        F.count(F.lit(1)).alias("host_docs"),
+        F.round(F.avg("n_chars"), 4).alias("host_avg_chars"),
+        F.round(F.avg("is_en"), 4).alias("host_en_frac"),
+    )
+    return base.join(stats, "host").select(
+        "doc_id",
+        "host",
+        "host_docs",
+        "host_avg_chars",
+        "host_en_frac",
+        (
+            (F.col("host_en_frac") >= 0.44) & (F.col("host_avg_chars") >= 280.0)
+        ).alias("host_pass"),
+    )
