@@ -818,6 +818,40 @@ def main() -> None:
         )
 
     record("synth200k_dup_ngram_hotkey", run_dup_ngram_boilerplate)
+
+    # Same 200k corpus, the C4 cross-doc boilerplate pass's MAX-skew
+    # case: one segment planted in ALL 200k documents (a cookie
+    # banner). The per-segment document frequency must be a distinct
+    # + map-side-combinable count (never a window over the segment
+    # key) and the drop an AQE-splittable anti-join — the same
+    # discipline as dup_ngram. Asserted: the banner vanishes from
+    # every doc, every doc-local content line survives (unique token
+    # per doc makes content lines corpus-unique), ONE action.
+    def run_common_segments_200k() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            remove_common_segments,
+        )
+
+        lined = docs_bp.select(
+            "doc_id",
+            F.concat_ws(
+                "\n", F.lit("cookie banner accept all"), F.col("text")
+            ).alias("text"),
+        )
+        res = remove_common_segments(
+            lined, id_col="doc_id", text_col="text", min_docs=3
+        )
+        row = res.agg(
+            F.count(
+                F.when((F.col("n_kept") == 1) & (F.col("n_segments") == 2), 1)
+            ).alias("ok")
+        ).first()
+        assert row["ok"] == n_docs_bp, (
+            f"expected the banner dropped + content kept in all "
+            f"{n_docs_bp} docs, got {row['ok']}"
+        )
+
+    record("synth200k_common_segments", run_common_segments_200k)
     docs_bp.unpersist()
 
     # ------------------------------------------------------------------
@@ -985,6 +1019,45 @@ def main() -> None:
         assert novel_fp <= 2, f"novel false positives above floor: {novel_fp}"
 
     record("synth1m_novelty_gate_2k", run_novelty_gate_2k_1m)
+
+    # Incremental ingest cost: band_index_append of a fresh 2k batch
+    # into the persisted 1M-doc index — the amortized per-batch price
+    # the one-time build/write entries above buy. Signatures are
+    # per-doc, so this must stay corpus-independent (guard anti-join
+    # against the ids dataset + |batch|*bands appended rows); compare
+    # against synth1m_novelty_band_build (full recompute) to see the
+    # amortization. Each trial appends a DISJOINT id range (a repeat
+    # batch would be guard-skipped to a no-op and time nothing).
+    apnd_ctr = {"n": 0}
+    apnd_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(24)),
+            lambda j: F.concat(
+                F.lit("apnd"),
+                F.pmod(
+                    F.xxhash64(F.col("id").cast("string"), j.cast("string")),
+                    F.lit(50_000),
+                ).cast("string"),
+            ),
+        ),
+    )
+
+    def run_band_index_append_2k() -> None:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+            band_index_append,
+        )
+
+        i = apnd_ctr["n"]
+        apnd_ctr["n"] += 1
+        base = 30_000_000 + i * 10_000
+        batch = spark.range(base, base + 2_000).select(
+            F.col("id").alias("doc_id"), apnd_text.alias("text")
+        )
+        n = band_index_append(spark, bidx_dir, batch)
+        assert n == 2_000, f"expected 2000 fresh docs appended, got {n}"
+
+    record("synth1m_novelty_index_append", run_band_index_append_2k)
     shutil.rmtree(bidx_dir, ignore_errors=True)
     bands1m_holder["bands"].unpersist()
     incoming_1m.unpersist()

@@ -805,3 +805,65 @@ def test_band_index_compact_bounds_files_and_preserves_content(spark, tmp_path):
     bi._sidecar_write(bi._local_sidecar_path(path), meta)
     with pytest.raises(ValueError, match="pending_append"):
         bi.band_index_compact(spark, path)
+
+
+def test_band_index_legacy_torn_first_append_heals(spark, tmp_path):
+    """The nastiest replay corner: a LEGACY index (no ids guard
+    dataset) whose FIRST append tears right after the bands part
+    lands. The bands-derived fallback guard then sees the batch as
+    already indexed — trusting it would skip bucket_keys forever and
+    verbatim duplicates would gate novel. The replay must instead
+    treat the batch as fresh and let per-part dedupe converge every
+    part exactly-once."""
+    import json
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "legacy_torn")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20), path, id_col="doc_id", text_col="text"
+    )
+    # demote to the pre-ids layout: drop the guard dataset
+    p = bi._local_sidecar_path(path)
+    meta = bi._sidecar_read(p)
+    import shutil as _sh
+
+    _sh.rmtree(f"{path}/{meta['locations'].pop('ids')}")
+    bi._sidecar_write(p, meta)
+
+    batch = d.filter(F.col("doc_id").between(20, 29))
+    real_append_part = bi._append_part
+    calls = {"n": 0}
+
+    def tear_after_bands(df, pp, part, nb, m):
+        if calls["n"] == 1:  # bands landed; tear before bucket_keys
+            raise RuntimeError("torn after bands")
+        calls["n"] += 1
+        return real_append_part(df, pp, part, nb, m)
+
+    bi._append_part = tear_after_bands
+    try:
+        with pytest.raises(RuntimeError, match="torn"):
+            bi.band_index_append(spark, path, batch)
+    finally:
+        bi._append_part = real_append_part
+
+    # replay: bands must not double; bucket_keys must gain the batch
+    bi.band_index_append(spark, path, batch)
+    bands_t, meta2 = bi.band_index_read(spark, path)
+    assert bands_t.count() == 30 * 8
+    ids_t = spark.read.parquet(f"{path}/{meta2['locations']['ids']}")
+    assert ids_t.count() == ids_t.distinct().count() == 30
+    keys = bi.band_index_bucket_keys(spark, path)
+    assert keys.count() == keys.distinct().count()
+    # the batch's verbatim copies now gate as full-band duplicates
+    probe = batch.select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    out = novelty_gate(probe, keys, id_col="doc_id", text_col="text")
+    got = {r["doc_id"]: (r["n_hit_bands"], r["novel"]) for r in out.collect()}
+    release_cache(out)
+    assert all(got[i + 1000] == (8, False) for i in range(20, 30))
+    # a second replay is a pure no-op (guard now served by ids)
+    assert bi.band_index_append(spark, path, batch) == 0

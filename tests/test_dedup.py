@@ -494,3 +494,44 @@ def test_minhash_signature_onepass_parity(spark):
         assert rows[i]["onepass"] == rows[i]["classic"], i
         assert len(rows[i]["onepass"]) == 16
     assert rows[4]["onepass"] is None
+
+
+def test_remove_common_segments_c4_rule(spark):
+    """C4 cross-doc boilerplate removal: lines in >= min_docs docs
+    vanish from every doc, doc-local lines survive in order, a doc
+    made entirely of boilerplate comes back empty (0 kept), within-doc
+    repetition of a RARE line is untouched (that's the within-doc
+    pass's job), and min_docs < 2 is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        remove_common_segments,
+    )
+
+    rows = [
+        (1, "NAV\nalpha one\nFOOTER\nbeta two"),
+        (2, "NAV\ngamma three\nFOOTER\ndelta four"),
+        (3, "NAV\nepsilon five\nFOOTER\nzeta six"),
+        (4, "NAV\nFOOTER"),                       # pure boilerplate
+        (5, "rare line\nrare line\neta seven"),   # within-doc repeat, df=1
+        (6, None),                                # NULL text -> one '' segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, t string")
+    out = {
+        r["doc_id"]: (r["n_segments"], r["n_kept"], r["cleaned"])
+        for r in remove_common_segments(
+            df, id_col="doc_id", text_col="t", min_docs=3
+        ).collect()
+    }
+    assert out[1] == (4, 2, "alpha one\nbeta two")
+    assert out[2] == (4, 2, "gamma three\ndelta four")
+    assert out[3] == (4, 2, "epsilon five\nzeta six")
+    assert out[4] == (2, 0, "")
+    # rare within-doc repetition survives BOTH occurrences (df=1 < 3)
+    assert out[5] == (3, 3, "rare line\nrare line\neta seven")
+    assert out[6] == (1, 1, "")  # single '' segment, df=1, kept
+    assert len(out) == 6
+
+    with pytest.raises(ValueError, match="min_docs"):
+        remove_common_segments(df, id_col="doc_id", text_col="t", min_docs=1)

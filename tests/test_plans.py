@@ -183,3 +183,28 @@ def test_dup_ngram_no_window_over_shingle(spark):
     # aggregate: >= 2 HashAggregates per groupBy around its exchange
     assert plan.count("HashAggregate") >= 4, plan
     release_cache(out)
+
+
+def test_common_segments_no_window_over_segment(spark):
+    """remove_common_segments' per-segment document frequency must be
+    a distinct + map-side-combinable groupBy with an anti-join back —
+    never a window (or a count-distinct window) partitioned by the
+    segment key: a corpus-common boilerplate line would funnel every
+    occurrence into one task AQE cannot split. The only per-doc state
+    is the ordered collect_list reassembly, bounded by one document's
+    own length."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        remove_common_segments,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "nav\ncontent one"), ("b", "nav\ncontent two")],
+        ["doc_id", "text"],
+    )
+    out = remove_common_segments(df, id_col="doc_id", text_col="text", min_docs=2)
+    plan = plan_of(out)
+    assert "Window" not in plan, plan
+    # distinct, segment-count, per-doc rebuild, per-doc totals: every
+    # groupBy partial-aggregates (>= 2 HashAggregate nodes each)
+    assert plan.count("HashAggregate") >= 6, plan
+    assert "CartesianProduct" not in plan, plan

@@ -551,6 +551,12 @@ def band_index_append(
     marking a foreign mutation fresh.
 
     Returns the number of new documents indexed (after the guard).
+    (One cosmetic exception: replaying a torn FIRST append onto a
+    legacy pre-``ids`` index cannot distinguish the torn batch's docs
+    from anciently-indexed ones, so the returned count may include
+    batch docs that were already indexed before the torn attempt —
+    the data itself still converges exactly-once via the per-part
+    dedupe.)
     """
     from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
         _band_rows_from_shingles,
@@ -606,7 +612,16 @@ def band_index_append(
             .distinct()
         )
     inc_id = F.col(ic).cast(id_type) if id_type else F.col(ic)
-    fresh = new_docs.join(have, inc_id == F.col("_have_id"), "left_anti")
+    if torn and heal_ids:
+        # Legacy pre-ids index whose FIRST versioned append tore: the
+        # fallback guard reads the very parts the crashed attempt
+        # half-wrote (a band-only layout's bands-derived guard would
+        # hide the batch and leave bucket_keys short forever). Treat
+        # the whole batch as fresh — the per-part replay dedupe below
+        # drops whatever each part already holds.
+        fresh = new_docs
+    else:
+        fresh = new_docs.join(have, inc_id == F.col("_have_id"), "left_anti")
     if on_existing == "error":
         n_dup = new_docs.join(have, inc_id == F.col("_have_id"), "left_semi").count()
         if n_dup:
@@ -653,6 +668,12 @@ def band_index_append(
     fresh_ids = fresh.select(inc_id.alias("_fid")).distinct()
     n_new = fresh_ids.count()
 
+    # Key derivation must see the WHOLE batch's band rows: on a torn
+    # replay the dedupe below can empty band_rows (the crashed attempt
+    # already landed them in bands) while bucket_keys still lacks the
+    # keys — deriving keys from the post-dedupe rows would lose them
+    # forever (the anti-join vs existing_keys keeps this idempotent).
+    all_band_rows = band_rows
     if torn:
         # The previous append crashed between parts: drop, per part,
         # the batch ids that part already holds (a doc's rows land
@@ -690,7 +711,7 @@ def band_index_append(
     # construction, so it needs no torn-replay special case.
     existing_keys = _read_part(spark, path, "bucket_keys", meta)
     new_keys = (
-        band_rows.select("band", "h")
+        all_band_rows.select("band", "h")
         .distinct()
         .join(existing_keys, ["band", "h"], "left_anti")
         .localCheckpoint(eager=True)
@@ -726,8 +747,10 @@ def band_index_append(
         # One-time migration for pre-ids indexes: persist the FULL id
         # set (existing + this batch) into a fresh directory and point
         # the sidecar at it in the final commit.
-        full = have.select(F.col("_have_id").alias(meta["id_col"])).unionByName(
-            appended_ids
+        full = (
+            have.select(F.col("_have_id").alias(meta["id_col"]))
+            .unionByName(appended_ids)
+            .distinct()  # torn+legacy replays overlap the two sides
         )
         locations["ids"] = _write_new_part(full, path, "ids", None)
     else:

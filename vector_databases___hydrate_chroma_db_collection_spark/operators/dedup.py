@@ -76,6 +76,80 @@ def exact_dedup(df: DataFrame, *, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def remove_common_segments(
+    df: DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_docs: int = 3,
+) -> DataFrame:
+    """CROSS-document boilerplate removal (the C4 rule, Raffel et al.
+    2020 §2.2: drop any line that occurs in >= 3 documents): rewrite
+    every document with the segments whose corpus-wide document
+    frequency is below ``min_docs`` removed — navigation chrome,
+    cookie banners, and license headers disappear from every page at
+    once, where the WITHIN-document pass
+    (``functions.text.remove_repeated_segments``) only collapses
+    repeats inside one page. A document whose every segment is
+    corpus-common comes back with ``cleaned = ''`` (and is a candidate
+    for dropping downstream).
+
+    Output: one row per input document —
+    ``(id_col, n_segments, n_kept, cleaned)``, segment order
+    preserved.
+
+    Scale shape: posexplode -> per-(segment, doc) distinct ->
+    map-side-combinable segment count -> equi-join back -> per-doc
+    ordered reassembly (``sort_array`` over a collect_list bounded by
+    the document's own length). Two segment-keyed shuffles and one
+    doc-keyed shuffle; the hot segment (boilerplate in millions of
+    docs) is exactly the AQE-skew-splittable equi-join case — the
+    same partial-agg discipline as ``dup_ngram_fraction``, never a
+    window over the segment key. No UDF."""
+    import re as _re
+
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would drop every segment)")
+    segs = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("_pos", "_seg"),
+    )
+    seg_df = (
+        segs.select("_seg", "_id")
+        .distinct()
+        .groupBy("_seg")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+    )
+    kept = segs.join(
+        seg_df.filter(F.col("_n_docs") >= min_docs).select("_seg"),
+        "_seg",
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_seg"))),
+                lambda s: s["_seg"],
+            ),
+            sep,
+        ).alias("cleaned"),
+    )
+    totals = segs.groupBy("_id").agg(F.count(F.lit(1)).alias("n_segments"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "n_segments",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )
+
+
 def _shingle_rows(
     df: DataFrame,
     id_col: str,

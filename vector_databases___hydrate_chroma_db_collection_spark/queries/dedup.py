@@ -830,3 +830,72 @@ def dedup_neardup_gate_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_index_compact(spark, idx)
     keys = band_index_bucket_keys(spark, idx)
     return D.novelty_gate(incoming, keys, id_col="doc_id", text_col="text")
+
+
+@query(
+    "text_common_segment_removal",
+    """
+    WITH base AS (
+        SELECT doc_id,
+               coalesce(array_to_string(list_slice(string_split(coalesce(text, ''), ' '), 1, 12), ' '), '') AS c1,
+               coalesce(array_to_string(list_slice(string_split(coalesce(text, ''), ' '), 13, 24), ' '), '') AS c2
+        FROM documents WHERE doc_id < 600
+    ),
+    raw AS (
+        SELECT doc_id,
+               'nav home about contact' || chr(10) || c1 || chr(10)
+                   || 'copyright footer all rights reserved' || chr(10) || c2 AS t
+        FROM base
+    ),
+    lines AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM raw),
+    segs AS (
+        SELECT doc_id, i AS pos, ls[i] AS seg
+        FROM lines, UNNEST(generate_series(1, len(ls))) AS g(i)
+    ),
+    freq AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY 1),
+    kept AS (
+        SELECT s.doc_id, s.pos, s.seg
+        FROM segs s JOIN freq f USING (seg) WHERE f.n_docs < 3
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               string_agg(seg, chr(10) ORDER BY pos) AS cleaned
+        FROM kept GROUP BY 1
+    )
+    SELECT l.doc_id,
+           CAST(len(l.ls) AS BIGINT) AS n_segments,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.cleaned, '') AS cleaned
+    FROM lines l LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_common_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-document boilerplate removal — the C4 rule (Raffel et al.
+    2020 §2.2: drop any line occurring in >= 3 documents of the
+    corpus), the complement of the within-document pass
+    (text_repetition_removal). The fixture's documents are
+    single-line, so the query plants the boilerplate identically in
+    both engines: every doc becomes 4 lines — two nav/footer lines
+    shared by ALL docs (corpus-common, must vanish from every doc)
+    around two content chunks (doc-local, must survive; short docs'
+    empty second chunk is itself corpus-common and vanishes too).
+    operators/dedup.py::remove_common_segments — posexplode, one
+    distinct + map-side-combinable segment count, AQE-skew-splittable
+    join back, per-doc ordered reassembly; no Window over the segment
+    key, no UDF."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    raw = F.concat_ws(
+        "\n",
+        F.lit("nav home about contact"),
+        F.array_join(F.slice(words, 1, 12), " "),
+        F.lit("copyright footer all rights reserved"),
+        F.array_join(F.slice(words, 13, 12), " "),
+    )
+    return D.remove_common_segments(
+        d.select("doc_id", raw.alias("planted")),
+        id_col="doc_id",
+        text_col="planted",
+        sep="\n",
+        min_docs=3,
+    )
