@@ -621,3 +621,126 @@ def test_ivf_pq_rebuild_is_atomic_for_readers(spark, tmp_path):
     assert not os.path.exists(f"{path}/{loc1}")
     loaded, c2, b2 = ivf_pq_read(spark, path)
     assert c2.shape[0] == 2 and loaded.count() == emb.count()
+
+
+def test_ivf_append_incremental(spark, tmp_path):
+    """Incremental IVF ingest: new vectors are assigned to their
+    nearest EXISTING centroid (no retrain — FAISS add semantics) and
+    appended; placement matches what the shared assignment math would
+    give, appended vectors are servable, and replays are guard-
+    idempotent. The fence rejects unstamped/foreign etags."""
+    import json
+
+    import pytest as _pt
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        ivf_append,
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.filter(F.col("vec_id") < 60)
+    rest = emb.filter(F.col("vec_id") >= 60).select(
+        "vec_id", "embedding"
+    )
+    n_rest = rest.count()
+    assigned, C = ivf_build(first, id_col="vec_id", n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf_app")
+    # record the BUILD metric so the append assigns with the same math
+    ivf_write(assigned, C, path, metric="cosine", build={"metric": "l2", "seed": 42})
+
+    assert ivf_append(spark, path, rest) == n_rest
+    loaded, c2, metric = ivf_read(spark, path)
+    assert loaded.count() == emb.count()
+    # placement parity: appended rows sit exactly where the recorded
+    # build metric's assignment puts them
+    got_cells = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in loaded.filter(F.col("vec_id") >= 60).collect()
+    }
+    want_cells = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in _assign_to_centroids(
+            rest, C, id_col="vec_id", embedding_col="embedding", metric="l2"
+        ).collect()
+    }
+    assert got_cells == want_cells
+    # an appended vector is servable (all cells probed -> exact)
+    probe = rest.first()
+    out = ivf_search(
+        loaded, c2, list(probe["embedding"]), k=1,
+        id_col="vec_id", nprobe=8, metric="cosine",
+    )
+    assert out.first()["vec_id"] == probe["vec_id"]
+    # replay: guard-idempotent
+    assert ivf_append(spark, path, rest) == 0
+    assert ivf_read(spark, path)[0].count() == emb.count()
+    with _pt.raises(ValueError, match="already indexed"):
+        ivf_append(spark, path, rest, on_existing="error")
+    # fence: unstamped index can't satisfy an expected etag
+    with _pt.raises(StaleIndexError, match="mutated by something other"):
+        ivf_append(spark, path, rest, expected_prev_etag="deadbeef0000")
+
+
+def test_ivf_append_restamps_collection_etag(spark, tmp_path):
+    """The stale -> append -> fresh transition on a collection-stamped
+    index: appending the same docs' vectors to the index AFTER the
+    collection append re-stamps the sidecar, so the staleness gate
+    passes again without an ivf_refresh rebuild."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_read,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+    import pytest
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="ivf_app_c",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    first = d.filter(F.col("doc_id") < 60)
+    hydrate(spark, first.join(e, first.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "ivf_app_c")
+    assigned, C = ivf_build(coll, n_centroids=4, seed=42)
+    path = f"{root}/ivf_app_c/_ivf"
+    ivf_write(
+        assigned, C, path, source=(root, "ivf_app_c"),
+        build={"metric": "l2", "seed": 42},
+    )
+    etag0 = collection_etag(root, "ivf_app_c")
+
+    nxt = d.filter(F.col("doc_id") >= 60)
+    hydrate(spark, nxt.join(e, nxt.doc_id == e.vec_id), cfg)
+    with pytest.raises(StaleIndexError, match="STALE"):
+        ivf_read(spark, path)
+    new_vecs = read_collection(spark, root, "ivf_app_c").filter(
+        F.col("id").cast("bigint") >= 60
+    ).select("id", "embedding")
+    n = ivf_append(spark, path, new_vecs, expected_prev_etag=etag0)
+    assert n == new_vecs.count()
+    loaded, _, _ = ivf_read(spark, path)  # fresh again, no rebuild
+    assert loaded.count() == read_collection(spark, root, "ivf_app_c").count()

@@ -282,3 +282,74 @@ def test_ivf_pq_persisted_index_prunes_partitions(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ivf_cell" in plan
     assert out.count() == 5
+
+
+def test_ivf_pq_append_incremental(spark, tmp_path):
+    """Incremental IVF-PQ ingest: appended vectors carry exactly the
+    (cell, code) a rebuild with the SAME centroids/codebooks would
+    give, replays are guard-idempotent, and ADC search through the
+    extended index can surface an appended vector."""
+    import pytest
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        _encode_assigned,
+        ivf_pq_append,
+        ivf_pq_build,
+        ivf_pq_read,
+        ivf_pq_search,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    first = emb.filter(F.col("vec_id") % 5 != 0)
+    rest = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id", "embedding")
+    n_rest = rest.count()
+    enc, C, books = ivf_pq_build(
+        first, id_col="vec_id", n_centroids=4, m=8, n_codes=16, seed=42
+    )
+    path = str(tmp_path / "pq_app")
+    ivf_pq_write(enc, C, books, path)
+
+    assert ivf_pq_append(spark, path, rest, embedding_col="embedding") == n_rest
+    loaded, C2, books2 = ivf_pq_read(spark, path)
+    assert loaded.count() == emb.count()
+
+    # placement + code parity with the shared math
+    want = {
+        r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+        for r in _encode_assigned(
+            _assign_to_centroids(
+                rest, C, id_col="vec_id", embedding_col="embedding", metric="l2"
+            ),
+            C,
+            books,
+            id_col="vec_id",
+            embedding_col="embedding",
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: (r["ivf_cell"], tuple(r["pq_code"]))
+        for r in loaded.filter(F.col("vec_id") % 5 == 0).collect()
+    }
+    assert got == want
+
+    # an appended vector is findable through ADC (all cells probed,
+    # exact rerank over the original corpus)
+    probe = rest.first()
+    out = ivf_pq_search(
+        loaded, C2, books2, list(probe["embedding"]), k=1,
+        id_col="vec_id", nprobe=4,
+        rerank_corpus=emb, embedding_col="embedding", rerank_factor=8,
+    )
+    assert out.first()["vec_id"] == probe["vec_id"]
+
+    # replays: idempotent under the guard
+    assert ivf_pq_append(spark, path, rest) == 0
+    with pytest.raises(ValueError, match="already"):
+        ivf_pq_append(spark, path, rest, on_existing="error")

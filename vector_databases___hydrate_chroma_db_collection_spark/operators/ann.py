@@ -163,8 +163,6 @@ def ivf_build(
     cells; ``"cosine"`` trains spherical cells (better for normalized
     embedding spaces).
     """
-    import pandas as pd
-
     if metric not in ("cosine", "l2"):
         raise ValueError(
             f"ivf_build metric must be 'cosine' or 'l2', got {metric!r}"
@@ -181,12 +179,32 @@ def ivf_build(
     C = _train_kmeans(
         train, "_e", n_centroids, seed=seed, metric=metric, n_rows=eff_rows
     )
+    return _assign_to_centroids(
+        corpus, C, id_col=id_col, embedding_col=embedding_col, metric=metric
+    ), C
+
+
+def _assign_to_centroids(
+    rows: DataFrame,
+    C: np.ndarray,
+    *,
+    id_col: str,
+    embedding_col: str,
+    metric: str,
+) -> DataFrame:
+    """Nearest-centroid assignment as one Arrow-batched scan (the
+    centroid matrix ships in the task closure; it is tiny). Shared by
+    ``ivf_build`` (initial layout) and ``ivf_append`` (incremental
+    ingest with the PERSISTED centroids — identical math, so appended
+    rows land in exactly the cell a rebuild would give them)."""
+    import pandas as pd
+
     spherical = metric == "cosine"
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     c_sq = (C * C).sum(axis=1)
-
-    id_type = corpus.schema[id_col].dataType.simpleString()
-    emb_type = corpus.schema[embedding_col].dataType.simpleString()
+    base = rows.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
+    id_type = rows.schema[id_col].dataType.simpleString()
+    emb_type = rows.schema[embedding_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, {embedding_col} {emb_type}, ivf_cell int"
 
     def assign(batches):
@@ -209,7 +227,7 @@ def ivf_build(
                 }
             )
 
-    return base.mapInPandas(assign, schema=out_schema), C
+    return base.mapInPandas(assign, schema=out_schema)
 
 
 def ivf_search(
@@ -957,6 +975,128 @@ def ivf_read(
         os.path.join(path, meta.get("location", "cells"))
     )
     return assigned, np.asarray(meta["centroids"]), meta["metric"]
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    *,
+    id_col: str | None = None,
+    embedding_col: str | None = None,
+    on_existing: str = "skip",
+    expected_prev_etag: str | None = None,
+) -> int:
+    """Incremental vector ingest: extend a persisted IVF index with
+    ``new_rows`` ONLY — assign them to their nearest EXISTING
+    centroid (no retraining, the standard IVF add path: FAISS
+    ``index.add`` semantics) and append the assigned rows into the
+    current cells dataset. The vector-side twin of
+    ``band_index_append``: a hydration loop that appends documents to
+    the collection appends their embeddings here, and the index
+    transitions stale -> fresh without the full ``ivf_refresh``
+    k-means rebuild. Cell balance degrades only as far as the data
+    drifts from the trained centroids — refresh when recall or
+    balance audits say so.
+
+    ``new_rows`` defaults to the cells dataset's own column names
+    (first two columns: id, embedding); pass ``id_col``/
+    ``embedding_col`` when the batch differs — values are cast to the
+    existing schema's types so appended files carry the identical
+    parquet schema.
+
+    Double-ingest is guarded, not caller-trusted: incoming ids are
+    anti-joined against the ids already indexed (one columnar scan of
+    the id column); ``on_existing='skip'`` (default) makes replays
+    idempotent, ``'error'`` raises naming the count. The guarded
+    batch is eagerly materialized (localCheckpoint) BEFORE the append
+    so the write never re-lists the directory it writes into. A
+    single-dataset append needs no torn-write protocol: the parquet
+    job commit is all-or-nothing for readers, and a replay after a
+    crash between the append and the sidecar re-stamp is converged by
+    the guard.
+
+    ``expected_prev_etag``: same foreign-mutation fence as
+    ``band_index_append`` — pass the etag observed before your own
+    collection append; mismatch raises ``StaleIndexError`` instead of
+    silently stamping someone else's update/delete fresh. Appends
+    only: updates/deletes need ``ivf_refresh``.
+
+    Returns the number of new vectors indexed (after the guard)."""
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_index.json")) as f:
+        meta = json.load(f)
+    if on_existing not in ("skip", "error"):
+        raise ValueError(
+            f"on_existing must be 'skip' or 'error', got {on_existing!r}"
+        )
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"IVF index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the append expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this append "
+                "since the index was last stamped — run ivf_refresh "
+                "instead"
+            )
+    loc = os.path.join(p, meta.get("location", "cells"))
+    existing = spark.read.parquet(loc)
+    exist_id, exist_emb = [c for c in existing.columns if c != "ivf_cell"][:2]
+    ic = id_col or exist_id
+    ec = embedding_col or exist_emb
+    types = dict(existing.dtypes)
+    inc_id = F.col(ic).cast(types[exist_id])
+    fresh = (
+        new_rows.select(
+            inc_id.alias(exist_id),
+            F.col(ec).cast(types[exist_emb]).alias(exist_emb),
+        )
+        .join(
+            existing.select(F.col(exist_id).alias("_have_id")),
+            F.col(exist_id) == F.col("_have_id"),
+            "left_anti",
+        )
+    )
+    if on_existing == "error":
+        n_dup = new_rows.join(
+            existing.select(F.col(exist_id).alias("_have_id")),
+            inc_id == F.col("_have_id"),
+            "left_semi",
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"ivf_append: {n_dup} incoming id(s) are already indexed "
+                f"at {path!r}; re-appending would duplicate cell rows "
+                "(pass on_existing='skip' to make replays idempotent)"
+            )
+    fresh = fresh.localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new:
+        build = meta.get("build") or {}
+        assign_metric = build.get("metric", meta["metric"])
+        assigned = _assign_to_centroids(
+            fresh,
+            np.asarray(meta["centroids"]),
+            id_col=exist_id,
+            embedding_col=exist_emb,
+            metric=assign_metric,
+        )
+        assigned.write.mode("append").partitionBy("ivf_cell").parquet(loc)
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+        _atomic_sidecar_write(p, "ivf_index.json", meta)
+    return n_new
 
 
 def ivf_refresh(

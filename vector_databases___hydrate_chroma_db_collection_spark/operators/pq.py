@@ -440,8 +440,32 @@ def ivf_pq_build(
     dsub = dim // m
     codebooks = _train_subspaces(R, m, dsub, n_codes, seed)
 
+    encoded = _encode_assigned(
+        assigned, C, codebooks, id_col=id_col, embedding_col=embedding_col
+    )
+    return encoded, C, codebooks
+
+
+def _encode_assigned(
+    assigned: DataFrame,
+    C: np.ndarray,
+    codebooks: np.ndarray,
+    *,
+    id_col: str,
+    embedding_col: str,
+) -> DataFrame:
+    """Residual-PQ encode of cell-assigned rows with EXISTING
+    codebooks, one Arrow-batched pass. Shared by ``ivf_pq_build``
+    (initial encode) and ``ivf_pq_append`` (incremental ingest —
+    identical math, so appended rows carry exactly the codes a
+    rebuild with the same codebooks would give them)."""
+    import pandas as pd
+
+    dim = C.shape[1]
+    m = codebooks.shape[0]
+    dsub = dim // m
     c_sq = (codebooks * codebooks).sum(axis=2)  # (m, n_codes)
-    id_type = corpus.schema[id_col].dataType.simpleString()
+    id_type = assigned.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, ivf_cell int, pq_code array<smallint>"
 
     def encode(batches):
@@ -469,8 +493,7 @@ def ivf_pq_build(
                 }
             )
 
-    encoded = assigned.mapInPandas(encode, schema=out_schema)
-    return encoded, C, codebooks
+    return assigned.mapInPandas(encode, schema=out_schema)
 
 
 def ivf_pq_search(
@@ -613,6 +636,111 @@ def ivf_pq_write(
         },
     )
     _drop_old_cells(path, old_meta, cells_dir)
+
+
+def ivf_pq_append(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    *,
+    id_col: str | None = None,
+    embedding_col: str = "embedding",
+    on_existing: str = "skip",
+    expected_prev_etag: str | None = None,
+) -> int:
+    """Incremental IVF-PQ ingest: assign ``new_rows`` to their nearest
+    EXISTING coarse centroid and residual-encode them with the
+    EXISTING codebooks (no retraining — FAISS ``index.add``
+    semantics), appending only the new 8-byte code rows. Same
+    contract as ``ann.ivf_append``: id-guarded (replays idempotent,
+    ``on_existing='error'`` to raise), batch materialized before the
+    write, optional ``expected_prev_etag`` fence, sidecar re-stamped
+    so a stale index transitions fresh without the full rebuild.
+    Quantization quality degrades only as far as the data drifts from
+    the trained centroids/codebooks — refresh on drift audits.
+
+    ``new_rows`` must carry the embedding (codes store only its
+    quantization); ``id_col`` defaults to the persisted code table's
+    id column. Returns the number of new vectors indexed."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        _atomic_sidecar_write,
+        _local_sidecar_path,
+        _source_stamp,
+    )
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_pq_index.json")) as f:
+        meta = json.load(f)
+    if on_existing not in ("skip", "error"):
+        raise ValueError(
+            f"on_existing must be 'skip' or 'error', got {on_existing!r}"
+        )
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"IVF-PQ index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the append expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this append "
+                "since the index was last stamped — run a full "
+                "rebuild (ivf_pq_build + ivf_pq_write) instead"
+            )
+    loc = os.path.join(p, meta.get("location", "cells"))
+    existing = spark.read.parquet(loc)
+    exist_id = [c for c in existing.columns if c not in ("ivf_cell", "pq_code")][0]
+    ic = id_col or exist_id
+    id_type = dict(existing.dtypes)[exist_id]
+    fresh = (
+        new_rows.select(
+            F.col(ic).cast(id_type).alias(exist_id), F.col(embedding_col)
+        )
+        .join(
+            existing.select(F.col(exist_id).alias("_have_id")),
+            F.col(exist_id) == F.col("_have_id"),
+            "left_anti",
+        )
+    )
+    if on_existing == "error":
+        n_dup = new_rows.join(
+            existing.select(F.col(exist_id).alias("_have_id")),
+            F.col(ic).cast(id_type) == F.col("_have_id"),
+            "left_semi",
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"ivf_pq_append: {n_dup} incoming id(s) are already "
+                f"indexed at {path!r}; re-appending would duplicate code "
+                "rows (pass on_existing='skip' to make replays idempotent)"
+            )
+    fresh = fresh.localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new:
+        C = np.asarray(meta["centroids"])
+        books = np.asarray(meta["codebooks"])
+        # IVF-PQ cells are always l2-trained (ivf_pq_build hardcodes
+        # metric='l2'); assignment must use the same math.
+        assigned = _assign_to_centroids(
+            fresh, C, id_col=exist_id, embedding_col=embedding_col, metric="l2"
+        )
+        encoded = _encode_assigned(
+            assigned, C, books, id_col=exist_id, embedding_col=embedding_col
+        )
+        encoded.write.mode("append").partitionBy("ivf_cell").parquet(loc)
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+        _atomic_sidecar_write(p, "ivf_pq_index.json", meta)
+    return n_new
 
 
 def ivf_pq_read(

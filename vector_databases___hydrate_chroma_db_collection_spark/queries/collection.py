@@ -1432,3 +1432,116 @@ def collection_neardup_gate_verified(spark: SparkSession, sf_dir: str) -> DataFr
         threshold=0.5,
     )
     return out
+
+
+@query(
+    "collection_ivf_append_serve",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_ivf_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VECTOR ingest end-to-end, load-bearing at every
+    step: hydrate 4/5 of the corpus, persist a stamped IVF index,
+    hydrate the remaining fifth (the index MUST now raise
+    ``StaleIndexError``), then ``ivf_append`` the new vectors under
+    the ``expected_prev_etag`` fence — nearest-EXISTING-centroid
+    assignment, no k-means rebuild — which re-stamps the index
+    fresh; serve top-5 for doc 7's vector probing ALL cells (exact
+    within the index). The oracle scores the FULL corpus brute-force,
+    so the result only matches if the appended fifth is genuinely
+    servable through the incrementally-extended index. The vector
+    twin of the band index's append path (stream_novelty_ingest_loop
+    covers the text side)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_ivf_append_")
+    cfg = HydrationConfig(
+        collection_name="ivf_app",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    first = d.filter(F.col("doc_id") % 5 != 0)
+    hydrate(spark, first.join(e, first.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "ivf_app")
+    assigned, centroids = ivf_build(coll, n_centroids=8, seed=42)
+    idx_path = f"{root}/ivf_app/_ivf"
+    ivf_write(
+        assigned,
+        centroids,
+        idx_path,
+        metric="cosine",
+        source=(root, "ivf_app"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    etag0 = collection_etag(root, "ivf_app")
+
+    nxt = d.filter(F.col("doc_id") % 5 == 0)
+    hydrate(spark, nxt.join(e, nxt.doc_id == e.vec_id), cfg)
+    try:
+        ivf_read(spark, idx_path)
+    except StaleIndexError:
+        pass  # the contract under test
+    else:
+        raise EngineError(
+            "persisted IVF index served a mutated collection without "
+            "raising StaleIndexError"
+        )
+    new_vecs = (
+        read_collection(spark, root, "ivf_app")
+        .filter(F.col("id").cast("bigint") % 5 == 0)
+        .select("id", "embedding")
+    )
+    n_expected = new_vecs.count()
+    n = ivf_append(spark, idx_path, new_vecs, expected_prev_etag=etag0)
+    if n != n_expected:
+        raise EngineError(f"expected {n_expected} vectors appended, got {n}")
+
+    assigned2, centroids2, _metric = ivf_read(spark, idx_path)  # fresh
+    qvec = list(
+        read_collection(spark, root, "ivf_app")
+        .filter(F.col("id") == "7")
+        .first()["embedding"]
+    )
+    return ivf_search(
+        assigned2.filter(F.col("id") != "7"),
+        centroids2,
+        qvec,
+        k=5,
+        nprobe=8,
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
