@@ -339,10 +339,10 @@ def band_index_write(
     )
     stamp = _source_stamp(source)
     keys = band_rows.select("band", "h").distinct()
-    # Pre-distincted bucket keys: novelty serving needs only (band, h)
-    # MEMBERSHIP, so the distinct is paid once at build time instead
-    # of once per serve call (novelty_gate skips its defensive
-    # distinct when handed a two-column key table).
+    # Bucket keys distincted at build time: novelty serving needs only
+    # (band, h) MEMBERSHIP (the gate probes with a LEFT SEMI join, so
+    # duplicates would not be wrong — just wasted bytes); appends add
+    # batch-distinct keys and band_index_compact re-distincts.
     locations = {
         "bands": _write_new_part(band_rows, path, "bands", num_buckets),
         "bucket_keys": _write_new_part(keys, path, "bucket_keys", num_buckets),
@@ -413,12 +413,13 @@ def band_index_read(
 def band_index_bucket_keys(
     spark: SparkSession, path: str, *, verify_source: bool = True
 ) -> DataFrame:
-    """The pre-distincted ``(band, h)`` bucket-key table — the only
-    corpus state a pure NOVELTY serve needs. Distinct is paid at
-    build/append time, so handing this to ``novelty_gate`` skips the
-    per-serve corpus-side distinct entirely (the gate trusts
-    two-column references to be duplicate-free; this table is kept
-    that way by ``band_index_write`` and ``band_index_append``)."""
+    """The ``(band, h)`` bucket-key table — the only corpus state a
+    pure NOVELTY serve needs (no doc ids, no postings). Distinct at
+    build time; appends add batch-distinct keys only (the gate's
+    LEFT SEMI membership probe is multiplicity-immune, and skipping
+    the per-append corpus anti-join keeps incremental ingest
+    corpus-independent); ``band_index_compact`` squeezes cross-batch
+    duplicates back out."""
     p = _local_sidecar_path(path)
     meta = _sidecar_read(p)
     _check_source_stamp(meta, path, verify_source)
@@ -704,17 +705,18 @@ def band_index_append(
     nb = meta.get("num_buckets")
     band_rows = band_rows.localCheckpoint(eager=True)
     _append_part(band_rows, path, "bands", nb, meta)
-    # keep bucket_keys duplicate-free: append only keys the corpus
-    # has never produced (anti-join against the persisted set — the
-    # set is small relative to bands, and the novelty-serve counting
-    # contract depends on it staying distinct). This is idempotent by
-    # construction, so it needs no torn-replay special case.
-    existing_keys = _read_part(spark, path, "bucket_keys", meta)
+    # bucket_keys: append the batch's keys, distincted WITHIN THE
+    # BATCH only. The novelty gate's membership probe is a LEFT SEMI
+    # join (multiplicity-immune), so cross-batch duplicate keys cost
+    # only reference bytes, never correctness — and skipping the
+    # anti-join against the persisted key set keeps the append
+    # CORPUS-INDEPENDENT (the r10 bench showed that anti-join
+    # scanning all corpus keys per 2k-doc batch; at 10^9 docs that is
+    # a ~100 GB read per micro-batch). band_index_compact re-distincts
+    # the key table when duplicate bloat warrants it; torn replays may
+    # double a batch's keys, which the same semantics absorb.
     new_keys = (
-        all_band_rows.select("band", "h")
-        .distinct()
-        .join(existing_keys, ["band", "h"], "left_anti")
-        .localCheckpoint(eager=True)
+        all_band_rows.select("band", "h").distinct().localCheckpoint(eager=True)
     )
     _append_part(new_keys, path, "bucket_keys", nb, meta)
     if meta.get("has_shingles"):
@@ -824,6 +826,11 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
     for part in parts:
         before = _part_files(_part_loc(path, part, meta))
         df = _read_part(spark, path, part, meta)
+        if part == "bucket_keys":
+            # appends add batch-distinct keys only (corpus-independent
+            # by design); compaction is where cross-batch duplicate
+            # keys are squeezed back out.
+            df = df.distinct()
         part_nb = nb if part in ("bands", "bucket_keys") else None
         if part_nb is None:
             df = df.repartition(plain_target)

@@ -1054,13 +1054,19 @@ def novelty_gate(
     == 0)``. Docs with no shingles (empty text) gate as novel with 0
     hits.
 
-    Scale shape: the corpus side is arbitrary size — the probe is an
-    equi-join on ``(band, h)`` (AQE handles skewed boilerplate
-    buckets), the aggregate is map-side combinable, and nothing is
-    ever broadcast or collected from the corpus. The incoming side is
-    a micro-batch in the streaming deployment
+    Scale shape: the corpus side is arbitrary size — the probe is a
+    LEFT SEMI equi-join on ``(band, h)`` (AQE handles skewed
+    boilerplate buckets), the aggregate is map-side combinable, and
+    nothing is ever broadcast or collected from the corpus. The
+    incoming side is a micro-batch in the streaming deployment
     (``streaming.neardup_stream.stream_novelty_serve``), so per-batch
-    work is |batch| * bands rows, independent of corpus size.
+    work is |batch| * bands rows, independent of corpus size. SEMI
+    means membership, not multiplicity: each probe band row matches
+    at most once however many duplicate key rows the reference holds,
+    so the reference needs NO distinct — neither per serve, nor at
+    index-append time (``band_index_append`` exploits exactly that to
+    keep incremental appends corpus-independent; duplicate keys cost
+    only reference bytes until ``band_index_compact`` re-distincts).
     """
     inc = lsh_band_rows(
         incoming,
@@ -1071,16 +1077,8 @@ def novelty_gate(
         bands=bands,
         portable=portable,
     )
-    # A two-column reference is a pre-distincted bucket-key table
-    # (band_index_bucket_keys keeps it duplicate-free at build/append
-    # time) — trust it and skip the per-serve distinct; references
-    # that still carry doc ids are deduplicated here because join
-    # multiplicity would inflate n_hit_bands.
-    ref = reference_bands.select("band", "h")
-    if set(reference_bands.columns) != {"band", "h"}:
-        ref = ref.distinct()
     hits = (
-        inc.join(ref, ["band", "h"])
+        inc.join(reference_bands.select("band", "h"), ["band", "h"], "left_semi")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_bands"))
     )

@@ -434,3 +434,107 @@ def stream_novelty_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out1.withColumn("batch", F.lit(1)).unionByName(
         out2.withColumn("batch", F.lit(2))
     )
+
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: E402,F401
+    _COS_SQL,
+)
+
+
+@query(
+    "stream_ivf_ingest_loop",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb,
+               d.doc_id % 10 AS m
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    r1 AS (
+        SELECT c.id, {_COS_SQL} AS cos_sim
+        FROM corpus c, q WHERE c.id <> '7' AND c.m <> 5
+    ),
+    r2 AS (
+        SELECT c.id, {_COS_SQL} AS cos_sim
+        FROM corpus c, q WHERE c.id <> '7'
+    ),
+    t1 AS (SELECT id, cos_sim, 1 AS batch FROM r1 ORDER BY cos_sim DESC, id LIMIT 3),
+    t2 AS (SELECT id, cos_sim, 2 AS batch FROM r2 ORDER BY cos_sim DESC, id LIMIT 3)
+    SELECT * FROM t1 UNION ALL SELECT * FROM t2
+    """,
+)
+def stream_ivf_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VECTOR incremental-ingest loop end-to-end across two
+    micro-batches — the embedding twin of stream_novelty_ingest_loop:
+    hydrate the base corpus (doc_id % 10 not in (0, 5)), persist a
+    stamped IVF index; batch 1 hydrates the %10==0 docs and
+    ``ivf_append``s their vectors under the ``expected_prev_etag``
+    fence (stale -> fresh with no k-means rebuild), then serves top-3
+    for doc 7's vector through the just-extended index probing ALL
+    cells; batch 2 repeats with the %10==5 docs. A vector ingested in
+    batch N must be rankable in batch N's own results — the oracle
+    replays both rounds brute-force over the corresponding corpus
+    prefixes, so the result only matches if every appended vector is
+    genuinely servable the moment its batch commits. The
+    true-streaming form (stream_vector_ingest through the
+    exactly-once foreachBatch harness) is parity-pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_ivf_loop_")
+    cfg = HydrationConfig(
+        collection_name="vloop",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    mod = F.col("doc_id") % 10
+    base = d.filter(~mod.isin(0, 5))
+    hydrate(spark, base.join(e, base.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "vloop")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/vloop/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "vloop"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+
+    def serve() -> DataFrame:
+        a, c, _m = ivf_read(spark, idx)  # staleness-checked: append re-stamped
+        return ivf_search(
+            a.filter(F.col("id") != "7"), c, qvec, k=3, nprobe=8,
+            metric="cosine", score_decimals=4,
+        ).withColumnRenamed("score", "cos_sim")
+
+    out = []
+    for i, m in enumerate((0, 5), start=1):
+        etag = collection_etag(root, "vloop")
+        batch = d.filter(mod == m)
+        hydrate(spark, batch.join(e, batch.doc_id == e.vec_id), cfg)
+        vecs = read_collection(spark, root, "vloop").filter(
+            F.col("id").cast("bigint") % 10 == m
+        ).select("id", "embedding")
+        ivf_append(spark, idx, vecs, expected_prev_etag=etag)
+        out.append(
+            serve().withColumn("batch", F.lit(i)).localCheckpoint(eager=True)
+        )
+    return out[0].unionByName(out[1])

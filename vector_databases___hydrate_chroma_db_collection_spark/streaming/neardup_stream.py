@@ -25,6 +25,7 @@ in the registry is ``stream_neardup_novelty_gate``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
@@ -204,9 +205,109 @@ def stream_novelty_ingest(
     )
 
 
+def stream_vector_ingest(
+    doc_stream: DataFrame,
+    *,
+    index_path: str,
+    hydration_cfg,
+    query_vector: list,
+    k: int = 3,
+    nprobe: int = 8,
+    metric: str = "cosine",
+    score_decimals: int | None = 4,
+    exclude_id: str | None = None,
+    sink_path: str | None = None,
+    sink_table: str = "stream_vector_ingest_results",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """The VECTOR side of the incremental-ingest loop
+    (``stream_novelty_ingest`` is the text side): per micro-batch,
+    hydrate the incoming documents into the collection,
+    ``ivf_append`` their embeddings into the persisted IVF index
+    (nearest-EXISTING-centroid assignment — no k-means rebuild), and
+    publish the CURRENT top-``k`` answer for a fixed ``query_vector``
+    served through the just-extended index — so a vector ingested in
+    batch N is retrievable in batch N's own results and every batch
+    thereafter.
+
+    Replay safety: hydration is forced to ``on_duplicate='first'``
+    and ``ivf_append`` carries its own id guard, so re-running a
+    batch is a no-op on both stores; the search runs AFTER the append
+    on either attempt, so replayed verdicts equal the first
+    attempt's (a batch is SUPPOSED to see its own vectors — unlike
+    the novelty gate there is no pre/post-append asymmetry to
+    discount). The index is read with ``verify_source=False`` inside
+    the loop (the sidecar stamp is transiently stale between the
+    hydrate and the append's re-stamp; the staleness check is for
+    out-of-band readers). The zero-row schema probe at
+    stream-construction time returns the lazy search plan alone — no
+    hydrate, no append, no re-stamp.
+
+    ``exclude_id``: optionally drop one id from the served results
+    (the standard leave-the-query-out probe shape used by the batch
+    twins). Batch-twin parity: ``queries/streaming.py::
+    stream_ivf_ingest_loop`` (oracle-checked)."""
+    from dataclasses import replace
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_read,
+        ivf_search,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+
+    cfg = replace(hydration_cfg, on_duplicate="first")
+    ic, ec = cfg.id_col, cfg.embedding_col
+
+    def serve_current(spark) -> DataFrame:
+        assigned, C, _m = ivf_read(spark, index_path, verify_source=False)
+        if exclude_id is not None:
+            assigned = assigned.filter(F.col("id") != exclude_id)
+        return ivf_search(
+            assigned,
+            C,
+            query_vector,
+            k=k,
+            nprobe=nprobe,
+            metric=metric,
+            score_decimals=score_decimals,
+        )
+
+    def ingest(batch_docs: DataFrame) -> DataFrame:
+        spark = batch_docs.sparkSession
+        if batch_docs.isEmpty():
+            # schema probe / empty batch: the lazy search plan carries
+            # the output schema; no store is touched.
+            return serve_current(spark)
+        hydrate(spark, batch_docs, cfg)
+        ivf_append(
+            spark,
+            index_path,
+            batch_docs.select(
+                F.col(ic).cast("string").alias("id"), F.col(ec)
+            ),
+            embedding_col=ec,
+        )
+        return serve_current(spark)
+
+    return stream_knn_serve(
+        doc_stream,
+        corpus=None,  # unused: retrieval_fn overrides the knn plan
+        retrieval_fn=ingest,
+        sink_path=sink_path,
+        sink_table=sink_table,
+        checkpoint_dir=checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+    )
+
+
 __all__ = [
     "stream_novelty_serve",
     "stream_novelty_ingest",
+    "stream_vector_ingest",
     "novelty_gate",
     "release_cache",
 ]
