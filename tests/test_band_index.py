@@ -680,12 +680,15 @@ def test_band_index_append_torn_replay_exactly_once(spark, tmp_path):
                 bi.band_index_append(spark, path, batch)
         finally:
             bi._append_part = real_append_part
-        # the sidecar must still carry the in-flight marker
-        assert bi.band_index_meta(path).get("pending_append") is True
+        # the sidecar must still carry the in-flight marker for
+        # exactly this batch
+        assert bi.band_index_meta(path).get("pending_appends"), (
+            bi.band_index_meta(path)
+        )
         # replay the SAME batch: heals to exactly-once
         n = bi.band_index_append(spark, path, batch)
         assert n == 10, f"crash_after={crash_after}: replay returned {n}"
-        assert bi.band_index_meta(path).get("pending_append") is None
+        assert not bi.band_index_meta(path).get("pending_appends")
         got = snapshot(path)
         assert got == want, f"crash_after={crash_after}: {got[:4]} != {want[:4]}"
         # a second replay is a pure no-op
@@ -805,7 +808,7 @@ def test_band_index_compact_bounds_files_and_preserves_content(spark, tmp_path):
     meta = bi.band_index_meta(path)
     meta["pending_append"] = True
     bi._sidecar_write(bi._local_sidecar_path(path), meta)
-    with pytest.raises(ValueError, match="pending_append"):
+    with pytest.raises(ValueError, match="torn append in flight"):
         bi.band_index_compact(spark, path)
 
 
@@ -872,3 +875,183 @@ def test_band_index_legacy_torn_first_append_heals(spark, tmp_path):
     assert all(got[i + 1000] == (8, False) for i in range(20, 30))
     # a second replay is a pure no-op (guard now served by ids)
     assert bi.band_index_append(spark, path, batch) == 0
+
+
+def _batch_digest(spark, docs, id_col):
+    """Replicate band_index_append's batch-identity digest."""
+    from pyspark.sql import functions as _F
+
+    r = (
+        docs.select(_F.col(id_col).cast("string").alias("_s"))
+        .distinct()
+        .agg(
+            _F.count(_F.lit(1)).alias("c"),
+            _F.expr("bit_xor(xxhash64(_s))").alias("x"),
+        )
+        .first()
+    )
+    return f"{r['c']}:{r['x']}"
+
+
+def test_band_index_append_heals_mid_job_commit_tear(spark, tmp_path):
+    """A Spark append job commit is not atomic across task files: a
+    crash mid-commit can land only SOME of a doc's band rows. The
+    replay must heal at ROW granularity — re-appending exactly the
+    missing (id, band) rows — where id-level healing would see the id
+    present and freeze the hole in place forever."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        _band_rows_from_shingles,
+        _shingle_rows,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "midjob_idx")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20),
+        path,
+        id_col="doc_id",
+        text_col="text",
+        include_shingles=True,
+    )
+    batch = d.filter(F.col("doc_id").between(20, 29))
+
+    # simulate the torn state by hand: only bands 0..2 of each batch
+    # doc land, plus HALF the shingle rows, with the batch's pending
+    # marker set — exactly what a mid-job-commit crash leaves
+    p = bi._local_sidecar_path(path)
+    meta = bi._sidecar_read(p)
+    digest = _batch_digest(spark, batch, "doc_id")
+    meta["pending_appends"] = [{"digest": digest, "tag": None}]
+    bi._sidecar_write(p, meta)
+    sh = _shingle_rows(batch, "doc_id", "text", meta["n"])
+    partial_bands = _band_rows_from_shingles(
+        sh, "doc_id", meta["num_hashes"], meta["bands"]
+    ).filter(F.col("band") < 3)
+    bi._append_part(
+        partial_bands.localCheckpoint(eager=True),
+        path, "bands", meta["num_buckets"], meta,
+    )
+    partial_sh = sh.select(F.col("_id").alias("doc_id"), "h").filter(
+        F.col("h") % 2 == 0
+    )
+    bi._append_part(
+        partial_sh.localCheckpoint(eager=True), path, "shingles", None, meta
+    )
+    sh.unpersist()
+
+    # replay the full batch: every doc ends with exactly 8 bands and
+    # its full shingle set, nothing doubled
+    assert bi.band_index_append(spark, path, batch) == 10
+    bands_t, sh_t, sizes_t, _ = bi.band_index_read_verified(spark, path)
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in bands_t.filter(F.col("doc_id") >= 20)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_doc == {i: 8 for i in range(20, 30)}, per_doc
+    # shingle rows: distinct per (id, h) and counts match sizes
+    joined = (
+        sh_t.filter(F.col("doc_id") >= 20)
+        .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rows"))
+        .join(sizes_t.filter(F.col("doc_id") >= 20), "doc_id")
+    )
+    bad = joined.filter(F.col("n_rows") != F.col("n_sh")).count()
+    assert bad == 0
+    assert not bi.band_index_meta(path).get("pending_appends")
+
+
+def test_band_index_foreign_batch_does_not_clear_torn_marker(spark, tmp_path):
+    """A successful append of a DIFFERENT batch must not launder away
+    another batch's torn marker: batch A tears, batch B appends fine
+    (A's marker survives), A's replay still heals to exactly-once."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "foreign_idx")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20),
+        path,
+        id_col="doc_id",
+        text_col="text",
+        include_shingles=True,
+    )
+    batch_a = d.filter(F.col("doc_id").between(20, 29))
+    batch_b = d.filter(F.col("doc_id").between(30, 39))
+
+    real_append_part = bi._append_part
+    calls = {"n": 0}
+
+    def tear_after_two(df, pp, part, nb, m):
+        if calls["n"] == 2:  # bands + bucket_keys landed; tear at shingles
+            raise RuntimeError("torn")
+        calls["n"] += 1
+        return real_append_part(df, pp, part, nb, m)
+
+    bi._append_part = tear_after_two
+    try:
+        with pytest.raises(RuntimeError, match="torn"):
+            bi.band_index_append(spark, path, batch_a, tag="A")
+    finally:
+        bi._append_part = real_append_part
+    assert len(bi.band_index_meta(path)["pending_appends"]) == 1
+
+    # B commits cleanly — and must NOT clear A's marker
+    assert bi.band_index_append(spark, path, batch_b, tag="B") == 10
+    meta = bi.band_index_meta(path)
+    assert [e["tag"] for e in meta["pending_appends"]] == ["A"]
+    assert meta["last_append_tag"] == "B"
+
+    # A's replay heals to exactly-once and clears only its own marker
+    assert bi.band_index_append(spark, path, batch_a, tag="A") == 10
+    assert not bi.band_index_meta(path).get("pending_appends")
+    bands_t, sh_t, sizes_t, _ = bi.band_index_read_verified(spark, path)
+    assert bands_t.count() == 40 * 8
+    assert sizes_t.count() == 40
+    # pure replays of both: no-ops
+    assert bi.band_index_append(spark, path, batch_a) == 0
+    assert bi.band_index_append(spark, path, batch_b) == 0
+
+
+def test_band_index_append_in_batch_duplicate_ids(spark, tmp_path):
+    """A source retry folded into ONE batch (the same id twice) must
+    index the doc once: no doubled band rows, no doubled n_sh."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "dupid_idx")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20),
+        path,
+        id_col="doc_id",
+        text_col="text",
+        include_shingles=True,
+    )
+    batch = d.filter(F.col("doc_id").between(20, 24))
+    doubled = batch.unionByName(batch)  # every id twice
+    assert bi.band_index_append(spark, path, doubled) == 5
+    bands_t, sh_t, sizes_t, _ = bi.band_index_read_verified(spark, path)
+    assert bands_t.filter(F.col("doc_id").between(20, 24)).count() == 5 * 8
+    assert sizes_t.filter(F.col("doc_id").between(20, 24)).count() == 5
+    # n_sh must equal the distinct-shingle count, not double it
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        _shingle_rows,
+    )
+
+    sh = _shingle_rows(batch, "doc_id", "text", 3)
+    want = {
+        r["_id"]: r["n"]
+        for r in sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    sh.unpersist()
+    got = {
+        r["doc_id"]: r["n_sh"]
+        for r in sizes_t.filter(F.col("doc_id").between(20, 24)).collect()
+    }
+    assert got == want

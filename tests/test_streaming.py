@@ -1008,10 +1008,17 @@ def test_stream_novelty_ingest_loop_across_batches(spark, tmp_path):
             (F.col("doc_id") + 1000).alias("doc_id"), "text"
         )
     )
+    # b1: same-TEXT copies under new ids (+1000), one fresh doc (60),
+    # AND a verbatim SAME-ID redelivery of b0's doc 40 — an
+    # at-least-once source re-emitting an already-ingested doc in a
+    # LATER batch must gate duplicate (the replay-only id exclusion
+    # must not apply across batches)
     b1 = b0.filter(F.col("doc_id") < 1000).select(
         (F.col("doc_id") + 1000).alias("doc_id"), "text"
     ).unionByName(
         d.filter(F.col("doc_id") == 60).select("doc_id", "text")
+    ).unionByName(
+        b0.filter(F.col("doc_id") == 40).select("doc_id", "text")
     )
     sdir = tmp_path / "ingest_stream"
     with_emb(b0).coalesce(1).write.parquet(str(sdir / "b0"))
@@ -1040,7 +1047,7 @@ def test_stream_novelty_ingest_loop_across_batches(spark, tmp_path):
     assert q.awaitTermination(180), "availableNow stream did not drain"
     try:
         got = {
-            r["doc_id"]: (r["n_hit_bands"], r["novel"])
+            (r["batch_id"], r["doc_id"]): (r["n_hit_bands"], r["novel"])
             for r in spark.table(sink).collect()
         }
         # batch twins, round by round, against the PRE-stream corpus
@@ -1060,18 +1067,31 @@ def test_stream_novelty_ingest_loop_across_batches(spark, tmp_path):
         release_cache(want0)
         release_cache(want1)
         release_cache(ref0)
-        assert got == {**w0, **w1}
+        assert got == {
+            **{(0, k): v for k, v in w0.items()},
+            **{(1, k): v for k, v in w1.items()},
+        }
         # structural anchors: the corpus copy is a dup in batch 0; every
-        # batch-0 NOVEL doc's batch-1 copy is a full-band dup
-        assert got[1007] == (8, False)
+        # batch-0 NOVEL doc's batch-1 copy is a full-band dup; the
+        # SAME-ID redelivery of doc 40 is novel in batch 0 and a
+        # duplicate in batch 1
+        assert got[(0, 1007)] == (8, False)
+        assert got[(0, 40)][1] is True and got[(1, 40)] == (8, False)
         for doc_id, (_, novel) in w0.items():
             if novel:
-                assert got[doc_id + 1000] == (8, False), doc_id
+                assert got[(1, doc_id + 1000)] == (8, False), doc_id
         # the loop hydrated exactly the novel docs (both batches)
         n_novel = sum(v[1] for v in got.values())
         assert (
             read_collection(spark, root, "ingest").count() == 30 + n_novel
         )
+        # every append carried its deterministic batch tag — the
+        # replay-detection token a foreachBatch re-run keys on
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+            band_index_meta,
+        )
+
+        assert band_index_meta(idx)["last_append_tag"] == f"{sink}#1"
         # and the in-stream appends re-stamped the index: fresh read
         band_index_read(spark, idx)
         band_index_bucket_keys(spark, idx)

@@ -394,9 +394,16 @@ def canonical_url(url: Column | str, *, drop_params: tuple = ()) -> Column:
     key (see queries/dedup.py::dedup_canonical_url), the cheapest
     highest-yield dedup pass a web corpus gets.
 
+    A non-default PORT is preserved (``:8080`` names a different
+    server; collapsing it would merge genuinely distinct pages).
+    USERINFO (``user:pass@``) is deliberately DROPPED — standard
+    canonicalization hygiene: credentials in crawl URLs are noise at
+    best and a secret leak at worst, and must never become part of a
+    dedup key that gets persisted and logged.
+
     All codegen expressions over Spark's real URL parser
-    (``parse_url`` PROTOCOL/HOST/PATH/QUERY) — no UDF; NULL-safe for
-    URLs without a query string."""
+    (``parse_url`` PROTOCOL/HOST/AUTHORITY/PATH/QUERY) — no UDF;
+    NULL-safe for URLs without a query string."""
     u = _c(url)
     tracked = ("utm_", "gclid", "fbclid", "msclkid", "mc_eid") + tuple(
         drop_params
@@ -411,10 +418,18 @@ def canonical_url(url: Column | str, *, drop_params: tuple = ()) -> Column:
         ),
     )
     q_canon = F.array_join(kept, "&")
+    # HOST excludes userinfo AND port; recover the port (digits after
+    # the authority's final colon) so distinct servers stay distinct.
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        ":(\\d+)$",
+        1,
+    )
     return F.concat(
         F.lower(F.parse_url(u, F.lit("PROTOCOL"))),
         F.lit("://"),
         F.lower(F.parse_url(u, F.lit("HOST"))),
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
         F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")),
         F.when(q_canon == "", F.lit("")).otherwise(
             F.concat(F.lit("?"), q_canon)

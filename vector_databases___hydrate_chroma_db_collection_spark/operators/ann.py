@@ -800,32 +800,50 @@ def _local_sidecar_path(path: str) -> str:
 
 
 def _atomic_sidecar_write(p: str, fname: str, meta: dict) -> None:
-    """Atomic sidecar commit: temp file + rename, so a reader never
-    observes a half-written JSON and a crash mid-write leaves the
-    previous sidecar (hence the previous index state) intact."""
+    """Atomic, durable sidecar commit: temp file + fsync + rename (+
+    best-effort directory fsync), so a reader never observes a
+    half-written JSON and neither a crash mid-write NOR a power loss
+    right after the rename can leave a truncated sidecar where the
+    previous one used to be (rename alone orders nothing against data
+    writeback on most filesystems)."""
     import json
     import os
 
     tmp = os.path.join(p, fname + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(p, fname))
+    try:
+        dfd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # directory fsync is best-effort (not all FS/OS allow it)
 
 
-def _fresh_cells_dir(p: str) -> str:
-    """Next unused versioned data directory (``cells_v1``, ...) — a
+def _fresh_versioned_dir(p: str, base: str) -> str:
+    """Next unused versioned data directory (``<base>_v1``, ...) — a
     REBUILD never writes into the directory readers are scanning;
-    the sidecar's ``location`` pointer is swapped last (atomic), so
+    the sidecar's location pointer is swapped last (atomic), so
     readers that follow the read API (sidecar first) see the complete
     old index until the commit and the complete new index after.
     Scans the filesystem, not the sidecar, so a crashed rebuild's
-    orphan directory is never reused."""
+    orphan directory is never reused. Shared by the IVF/IVF-PQ
+    sidecars (``cells``) and the band index (per-part bases)."""
     import os
 
     v = 1
-    while os.path.exists(os.path.join(p, f"cells_v{v}")):
+    while os.path.exists(os.path.join(p, f"{base}_v{v}")):
         v += 1
-    return f"cells_v{v}"
+    return f"{base}_v{v}"
+
+
+def _fresh_cells_dir(p: str) -> str:
+    return _fresh_versioned_dir(p, "cells")
 
 
 def _drop_old_cells(p: str, old_meta: dict | None, new_dir: str) -> None:
@@ -1061,6 +1079,11 @@ def ivf_append(
             inc_id.alias(exist_id),
             F.col(ec).cast(types[exist_emb]).alias(exist_emb),
         )
+        # guarded, not caller-trusted — including WITHIN the batch: a
+        # source retry folded into one micro-batch must not index an
+        # id twice (duplicate cells rows would waste top-k slots and
+        # can never be removed by a replay)
+        .dropDuplicates([exist_id])
         .join(
             existing.select(F.col(exist_id).alias("_have_id")),
             F.col(exist_id) == F.col("_have_id"),

@@ -37,22 +37,29 @@ old bucket spec — the stale entry's name simply stops being derived.
 
 Durability contracts:
 
-* **Rebuild is atomic for readers.** ``band_index_write`` writes
+* **Rebuild is atomic for new readers.** ``band_index_write`` writes
   every part into a FRESH versioned directory (``bands_v2``, ...)
   and commits them by swapping the sidecar's ``locations`` map last
-  (atomic temp+rename). Readers that follow the read API (sidecar
-  first, as all functions here do) see the complete old index until
-  the swap and the complete new index after it; the old directories
-  are removed only after the commit.
+  (atomic temp+fsync+rename). Reads that BEGIN after the commit see
+  the complete new index; reads that began before it see the
+  complete old index — UNLESS their scan is still in flight when the
+  writer removes the superseded directories right after the commit,
+  in which case they fail loudly with missing-file errors (never
+  silently mixed data). Long-scan concurrent readers across rebuilds
+  need external retention (snapshot the dirs, or defer cleanup).
 * **Append is torn-write-safe.** ``band_index_append`` records a
-  ``pending_append`` marker in the sidecar before touching any data,
+  BATCH-SCOPED marker (digest of the batch's id set) in the
+  sidecar's ``pending_appends`` list before touching any data,
   appends its parts, writes the guard's source-of-truth ``ids``
-  dataset LAST, and clears the marker in the final sidecar commit.
-  A crash mid-append leaves the marker set; the replay sees it and
+  dataset LAST, and removes its own marker in the final commit — an
+  unrelated batch's successful append cannot clear another batch's
+  torn state. A replay whose digest matches a pending entry
   anti-joins each part's incoming rows against what that part
-  already holds for the batch's ids, so a torn append replays to
-  exactly-once row counts (``tests/test_band_index.py`` tears the
-  append at every boundary and replays).
+  already holds — at ROW granularity for multi-row parts, because a
+  Spark append job commit is not atomic across task files — so a
+  torn append replays to exactly-once row counts
+  (``tests/test_band_index.py`` tears the append at every boundary
+  and replays).
 
 Reference provenance: the reference (sas:126-193) hydrates a Chroma
 collection for retrieval; a production hydration pipeline gates
@@ -94,13 +101,14 @@ def _bucket_id(nb: int):
 
 
 def _sidecar_write(p: str, meta: dict) -> None:
-    """Atomic sidecar commit: temp file + rename, so a reader never
-    observes a half-written JSON and a crash mid-write leaves the
-    previous sidecar (hence the previous index state) intact."""
-    tmp = os.path.join(p, _SIDECAR + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(p, _SIDECAR))
+    """Atomic, durable sidecar commit — the shared temp+fsync+rename
+    writer (ann._atomic_sidecar_write), so the band and vector index
+    lifecycles cannot drift apart."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _atomic_sidecar_write,
+    )
+
+    _atomic_sidecar_write(p, _SIDECAR, meta)
 
 
 def _sidecar_read(p: str) -> dict:
@@ -121,12 +129,13 @@ def _part_loc(path: str, part: str, meta: dict) -> str:
 
 def _fresh_part_dir(p: str, part: str) -> str:
     """Next unused versioned directory name for a part (``bands_v1``,
-    ``bands_v2``, ...). Scans the filesystem, not the sidecar, so a
-    crashed build's orphan directory is never reused."""
-    v = 1
-    while os.path.exists(os.path.join(p, f"{part}_v{v}")):
-        v += 1
-    return f"{part}_v{v}"
+    ``bands_v2``, ...) — the shared scanner (ann._fresh_versioned_dir),
+    so the band and vector index lifecycles cannot drift apart."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _fresh_versioned_dir,
+    )
+
+    return _fresh_versioned_dir(p, part)
 
 
 def _bucket_table(loc: str, nb: int) -> str:
@@ -487,10 +496,34 @@ def band_index_refresh(spark: SparkSession, path: str) -> tuple[DataFrame, dict]
 def _present_ids(part_df: DataFrame, id_name: str, fresh_ids: DataFrame) -> DataFrame:
     """Which of the replayed batch's ids already have rows in this
     part? One semi-join of the part against the (small, broadcast)
-    batch id set — the torn-append healing probe."""
+    batch id set. Id-level presence is a safe heal ONLY for parts
+    with one row per doc (sizes, ids) — a single row is either
+    committed or absent. Multi-row parts heal at ROW granularity
+    (``_present_rows``): a Spark append job commit is not atomic
+    across task files, so a crash mid-commit can leave PART of a
+    doc's rows visible."""
     return (
         part_df.select(F.col(id_name).alias("_pid"))
         .join(F.broadcast(fresh_ids), F.col("_pid") == F.col("_fid"), "left_semi")
+        .distinct()
+    )
+
+
+def _present_rows(
+    part_df: DataFrame, id_name: str, fresh_ids: DataFrame, cols: tuple
+) -> DataFrame:
+    """Row-granular torn-append healing probe: the exact key rows this
+    part already holds for the batch's ids. Appended rows are
+    deterministic functions of (id, text), so an anti-join on the
+    full row key re-appends precisely the rows a mid-job-commit crash
+    dropped and none it kept."""
+    return (
+        part_df.join(
+            F.broadcast(fresh_ids),
+            part_df[id_name] == F.col("_fid"),
+            "left_semi",
+        )
+        .select(*cols)
         .distinct()
     )
 
@@ -504,6 +537,7 @@ def band_index_append(
     text_col: str | None = None,
     on_existing: str = "skip",
     expected_prev_etag: str | None = None,
+    tag: str | None = None,
 ) -> int:
     """Incremental ingest: extend a persisted band index with the
     rows for ``new_docs`` ONLY — no corpus recompute. This is the
@@ -530,14 +564,32 @@ def band_index_append(
     would duplicate band/posting rows and double posting weights in
     ``neardup_gate_verified``.
 
-    Torn appends replay exactly-once: a ``pending_append`` marker is
-    committed to the sidecar before any data write and cleared by the
-    final commit. A replay that finds the marker set anti-joins each
-    part's incoming rows against the rows that part ALREADY holds for
-    the batch's ids, so whatever subset of parts the crashed attempt
-    landed is never doubled and whatever it missed is filled in
-    (``bucket_keys`` is key-anti-joined on every append and needs no
-    marker).
+    Torn appends replay exactly-once: a BATCH-SCOPED marker (an
+    order-independent digest of the batch's id set, plus the caller's
+    ``tag``) is committed into the sidecar's ``pending_appends`` list
+    before any data write and removed by the final commit — so a
+    crash leaves exactly this batch marked, a successful append of a
+    DIFFERENT batch cannot launder it away, and several interleaved
+    torn batches each heal independently. A replay whose digest
+    matches a pending entry anti-joins each part's incoming rows
+    against the rows that part ALREADY holds for the batch — at ROW
+    granularity for the multi-row parts (bands on (id, band),
+    shingles on (id, h)): a Spark append job commit is not atomic
+    across task files, so a crash mid-commit can land PART of a doc's
+    rows, and id-level healing would freeze that hole in place.
+    Single-row-per-doc parts (sizes, ids) heal at id level;
+    ``bucket_keys`` needs no healing (the semi-join gate is
+    multiplicity-immune).
+
+    ``tag`` (optional): an idempotence token recorded in the marker
+    and, on success, as ``last_append_tag`` — streaming callers pass
+    their deterministic batch identity so a foreachBatch replay can
+    DETECT that this very batch already appended (see
+    ``streaming.neardup_stream.stream_novelty_ingest``).
+
+    In-batch duplicate ids are dropped before anything else (a source
+    retry folded into one batch must not double posting rows/sizes) —
+    guarded, not caller-trusted, applies within the batch too.
 
     The sidecar is re-stamped with the source collection's CURRENT
     etag — call this AFTER appending the same docs to the collection,
@@ -589,7 +641,33 @@ def band_index_append(
     ic = id_col or meta["id_col"]
     tc = text_col or meta["text_col"]
     id_type = meta.get("id_type")
-    torn = bool(meta.get("pending_append"))
+    # in-batch duplicate ids would double band/posting/size rows —
+    # drop them before the digest, the guard, and the shingling
+    new_docs = new_docs.dropDuplicates([ic])
+    inc_id = F.col(ic).cast(id_type) if id_type else F.col(ic)
+    # Batch identity for the torn marker: an order-independent digest
+    # of the batch's distinct id set (count + xor of per-id hashes) —
+    # one tiny aggregation over the micro-batch, stable across replay
+    # attempts whatever the guard later removes.
+    _d = (
+        new_docs.select(inc_id.cast("string").alias("_s"))
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(_s))").alias("x"),
+        )
+        .first()
+    )
+    digest = f"{_d['c']}:{_d['x']}"
+    pending = list(meta.get("pending_appends") or [])
+    # legacy boolean marker (pre-batch-scoped format): no batch
+    # identity recorded, so conservatively heal THIS append and clear
+    # it on commit — the only unsafe window is a different torn batch
+    # replayed after this one, from an index written by the short-lived
+    # intermediate format.
+    torn = bool(meta.get("pending_append")) or any(
+        e.get("digest") == digest for e in pending
+    )
 
     # -- double-ingest guard: one bounded anti-join on the id --------
     # Source of truth is the ids dataset (written LAST by every
@@ -612,7 +690,6 @@ def band_index_append(
             .select(F.col(meta["id_col"]).alias("_have_id"))
             .distinct()
         )
-    inc_id = F.col(ic).cast(id_type) if id_type else F.col(ic)
     if torn and heal_ids:
         # Legacy pre-ids index whose FIRST versioned append tore: the
         # fallback guard reads the very parts the crashed attempt
@@ -639,7 +716,18 @@ def band_index_append(
     fresh = fresh.localCheckpoint(eager=True)
 
     def _commit(n: int) -> int:
-        meta.pop("pending_append", None)
+        remaining = [
+            e
+            for e in (meta.get("pending_appends") or [])
+            if e.get("digest") != digest
+        ]
+        if remaining:
+            meta["pending_appends"] = remaining
+        else:
+            meta.pop("pending_appends", None)
+        meta.pop("pending_append", None)  # legacy boolean marker
+        if tag is not None:
+            meta["last_append_tag"] = tag
         if locations != (meta.get("locations") or {}):
             meta["locations"] = locations
         src = meta.get("source")
@@ -670,27 +758,34 @@ def band_index_append(
     n_new = fresh_ids.count()
 
     # Key derivation must see the WHOLE batch's band rows: on a torn
-    # replay the dedupe below can empty band_rows (the crashed attempt
+    # replay the heal below can empty band_rows (the crashed attempt
     # already landed them in bands) while bucket_keys still lacks the
-    # keys — deriving keys from the post-dedupe rows would lose them
-    # forever (the anti-join vs existing_keys keeps this idempotent).
+    # keys — deriving keys from the post-heal rows would lose them
+    # forever. Re-appending keys the crashed attempt DID land is
+    # harmless: the gate's semi-join is multiplicity-immune and
+    # band_index_compact squeezes duplicates out.
     all_band_rows = band_rows
     if torn:
-        # The previous append crashed between parts: drop, per part,
-        # the batch ids that part already holds (a doc's rows land
-        # atomically per part, so presence of the id means the full
-        # row set is there).
-        present_b = _present_ids(
-            _read_part(spark, path, "bands", meta), meta["id_col"], fresh_ids
+        # This batch's previous attempt crashed mid-append: drop, per
+        # part, the ROWS that part already holds for the batch — row
+        # granularity for multi-row parts (a crash inside one job
+        # commit can land a subset of a doc's rows), id granularity
+        # for the single-row-per-doc parts.
+        present_b = _present_rows(
+            _read_part(spark, path, "bands", meta),
+            meta["id_col"],
+            fresh_ids,
+            (meta["id_col"], "band"),
         )
         band_rows = band_rows.join(
-            present_b, band_rows[meta["id_col"]] == F.col("_pid"), "left_anti"
+            present_b, [meta["id_col"], "band"], "left_anti"
         )
         if meta.get("has_shingles"):
-            present_sh = _present_ids(
+            present_sh = _present_rows(
                 _read_part(spark, path, "shingles", meta),
                 meta["id_col"],
                 fresh_ids,
+                (meta["id_col"], "h"),
             )
             present_sz = _present_ids(
                 _read_part(spark, path, "sizes", meta),
@@ -698,8 +793,10 @@ def band_index_append(
                 fresh_ids,
             )
 
-    # -- mark the append in flight BEFORE any data write -------------
-    meta["pending_append"] = True
+    # -- mark THIS append in flight BEFORE any data write -------------
+    meta["pending_appends"] = [
+        e for e in pending if e.get("digest") != digest
+    ] + [{"digest": digest, "tag": tag}]
     _sidecar_write(p, meta)
 
     nb = meta.get("num_buckets")
@@ -727,7 +824,7 @@ def band_index_append(
         if torn:
             sh_rows = sh_rows.join(
                 present_sh,
-                sh_rows[meta["id_col"]] == F.col("_pid"),
+                [meta["id_col"], "h"],
                 "left_anti",
             )
             size_rows = size_rows.join(
@@ -806,10 +903,10 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
     """
     p = _local_sidecar_path(path)
     meta = _sidecar_read(p)
-    if meta.get("pending_append"):
+    if meta.get("pending_append") or meta.get("pending_appends"):
         raise ValueError(
             f"band index at {path!r} has a torn append in flight "
-            "(pending_append is set); replay the interrupted "
+            "(a pending-append marker is set); replay the interrupted "
             "band_index_append — its guard heals the torn parts — "
             "before compacting"
         )

@@ -704,6 +704,9 @@ def ivf_pq_append(
         new_rows.select(
             F.col(ic).cast(id_type).alias(exist_id), F.col(embedding_col)
         )
+        # in-batch duplicate ids are part of the double-ingest guard's
+        # contract too (same as ann.ivf_append)
+        .dropDuplicates([exist_id])
         .join(
             existing.select(F.col(exist_id).alias("_have_id")),
             F.col(exist_id) == F.col("_have_id"),

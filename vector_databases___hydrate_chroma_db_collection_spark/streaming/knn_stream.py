@@ -123,9 +123,26 @@ def stream_knn_serve(
     # schema: build the plan over a ZERO-ROW frame of the stream's
     # schema (plan construction is lazy — nothing executes) and add
     # the batch_id partition column the parquet reader will discover.
+    import inspect
+
+    def _call_retrieval(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        # retrieval_fn may accept (batch_df) or (batch_df, batch_id) —
+        # the batch id is the replay-detection token for ingesting
+        # retrieval plans (stream_novelty_ingest tags its index
+        # appends with it); plain serving plans don't need it.
+        params = [
+            q
+            for q in inspect.signature(retrieval_fn).parameters.values()
+            if q.kind
+            in (q.POSITIONAL_ONLY, q.POSITIONAL_OR_KEYWORD, q.VAR_POSITIONAL)
+        ]
+        if len(params) >= 2:
+            return retrieval_fn(batch_df, batch_id)
+        return retrieval_fn(batch_df)
+
     empty_queries = origin_session.createDataFrame([], query_stream.schema)
     if retrieval_fn is not None:
-        proto = retrieval_fn(empty_queries)
+        proto = _call_retrieval(empty_queries, -1)
     else:
         proto = knn_join(
             empty_queries,
@@ -151,7 +168,7 @@ def stream_knn_serve(
         if batch_df.isEmpty():
             return
         if retrieval_fn is not None:
-            out = retrieval_fn(batch_df)
+            out = _call_retrieval(batch_df, batch_id)
         else:
             out = knn_join(
                 batch_df,

@@ -121,15 +121,21 @@ def stream_novelty_ingest(
     (already-stored ids skip), ``band_index_append`` carries its own
     double-ingest + torn-write guards, the verdict sink overwrites
     its ``batch_id=N`` partition (``stream_knn_serve``'s exactly-once
-    contract), and the verdicts themselves are REPLAY-STABLE: the
-    gate runs through ``novelty_gate_excluding``, which discounts
-    corpus band rows contributed by the batch's own ids — so a replay
-    after the crashed attempt already appended the batch still
-    publishes the verdicts of the FIRST attempt (a doc that gated
-    novel in batch N stays novel on batch N's replay, and flips to
-    duplicate only in batch N+1). The index is read with
-    ``verify_source=False``: inside the loop the sidecar stamp is
-    transiently stale by design (between hydrate and the append's
+    contract), and the verdicts themselves are REPLAY-STABLE while
+    cross-batch REDELIVERY still gates correctly: every append is
+    tagged with the deterministic batch identity
+    (``{sink_table}#{batch_id}``), and the gate checks the sidecar
+    for that tag first. A replay of batch N (tag already recorded in
+    ``last_append_tag`` or a pending torn marker) gates through
+    ``novelty_gate_excluding``, discounting corpus band rows the
+    batch's own crashed attempt contributed — first-attempt verdicts
+    republish. A FRESH batch (no tag match) gates through the plain
+    ``bucket_keys`` fast path, so a document REDELIVERED by an
+    at-least-once source in a LATER batch is flagged duplicate (its
+    rows are in the index and its id is not excluded) — id-set
+    exclusion alone would wrongly re-gate it novel. The index is read
+    with ``verify_source=False``: inside the loop the sidecar stamp
+    is transiently stale by design (between hydrate and the append's
     re-stamp), and the loop itself is the only writer that matters —
     the staleness check is for OUT-OF-BAND readers. The
     ``expected_prev_etag`` fence is deliberately NOT used here — on
@@ -149,6 +155,8 @@ def stream_novelty_ingest(
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
         band_index_append,
+        band_index_bucket_keys,
+        band_index_meta,
         band_index_read,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
@@ -161,19 +169,48 @@ def stream_novelty_ingest(
     cfg = replace(hydration_cfg, on_duplicate="first")
     ic, tc = cfg.id_col, cfg.text_col
 
-    def ingest(batch_docs: DataFrame) -> DataFrame:
+    def ingest(batch_docs: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_docs.sparkSession
-        bands_t, meta = band_index_read(spark, index_path, verify_source=False)
-        gated = novelty_gate_excluding(
-            batch_docs.select(ic, tc),
-            bands_t,
-            ref_id_col=meta["id_col"],
-            id_col=ic,
-            text_col=tc,
-            n=meta["n"],
-            num_hashes=meta["num_hashes"],
-            bands=meta["bands"],
+        meta = band_index_meta(index_path)
+        batch_tag = f"{sink_table}#{batch_id}"
+        replayed = batch_tag == meta.get("last_append_tag") or any(
+            e.get("tag") == batch_tag
+            for e in (meta.get("pending_appends") or [])
         )
+        if replayed:
+            # This very batch already appended (fully or torn): gate
+            # against the band table MINUS the batch's own rows so the
+            # first attempt's verdicts republish.
+            bands_t, _ = band_index_read(
+                spark, index_path, verify_source=False
+            )
+            gated = novelty_gate_excluding(
+                batch_docs.select(ic, tc),
+                bands_t,
+                ref_id_col=meta["id_col"],
+                id_col=ic,
+                text_col=tc,
+                n=meta["n"],
+                num_hashes=meta["num_hashes"],
+                bands=meta["bands"],
+            )
+        else:
+            # Fresh batch: the cheap membership fast path — and the
+            # CORRECT one for cross-batch redelivery (a doc ingested
+            # in batch N re-emitted in batch N+1 must gate duplicate;
+            # excluding by id would re-gate it novel).
+            keys = band_index_bucket_keys(
+                spark, index_path, verify_source=False
+            )
+            gated = novelty_gate(
+                batch_docs.select(ic, tc),
+                keys,
+                id_col=ic,
+                text_col=tc,
+                n=meta["n"],
+                num_hashes=meta["num_hashes"],
+                bands=meta["bands"],
+            )
         if batch_docs.isEmpty():
             # stream_knn_serve's schema probe (and any empty batch):
             # the lazy gate plan carries the output schema; running
@@ -188,9 +225,10 @@ def stream_novelty_ingest(
         # append sees rows_written == 0 but still owes the INDEX its
         # rows — the append's own double-ingest guard (not hydrate's
         # outcome) decides what is genuinely new on the index side.
+        # The tag records WHICH batch appended, for replay detection.
         band_index_append(
             spark, index_path, novel_docs.select(ic, tc),
-            id_col=ic, text_col=tc,
+            id_col=ic, text_col=tc, tag=batch_tag,
         )
         return out
 
@@ -264,13 +302,16 @@ def stream_vector_ingest(
 
     def serve_current(spark) -> DataFrame:
         assigned, C, _m = ivf_read(spark, index_path, verify_source=False)
+        # the index's own id column — never assume it is named 'id'
+        idx_id = [c for c in assigned.columns if c != "ivf_cell"][0]
         if exclude_id is not None:
-            assigned = assigned.filter(F.col("id") != exclude_id)
+            assigned = assigned.filter(F.col(idx_id) != exclude_id)
         return ivf_search(
             assigned,
             C,
             query_vector,
             k=k,
+            id_col=idx_id,
             nprobe=nprobe,
             metric=metric,
             score_decimals=score_decimals,
@@ -283,12 +324,13 @@ def stream_vector_ingest(
             # the output schema; no store is touched.
             return serve_current(spark)
         hydrate(spark, batch_docs, cfg)
+        # ivf_append resolves the index's id column and casts the
+        # incoming ids to its recorded type itself
         ivf_append(
             spark,
             index_path,
-            batch_docs.select(
-                F.col(ic).cast("string").alias("id"), F.col(ec)
-            ),
+            batch_docs.select(ic, ec),
+            id_col=ic,
             embedding_col=ec,
         )
         return serve_current(spark)
