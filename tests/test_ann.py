@@ -744,3 +744,178 @@ def test_ivf_append_restamps_collection_etag(spark, tmp_path):
     assert n == new_vecs.count()
     loaded, _, _ = ivf_read(spark, path)  # fresh again, no rebuild
     assert loaded.count() == read_collection(spark, root, "ivf_app_c").count()
+
+
+def test_ivf_compact_bounds_files_and_preserves_serving(spark, tmp_path):
+    """ivf_compact is the small-files remedy for append-grown vector
+    indexes: after two appends the cells dataset holds ~3 files per
+    touched cell; compact rewrites to ONE data file per cell behind
+    the atomic sidecar swap, served results are bit-identical, the
+    id-guard filter is re-sized, and id-guarded appends keep working
+    afterwards (replays across a compaction still converge)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=4, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "cpt_ivf")
+    ann.ivf_write(assigned, C, path, metric="cosine",
+                  build={"metric": "l2", "seed": 42})
+    for lo, hi in ((60, 69), (70, 79)):
+        b = e.filter(F.col("vec_id").between(lo, hi)).select(
+            "vec_id", "embedding"
+        )
+        assert ann.ivf_append(spark, path, b) == 10
+
+    qvec = list(e.filter(F.col("vec_id") == 3).first()["embedding"])
+    loaded, C2, metric = ann.ivf_read(spark, path)
+    pre = ann.ivf_search(
+        loaded, C2, qvec, k=5, id_col="vec_id", nprobe=4,
+        metric="cosine", score_decimals=4,
+    ).collect()
+
+    import json
+    import os
+
+    bloom_before = json.load(open(os.path.join(path, "ivf_index.json")))[
+        "id_bloom"
+    ]["location"]
+    before, after = ann.ivf_compact(spark, path)
+    assert after < before and after <= 4  # one data file per cell
+    meta = json.load(open(os.path.join(path, "ivf_index.json")))
+    assert meta["id_bloom"]["location"] != bloom_before
+    assert not os.path.exists(os.path.join(path, bloom_before))
+
+    loaded2, C3, _ = ann.ivf_read(spark, path)
+    assert loaded2.count() == 80
+    post = ann.ivf_search(
+        loaded2, C3, qvec, k=5, id_col="vec_id", nprobe=4,
+        metric="cosine", score_decimals=4,
+    ).collect()
+    assert sorted(map(tuple, post)) == sorted(map(tuple, pre))
+    # replays across the compaction still converge exactly-once
+    b = e.filter(F.col("vec_id").between(70, 79)).select("vec_id", "embedding")
+    assert ann.ivf_append(spark, path, b) == 0
+    assert ann.ivf_read(spark, path)[0].count() == 80
+
+
+def test_ivf_pq_compact_bounds_files(spark, tmp_path):
+    """The IVF-PQ twin: append-grown code tables compact to one file
+    per cell with codes byte-identical."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        pq,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    encoded, C, books = pq.ivf_pq_build(
+        corpus, n_centroids=4, m=8, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "cpt_pq")
+    pq.ivf_pq_write(encoded, C, books, path)
+    for lo, hi in ((60, 69), (70, 79)):
+        b = e.filter(F.col("vec_id").between(lo, hi)).select(
+            "vec_id", "embedding"
+        )
+        assert pq.ivf_pq_append(spark, path, b, id_col="vec_id") == 10
+    pre = sorted(
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in pq.ivf_pq_read(spark, path)[0].collect()
+    )
+    before, after = pq.ivf_pq_compact(spark, path)
+    assert after < before and after <= 4
+    post = sorted(
+        (r["vec_id"], tuple(r["pq_code"]))
+        for r in pq.ivf_pq_read(spark, path)[0].collect()
+    )
+    assert post == pre
+
+
+def test_ivf_balance_audit_flags(spark, tmp_path):
+    """The audit closes ivf_append's open loop: fresh index -> all
+    cells healthy; a DRIFTED append (vectors scaled away from the
+    trained centroids) flips refresh_recommended via the distance
+    test; a HOT-CELL append (many vectors near one centroid) flips it
+    via occupancy skew; a pre-train_stats index audits occupancy only
+    (trained columns NULL)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 80).select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    C = np.eye(4, dim)
+    assigned = ann._assign_to_centroids(
+        corpus, C, id_col="vec_id", embedding_col="embedding", metric="l2"
+    )
+    path = str(tmp_path / "audit_ivf")
+    ann.ivf_write(assigned, C, path, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+
+    fresh = {r["ivf_cell"]: r for r in ann.ivf_balance_audit(spark, path).collect()}
+    assert len(fresh) == 4
+    assert not any(r["refresh_recommended"] for r in fresh.values())
+    for r in fresh.values():  # build-time: current == trained
+        assert r["n_rows"] == r["trained_n_rows"]
+        assert r["mean_dist"] == r["trained_mean_dist"]
+
+    # drifted append: same cells, ~10x the assignment distance. The
+    # flag is proportional (a cell dominated by drifted rows flips; a
+    # barely-touched one legitimately may not), so assert on cells
+    # whose drifted rows at least match their trained count.
+    drifted = e.filter(F.col("vec_id").between(80, 199)).select(
+        "vec_id", F.transform("embedding", lambda x: x * F.lit(10.0)).alias("embedding")
+    )
+    assert ann.ivf_append(spark, path, drifted) == 120
+    after = {r["ivf_cell"]: r for r in ann.ivf_balance_audit(spark, path).collect()}
+    touched = [c for c, r in after.items() if r["n_rows"] > fresh[c]["n_rows"]]
+    dominated = [
+        c for c in touched
+        if after[c]["n_rows"] - fresh[c]["n_rows"] >= fresh[c]["n_rows"]
+    ]
+    assert dominated
+    assert all(after[c]["refresh_recommended"] for c in dominated)
+    assert all(
+        after[c]["mean_dist"] > after[c]["trained_mean_dist"] for c in touched
+    )
+
+    # hot-cell append: 300 vectors all hugging centroid 0 -> skew flag
+    # on a FRESH index (no drift in distances, pure occupancy)
+    path2 = str(tmp_path / "audit_hot")
+    ann.ivf_write(assigned, C, path2, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+    hot = spark.range(1000, 1300).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *([F.lit(1.0)] + [F.lit(0.0)] * (dim - 1))
+        ).alias("embedding"),
+    )
+    ann.ivf_append(spark, path2, hot)
+    # occupancy_ratio is bounded by n_cells (4 here), so pass an
+    # explicit skew threshold this small index can actually cross
+    hot_audit = {
+        r["ivf_cell"]: r
+        for r in ann.ivf_balance_audit(
+            spark, path2, skew_threshold=2.5
+        ).collect()
+    }
+    assert hot_audit[0]["occupancy_ratio"] > 2.5
+    assert hot_audit[0]["refresh_recommended"]
+
+    # legacy index without train_stats: occupancy-only audit
+    meta = json.load(open(os.path.join(path2, "ivf_index.json")))
+    meta.pop("train_stats")
+    ann._atomic_sidecar_write(path2, "ivf_index.json", meta)
+    legacy = ann.ivf_balance_audit(spark, path2, skew_threshold=2.5).collect()
+    assert all(r["trained_mean_dist"] is None for r in legacy)
+    assert any(r["refresh_recommended"] for r in legacy)  # skew still seen

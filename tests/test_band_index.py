@@ -1055,3 +1055,183 @@ def test_band_index_append_in_batch_duplicate_ids(spark, tmp_path):
         for r in sizes_t.filter(F.col("doc_id").between(20, 24)).collect()
     }
     assert got == want
+
+
+def test_rebuild_over_legacy_index_drops_legacy_catalog_entries(spark, tmp_path):
+    """Rebuilding over a PRE-VERSIONING index (bare part dirs, no
+    "locations" map) must drop the legacy-format catalog entries
+    ``band_index_<md5(index path)>_<part>`` too — the new naming
+    scheme digests (data dir, bucket count), so deriving only the new
+    name would leave stale tables pointing at deleted directories
+    accumulating in persistent metastores."""
+    import hashlib
+    import os
+    import shutil
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    corpus = d.filter(F.col("doc_id") < 20)
+    path = str(tmp_path / "legacy_cat")
+    bi.band_index_build(corpus, path, id_col="doc_id", text_col="text")
+    p = bi._local_sidecar_path(path)
+    meta = bi._sidecar_read(p)
+    nb = meta["num_buckets"]
+    # demote to the r9-era layout: bare part dirs, no locations map,
+    # bucketed parts registered under the legacy name format
+    legacy_digest = hashlib.md5(
+        os.path.abspath(path).encode("utf-8")
+    ).hexdigest()[:12]
+    legacy_tables = []
+    for part, d_ver in list(meta["locations"].items()):
+        # a genuine r9 metastore never saw the new-format names
+        spark.sql(
+            "DROP TABLE IF EXISTS "
+            f"{bi._bucket_table(os.path.join(p, d_ver), nb)}"
+        )
+        shutil.move(os.path.join(p, d_ver), os.path.join(p, part))
+        if part in ("bands", "bucket_keys"):
+            tbl = f"band_index_{legacy_digest}_{part}"
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {tbl} ({meta['ddl'][part]}) "
+                f"USING PARQUET CLUSTERED BY (band, h) SORTED BY (band, h) "
+                f"INTO {nb} BUCKETS LOCATION '{os.path.join(p, part)}'"
+            )
+            legacy_tables.append(tbl)
+    del meta["locations"]
+    bi._sidecar_write(p, meta)
+    assert all(spark.catalog.tableExists(t) for t in legacy_tables)
+
+    # rebuild at the same path: fresh versioned dirs win, legacy dirs
+    # AND legacy catalog entries must both be gone
+    bi.band_index_build(corpus, path, id_col="doc_id", text_col="text")
+    for t in legacy_tables:
+        assert not spark.catalog.tableExists(t), t
+    for part in ("bands", "bucket_keys", "ids"):
+        assert not os.path.exists(os.path.join(p, part)), part
+    # the rebuilt index still serves
+    keys = bi.band_index_bucket_keys(spark, path)
+    probe = corpus.limit(5).select("doc_id", "text")
+    out = novelty_gate(probe, keys, id_col="doc_id", text_col="text")
+    assert all(not r["novel"] for r in out.collect())
+    release_cache(out)
+
+
+def test_band_index_append_records_per_tag_contribution(spark, tmp_path):
+    """Tagged appends persist their POST-GUARD contributed id set
+    (band_index_appended_ids): a replayed streaming batch excludes
+    exactly what its own earlier attempt added, never rows a
+    different batch contributed for the same id. In-batch dups and
+    already-indexed ids are not in the record; an all-duplicate batch
+    records an EMPTY set; replaying a completed append preserves the
+    first attempt's record; unknown tags raise; superseded recordings
+    are GC'd."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "tag_rec")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20), path, id_col="doc_id", text_col="text"
+    )
+
+    # batch 0: two new docs (one doubled in-batch) + one already-indexed
+    b0 = (
+        d.filter(F.col("doc_id").isin(20, 21))
+        .unionByName(d.filter(F.col("doc_id") == 20))  # in-batch dup
+        .unionByName(d.filter(F.col("doc_id") == 5))  # cross-batch dup
+        .select("doc_id", "text")
+    )
+    assert bi.band_index_append(spark, path, b0, tag="s#0") == 2
+    rec0 = bi.band_index_appended_ids(spark, path, "s#0")
+    assert sorted(r[0] for r in rec0.collect()) == [20, 21]
+
+    # unknown tag is loud
+    with pytest.raises(KeyError):
+        bi.band_index_appended_ids(spark, path, "s#99")
+
+    # replay of the COMPLETED append: 0 new, record unchanged
+    assert bi.band_index_append(spark, path, b0, tag="s#0") == 0
+    rec0b = bi.band_index_appended_ids(spark, path, "s#0")
+    assert sorted(r[0] for r in rec0b.collect()) == [20, 21]
+
+    # batch 1: all-duplicate -> recorded as EMPTY (not missing)
+    b1 = d.filter(F.col("doc_id").isin(5, 20)).select("doc_id", "text")
+    assert bi.band_index_append(spark, path, b1, tag="s#1") == 0
+    rec1 = bi.band_index_appended_ids(spark, path, "s#1")
+    assert rec1.count() == 0
+    # batch 0's tag is no longer addressable (a later append committed)
+    with pytest.raises(KeyError):
+        bi.band_index_appended_ids(spark, path, "s#0")
+
+    # batch 2 (new docs): previous recording dir is GC'd on commit
+    b2 = d.filter(F.col("doc_id").isin(22, 23)).select("doc_id", "text")
+    assert bi.band_index_append(spark, path, b2, tag="s#2") == 2
+    p = bi._local_sidecar_path(path)
+    dirs = [x for x in os.listdir(p) if x.startswith("append_ids_v")]
+    assert len(dirs) == 1  # only batch 2's recording survives
+    assert sorted(
+        r[0] for r in bi.band_index_appended_ids(spark, path, "s#2").collect()
+    ) == [22, 23]
+
+    # untagged appends record nothing and leave the last record alone
+    b3 = d.filter(F.col("doc_id") == 24).select("doc_id", "text")
+    assert bi.band_index_append(spark, path, b3) == 1
+    assert sorted(
+        r[0] for r in bi.band_index_appended_ids(spark, path, "s#2").collect()
+    ) == [22, 23]
+
+
+def test_band_index_torn_tagged_append_reuses_first_attempt_record(
+    spark, tmp_path
+):
+    """A torn tagged append replays with the FIRST attempt's recorded
+    contribution (the replay's own post-guard set can be smaller once
+    some parts landed) — and the recording is readable from the
+    pending marker while the append is torn, which is exactly when a
+    crashed streaming batch needs it."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "tag_torn")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20), path, id_col="doc_id", text_col="text"
+    )
+    batch = d.filter(F.col("doc_id").between(20, 24)).select("doc_id", "text")
+
+    real_append_part = bi._append_part
+    calls = {"n": 0}
+
+    def tear_after_bands(df, pp, part, nb, m):
+        if calls["n"] == 1:
+            raise RuntimeError("torn after bands")
+        calls["n"] += 1
+        return real_append_part(df, pp, part, nb, m)
+
+    bi._append_part = tear_after_bands
+    try:
+        with pytest.raises(RuntimeError, match="torn"):
+            bi.band_index_append(spark, path, batch, tag="s#7")
+    finally:
+        bi._append_part = real_append_part
+
+    # torn: the record is served from the pending marker
+    rec = bi.band_index_appended_ids(spark, path, "s#7")
+    assert sorted(r[0] for r in rec.collect()) == [20, 21, 22, 23, 24]
+    meta = bi._sidecar_read(bi._local_sidecar_path(path))
+    torn_dir = meta["pending_appends"][0]["appended_ids"]
+
+    # replay heals and commits the SAME recording (no rewrite)
+    bi.band_index_append(spark, path, batch, tag="s#7")
+    meta2 = bi._sidecar_read(bi._local_sidecar_path(path))
+    assert meta2.get("pending_appends") is None
+    assert meta2["last_append_ids"] == torn_dir
+    rec2 = bi.band_index_appended_ids(spark, path, "s#7")
+    assert sorted(r[0] for r in rec2.collect()) == [20, 21, 22, 23, 24]

@@ -976,3 +976,98 @@ def test_near_dup_policy_band_only_membership(spark, tmp_path):
     )
     assert rpt.rows_written == 1 and rpt.rows_rejected == 1
     assert any("band membership" in n for n in rpt.notes)
+
+
+def test_semantic_dup_gate_skip_error_and_stale(spark, tmp_path):
+    """Vector-side dedup-on-ingest: an incoming row whose TEXT is new
+    but whose EMBEDDING duplicates a stored vector is skipped (policy
+    'skip', accounted in rows_rejected + a note) or raises the typed
+    SemanticDuplicateError (policy 'error'); genuinely novel vectors
+    pass; a stale index (collection mutated out-of-band) refuses to
+    gate with StaleIndexError rather than silently comparing against
+    deleted state."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        SemanticDuplicateError,
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="semg",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") < 40)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "semg")
+    assigned, C = ivf_build(coll, n_centroids=4, seed=42)
+    idx = f"{root}/semg/_ivf"
+    ivf_write(assigned, C, idx, metric="cosine", source=(root, "semg"),
+              build={"metric": "l2", "seed": 42})
+
+    # incoming: 100 re-encodes doc 7's stored vector under new text
+    # (the text gate cannot see this); 101 carries a genuinely novel
+    # vector
+    stored7 = e.filter(F.col("vec_id") == 7).first()["embedding"]
+    novel = e.filter(F.col("vec_id") == 101).first()["embedding"]
+    inc = spark.createDataFrame(
+        [
+            (100, "totally different words about something else", stored7),
+            (101, "more new prose entirely", novel),
+        ],
+        "doc_id bigint, text string, embedding array<float>",
+    )
+    gated = replace(
+        cfg,
+        semantic_dup_index=idx,
+        semantic_dup_policy="skip",
+        semantic_dup_threshold=0.99,
+        semantic_dup_nprobe=4,  # all cells: exact
+    )
+    # policy 'error' first (raises BEFORE any write, so the index
+    # stays fresh for the next assertion)
+    with pytest.raises(SemanticDuplicateError, match="semantically"):
+        hydrate(
+            spark,
+            spark.createDataFrame(
+                [(102, "again different text", stored7)],
+                "doc_id bigint, text string, embedding array<float>",
+            ),
+            replace(gated, semantic_dup_policy="error"),
+        )
+
+    rpt = hydrate(spark, inc, gated)
+    assert rpt.rows_written == 1 and rpt.rows_rejected == 1
+    assert any("semantic-duplicate" in n for n in rpt.notes)
+    ids = {r["id"] for r in read_collection(spark, root, "semg").collect()}
+    assert "101" in ids and "100" not in ids
+
+    # that (gated, skip) hydrate mutated the collection, so the index
+    # is now stale: gating through it must refuse loudly rather than
+    # silently comparing against the pre-write corpus
+    with pytest.raises(StaleIndexError, match="STALE"):
+        hydrate(
+            spark,
+            spark.createDataFrame(
+                [(103, "text", novel)],
+                "doc_id bigint, text string, embedding array<float>",
+            ),
+            gated,
+        )

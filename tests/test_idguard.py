@@ -1,0 +1,283 @@
+"""The corpus-independent double-ingest guard (operators/idguard.py):
+Bloom filter math (no false negatives, deterministic JVM-side
+hashing, file roundtrip, merge), and its integration into the
+band-index / IVF / IVF-PQ appends — the steady-state append must
+settle its guard WITHOUT touching any corpus-sized dataset, while
+replays stay exactly-once through the exact fallback."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.operators import idguard as ig
+from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+    load_table,
+)
+
+from .conftest import SF_SMOKE
+
+
+def test_bloom_no_false_negatives_and_roundtrip(spark, tmp_path):
+    """The filter's one hard guarantee: an inserted id NEVER tests
+    negative (a false negative would let a replay double-ingest).
+    Plus: file roundtrip is bit-exact, merge preserves both sides,
+    and mismatched-capacity merges refuse loudly."""
+    ids = spark.range(0, 3000).selectExpr("cast(id as string) as s")
+    m, k = ig.bloom_params(3000)
+    words = ig.bloom_build(ids, F.col("s"), m, k)
+
+    probe = spark.range(0, 3000).selectExpr("cast(id as string) as s")
+    got = probe.select(
+        ig.bloom_might_contain(probe, F.col("s"), words, m, k).alias("x")
+    ).collect()
+    assert all(r["x"] for r in got)  # zero false negatives
+
+    # absent ids: mostly negative (fp rate ~0.8% at 10 bits/id)
+    absent = spark.range(100000, 102000).selectExpr("cast(id as string) as s")
+    fp = (
+        absent.select(
+            ig.bloom_might_contain(absent, F.col("s"), words, m, k).alias("x")
+        )
+        .filter("x")
+        .count()
+    )
+    assert fp < 2000 * 0.05  # generous bound; expected ~16
+
+    p = str(tmp_path)
+    fname = ig.fresh_bloom_file(p)
+    ig.bloom_write(p, fname, words, m, k)
+    w2, m2, k2 = ig.bloom_read(p, fname)
+    assert (w2 == words).all() and (m2, k2) == (m, k)
+
+    other = spark.range(50000, 50100).selectExpr("cast(id as string) as s")
+    w3 = ig.bloom_build(other, F.col("s"), m, k)
+    merged = ig.bloom_or(words, w3)
+    both = spark.range(50000, 50100).selectExpr("cast(id as string) as s")
+    assert (
+        both.select(
+            ig.bloom_might_contain(both, F.col("s"), merged, m, k).alias("x")
+        )
+        .filter("x")
+        .count()
+        == 100
+    )
+    with pytest.raises(ValueError, match="different sizes"):
+        ig.bloom_or(words, np.zeros(8, dtype=np.uint64))
+
+
+def test_bloom_params_sizing():
+    m, k = ig.bloom_params(1)
+    assert m == 1 << 16 and 1 <= k <= 8  # floor
+    m, k = ig.bloom_params(10_000_000)
+    assert m == 100_000_000  # 10 bits/id, already word-aligned
+    assert m % 64 == 0 and k == 7
+
+
+def test_band_append_steady_state_never_reads_ids(spark, tmp_path, monkeypatch):
+    """THE corpus-independence proof for the band index: an all-new
+    batch appended to a filter-carrying index settles its guard with
+    zero reads of ANY persisted part (ids/sizes/bands) — at 10^9
+    indexed docs the old full-ids anti-join was a multi-GB scan per
+    micro-batch. A replayed (all-duplicate) batch still converges,
+    through the exact fallback."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "ig_band")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 30), path, id_col="doc_id", text_col="text"
+    )
+    assert bi.band_index_meta(path)["id_bloom"]["hash"] == ig.HASH_SPEC
+
+    reads = []
+    real = bi._read_part
+
+    def counting(spark_, path_, part, meta):
+        reads.append(part)
+        return real(spark_, path_, part, meta)
+
+    monkeypatch.setattr(bi, "_read_part", counting)
+
+    # all-new batch: guard settles filter-only — no part reads at all
+    b_new = d.filter(F.col("doc_id").between(30, 34)).select("doc_id", "text")
+    assert bi.band_index_append(spark, path, b_new) == 5
+    guard_reads = [p for p in reads if p in ("ids", "sizes")]
+    assert guard_reads == [], reads
+
+    # replay (all-duplicate): filter-positive -> exact fallback reads
+    # ids once, converges to zero new rows
+    reads.clear()
+    assert bi.band_index_append(spark, path, b_new) == 0
+    assert "ids" in reads
+    bands_t, _ = bi.band_index_read(spark, path)
+    assert bands_t.count() == 35 * 8
+    ids_t = spark.read.parquet(
+        f"{path}/{bi.band_index_meta(path)['locations']['ids']}"
+    )
+    assert ids_t.count() == ids_t.distinct().count() == 35
+
+
+def test_band_prefilter_index_heals_filter_on_first_append(spark, tmp_path):
+    """A pre-r11 index (no id_bloom) pays one full id scan on its
+    first append and carries a filter thereafter; the filter then
+    covers BOTH old and newly-appended ids (a replay of either is
+    caught)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "ig_legacy")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20), path, id_col="doc_id", text_col="text"
+    )
+    # demote: strip the filter from the sidecar and disk
+    p = bi._local_sidecar_path(path)
+    meta = bi._sidecar_read(p)
+    os.remove(os.path.join(p, meta.pop("id_bloom")["location"]))
+    bi._sidecar_write(p, meta)
+
+    b = d.filter(F.col("doc_id").between(20, 24)).select("doc_id", "text")
+    assert bi.band_index_append(spark, path, b) == 5
+    bm = bi.band_index_meta(path)["id_bloom"]
+    words, m, k = ig.bloom_read(p, bm["location"])
+    # filter covers the pre-existing ids AND the batch
+    allid = spark.range(0, 25).selectExpr("cast(id as string) as s")
+    assert (
+        allid.select(
+            ig.bloom_might_contain(allid, F.col("s"), words, m, k).alias("x")
+        )
+        .filter("x")
+        .count()
+        == 25
+    )
+    # replays of OLD ids are caught through the healed filter
+    old = d.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    assert bi.band_index_append(spark, path, old) == 0
+
+
+def test_band_compact_resizes_filter(spark, tmp_path):
+    """Compaction re-sizes the filter from the CURRENT id count and
+    GCs the superseded file — append-grown indexes recover their
+    designed false-positive rate without a rebuild."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "ig_compact")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 10), path, id_col="doc_id", text_col="text"
+    )
+    p = bi._local_sidecar_path(path)
+    before = bi.band_index_meta(path)["id_bloom"]["location"]
+    bi.band_index_append(
+        spark, path, d.filter(F.col("doc_id").between(10, 19)).select("doc_id", "text")
+    )
+    bi.band_index_compact(spark, path)
+    after = bi.band_index_meta(path)["id_bloom"]
+    assert after["location"] != before
+    blooms = [f for f in os.listdir(p) if f.startswith("ids_bloom_v")]
+    assert blooms == [after["location"]]
+    # guard still exact after the resize
+    assert (
+        bi.band_index_append(
+            spark, path, d.filter(F.col("doc_id") < 20).select("doc_id", "text")
+        )
+        == 0
+    )
+
+
+def test_ivf_append_filter_guard_and_crash_convergence(spark, tmp_path):
+    """IVF: the filter is committed BEFORE the cells append (superset
+    invariant), so a crash between the two leaves the replay
+    filter-positive -> exact path -> exactly-once rows. Steady-state
+    appends must not scan the cells data for the guard (plan check:
+    the guarded batch's plan reads no cells files)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=4, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "ig_ivf")
+    ann.ivf_write(assigned, C, path, metric="l2")
+    import json
+
+    with open(os.path.join(path, "ivf_index.json")) as f:
+        assert json.load(f)["id_bloom"]["hash"] == ig.HASH_SPEC
+
+    batch = e.filter(F.col("vec_id").between(40, 44)).select(
+        "vec_id", "embedding"
+    )
+    assert ann.ivf_append(spark, path, batch) == 5
+    loaded, _, _ = ann.ivf_read(spark, path)
+    assert loaded.count() == 45
+    # replay converges through the exact fallback
+    assert ann.ivf_append(spark, path, batch) == 0
+    loaded, _, _ = ann.ivf_read(spark, path)
+    assert loaded.count() == 45
+
+    # crash sim: filter write succeeds, data append explodes
+    b2 = e.filter(F.col("vec_id").between(45, 49)).select(
+        "vec_id", "embedding"
+    )
+    real = ann._assign_to_centroids
+
+    def boom(*a, **kw):
+        raise RuntimeError("crash mid-append")
+
+    ann._assign_to_centroids = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash"):
+            ann.ivf_append(spark, path, b2)
+    finally:
+        ann._assign_to_centroids = real
+    # replay: batch is filter-positive (filter committed first), exact
+    # check finds nothing on disk, appends exactly once
+    assert ann.ivf_append(spark, path, b2) == 5
+    loaded, _, _ = ann.ivf_read(spark, path)
+    assert loaded.count() == 50
+    assert loaded.select("vec_id").distinct().count() == 50
+
+
+def test_ivf_pq_append_filter_guard(spark, tmp_path):
+    """IVF-PQ: same filter contract as IVF — build writes it, appends
+    prescreen + extend it, replays converge."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        pq,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    encoded, C, books = pq.ivf_pq_build(
+        corpus, n_centroids=4, m=8, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "ig_ivfpq")
+    pq.ivf_pq_write(encoded, C, books, path)
+    import json
+
+    with open(os.path.join(path, "ivf_pq_index.json")) as f:
+        assert json.load(f)["id_bloom"]["hash"] == ig.HASH_SPEC
+
+    batch = e.filter(F.col("vec_id").between(40, 44)).select(
+        "vec_id", "embedding"
+    )
+    assert pq.ivf_pq_append(spark, path, batch, id_col="vec_id") == 5
+    assert pq.ivf_pq_append(spark, path, batch, id_col="vec_id") == 0
+    loaded, _, _ = pq.ivf_pq_read(spark, path)
+    assert loaded.count() == 45
+    assert loaded.select("vec_id").distinct().count() == 45
+    with pytest.raises(ValueError, match="already"):
+        pq.ivf_pq_append(
+            spark, path, batch, id_col="vec_id", on_existing="error"
+        )

@@ -263,3 +263,35 @@ def test_canonical_url_strips_tracking_and_case(spark):
     assert got_p[2] == "http://site.com/x"
     assert got_p[1] != got_p[2]
     assert got_p[3] == "https://host.com:9443/y"
+
+
+def test_canonical_url_unparseable_keeps_per_row_key(spark):
+    """Scheme-less / unparseable URLs must NOT collapse into one NULL
+    canonical key: in a groupBy-canonical dedup pass that would
+    discard all-but-one malformed URL as \"duplicates\" of each
+    other. Each falls back to its raw string as its own key; parseable
+    rows in the same frame still canonicalize."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
+        canonical_url,
+    )
+
+    rows = [
+        (1, "example.com/no-scheme?a=1"),
+        (2, "not a url at all"),
+        (3, "example.com/other"),
+        (4, "HTTP://Example.com/ok?utm_source=x&a=1"),
+    ]
+    df = spark.createDataFrame(rows, "id int, u string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select("id", canonical_url("u").alias("c")).collect()
+    }
+    assert got[1] == "example.com/no-scheme?a=1"  # raw fallback
+    assert got[2] == "not a url at all"
+    assert got[3] == "example.com/other"
+    assert got[4] == "http://example.com/ok?a=1"  # parseable unaffected
+    assert None not in got.values()
+    # three distinct malformed inputs -> three distinct dedup keys
+    assert len({got[1], got[2], got[3]}) == 3

@@ -171,3 +171,50 @@ def test_positional_index_serve_pushes_term_filters(spark, tmp_path):
         ).collect()
     }
     assert got == want and got[2] == 1
+
+
+def test_phrase_bm25_from_index_filter_then_rank(spark):
+    """Quoted-query composition: output docs are EXACTLY the phrase
+    matches, and each candidate's BM25 equals its UNRESTRICTED score
+    (the candidates semi-join must not re-weight the corpus length
+    model)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        bm25_from_index,
+        inverted_postings,
+        phrase_bm25_from_index,
+        phrase_match,
+        positional_postings,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pos = positional_postings(d, id_col="doc_id", text_col="text")
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    # the sf0.001 smoke fixture lacks "fast table scan" (that's an
+    # sf0.01 phrase); "big order scan" occurs in 9 smoke docs
+    phrase = ["big", "order", "scan"]
+
+    out = phrase_bm25_from_index(
+        pos, postings, stats, phrase, id_col="doc_id"
+    )
+    got = {r["doc_id"]: (r["n_matches"], r["bm25"]) for r in out.collect()}
+    assert got, "fixture should contain the phrase"
+
+    want_matches = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_match(pos, phrase, id_col="doc_id").collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == want_matches
+
+    unrestricted = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(
+            postings, stats, phrase, id_col="doc_id"
+        ).collect()
+    }
+    for doc, (_n, score) in got.items():
+        assert score == unrestricted[doc], doc

@@ -64,3 +64,12 @@ class NearDuplicateError(EngineError):
     ``near_dup_policy='error'`` (the content-level sibling of
     ``DuplicateIdError``: same id semantics Chroma enforces, applied
     to document TEXT via the persisted MinHash band index)."""
+
+
+class SemanticDuplicateError(EngineError):
+    """Hydration input contains EMBEDDING-level near-duplicates of
+    already-ingested vectors and the collection was hydrated with
+    ``semantic_dup_policy='error'`` — the vector-side sibling of
+    ``NearDuplicateError``: a paraphrase or re-encode whose text
+    differs but whose embedding cosine against a stored vector
+    reaches the threshold (gated via the persisted IVF index)."""

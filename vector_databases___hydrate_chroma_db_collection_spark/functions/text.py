@@ -402,13 +402,20 @@ def canonical_url(url: Column | str, *, drop_params: tuple = ()) -> Column:
     dedup key that gets persisted and logged.
 
     All codegen expressions over Spark's real URL parser
-    (``parse_url`` PROTOCOL/HOST/AUTHORITY/PATH/QUERY) — no UDF;
-    NULL-safe for URLs without a query string."""
+    (``try_parse_url`` PROTOCOL/HOST/AUTHORITY/PATH/QUERY — the
+    ``try_`` form: ANSI-mode ``parse_url`` RAISES on invalid input,
+    and a crawl corpus always contains invalid URLs) — no UDF;
+    NULL-safe for URLs without a query string. Scheme-less or
+    otherwise unparseable URLs (PROTOCOL/HOST parse to NULL) fall
+    back to the RAW url as their own canonical key — were the NULL
+    propagated instead, a groupBy-canonical dedup pass would collapse
+    every malformed URL into one NULL key and discard all but one as
+    "duplicates" of each other."""
     u = _c(url)
     tracked = ("utm_", "gclid", "fbclid", "msclkid", "mc_eid") + tuple(
         drop_params
     )
-    q = F.parse_url(u, F.lit("QUERY"))
+    q = F.try_parse_url(u, F.lit("QUERY"))
     kept = F.filter(
         F.split(F.coalesce(q, F.lit("")), "&"),
         lambda p: (p != F.lit(""))
@@ -421,17 +428,20 @@ def canonical_url(url: Column | str, *, drop_params: tuple = ()) -> Column:
     # HOST excludes userinfo AND port; recover the port (digits after
     # the authority's final colon) so distinct servers stay distinct.
     port = F.regexp_extract(
-        F.coalesce(F.parse_url(u, F.lit("AUTHORITY")), F.lit("")),
+        F.coalesce(F.try_parse_url(u, F.lit("AUTHORITY")), F.lit("")),
         ":(\\d+)$",
         1,
     )
-    return F.concat(
-        F.lower(F.parse_url(u, F.lit("PROTOCOL"))),
+    canon = F.concat(
+        F.lower(F.try_parse_url(u, F.lit("PROTOCOL"))),
         F.lit("://"),
-        F.lower(F.parse_url(u, F.lit("HOST"))),
+        F.lower(F.try_parse_url(u, F.lit("HOST"))),
         F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
-        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")),
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")),
         F.when(q_canon == "", F.lit("")).otherwise(
             F.concat(F.lit("?"), q_canon)
         ),
     )
+    # concat propagates the NULL that parse_url yields on scheme-less
+    # / unparseable input; each such URL must keep a per-row key
+    return F.coalesce(canon, u)

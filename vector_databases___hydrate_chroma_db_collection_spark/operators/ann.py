@@ -955,20 +955,65 @@ def ivf_write(
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, cells_dir)
     )
+    # id-guard Bloom over the persisted ids (operators/idguard.py):
+    # what lets ivf_append prescreen its double-ingest guard with
+    # zero corpus IO instead of anti-joining every batch against the
+    # full cells id column. Built from the freshly-written parquet
+    # (one bounded column scan); capacity 4x the build count gives
+    # append headroom, ivf_compact re-sizes from the current count.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+
+    spark = assigned.sparkSession
+    cells_back = spark.read.parquet(os.path.join(path, cells_dir))
+    idc = [c for c in cells_back.columns if c != "ivf_cell"][0]
+    m_b, k_b = idguard.bloom_params(max(4 * cells_back.count(), 1))
+    words = idguard.bloom_build(
+        cells_back, F.col(idc).cast("string"), m_b, k_b
+    )
+    bloom_file = idguard.fresh_bloom_file(
+        path, ((old_meta or {}).get("id_bloom") or {}).get("location")
+    )
+    idguard.bloom_write(path, bloom_file, words, m_b, k_b)
+    # build-time per-cell training stats: the baseline
+    # ivf_balance_audit compares appended drift against. One scan of
+    # the freshly-written cells with the ASSIGNMENT metric's math.
+    assign_metric = (build or {}).get("metric", metric)
+    stats = {
+        int(r["ivf_cell"]): (int(r["n_rows"]), float(r["mean_dist"]))
+        for r in _cell_stats(spark, cells_back, centroids, assign_metric)
+        .collect()
+    }
+    n_cells = int(centroids.shape[0])
+    train_stats = {
+        "cell_rows": [stats.get(i, (0, 0.0))[0] for i in range(n_cells)],
+        "cell_mean_dist": [
+            stats.get(i, (0, 0.0))[1] for i in range(n_cells)
+        ],
+    }
     _atomic_sidecar_write(
         path,
         "ivf_index.json",
         {
             "metric": metric,
-            "n_centroids": int(centroids.shape[0]),
+            "n_centroids": n_cells,
             "dim": int(centroids.shape[1]),
             "centroids": centroids.tolist(),
             "source": stamp,
             "build": build,
             "location": cells_dir,
+            "train_stats": train_stats,
+            "id_bloom": {
+                "location": bloom_file,
+                "m": m_b,
+                "k": k_b,
+                "hash": idguard.HASH_SPEC,
+            },
         },
     )
     _drop_old_cells(path, old_meta, cells_dir)
+    idguard.gc_bloom_files(path, {bloom_file})
 
 
 def ivf_read(
@@ -1023,16 +1068,29 @@ def ivf_append(
     existing schema's types so appended files carry the identical
     parquet schema.
 
-    Double-ingest is guarded, not caller-trusted: incoming ids are
-    anti-joined against the ids already indexed (one columnar scan of
-    the id column); ``on_existing='skip'`` (default) makes replays
-    idempotent, ``'error'`` raises naming the count. The guarded
+    Double-ingest is guarded, not caller-trusted — and
+    CORPUS-INDEPENDENTLY in the steady state: incoming ids are
+    prescreened against the id-guard Bloom sidecar
+    (``operators/idguard.py``; a committed filter is a superset of
+    the indexed ids, so filter-negative = definitely new, zero
+    corpus IO) and only filter-positive ids (true replays + ~0.8%
+    false positives) are anti-joined against the indexed id column.
+    The filter is re-merged with the whole batch and committed
+    BEFORE the data append (superset invariant survives any crash);
+    pre-filter indexes pay one full id scan on their first append
+    and carry a filter thereafter. ``on_existing='skip'`` (default)
+    makes replays idempotent, ``'error'`` raises naming the count. The guarded
     batch is eagerly materialized (localCheckpoint) BEFORE the append
     so the write never re-lists the directory it writes into. A
-    single-dataset append needs no torn-write protocol: the parquet
-    job commit is all-or-nothing for readers, and a replay after a
-    crash between the append and the sidecar re-stamp is converged by
-    the guard.
+    single-dataset append needs no torn-write protocol — but NOT
+    because the job commit is atomic (a Spark append commit is not
+    atomic across task files; a concurrent reader, or a crash
+    mid-commit, can observe a PREFIX of the batch). It converges
+    because every id holds exactly one row, each row lives whole
+    inside one task file, and the replay guard is id-granular: a
+    replay re-appends precisely the ids whose rows did not land and
+    skips the ones that did, so the cells dataset reaches
+    exactly-once row counts without part-level healing.
 
     ``expected_prev_etag``: same foreign-mutation fence as
     ``band_index_append`` — pass the etag observed before your own
@@ -1067,6 +1125,10 @@ def ivf_append(
                 "since the index was last stamped — run ivf_refresh "
                 "instead"
             )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+
     loc = os.path.join(p, meta.get("location", "cells"))
     existing = spark.read.parquet(loc)
     exist_id, exist_emb = [c for c in existing.columns if c != "ivf_cell"][:2]
@@ -1074,7 +1136,7 @@ def ivf_append(
     ec = embedding_col or exist_emb
     types = dict(existing.dtypes)
     inc_id = F.col(ic).cast(types[exist_id])
-    fresh = (
+    batch = (
         new_rows.select(
             inc_id.alias(exist_id),
             F.col(ec).cast(types[exist_emb]).alias(exist_emb),
@@ -1084,18 +1146,41 @@ def ivf_append(
         # id twice (duplicate cells rows would waste top-k slots and
         # can never be removed by a replay)
         .dropDuplicates([exist_id])
-        .join(
-            existing.select(F.col(exist_id).alias("_have_id")),
-            F.col(exist_id) == F.col("_have_id"),
-            "left_anti",
-        )
     )
+    have = existing.select(F.col(exist_id).alias("_have_id"))
+    bloom_meta = meta.get("id_bloom")
+    ig_state = None
+    if bloom_meta is not None:
+        # corpus-independent prescreen (operators/idguard.py): the
+        # committed filter is a superset of the indexed ids, so
+        # filter-negative = definitely new with ZERO corpus IO; only
+        # filter-positive ids (replays + false positives) pay the
+        # exact anti-join against the cells id column.
+        neg, maybe, ig_state = idguard.bloom_split(
+            batch, p, bloom_meta, exist_id
+        )
+        fresh = (
+            neg
+            if maybe is None
+            else neg.unionByName(
+                maybe.join(
+                    have, F.col(exist_id) == F.col("_have_id"), "left_anti"
+                )
+            )
+        )
+    else:
+        maybe = batch  # pre-filter index: exact path for the whole batch
+        fresh = batch.join(
+            have, F.col(exist_id) == F.col("_have_id"), "left_anti"
+        )
     if on_existing == "error":
-        n_dup = new_rows.join(
-            existing.select(F.col(exist_id).alias("_have_id")),
-            inc_id == F.col("_have_id"),
-            "left_semi",
-        ).count()
+        n_dup = (
+            maybe.join(
+                have, F.col(exist_id) == F.col("_have_id"), "left_semi"
+            ).count()
+            if maybe is not None
+            else 0
+        )
         if n_dup:
             raise ValueError(
                 f"ivf_append: {n_dup} incoming id(s) are already indexed "
@@ -1105,6 +1190,20 @@ def ivf_append(
     fresh = fresh.localCheckpoint(eager=True)
     n_new = fresh.count()
     if n_new:
+        # -- persist the merged id-guard filter BEFORE the data append:
+        # a committed filter must stay a SUPERSET of the indexed ids
+        # (a missing id would let its replay skip the exact check and
+        # double-ingest); supersets are safe, so the WHOLE batch goes
+        # in and a crash mid-append leaves the replay filter-positive,
+        # routed into the exact id-granular convergence path.
+        idguard.bloom_extend(
+            p,
+            meta,
+            ig_state,
+            batch.select(F.col(exist_id).cast("string").alias("_s")),
+            fallback_ids=existing.select(F.col(exist_id).cast("string")),
+        )
+        _atomic_sidecar_write(p, "ivf_index.json", meta)
         build = meta.get("build") or {}
         assign_metric = build.get("metric", meta["metric"])
         assigned = _assign_to_centroids(
@@ -1119,7 +1218,254 @@ def ivf_append(
     if src is not None:
         meta["source"] = _source_stamp((src["root"], src["name"]))
         _atomic_sidecar_write(p, "ivf_index.json", meta)
+    idguard.gc_bloom_files(
+        p, {(meta.get("id_bloom") or {}).get("location")}
+    )
     return n_new
+
+
+def _dist_to_centroid(emb, cen, metric: str):
+    """Row-to-assigned-centroid distance as a pure codegen expression
+    (zip_with + aggregate — no UDF): l2 distance, or cosine DISTANCE
+    (1 - cos). Used by the build-time training stats and the balance
+    audit, so both sides of the drift comparison use identical math."""
+    dot = F.aggregate(
+        F.zip_with(emb, cen, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if metric == "cosine":
+        nx = F.sqrt(
+            F.aggregate(
+                F.transform(emb, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        nc = F.sqrt(
+            F.aggregate(
+                F.transform(cen, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        # ANSI mode raises on /0 — floor the denominator
+        return F.lit(1.0) - dot / F.greatest(nx * nc, F.lit(1e-300))
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(emb, cen, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _centroid_df(spark, C: np.ndarray) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(C)],
+        "ivf_cell int, _centroid array<double>",
+    )
+
+
+def _cell_stats(
+    spark, cells: DataFrame, C: np.ndarray, metric: str
+) -> DataFrame:
+    """Per-cell (n_rows, mean assignment distance) over an assigned
+    cells dataset: one broadcast join against the (tiny) centroid
+    table + one map-side-combinable aggregate — a single scan however
+    large the corpus."""
+    emb = [c for c in cells.columns if c not in ("ivf_cell",)][1]
+    return (
+        cells.join(F.broadcast(_centroid_df(spark, C)), "ivf_cell")
+        .select(
+            "ivf_cell",
+            _dist_to_centroid(
+                F.col(emb), F.col("_centroid"), metric
+            ).alias("_d"),
+        )
+        .groupBy("ivf_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg("_d").alias("mean_dist"),
+        )
+    )
+
+
+def ivf_balance_audit(
+    spark,
+    path: str,
+    *,
+    skew_threshold: float = 4.0,
+    drift_threshold: float = 1.5,
+    dist_decimals: int = 4,
+) -> DataFrame:
+    """The audit ``ivf_append`` defers to ("refresh when recall or
+    balance audits say so"): per-cell occupancy and assignment-
+    distance drift of the CURRENT cells dataset versus the sidecar's
+    recorded build-time training stats, as a small (n_centroids-row)
+    DataFrame —
+
+    ``(ivf_cell, n_rows, occupancy_ratio, mean_dist, trained_n_rows,
+    trained_mean_dist, refresh_recommended)``
+
+    ``occupancy_ratio`` is the cell's share of rows relative to a
+    perfectly balanced index (n_rows * n_centroids / total);
+    ``refresh_recommended`` flips when a cell is over
+    ``skew_threshold``-times overfull (hot cells make nprobe scans
+    lopsided and recall/latency unpredictable; note the ratio is
+    bounded by ``n_centroids``, so pick a threshold below it — the
+    default 4.0 assumes production-sized cell counts) or its mean assignment
+    distance exceeds ``drift_threshold``-times its trained mean (the
+    appended data has drifted away from the trained centroids —
+    nearest-EXISTING-centroid assignment is getting worse, run
+    ``ivf_refresh``). Indexes written before training stats were
+    recorded audit occupancy only (trained columns NULL, drift
+    untested). One scan of the cells dataset (broadcast centroid
+    join + map-side-combinable aggregate) — audit cost is corpus-scan
+    bound, run it at the cadence appends warrant, not per batch."""
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_index.json")) as f:
+        meta = json.load(f)
+    cells = spark.read.parquet(
+        os.path.join(p, meta.get("location", "cells"))
+    )
+    C = np.asarray(meta["centroids"])
+    build = meta.get("build") or {}
+    metric = build.get("metric", meta["metric"])
+    cur = _cell_stats(spark, cells, C, metric)
+    n_cells = int(meta["n_centroids"])
+    total = cur.select(F.sum("n_rows")).first()[0] or 0
+    trained = meta.get("train_stats")
+    if trained is not None:
+        tdf = spark.createDataFrame(
+            [
+                (i, int(n), float(d))
+                for i, (n, d) in enumerate(
+                    zip(trained["cell_rows"], trained["cell_mean_dist"])
+                )
+            ],
+            "ivf_cell int, trained_n_rows bigint, trained_mean_dist double",
+        )
+    else:
+        tdf = spark.createDataFrame(
+            [(i, None, None) for i in range(n_cells)],
+            "ivf_cell int, trained_n_rows bigint, trained_mean_dist double",
+        )
+    occ = (F.col("n_rows") * n_cells / F.greatest(F.lit(total), F.lit(1))).cast(
+        "double"
+    )
+    drifted = F.coalesce(
+        (F.col("trained_mean_dist") > 0)
+        & (
+            F.col("mean_dist")
+            > F.lit(drift_threshold) * F.col("trained_mean_dist")
+        ),
+        F.lit(False),
+    )
+    return (
+        tdf.join(cur, "ivf_cell", "left")
+        .select(
+            "ivf_cell",
+            F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+            F.round(
+                F.coalesce(occ, F.lit(0.0)), dist_decimals
+            ).alias("occupancy_ratio"),
+            F.round("mean_dist", dist_decimals).alias("mean_dist"),
+            "trained_n_rows",
+            F.round("trained_mean_dist", dist_decimals).alias(
+                "trained_mean_dist"
+            ),
+            (
+                (F.coalesce(occ, F.lit(0.0)) > skew_threshold) | drifted
+            ).alias("refresh_recommended"),
+        )
+    )
+
+
+def _data_files(loc: str) -> int:
+    """Parquet data-file count under a directory (bookkeeping files
+    excluded) — the quantity compaction exists to bound."""
+    import os
+
+    n = 0
+    for _root, _dirs, files in os.walk(loc):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def ivf_compact(
+    spark, path: str, *, sidecar: str = "ivf_index.json"
+) -> tuple[int, int]:
+    """Compact an append-grown IVF (or, via ``sidecar``, IVF-PQ)
+    cells dataset: every ``ivf_append``/``ivf_pq_append`` lands one
+    file per touched cell per batch (``mode('append')
+    .partitionBy('ivf_cell')``), so a long ingest loop degrades every
+    serve-time cell scan with per-file open/footer costs — the classic
+    small-files problem, the vector twin of what
+    ``band_index_compact`` fixes for the band index. This rewrites
+    the CURRENT rows into a fresh versioned directory with each cell
+    repartitioned into a single task (one data file per cell) and
+    commits by the same atomic sidecar swap as a rebuild — concurrent
+    readers see the pre-compact index until the swap, the post-compact
+    index after, never a torn mix. Content, centroids and codebooks
+    are untouched (compaction is not a freshness event: the source
+    stamp carries over unchanged), and the id-guard Bloom filter is
+    RE-SIZED from the current id count, restoring the designed
+    false-positive rate an append-grown index has outgrown.
+
+    Returns ``(files_before, files_after)``. Safe to interleave with
+    id-guarded appends: an append replayed across a compaction still
+    converges (the guard is id-granular against the compacted rows).
+    Cells large enough to need multi-file splits should lower
+    ``spark.sql.files.maxRecordsPerFile`` for the session instead.
+    """
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, sidecar)) as f:
+        meta = json.load(f)
+    old_dir = meta.get("location", "cells")
+    old_loc = os.path.join(p, old_dir)
+    before = _data_files(old_loc)
+    df = spark.read.parquet(old_loc)
+    new_dir = _fresh_cells_dir(p)
+    new_loc = os.path.join(p, new_dir)
+    (
+        # one task per cell -> exactly one data file per cell dir
+        df.repartition(int(meta["n_centroids"]), F.col("ivf_cell"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(new_loc)
+    )
+    cells_back = spark.read.parquet(new_loc)
+    idc = [c for c in cells_back.columns if c not in ("ivf_cell", "pq_code")][0]
+    m_b, k_b = idguard.bloom_params(max(4 * cells_back.count(), 1))
+    words = idguard.bloom_build(
+        cells_back, F.col(idc).cast("string"), m_b, k_b
+    )
+    bloom_file = idguard.fresh_bloom_file(
+        p, (meta.get("id_bloom") or {}).get("location")
+    )
+    idguard.bloom_write(p, bloom_file, words, m_b, k_b)
+    meta["location"] = new_dir
+    meta["id_bloom"] = {
+        "location": bloom_file,
+        "m": m_b,
+        "k": k_b,
+        "hash": idguard.HASH_SPEC,
+    }
+    _atomic_sidecar_write(p, sidecar, meta)
+    _drop_old_cells(p, {"location": old_dir}, new_dir)
+    idguard.gc_bloom_files(p, {bloom_file})
+    return before, _data_files(new_loc)
 
 
 def ivf_refresh(

@@ -77,6 +77,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_databases___hydrate_chroma_db_collection_spark.operators import idguard
 from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
     _check_source_stamp,
     _local_sidecar_path,
@@ -239,18 +240,30 @@ def _drop_part_dirs(
         return
     p = _local_sidecar_path(path)
     old_nb = old_meta.get("num_buckets")
+    # pre-versioning sidecars (no "locations" map) registered their
+    # bucketed parts under the legacy name format
+    # band_index_<md5(abspath(INDEX path))>_<part> — derive and drop
+    # that too, or rebuilding over an r9-era index leaves stale
+    # catalog entries pointing at deleted directories in persistent
+    # metastores.
+    legacy = old_meta.get("locations") is None
+    legacy_digest = hashlib.md5(
+        os.path.abspath(path).encode("utf-8")
+    ).hexdigest()[:12]
     for part in _PARTS:
         old_d = _part_dir(old_meta, part)
         old_loc = os.path.join(p, old_d)
         if old_d == new_locations.get(part) or not os.path.exists(old_loc):
             continue
         if old_nb is not None and part in ("bands", "bucket_keys"):
-            try:
-                spark.sql(
-                    f"DROP TABLE IF EXISTS {_bucket_table(old_loc, old_nb)}"
-                )
-            except Exception:
-                pass
+            for tbl in (
+                [_bucket_table(old_loc, old_nb)]
+                + ([f"band_index_{legacy_digest}_{part}"] if legacy else [])
+            ):
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                except Exception:
+                    pass
         shutil.rmtree(old_loc, ignore_errors=True)
 
 
@@ -266,6 +279,7 @@ def band_index_build(
     include_shingles: bool = False,
     source: tuple[str, str] | None = None,
     num_buckets: int | None = 32,
+    expected_ids: int | None = None,
 ) -> None:
     """One-call build: shingle the corpus ONCE, derive band rows (and
     optionally the shingle postings + sizes for verified serving)
@@ -290,6 +304,7 @@ def band_index_build(
         source=source,
         shingles=sh if include_shingles else None,
         num_buckets=num_buckets,
+        expected_ids=expected_ids,
     )
     sh.unpersist()
 
@@ -306,6 +321,7 @@ def band_index_write(
     source: tuple[str, str] | None = None,
     shingles: DataFrame | None = None,
     num_buckets: int | None = 32,
+    expected_ids: int | None = None,
 ) -> None:
     """Persist a corpus band table (the output of ``lsh_band_rows``
     over the corpus) plus its sidecar.
@@ -334,7 +350,15 @@ def band_index_write(
     Always also persists ``ids`` — one row per indexed document id,
     the append guard's source of truth (one extra map-side-combinable
     distinct at build time; for shingled layouts it is derived from
-    the already-aggregated sizes rows).
+    the already-aggregated sizes rows) — plus the id-guard Bloom
+    sidecar over that set (``operators/idguard.py``), which is what
+    keeps incremental appends CORPUS-INDEPENDENT: an appending batch
+    probes the filter instead of scanning the ids dataset, and only
+    filter-positive ids (replays + ~0.8% false positives) pay the
+    exact anti-join. ``expected_ids`` sizes the filter's capacity
+    (default: 4x the build's id count — headroom for appends; the
+    filter is re-sized from the current count at every
+    ``band_index_compact``).
 
     Every part lands in a fresh versioned directory and the sidecar's
     ``locations`` map is swapped last, so a REBUILD over an existing
@@ -367,6 +391,21 @@ def band_index_write(
     else:
         ids = band_rows.select(id_col).distinct()
     locations["ids"] = _write_new_part(ids, path, "ids", None)
+    # id-guard Bloom over the persisted set (read back from the fresh
+    # parquet: one bounded column scan; the count is metadata-only)
+    spark = band_rows.sparkSession
+    ids_back = spark.read.parquet(os.path.join(p, locations["ids"]))
+    n_ids = ids_back.count()
+    m_b, k_b = idguard.bloom_params(
+        expected_ids if expected_ids else max(4 * n_ids, 1)
+    )
+    words = idguard.bloom_build(
+        ids_back, F.col(id_col).cast("string"), m_b, k_b
+    )
+    bloom_file = idguard.fresh_bloom_file(
+        p, ((old_meta or {}).get("id_bloom") or {}).get("location")
+    )
+    idguard.bloom_write(p, bloom_file, words, m_b, k_b)
     meta = {
         "kind": "minhash_band_index",
         "n": n,
@@ -379,6 +418,12 @@ def band_index_write(
         "has_shingles": shingles is not None,
         "num_buckets": num_buckets,
         "locations": locations,
+        "id_bloom": {
+            "location": bloom_file,
+            "m": m_b,
+            "k": k_b,
+            "hash": idguard.HASH_SPEC,
+        },
         "ddl": {
             "bands": ", ".join(f"`{c}` {t}" for c, t in band_rows.dtypes),
             "bucket_keys": ", ".join(f"`{c}` {t}" for c, t in keys.dtypes),
@@ -386,6 +431,12 @@ def band_index_write(
     }
     _sidecar_write(p, meta)
     _drop_part_dirs(band_rows.sparkSession, path, old_meta, locations)
+    # a rebuild supersedes every recorded per-tag append contribution
+    # (the fresh sidecar carries no last_append_*): GC the recordings
+    for d in os.listdir(p):
+        if d.startswith("append_ids_v"):
+            shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+    idguard.gc_bloom_files(p, {bloom_file})
 
 
 def band_index_meta(path: str) -> dict:
@@ -551,13 +602,22 @@ def band_index_append(
     different column names (values are still hashed with the RECORDED
     n/num_hashes/bands so appended rows join the existing family).
 
-    Double-ingest is guarded, not caller-trusted: incoming ids are
-    anti-joined against the index's ``ids`` dataset (one row per
-    indexed doc — the guard's single source of truth, written LAST in
-    every append so a torn append can never hide rows behind it;
-    legacy indexes without it fall back to ``sizes``/distinct
-    ``bands`` ids and are healed with a full ``ids`` dataset by their
-    first append). ``on_existing="skip"`` (default) silently drops
+    Double-ingest is guarded, not caller-trusted — and the guard is
+    CORPUS-INDEPENDENT in the steady state: the batch's ids are
+    prescreened against the id-guard Bloom sidecar
+    (``operators/idguard.py``; a committed filter is a superset of
+    the indexed ids, so filter-negative = definitely new, zero
+    corpus IO), and only filter-positive ids (true replays plus
+    ~fp_rate * |batch| false positives) are anti-joined against the
+    index's ``ids`` dataset (one row per indexed doc — the exact
+    source of truth, written LAST in every append so a torn append
+    can never hide rows behind it). The filter itself is re-merged
+    with the WHOLE batch and persisted BEFORE the first data write,
+    so a crash at any later point leaves the replay filter-positive
+    and routed into the exact path. Legacy indexes (no ``ids`` part
+    and/or no filter) fall back to ``sizes``/distinct ``bands`` ids
+    and are healed with a full ``ids`` dataset and a fresh filter by
+    their first append. ``on_existing="skip"`` (default) silently drops
     re-appended ids so replaying a batch is idempotent;
     ``"error"`` raises ValueError naming the count, for pipelines
     where a replay indicates a bug. Without the guard a re-append
@@ -668,28 +728,62 @@ def band_index_append(
     torn = bool(meta.get("pending_append")) or any(
         e.get("digest") == digest for e in pending
     )
+    # Per-tag appended-id attribution: the post-guard id set this
+    # batch contributes is persisted (tiny, batch-sized) so a replayed
+    # streaming batch can exclude EXACTLY its own contribution from
+    # the gate's reference — excluding the whole batch id set would
+    # wrongly discount rows a DIFFERENT batch contributed for a
+    # same-id redelivery (see band_index_appended_ids). A torn
+    # replay REUSES the first attempt's recorded set: the replay's
+    # recomputed post-guard set can be smaller (ids that landed
+    # before the crash are guarded away), and the verdict contract is
+    # "identical to the first attempt".
+    prev_entry = next((e for e in pending if e.get("digest") == digest), None)
+    app_dir = (prev_entry or {}).get("appended_ids")
+    replay_of_completed = tag is not None and tag == meta.get(
+        "last_append_tag"
+    )
 
-    # -- double-ingest guard: one bounded anti-join on the id --------
+    # -- double-ingest guard ------------------------------------------
     # Source of truth is the ids dataset (written LAST by every
     # append, so a torn append under-reports — replays re-run, never
-    # skip). Legacy pre-ids indexes derive the set once and are
-    # healed below.
+    # skip), but the COMMON case never scans it: the id-guard Bloom
+    # sidecar (a committed filter is a SUPERSET of the indexed ids —
+    # no false negatives) prescreens the batch with zero corpus IO,
+    # and only filter-positive ids (true replays + ~fp_rate*|batch|
+    # false positives) pay the exact anti-join. That keeps steady-
+    # state appends CORPUS-INDEPENDENT: at 10^9 indexed docs the old
+    # per-batch full-ids anti-join was a multi-GB scan per micro-
+    # batch. Torn replays bypass the filter (their healing is exact
+    # by construction); legacy pre-ids indexes derive the set once
+    # and are healed below.
     locations = dict(meta.get("locations") or {})
     heal_ids = "ids" not in locations
-    if not heal_ids:
-        have = _read_part(spark, path, "ids", meta).select(
-            F.col(meta["id_col"]).alias("_have_id")
-        )
-    elif meta.get("has_shingles"):
-        have = _read_part(spark, path, "sizes", meta).select(
-            F.col(meta["id_col"]).alias("_have_id")
-        )
-    else:
-        have = (
-            _read_part(spark, path, "bands", meta)
-            .select(F.col(meta["id_col"]).alias("_have_id"))
-            .distinct()
-        )
+    bloom_meta = meta.get("id_bloom")
+    _have_cache = []
+
+    def have() -> DataFrame:
+        # constructed LAZILY: the filter-clean steady state settles
+        # the guard without even opening the ids dataset's footers
+        if not _have_cache:
+            if not heal_ids:
+                df = _read_part(spark, path, "ids", meta).select(
+                    F.col(meta["id_col"]).alias("_have_id")
+                )
+            elif meta.get("has_shingles"):
+                df = _read_part(spark, path, "sizes", meta).select(
+                    F.col(meta["id_col"]).alias("_have_id")
+                )
+            else:
+                df = (
+                    _read_part(spark, path, "bands", meta)
+                    .select(F.col(meta["id_col"]).alias("_have_id"))
+                    .distinct()
+                )
+            _have_cache.append(df)
+        return _have_cache[0]
+
+    maybe = ig_state = None
     if torn and heal_ids:
         # Legacy pre-ids index whose FIRST versioned append tore: the
         # fallback guard reads the very parts the crashed attempt
@@ -698,10 +792,37 @@ def band_index_append(
         # the whole batch as fresh — the per-part replay dedupe below
         # drops whatever each part already holds.
         fresh = new_docs
+        maybe = new_docs  # on_existing='error' keeps its exact count
+    elif bloom_meta is not None and not torn and not heal_ids:
+        # steady state: prescreen the batch (zero corpus IO for
+        # filter-negative ids), exact-check only the accepted subset
+        neg, maybe, ig_state = idguard.bloom_split(
+            new_docs.withColumn(ic, inc_id), p, bloom_meta, ic
+        )
+        fresh = (
+            neg
+            if maybe is None
+            else neg.unionByName(
+                maybe.join(have(), inc_id == F.col("_have_id"), "left_anti")
+            )
+        )
     else:
-        fresh = new_docs.join(have, inc_id == F.col("_have_id"), "left_anti")
+        # torn replay (healing is exact by construction) or a
+        # pre-filter index's first append: the full anti-join
+        maybe = new_docs
+        fresh = new_docs.join(
+            have(), inc_id == F.col("_have_id"), "left_anti"
+        )
     if on_existing == "error":
-        n_dup = new_docs.join(have, inc_id == F.col("_have_id"), "left_semi").count()
+        # with a filter prescreen only the accepted subset can hold
+        # duplicates (rejected ids are definitely new)
+        n_dup = (
+            maybe.join(
+                have(), inc_id == F.col("_have_id"), "left_semi"
+            ).count()
+            if maybe is not None
+            else 0
+        )
         if n_dup:
             raise ValueError(
                 f"band_index_append: {n_dup} incoming id(s) are already "
@@ -728,12 +849,33 @@ def band_index_append(
         meta.pop("pending_append", None)  # legacy boolean marker
         if tag is not None:
             meta["last_append_tag"] = tag
+            if not replay_of_completed:
+                # dir of this batch's recorded contribution; None
+                # means "recorded as empty" (all-duplicate batch) —
+                # distinct from the key being absent (pre-r11 index,
+                # unrecorded). A pure replay of a COMPLETED append
+                # must not overwrite the first attempt's record: its
+                # own post-guard set is empty by then.
+                meta["last_append_ids"] = app_dir
         if locations != (meta.get("locations") or {}):
             meta["locations"] = locations
         src = meta.get("source")
         if src is not None:
             meta["source"] = _source_stamp((src["root"], src["name"]))
         _sidecar_write(p, meta)
+        # GC superseded appended-id recordings: anything not the
+        # committed record and not referenced by a still-pending
+        # (other-batch) marker. Runs after the sidecar commit, so a
+        # crash here leaks a tiny directory, never breaks a reader.
+        keep = {meta.get("last_append_ids")} | {
+            e.get("appended_ids") for e in remaining
+        }
+        for d in os.listdir(p):
+            if d.startswith("append_ids_v") and d not in keep:
+                shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+        idguard.gc_bloom_files(
+            p, {(meta.get("id_bloom") or {}).get("location")}
+        )
         return n
 
     if not fresh.take(1):
@@ -793,10 +935,52 @@ def band_index_append(
                 fresh_ids,
             )
 
+    appended_ids = (
+        fresh_ids.select(F.col("_fid").cast(id_type).alias(meta["id_col"]))
+        if id_type
+        else fresh_ids.select(F.col("_fid").alias(meta["id_col"]))
+    )
+    # -- merge the batch into the id-guard filter BEFORE any data
+    # write: a COMMITTED filter must stay a SUPERSET of the indexed
+    # ids (a missing id would let its replay skip the exact check and
+    # double-ingest), and supersets are safe (extra bits = false
+    # positives, absorbed by the exact fallback) — so the WHOLE batch
+    # goes in, whether or not the guard trimmed it, and a crash at
+    # any later point leaves the replay filter-positive and routed
+    # into the exact/heal path.
+    if bloom_meta is not None and ig_state is None:
+        # torn replay bypassed the prescreen; load the filter to merge
+        ig_state = idguard.bloom_read(p, bloom_meta["location"])
+    idguard.bloom_extend(
+        p,
+        meta,
+        ig_state,
+        new_docs.select(inc_id.cast("string").alias("_s")),
+        # pre-filter index migration source: the existing guard ids
+        # (the last corpus-sized id scan this index's appends pay)
+        fallback_ids=(
+            None
+            if ig_state is not None
+            else have().select(F.col("_have_id").cast("string"))
+        ),
+    )
     # -- mark THIS append in flight BEFORE any data write -------------
+    entry = {"digest": digest, "tag": tag}
+    if tag is not None:
+        if app_dir is None or not os.path.exists(os.path.join(p, app_dir)):
+            # Record the contribution BEFORE the marker commit: a
+            # replay must be able to read the FIRST attempt's set
+            # whenever the marker exists. A crash between this write
+            # and the marker commit leaks an unreferenced directory
+            # (GC'd by the next successful commit), never a wrong set.
+            app_dir = _fresh_part_dir(p, "append_ids")
+            appended_ids.write.mode("overwrite").parquet(
+                os.path.join(p, app_dir)
+            )
+        entry["appended_ids"] = app_dir
     meta["pending_appends"] = [
         e for e in pending if e.get("digest") != digest
-    ] + [{"digest": digest, "tag": tag}]
+    ] + [entry]
     _sidecar_write(p, meta)
 
     nb = meta.get("num_buckets")
@@ -837,17 +1021,12 @@ def band_index_append(
         _append_part(sh_rows, path, "shingles", None, meta)
         _append_part(size_rows, path, "sizes", None, meta)
     # -- guard source of truth LAST ----------------------------------
-    appended_ids = (
-        fresh_ids.select(F.col("_fid").cast(id_type).alias(meta["id_col"]))
-        if id_type
-        else fresh_ids.select(F.col("_fid").alias(meta["id_col"]))
-    )
     if heal_ids:
         # One-time migration for pre-ids indexes: persist the FULL id
         # set (existing + this batch) into a fresh directory and point
         # the sidecar at it in the final commit.
         full = (
-            have.select(F.col("_have_id").alias(meta["id_col"]))
+            have().select(F.col("_have_id").alias(meta["id_col"]))
             .unionByName(appended_ids)
             .distinct()  # torn+legacy replays overlap the two sides
         )
@@ -867,6 +1046,59 @@ def band_index_append(
         )
     sh_cached.unpersist()
     return _commit(n_new)
+
+
+def band_index_appended_ids(
+    spark: SparkSession, path: str, tag: str
+) -> DataFrame | None:
+    """The id set a TAGGED append actually contributed to the index
+    (its post-guard fresh ids, recorded by ``band_index_append``
+    before the batch's first data write) — what a replayed streaming
+    batch must exclude from the gate's reference to republish the
+    first attempt's verdicts (``novelty_gate_excluding``'s
+    ``exclude_ids``). Excluding the whole batch id set instead is
+    wrong for same-id redeliveries: a doc ingested by an EARLIER
+    batch and re-emitted in this one would have that earlier batch's
+    rows discounted too and flip duplicate -> novel on replay.
+
+    Looks the tag up in the sidecar's pending markers (torn append)
+    and, failing that, in ``last_append_tag`` (completed append).
+    Returns the recorded set as a one-column DataFrame (empty when
+    the append was recorded as all-duplicate), or ``None`` when the
+    tag matches but carries no recording (an append written by a
+    pre-recording version of this module) — the caller falls back to
+    batch-id exclusion. Raises ``KeyError`` when the tag is unknown
+    (no such append is in flight or last-committed), because gating a
+    NON-replayed batch through an exclusion is a correctness bug the
+    caller should hit loudly."""
+    p = _local_sidecar_path(path)
+    meta = _sidecar_read(p)
+    entry = next(
+        (
+            e
+            for e in (meta.get("pending_appends") or [])
+            if e.get("tag") == tag
+        ),
+        None,
+    )
+    if entry is not None:
+        if "appended_ids" not in entry:
+            return None
+        d = entry["appended_ids"]
+    elif meta.get("last_append_tag") == tag:
+        if "last_append_ids" not in meta:
+            return None
+        d = meta["last_append_ids"]
+    else:
+        raise KeyError(
+            f"band index at {path!r} records no append tagged {tag!r} "
+            "(neither pending nor last-committed)"
+        )
+    if d is None:  # recorded as an all-duplicate (empty) contribution
+        return spark.createDataFrame(
+            [], f"`{meta['id_col']}` {meta.get('id_type', 'string')}"
+        )
+    return spark.read.parquet(os.path.join(p, d))
 
 
 def _part_files(loc: str) -> int:
@@ -934,10 +1166,34 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
         new_locations[part] = _write_new_part(df, path, part, part_nb)
         after = _part_files(os.path.join(p, new_locations[part]))
         report[part] = (before, after)
+    if "ids" in new_locations:
+        # re-size the id-guard Bloom from the CURRENT id count:
+        # append-grown indexes outlive their build-time capacity, and
+        # past capacity the filter only degrades (more exact
+        # fallbacks, never wrong) — compaction is the natural point
+        # to restore the designed false-positive rate.
+        ids_df = spark.read.parquet(os.path.join(p, new_locations["ids"]))
+        m_b, k_b = idguard.bloom_params(max(4 * ids_df.count(), 1))
+        wds = idguard.bloom_build(
+            ids_df, F.col(meta["id_col"]).cast("string"), m_b, k_b
+        )
+        bf = idguard.fresh_bloom_file(
+            p, (meta.get("id_bloom") or {}).get("location")
+        )
+        idguard.bloom_write(p, bf, wds, m_b, k_b)
+        meta["id_bloom"] = {
+            "location": bf,
+            "m": m_b,
+            "k": k_b,
+            "hash": idguard.HASH_SPEC,
+        }
     meta["locations"] = new_locations
     _sidecar_write(p, meta)
     old_meta = dict(meta, locations=old_locations)
     _drop_part_dirs(spark, path, old_meta, new_locations)
+    idguard.gc_bloom_files(
+        p, {(meta.get("id_bloom") or {}).get("location")}
+    )
     return report
 
 
@@ -950,5 +1206,6 @@ __all__ = [
     "band_index_read_verified",
     "band_index_refresh",
     "band_index_append",
+    "band_index_appended_ids",
     "band_index_compact",
 ]

@@ -1107,12 +1107,25 @@ def novelty_gate_excluding(
     num_hashes: int = 16,
     bands: int = 8,
     portable: bool = True,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Replay-stable novelty gate: same verdict contract as
     ``novelty_gate`` (one row per incoming doc, ``(id, n_hit_bands,
     novel)``), but probed against an id-CARRYING corpus band table
-    with every contributor row whose id is in the incoming batch
-    itself EXCLUDED before counting.
+    with the EXCLUDED contributor rows removed before counting —
+    by default every row whose id is in the incoming batch itself;
+    when ``exclude_ids`` (a single-column DataFrame of reference ids,
+    possibly empty) is given, exactly those ids instead.
+
+    Pass ``exclude_ids`` when the caller KNOWS which rows the batch's
+    own earlier attempt contributed (``band_index_append`` records
+    the post-guard appended id set per tagged append —
+    ``band_index_appended_ids``). Excluding the whole batch id set is
+    only correct when no batch id was contributed by a DIFFERENT
+    batch: a same-id redelivery (doc ingested by batch N, re-emitted
+    in batch N+1) would have its batch-N rows wrongly discounted and
+    flip to novel on a batch-N+1 replay — the recorded set keeps the
+    verdict identical to the first attempt's.
 
     Why this exists: the streaming ingest loop
     (``streaming.neardup_stream.stream_novelty_ingest``) gates a
@@ -1146,9 +1159,15 @@ def novelty_gate_excluding(
         portable=portable,
     )
     ref_type = dict(reference_band_rows.dtypes)[ref_id_col]
-    batch_ids = (
-        incoming.select(F.col(id_col).cast(ref_type).alias("_x_id")).distinct()
-    )
+    if exclude_ids is not None:
+        xc = exclude_ids.columns[0]
+        batch_ids = exclude_ids.select(
+            F.col(xc).cast(ref_type).alias("_x_id")
+        ).distinct()
+    else:
+        batch_ids = incoming.select(
+            F.col(id_col).cast(ref_type).alias("_x_id")
+        ).distinct()
     ref = reference_band_rows.join(
         F.broadcast(batch_ids), F.col(ref_id_col) == F.col("_x_id"), "left_anti"
     ).select("band", "h")

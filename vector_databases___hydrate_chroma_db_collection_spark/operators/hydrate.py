@@ -76,6 +76,26 @@ class HydrationConfig:
       against deleted corpus state. Ingesting through this flag makes
       the reference's hydrate front door a near-dup-safe ingest path
       (gate -> write -> ``band_index_append`` the survivors).
+    - ``semantic_dup_index``/``semantic_dup_policy``/
+      ``semantic_dup_threshold``/``semantic_dup_nprobe``: the VECTOR
+      side of dedup-on-ingest — gate incoming EMBEDDINGS against a
+      persisted IVF index (``operators/ann.py::ivf_write``) built
+      from what the collection already holds. The text gate misses a
+      paraphrase or re-encode whose words differ but whose embedding
+      sits on top of a stored vector; this one catches it: each
+      incoming vector probes its ``semantic_dup_nprobe`` nearest
+      cells (one Arrow pass over the BATCH; the corpus is scanned
+      cell-pruned, never broadcast), exact-scores the candidates, and
+      a row whose best score reaches ``semantic_dup_threshold``
+      (cosine: similarity >=; l2: distance <=, per the index's
+      metric) is a semantic dup. ``'skip'`` drops them (accounted in
+      ``rows_rejected`` + a note); ``'error'`` raises the typed
+      ``SemanticDuplicateError``. The index's etag staleness check
+      runs on every read. Standard IVF recall caveat applies: a
+      stored twin assigned outside the probed cells escapes the gate
+      — raise ``semantic_dup_nprobe`` (or refresh a drifted index,
+      see ``ivf_balance_audit``) to tighten it. Composes with the
+      text gate: run both, then ``ivf_append`` the survivors.
     - ``n_buckets``: create the collection hive-partitioned by
       ``id_bucket = pmod(xxhash64(id), n_buckets)``. Upserts then
       rewrite ONLY the buckets the incoming ids hash into — untouched
@@ -101,6 +121,10 @@ class HydrationConfig:
     near_dup_index: str | None = None
     near_dup_policy: str = "skip"
     near_dup_threshold: float = 0.5
+    semantic_dup_index: str | None = None
+    semantic_dup_policy: str = "skip"
+    semantic_dup_threshold: float = 0.98
+    semantic_dup_nprobe: int = 4
 
     @classmethod
     def from_step_params(cls, params: dict) -> "HydrationConfig":
@@ -304,6 +328,9 @@ def _hydrate_cached(
     nd_note = None
     if cfg.near_dup_index is not None:
         good, nd_note = _apply_near_dup_gate(spark, good, cfg)
+    sd_note = None
+    if cfg.semantic_dup_index is not None:
+        good, sd_note = _apply_semantic_dup_gate(spark, good, cfg)
 
     count_before = _count(spark, cfg)
 
@@ -444,6 +471,8 @@ def _hydrate_cached(
         )
     if nd_note:
         report.notes.append(nd_note)
+    if sd_note:
+        report.notes.append(sd_note)
     return report
 
 
@@ -512,6 +541,76 @@ def _apply_near_dup_gate(
     return (
         good.join(dup_ids, "id", "left_anti"),
         f"{n_dup} near-duplicate rows skipped by near_dup_policy ({mode})",
+    )
+
+
+def _apply_semantic_dup_gate(
+    spark: SparkSession, good: DataFrame, cfg: HydrationConfig
+) -> tuple[DataFrame, str | None]:
+    """Embedding-level dedup-on-ingest against the persisted IVF
+    index at ``cfg.semantic_dup_index`` (see HydrationConfig
+    docstring): one ``ivf_knn_join`` of the incoming batch (k=1,
+    ``semantic_dup_nprobe`` cells) against the index, best score per
+    row compared to the threshold under the index's own metric.
+    Returns (filtered rows, accounting note); the dup id set is
+    batch-bounded and eagerly materialized so the write plan never
+    re-runs the join."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+        SemanticDuplicateError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_knn_join,
+        ivf_read,
+    )
+
+    if cfg.semantic_dup_policy not in ("skip", "error"):
+        raise EngineError(
+            f"semantic_dup_policy must be 'skip' or 'error', got "
+            f"{cfg.semantic_dup_policy!r}"
+        )
+    assigned, C, metric = ivf_read(spark, cfg.semantic_dup_index)
+    idx_cols = [c for c in assigned.columns if c != "ivf_cell"]
+    nn = ivf_knn_join(
+        good.select(
+            F.col("id").alias("qid"), F.col("embedding").alias("q_embedding")
+        ),
+        assigned,
+        C,
+        k=1,
+        id_col=idx_cols[0],
+        embedding_col=idx_cols[1],
+        metric=metric,
+        nprobe=cfg.semantic_dup_nprobe,
+    )
+    thr = float(cfg.semantic_dup_threshold)
+    # cosine scores rank DESC (similarity), l2 ASC (distance)
+    dup_pred = (
+        F.col("score") >= thr if metric == "cosine" else F.col("score") <= thr
+    )
+    dup_ids = (
+        nn.filter(dup_pred)
+        .select(F.col("qid").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_dup = dup_ids.count()
+    if n_dup == 0:
+        return good, None
+    if cfg.semantic_dup_policy == "error":
+        example = dup_ids.limit(1).collect()[0]["id"]
+        raise SemanticDuplicateError(
+            f"{n_dup} incoming row(s) have embeddings semantically "
+            f"duplicating vectors already in collection "
+            f"{cfg.collection_name!r} (e.g. id {example!r}; best "
+            f"{metric} score past {thr}, gated via the IVF index at "
+            f"{cfg.semantic_dup_index!r}); drop them or hydrate with "
+            "semantic_dup_policy='skip'"
+        )
+    return (
+        good.join(dup_ids, "id", "left_anti"),
+        f"{n_dup} semantic-duplicate rows skipped by semantic_dup_policy "
+        f"({metric} vs {thr}, nprobe={cfg.semantic_dup_nprobe})",
     )
 
 

@@ -1,0 +1,311 @@
+"""Corpus-independent double-ingest guard: a Bloom filter over an
+index's indexed-id set, kept as a binary sidecar next to the index's
+JSON sidecar.
+
+Why: ``band_index_append`` and ``ivf_append`` guard replays by
+anti-joining each incoming batch against the FULL persisted id set —
+one column, but corpus-sized: at 10^9 indexed docs that is a multi-GB
+scan per 2k-doc micro-batch, the same cost class the bucket_keys
+append shed in r10. With the Bloom sidecar the guard becomes:
+
+1. probe the batch's ids against the filter (one Arrow-batched pass
+   over the BATCH — the filter rides along as a Spark broadcast,
+   corpus IO: zero);
+2. ids the filter rejects are DEFINITELY new (a Bloom filter has no
+   false negatives) — no exact check needed;
+3. ids the filter accepts (true replays + false positives) fall back
+   to the exact anti-join, restricted to that accepted subset.
+
+At steady state (genuinely new ids) the accepted set is ~fp_rate *
+|batch| ~ 0 and the append touches no corpus data at all; a full
+replay pays one exact scan — rare by construction and always correct.
+
+Durability contract (why the filter is written BEFORE the data):
+correctness requires the committed filter to be a SUPERSET of the
+indexed ids — a missing id would make its replay skip the exact check
+and double-ingest. Supersets are safe (extra bits only cause false
+positives, absorbed by the exact fallback), so every append merges
+the WHOLE batch's ids into the filter and persists it before the
+first data write: a crash at any later point leaves the replayed
+batch bloom-positive, which routes it into the exact/heal path the
+appends already have.
+
+Filter math: standard Bloom with double hashing (Kirsch &
+Mitzenmacher 2006): positions ``(h1 + i*h2) mod m`` for ``i < k``,
+with ``h1 = xxhash64(id)``, ``h2 = xxhash64(id, salt)`` — both
+computed JVM-side by Catalyst on BOTH the build and probe paths, so
+there is exactly one hash implementation to keep consistent. The
+driver only ORs 64-bit words. At 10 bits/id the false-positive rate
+is ~0.8% (k=7); sizing is recorded in the index sidecar and the
+filter is resized from the current id count at compaction.
+
+Scale note: filter bytes are proportional to CAPACITY, not to the
+batch — 10^9 ids at 10 bits/id is ~1.2 GB, which is driver-memory
+and broadcast-sized, not scan-sized; shard by id-hash prefix before
+that point if driver memory is the binding constraint. The probe
+cost per batch is |batch| rows through one vectorized pandas UDF.
+
+Reference provenance: the reference's hydration step (sas:126-193)
+re-runs are guarded only by Chroma's upsert semantics; a Spark
+ingest loop owns its own exactly-once story, and this is the piece
+that keeps it corpus-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_MAGIC = b"SGIDBLM1"
+_SALT = "spark-graft-idguard-h2"
+HASH_SPEC = "xxhash64-double-v1"
+
+
+def bloom_params(expected_ids: int, *, bits_per_id: int = 10) -> tuple[int, int]:
+    """Size a filter for ``expected_ids`` at ``bits_per_id``: returns
+    (m bits, k hashes) with m rounded up to whole 64-bit words and k
+    the optimal ``m/n * ln 2`` clamped to [1, 8]. The floor (2^16
+    bits = 8 KiB) keeps tiny test indexes honest without special
+    cases."""
+    expected = max(int(expected_ids), 1)
+    m = max(1 << 16, expected * bits_per_id)
+    m = (m + 63) // 64 * 64
+    k = max(1, min(8, round(m / expected * 0.6931)))
+    return m, k
+
+
+def _bit_positions(id_str: Column, m: int, k: int) -> list[Column]:
+    """The k probe positions for one id, as Catalyst expressions —
+    the single source of truth for the hash family (build and probe
+    both call this; the pandas probe only tests bits). ``h1``/``h2``
+    are reduced mod m BEFORE combining so ``b1 + i*step < 9m`` never
+    overflows a BIGINT (ANSI mode raises on overflow)."""
+    b1 = F.pmod(F.xxhash64(id_str), F.lit(m))
+    step = F.pmod(F.xxhash64(id_str, F.lit(_SALT)), F.lit(m))
+    return [F.pmod(b1 + F.lit(i) * step, F.lit(m)) for i in range(k)]
+
+
+def bloom_build(df: DataFrame, id_str: Column, m: int, k: int) -> np.ndarray:
+    """Aggregate a DataFrame's ids into filter words: explode each
+    id's k bit positions, fold them into (word index, OR of bit
+    values) with one map-side-combinable ``bit_or`` groupBy, and
+    assemble the (sparse) result into a dense word array on the
+    driver. The collect is bounded by the FILTER size (m/64 words),
+    never by the row count."""
+    pos = df.select(
+        F.explode(F.array(*_bit_positions(id_str, m, k))).alias("pos")
+    )
+    rows = (
+        pos.select(
+            F.shiftright("pos", 6).alias("w"),
+            # SQL form: pyspark's shiftleft() only takes a literal count
+            F.expr("shiftleft(1L, cast(pmod(pos, 64) as int))").alias("v"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(v)").alias("v"))
+        .collect()
+    )
+    words = np.zeros(m // 64, dtype=np.uint64)
+    if rows:
+        idx = np.array([r["w"] for r in rows], dtype=np.int64)
+        vals = np.array([r["v"] for r in rows], dtype=np.int64).view(np.uint64)
+        words[idx] = vals
+    return words
+
+
+def bloom_or(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if a.shape != b.shape:
+        raise ValueError(
+            f"cannot merge Bloom filters of different sizes "
+            f"({a.shape} vs {b.shape}); rebuild with one capacity"
+        )
+    return np.bitwise_or(a, b)
+
+
+def bloom_write(p: str, fname: str, words: np.ndarray, m: int, k: int) -> None:
+    """Durable binary write (temp + fsync + rename), same discipline
+    as the JSON sidecar writer: a reader never sees a torn filter."""
+    tmp = os.path.join(p, fname + ".tmp")
+    header = _MAGIC + np.array([m, k], dtype="<u8").tobytes()
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.write(words.astype("<u8").tobytes())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(p, fname))
+    try:
+        dfd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+
+
+def bloom_read(p: str, fname: str) -> tuple[np.ndarray, int, int]:
+    with open(os.path.join(p, fname), "rb") as f:
+        raw = f.read()
+    if raw[:8] != _MAGIC:
+        raise ValueError(f"{fname!r} is not an id-guard Bloom sidecar")
+    m, k = (int(x) for x in np.frombuffer(raw[8:24], dtype="<u8"))
+    words = np.frombuffer(raw[24:], dtype="<u8").astype(np.uint64)
+    if words.size != m // 64:
+        raise ValueError(
+            f"{fname!r} is truncated: {words.size} words for m={m}"
+        )
+    return words, m, k
+
+
+def bloom_might_contain(
+    df: DataFrame, id_str: Column, words: np.ndarray, m: int, k: int
+) -> Column:
+    """Boolean membership-probe column: true = the id MIGHT be
+    indexed (replay or false positive — confirm with the exact
+    fallback), false = DEFINITELY new. Bit positions are computed
+    JVM-side by the same expressions the build used; the filter ships
+    to executors once as a Spark broadcast and the test itself is one
+    vectorized numpy pass per Arrow batch — over the BATCH, never the
+    corpus."""
+    bc = df.sparkSession.sparkContext.broadcast(words.tobytes())
+
+    @pandas_udf("boolean")
+    def _mc(pos: pd.Series) -> pd.Series:
+        w = np.frombuffer(bc.value, dtype=np.uint64)
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        P = np.stack(pos.to_numpy())  # (n, k) int64, all in [0, m)
+        bits = (w[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    return _mc(F.array(*_bit_positions(id_str, m, k)))
+
+
+def bloom_split(
+    df: DataFrame, p: str, bloom_meta: dict, id_name: str
+) -> tuple[DataFrame, DataFrame | None, tuple]:
+    """Prescreen a (deduplicated) batch against the persisted filter:
+    returns ``(definitely_new, maybe, state)``. ``definitely_new``
+    rows are filter-negative — indexable with zero corpus IO;
+    ``maybe`` (None when EVERY id is negative, the steady-state
+    common case) is the filter-positive subset the caller must settle
+    with its exact anti-join; ``state = (words, m, k)`` feeds
+    ``bloom_extend``. The batch is materialized once
+    (localCheckpoint) so the probe never re-executes upstream
+    lineage."""
+    words, m, k = bloom_read(p, bloom_meta["location"])
+    probed = df.withColumn(
+        "_ig_maybe",
+        bloom_might_contain(
+            df, F.col(id_name).cast("string"), words, m, k
+        ),
+    ).localCheckpoint(eager=True)
+    maybe = probed.filter("_ig_maybe").drop("_ig_maybe")
+    if not maybe.take(1):
+        return probed.drop("_ig_maybe"), None, (words, m, k)
+    return (
+        probed.filter(~F.col("_ig_maybe")).drop("_ig_maybe"),
+        maybe,
+        (words, m, k),
+    )
+
+
+def bloom_extend(
+    p: str,
+    meta: dict,
+    state: tuple | None,
+    batch_ids: DataFrame,
+    fallback_ids: DataFrame | None = None,
+) -> None:
+    """Fold a batch's WHOLE id set into the index's filter and
+    persist it to a fresh versioned file, setting ``meta['id_bloom']``
+    (the caller commits the sidecar). Call BEFORE the first data
+    write: a committed filter must stay a superset of the indexed ids
+    — supersets are safe (false positives fall back to the exact
+    check), a subset would let a replay double-ingest. ``state`` is
+    ``bloom_split``'s loaded filter; for a pre-filter index pass
+    ``state=None`` and ``fallback_ids`` (the existing indexed ids) —
+    the one-time migration scan that makes every later append
+    corpus-independent. Both id frames must be single-column,
+    string-typed."""
+    bcol = F.col(batch_ids.columns[0])
+    if state is not None:
+        words, m, k = state
+        words = bloom_or(words, bloom_build(batch_ids, bcol, m, k))
+    else:
+        all_ids = (
+            fallback_ids.toDF(batch_ids.columns[0])
+            .unionByName(batch_ids)
+            .distinct()
+        )
+        m, k = bloom_params(max(4 * all_ids.count(), 1))
+        words = bloom_build(all_ids, bcol, m, k)
+    fname = fresh_bloom_file(
+        p, (meta.get("id_bloom") or {}).get("location")
+    )
+    bloom_write(p, fname, words, m, k)
+    meta["id_bloom"] = {
+        "location": fname,
+        "m": m,
+        "k": k,
+        "hash": HASH_SPEC,
+    }
+
+
+def fresh_bloom_file(
+    p: str, prev: str | None = None, base: str = "ids_bloom"
+) -> str:
+    """Next versioned filter file name (``ids_bloom_v1.bin``, ...) —
+    appends never overwrite the filter a concurrent reader may be
+    loading; the sidecar's pointer is swapped by the caller's commit.
+    ``prev`` (the sidecar's CURRENT location) makes versions
+    MONOTONIC: GC removes superseded files, so a filesystem scan
+    alone would recycle version names and a reader holding an older
+    sidecar could open a same-named file with different content."""
+    v = 0
+    if prev:
+        try:
+            v = int(prev.rsplit("_v", 1)[1].split(".")[0])
+        except (IndexError, ValueError):
+            v = 0
+    v += 1
+    while os.path.exists(os.path.join(p, f"{base}_v{v}.bin")):
+        v += 1
+    return f"{base}_v{v}.bin"
+
+
+def gc_bloom_files(p: str, keep: set, base: str = "ids_bloom") -> None:
+    """Remove superseded filter files (everything versioned under
+    ``base`` that the committed sidecar no longer references). Run
+    only after a sidecar commit; a crash before it leaks a file,
+    never breaks a reader."""
+    for fname in os.listdir(p):
+        if (
+            fname.startswith(base + "_v")
+            and fname.endswith(".bin")
+            and fname not in keep
+        ):
+            try:
+                os.remove(os.path.join(p, fname))
+            except OSError:
+                pass
+
+
+__all__ = [
+    "HASH_SPEC",
+    "bloom_params",
+    "bloom_build",
+    "bloom_or",
+    "bloom_read",
+    "bloom_write",
+    "bloom_might_contain",
+    "bloom_split",
+    "bloom_extend",
+    "fresh_bloom_file",
+    "gc_bloom_files",
+]

@@ -621,6 +621,24 @@ def ivf_pq_write(
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, cells_dir)
     )
+    # id-guard Bloom over the persisted ids: lets ivf_pq_append
+    # prescreen its double-ingest guard with zero corpus IO (see
+    # operators/idguard.py for the superset/durability contract).
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+
+    spark = encoded.sparkSession
+    cells_back = spark.read.parquet(os.path.join(path, cells_dir))
+    idc = [c for c in cells_back.columns if c not in ("ivf_cell", "pq_code")][0]
+    m_b, k_b = idguard.bloom_params(max(4 * cells_back.count(), 1))
+    words = idguard.bloom_build(
+        cells_back, F.col(idc).cast("string"), m_b, k_b
+    )
+    bloom_file = idguard.fresh_bloom_file(
+        path, ((old_meta or {}).get("id_bloom") or {}).get("location")
+    )
+    idguard.bloom_write(path, bloom_file, words, m_b, k_b)
     _atomic_sidecar_write(
         path,
         "ivf_pq_index.json",
@@ -633,9 +651,16 @@ def ivf_pq_write(
             "codebooks": codebooks.tolist(),
             "source": stamp,
             "location": cells_dir,
+            "id_bloom": {
+                "location": bloom_file,
+                "m": m_b,
+                "k": k_b,
+                "hash": idguard.HASH_SPEC,
+            },
         },
     )
     _drop_old_cells(path, old_meta, cells_dir)
+    idguard.gc_bloom_files(path, {bloom_file})
 
 
 def ivf_pq_append(
@@ -695,30 +720,54 @@ def ivf_pq_append(
                 "since the index was last stamped — run a full "
                 "rebuild (ivf_pq_build + ivf_pq_write) instead"
             )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+
     loc = os.path.join(p, meta.get("location", "cells"))
     existing = spark.read.parquet(loc)
     exist_id = [c for c in existing.columns if c not in ("ivf_cell", "pq_code")][0]
     ic = id_col or exist_id
     id_type = dict(existing.dtypes)[exist_id]
-    fresh = (
+    batch = (
         new_rows.select(
             F.col(ic).cast(id_type).alias(exist_id), F.col(embedding_col)
         )
         # in-batch duplicate ids are part of the double-ingest guard's
         # contract too (same as ann.ivf_append)
         .dropDuplicates([exist_id])
-        .join(
-            existing.select(F.col(exist_id).alias("_have_id")),
-            F.col(exist_id) == F.col("_have_id"),
-            "left_anti",
-        )
     )
+    have = existing.select(F.col(exist_id).alias("_have_id"))
+    bloom_meta = meta.get("id_bloom")
+    ig_state = None
+    if bloom_meta is not None:
+        # corpus-independent prescreen — same contract as ivf_append
+        # (filter-negative = definitely new, zero corpus IO)
+        neg, maybe, ig_state = idguard.bloom_split(
+            batch, p, bloom_meta, exist_id
+        )
+        fresh = (
+            neg
+            if maybe is None
+            else neg.unionByName(
+                maybe.join(
+                    have, F.col(exist_id) == F.col("_have_id"), "left_anti"
+                )
+            )
+        )
+    else:
+        maybe = batch  # pre-filter index: exact path for the whole batch
+        fresh = batch.join(
+            have, F.col(exist_id) == F.col("_have_id"), "left_anti"
+        )
     if on_existing == "error":
-        n_dup = new_rows.join(
-            existing.select(F.col(exist_id).alias("_have_id")),
-            F.col(ic).cast(id_type) == F.col("_have_id"),
-            "left_semi",
-        ).count()
+        n_dup = (
+            maybe.join(
+                have, F.col(exist_id) == F.col("_have_id"), "left_semi"
+            ).count()
+            if maybe is not None
+            else 0
+        )
         if n_dup:
             raise ValueError(
                 f"ivf_pq_append: {n_dup} incoming id(s) are already "
@@ -728,6 +777,16 @@ def ivf_pq_append(
     fresh = fresh.localCheckpoint(eager=True)
     n_new = fresh.count()
     if n_new:
+        # filter committed BEFORE the data append (superset invariant
+        # survives a crash mid-append; see idguard.bloom_extend)
+        idguard.bloom_extend(
+            p,
+            meta,
+            ig_state,
+            batch.select(F.col(exist_id).cast("string").alias("_s")),
+            fallback_ids=existing.select(F.col(exist_id).cast("string")),
+        )
+        _atomic_sidecar_write(p, "ivf_pq_index.json", meta)
         C = np.asarray(meta["centroids"])
         books = np.asarray(meta["codebooks"])
         # IVF-PQ cells are always l2-trained (ivf_pq_build hardcodes
@@ -743,6 +802,9 @@ def ivf_pq_append(
     if src is not None:
         meta["source"] = _source_stamp((src["root"], src["name"]))
         _atomic_sidecar_write(p, "ivf_pq_index.json", meta)
+    idguard.gc_bloom_files(
+        p, {(meta.get("id_bloom") or {}).get("location")}
+    )
     return n_new
 
 
@@ -775,3 +837,16 @@ def ivf_pq_read(
         np.asarray(meta["centroids"]),
         np.asarray(meta["codebooks"]),
     )
+
+
+def ivf_pq_compact(spark, path: str) -> tuple[int, int]:
+    """IVF-PQ twin of ``ann.ivf_compact`` (same cells layout, same
+    sidecar lifecycle — only the sidecar name and the extra
+    ``pq_code`` column differ): rewrite the append-grown code table
+    to one data file per cell behind an atomic sidecar swap, re-size
+    the id-guard filter, return ``(files_before, files_after)``."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_compact,
+    )
+
+    return ivf_compact(spark, path, sidecar="ivf_pq_index.json")

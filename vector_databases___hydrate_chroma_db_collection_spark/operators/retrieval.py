@@ -251,6 +251,7 @@ def bm25_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     decimals: int = 4,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 served FROM a materialized inverted index
     (``inverted_postings`` output) instead of from raw text — the
@@ -267,6 +268,13 @@ def bm25_from_index(
     df comes from ``term_stats``. With ``min_df > 1`` the pruned
     terms' occurrences drop out of the length model — prune AFTER
     scoring-relevant terms are safe, or keep a separate length table.
+
+    ``candidates`` (optional single-column id frame): restrict
+    SCORING to those documents — the filter-then-rank half of a
+    quoted query (``phrase_bm25_from_index``). The restriction is a
+    semi-join on the tf side only; the length model (n_docs, avgdl,
+    per-doc dl) stays corpus-wide, so a candidate's score is
+    IDENTICAL to its unrestricted score — filtering never re-weights.
 
     Returns (id_col, bm25) rounded to ``decimals``; docs matching no
     query term emit no row."""
@@ -286,6 +294,11 @@ def bm25_from_index(
     tf = postings.filter(F.col("term").isin(list(query_terms))).select(
         F.col(id_col).alias("_id"), "term", F.col("tf").alias("_tf")
     )
+    if candidates is not None:
+        cand = candidates.select(
+            F.col(candidates.columns[0]).alias("_id")
+        )
+        tf = tf.join(cand, "_id", "left_semi")
     dfreq = term_stats.filter(
         F.col("term").isin(list(query_terms))
     ).select("term", F.col("df").alias("_df"))
@@ -308,6 +321,44 @@ def bm25_from_index(
         .agg(F.round(F.sum(idf * tf_part), decimals).alias("bm25"))
         .select(F.col("_id").alias(id_col), "bm25")
     )
+
+
+def phrase_bm25_from_index(
+    pos_postings: DataFrame,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    phrase_terms: list[str],
+    *,
+    query_terms: list[str] | None = None,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 4,
+) -> DataFrame:
+    """Quoted-query serving — the standard filter-then-rank shape for
+    a query like ``"fast table scan"``: documents must contain the
+    EXACT phrase (positional intersection over the persisted
+    positional index, ``phrase_match``), and qualifying documents are
+    ranked by BM25 of ``query_terms`` (default: the phrase's own
+    terms) served from the persisted inverted index
+    (``bm25_from_index``). Both predicates prune their index scans
+    independently (per-term pushdown on each), the BM25 tf join is
+    semi-restricted to the phrase's survivors, and the corpus-wide
+    length model keeps candidate scores identical to their
+    unrestricted scores. Output: (id_col, n_matches, bm25), one row
+    per phrase-matching document."""
+    matches = phrase_match(pos_postings, phrase_terms, id_col=id_col)
+    scored = bm25_from_index(
+        postings,
+        term_stats,
+        list(query_terms or phrase_terms),
+        id_col=id_col,
+        k1=k1,
+        b=b,
+        decimals=decimals,
+        candidates=matches.select(id_col),
+    )
+    return matches.join(scored, id_col).select(id_col, "n_matches", "bm25")
 
 
 def top_ranks(

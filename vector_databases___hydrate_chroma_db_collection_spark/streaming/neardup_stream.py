@@ -127,9 +127,16 @@ def stream_novelty_ingest(
     (``{sink_table}#{batch_id}``), and the gate checks the sidecar
     for that tag first. A replay of batch N (tag already recorded in
     ``last_append_tag`` or a pending torn marker) gates through
-    ``novelty_gate_excluding``, discounting corpus band rows the
-    batch's own crashed attempt contributed — first-attempt verdicts
-    republish. A FRESH batch (no tag match) gates through the plain
+    ``novelty_gate_excluding`` with the RECORDED appended-id set for
+    that tag (``band_index_appended_ids`` — the post-guard ids the
+    batch's own earlier attempt actually contributed), so
+    first-attempt verdicts republish EXACTLY: a same-id redelivery
+    the batch carries (doc ingested by an EARLIER batch, re-emitted
+    here) keeps that earlier batch's rows in the reference and stays
+    duplicate on replay — excluding the whole batch id set would
+    discount those rows too and flip it novel. Appends recorded by a
+    pre-recording version of the index fall back to batch-id-set
+    exclusion. A FRESH batch (no tag match) gates through the plain
     ``bucket_keys`` fast path, so a document REDELIVERED by an
     at-least-once source in a LATER batch is flagged duplicate (its
     rows are in the index and its id is not excluded) — id-set
@@ -151,10 +158,29 @@ def stream_novelty_ingest(
     append, no sidecar re-stamp, no job runs before the stream
     starts.
     """
+    return stream_knn_serve(
+        doc_stream,
+        corpus=None,  # unused: retrieval_fn overrides the knn plan
+        retrieval_fn=_novelty_ingest_batch_fn(
+            index_path, hydration_cfg, sink_table
+        ),
+        sink_path=sink_path,
+        sink_table=sink_table,
+        checkpoint_dir=checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
+    """The per-micro-batch body of ``stream_novelty_ingest``, exposed
+    at module level so tests can drive first-attempt vs replay
+    invocations of the SAME ``(batch, batch_id)`` directly — exactly
+    what a crashed ``foreachBatch`` re-run does."""
     from dataclasses import replace
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
         band_index_append,
+        band_index_appended_ids,
         band_index_bucket_keys,
         band_index_meta,
         band_index_read,
@@ -179,8 +205,13 @@ def stream_novelty_ingest(
         )
         if replayed:
             # This very batch already appended (fully or torn): gate
-            # against the band table MINUS the batch's own rows so the
-            # first attempt's verdicts republish.
+            # against the band table MINUS exactly the rows the
+            # batch's own earlier attempt contributed (the recorded
+            # post-guard id set) so the first attempt's verdicts
+            # republish — including "duplicate" for a same-id
+            # redelivery whose rows an EARLIER batch contributed.
+            # None = pre-recording index: fall back to excluding the
+            # whole batch id set (the pre-r11 behavior).
             bands_t, _ = band_index_read(
                 spark, index_path, verify_source=False
             )
@@ -193,6 +224,9 @@ def stream_novelty_ingest(
                 n=meta["n"],
                 num_hashes=meta["num_hashes"],
                 bands=meta["bands"],
+                exclude_ids=band_index_appended_ids(
+                    spark, index_path, batch_tag
+                ),
             )
         else:
             # Fresh batch: the cheap membership fast path — and the
@@ -232,15 +266,7 @@ def stream_novelty_ingest(
         )
         return out
 
-    return stream_knn_serve(
-        doc_stream,
-        corpus=None,  # unused: retrieval_fn overrides the knn plan
-        retrieval_fn=ingest,
-        sink_path=sink_path,
-        sink_table=sink_table,
-        checkpoint_dir=checkpoint_dir,
-        trigger_available_now=trigger_available_now,
-    )
+    return ingest
 
 
 def stream_vector_ingest(
