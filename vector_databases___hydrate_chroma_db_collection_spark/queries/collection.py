@@ -1545,3 +1545,323 @@ def collection_ivf_append_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         metric="cosine",
         score_decimals=4,
     ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "collection_ivf_compact_serve",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_ivf_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL incremental-vector-ingest lifecycle, compaction
+    included (the dedup_neardup_gate_compacted pattern on the vector
+    side): build a stamped IVF index over 3/5 of the corpus, append
+    the remaining two fifths in two separate id-guarded batches (each
+    ``mode('append').partitionBy('ivf_cell')`` write lands one file
+    per touched cell — the small-files growth ``ivf_compact``
+    exists to bound), compact behind the atomic sidecar swap
+    (asserting the file count actually shrank and content row count
+    held), and serve top-5 for doc 7's vector probing ALL cells
+    through the compacted index. The oracle scores the full corpus
+    brute-force, so the result only matches if both appends AND the
+    compaction preserved every vector byte-exactly."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_compact,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_ivf_compact_")
+    cfg = HydrationConfig(
+        collection_name="ivf_cpt",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "ivf_cpt")
+    first = coll.filter(F.col("id").cast("bigint") % 5 < 3)
+    assigned, centroids = ivf_build(first, n_centroids=8, seed=42)
+    idx_path = f"{root}/ivf_cpt/_ivf"
+    ivf_write(
+        assigned,
+        centroids,
+        idx_path,
+        metric="cosine",
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    for r in (3, 4):  # two id-guarded append batches -> file growth
+        batch = coll.filter(F.col("id").cast("bigint") % 5 == r).select(
+            "id", "embedding"
+        )
+        n = ivf_append(spark, idx_path, batch)
+        if n != batch.count():
+            raise EngineError(f"append batch %5=={r} short: {n}")
+    n_before = ivf_read(spark, idx_path)[0].count()
+    files_before, files_after = ivf_compact(spark, idx_path)
+    if files_after >= files_before:
+        raise EngineError(
+            f"ivf_compact did not shrink the file count "
+            f"({files_before} -> {files_after})"
+        )
+    assigned2, centroids2, _m = ivf_read(spark, idx_path)
+    if assigned2.count() != n_before:
+        raise EngineError("compaction changed the row count")
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    return ivf_search(
+        assigned2.filter(F.col("id") != "7"),
+        centroids2,
+        qvec,
+        k=5,
+        nprobe=8,
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("score", "cos_sim")
+
+
+@query(
+    "collection_ivf_balance_audit",
+    """
+    WITH e2 AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings WHERE vec_id < 400
+    ),
+    drifted AS (
+        SELECT vec_id,
+               list_transform(emb,
+                   x -> CAST(CAST(x * 5.0 AS FLOAT) AS DOUBLE)) AS emb,
+               TRUE AS is_drift
+        FROM e2 WHERE vec_id % 4 = 0
+    ),
+    allrows AS (
+        SELECT vec_id, emb, FALSE AS is_drift FROM e2 WHERE vec_id % 4 <> 0
+        UNION ALL SELECT * FROM drifted
+    ),
+    a AS (
+        SELECT vec_id, is_drift,
+               CAST(list_position(list_slice(emb, 1, 4),
+                                  list_max(list_slice(emb, 1, 4))) - 1
+                    AS INT) AS ivf_cell,
+               sqrt(list_sum(list_transform(
+                   range(1, len(emb) + 1),
+                   i -> pow(emb[i] - (CASE WHEN i = list_position(
+                                list_slice(emb, 1, 4),
+                                list_max(list_slice(emb, 1, 4)))
+                            THEN 1.0 ELSE 0.0 END), 2)))) AS dist
+        FROM allrows
+    ),
+    cur AS (
+        SELECT ivf_cell, count(*) AS n_rows, avg(dist) AS md
+        FROM a GROUP BY 1
+    ),
+    tr AS (
+        SELECT ivf_cell, count(*) AS tn, avg(dist) AS tmd
+        FROM a WHERE NOT is_drift GROUP BY 1
+    ),
+    tot AS (SELECT count(*) AS n FROM a)
+    SELECT t.ivf_cell,
+           coalesce(c.n_rows, 0) AS n_rows,
+           round(coalesce(c.n_rows, 0) * 4.0 / greatest(tot.n, 1), 4)
+               AS occupancy_ratio,
+           round(c.md, 4) AS mean_dist,
+           t.tn AS trained_n_rows,
+           round(t.tmd, 4) AS trained_mean_dist,
+           (coalesce(c.n_rows, 0) * 4.0 / greatest(tot.n, 1) > 4.0
+            OR (t.tmd > 0 AND c.md > 1.5 * t.tmd)) AS refresh_recommended
+    FROM tr t LEFT JOIN cur c ON c.ivf_cell = t.ivf_cell, tot
+    """,
+)
+def collection_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift/balance audit that closes ``ivf_append``'s open loop
+    ("refresh when recall or balance audits say so"): build an IVF
+    index with KNOWN centroids (the first four basis vectors — chosen
+    so the oracle can recompute nearest-centroid assignment in pure
+    SQL: under l2 to a basis vector, argmin distance == argmax of the
+    first four dims), record build-time per-cell training stats in
+    the sidecar, ``ivf_append`` a DRIFTED batch (vectors scaled 5x —
+    same cell assignment, ~5x the assignment distance), and return
+    ``ivf_balance_audit``'s per-cell report. The drifted append must
+    flip ``refresh_recommended`` on every cell it touches purely via
+    the distance-drift test (occupancy stays balanced by
+    construction); the oracle recomputes every column — counts,
+    occupancy ratios, both mean distances, and the flag logic — from
+    the raw embeddings table."""
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        ivf_append,
+        ivf_balance_audit,
+        ivf_write,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    dim = len(e.select("embedding").first()[0])
+    C = np.eye(4, dim)  # basis-vector centroids: SQL-recomputable
+    corpus = e.filter(F.col("vec_id") % 4 != 0).select("vec_id", "embedding")
+    assigned = _assign_to_centroids(
+        corpus, C, id_col="vec_id", embedding_col="embedding", metric="l2"
+    )
+    import tempfile
+
+    idx_path = tempfile.mkdtemp(prefix="vdb_ivf_audit_") + "/_ivf"
+    ivf_write(
+        assigned,
+        C,
+        idx_path,
+        metric="l2",
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    drifted = e.filter(F.col("vec_id") % 4 == 0).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(5.0)).alias("embedding"),
+    )
+    ivf_append(spark, idx_path, drifted)
+    return ivf_balance_audit(spark, idx_path, drift_threshold=1.5)
+
+
+@query(
+    "collection_semantic_gate",
+    """
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id % 3 <> 0
+    ),
+    incoming AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id,
+               CASE WHEN d.doc_id % 2 = 0
+                    THEN (SELECT e2.embedding FROM embeddings e2
+                          WHERE e2.vec_id = d.doc_id + 1)
+                    ELSE e.embedding END AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id % 3 = 0
+    ),
+    best AS (
+        SELECT i.id,
+               max(
+                   list_sum(list_transform(list_zip(i.emb, c.emb),
+                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / greatest(
+                       sqrt(list_sum(list_transform(i.emb,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(c.emb,
+                            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                       1e-300)
+               ) AS s
+        FROM incoming i, corpus c
+        GROUP BY i.id
+    )
+    SELECT id FROM corpus
+    UNION ALL
+    SELECT id FROM best WHERE s < 0.99
+    """,
+)
+def collection_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-side dedup-on-ingest through the hydration front
+    door (the vector twin of the r9 text band-index gate): hydrate
+    2/3 of the corpus, persist a stamped IVF index over it, then
+    hydrate the remaining third where every EVEN doc carries the
+    STORED embedding of its doc_id+1 neighbor under different text —
+    a paraphrase/re-encode the text gate cannot see. With
+    ``semantic_dup_index`` set, ``hydrate`` probes each incoming
+    vector's nearest cells (nprobe = all cells here, so the gate is
+    exact and oracle-checkable), and cosine >= 0.99 rows are skipped.
+    Returns the final collection id set; the oracle recomputes the
+    brute-force max-cosine of every incoming vector against the
+    stored corpus and keeps only the sub-threshold ones."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_semgate_")
+    cfg = HydrationConfig(
+        collection_name="sem_gate",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "sem_gate")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx_path = f"{root}/sem_gate/_ivf"
+    ivf_write(
+        assigned, C, idx_path, metric="cosine", source=(root, "sem_gate"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+
+    inc = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .join(
+            e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("_own")),
+            "doc_id",
+        )
+        .join(
+            e.select(
+                (F.col("vec_id") - 1).alias("doc_id"),
+                F.col("embedding").alias("_plant"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("doc_id") % 2 == 0, F.col("_plant"))
+            .otherwise(F.col("_own"))
+            .alias("embedding"),
+        )
+    )
+    from dataclasses import replace
+
+    gated_cfg = replace(
+        cfg,
+        semantic_dup_index=idx_path,
+        semantic_dup_policy="skip",
+        semantic_dup_threshold=0.99,
+        semantic_dup_nprobe=8,  # == n_centroids: exhaustive, exact
+    )
+    hydrate(spark, inc, gated_cfg)
+    return read_collection(spark, root, "sem_gate").select("id")

@@ -1209,3 +1209,90 @@ def text_repetition_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(cleaned, "\n")).cast("bigint").alias("n_lines_clean"),
         cleaned.alias("cleaned"),
     )
+
+
+@query(
+    "text_phrase_bm25_from_index",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)
+    ),
+    p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = 'table'),
+    p2 AS (SELECT doc_id, pos - 2 AS pos FROM tok WHERE term = 'scan'),
+    m AS (
+        SELECT p0.doc_id, count(*) AS n_matches FROM p0
+        JOIN p1 USING (doc_id, pos)
+        JOIN p2 USING (doc_id, pos)
+        GROUP BY 1
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    g2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term AS t, count(*) AS tf FROM tok
+        WHERE term IN ('fast', 'table', 'scan') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    bscore AS (
+        SELECT tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                     4) AS bm25
+        FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN g2
+        GROUP BY tf.doc_id
+    )
+    SELECT m.doc_id, m.n_matches, b.bm25
+    FROM m JOIN bscore b USING (doc_id)
+    """,
+)
+def text_phrase_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard "quoted query" serving shape — phrase-constrained
+    BM25, both halves served from PERSISTED indexes
+    (operators/retrieval.py::phrase_bm25_from_index): documents must
+    contain the exact phrase "fast table scan" (positional
+    intersection over the term-clustered positional index; per-term
+    PushedFilters prune via min/max row-group stats), and qualifying
+    documents rank by BM25 of the phrase's terms served from the
+    inverted index, with the tf join semi-restricted to the phrase's
+    survivors and the corpus-wide length model left intact — a
+    candidate's score is identical to its unrestricted score, which
+    is exactly what the oracle checks by recomputing both the phrase
+    intersection and the full BM25 formula from raw text. The corpus
+    is never re-tokenized at serve time. Fresh temp dir per run
+    (driver re-invocations stay idempotent)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        inverted_postings,
+        phrase_bm25_from_index,
+        positional_postings,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="vdb_quoted_index_")
+    (
+        positional_postings(d, id_col="doc_id", text_col="text")
+        .repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(out + "/pos_postings")
+    )
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    (
+        postings.repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out + "/postings")
+    )
+    stats.write.mode("overwrite").parquet(out + "/term_stats")
+    return phrase_bm25_from_index(
+        spark.read.parquet(out + "/pos_postings"),
+        spark.read.parquet(out + "/postings"),
+        spark.read.parquet(out + "/term_stats"),
+        ["fast", "table", "scan"],
+        id_col="doc_id",
+    )
