@@ -100,7 +100,11 @@ def bloom_build(df: DataFrame, id_str: Column, m: int, k: int) -> np.ndarray:
     pos = df.select(
         F.explode(F.array(*_bit_positions(id_str, m, k))).alias("pos")
     )
-    rows = (
+    # Arrow transfer, not .collect(): the result is up to m/64 rows
+    # (625k words for a 4M-id filter), and row-at-a-time py4j
+    # deserialization of that was the write path's single biggest
+    # line item (~4 s at 1M ids; ~1 s via Arrow).
+    pdf = (
         pos.select(
             F.shiftright("pos", 6).alias("w"),
             # SQL form: pyspark's shiftleft() only takes a literal count
@@ -108,12 +112,12 @@ def bloom_build(df: DataFrame, id_str: Column, m: int, k: int) -> np.ndarray:
         )
         .groupBy("w")
         .agg(F.expr("bit_or(v)").alias("v"))
-        .collect()
+        .toPandas()
     )
     words = np.zeros(m // 64, dtype=np.uint64)
-    if rows:
-        idx = np.array([r["w"] for r in rows], dtype=np.int64)
-        vals = np.array([r["v"] for r in rows], dtype=np.int64).view(np.uint64)
+    if len(pdf):
+        idx = pdf["w"].to_numpy(dtype=np.int64)
+        vals = pdf["v"].to_numpy(dtype=np.int64).view(np.uint64)
         words[idx] = vals
     return words
 
