@@ -281,3 +281,90 @@ def test_ivf_pq_append_filter_guard(spark, tmp_path):
         pq.ivf_pq_append(
             spark, path, batch, id_col="vec_id", on_existing="error"
         )
+
+
+def test_cohabiting_ivf_and_pq_indexes_keep_each_others_filters(
+    spark, tmp_path
+):
+    """An IVF and an IVF-PQ index can legally share one directory
+    (distinct sidecars, collision-free versioned cells dirs). Filter
+    GC must keep EVERY sidecar's committed filter — deleting the
+    sibling's would brick its appends with FileNotFoundError until a
+    full rebuild."""
+    import json
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+        pq,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    path = str(tmp_path / "shared")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=4, id_col="vec_id", embedding_col="embedding"
+    )
+    ann.ivf_write(assigned, C, path, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+    encoded, C2, books = pq.ivf_pq_build(
+        corpus, n_centroids=4, m=8, id_col="vec_id", embedding_col="embedding"
+    )
+    pq.ivf_pq_write(encoded, C2, books, path)  # same directory
+
+    ivf_bloom = json.load(open(os.path.join(path, "ivf_index.json")))[
+        "id_bloom"
+    ]["location"]
+    pq_bloom = json.load(open(os.path.join(path, "ivf_pq_index.json")))[
+        "id_bloom"
+    ]["location"]
+    assert ivf_bloom != pq_bloom
+    # the pq write's GC ran after the ivf write: both files survive
+    assert os.path.exists(os.path.join(path, ivf_bloom))
+    assert os.path.exists(os.path.join(path, pq_bloom))
+
+    # appends to EACH still work and GC still spares the sibling
+    b = e.filter(F.col("vec_id").between(40, 44)).select(
+        "vec_id", "embedding"
+    )
+    assert ann.ivf_append(spark, path, b) == 5
+    assert pq.ivf_pq_append(spark, path, b, id_col="vec_id") == 5
+    for sc in ("ivf_index.json", "ivf_pq_index.json"):
+        loc = json.load(open(os.path.join(path, sc)))["id_bloom"]["location"]
+        assert os.path.exists(os.path.join(path, loc)), sc
+    # and both converged exactly-once
+    assert ann.ivf_read(spark, path)[0].count() == 45
+    assert pq.ivf_pq_read(spark, path)[0].count() == 45
+    assert ann.ivf_append(spark, path, b) == 0
+    assert pq.ivf_pq_append(spark, path, b, id_col="vec_id") == 0
+
+
+def test_hash_spec_mismatch_falls_back_to_exact(spark, tmp_path):
+    """A filter recorded under a DIFFERENT hash spec must never be
+    probed (false negatives there mean double ingest): the append
+    treats it as missing — exact anti-join now, a fresh usable filter
+    rebuilt for next time — and replays stay exactly-once."""
+    import json
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "spec_mismatch")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 20), path, id_col="doc_id", text_col="text"
+    )
+    p = bi._local_sidecar_path(path)
+    meta = bi._sidecar_read(p)
+    meta["id_bloom"]["hash"] = "some-future-family-v9"
+    bi._sidecar_write(p, meta)
+
+    batch = d.filter(F.col("doc_id").between(20, 24)).select("doc_id", "text")
+    assert bi.band_index_append(spark, path, batch) == 5
+    # the append rebuilt a usable filter
+    assert bi.band_index_meta(path)["id_bloom"]["hash"] == ig.HASH_SPEC
+    # replay of the SAME batch (with the old mismatched filter it
+    # could have double-ingested) is a no-op
+    assert bi.band_index_append(spark, path, batch) == 0
+    bands_t, _ = bi.band_index_read(spark, path)
+    assert bands_t.count() == 25 * 8

@@ -968,14 +968,12 @@ def ivf_write(
     spark = assigned.sparkSession
     cells_back = spark.read.parquet(os.path.join(path, cells_dir))
     idc = [c for c in cells_back.columns if c != "ivf_cell"][0]
-    m_b, k_b = idguard.bloom_params(max(4 * cells_back.count(), 1))
-    words = idguard.bloom_build(
-        cells_back, F.col(idc).cast("string"), m_b, k_b
+    id_bloom = idguard.rebuild_filter(
+        cells_back,
+        F.col(idc).cast("string"),
+        path,
+        ((old_meta or {}).get("id_bloom") or {}).get("location"),
     )
-    bloom_file = idguard.fresh_bloom_file(
-        path, ((old_meta or {}).get("id_bloom") or {}).get("location")
-    )
-    idguard.bloom_write(path, bloom_file, words, m_b, k_b)
     # build-time per-cell training stats: the baseline
     # ivf_balance_audit compares appended drift against. One scan of
     # the freshly-written cells with the ASSIGNMENT metric's math.
@@ -1004,16 +1002,11 @@ def ivf_write(
             "build": build,
             "location": cells_dir,
             "train_stats": train_stats,
-            "id_bloom": {
-                "location": bloom_file,
-                "m": m_b,
-                "k": k_b,
-                "hash": idguard.HASH_SPEC,
-            },
+            "id_bloom": id_bloom,
         },
     )
     _drop_old_cells(path, old_meta, cells_dir)
-    idguard.gc_bloom_files(path, {bloom_file})
+    idguard.gc_bloom_files(path, {id_bloom["location"]})
 
 
 def ivf_read(
@@ -1146,9 +1139,18 @@ def ivf_append(
         # id twice (duplicate cells rows would waste top-k slots and
         # can never be removed by a replay)
         .dropDuplicates([exist_id])
+        # materialized ONCE: the guard probe, the filter merge, and
+        # the assignment all consume the batch — without this each
+        # re-executes the caller's upstream lineage
+        .localCheckpoint(eager=True)
     )
     have = existing.select(F.col(exist_id).alias("_have_id"))
     bloom_meta = meta.get("id_bloom")
+    if not idguard.filter_usable(bloom_meta):
+        # missing OR hash-incompatible filter (probing a different
+        # hash family can yield false negatives = double ingest):
+        # exact path now, fresh filter rebuilt below
+        bloom_meta = None
     ig_state = None
     if bloom_meta is not None:
         # corpus-independent prescreen (operators/idguard.py): the
@@ -1335,9 +1337,21 @@ def ivf_balance_audit(
     C = np.asarray(meta["centroids"])
     build = meta.get("build") or {}
     metric = build.get("metric", meta["metric"])
-    cur = _cell_stats(spark, cells, C, metric)
+    # the ONE corpus scan: collect the <= n_centroids aggregate rows
+    # and derive everything else locally — summing via the DataFrame
+    # would execute the scan once for the total and AGAIN for the
+    # report (and a report collected after a later append would mix
+    # scan generations)
+    stat_rows = _cell_stats(spark, cells, C, metric).collect()
     n_cells = int(meta["n_centroids"])
-    total = cur.select(F.sum("n_rows")).first()[0] or 0
+    total = sum(r["n_rows"] for r in stat_rows)
+    cur = spark.createDataFrame(
+        [
+            (int(r["ivf_cell"]), int(r["n_rows"]), float(r["mean_dist"]))
+            for r in stat_rows
+        ],
+        "ivf_cell int, n_rows bigint, mean_dist double",
+    )
     trained = meta.get("train_stats")
     if trained is not None:
         tdf = spark.createDataFrame(
@@ -1447,24 +1461,16 @@ def ivf_compact(
     )
     cells_back = spark.read.parquet(new_loc)
     idc = [c for c in cells_back.columns if c not in ("ivf_cell", "pq_code")][0]
-    m_b, k_b = idguard.bloom_params(max(4 * cells_back.count(), 1))
-    words = idguard.bloom_build(
-        cells_back, F.col(idc).cast("string"), m_b, k_b
+    meta["id_bloom"] = idguard.rebuild_filter(
+        cells_back,
+        F.col(idc).cast("string"),
+        p,
+        (meta.get("id_bloom") or {}).get("location"),
     )
-    bloom_file = idguard.fresh_bloom_file(
-        p, (meta.get("id_bloom") or {}).get("location")
-    )
-    idguard.bloom_write(p, bloom_file, words, m_b, k_b)
     meta["location"] = new_dir
-    meta["id_bloom"] = {
-        "location": bloom_file,
-        "m": m_b,
-        "k": k_b,
-        "hash": idguard.HASH_SPEC,
-    }
     _atomic_sidecar_write(p, sidecar, meta)
     _drop_old_cells(p, {"location": old_dir}, new_dir)
-    idguard.gc_bloom_files(p, {bloom_file})
+    idguard.gc_bloom_files(p, {meta["id_bloom"]["location"]})
     return before, _data_files(new_loc)
 
 

@@ -394,18 +394,13 @@ def band_index_write(
     # id-guard Bloom over the persisted set (read back from the fresh
     # parquet: one bounded column scan; the count is metadata-only)
     spark = band_rows.sparkSession
-    ids_back = spark.read.parquet(os.path.join(p, locations["ids"]))
-    n_ids = ids_back.count()
-    m_b, k_b = idguard.bloom_params(
-        expected_ids if expected_ids else max(4 * n_ids, 1)
+    id_bloom = idguard.rebuild_filter(
+        spark.read.parquet(os.path.join(p, locations["ids"])),
+        F.col(id_col).cast("string"),
+        p,
+        ((old_meta or {}).get("id_bloom") or {}).get("location"),
+        expected_ids=expected_ids,
     )
-    words = idguard.bloom_build(
-        ids_back, F.col(id_col).cast("string"), m_b, k_b
-    )
-    bloom_file = idguard.fresh_bloom_file(
-        p, ((old_meta or {}).get("id_bloom") or {}).get("location")
-    )
-    idguard.bloom_write(p, bloom_file, words, m_b, k_b)
     meta = {
         "kind": "minhash_band_index",
         "n": n,
@@ -418,12 +413,7 @@ def band_index_write(
         "has_shingles": shingles is not None,
         "num_buckets": num_buckets,
         "locations": locations,
-        "id_bloom": {
-            "location": bloom_file,
-            "m": m_b,
-            "k": k_b,
-            "hash": idguard.HASH_SPEC,
-        },
+        "id_bloom": id_bloom,
         "ddl": {
             "bands": ", ".join(f"`{c}` {t}" for c, t in band_rows.dtypes),
             "bucket_keys": ", ".join(f"`{c}` {t}" for c, t in keys.dtypes),
@@ -436,7 +426,7 @@ def band_index_write(
     for d in os.listdir(p):
         if d.startswith("append_ids_v"):
             shutil.rmtree(os.path.join(p, d), ignore_errors=True)
-    idguard.gc_bloom_files(p, {bloom_file})
+    idguard.gc_bloom_files(p, {id_bloom["location"]})
 
 
 def band_index_meta(path: str) -> dict:
@@ -702,8 +692,11 @@ def band_index_append(
     tc = text_col or meta["text_col"]
     id_type = meta.get("id_type")
     # in-batch duplicate ids would double band/posting/size rows —
-    # drop them before the digest, the guard, and the shingling
-    new_docs = new_docs.dropDuplicates([ic])
+    # drop them before the digest, the guard, and the shingling; the
+    # batch is materialized ONCE here (the digest aggregation, the
+    # guard probe, the filter merge, and the shingle pass all consume
+    # it — without this each re-executes the caller's upstream plan)
+    new_docs = new_docs.dropDuplicates([ic]).localCheckpoint(eager=True)
     inc_id = F.col(ic).cast(id_type) if id_type else F.col(ic)
     # Batch identity for the torn marker: an order-independent digest
     # of the batch's distinct id set (count + xor of per-id hashes) —
@@ -760,6 +753,11 @@ def band_index_append(
     locations = dict(meta.get("locations") or {})
     heal_ids = "ids" not in locations
     bloom_meta = meta.get("id_bloom")
+    if not idguard.filter_usable(bloom_meta):
+        # missing OR hash-incompatible filter (probing a different
+        # hash family can yield false negatives = double ingest):
+        # exact path now, fresh filter rebuilt below
+        bloom_meta = None
     _have_cache = []
 
     def have() -> DataFrame:
@@ -1103,11 +1101,13 @@ def band_index_appended_ids(
 
 def _part_files(loc: str) -> int:
     """Data-file count of a persisted part (parquet files only —
-    _SUCCESS/CRC bookkeeping excluded)."""
-    n = 0
-    for root, _dirs, files in os.walk(loc):
-        n += sum(1 for f in files if f.endswith(".parquet"))
-    return n
+    _SUCCESS/CRC bookkeeping excluded); the shared counter
+    (ann._data_files), so the two compaction reports cannot drift."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _data_files,
+    )
+
+    return _data_files(loc)
 
 
 def band_index_compact(spark: SparkSession, path: str) -> dict:
@@ -1172,21 +1172,12 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
         # past capacity the filter only degrades (more exact
         # fallbacks, never wrong) — compaction is the natural point
         # to restore the designed false-positive rate.
-        ids_df = spark.read.parquet(os.path.join(p, new_locations["ids"]))
-        m_b, k_b = idguard.bloom_params(max(4 * ids_df.count(), 1))
-        wds = idguard.bloom_build(
-            ids_df, F.col(meta["id_col"]).cast("string"), m_b, k_b
+        meta["id_bloom"] = idguard.rebuild_filter(
+            spark.read.parquet(os.path.join(p, new_locations["ids"])),
+            F.col(meta["id_col"]).cast("string"),
+            p,
+            (meta.get("id_bloom") or {}).get("location"),
         )
-        bf = idguard.fresh_bloom_file(
-            p, (meta.get("id_bloom") or {}).get("location")
-        )
-        idguard.bloom_write(p, bf, wds, m_b, k_b)
-        meta["id_bloom"] = {
-            "location": bf,
-            "m": m_b,
-            "k": k_b,
-            "hash": idguard.HASH_SPEC,
-        }
     meta["locations"] = new_locations
     _sidecar_write(p, meta)
     old_meta = dict(meta, locations=old_locations)

@@ -283,11 +283,69 @@ def fresh_bloom_file(
     return f"{base}_v{v}.bin"
 
 
+# every index sidecar that may reference an id-guard filter: an IVF
+# and an IVF-PQ index (and in principle a band index) can legally
+# cohabit one directory — each has its own sidecar name and
+# collision-free versioned data dirs — so GC must keep EVERY
+# sidecar's committed filter, not just the calling index's.
+_SIDECARS = ("ivf_index.json", "ivf_pq_index.json", "band_index.json")
+
+
+def filter_usable(bloom_meta: dict | None) -> bool:
+    """A filter is only probe-safe when its recorded hash spec matches
+    this module's: probing a filter built by a DIFFERENT hash family
+    yields false NEGATIVES — ids wrongly classified 'definitely new'
+    skip the exact check and double-ingest, the one failure mode the
+    durability contract forbids. Callers treat an unusable filter
+    exactly like a missing one (exact path now, fresh filter rebuilt
+    by the next append/compact)."""
+    return bool(bloom_meta) and bloom_meta.get("hash") == HASH_SPEC
+
+
+def rebuild_filter(
+    ids_df: DataFrame,
+    id_str: Column,
+    p: str,
+    prev_location: str | None,
+    *,
+    expected_ids: int | None = None,
+) -> dict:
+    """Build-from-scratch path shared by every index write and
+    compaction: size a fresh filter from the id count (4x headroom
+    for appends unless ``expected_ids`` overrides), aggregate, write
+    it durably under the next monotonic version after
+    ``prev_location``, and return the sidecar ``id_bloom`` dict —
+    ONE implementation, so sizing or hash-spec changes cannot drift
+    between the band / IVF / IVF-PQ lifecycles."""
+    m, k = bloom_params(
+        expected_ids if expected_ids else max(4 * ids_df.count(), 1)
+    )
+    words = bloom_build(ids_df, id_str, m, k)
+    fname = fresh_bloom_file(p, prev_location)
+    bloom_write(p, fname, words, m, k)
+    return {"location": fname, "m": m, "k": k, "hash": HASH_SPEC}
+
+
 def gc_bloom_files(p: str, keep: set, base: str = "ids_bloom") -> None:
-    """Remove superseded filter files (everything versioned under
-    ``base`` that the committed sidecar no longer references). Run
-    only after a sidecar commit; a crash before it leaks a file,
-    never breaks a reader."""
+    """Remove superseded filter files: everything versioned under
+    ``base`` that neither the caller's keep set NOR any committed
+    sidecar in the directory references (two index kinds can cohabit
+    one directory; deleting a sibling's filter would brick its
+    appends). Run only after a sidecar commit; a crash before it
+    leaks a file, never breaks a reader."""
+    import json
+
+    keep = set(keep)
+    for sc in _SIDECARS:
+        fp = os.path.join(p, sc)
+        if os.path.exists(fp):
+            try:
+                with open(fp) as f:
+                    loc = (json.load(f).get("id_bloom") or {}).get("location")
+            except (OSError, ValueError):
+                continue
+            if loc:
+                keep.add(loc)
     for fname in os.listdir(p):
         if (
             fname.startswith(base + "_v")
@@ -310,6 +368,8 @@ __all__ = [
     "bloom_might_contain",
     "bloom_split",
     "bloom_extend",
+    "filter_usable",
+    "rebuild_filter",
     "fresh_bloom_file",
     "gc_bloom_files",
 ]

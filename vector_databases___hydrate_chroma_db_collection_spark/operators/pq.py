@@ -631,14 +631,12 @@ def ivf_pq_write(
     spark = encoded.sparkSession
     cells_back = spark.read.parquet(os.path.join(path, cells_dir))
     idc = [c for c in cells_back.columns if c not in ("ivf_cell", "pq_code")][0]
-    m_b, k_b = idguard.bloom_params(max(4 * cells_back.count(), 1))
-    words = idguard.bloom_build(
-        cells_back, F.col(idc).cast("string"), m_b, k_b
+    id_bloom = idguard.rebuild_filter(
+        cells_back,
+        F.col(idc).cast("string"),
+        path,
+        ((old_meta or {}).get("id_bloom") or {}).get("location"),
     )
-    bloom_file = idguard.fresh_bloom_file(
-        path, ((old_meta or {}).get("id_bloom") or {}).get("location")
-    )
-    idguard.bloom_write(path, bloom_file, words, m_b, k_b)
     _atomic_sidecar_write(
         path,
         "ivf_pq_index.json",
@@ -651,16 +649,11 @@ def ivf_pq_write(
             "codebooks": codebooks.tolist(),
             "source": stamp,
             "location": cells_dir,
-            "id_bloom": {
-                "location": bloom_file,
-                "m": m_b,
-                "k": k_b,
-                "hash": idguard.HASH_SPEC,
-            },
+            "id_bloom": id_bloom,
         },
     )
     _drop_old_cells(path, old_meta, cells_dir)
-    idguard.gc_bloom_files(path, {bloom_file})
+    idguard.gc_bloom_files(path, {id_bloom["location"]})
 
 
 def ivf_pq_append(
@@ -736,9 +729,14 @@ def ivf_pq_append(
         # in-batch duplicate ids are part of the double-ingest guard's
         # contract too (same as ann.ivf_append)
         .dropDuplicates([exist_id])
+        # materialized ONCE for the guard probe, the filter merge,
+        # and the encode (same as ann.ivf_append)
+        .localCheckpoint(eager=True)
     )
     have = existing.select(F.col(exist_id).alias("_have_id"))
     bloom_meta = meta.get("id_bloom")
+    if not idguard.filter_usable(bloom_meta):
+        bloom_meta = None  # exact path; fresh filter rebuilt below
     ig_state = None
     if bloom_meta is not None:
         # corpus-independent prescreen — same contract as ivf_append

@@ -346,8 +346,16 @@ def phrase_bm25_from_index(
     semi-restricted to the phrase's survivors, and the corpus-wide
     length model keeps candidate scores identical to their
     unrestricted scores. Output: (id_col, n_matches, bm25), one row
-    per phrase-matching document."""
-    matches = phrase_match(pos_postings, phrase_terms, id_col=id_col)
+    per phrase-matching document — a match containing NONE of the
+    ranking terms (possible when ``query_terms`` differs from the
+    phrase) still emits its row, with bm25 0.0."""
+    # lazy localCheckpoint: the match set feeds both the candidates
+    # semi-join inside the scored plan and the final join — without
+    # it the k-1 positional-intersection joins execute twice (the
+    # same two-consumer shape bm25_from_index guards on `dl`)
+    matches = phrase_match(
+        pos_postings, phrase_terms, id_col=id_col
+    ).localCheckpoint(eager=False)
     scored = bm25_from_index(
         postings,
         term_stats,
@@ -358,7 +366,11 @@ def phrase_bm25_from_index(
         decimals=decimals,
         candidates=matches.select(id_col),
     )
-    return matches.join(scored, id_col).select(id_col, "n_matches", "bm25")
+    return matches.join(scored, id_col, "left").select(
+        id_col,
+        "n_matches",
+        F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+    )
 
 
 def top_ranks(

@@ -1845,6 +1845,12 @@ def collection_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding").alias("_plant"),
             ),
             "doc_id",
+            # LEFT: a boundary doc_id whose +1 neighbor has no
+            # embedding must still flow through with its OWN vector
+            # when odd (the oracle's scalar subquery keeps it; an
+            # inner join here would silently drop it and break
+            # parity on fixtures whose max id % 3 == 0)
+            "left",
         )
         .select(
             "doc_id",
