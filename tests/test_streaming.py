@@ -1395,3 +1395,196 @@ def test_stream_novelty_ingest_replay_keeps_redelivered_dup_verdict(
             for r in ingest(b2, 2).collect()
         }
         assert again == first2
+
+
+def test_stream_semantic_ingest_loop_and_replay_stability(spark, tmp_path):
+    """The semantic-gated vector-ingest loop, end to end and under
+    replay: batch 0 ingests novel vectors (and flags a planted
+    re-encode of a stored vector as duplicate); batch 1 carries a
+    SAME-ID redelivery of a batch-0-ingested doc plus a new doc —
+    redelivered = duplicate (cosine 1.0 vs its own stored vector),
+    new = novel; replaying batch 1 (crash between append and sink
+    commit) republishes IDENTICAL verdicts because only batch 1's own
+    recorded contribution is excluded from the reference. Also pins
+    the ivf_append tag bookkeeping: last_append_tag, the recorded id
+    set, and recording GC."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        _semantic_ingest_batch_fn,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="semstream",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") < 30)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "semstream")
+    assigned, C = ann.ivf_build(coll, n_centroids=4, seed=42)
+    idx = f"{root}/semstream/_ivf"
+    ann.ivf_write(assigned, C, idx, metric="cosine",
+                  source=(root, "semstream"),
+                  build={"metric": "l2", "seed": 42})
+
+    ingest = _semantic_ingest_batch_fn(
+        idx, cfg, "sem_replay_sink", threshold=0.99, nprobe=4,
+        score_decimals=4,
+    )
+
+    def emb_of(vid):
+        return e.filter(F.col("vec_id") == vid).first()["embedding"]
+
+    # batch 0: doc 40 novel (own vector), doc 41 a re-encode of stored
+    # doc 7's vector under different text (the text gate can't see it)
+    b0 = spark.createDataFrame(
+        [
+            (40, "forty", emb_of(40)),
+            (41, "not the text of seven at all", emb_of(7)),
+        ],
+        "doc_id bigint, text string, embedding array<float>",
+    )
+    out0 = {r["doc_id"]: (r["best_score"], r["novel"])
+            for r in ingest(b0, 0).collect()}
+    assert out0[41] == (1.0, False)  # planted re-encode caught
+    assert out0[40][1] is True
+    meta = ann.ivf_read(spark, idx, verify_source=False)
+    import json
+    import os
+
+    sc = json.load(open(os.path.join(idx, "ivf_index.json")))
+    assert sc["last_append_tag"] == "sem_replay_sink#0"
+    rec0 = ann.ivf_appended_ids(spark, idx, "sem_replay_sink#0")
+    assert [r[0] for r in rec0.collect()] == ["40"]
+
+    # batch 1: SAME-ID redelivery of doc 40 + genuinely new doc 60
+    b1 = spark.createDataFrame(
+        [(40, "forty", emb_of(40)), (60, "sixty", emb_of(60))],
+        "doc_id bigint, text string, embedding array<float>",
+    )
+    first = {r["doc_id"]: (r["best_score"], r["novel"])
+             for r in ingest(b1, 1).collect()}
+    assert first[40] == (1.0, False)  # its batch-0 vector is stored
+    assert first[60][1] is True
+
+    # crash between append and sink commit -> replay batch 1 verbatim:
+    # verdicts must be IDENTICAL (only doc 60 — batch 1's own recorded
+    # contribution — is discounted; whole-batch exclusion would flip
+    # doc 40 novel)
+    for _ in range(2):
+        replay = {r["doc_id"]: (r["best_score"], r["novel"])
+                  for r in ingest(b1, 1).collect()}
+        assert replay == first
+
+    # stores converged exactly-once: 30 corpus + 40 + 60
+    assert read_collection(spark, root, "semstream").count() == 32
+    loaded, _, _ = ann.ivf_read(spark, idx)  # staleness-checked: re-stamped
+    assert loaded.count() == 32
+    assert loaded.select("id").distinct().count() == 32
+    # recording bookkeeping: batch 1 promoted, batch 0's recording GC'd
+    sc = json.load(open(os.path.join(idx, "ivf_index.json")))
+    assert sc["last_append_tag"] == "sem_replay_sink#1"
+    recs = [x for x in os.listdir(idx) if x.startswith("append_ids_v")]
+    assert len(recs) == 1
+    assert sorted(
+        r[0] for r in ann.ivf_appended_ids(spark, idx, "sem_replay_sink#1").collect()
+    ) == ["60"]
+
+
+def test_stream_semantic_ingest_through_real_stream(spark, tmp_path):
+    """stream_semantic_ingest through the real exactly-once
+    foreachBatch harness: two file-source micro-batches, verdicts in
+    the sink match the batch-twin recompute, the collection grows by
+    exactly the novel docs, and the index ends FRESH."""
+    import glob
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        stream_semantic_ingest,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="semstr2",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") < 30)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "semstr2")
+    assigned, C = ann.ivf_build(coll, n_centroids=4, seed=42)
+    idx = f"{root}/semstr2/_ivf"
+    ann.ivf_write(assigned, C, idx, metric="cosine",
+                  source=(root, "semstr2"),
+                  build={"metric": "l2", "seed": 42})
+
+    def emb_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, embedding array<float>"
+        )
+
+    e7 = e.filter(F.col("vec_id") == 7).first()["embedding"]
+    e40 = e.filter(F.col("vec_id") == 40).first()["embedding"]
+    e60 = e.filter(F.col("vec_id") == 60).first()["embedding"]
+    b0 = emb_df([(40, "forty", e40), (41, "re-encode of seven", e7)])
+    b1 = emb_df([(60, "sixty", e60), (61, "re-encode of forty", e40)])
+    sdir = tmp_path / "sem_stream"
+    b0.coalesce(1).write.parquet(str(sdir / "b0"))
+    b1.coalesce(1).write.parquet(str(sdir / "b1"))
+    now = time.time()
+    for sub, t in (("b0", now - 200), ("b1", now - 100)):
+        for fp in glob.glob(str(sdir / sub / "*")):
+            os.utime(fp, (t, t))
+
+    stream = (
+        spark.readStream.schema(b0.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(sdir))
+    )
+    sink = "stream_semantic_parity"
+    q = stream_semantic_ingest(
+        stream,
+        index_path=idx,
+        hydration_cfg=cfg,
+        threshold=0.99,
+        nprobe=4,
+        sink_path=str(tmp_path / "sem_sink"),
+        sink_table=sink,
+        checkpoint_dir=str(tmp_path / "ckpt_sem"),
+    )
+    assert q.awaitTermination(180), "availableNow stream did not drain"
+    try:
+        got = {
+            (r["batch_id"], r["doc_id"]): (r["best_score"], r["novel"])
+            for r in spark.table(sink).collect()
+        }
+        # batch 0: 40 novel, 41 dup of stored 7; batch 1: 60 novel,
+        # 61 dup of 40 BECAUSE batch 0 ingested it
+        assert got[(0, 40)][1] is True and got[(0, 41)] == (1.0, False)
+        assert got[(1, 60)][1] is True and got[(1, 61)] == (1.0, False)
+        assert read_collection(spark, root, "semstr2").count() == 32
+        # in-stream appends re-stamped the index: fresh read passes
+        loaded, _, _ = ann.ivf_read(spark, idx)
+        assert loaded.count() == 32
+    finally:
+        spark.catalog.dropTempView(sink)

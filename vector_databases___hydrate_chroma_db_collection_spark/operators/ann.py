@@ -1007,6 +1007,13 @@ def ivf_write(
     )
     _drop_old_cells(path, old_meta, cells_dir)
     idguard.gc_bloom_files(path, {id_bloom["location"]})
+    # a rebuild supersedes every recorded per-tag append contribution
+    # (the fresh sidecar carries no last_append_*): GC the recordings
+    import shutil
+
+    for d_ in os.listdir(path):
+        if d_.startswith("append_ids_v"):
+            shutil.rmtree(os.path.join(path, d_), ignore_errors=True)
 
 
 def ivf_read(
@@ -1042,6 +1049,7 @@ def ivf_append(
     embedding_col: str | None = None,
     on_existing: str = "skip",
     expected_prev_etag: str | None = None,
+    tag: str | None = None,
 ) -> int:
     """Incremental vector ingest: extend a persisted IVF index with
     ``new_rows`` ONLY — assign them to their nearest EXISTING
@@ -1090,6 +1098,18 @@ def ivf_append(
     collection append; mismatch raises ``StaleIndexError`` instead of
     silently stamping someone else's update/delete fresh. Appends
     only: updates/deletes need ``ivf_refresh``.
+
+    ``tag`` (optional): an idempotence token for streaming callers —
+    the batch's deterministic identity. A tagged append records its
+    POST-GUARD contributed id set (a tiny versioned parquet, written
+    and referenced from the sidecar BEFORE the data append, so a
+    replay can read it across any crash window) and promotes the tag
+    to ``last_append_tag`` on commit; ``ivf_appended_ids`` serves the
+    set back. This is what lets a replayed semantic-gate micro-batch
+    exclude exactly its own contribution from the gate's reference
+    (``streaming.neardup_stream.stream_semantic_ingest``) — excluding
+    the whole batch would flip same-id redeliveries contributed by
+    EARLIER batches from duplicate to novel.
 
     Returns the number of new vectors indexed (after the guard)."""
     import json
@@ -1191,7 +1211,28 @@ def ivf_append(
             )
     fresh = fresh.localCheckpoint(eager=True)
     n_new = fresh.count()
+    replay_of_completed = tag is not None and tag == meta.get(
+        "last_append_tag"
+    )
+    pending = meta.get("pending_append") or {}
+    app_dir = (
+        pending.get("appended_ids") if pending.get("tag") == tag else None
+    )
     if n_new:
+        if tag is not None:
+            # Record the POST-GUARD contribution BEFORE any data
+            # write so a replay can read the FIRST attempt's set
+            # whatever the crash window; a crashed attempt's replay
+            # REUSES the recorded set (its own recomputed post-guard
+            # set can be smaller once rows landed).
+            if app_dir is None or not os.path.exists(
+                os.path.join(p, app_dir)
+            ):
+                app_dir = _fresh_versioned_dir(p, "append_ids")
+                fresh.select(exist_id).write.mode("overwrite").parquet(
+                    os.path.join(p, app_dir)
+                )
+            meta["pending_append"] = {"tag": tag, "appended_ids": app_dir}
         # -- persist the merged id-guard filter BEFORE the data append:
         # a committed filter must stay a SUPERSET of the indexed ids
         # (a missing id would let its replay skip the exact check and
@@ -1216,14 +1257,74 @@ def ivf_append(
             metric=assign_metric,
         )
         assigned.write.mode("append").partitionBy("ivf_cell").parquet(loc)
+    # -- final commit: re-stamp, promote the tag, GC recordings --------
+    import shutil
+
+    commit = False
     src = meta.get("source")
     if src is not None:
         meta["source"] = _source_stamp((src["root"], src["name"]))
+        commit = True
+    if tag is not None:
+        meta.pop("pending_append", None)
+        meta["last_append_tag"] = tag
+        if not replay_of_completed:
+            # None = recorded as an all-duplicate (empty) contribution;
+            # a pure replay of a COMPLETED append must not overwrite
+            # the first attempt's record with its own empty set
+            meta["last_append_ids"] = app_dir
+        commit = True
+    if commit:
         _atomic_sidecar_write(p, "ivf_index.json", meta)
+        keep = {
+            meta.get("last_append_ids"),
+            (meta.get("pending_append") or {}).get("appended_ids"),
+        }
+        for d_ in os.listdir(p):
+            if d_.startswith("append_ids_v") and d_ not in keep:
+                shutil.rmtree(os.path.join(p, d_), ignore_errors=True)
     idguard.gc_bloom_files(
         p, {(meta.get("id_bloom") or {}).get("location")}
     )
     return n_new
+
+
+def ivf_appended_ids(spark, path: str, tag: str) -> DataFrame | None:
+    """The id set a TAGGED ``ivf_append`` actually contributed (its
+    post-guard fresh ids, recorded before the batch's data write) —
+    what a replayed semantic-gate micro-batch excludes from the
+    index's rows so first-attempt verdicts republish exactly (same
+    contract as ``band_index_appended_ids``; see that docstring for
+    why whole-batch exclusion is wrong for same-id redeliveries).
+    Served from the pending record (crashed append) or
+    ``last_append_tag`` (completed). Returns a one-column DataFrame
+    (empty when the append was recorded as all-duplicate), ``None``
+    when the tag matches but carries no recording, and raises
+    ``KeyError`` for unknown tags."""
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_index.json")) as f:
+        meta = json.load(f)
+    pending = meta.get("pending_append") or {}
+    if pending.get("tag") == tag:
+        d = pending.get("appended_ids")
+    elif meta.get("last_append_tag") == tag:
+        if "last_append_ids" not in meta:
+            return None
+        d = meta["last_append_ids"]
+    else:
+        raise KeyError(
+            f"IVF index at {path!r} records no append tagged {tag!r}"
+        )
+    if d is None:
+        cells = spark.read.parquet(
+            os.path.join(p, meta.get("location", "cells"))
+        )
+        idc = [c for c in cells.columns if c != "ivf_cell"][0]
+        return cells.select(idc).limit(0)
+    return spark.read.parquet(os.path.join(p, d))
 
 
 def _dist_to_centroid(emb, cen, metric: str):

@@ -538,3 +538,151 @@ def stream_ivf_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             serve().withColumn("batch", F.lit(i)).localCheckpoint(eager=True)
         )
     return out[0].unionByName(out[1])
+
+
+_B_COS = """
+               list_sum(list_transform(list_zip(b.emb, c.emb),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / greatest(
+                   sqrt(list_sum(list_transform(b.emb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(c.emb,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                   1e-300)
+"""
+
+
+@query(
+    "stream_semantic_ingest_loop",
+    f"""
+    WITH base AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id % 10 NOT IN (0, 5)
+    ),
+    batch AS (
+        SELECT d.doc_id, d.doc_id % 10 AS m,
+               CASE WHEN (d.doc_id // 10) % 2 = 0 THEN e2.embedding
+                    ELSE e.embedding END AS emb
+        FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+        JOIN embeddings e2 ON e2.vec_id = d.doc_id + 1
+        WHERE d.doc_id % 10 IN (0, 5)
+    ),
+    s1 AS (
+        SELECT b.doc_id, round(max({_B_COS}), 4) AS best_score
+        FROM (SELECT * FROM batch WHERE m = 0) b, base c
+        GROUP BY 1
+    ),
+    v1 AS (
+        SELECT doc_id, best_score, best_score < 0.99 AS novel, 1 AS batch
+        FROM s1
+    ),
+    corpus2 AS (
+        SELECT id, emb FROM base
+        UNION ALL
+        SELECT CAST(b.doc_id AS VARCHAR), b.emb
+        FROM batch b JOIN v1 ON v1.doc_id = b.doc_id
+        WHERE v1.novel
+    ),
+    s2 AS (
+        SELECT b.doc_id, round(max({_B_COS}), 4) AS best_score
+        FROM (SELECT * FROM batch WHERE m = 5) b, corpus2 c
+        GROUP BY 1
+    ),
+    v2 AS (
+        SELECT doc_id, best_score, best_score < 0.99 AS novel, 2 AS batch
+        FROM s2
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def stream_semantic_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC-gated vector-ingest loop end-to-end across two
+    micro-batches, driving the REAL foreachBatch body
+    (streaming/neardup_stream.py::_semantic_ingest_batch_fn — the
+    exact function stream_semantic_ingest runs): hydrate the base
+    corpus (doc_id %% 10 not in (0, 5)), persist a stamped IVF index;
+    batch 1 gates the %%10==0 docs — every (doc_id DIV 10)-even doc
+    carries the STORED embedding of its doc_id+1 neighbor under its
+    own different text (a paraphrase/re-encode the text gate cannot
+    see; must gate duplicate at cosine 1.0), the rest carry their own
+    embeddings (novel) — hydrates + tag-appends the novel ones, and
+    publishes (id, best_score, novel); batch 2 repeats with the
+    %%10==5 docs, whose gate now runs against base PLUS batch 1's
+    novel additions (a vector ingested in batch 1 must gate
+    duplicates in batch 2). nprobe == n_centroids makes the gate
+    exhaustive-exact, so the oracle can replay both rounds as
+    brute-force max-cosine over the corresponding corpus prefixes.
+    The true-streaming form and crash-replay stability are pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        _semantic_ingest_batch_fn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_sem_loop_")
+    cfg = HydrationConfig(
+        collection_name="semloop",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    mten = F.col("doc_id") % 10
+    base = d.filter(~mten.isin(0, 5))
+    hydrate(spark, base.join(e, base.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "semloop")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/semloop/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "semloop"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+
+    b_all = (
+        d.join(
+            e.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("_own")),
+            "doc_id",
+        )
+        .join(
+            e.select(
+                (F.col("vec_id") - 1).alias("doc_id"),
+                F.col("embedding").alias("_plant"),
+            ),
+            "doc_id",  # batch rows REQUIRE the +1 neighbor (oracle mirrors)
+        )
+        .filter(mten.isin(0, 5))
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.expr("(doc_id DIV 10) % 2 = 0"), F.col("_plant"))
+            .otherwise(F.col("_own"))
+            .alias("embedding"),
+        )
+    )
+    ingest = _semantic_ingest_batch_fn(
+        idx, cfg, "sem_loop_sink", threshold=0.99, nprobe=8, score_decimals=4
+    )
+    out = []
+    for i, m in enumerate((0, 5), start=1):
+        out.append(
+            ingest(b_all.filter(mten == m), i)
+            .withColumn("batch", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+    return out[0].unionByName(out[1])

@@ -372,10 +372,191 @@ def stream_vector_ingest(
     )
 
 
+def stream_semantic_ingest(
+    doc_stream: DataFrame,
+    *,
+    index_path: str,
+    hydration_cfg,
+    threshold: float = 0.98,
+    nprobe: int = 4,
+    score_decimals: int | None = 4,
+    sink_path: str | None = None,
+    sink_table: str = "stream_semantic_ingest_results",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """SEMANTIC-gated incremental vector ingest as one streaming
+    query — the embedding-side twin of ``stream_novelty_ingest``: per
+    micro-batch, gate each incoming document's EMBEDDING against the
+    persisted IVF index (nearest ``nprobe`` cells, exact scores, best
+    score vs ``threshold`` under the index's metric — cosine >= is a
+    dup, l2 <= is a dup), hydrate the novel ones into the collection,
+    ``ivf_append`` them into the index, and publish every verdict row
+    ``(id, best_score, novel)``. A paraphrase/re-encode whose text
+    differs but whose embedding duplicates a stored vector — invisible
+    to the text gate — is filtered here; a vector ingested novel in
+    batch N gates duplicate from batch N+1 on, because batch N
+    ingested it.
+
+    Replay safety mirrors ``stream_novelty_ingest``: hydration is
+    forced to ``on_duplicate='first'``, ``ivf_append`` carries its own
+    id guard, the sink overwrites its ``batch_id=N`` partition, and
+    verdicts are REPLAY-STABLE while cross-batch redelivery still
+    gates correctly — every append is tagged with the deterministic
+    batch identity, and a replayed batch excludes exactly the
+    RECORDED id set its own earlier attempt contributed
+    (``ivf_appended_ids``) from the index rows before gating, so a
+    same-id redelivery contributed by an EARLIER batch keeps its rows
+    in the reference and stays duplicate. A FRESH batch gates against
+    the full index. The index is read ``verify_source=False`` inside
+    the loop (transiently stale between hydrate and the append's
+    re-stamp, by design). Batch-twin parity (oracle-checked):
+    ``queries/streaming.py::stream_semantic_ingest_loop``."""
+    return stream_knn_serve(
+        doc_stream,
+        corpus=None,  # unused: retrieval_fn overrides the knn plan
+        retrieval_fn=_semantic_ingest_batch_fn(
+            index_path,
+            hydration_cfg,
+            sink_table,
+            threshold=threshold,
+            nprobe=nprobe,
+            score_decimals=score_decimals,
+        ),
+        sink_path=sink_path,
+        sink_table=sink_table,
+        checkpoint_dir=checkpoint_dir,
+        trigger_available_now=trigger_available_now,
+    )
+
+
+def _semantic_ingest_batch_fn(
+    index_path: str,
+    hydration_cfg,
+    sink_table: str,
+    *,
+    threshold: float = 0.98,
+    nprobe: int = 4,
+    score_decimals: int | None = 4,
+):
+    """The per-micro-batch body of ``stream_semantic_ingest``, exposed
+    at module level so tests and the oracle-checked batch twin can
+    drive first-attempt vs replay invocations of the SAME
+    ``(batch, batch_id)`` directly."""
+    import json
+    import os
+    from dataclasses import replace
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+        ivf_append,
+        ivf_appended_ids,
+        ivf_knn_join,
+        ivf_read,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+
+    cfg = replace(hydration_cfg, on_duplicate="first")
+    ic, ec = cfg.id_col, cfg.embedding_col
+
+    def ingest(batch_docs: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_docs.sparkSession
+        batch_tag = f"{sink_table}#{batch_id}"
+        p = _local_sidecar_path(index_path)
+        with open(os.path.join(p, "ivf_index.json")) as f:
+            meta = json.load(f)
+        pending = meta.get("pending_append") or {}
+        replayed = batch_tag == meta.get("last_append_tag") or (
+            pending.get("tag") == batch_tag
+        )
+        assigned, C, metric = ivf_read(spark, index_path, verify_source=False)
+        idx_id, idx_emb = [
+            c for c in assigned.columns if c != "ivf_cell"
+        ][:2]
+        if replayed:
+            # exclude exactly what this batch's own earlier attempt
+            # contributed — rows an EARLIER batch contributed for a
+            # redelivered id must stay in the reference
+            rec = ivf_appended_ids(spark, index_path, batch_tag)
+            if rec is None:  # pre-recording index: batch-id fallback
+                rec = batch_docs.select(ic)
+            idx_type = dict(assigned.dtypes)[idx_id]
+            assigned = assigned.join(
+                F.broadcast(
+                    rec.select(
+                        F.col(rec.columns[0]).cast(idx_type).alias("_x_id")
+                    ).distinct()
+                ),
+                F.col(idx_id) == F.col("_x_id"),
+                "left_anti",
+            )
+        nn = ivf_knn_join(
+            batch_docs.select(
+                F.col(ic).alias("qid"), F.col(ec).alias("q_embedding")
+            ),
+            assigned,
+            C,
+            k=1,
+            id_col=idx_id,
+            embedding_col=idx_emb,
+            metric=metric,
+            nprobe=nprobe,
+            score_decimals=score_decimals,
+        )
+        # cosine scores rank DESC (similarity: >= threshold is a dup);
+        # l2 ASC (distance: <= threshold is a dup)
+        dup = (
+            (F.col("best_score") >= threshold)
+            if metric == "cosine"
+            else (F.col("best_score") <= threshold)
+        )
+        gated = (
+            batch_docs.select(ic)
+            .join(
+                nn.select(F.col("qid").alias(ic), F.col("score").alias(
+                    "best_score"
+                )),
+                ic,
+                "left",
+            )
+            .select(
+                ic,
+                "best_score",
+                # no neighbor at all (empty index / no probed cell)
+                # means definitely novel
+                F.coalesce(~dup, F.lit(True)).alias("novel"),
+            )
+        )
+        if batch_docs.isEmpty():
+            # schema probe / empty batch: lazy plan only, no stores
+            return gated
+        out = gated.localCheckpoint(eager=True)
+        novel_docs = batch_docs.join(out.filter("novel").select(ic), ic)
+        hydrate(spark, novel_docs, cfg)
+        # Unconditional: a replay after a crash between hydrate and
+        # append still owes the INDEX its rows; the append's own
+        # guard decides what is genuinely new. The tag records WHICH
+        # batch appended, for replay detection + exclusion.
+        ivf_append(
+            spark,
+            index_path,
+            novel_docs.select(ic, ec),
+            id_col=ic,
+            embedding_col=ec,
+            tag=batch_tag,
+        )
+        return out
+
+    return ingest
+
+
 __all__ = [
     "stream_novelty_serve",
     "stream_novelty_ingest",
     "stream_vector_ingest",
+    "stream_semantic_ingest",
     "novelty_gate",
     "release_cache",
 ]
