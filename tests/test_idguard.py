@@ -368,3 +368,55 @@ def test_hash_spec_mismatch_falls_back_to_exact(spark, tmp_path):
     assert bi.band_index_append(spark, path, batch) == 0
     bands_t, _ = bi.band_index_read(spark, path)
     assert bands_t.count() == 25 * 8
+
+
+def test_band_index_audit_flags_and_compact_resets(spark, tmp_path):
+    """band_index_audit quantifies append bloat and compaction resets
+    it: a fresh build audits clean (ratio 1.0, flag off); re-ingested
+    content pushes dup_key_ratio past the threshold and flips
+    compact_recommended; band_index_compact returns the ratio to 1.0,
+    bounds the file counts, and the flag clears. The legacy-format
+    and capacity columns behave (capacity well under 1.0 at fixture
+    scale; NULL when the filter is unusable)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "band_audit")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 30), path, id_col="doc_id", text_col="text"
+    )
+    fresh = bi.band_index_audit(spark, path).first()
+    assert fresh["dup_key_ratio"] == 1.0
+    assert not fresh["compact_recommended"]
+    assert 0 < fresh["filter_capacity_used"] < 1.0
+
+    # re-ingest: same texts under new ids -> duplicate keys pile up
+    dup_batch = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    bi.band_index_append(spark, path, dup_batch)
+    bloated = bi.band_index_audit(
+        spark, path, dup_ratio_threshold=1.5
+    ).first()
+    assert bloated["dup_key_ratio"] > 1.9  # every key duplicated
+    assert bloated["compact_recommended"]
+    assert bloated["n_docs"] == 60
+    assert bloated["files_bucket_keys"] > fresh["files_bucket_keys"]
+
+    bi.band_index_compact(spark, path)
+    after = bi.band_index_audit(spark, path, dup_ratio_threshold=1.5).first()
+    assert after["dup_key_ratio"] == 1.0
+    assert not after["compact_recommended"]
+    assert after["files_bucket_keys"] <= 32  # one file per bucket
+    assert after["distinct_keys"] == bloated["distinct_keys"]
+
+    # unusable filter -> capacity NULL, audit still serves
+    p = bi._local_sidecar_path(path)
+    meta = bi._sidecar_read(p)
+    meta["id_bloom"]["hash"] = "alien-family"
+    bi._sidecar_write(p, meta)
+    legacy = bi.band_index_audit(spark, path).first()
+    assert legacy["filter_capacity_used"] is None
+    assert legacy["n_docs"] == 60

@@ -1110,6 +1110,98 @@ def _part_files(loc: str) -> int:
     return _data_files(loc)
 
 
+def band_index_audit(
+    spark: SparkSession,
+    path: str,
+    *,
+    dup_ratio_threshold: float = 2.0,
+    capacity_threshold: float = 1.0,
+) -> DataFrame:
+    """The "when do I compact?" audit — the band-index twin of
+    ``ann.ivf_balance_audit``'s "when do I refresh?": appends grow the
+    serving state in two measurable ways, and this returns ONE row
+    quantifying both —
+
+    ``(n_docs, key_rows, distinct_keys, dup_key_ratio,
+    filter_capacity_used, files_bands, files_bucket_keys,
+    compact_recommended)``
+
+    * ``dup_key_ratio`` (key_rows / distinct_keys): appends add
+      BATCH-distinct bucket keys only (the corpus-independent design),
+      so re-ingested content accumulates cross-batch duplicate keys —
+      pure wasted scan bytes the gate's SEMI join never needs;
+      ``band_index_compact`` re-distincts them out.
+    * ``filter_capacity_used`` (n_docs x bits_per_id / m): an
+      append-grown id set outlives the filter's build-time capacity;
+      past ~1.0 the false-positive rate decays and appends pay more
+      exact fallbacks (never wrong, just slower) — compaction
+      re-sizes the filter.
+    * file counts per bucketed part: the small-files growth itself
+      (NOT content-derived — operational signal only).
+
+    ``compact_recommended`` flips on either content signal crossing
+    its threshold. Cost: one metadata-count of ids + one aggregate
+    over bucket_keys — never the bands table. Indexes without a
+    usable filter report ``filter_capacity_used`` NULL."""
+    p = _local_sidecar_path(path)
+    meta = _sidecar_read(p)
+    locations = meta.get("locations") or {}
+    if "ids" in locations:
+        n_docs = spark.read.parquet(
+            os.path.join(p, locations["ids"])
+        ).count()
+    else:  # legacy pre-ids index
+        n_docs = (
+            _read_part(spark, path, "bands", meta)
+            .select(meta["id_col"])
+            .distinct()
+            .count()
+        )
+    krow = (
+        _read_part(spark, path, "bucket_keys", meta)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("band", "h").alias("d"),
+        )
+        .first()
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        np_round_half_up,
+    )
+
+    key_rows, distinct_keys = int(krow["n"]), int(krow["d"])
+    # half-up rounding (Python round() is half-to-EVEN; the DuckDB
+    # oracle rounds half-up)
+    ratio = float(np_round_half_up(key_rows / max(distinct_keys, 1), 4))
+    bloom_meta = meta.get("id_bloom")
+    used = None
+    if idguard.filter_usable(bloom_meta):
+        used = float(np_round_half_up(n_docs * 10.0 / bloom_meta["m"], 4))
+    f_bands = _part_files(_part_loc(path, "bands", meta))
+    f_keys = _part_files(_part_loc(path, "bucket_keys", meta))
+    flag = ratio > dup_ratio_threshold or (
+        used is not None and used > capacity_threshold
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                key_rows,
+                distinct_keys,
+                float(ratio),
+                float(used) if used is not None else None,
+                f_bands,
+                f_keys,
+                bool(flag),
+            )
+        ],
+        "n_docs bigint, key_rows bigint, distinct_keys bigint, "
+        "dup_key_ratio double, filter_capacity_used double, "
+        "files_bands int, files_bucket_keys int, "
+        "compact_recommended boolean",
+    )
+
+
 def band_index_compact(spark: SparkSession, path: str) -> dict:
     """Compact an append-grown index: every ``band_index_append``
     lands one-or-more new files PER PART PER BATCH (a bucketed append
@@ -1198,5 +1290,6 @@ __all__ = [
     "band_index_refresh",
     "band_index_append",
     "band_index_appended_ids",
+    "band_index_audit",
     "band_index_compact",
 ]

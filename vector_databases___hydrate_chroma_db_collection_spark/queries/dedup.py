@@ -899,3 +899,117 @@ def text_common_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         sep="\n",
         min_docs=3,
     )
+
+
+@query(
+    "dedup_band_index_audit",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS t FROM documents
+    ),
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    kb AS (SELECT DISTINCT b, h FROM buckets WHERE doc_id % 7 IN (1, 2, 3)),
+    ka AS (
+        SELECT DISTINCT bk.b, bk.h
+        FROM documents a JOIN buckets bk ON bk.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 7 = 0
+    ),
+    kc AS (SELECT DISTINCT b, h FROM buckets WHERE doc_id % 7 IN (4, 5, 6)),
+    counts AS (
+        SELECT (SELECT count(*) FROM kb)
+             + (SELECT count(*) FROM ka)
+             + (SELECT count(*) FROM kc) AS key_rows,
+               (SELECT count(*) FROM
+                   (SELECT * FROM kb UNION SELECT * FROM ka
+                    UNION SELECT * FROM kc)) AS distinct_keys
+    ),
+    nb AS (
+        SELECT count(*) AS n_build FROM toks
+        WHERE doc_id % 7 IN (1, 2, 3) AND len(t) > 0
+    ),
+    ndoc AS (
+        SELECT (SELECT n_build FROM nb)
+             + (SELECT count(*) FROM documents a
+                JOIN documents b ON b.doc_id = a.doc_id + 1
+                WHERE a.doc_id % 7 = 0)
+             + (SELECT count(*) FROM documents
+                WHERE doc_id % 7 IN (4, 5, 6)) AS n_docs
+    ),
+    mm AS (
+        SELECT CAST(((greatest(65536, 40 * n_build) + 63) // 64) * 64
+                    AS DOUBLE) AS m
+        FROM nb
+    )
+    SELECT n_docs,
+           key_rows,
+           distinct_keys,
+           round(key_rows * 1.0 / distinct_keys, 4) AS dup_key_ratio,
+           round(n_docs * 10.0 / m, 4) AS filter_capacity_used,
+           (round(key_rows * 1.0 / distinct_keys, 4) > 1.05
+            OR round(n_docs * 10.0 / m, 4) > 1.0) AS compact_recommended
+    FROM counts, ndoc, mm
+    """,
+)
+def dedup_band_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "when do I compact?" audit for the band index
+    (operators/band_index.py::band_index_audit — the maintenance twin
+    of collection_ivf_balance_audit's "when do I refresh?"): build
+    from 3/7 of the corpus, append a batch of RE-INGESTED content
+    (every %7==0 doc carries its doc_id+1 neighbor's text under a new
+    id — batch-distinct bucket keys that duplicate corpus keys, the
+    exact bloat the corpus-independent append design defers to
+    compaction) and a batch of genuinely new content (%7 in 4,5,6),
+    then audit. The duplicate-key ratio crosses the query's 1.05
+    threshold and flips compact_recommended; the oracle recomputes
+    EVERYTHING from raw text — per-batch distinct band-key sets and
+    their union (the append design's exact key-row arithmetic), the
+    indexed-doc count, and even the id-guard filter's capacity from
+    its documented sizing formula (m = max(2^16, 4*n_build*10 bits),
+    word-aligned). File counts are reported by the operator but not
+    selected here (not content-derivable; pinned in pytest)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_append,
+        band_index_audit,
+        band_index_build,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 7
+    build = d.filter(mod.isin(1, 2, 3))
+    batch_dup = (
+        d.filter(mod == 0)
+        .join(
+            d.select(
+                (F.col("doc_id") - 1).alias("doc_id"),
+                F.col("text").alias("_t1"),
+            ),
+            "doc_id",  # re-ingest REQUIRES the +1 neighbor (oracle mirrors)
+        )
+        .select("doc_id", F.col("_t1").alias("text"))
+    )
+    batch_new = d.filter(mod.isin(4, 5, 6)).select("doc_id", "text")
+    idx = tempfile.mkdtemp(prefix="vdb_band_audit_") + "/idx"
+    band_index_build(build, idx, id_col="doc_id", text_col="text")
+    band_index_append(spark, idx, batch_dup)
+    band_index_append(spark, idx, batch_new)
+    return band_index_audit(spark, idx, dup_ratio_threshold=1.05).select(
+        "n_docs",
+        "key_rows",
+        "distinct_keys",
+        "dup_key_ratio",
+        "filter_capacity_used",
+        "compact_recommended",
+    )
