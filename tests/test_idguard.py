@@ -420,3 +420,44 @@ def test_band_index_audit_flags_and_compact_resets(spark, tmp_path):
     legacy = bi.band_index_audit(spark, path).first()
     assert legacy["filter_capacity_used"] is None
     assert legacy["n_docs"] == 60
+
+
+def test_ivf_append_tag_reuse_with_new_ids_rerecords(spark, tmp_path):
+    """A reused tag carrying NEW ids is a fresh append, not a replay:
+    the contribution recording must be REPLACED (a stale recording
+    would make a later replay of the tag exclude the wrong set and
+    flip the new docs' verdicts). A true verbatim replay (no new ids)
+    keeps the first attempt's recording."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=4, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "tag_reuse")
+    ann.ivf_write(assigned, C, path, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+
+    bA = e.filter(F.col("vec_id").between(40, 44)).select("vec_id", "embedding")
+    assert ann.ivf_append(spark, path, bA, tag="T") == 5
+    assert sorted(
+        int(r[0]) for r in ann.ivf_appended_ids(spark, path, "T").collect()
+    ) == [40, 41, 42, 43, 44]
+
+    # verbatim replay: recording unchanged
+    assert ann.ivf_append(spark, path, bA, tag="T") == 0
+    assert sorted(
+        int(r[0]) for r in ann.ivf_appended_ids(spark, path, "T").collect()
+    ) == [40, 41, 42, 43, 44]
+
+    # tag REUSED with new content: rows append AND the recording is
+    # replaced with THIS batch's contribution
+    bB = e.filter(F.col("vec_id").between(45, 47)).select("vec_id", "embedding")
+    assert ann.ivf_append(spark, path, bB, tag="T") == 3
+    assert sorted(
+        int(r[0]) for r in ann.ivf_appended_ids(spark, path, "T").collect()
+    ) == [45, 46, 47]
+    assert ann.ivf_read(spark, path)[0].count() == 48

@@ -1091,7 +1091,9 @@ def test_stream_novelty_ingest_loop_across_batches(spark, tmp_path):
             band_index_meta,
         )
 
-        assert band_index_meta(idx)["last_append_tag"] == f"{sink}#1"
+        assert band_index_meta(idx)["last_append_tag"].startswith(
+            f"{sink}#1#"
+        )  # content-qualified: sink#batch#id-set-digest
         # and the in-stream appends re-stamped the index: fresh read
         band_index_read(spark, idx)
         band_index_bucket_keys(spark, idx)
@@ -1463,8 +1465,9 @@ def test_stream_semantic_ingest_loop_and_replay_stability(spark, tmp_path):
     import os
 
     sc = json.load(open(os.path.join(idx, "ivf_index.json")))
-    assert sc["last_append_tag"] == "sem_replay_sink#0"
-    rec0 = ann.ivf_appended_ids(spark, idx, "sem_replay_sink#0")
+    tag0 = sc["last_append_tag"]
+    assert tag0.startswith("sem_replay_sink#0#")  # content-qualified
+    rec0 = ann.ivf_appended_ids(spark, idx, tag0)
     assert [r[0] for r in rec0.collect()] == ["40"]
 
     # batch 1: SAME-ID redelivery of doc 40 + genuinely new doc 60
@@ -1493,11 +1496,12 @@ def test_stream_semantic_ingest_loop_and_replay_stability(spark, tmp_path):
     assert loaded.select("id").distinct().count() == 32
     # recording bookkeeping: batch 1 promoted, batch 0's recording GC'd
     sc = json.load(open(os.path.join(idx, "ivf_index.json")))
-    assert sc["last_append_tag"] == "sem_replay_sink#1"
-    recs = [x for x in os.listdir(idx) if x.startswith("append_ids_v")]
+    tag1 = sc["last_append_tag"]
+    assert tag1.startswith("sem_replay_sink#1#")
+    recs = [x for x in os.listdir(idx) if x.startswith("ivf_append_ids_v")]
     assert len(recs) == 1
     assert sorted(
-        r[0] for r in ann.ivf_appended_ids(spark, idx, "sem_replay_sink#1").collect()
+        r[0] for r in ann.ivf_appended_ids(spark, idx, tag1).collect()
     ) == ["60"]
 
 
@@ -1588,3 +1592,112 @@ def test_stream_semantic_ingest_through_real_stream(spark, tmp_path):
         assert loaded.count() == 32
     finally:
         spark.catalog.dropTempView(sink)
+
+
+def test_stream_semantic_ingest_restart_is_not_a_replay(spark, tmp_path):
+    """A restarted stream (fresh checkpoint, same sink_table, batch
+    numbering restarting at 0) must gate as FRESH batches: its tags
+    are content-qualified (sink#batch#id-set-digest), so the new
+    run's batch 0 never matches the old run's recorded batch 0 — a
+    tag-string-only match would exclude the OLD run's contribution
+    from the reference and wave a near-duplicate of it through as
+    novel."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        _semantic_ingest_batch_fn,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="semrestart",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") < 30)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "semrestart")
+    assigned, C = ann.ivf_build(coll, n_centroids=4, seed=42)
+    idx = f"{root}/semrestart/_ivf"
+    ann.ivf_write(assigned, C, idx, metric="cosine",
+                  source=(root, "semrestart"),
+                  build={"metric": "l2", "seed": 42})
+    ingest = _semantic_ingest_batch_fn(
+        idx, cfg, "restart_sink", threshold=0.99, nprobe=4, score_decimals=4
+    )
+
+    def emb_of(vid):
+        return e.filter(F.col("vec_id") == vid).first()["embedding"]
+
+    # run 1, batch 0: ingests doc 40 (novel)
+    b_run1 = spark.createDataFrame(
+        [(40, "forty", emb_of(40))],
+        "doc_id bigint, text string, embedding array<float>",
+    )
+    assert ingest(b_run1, 0).first()["novel"] is True
+
+    # operator wipes the checkpoint; run 2's batch 0 carries doc 70
+    # whose EMBEDDING duplicates the just-ingested doc 40 — it must
+    # gate DUPLICATE (fresh path), not ride a false replay exclusion
+    b_run2 = spark.createDataFrame(
+        [(70, "seventy", emb_of(40))],
+        "doc_id bigint, text string, embedding array<float>",
+    )
+    got = {r["doc_id"]: (r["best_score"], r["novel"])
+           for r in ingest(b_run2, 0).collect()}
+    assert got[70] == (1.0, False)
+    # and nothing was double-ingested
+    assert read_collection(spark, root, "semrestart").count() == 31
+    assert ann.ivf_read(spark, idx, verify_source=False)[0].count() == 31
+
+
+def test_stream_semantic_in_batch_duplicate_rows_one_verdict(spark, tmp_path):
+    """An at-least-once source folding the SAME doc twice into one
+    micro-batch publishes exactly ONE verdict row for it (the stores
+    were already guarded; the published table is per-doc)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        _semantic_ingest_batch_fn,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="semdups",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") < 30)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "semdups")
+    assigned, C = ann.ivf_build(coll, n_centroids=4, seed=42)
+    idx = f"{root}/semdups/_ivf"
+    ann.ivf_write(assigned, C, idx, metric="cosine",
+                  build={"metric": "l2", "seed": 42})
+    ingest = _semantic_ingest_batch_fn(
+        idx, cfg, "dups_sink", threshold=0.99, nprobe=4, score_decimals=4
+    )
+    e40 = e.filter(F.col("vec_id") == 40).first()["embedding"]
+    tripled = spark.createDataFrame(
+        [(40, "forty", e40)] * 3,
+        "doc_id bigint, text string, embedding array<float>",
+    )
+    rows = ingest(tripled, 0).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 40
+    assert read_collection(spark, root, "semdups").count() == 31

@@ -1012,7 +1012,7 @@ def ivf_write(
     import shutil
 
     for d_ in os.listdir(path):
-        if d_.startswith("append_ids_v"):
+        if d_.startswith("ivf_append_ids_v"):
             shutil.rmtree(os.path.join(path, d_), ignore_errors=True)
 
 
@@ -1211,8 +1211,19 @@ def ivf_append(
             )
     fresh = fresh.localCheckpoint(eager=True)
     n_new = fresh.count()
-    replay_of_completed = tag is not None and tag == meta.get(
-        "last_append_tag"
+    # A true verbatim replay of a COMPLETED append contributes nothing
+    # new (every id is guarded away). A reused tag carrying NEW ids is
+    # NOT a replay — it is a fresh append that must RE-record its
+    # contribution (keeping the stale recording while appending new
+    # rows would make a later replay of that tag exclude the wrong id
+    # set and flip this batch's own docs novel -> duplicate).
+    # Streaming callers also fold a content digest into the tag
+    # (idguard.batch_digest), so tag collisions across different
+    # content cannot reach here through the stream path at all.
+    replay_of_completed = (
+        tag is not None
+        and tag == meta.get("last_append_tag")
+        and n_new == 0
     )
     pending = meta.get("pending_append") or {}
     app_dir = (
@@ -1228,7 +1239,10 @@ def ivf_append(
             if app_dir is None or not os.path.exists(
                 os.path.join(p, app_dir)
             ):
-                app_dir = _fresh_versioned_dir(p, "append_ids")
+                # namespaced per index kind: a cohabiting band index
+                # owns the bare "append_ids_v*" prefix, and recording
+                # GC must never cross sidecars
+                app_dir = _fresh_versioned_dir(p, "ivf_append_ids")
                 fresh.select(exist_id).write.mode("overwrite").parquet(
                     os.path.join(p, app_dir)
                 )
@@ -1281,7 +1295,7 @@ def ivf_append(
             (meta.get("pending_append") or {}).get("appended_ids"),
         }
         for d_ in os.listdir(p):
-            if d_.startswith("append_ids_v") and d_ not in keep:
+            if d_.startswith("ivf_append_ids_v") and d_ not in keep:
                 shutil.rmtree(os.path.join(p, d_), ignore_errors=True)
     idguard.gc_bloom_files(
         p, {(meta.get("id_bloom") or {}).get("location")}

@@ -847,13 +847,19 @@ def band_index_append(
         meta.pop("pending_append", None)  # legacy boolean marker
         if tag is not None:
             meta["last_append_tag"] = tag
-            if not replay_of_completed:
+            if not replay_of_completed or n > 0:
                 # dir of this batch's recorded contribution; None
                 # means "recorded as empty" (all-duplicate batch) —
                 # distinct from the key being absent (pre-r11 index,
                 # unrecorded). A pure replay of a COMPLETED append
-                # must not overwrite the first attempt's record: its
-                # own post-guard set is empty by then.
+                # must not overwrite the first attempt's record (its
+                # own post-guard set is empty by then) — but a REUSED
+                # tag that contributed NEW rows (n > 0) is not a
+                # replay and must RE-record, or a later replay of the
+                # tag would exclude the wrong id set. Streaming
+                # callers also content-qualify their tags
+                # (idguard.batch_digest), making such collisions
+                # unreachable through the stream path.
                 meta["last_append_ids"] = app_dir
         if locations != (meta.get("locations") or {}):
             meta["locations"] = locations
@@ -1176,7 +1182,11 @@ def band_index_audit(
     bloom_meta = meta.get("id_bloom")
     used = None
     if idguard.filter_usable(bloom_meta):
-        used = float(np_round_half_up(n_docs * 10.0 / bloom_meta["m"], 4))
+        used = float(
+            np_round_half_up(
+                n_docs * float(idguard.BITS_PER_ID) / bloom_meta["m"], 4
+            )
+        )
     f_bands = _part_files(_part_loc(path, "bands", meta))
     f_keys = _part_files(_part_loc(path, "bucket_keys", meta))
     flag = ratio > dup_ratio_threshold or (

@@ -64,14 +64,42 @@ from pyspark.sql.functions import pandas_udf
 _MAGIC = b"SGIDBLM1"
 _SALT = "spark-graft-idguard-h2"
 HASH_SPEC = "xxhash64-double-v1"
+# design density of every id-guard filter (bloom_params default, the
+# audit's capacity math, and the oracle's documented sizing formula
+# all derive from this one constant)
+BITS_PER_ID = 10
 
 
-def bloom_params(expected_ids: int, *, bits_per_id: int = 10) -> tuple[int, int]:
+def batch_digest(df: DataFrame, id_col: str) -> str:
+    """Order-independent content identity of a batch's id set (count
+    + xor of per-id hashes) — one tiny aggregation, stable across
+    replay attempts. Streaming callers fold this into their append
+    tags so a tag can never collide across DIFFERENT content: a
+    restarted stream (fresh checkpoint, same sink/batch ids) must
+    gate as a FRESH batch, not as a replay of the old run's batch —
+    replay-as-equality-of-(tag, content), never tag alone."""
+    r = (
+        df.select(F.col(id_col).cast("string").alias("_s"))
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(_s))").alias("x"),
+        )
+        .first()
+    )
+    return f"{r['c']}:{r['x']}"
+
+
+def bloom_params(
+    expected_ids: int, *, bits_per_id: int | None = None
+) -> tuple[int, int]:
     """Size a filter for ``expected_ids`` at ``bits_per_id``: returns
     (m bits, k hashes) with m rounded up to whole 64-bit words and k
     the optimal ``m/n * ln 2`` clamped to [1, 8]. The floor (2^16
     bits = 8 KiB) keeps tiny test indexes honest without special
     cases."""
+    if bits_per_id is None:
+        bits_per_id = BITS_PER_ID
     expected = max(int(expected_ids), 1)
     m = max(1 << 16, expected * bits_per_id)
     m = (m + 63) // 64 * 64
@@ -359,7 +387,9 @@ def gc_bloom_files(p: str, keep: set, base: str = "ids_bloom") -> None:
 
 
 __all__ = [
+    "BITS_PER_ID",
     "HASH_SPEC",
+    "batch_digest",
     "bloom_params",
     "bloom_build",
     "bloom_or",

@@ -540,16 +540,12 @@ def stream_ivf_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out[0].unionByName(out[1])
 
 
-_B_COS = """
-               list_sum(list_transform(list_zip(b.emb, c.emb),
-                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-               / greatest(
-                   sqrt(list_sum(list_transform(b.emb,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                 * sqrt(list_sum(list_transform(c.emb,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
-                   1e-300)
-"""
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: E402,F401
+    _COS_DOUBLE,
+)
+
+# the one shared oracle-cosine macro — a local copy would drift
+_B_COS = _COS_DOUBLE.format(a="b.emb", b="c.emb")
 
 
 @query(

@@ -124,8 +124,10 @@ def stream_novelty_ingest(
     contract), and the verdicts themselves are REPLAY-STABLE while
     cross-batch REDELIVERY still gates correctly: every append is
     tagged with the deterministic batch identity
-    (``{sink_table}#{batch_id}``), and the gate checks the sidecar
-    for that tag first. A replay of batch N (tag already recorded in
+    (``{sink_table}#{batch_id}#{id-set digest}`` — content-qualified,
+    so a restarted stream with a fresh checkpoint but colliding batch
+    numbers can never be mistaken for a replay), and the gate checks
+    the sidecar for that tag first. A replay of batch N (tag already recorded in
     ``last_append_tag`` or a pending torn marker) gates through
     ``novelty_gate_excluding`` with the RECORDED appended-id set for
     that tag (``band_index_appended_ids`` — the post-guard ids the
@@ -196,12 +198,35 @@ def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
     ic, tc = cfg.id_col, cfg.text_col
 
     def ingest(batch_docs: DataFrame, batch_id: int) -> DataFrame:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+            idguard,
+        )
+
         spark = batch_docs.sparkSession
         meta = band_index_meta(index_path)
-        batch_tag = f"{sink_table}#{batch_id}"
-        replayed = batch_tag == meta.get("last_append_tag") or any(
-            e.get("tag") == batch_tag
-            for e in (meta.get("pending_appends") or [])
+        # in-batch duplicate rows must not duplicate verdict rows
+        # (the stores are already guarded; the PUBLISHED table is
+        # per-doc)
+        uniq = batch_docs.dropDuplicates([ic])
+        # ONE emptiness probe: the construction-time schema call must
+        # run no jobs at all (so no digest aggregation either)
+        probe_only = batch_docs.isEmpty()
+        # content-qualified tag: equality means SAME ids, so a
+        # restarted stream (fresh checkpoint, same sink/batch numbers,
+        # different content) gates as a fresh batch instead of
+        # wrongly excluding the old run's recorded contribution
+        batch_tag = (
+            None
+            if probe_only
+            else f"{sink_table}#{batch_id}#"
+            + idguard.batch_digest(batch_docs, ic)
+        )
+        replayed = batch_tag is not None and (
+            batch_tag == meta.get("last_append_tag")
+            or any(
+                e.get("tag") == batch_tag
+                for e in (meta.get("pending_appends") or [])
+            )
         )
         if replayed:
             # This very batch already appended (fully or torn): gate
@@ -216,7 +241,7 @@ def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                 spark, index_path, verify_source=False
             )
             gated = novelty_gate_excluding(
-                batch_docs.select(ic, tc),
+                uniq.select(ic, tc),
                 bands_t,
                 ref_id_col=meta["id_col"],
                 id_col=ic,
@@ -237,7 +262,7 @@ def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                 spark, index_path, verify_source=False
             )
             gated = novelty_gate(
-                batch_docs.select(ic, tc),
+                uniq.select(ic, tc),
                 keys,
                 id_col=ic,
                 text_col=tc,
@@ -245,7 +270,7 @@ def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                 num_hashes=meta["num_hashes"],
                 bands=meta["bands"],
             )
-        if batch_docs.isEmpty():
+        if probe_only:
             # stream_knn_serve's schema probe (and any empty batch):
             # the lazy gate plan carries the output schema; running
             # hydrate/append here would execute real jobs and re-stamp
@@ -253,7 +278,7 @@ def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
             return gated
         out = gated.localCheckpoint(eager=True)
         release_cache(gated)
-        novel_docs = batch_docs.join(out.filter("novel").select(ic), ic)
+        novel_docs = uniq.join(out.filter("novel").select(ic), ic)
         hydrate(spark, novel_docs, cfg)
         # Unconditional: a replay after a crash between hydrate and
         # append sees rows_written == 0 but still owes the INDEX its
@@ -462,16 +487,47 @@ def _semantic_ingest_batch_fn(
     ic, ec = cfg.id_col, cfg.embedding_col
 
     def ingest(batch_docs: DataFrame, batch_id: int) -> DataFrame:
+        import numpy as np
+
+        from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+            idguard,
+        )
+
         spark = batch_docs.sparkSession
-        batch_tag = f"{sink_table}#{batch_id}"
+        # in-batch duplicate rows must not duplicate verdict rows (the
+        # stores are already guarded; the PUBLISHED table is per-doc)
+        uniq = batch_docs.dropDuplicates([ic])
         p = _local_sidecar_path(index_path)
         with open(os.path.join(p, "ivf_index.json")) as f:
             meta = json.load(f)
-        pending = meta.get("pending_append") or {}
-        replayed = batch_tag == meta.get("last_append_tag") or (
-            pending.get("tag") == batch_tag
+        # ONE emptiness probe; the construction-time schema call must
+        # run no jobs (so no digest aggregation either)
+        probe_only = batch_docs.isEmpty()
+        # the tag is CONTENT-QUALIFIED (sink#batch#digest-of-id-set):
+        # a restarted stream (fresh checkpoint, same sink/batch ids,
+        # different content) must gate as a FRESH batch — tag-string
+        # equality alone would wrongly exclude the OLD run's recorded
+        # ids and mis-gate near-duplicates of them as novel.
+        batch_tag = (
+            None
+            if probe_only
+            else f"{sink_table}#{batch_id}#"
+            + idguard.batch_digest(uniq, ic)
         )
-        assigned, C, metric = ivf_read(spark, index_path, verify_source=False)
+        pending = meta.get("pending_append") or {}
+        replayed = batch_tag is not None and (
+            batch_tag == meta.get("last_append_tag")
+            or pending.get("tag") == batch_tag
+        )
+        # ONE sidecar parse per batch (the sidecar embeds the full
+        # centroid matrix — multi-MB at production cell counts):
+        # assemble what ivf_read(verify_source=False) would return
+        # directly from the already-parsed meta.
+        assigned = spark.read.parquet(
+            os.path.join(p, meta.get("location", "cells"))
+        )
+        C = np.asarray(meta["centroids"])
+        metric = meta["metric"]
         idx_id, idx_emb = [
             c for c in assigned.columns if c != "ivf_cell"
         ][:2]
@@ -481,7 +537,7 @@ def _semantic_ingest_batch_fn(
             # redelivered id must stay in the reference
             rec = ivf_appended_ids(spark, index_path, batch_tag)
             if rec is None:  # pre-recording index: batch-id fallback
-                rec = batch_docs.select(ic)
+                rec = uniq.select(ic)
             idx_type = dict(assigned.dtypes)[idx_id]
             assigned = assigned.join(
                 F.broadcast(
@@ -493,7 +549,7 @@ def _semantic_ingest_batch_fn(
                 "left_anti",
             )
         nn = ivf_knn_join(
-            batch_docs.select(
+            uniq.select(
                 F.col(ic).alias("qid"), F.col(ec).alias("q_embedding")
             ),
             assigned,
@@ -513,7 +569,7 @@ def _semantic_ingest_batch_fn(
             else (F.col("best_score") <= threshold)
         )
         gated = (
-            batch_docs.select(ic)
+            uniq.select(ic)
             .join(
                 nn.select(F.col("qid").alias(ic), F.col("score").alias(
                     "best_score"
@@ -529,11 +585,11 @@ def _semantic_ingest_batch_fn(
                 F.coalesce(~dup, F.lit(True)).alias("novel"),
             )
         )
-        if batch_docs.isEmpty():
+        if probe_only:
             # schema probe / empty batch: lazy plan only, no stores
             return gated
         out = gated.localCheckpoint(eager=True)
-        novel_docs = batch_docs.join(out.filter("novel").select(ic), ic)
+        novel_docs = uniq.join(out.filter("novel").select(ic), ic)
         hydrate(spark, novel_docs, cfg)
         # Unconditional: a replay after a crash between hydrate and
         # append still owes the INDEX its rows; the append's own
