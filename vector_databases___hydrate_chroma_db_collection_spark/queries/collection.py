@@ -1871,3 +1871,112 @@ def collection_semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hydrate(spark, inc, gated_cfg)
     return read_collection(spark, root, "sem_gate").select("id")
+
+
+@query(
+    "collection_ivfpq_append_compact_serve",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS cos_sim
+        FROM corpus c, q
+        WHERE c.id <> '7'
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_ivfpq_append_compact_serve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPRESSED index's full incremental-ingest lifecycle (the
+    8-byte-codes twin of collection_ivf_compact_serve): build a
+    stamped IVF-PQ index over 4/5 of the corpus, hydrate the
+    remaining fifth (index goes stale), ``ivf_pq_append`` the new
+    vectors under the ``expected_prev_etag`` fence — nearest-EXISTING
+    coarse centroid + residual encode with the EXISTING codebooks, no
+    retraining — then ``ivf_pq_compact`` the append-grown code table
+    (file bound asserted) and serve top-5 through ADC prescreen +
+    exact rerank over the compacted codes. Full probe + a prescreen
+    wider than the corpus make the result exactly the brute-force
+    oracle, so the hash only matches if the appended fifth was
+    residual-encoded servably AND compaction was code-lossless."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_append,
+        ivf_pq_build,
+        ivf_pq_compact,
+        ivf_pq_read,
+        ivf_pq_search,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_pq_acs_")
+    cfg = HydrationConfig(
+        collection_name="pq_acs",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    first = d.filter(F.col("doc_id") % 5 != 0)
+    hydrate(spark, first.join(e, first.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "pq_acs")
+    enc, cents, cbs = ivf_pq_build(
+        coll, id_col="id", n_centroids=8, m=16, n_codes=32, seed=7
+    )
+    idx = f"{root}/pq_acs/_ivfpq"
+    ivf_pq_write(enc, cents, cbs, idx, source=(root, "pq_acs"))
+    etag0 = collection_etag(root, "pq_acs")
+
+    nxt = d.filter(F.col("doc_id") % 5 == 0)
+    hydrate(spark, nxt.join(e, nxt.doc_id == e.vec_id), cfg)
+    new_vecs = (
+        read_collection(spark, root, "pq_acs")
+        .filter(F.col("id").cast("bigint") % 5 == 0)
+        .select("id", "embedding")
+    )
+    n = ivf_pq_append(
+        spark, idx, new_vecs, id_col="id", expected_prev_etag=etag0
+    )
+    if n != new_vecs.count():
+        raise EngineError(f"ivf_pq_append short: {n}")
+    files_before, files_after = ivf_pq_compact(spark, idx)
+    if files_after >= files_before:
+        raise EngineError(
+            f"ivf_pq_compact did not shrink files "
+            f"({files_before} -> {files_after})"
+        )
+    full = read_collection(spark, root, "pq_acs")
+    qvec = list(full.filter(F.col("id") == "7").first()["embedding"])
+    enc2, cents2, cbs2 = ivf_pq_read(spark, idx)  # stale check: re-stamped
+    return ivf_pq_search(
+        enc2.filter(F.col("id") != "7"),
+        cents2,
+        cbs2,
+        qvec,
+        k=5,
+        id_col="id",
+        nprobe=8,
+        rerank_corpus=full.filter(F.col("id") != "7"),
+        embedding_col="embedding",
+        rerank_factor=120,  # 600-candidate prescreen covers the corpus
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnsRenamed({"score": "cos_sim"})
