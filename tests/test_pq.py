@@ -353,3 +353,67 @@ def test_ivf_pq_append_incremental(spark, tmp_path):
     assert ivf_pq_append(spark, path, rest) == 0
     with pytest.raises(ValueError, match="already"):
         ivf_pq_append(spark, path, rest, on_existing="error")
+
+
+def test_ivf_pq_balance_audit_saturation_and_occupancy(spark, tmp_path):
+    """The compressed index's audit: fresh build reports current ==
+    trained and no flags; a 10x-drifted append lifts every touched
+    cell's mean reconstructed-residual norm past the 1.1x saturation
+    threshold (the signal is hull-bounded — codes cannot express how
+    far out the data went — which is exactly why the threshold is
+    low); a pre-train_stats index audits occupancy only."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        pq,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _atomic_sidecar_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.sources.parquet import (
+        load_table,
+    )
+
+    from .conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 80).select("vec_id", "embedding")
+    enc, C, books = pq.ivf_pq_build(
+        corpus, n_centroids=4, m=8, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "pq_audit")
+    pq.ivf_pq_write(enc, C, books, path)
+
+    fresh = {r["ivf_cell"]: r for r in pq.ivf_pq_balance_audit(spark, path).collect()}
+    assert len(fresh) == 4
+    assert not any(r["refresh_recommended"] for r in fresh.values())
+    for r in fresh.values():
+        assert r["n_rows"] == r["trained_n_rows"]
+        assert r["mean_res_norm"] == r["trained_mean_res_norm"]
+
+    drifted = e.filter(F.col("vec_id").between(80, 199)).select(
+        "vec_id", F.transform("embedding", lambda x: x * F.lit(10.0)).alias("embedding")
+    )
+    assert pq.ivf_pq_append(spark, path, drifted, id_col="vec_id") == 120
+    after = {r["ivf_cell"]: r for r in pq.ivf_pq_balance_audit(spark, path).collect()}
+    dominated = [
+        c for c, r in after.items()
+        if r["n_rows"] - fresh[c]["n_rows"] >= fresh[c]["n_rows"]
+    ]
+    assert dominated
+    assert all(after[c]["refresh_recommended"] for c in dominated)
+    assert all(
+        after[c]["mean_res_norm"] > after[c]["trained_mean_res_norm"]
+        for c in dominated
+    )
+
+    # legacy sidecar without train_stats: occupancy-only
+    meta = json.load(open(os.path.join(path, "ivf_pq_index.json")))
+    meta.pop("train_stats")
+    _atomic_sidecar_write(path, "ivf_pq_index.json", meta)
+    legacy = pq.ivf_pq_balance_audit(spark, path, skew_threshold=2.5).collect()
+    assert all(r["trained_mean_res_norm"] is None for r in legacy)
+    assert not any(r["refresh_recommended"] for r in legacy)  # balanced

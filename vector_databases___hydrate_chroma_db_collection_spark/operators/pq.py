@@ -637,6 +637,20 @@ def ivf_pq_write(
         path,
         ((old_meta or {}).get("id_bloom") or {}).get("location"),
     )
+    # build-time per-cell stats: occupancy + mean reconstructed-
+    # residual norm — the baseline ivf_pq_balance_audit measures
+    # appended saturation drift against. One scan of the fresh codes.
+    stats = {
+        int(r["ivf_cell"]): (int(r["n_rows"]), float(r["mean_res_norm"]))
+        for r in _pq_cell_stats(cells_back, codebooks).collect()
+    }
+    n_cells = int(centroids.shape[0])
+    train_stats = {
+        "cell_rows": [stats.get(i, (0, 0.0))[0] for i in range(n_cells)],
+        "cell_mean_res_norm": [
+            stats.get(i, (0, 0.0))[1] for i in range(n_cells)
+        ],
+    }
     _atomic_sidecar_write(
         path,
         "ivf_pq_index.json",
@@ -649,6 +663,7 @@ def ivf_pq_write(
             "codebooks": codebooks.tolist(),
             "source": stamp,
             "location": cells_dir,
+            "train_stats": train_stats,
             "id_bloom": id_bloom,
         },
     )
@@ -848,3 +863,129 @@ def ivf_pq_compact(spark, path: str) -> tuple[int, int]:
     )
 
     return ivf_compact(spark, path, sidecar="ivf_pq_index.json")
+
+
+def _code_res_norm(codebooks: np.ndarray):
+    """Norm of a row's RECONSTRUCTED residual, as a pure codegen
+    expression over its ``pq_code`` array: the decoded residual is the
+    concatenation of the chosen codebook entries, so its squared norm
+    is a sum of per-(subspace, code) squared-norm LUT lookups — m
+    ``element_at`` calls against literal arrays, no decode, no UDF.
+    Codes are valid by construction (the encoder emits [0, n_codes));
+    a corrupted index raises loudly under ANSI element_at."""
+    c_sq = (codebooks * codebooks).sum(axis=2)  # (m, n_codes)
+    terms = []
+    for j in range(c_sq.shape[0]):
+        lut = F.array(*[F.lit(float(v)) for v in c_sq[j]])
+        idx = F.element_at(F.col("pq_code"), j + 1).cast("int") + F.lit(1)
+        terms.append(F.element_at(lut, idx))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return F.sqrt(total)
+
+
+def _pq_cell_stats(cells: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """Per-cell (n_rows, mean reconstructed-residual norm) in one
+    map-side-combinable aggregate — a single scan of the 8-byte code
+    table, however large the corpus."""
+    return (
+        cells.select("ivf_cell", _code_res_norm(codebooks).alias("_rn"))
+        .groupBy("ivf_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg("_rn").alias("mean_res_norm"),
+        )
+    )
+
+
+def ivf_pq_balance_audit(
+    spark,
+    path: str,
+    *,
+    skew_threshold: float = 4.0,
+    drift_threshold: float = 1.1,
+    dist_decimals: int = 4,
+) -> DataFrame:
+    """The compressed index's drift/balance audit — the IVF-PQ twin of
+    ``ann.ivf_balance_audit``, with a PQ-appropriate drift signal: the
+    original vectors are gone (that is the point of the codes), so
+    drift is measured through RECONSTRUCTION SATURATION — the mean
+    norm of each cell's decoded residuals. Appended data that drifted
+    away from the trained coarse centroids carries large residuals,
+    and residual-encoding them saturates toward the codebook hull's
+    extreme entries, lifting the cell's mean reconstructed-residual
+    norm above its recorded build-time baseline. IMPORTANT BOUND: the
+    signal cannot exceed (max codebook-entry norm / trained mean) —
+    typically ~1.2-1.3x — because codes cannot express how far OUT
+    the data went, only that it pinned the hull; hence the low
+    default ``drift_threshold`` (1.1x), and a measured 10x-scaled
+    drift shows up as a uniform ~1.13x lift (test-pinned). For an
+    unbounded drift measure audit the uncompressed IVF twin
+    (``ann.ivf_balance_audit``), which still has the vectors.
+    Returns one row per cell: ``(ivf_cell, n_rows, occupancy_ratio,
+    mean_res_norm, trained_n_rows, trained_mean_res_norm,
+    refresh_recommended)`` — the flag flips on occupancy skew past
+    ``skew_threshold`` (bounded by n_centroids — pick below it) or
+    saturation past ``drift_threshold`` x trained. Pre-train_stats
+    indexes audit occupancy only. One scan of the code table (m element_at LUT
+    lookups per row, codegen); the report is assembled driver-side
+    from <= n_centroids aggregate rows."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+        np_round_half_up,
+    )
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_pq_index.json")) as f:
+        meta = json.load(f)
+    cells = spark.read.parquet(
+        os.path.join(p, meta.get("location", "cells"))
+    )
+    books = np.asarray(meta["codebooks"])
+    stat_rows = _pq_cell_stats(cells, books).collect()
+    n_cells = int(meta["n_centroids"])
+    total = sum(r["n_rows"] for r in stat_rows)
+    by_cell = {
+        int(r["ivf_cell"]): (int(r["n_rows"]), float(r["mean_res_norm"]))
+        for r in stat_rows
+    }
+    trained = meta.get("train_stats")
+    out = []
+    for i in range(n_cells):
+        n, rn = by_cell.get(i, (0, None))
+        occ = float(np_round_half_up(n * n_cells / max(total, 1), 4))
+        tn = tr = None
+        if trained is not None:
+            tn = int(trained["cell_rows"][i])
+            tr = float(trained["cell_mean_res_norm"][i])
+        drifted = bool(
+            rn is not None
+            and tr is not None
+            and tr > 0
+            and rn > drift_threshold * tr
+        )
+        out.append(
+            (
+                i,
+                n,
+                occ,
+                float(np_round_half_up(rn, dist_decimals))
+                if rn is not None
+                else None,
+                tn,
+                float(np_round_half_up(tr, dist_decimals))
+                if tr is not None
+                else None,
+                occ > skew_threshold or drifted,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "ivf_cell int, n_rows bigint, occupancy_ratio double, "
+        "mean_res_norm double, trained_n_rows bigint, "
+        "trained_mean_res_norm double, refresh_recommended boolean",
+    )
