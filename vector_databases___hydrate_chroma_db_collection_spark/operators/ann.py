@@ -250,9 +250,9 @@ def ivf_search(
         cn = centroids / np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-300
         )
-        order = np.argsort(-(cn @ qn))
+        order = np.argsort(-(cn @ qn), kind="stable")
     else:
-        order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+        order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
     cells = [int(c) for c in order[:nprobe]]
     candidates = assigned.filter(F.col("ivf_cell").isin(cells))
     return knn_query(
@@ -330,9 +330,15 @@ def ivf_knn_join(
             if len(pdf) == 0:
                 continue
             Q = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_qe"]])
+            # stable argsort, not argpartition: boundary ties between
+            # the npb-th and npb+1-th cell resolve to the LOWER cell
+            # index deterministically, so the probed set is a pure
+            # function of (query, centroids) — what lets a recall
+            # audit's SQL oracle replay the probe decision exactly
+            # (n_centroids is small; the full sort is negligible)
             if metric == "l2":
                 d = c_sq[None, :] - 2.0 * (Q @ C.T)
-                top = np.argpartition(d, npb - 1, axis=1)[:, :npb]
+                top = np.argsort(d, axis=1, kind="stable")[:, :npb]
             else:
                 Qn = Q
                 if metric == "cosine":
@@ -340,7 +346,7 @@ def ivf_knn_join(
                         np.linalg.norm(Q, axis=1, keepdims=True), 1e-300
                     )
                 sims = Qn @ (Cn.T if metric == "cosine" else C.T)
-                top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :npb]
             yield pd.DataFrame(
                 {
                     "_qid": pdf["_qid"].to_numpy().repeat(npb),
@@ -825,18 +831,33 @@ def _atomic_sidecar_write(p: str, fname: str, meta: dict) -> None:
         pass  # directory fsync is best-effort (not all FS/OS allow it)
 
 
-def _fresh_versioned_dir(p: str, base: str) -> str:
+def _fresh_versioned_dir(
+    p: str, base: str, floor_names: list | None = None
+) -> str:
     """Next unused versioned data directory (``<base>_v1``, ...) — a
     REBUILD never writes into the directory readers are scanning;
     the sidecar's location pointer is swapped last (atomic), so
     readers that follow the read API (sidecar first) see the complete
     old index until the commit and the complete new index after.
-    Scans the filesystem, not the sidecar, so a crashed rebuild's
-    orphan directory is never reused. Shared by the IVF/IVF-PQ
-    sidecars (``cells``) and the band index (per-part bases)."""
+    Scans the filesystem (a crashed rebuild's orphan directory is
+    never reused) AND floors the version above every name in
+    ``floor_names`` — the sidecar's CURRENT recording locations. The
+    floor is what makes versions MONOTONIC across GC (the
+    ``fresh_bloom_file`` ``prev`` contract): after GC removes a
+    superseded version, a bare filesystem scan would recycle its name
+    and a reader holding an older sidecar could open a same-named
+    directory with different content."""
     import os
 
-    v = 1
+    v = 0
+    for name in floor_names or []:
+        if not name:
+            continue
+        try:
+            v = max(v, int(str(name).rsplit("_v", 1)[1].split(".")[0]))
+        except (IndexError, ValueError):
+            pass
+    v += 1
     while os.path.exists(os.path.join(p, f"{base}_v{v}")):
         v += 1
     return f"{base}_v{v}"
@@ -1225,10 +1246,18 @@ def ivf_append(
         and tag == meta.get("last_append_tag")
         and n_new == 0
     )
-    pending = meta.get("pending_append") or {}
-    app_dir = (
-        pending.get("appended_ids") if pending.get("tag") == tag else None
-    )
+    # pending crashed-append recordings: a LIST keyed by tag (the
+    # band-index design) — a single slot would let a second writer's
+    # tagged append overwrite a crashed batch's record, making that
+    # batch's replay gate as fresh against an index already holding
+    # its partial rows. Legacy single-slot sidecars read as a
+    # one-entry list.
+    pending = list(meta.get("pending_appends") or [])
+    legacy = meta.get("pending_append")
+    if legacy:
+        pending.append(legacy)
+    prev_entry = next((e for e in pending if e.get("tag") == tag), None)
+    app_dir = (prev_entry or {}).get("appended_ids")
     if n_new:
         if tag is not None:
             # Record the POST-GUARD contribution BEFORE any data
@@ -1242,11 +1271,23 @@ def ivf_append(
                 # namespaced per index kind: a cohabiting band index
                 # owns the bare "append_ids_v*" prefix, and recording
                 # GC must never cross sidecars
-                app_dir = _fresh_versioned_dir(p, "ivf_append_ids")
+                app_dir = _fresh_versioned_dir(
+                    p,
+                    "ivf_append_ids",
+                    floor_names=[
+                        e.get("appended_ids")
+                        for e in pending
+                        if e.get("appended_ids")
+                    ]
+                    + [meta.get("last_append_ids")],
+                )
                 fresh.select(exist_id).write.mode("overwrite").parquet(
                     os.path.join(p, app_dir)
                 )
-            meta["pending_append"] = {"tag": tag, "appended_ids": app_dir}
+            meta["pending_appends"] = [
+                e for e in pending if e.get("tag") != tag
+            ] + [{"tag": tag, "appended_ids": app_dir}]
+            meta.pop("pending_append", None)  # legacy single slot
         # -- persist the merged id-guard filter BEFORE the data append:
         # a committed filter must stay a SUPERSET of the indexed ids
         # (a missing id would let its replay skip the exact check and
@@ -1280,7 +1321,18 @@ def ivf_append(
         meta["source"] = _source_stamp((src["root"], src["name"]))
         commit = True
     if tag is not None:
-        meta.pop("pending_append", None)
+        # clear only THIS tag's pending entry — other writers'
+        # crashed-batch recordings must survive until their replays
+        remaining = [
+            e
+            for e in (meta.get("pending_appends") or [])
+            if e.get("tag") != tag
+        ]
+        if remaining:
+            meta["pending_appends"] = remaining
+        else:
+            meta.pop("pending_appends", None)
+        meta.pop("pending_append", None)  # legacy single slot
         meta["last_append_tag"] = tag
         if not replay_of_completed:
             # None = recorded as an all-duplicate (empty) contribution;
@@ -1290,9 +1342,9 @@ def ivf_append(
         commit = True
     if commit:
         _atomic_sidecar_write(p, "ivf_index.json", meta)
-        keep = {
-            meta.get("last_append_ids"),
-            (meta.get("pending_append") or {}).get("appended_ids"),
+        keep = {meta.get("last_append_ids")} | {
+            e.get("appended_ids")
+            for e in (meta.get("pending_appends") or [])
         }
         for d_ in os.listdir(p):
             if d_.startswith("ivf_append_ids_v") and d_ not in keep:
@@ -1321,9 +1373,13 @@ def ivf_appended_ids(spark, path: str, tag: str) -> DataFrame | None:
     p = _local_sidecar_path(path)
     with open(os.path.join(p, "ivf_index.json")) as f:
         meta = json.load(f)
-    pending = meta.get("pending_append") or {}
-    if pending.get("tag") == tag:
-        d = pending.get("appended_ids")
+    pending = list(meta.get("pending_appends") or [])
+    legacy = meta.get("pending_append")
+    if legacy:
+        pending.append(legacy)
+    entry = next((e for e in pending if e.get("tag") == tag), None)
+    if entry is not None:
+        d = entry.get("appended_ids")
     elif meta.get("last_append_tag") == tag:
         if "last_append_ids" not in meta:
             return None
@@ -1511,6 +1567,154 @@ def ivf_balance_audit(
                 (F.coalesce(occ, F.lit(0.0)) > skew_threshold) | drifted
             ).alias("refresh_recommended"),
         )
+    )
+
+
+def _recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    recall_threshold: float,
+    decimals: int = 4,
+) -> DataFrame:
+    """Fold two (qid, neighbor_id) top-k sets into the per-query
+    recall report shared by ``ivf_recall_audit`` and
+    ``pq.ivf_pq_recall_audit``:
+
+    ``(qid, n_hits, k_eff, recall_at_k, mean_recall,
+    refresh_recommended)``
+
+    ``k_eff`` is the number of GROUND-TRUTH neighbors the query
+    actually has (< k on corpora smaller than k), so recall is never
+    deflated by asking for more neighbors than exist. ``mean_recall``
+    and the flag ride a global window — bounded by construction: both
+    inputs hold <= n_queries * k rows and the grouped report
+    <= n_queries rows, so the single-partition exchange the empty
+    window frame implies moves a few KB, never corpus data."""
+    from pyspark.sql import Window
+
+    per = (
+        exact.select("qid", "neighbor_id")
+        .join(
+            approx.select("qid", "neighbor_id").withColumn(
+                "_hit", F.lit(1)
+            ),
+            ["qid", "neighbor_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+    )
+    recall = F.col("n_hits") / F.col("k_eff")
+    w = Window.partitionBy()
+    mean_recall = F.avg(recall).over(w)
+    return per.select(
+        "qid",
+        "n_hits",
+        "k_eff",
+        F.round(recall, decimals).alias("recall_at_k"),
+        F.round(mean_recall, decimals).alias("mean_recall"),
+        (mean_recall < F.lit(recall_threshold)).alias(
+            "refresh_recommended"
+        ),
+    )
+
+
+def ivf_recall_audit(
+    spark,
+    path: str,
+    *,
+    k: int = 10,
+    n_queries: int = 64,
+    nprobe: int = 3,
+    recall_threshold: float = 0.9,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """The DIRECT measure the geometry audit cannot give: sampled
+    ground-truth recall of the persisted index at production serving
+    settings. ``ivf_balance_audit`` sees occupancy skew and assignment-
+    distance drift — proxies; this answers the operative question
+    ("do nprobe-cell probes still find the true neighbors?") by
+    serving ``n_queries`` sampled corpus vectors through the index at
+    ``nprobe`` and comparing against exhaustive ground truth.
+
+    Sampling is DETERMINISTIC and corpus-order-free — the
+    ``mix_negative_sampling`` discipline: rank ids by
+    ``md5(cast(id as string))`` and take the lowest ``n_queries``
+    (a TakeOrderedAndProject, no full sort materialized), so reruns
+    and SQL oracles draw the identical query set. Both serving paths
+    are the SAME operator (``ivf_knn_join``): the audited path at the
+    caller's ``nprobe``, ground truth at ``nprobe = n_centroids``
+    (exhaustive — per that operator's contract, identical to the
+    exact join). Identical per-pair scoring on both sides means the
+    sets differ only by cell pruning — recall measures EXACTLY the
+    index's candidate-selection loss, never float noise.
+
+    Output: one row per sampled query —
+    ``(qid, n_hits, k_eff, recall_at_k, mean_recall,
+    refresh_recommended)`` — the flag flips when mean recall falls
+    under ``recall_threshold``. Cost: one exhaustive scoring pass of
+    the corpus against ``n_queries`` vectors (the ground-truth side)
+    plus the pruned probe — run it at audit cadence, not per batch,
+    and size ``n_queries`` to the confidence needed. Closes
+    ``ivf_append``'s "refresh when recall ... audits say so" loop
+    with the recall half; pairs with ``ivf_balance_audit`` (geometry)
+    and ``pq.ivf_pq_recall_audit`` (the compressed twin, which this
+    design exists for: PQ saturation is hull-bounded and can audit
+    near-clean under real drift — recall cannot be fooled that way).
+    """
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_index.json")) as f:
+        meta = json.load(f)
+    cells = spark.read.parquet(
+        os.path.join(p, meta.get("location", "cells"))
+    )
+    C = np.asarray(meta["centroids"])
+    metric = meta["metric"]
+    idc, embc = [c for c in cells.columns if c != "ivf_cell"][:2]
+    queries = (
+        cells.select(
+            F.col(idc).alias("qid"),
+            F.col(embc).alias("q_embedding"),
+            F.md5(F.col(idc).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(int(n_queries))
+        .drop("_h")
+        # both serving joins consume the sample; materialize once so
+        # neither re-executes the order-by-hash draw
+        .localCheckpoint(eager=True)
+    )
+    approx = ivf_knn_join(
+        queries,
+        cells,
+        C,
+        k=k,
+        id_col=idc,
+        embedding_col=embc,
+        metric=metric,
+        nprobe=nprobe,
+        score_decimals=score_decimals,
+    )
+    exact = ivf_knn_join(
+        queries,
+        cells,
+        C,
+        k=k,
+        id_col=idc,
+        embedding_col=embc,
+        metric=metric,
+        nprobe=int(C.shape[0]),
+        score_decimals=score_decimals,
+    )
+    return _recall_report(
+        exact, approx, recall_threshold=recall_threshold
     )
 
 

@@ -581,6 +581,234 @@ def ivf_pq_search(
     )
 
 
+def ivf_pq_knn_join(
+    queries: DataFrame,
+    encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 5,
+    *,
+    query_id_col: str = "qid",
+    query_embedding_col: str = "q_embedding",
+    id_col: str = "id",
+    nprobe: int = 3,
+    slack: int = 32,
+    score_decimals: int | None = None,
+) -> DataFrame:
+    """Batch ADC search through an IVF-PQ index — the compressed twin
+    of ``ann.ivf_knn_join`` for MANY queries at once (``ivf_pq_search``
+    ships one driver-built LUT set per call; a query BATCH must build
+    its residual LUTs executor-side, per (query, probed cell) pair).
+
+    Plan (all distributed, the code table is never collected):
+    1. one Arrow pass assigns each query to its ``nprobe``
+       l2-nearest coarse centroids (stable argsort — boundary ties
+       resolve to the lower cell deterministically, same contract as
+       ``ann.ivf_knn_join``); ADC is residual squared-L2 whatever the
+       rerank metric, so probing is always l2 — FAISS semantics;
+    2. ``groupby(cell).cogroup(queries_by_cell).applyInPandas``: per
+       cell, each query's residual LUT (m x n_codes) is built from
+       the closure-shipped codebooks and the cell's code rows are
+       scored with vectorized takes, keeping k+slack per query;
+    3. ``knn.rank_merge`` (ascending — ADC approximates a distance)
+       produces the deterministic (rounded score, neighbor_id) top-k.
+
+    Output: (qid, neighbor_id, score, rank) — score is the ADC
+    residual squared-L2 approximation (exact rerank is a separate
+    concern; join the top-k back to the corpus when needed).
+    ``nprobe >= n_centroids`` probes every cell: the result is then
+    exhaustive ADC — exact up to quantization, the oracle-checkable
+    configuration."""
+    import pandas as pd
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        rank_merge,
+    )
+
+    C = np.asarray(centroids, dtype=np.float64)
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, n_codes, dsub = books.shape
+    npb = int(min(nprobe, C.shape[0]))
+
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    qemb_type = queries.schema[query_embedding_col].dataType.simpleString()
+    qcell_schema = f"_qid {qid_type}, _qe {qemb_type}, ivf_cell int"
+
+    def assign_queries(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_qe"]])
+            d = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
+            top = np.argsort(d, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "_qid": pdf["_qid"].to_numpy().repeat(npb),
+                    "_qe": pdf["_qe"].to_numpy().repeat(npb),
+                    "ivf_cell": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    qcells = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(query_embedding_col).alias("_qe"),
+    ).mapInPandas(assign_queries, schema=qcell_schema)
+
+    nid_type = encoded.schema[id_col].dataType.simpleString()
+    out_schema = f"qid {qid_type}, neighbor_id {nid_type}, score double"
+    keep_m = k + slack
+
+    def cell_scores(code_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(code_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame({"qid": [], "neighbor_id": [], "score": []})
+        cell = int(code_pdf["ivf_cell"].iloc[0])
+        codes = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in code_pdf["pq_code"]]
+        )
+        ids = code_pdf[id_col].to_numpy()
+        keep = min(keep_m, len(ids))
+        out_qid, out_nid, out_score = [], [], []
+        for qid, qe in zip(q_pdf["_qid"], q_pdf["_qe"]):
+            r = np.asarray(qe, dtype=np.float64) - C[cell]
+            lut = np.stack(
+                [
+                    ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(
+                        axis=1
+                    )
+                    for j in range(m)
+                ]
+            )
+            acc = np.zeros(len(codes))
+            for j in range(m):
+                acc += lut[j][codes[:, j]]
+            # tie-aware top-keep: lowest neighbor_id among boundary
+            # ties, matching rank_merge's final (score, id) order
+            top = np.lexsort((ids, acc))[:keep]
+            out_qid.extend([qid] * keep)
+            out_nid.extend(ids[top])
+            out_score.extend(acc[top])
+        return pd.DataFrame(
+            {"qid": out_qid, "neighbor_id": out_nid, "score": out_score}
+        )
+
+    candidates = (
+        encoded.select(id_col, "pq_code", "ivf_cell")
+        .groupby("ivf_cell")
+        .cogroup(qcells.groupby("ivf_cell"))
+        .applyInPandas(cell_scores, schema=out_schema)
+    )
+    # each corpus row lives in exactly one cell (ivf_build assigns
+    # 1:1), so a (query, row) pair meets in at most one probed cell —
+    # no dedup shuffle needed
+    return rank_merge(candidates, k, metric="l2", score_decimals=score_decimals)
+
+
+def ivf_pq_recall_audit(
+    spark,
+    path: str,
+    *,
+    corpus: DataFrame | None = None,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    k: int = 10,
+    n_queries: int = 64,
+    nprobe: int = 3,
+    recall_threshold: float = 0.9,
+    score_decimals: int | None = None,
+    slack: int = 32,
+) -> DataFrame:
+    """Sampled ground-truth recall of a persisted IVF-PQ index — the
+    audit the saturation measure CANNOT be: ``ivf_pq_balance_audit``'s
+    reconstruction-saturation signal is hull-bounded (codes cannot
+    express how far OUT drifted data went, only that it pinned the
+    codebook hull — a measured 10x drift lifts it ~1.13x, test-pinned
+    there), so a badly drifted compressed index can audit near-clean
+    on geometry. Recall cannot be fooled that way: this serves
+    ``n_queries`` sampled vectors through the index at production
+    ``nprobe`` (``ivf_pq_knn_join`` — executor-side residual LUTs,
+    ADC scoring) and compares the top-k id sets against exact
+    brute-force l2 over the ORIGINAL vectors (``knn.knn_join``; l2 is
+    what ADC approximates). Ground truth needs the uncompressed
+    corpus — pass it, or (default) it is re-read from the sidecar's
+    source-collection stamp, etag-checked, so an audit can never
+    score against vectors the index was not built from.
+
+    Sampling is the same deterministic md5-rank draw as
+    ``ann.ivf_recall_audit`` (corpus-order-free, SQL-replayable);
+    output shape and flag semantics are identical:
+    ``(qid, n_hits, k_eff, recall_at_k, mean_recall,
+    refresh_recommended)``. Unlike the uncompressed audit, perfect
+    recall is NOT the fresh-index baseline (quantization alone loses
+    some) — calibrate ``recall_threshold`` against a fresh build's
+    reading and alert on the DROP. Cost: one exact pass of the
+    corpus against ``n_queries`` vectors plus the pruned ADC probe —
+    audit cadence, not per batch."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+        _recall_report,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_join,
+    )
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_pq_index.json")) as f:
+        meta = json.load(f)
+    if corpus is None:
+        src = meta.get("source")
+        if src is None:
+            raise ValueError(
+                f"IVF-PQ index at {path!r} carries no source-collection "
+                "stamp and no corpus was passed: ground-truth recall "
+                "needs the original vectors (codes alone cannot provide "
+                "them) — pass corpus=<DataFrame of (id, embedding)>"
+            )
+        from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+            read_collection,
+        )
+
+        corpus = read_collection(spark, src["root"], src["name"])
+        id_col, embedding_col = "id", "embedding"
+    encoded, C, books = ivf_pq_read(spark, path)
+    queries = (
+        corpus.select(
+            F.col(id_col).alias("qid"),
+            F.col(embedding_col).alias("q_embedding"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(int(n_queries))
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+    approx = ivf_pq_knn_join(
+        queries,
+        encoded,
+        C,
+        books,
+        k=k,
+        id_col=[c for c in encoded.columns if c not in ("ivf_cell", "pq_code")][0],
+        nprobe=nprobe,
+        score_decimals=score_decimals,
+        slack=slack,
+    )
+    exact = knn_join(
+        queries,
+        corpus,
+        k=k,
+        corpus_id_col=id_col,
+        corpus_embedding_col=embedding_col,
+        metric="l2",
+        score_decimals=score_decimals,
+    )
+    return _recall_report(
+        exact, approx, recall_threshold=recall_threshold
+    )
+
+
 def ivf_pq_write(
     encoded: DataFrame,
     centroids: np.ndarray,
