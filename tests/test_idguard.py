@@ -461,3 +461,170 @@ def test_ivf_append_tag_reuse_with_new_ids_rerecords(spark, tmp_path):
         int(r[0]) for r in ann.ivf_appended_ids(spark, path, "T").collect()
     ) == [45, 46, 47]
     assert ann.ivf_read(spark, path)[0].count() == 48
+
+
+def test_custom_sized_filter_capacity_in_audit(spark, tmp_path):
+    """r11 ADVICE: an expected_ids-sized filter must be audited
+    against its OWN sizing, not the global density constant. A filter
+    sized for exactly its 30 build ids reads capacity_used 1.0 at
+    build (the density formula on the 2^16-floored m would read
+    ~0.005 and never flag); doubling the id set pushes it to 2.0 and
+    flips compact_recommended through the capacity signal alone."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        band_index as bi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "cap_custom")
+    bi.band_index_build(
+        d.filter(F.col("doc_id") < 30),
+        path,
+        id_col="doc_id",
+        text_col="text",
+        expected_ids=30,
+    )
+    meta = bi._sidecar_read(bi._local_sidecar_path(path))
+    assert meta["id_bloom"]["capacity"] == 30
+    fresh = bi.band_index_audit(spark, path).first()
+    assert fresh["filter_capacity_used"] == 1.0
+    assert not fresh["compact_recommended"]
+
+    grown = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 500).alias("doc_id"), "text"
+    )
+    bi.band_index_append(spark, path, grown)
+    # appends merge into the SAME filter: capacity carries forward
+    meta2 = bi._sidecar_read(bi._local_sidecar_path(path))
+    assert meta2["id_bloom"]["capacity"] == 30
+    # dup threshold raised out of the way: the flip must come from
+    # the capacity signal
+    bloated = bi.band_index_audit(
+        spark, path, dup_ratio_threshold=50.0
+    ).first()
+    assert bloated["filter_capacity_used"] == 2.0
+    assert bloated["compact_recommended"]
+
+
+def test_ivf_pending_appends_survive_concurrent_writer(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE: ivf_append kept a SINGLE pending slot, so a second
+    writer's tagged append overwrote a crashed batch's recorded
+    contribution and its replay gated as fresh. Now pending records
+    are a list keyed by tag (the band-index design): crash tag A
+    mid-append, complete tag B, and A's recording must still be
+    served — and A's replay must reuse it."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=4, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "pending_list")
+    ann.ivf_write(assigned, C, path, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+
+    bA = e.filter(F.col("vec_id").between(40, 44)).select(
+        "vec_id", "embedding"
+    )
+    bB = e.filter(F.col("vec_id").between(45, 47)).select(
+        "vec_id", "embedding"
+    )
+
+    # crash tag A AFTER its pending recording + filter commit, BEFORE
+    # any data lands (the widest replay window)
+    real_assign = ann._assign_to_centroids
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before the data write")
+
+    monkeypatch.setattr(ann, "_assign_to_centroids", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ann.ivf_append(spark, path, bA, tag="A")
+    monkeypatch.setattr(ann, "_assign_to_centroids", real_assign)
+
+    import json
+    import os
+
+    meta = json.load(open(os.path.join(path, "ivf_index.json")))
+    assert [p["tag"] for p in meta["pending_appends"]] == ["A"]
+
+    # a second writer completes tag B — A's pending record survives
+    assert ann.ivf_append(spark, path, bB, tag="B") == 3
+    meta = json.load(open(os.path.join(path, "ivf_index.json")))
+    assert [p["tag"] for p in meta["pending_appends"]] == ["A"]
+    assert sorted(
+        int(r[0]) for r in ann.ivf_appended_ids(spark, path, "A").collect()
+    ) == [40, 41, 42, 43, 44]
+
+    # A's replay converges, reuses the recorded set, and clears only
+    # its own pending entry
+    assert ann.ivf_append(spark, path, bA, tag="A") == 5
+    assert sorted(
+        int(r[0]) for r in ann.ivf_appended_ids(spark, path, "A").collect()
+    ) == [40, 41, 42, 43, 44]
+    meta = json.load(open(os.path.join(path, "ivf_index.json")))
+    assert not meta.get("pending_appends")
+    assert ann.ivf_read(spark, path)[0].count() == 48
+
+
+def test_ivf_recording_dirs_are_monotonic_across_gc(spark, tmp_path):
+    """r11 ADVICE: recording-dir versions must never recycle a
+    GC-removed name (a reader holding an older sidecar could open a
+    same-named dir with different content). Three tagged appends in
+    sequence: each commit GCs the previous recording, and the next
+    allocation must still move FORWARD past the sidecar's recorded
+    floor instead of reusing the freed v1 name."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 20).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=2, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "mono")
+    ann.ivf_write(assigned, C, path, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+
+    seen = []
+    for i, tag in enumerate(("T1", "T2", "T3")):
+        lo = 20 + 5 * i
+        b = e.filter(F.col("vec_id").between(lo, lo + 4)).select(
+            "vec_id", "embedding"
+        )
+        assert ann.ivf_append(spark, path, b, tag=tag) == 5
+        import json
+
+        meta = json.load(open(os.path.join(path, "ivf_index.json")))
+        seen.append(meta["last_append_ids"])
+    versions = [int(d.rsplit("_v", 1)[1]) for d in seen]
+    assert versions == sorted(set(versions)), versions
+    assert versions[-1] >= 3  # never recycled the GC-freed v1 name
+
+
+def test_batch_digest_two_seed_format():
+    """r11 ADVICE: a single xor is a weak set hash; the digest now
+    carries count + TWO independently-seeded xors. Format and basic
+    separation pinned (order-independence was already covered by the
+    streaming replay tests)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark(
+        app_name="vdb-tests", master="local[8]", shuffle_partitions=8
+    )
+    a = spark.createDataFrame([("x",), ("y",)], "id string")
+    b = spark.createDataFrame([("y",), ("x",)], "id string")
+    c = spark.createDataFrame([("x",), ("z",)], "id string")
+    da, db, dc = (ig.batch_digest(df, "id") for df in (a, b, c))
+    assert da.count(":") == 2
+    assert da == db  # order-independent
+    assert da != dc

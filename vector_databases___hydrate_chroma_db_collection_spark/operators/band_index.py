@@ -1137,11 +1137,16 @@ def band_index_audit(
       so re-ingested content accumulates cross-batch duplicate keys —
       pure wasted scan bytes the gate's SEMI join never needs;
       ``band_index_compact`` re-distincts them out.
-    * ``filter_capacity_used`` (n_docs x bits_per_id / m): an
-      append-grown id set outlives the filter's build-time capacity;
-      past ~1.0 the false-positive rate decays and appends pay more
-      exact fallbacks (never wrong, just slower) — compaction
-      re-sizes the filter.
+    * ``filter_capacity_used`` (n_docs / the sidecar's recorded
+      sizing capacity): an append-grown id set outlives the filter's
+      build-time capacity; past ~1.0 the false-positive rate decays
+      and appends pay more exact fallbacks (never wrong, just
+      slower) — compaction re-sizes the filter. The capacity is the
+      id count the filter was SIZED for (recorded by
+      ``idguard.rebuild_filter``/``bloom_extend``), so
+      ``expected_ids``-sized filters are measured against their own
+      sizing, not the global density constant; legacy sidecars
+      without a recording fall back to ``m / BITS_PER_ID``.
     * file counts per bucketed part: the small-files growth itself
       (NOT content-derived — operational signal only).
 
@@ -1182,11 +1187,11 @@ def band_index_audit(
     bloom_meta = meta.get("id_bloom")
     used = None
     if idguard.filter_usable(bloom_meta):
-        used = float(
-            np_round_half_up(
-                n_docs * float(idguard.BITS_PER_ID) / bloom_meta["m"], 4
-            )
+        cap = int(
+            bloom_meta.get("capacity")
+            or bloom_meta["m"] // idguard.BITS_PER_ID
         )
+        used = float(np_round_half_up(n_docs / float(cap), 4))
     f_bands = _part_files(_part_loc(path, "bands", meta))
     f_keys = _part_files(_part_loc(path, "bucket_keys", meta))
     flag = ratio > dup_ratio_threshold or (

@@ -72,22 +72,33 @@ BITS_PER_ID = 10
 
 def batch_digest(df: DataFrame, id_col: str) -> str:
     """Order-independent content identity of a batch's id set (count
-    + xor of per-id hashes) — one tiny aggregation, stable across
-    replay attempts. Streaming callers fold this into their append
-    tags so a tag can never collide across DIFFERENT content: a
-    restarted stream (fresh checkpoint, same sink/batch ids) must
-    gate as a FRESH batch, not as a replay of the old run's batch —
-    replay-as-equality-of-(tag, content), never tag alone."""
+    + xor of per-id hashes under TWO independent seeds) — one tiny
+    aggregation, stable across replay attempts. Streaming callers
+    fold this into their append tags so a tag can never collide
+    across DIFFERENT content: a restarted stream (fresh checkpoint,
+    same sink/batch ids) must gate as a FRESH batch, not as a replay
+    of the old run's batch — replay-as-equality-of-(tag, content),
+    never tag alone. A single xor is a weak set hash (two disjoint
+    pairs with equal pairwise xor collide — constructible); colliding
+    BOTH independently-seeded xors simultaneously is not. Two xors
+    rather than a modular sum because BIGINT sums overflow-raise
+    under ANSI; xor cannot. Digests produced by the pre-r12
+    single-xor format no longer match — a cross-upgrade checkpoint
+    replay then gates as a fresh batch, which the id-granular append
+    guards keep exactly-once regardless."""
     r = (
         df.select(F.col(id_col).cast("string").alias("_s"))
         .distinct()
         .agg(
             F.count(F.lit(1)).alias("c"),
             F.expr("bit_xor(xxhash64(_s))").alias("x"),
+            F.expr(
+                "bit_xor(xxhash64(_s, 'spark-graft-digest-h2'))"
+            ).alias("x2"),
         )
         .first()
     )
-    return f"{r['c']}:{r['x']}"
+    return f"{r['c']}:{r['x']}:{r['x2']}"
 
 
 def bloom_params(
@@ -195,7 +206,13 @@ def bloom_read(p: str, fname: str) -> tuple[np.ndarray, int, int]:
 
 
 def bloom_might_contain(
-    df: DataFrame, id_str: Column, words: np.ndarray, m: int, k: int
+    df: DataFrame,
+    id_str: Column,
+    words: np.ndarray,
+    m: int,
+    k: int,
+    *,
+    broadcast=None,
 ) -> Column:
     """Boolean membership-probe column: true = the id MIGHT be
     indexed (replay or false positive — confirm with the exact
@@ -203,8 +220,18 @@ def bloom_might_contain(
     JVM-side by the same expressions the build used; the filter ships
     to executors once as a Spark broadcast and the test itself is one
     vectorized numpy pass per Arrow batch — over the BATCH, never the
-    corpus."""
-    bc = df.sparkSession.sparkContext.broadcast(words.tobytes())
+    corpus. Pass ``broadcast`` (a ``sc.broadcast`` of
+    ``words.tobytes()``) to keep the broadcast's lifecycle in the
+    caller's hands — ``bloom_split`` does, and unpersists it as soon
+    as its eager checkpoint has materialized, so a long-running
+    ingest loop never accumulates one filter-sized broadcast per
+    micro-batch (at the module's 10^9-id design point each is
+    ~1.2 GB)."""
+    bc = (
+        broadcast
+        if broadcast is not None
+        else df.sparkSession.sparkContext.broadcast(words.tobytes())
+    )
 
     @pandas_udf("boolean")
     def _mc(pos: pd.Series) -> pd.Series:
@@ -231,12 +258,17 @@ def bloom_split(
     (localCheckpoint) so the probe never re-executes upstream
     lineage."""
     words, m, k = bloom_read(p, bloom_meta["location"])
+    bc = df.sparkSession.sparkContext.broadcast(words.tobytes())
     probed = df.withColumn(
         "_ig_maybe",
         bloom_might_contain(
-            df, F.col(id_name).cast("string"), words, m, k
+            df, F.col(id_name).cast("string"), words, m, k, broadcast=bc
         ),
     ).localCheckpoint(eager=True)
+    # the eager checkpoint has materialized every probe result — drop
+    # the filter-sized broadcast NOW, or a foreachBatch loop
+    # accumulates one per micro-batch until Python GC
+    bc.unpersist()
     maybe = probed.filter("_ig_maybe").drop("_ig_maybe")
     if not maybe.take(1):
         return probed.drop("_ig_maybe"), None, (words, m, k)
@@ -266,25 +298,30 @@ def bloom_extend(
     corpus-independent. Both id frames must be single-column,
     string-typed."""
     bcol = F.col(batch_ids.columns[0])
+    prev_bloom = meta.get("id_bloom") or {}
     if state is not None:
         words, m, k = state
         words = bloom_or(words, bloom_build(batch_ids, bcol, m, k))
+        # merging into the SAME (m, k): capacity is a property of the
+        # sizing moment and carries forward unchanged (legacy sidecars
+        # without one fall back to the design-density equivalent)
+        capacity = int(prev_bloom.get("capacity") or m // BITS_PER_ID)
     else:
         all_ids = (
             fallback_ids.toDF(batch_ids.columns[0])
             .unionByName(batch_ids)
             .distinct()
         )
-        m, k = bloom_params(max(4 * all_ids.count(), 1))
+        capacity = max(4 * all_ids.count(), 1)
+        m, k = bloom_params(capacity)
         words = bloom_build(all_ids, bcol, m, k)
-    fname = fresh_bloom_file(
-        p, (meta.get("id_bloom") or {}).get("location")
-    )
+    fname = fresh_bloom_file(p, prev_bloom.get("location"))
     bloom_write(p, fname, words, m, k)
     meta["id_bloom"] = {
         "location": fname,
         "m": m,
         "k": k,
+        "capacity": capacity,
         "hash": HASH_SPEC,
     }
 
@@ -344,14 +381,25 @@ def rebuild_filter(
     it durably under the next monotonic version after
     ``prev_location``, and return the sidecar ``id_bloom`` dict —
     ONE implementation, so sizing or hash-spec changes cannot drift
-    between the band / IVF / IVF-PQ lifecycles."""
-    m, k = bloom_params(
-        expected_ids if expected_ids else max(4 * ids_df.count(), 1)
+    between the band / IVF / IVF-PQ lifecycles. The id count the
+    filter was SIZED for is recorded as ``capacity`` — audits report
+    consumption against it directly, instead of re-deriving it from
+    the global density constant (wrong for ``expected_ids``-sized
+    filters, whose m/k no longer follow that density)."""
+    capacity = (
+        int(expected_ids) if expected_ids else max(4 * ids_df.count(), 1)
     )
+    m, k = bloom_params(capacity)
     words = bloom_build(ids_df, id_str, m, k)
     fname = fresh_bloom_file(p, prev_location)
     bloom_write(p, fname, words, m, k)
-    return {"location": fname, "m": m, "k": k, "hash": HASH_SPEC}
+    return {
+        "location": fname,
+        "m": m,
+        "k": k,
+        "capacity": capacity,
+        "hash": HASH_SPEC,
+    }
 
 
 def gc_bloom_files(p: str, keep: set, base: str = "ids_bloom") -> None:

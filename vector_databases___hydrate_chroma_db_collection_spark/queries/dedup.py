@@ -947,17 +947,16 @@ def text_common_segment_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE doc_id % 7 IN (4, 5, 6)) AS n_docs
     ),
     mm AS (
-        SELECT CAST(((greatest(65536, 40 * n_build) + 63) // 64) * 64
-                    AS DOUBLE) AS m
+        SELECT CAST(greatest(4 * n_build, 1) AS DOUBLE) AS cap
         FROM nb
     )
     SELECT n_docs,
            key_rows,
            distinct_keys,
            round(key_rows * 1.0 / distinct_keys, 4) AS dup_key_ratio,
-           round(n_docs * 10.0 / m, 4) AS filter_capacity_used,
+           round(n_docs / cap, 4) AS filter_capacity_used,
            (round(key_rows * 1.0 / distinct_keys, 4) > 1.05
-            OR round(n_docs * 10.0 / m, 4) > 1.0) AS compact_recommended
+            OR round(n_docs / cap, 4) > 1.0) AS compact_recommended
     FROM counts, ndoc, mm
     """,
 )
@@ -974,9 +973,11 @@ def dedup_band_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold and flips compact_recommended; the oracle recomputes
     EVERYTHING from raw text — per-batch distinct band-key sets and
     their union (the append design's exact key-row arithmetic), the
-    indexed-doc count, and even the id-guard filter's capacity from
-    its documented sizing formula (m = max(2^16, 4*n_build*10 bits),
-    word-aligned). File counts are reported by the operator but not
+    indexed-doc count, and even the id-guard filter's SIZING capacity
+    (4 * n_build ids — what rebuild_filter records in the sidecar at
+    build time; r12 moved the audit's denominator from the derived
+    density formula to this recording, per the r11 ADVICE finding on
+    expected_ids-sized filters). File counts are reported but not
     selected here (not content-derivable; pinned in pytest)."""
     import tempfile
 
