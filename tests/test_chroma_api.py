@@ -756,3 +756,105 @@ def test_query_batch_matches_single_queries(spark, tmp_path):
         collection_query_batch(spark, root, "api", [])
     with pytest.raises(EngineError):
         collection_query_batch(spark, root, "api", [[1.0, 0.0, 0.0]])
+
+
+def test_collection_query_ivf_kfill_across_killed_cells(spark, tmp_path):
+    """The filtered-IVF serving path's k-fill guarantee: the predicate
+    matches ONLY rows in the cell FARTHEST from the query (metadata
+    correlated with vector position — the classic filtered-ANN
+    failure). Starting at nprobe=1 the first probes find zero
+    candidates; the probe set must double until the matching cell is
+    reached, and the final rows must equal collection_query's exact
+    filtered scan byte-for-byte. Also pinned: the exhaustion path on
+    a predicate with fewer matches than k, and the unfiltered probe
+    short-circuit."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_ivf,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        c = i % 4
+        v = [0.0] * dim
+        v[c] = 10.0
+        v[4] = i * 0.01  # distinct vectors, stable ranks
+        rows.append(
+            (float(i), f"doc {i}", v, "rare" if c == 3 else "common")
+        )
+    df = spark.createDataFrame(
+        rows, "uid double, body string, vec array<double>, lang string"
+    )
+    root = str(tmp_path)
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="fivf",
+            root=root,
+            id_col="uid",
+            text_col="body",
+            embedding_col="vec",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "fivf")
+    C = np.eye(4, dim) * 10.0
+    assigned = _assign_to_centroids(
+        coll, C, id_col="id", embedding_col="embedding", metric="l2"
+    )
+    idx = f"{root}/fivf/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "fivf"),
+        build={"metric": "l2", "seed": 42},
+    )
+
+    qvec = [0.0] * dim
+    qvec[0] = 10.0  # nearest cell 0; every match lives in cell 3
+    kw = dict(
+        n_results=5,
+        index_path=idx,
+        where={"lang": "rare"},
+        score_decimals=4,
+    )
+    got = collection_query_ivf(
+        spark, root, "fivf", qvec, nprobe=1, **kw
+    ).collect()
+    want = collection_query(
+        spark, root, "fivf", qvec, n_results=5,
+        where={"lang": "rare"}, score_decimals=4,
+    ).collect()
+    assert len(got) == 5  # k filled despite 3 dead cells
+    assert got == want
+
+    # exhaustion: fewer matches than k -> every match, exact order
+    got_all = collection_query_ivf(
+        spark, root, "fivf", qvec, n_results=50, index_path=idx,
+        where={"lang": "rare"}, nprobe=1, score_decimals=4,
+    ).collect()
+    want_all = collection_query(
+        spark, root, "fivf", qvec, n_results=50,
+        where={"lang": "rare"}, score_decimals=4,
+    ).collect()
+    assert len(got_all) == 10
+    assert got_all == want_all
+
+    # unfiltered: the first probe fills k from the query's own cell —
+    # no expansion, and (cell-0 rows dominating the cosine order here)
+    # the rows equal the exact scan's
+    got_uf = collection_query_ivf(
+        spark, root, "fivf", qvec, n_results=5, index_path=idx, nprobe=1,
+        score_decimals=4,
+    ).collect()
+    assert len(got_uf) == 5
+    assert all(float(r["id"]) % 4 == 0 for r in got_uf)
+    assert got_uf == collection_query(
+        spark, root, "fivf", qvec, n_results=5, score_decimals=4
+    ).collect()

@@ -383,27 +383,149 @@ def collection_query(
     ``knn_join_gemm`` on ``read_collection`` output instead — this is
     the interactive single-query path (shuffle-free).
     """
-    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import _score
-
     manifest = load_manifest(root, name)
     if len(query_vector) != manifest.dim:
         raise EngineError(
             f"query vector dim {len(query_vector)} != collection dim {manifest.dim}"
         )
     df = _filtered(read_collection(spark, root, name), None, where, where_document)
+    return _serve_topk(
+        df,
+        manifest.metric,
+        query_vector,
+        n_results,
+        score_decimals=score_decimals,
+        include_distance=include_distance,
+    )
+
+
+def _serve_topk(
+    df,
+    metric: str,
+    query_vector: list[float],
+    n_results: int,
+    *,
+    score_decimals: int | None,
+    include_distance: bool,
+) -> DataFrame:
+    """Shared exact-rerank tail of the interactive query paths
+    (``collection_query``'s full scan and ``collection_query_ivf``'s
+    probed candidates): Project(score) -> TakeOrderedAndProject,
+    metric-native ``score`` plus optional Chroma-convention
+    ``distance``."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import _score
+
     q = F.array(*[F.lit(float(x)) for x in query_vector])
-    raw, asc = _score(manifest.metric, F.col("embedding"), q)
+    raw, asc = _score(metric, F.col("embedding"), q)
     score = F.round(raw, score_decimals) if score_decimals is not None else raw
     scored = df.withColumn("score", score)
     cols = ["id", "document", "metadata", "score"]
     if include_distance:
         # Chroma's distance conventions per metric (hnswlib spaces):
         # cosine -> 1 - similarity, ip -> 1 - dot, l2 -> squared L2.
-        dist = F.lit(1.0) - raw if manifest.metric in ("cosine", "dot") else raw * raw
+        dist = F.lit(1.0) - raw if metric in ("cosine", "dot") else raw * raw
         scored = scored.withColumn("distance", dist)
         cols.append("distance")
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col("id").asc()]
     return scored.orderBy(*order).limit(n_results).select(*cols)
+
+
+def collection_query_ivf(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vector: list[float],
+    n_results: int = 10,
+    *,
+    index_path: str,
+    nprobe: int = 2,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    score_decimals: int | None = None,
+    include_distance: bool = False,
+    verify_source: bool = True,
+) -> DataFrame:
+    """``collection.query`` served THROUGH the persisted IVF index,
+    with metadata/document pre-filters — the filtered-ANN shape
+    ``collection_query`` deliberately does not take at corpus scale
+    (its exact scan is the right interactive path at fixture scale;
+    at 10^9 rows every filtered query paying a full scan is not).
+
+    Standard filtered-ANN algorithm: rank the index's cells by
+    centroid proximity to the query under the INDEX's serve metric
+    (stable order — ties to the lower cell, same contract as
+    ``ivf_search``), probe the nearest ``nprobe`` cells, evaluate the
+    ``where``/``where_document`` predicates ONLY on the probed
+    candidates, and DOUBLE the probe set until ``n_results`` filtered
+    candidates exist or every cell is probed — the k-fill guarantee:
+    a predicate that kills whole cells (metadata correlated with
+    vector position, the classic filtered-ANN failure) widens the
+    probe until matches are found, and the exhaustion fallback is
+    exactly the full filtered scan, never an empty under-fill.
+    Survivors are exact-reranked by the MANIFEST's metric through the
+    same tail as ``collection_query``, so the two paths return
+    byte-identical rows whenever the probe reaches every matching
+    cell.
+
+    Scale shape: each round scans ~p/n_centroids of the corpus
+    (partition-pruned on the ``ivf_cell`` layout), the predicate is
+    evaluated on candidate rows via one semi-join of the collection
+    against the probed ids (Catalyst broadcasts the small side), and
+    the fill check is ``limit(k).count()`` — an early-exit probe, not
+    a full count. Expansion rounds are bounded by log2(n_centroids).
+    ``verify_source`` keeps ``ivf_read``'s etag fence: a stale index
+    (collection mutated since the stamp) refuses rather than serving
+    deleted rows. Returns ``(id, document, metadata, score
+    [, distance])`` best-first — ``collection_query``'s contract."""
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_read,
+    )
+
+    manifest = load_manifest(root, name)
+    if len(query_vector) != manifest.dim:
+        raise EngineError(
+            f"query vector dim {len(query_vector)} != collection dim {manifest.dim}"
+        )
+    assigned, C, idx_metric = ivf_read(
+        spark, index_path, verify_source=verify_source
+    )
+    idx_id = [c for c in assigned.columns if c != "ivf_cell"][0]
+    q = np.asarray(query_vector, dtype=np.float64)
+    if idx_metric == "cosine":
+        qn = q / max(np.linalg.norm(q), 1e-300)
+        cn = C / np.maximum(
+            np.linalg.norm(C, axis=1, keepdims=True), 1e-300
+        )
+        cell_order = np.argsort(-(cn @ qn), kind="stable")
+    else:
+        cell_order = np.argsort(
+            ((C - q) ** 2).sum(axis=1), kind="stable"
+        )
+    n_cells = int(C.shape[0])
+    filtered = _filtered(
+        read_collection(spark, root, name), None, where, where_document
+    )
+    k = int(n_results)
+    p = max(1, min(int(nprobe), n_cells))
+    while True:
+        probed = [int(c) for c in cell_order[:p]]
+        cand_ids = assigned.filter(
+            F.col("ivf_cell").isin(probed)
+        ).select(F.col(idx_id).cast("string").alias("id"))
+        cand = filtered.join(cand_ids, "id", "left_semi")
+        if p >= n_cells or cand.limit(k).count() >= k:
+            break
+        p = min(n_cells, p * 2)
+    return _serve_topk(
+        cand,
+        manifest.metric,
+        query_vector,
+        k,
+        score_decimals=score_decimals,
+        include_distance=include_distance,
+    )
 
 
 def collection_query_batch(
