@@ -1,0 +1,164 @@
+"""Audit-driven index maintenance for the streaming ingest loops.
+
+The r11 round gave every persisted index its operability audits
+(``band_index_audit`` — "when do I compact?", ``ivf_balance_audit`` /
+``ivf_pq_balance_audit`` — "when do I refresh?") and compactors, but
+nothing CONSUMED them: the ingest loops in ``neardup_stream`` appended
+forever and left compaction/refresh to out-of-band calls. This module
+closes that loop — a ``MaintenancePolicy`` makes the loops audit
+themselves every N micro-batches and act on the recommendations:
+
+- **band index** (text novelty loops): when the audit flips
+  ``compact_recommended`` (duplicate-bucket-key bloat past threshold,
+  or the id-guard filter grown past its recorded sizing capacity),
+  run ``band_index_compact``. The compactor commits behind the same
+  atomic versioned-dir + sidecar swap as a rebuild, so a crash at any
+  point mid-compaction leaves readers (and the crashed batch's
+  replay) on the intact pre-compact index; the replay re-audits and
+  retries. After a successful compaction the audit reads clean, so
+  the NEXT cadence tick does not re-compact — one compaction per
+  bloat episode, exactly the "fires once" lifecycle.
+- **IVF index** (vector/semantic loops): compaction is triggered by
+  the small-files growth appends cause (one file per touched cell
+  per batch — ``ivf_compact`` exists to bound it); refresh cannot be
+  automated the same way (``ivf_refresh`` is a full k-means rebuild
+  of a possibly-huge corpus — an operator decision), so the balance
+  audit's ``refresh_recommended`` verdict is SURFACED on the loop's
+  published rows instead, where monitoring can alert on it.
+
+Replay stability: maintenance runs AFTER the batch's append, keyed to
+the deterministic ``batch_id`` cadence, and both the audits and the
+compaction triggers are pure functions of the post-append index
+state — a replayed batch reaches the same state, re-audits, and
+either finds the compaction already done (post-compact state audits
+clean) or redoes the one that crashed. Verdict rows are computed
+BEFORE maintenance mutates any layout, and compaction never changes
+content, so replayed verdicts equal first-attempt verdicts.
+
+Cost model: an audit is one scan of the audited table (bucket_keys
+for the band index, the cells dataset for IVF) — run it at ``every``
+batches, not per batch; a compaction is a full rewrite of the index
+data, amortized across the batches whose bloat it removes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """When to audit and what to act on.
+
+    ``every``: audit cadence in micro-batches (the Nth, 2Nth, ...
+    batch of the stream audits after its append). ``compact``: act on
+    compaction recommendations (False = audit-and-surface only).
+    The band thresholds mirror ``band_index_audit``'s; the IVF audit
+    thresholds mirror ``ivf_balance_audit``'s, and
+    ``files_per_cell_threshold`` triggers ``ivf_compact`` when the
+    cells dataset holds more than that many data files per centroid
+    (a fresh or compacted layout holds ~1)."""
+
+    every: int = 8
+    compact: bool = True
+    dup_ratio_threshold: float = 2.0
+    capacity_threshold: float = 1.0
+    skew_threshold: float = 4.0
+    drift_threshold: float = 1.5
+    files_per_cell_threshold: float = 4.0
+
+    def due(self, batch_id: int) -> bool:
+        """Cadence test — batch ids are 0-based, so the first audit
+        lands on batch ``every - 1`` (after ``every`` appends)."""
+        return self.every > 0 and (int(batch_id) + 1) % self.every == 0
+
+
+def band_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
+    """One maintenance tick for a persisted band index: audit, and
+    compact if the audit says so and the policy allows. Returns the
+    tick's facts — ``{"compact_recommended", "compacted",
+    "dup_key_ratio", "filter_capacity_used"}`` — for the caller to
+    log or publish. Crash-safe: ``band_index_compact`` commits by
+    atomic sidecar swap, so a crash mid-compaction leaves the served
+    index intact and the replayed tick retries."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_audit,
+        band_index_compact,
+        band_index_meta,
+    )
+
+    row = band_index_audit(
+        spark,
+        index_path,
+        dup_ratio_threshold=policy.dup_ratio_threshold,
+        capacity_threshold=policy.capacity_threshold,
+    ).first()
+    compacted = False
+    if policy.compact and row["compact_recommended"]:
+        # a torn FOREIGN append (another writer's crashed batch, its
+        # pending marker still set) makes the compactor refuse —
+        # compacting would launder the marker. Defer this tick rather
+        # than crash the stream; the next cadence tick retries after
+        # that batch's replay heals it.
+        meta = band_index_meta(index_path)
+        torn = bool(
+            meta.get("pending_append") or meta.get("pending_appends")
+        )
+        if not torn:
+            band_index_compact(spark, index_path)
+            compacted = True
+    return {
+        "compact_recommended": bool(row["compact_recommended"]),
+        "compacted": compacted,
+        "dup_key_ratio": row["dup_key_ratio"],
+        "filter_capacity_used": row["filter_capacity_used"],
+    }
+
+
+def ivf_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
+    """One maintenance tick for a persisted IVF index: run the
+    balance audit (one cells scan, <= n_centroids rows collected —
+    ``ivf_balance_audit``'s own bound), fold the per-cell verdicts
+    into one ``refresh_recommended`` flag for the loop to publish,
+    and compact when append-grown small files exceed the policy's
+    per-cell budget. Compaction bounds serve-time file-open costs and
+    re-sizes the id-guard filter; it never changes content, so a
+    replayed tick that finds the compacted layout simply skips (the
+    file count is back under budget)."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _data_files,
+        _local_sidecar_path,
+        ivf_balance_audit,
+        ivf_compact,
+    )
+
+    refresh = any(
+        r["refresh_recommended"]
+        for r in ivf_balance_audit(
+            spark,
+            index_path,
+            skew_threshold=policy.skew_threshold,
+            drift_threshold=policy.drift_threshold,
+        ).collect()
+    )
+    import json
+
+    p = _local_sidecar_path(index_path)
+    with open(os.path.join(p, "ivf_index.json")) as f:
+        meta = json.load(f)
+    files = _data_files(os.path.join(p, meta.get("location", "cells")))
+    budget = policy.files_per_cell_threshold * int(meta["n_centroids"])
+    compacted = False
+    if policy.compact and files > budget:
+        ivf_compact(spark, index_path)
+        compacted = True
+    return {
+        "refresh_recommended": refresh,
+        "compacted": compacted,
+        "files_before": files,
+    }
+
+
+__all__ = ["MaintenancePolicy", "band_maintenance", "ivf_maintenance"]

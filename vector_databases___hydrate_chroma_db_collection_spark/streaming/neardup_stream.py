@@ -96,6 +96,7 @@ def stream_novelty_ingest(
     *,
     index_path: str,
     hydration_cfg,
+    maintenance=None,
     sink_path: str | None = None,
     sink_table: str = "stream_novelty_ingest_results",
     checkpoint_dir: str | None = None,
@@ -159,12 +160,21 @@ def stream_novelty_ingest(
     short-circuited to the lazy gate plan alone — no hydrate, no
     append, no sidecar re-stamp, no job runs before the stream
     starts.
+
+    ``maintenance`` (a ``streaming.maintenance.MaintenancePolicy``):
+    the loop audits its own index every ``policy.every`` batches
+    (AFTER that batch's append) and compacts when the audit
+    recommends — the r11 "appends forever" gap closed. Compaction is
+    content-preserving and atomic-swap-committed, so verdicts are
+    untouched and a crash mid-compaction just retries on the replay;
+    after a successful compaction the audit reads clean and the next
+    tick does not re-compact.
     """
     return stream_knn_serve(
         doc_stream,
         corpus=None,  # unused: retrieval_fn overrides the knn plan
         retrieval_fn=_novelty_ingest_batch_fn(
-            index_path, hydration_cfg, sink_table
+            index_path, hydration_cfg, sink_table, maintenance=maintenance
         ),
         sink_path=sink_path,
         sink_table=sink_table,
@@ -173,7 +183,9 @@ def stream_novelty_ingest(
     )
 
 
-def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
+def _novelty_ingest_batch_fn(
+    index_path: str, hydration_cfg, sink_table: str, maintenance=None
+):
     """The per-micro-batch body of ``stream_novelty_ingest``, exposed
     at module level so tests can drive first-attempt vs replay
     invocations of the SAME ``(batch, batch_id)`` directly — exactly
@@ -289,6 +301,16 @@ def _novelty_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
             spark, index_path, novel_docs.select(ic, tc),
             id_col=ic, text_col=tc, tag=batch_tag,
         )
+        if maintenance is not None and maintenance.due(batch_id):
+            # post-append, pre-return: the verdicts above are already
+            # materialized, compaction preserves content, and a crash
+            # here replays the whole batch — the append guard no-ops,
+            # the verdicts republish, and the tick retries
+            from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
+                band_maintenance,
+            )
+
+            band_maintenance(spark, index_path, maintenance)
         return out
 
     return ingest
@@ -305,6 +327,7 @@ def stream_vector_ingest(
     metric: str = "cosine",
     score_decimals: int | None = 4,
     exclude_id: str | None = None,
+    maintenance=None,
     sink_path: str | None = None,
     sink_table: str = "stream_vector_ingest_results",
     checkpoint_dir: str | None = None,
@@ -335,7 +358,12 @@ def stream_vector_ingest(
 
     ``exclude_id``: optionally drop one id from the served results
     (the standard leave-the-query-out probe shape used by the batch
-    twins). Batch-twin parity: ``queries/streaming.py::
+    twins). ``maintenance`` (a ``MaintenancePolicy``): audit +
+    auto-compact the index every N batches, same contract as
+    ``stream_semantic_ingest`` except nothing is surfaced on the
+    published rows (they are top-k search results, not per-doc
+    verdicts — alerting belongs on the verdict-shaped loops).
+    Batch-twin parity: ``queries/streaming.py::
     stream_ivf_ingest_loop`` (oracle-checked)."""
     from dataclasses import replace
 
@@ -368,7 +396,7 @@ def stream_vector_ingest(
             score_decimals=score_decimals,
         )
 
-    def ingest(batch_docs: DataFrame) -> DataFrame:
+    def ingest(batch_docs: DataFrame, batch_id: int) -> DataFrame:
         spark = batch_docs.sparkSession
         if batch_docs.isEmpty():
             # schema probe / empty batch: the lazy search plan carries
@@ -384,6 +412,16 @@ def stream_vector_ingest(
             id_col=ic,
             embedding_col=ec,
         )
+        if maintenance is not None and maintenance.due(batch_id):
+            # compaction bounds the one-file-per-cell-per-batch growth
+            # this loop's own appends cause; served results are
+            # content-identical either side of the swap, so placement
+            # before the serve does not change published rows
+            from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
+                ivf_maintenance,
+            )
+
+            ivf_maintenance(spark, index_path, maintenance)
         return serve_current(spark)
 
     return stream_knn_serve(
@@ -405,6 +443,7 @@ def stream_semantic_ingest(
     threshold: float = 0.98,
     nprobe: int = 4,
     score_decimals: int | None = 4,
+    maintenance=None,
     sink_path: str | None = None,
     sink_table: str = "stream_semantic_ingest_results",
     checkpoint_dir: str | None = None,
@@ -436,7 +475,17 @@ def stream_semantic_ingest(
     the full index. The index is read ``verify_source=False`` inside
     the loop (transiently stale between hydrate and the append's
     re-stamp, by design). Batch-twin parity (oracle-checked):
-    ``queries/streaming.py::stream_semantic_ingest_loop``."""
+    ``queries/streaming.py::stream_semantic_ingest_loop``.
+
+    ``maintenance`` (a ``streaming.maintenance.MaintenancePolicy``):
+    every ``policy.every`` batches the loop audits its index after
+    the append — ``ivf_compact`` fires when append-grown small files
+    exceed the per-cell budget, and the balance audit's
+    ``refresh_recommended`` verdict is SURFACED as an extra nullable
+    boolean column on the published rows (NULL on non-audit batches;
+    refresh itself is an operator decision — a full rebuild — so the
+    loop alerts rather than acts). The column exists only when a
+    policy is passed, so the default published schema is unchanged."""
     return stream_knn_serve(
         doc_stream,
         corpus=None,  # unused: retrieval_fn overrides the knn plan
@@ -447,6 +496,7 @@ def stream_semantic_ingest(
             threshold=threshold,
             nprobe=nprobe,
             score_decimals=score_decimals,
+            maintenance=maintenance,
         ),
         sink_path=sink_path,
         sink_table=sink_table,
@@ -463,6 +513,7 @@ def _semantic_ingest_batch_fn(
     threshold: float = 0.98,
     nprobe: int = 4,
     score_decimals: int | None = 4,
+    maintenance=None,
 ):
     """The per-micro-batch body of ``stream_semantic_ingest``, exposed
     at module level so tests and the oracle-checked batch twin can
@@ -514,10 +565,15 @@ def _semantic_ingest_batch_fn(
             else f"{sink_table}#{batch_id}#"
             + idguard.batch_digest(uniq, ic)
         )
-        pending = meta.get("pending_append") or {}
+        # pending crashed-append records are a LIST keyed by tag
+        # (r12, mirroring the band index); legacy single-slot sidecars
+        # still read
+        pending = list(meta.get("pending_appends") or [])
+        if meta.get("pending_append"):
+            pending.append(meta["pending_append"])
         replayed = batch_tag is not None and (
             batch_tag == meta.get("last_append_tag")
-            or pending.get("tag") == batch_tag
+            or any(e.get("tag") == batch_tag for e in pending)
         )
         # ONE sidecar parse per batch (the sidecar embeds the full
         # centroid matrix — multi-MB at production cell counts):
@@ -586,7 +642,13 @@ def _semantic_ingest_batch_fn(
             )
         )
         if probe_only:
-            # schema probe / empty batch: lazy plan only, no stores
+            # schema probe / empty batch: lazy plan only, no stores —
+            # but it must carry the FULL published schema, including
+            # the maintenance column when a policy is active
+            if maintenance is not None:
+                gated = gated.withColumn(
+                    "refresh_recommended", F.lit(None).cast("boolean")
+                )
             return gated
         out = gated.localCheckpoint(eager=True)
         novel_docs = uniq.join(out.filter("novel").select(ic), ic)
@@ -603,6 +665,21 @@ def _semantic_ingest_batch_fn(
             embedding_col=ec,
             tag=batch_tag,
         )
+        if maintenance is not None:
+            flag = None
+            if maintenance.due(batch_id):
+                from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
+                    ivf_maintenance,
+                )
+
+                flag = ivf_maintenance(spark, index_path, maintenance)[
+                    "refresh_recommended"
+                ]
+            # surfaced on every published row of the batch: NULL =
+            # "no audit this batch", not "healthy"
+            out = out.withColumn(
+                "refresh_recommended", F.lit(flag).cast("boolean")
+            )
         return out
 
     return ingest
