@@ -1980,3 +1980,378 @@ def collection_ivfpq_append_compact_serve(
         metric="cosine",
         score_decimals=4,
     ).withColumnsRenamed({"score": "cos_sim"})
+
+
+@query(
+    "collection_ivf_recall_audit",
+    f"""
+    WITH a AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        FROM embeddings WHERE vec_id < 400
+    ),
+    cells AS (
+        SELECT vec_id, emb,
+               CAST(list_position(list_slice(emb, 1, 8),
+                                  list_max(list_slice(emb, 1, 8))) - 1
+                    AS INT) AS cell
+        FROM a
+    ),
+    q AS (
+        SELECT vec_id AS qid, emb AS qe
+        FROM cells
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    probes AS (
+        SELECT qid, CAST(i - 1 AS INT) AS cell
+        FROM (
+            SELECT q.qid, t.i,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY q.qe[CAST(t.i AS INT)] DESC, t.i
+                   ) AS pr
+            FROM q, range(1, 9) t(i)
+        )
+        WHERE pr <= 2
+    ),
+    scored AS (
+        SELECT q.qid, c.vec_id AS neighbor_id, c.cell,
+               {_COS_SQL} AS s
+        FROM q JOIN cells c ON TRUE
+    ),
+    exact AS (
+        SELECT qid, neighbor_id FROM (
+            SELECT qid, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY s DESC, neighbor_id
+                   ) AS r
+            FROM scored
+        ) WHERE r <= 5
+    ),
+    approx AS (
+        SELECT qid, neighbor_id FROM (
+            SELECT s.qid, s.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY s.qid ORDER BY s.s DESC, s.neighbor_id
+                   ) AS r
+            FROM scored s
+            JOIN probes p ON p.qid = s.qid AND p.cell = s.cell
+        ) WHERE r <= 5
+    ),
+    per AS (
+        SELECT e.qid,
+               CAST(count(*) AS BIGINT) AS k_eff,
+               CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM exact e
+        LEFT JOIN approx ap
+          ON ap.qid = e.qid AND ap.neighbor_id = e.neighbor_id
+        GROUP BY e.qid
+    )
+    SELECT qid, n_hits, k_eff,
+           round(CAST(n_hits AS DOUBLE) / k_eff, 4) AS recall_at_k,
+           round(avg(CAST(n_hits AS DOUBLE) / k_eff) OVER (), 4)
+               AS mean_recall,
+           (avg(CAST(n_hits AS DOUBLE) / k_eff) OVER () < 0.9)
+               AS refresh_recommended
+    FROM per
+    """,
+)
+def collection_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DIRECT index-health measure the r11 geometry audits defer
+    to (``ivf_append``: "refresh when recall ... audits say so"):
+    build an IVF index with KNOWN basis-vector centroids (the
+    ``collection_ivf_balance_audit`` trick — under l2 to a basis
+    vector, nearest-centroid assignment is argmax of the first 8
+    dims, so the oracle recomputes it in pure SQL), then run
+    ``ivf_recall_audit``: 16 queries drawn by the deterministic
+    md5-rank sample, each served top-5 through the index at nprobe=2
+    AND exhaustively (ground truth), per-query recall = overlap/5.
+    The oracle replays BOTH serving paths — probe-cell selection (top
+    2 of the first 8 dims by value, ties to the lower index — the
+    stable-argsort contract), cosine scoring, rounded-(score, id)
+    rank, the hit counts, and the global-mean flag — from the raw
+    embeddings table. Scale shape: the sample is a
+    TakeOrderedAndProject (never a full sort), ground truth costs one
+    corpus pass against 16 vectors, and the report's global window
+    moves <= n_queries rows."""
+    import tempfile
+
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        ivf_recall_audit,
+        ivf_write,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    dim = len(e.select("embedding").first()[0])
+    C = np.eye(8, dim)  # basis-vector centroids: SQL-recomputable
+    assigned = _assign_to_centroids(
+        e.select("vec_id", "embedding"),
+        C,
+        id_col="vec_id",
+        embedding_col="embedding",
+        metric="l2",
+    )
+    idx_path = tempfile.mkdtemp(prefix="vdb_ivf_recall_") + "/_ivf"
+    ivf_write(
+        assigned,
+        C,
+        idx_path,
+        metric="cosine",
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    return ivf_recall_audit(
+        spark,
+        idx_path,
+        k=5,
+        n_queries=16,
+        nprobe=2,
+        recall_threshold=0.9,
+        score_decimals=4,
+    )
+
+
+# Synthetic grid corpus for the IVF-PQ recall audit's oracle: vectors
+# derived from vec_id alone (10 on the home dim + a 0..0.4 modular
+# grid residual), identically in Spark and SQL. The residual grid is
+# FINITE, so codebooks that enumerate it quantize EXACTLY — ADC then
+# equals squared l2 and the whole compressed serving path becomes
+# SQL-replayable.
+_PQGRID_PRIMES = (3, 7, 11, 13, 17, 19, 23, 29)
+_PQGRID_EMB_SQL = "[" + ", ".join(
+    f"CAST(CASE WHEN vec_id % 4 = {j} THEN 10 ELSE 0 END AS DOUBLE)"
+    f" + CAST((vec_id * {p}) % 5 AS DOUBLE) * CAST(0.1 AS DOUBLE)"
+    for j, p in enumerate(_PQGRID_PRIMES)
+) + "]"
+
+
+@query(
+    "collection_ivfpq_recall_audit",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, {_PQGRID_EMB_SQL} AS emb,
+               CAST(vec_id % 4 AS INT) AS cell
+        FROM embeddings WHERE vec_id < 200
+    ),
+    q AS (
+        SELECT vec_id AS qid, emb AS qe
+        FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    probes AS (
+        SELECT qid, CAST(i - 1 AS INT) AS cell
+        FROM (
+            SELECT q.qid, t.i,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY q.qe[CAST(t.i AS INT)] DESC, t.i
+                   ) AS pr
+            FROM q, range(1, 5) t(i)
+        )
+        WHERE pr <= 2
+    ),
+    dist AS (
+        SELECT q.qid, c.vec_id AS neighbor_id, c.cell,
+               list_sum(list_transform(range(1, 9),
+                   i -> pow(q.qe[CAST(i AS INT)]
+                            - c.emb[CAST(i AS INT)], 2))) AS d2
+        FROM q JOIN corpus c ON TRUE
+    ),
+    exact AS (
+        SELECT qid, neighbor_id FROM (
+            SELECT qid, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY qid
+                       ORDER BY round(sqrt(d2), 4), neighbor_id
+                   ) AS r
+            FROM dist
+        ) WHERE r <= 5
+    ),
+    approx AS (
+        SELECT qid, neighbor_id FROM (
+            SELECT d.qid, d.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY d.qid
+                       ORDER BY round(d.d2, 4), d.neighbor_id
+                   ) AS r
+            FROM dist d
+            JOIN probes p ON p.qid = d.qid AND p.cell = d.cell
+        ) WHERE r <= 5
+    ),
+    per AS (
+        SELECT e.qid,
+               CAST(count(*) AS BIGINT) AS k_eff,
+               CAST(sum(CASE WHEN ap.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        FROM exact e
+        LEFT JOIN approx ap
+          ON ap.qid = e.qid AND ap.neighbor_id = e.neighbor_id
+        GROUP BY e.qid
+    )
+    SELECT qid, n_hits, k_eff,
+           round(CAST(n_hits AS DOUBLE) / k_eff, 4) AS recall_at_k,
+           round(avg(CAST(n_hits AS DOUBLE) / k_eff) OVER (), 4)
+               AS mean_recall,
+           (avg(CAST(n_hits AS DOUBLE) / k_eff) OVER () < 0.9)
+               AS refresh_recommended
+    FROM per
+    """,
+)
+def collection_ivfpq_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall audit of the COMPRESSED serving path, fully
+    oracle-replayed — the audit that exists because
+    ``ivf_pq_balance_audit``'s saturation signal is hull-bounded
+    (codes cannot express out-of-hull drift; a 10x drift measures
+    ~1.13x, test-pinned). ADC scoring is normally not
+    SQL-expressible, so the index is built to quantize EXACTLY: the
+    corpus is a synthetic grid derived from vec_id (10 on the home
+    dim + modular 0..0.4 residuals), the coarse centroids are the
+    scaled basis vectors, and the codebooks ENUMERATE every possible
+    residual subvector (5^4 entries per subspace) — every residual
+    encodes at distance zero, so ADC == squared l2 and the oracle
+    replays the whole compressed path: probe selection (top-2 home
+    dims, stable ties), per-cell ADC rank (round(d2, 4), id), exact
+    ground truth (round(sqrt(d2), 4), id), per-query hit counts, and
+    the global-mean flag. ``ivf_pq_recall_audit`` runs 16 md5-drawn
+    queries at nprobe=2 of 4 against exhaustive ground truth
+    (``knn_join`` l2) — recall < 1 is expected and both engines must
+    agree on exactly how much."""
+    import tempfile
+
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        _encode_assigned,
+        ivf_pq_recall_audit,
+        ivf_pq_write,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    parts = [
+        F.when(F.col("vec_id") % 4 == j, F.lit(10.0)).otherwise(F.lit(0.0))
+        + ((F.col("vec_id") * F.lit(p)) % 5).cast("double") * F.lit(0.1)
+        for j, p in enumerate(_PQGRID_PRIMES)
+    ]
+    corpus = e.select("vec_id", F.array(*parts).alias("embedding"))
+    C = np.eye(4, 8) * 10.0
+    grid = np.array(
+        [
+            [0.1 * k0, 0.1 * k1, 0.1 * k2, 0.1 * k3]
+            for k0 in range(5)
+            for k1 in range(5)
+            for k2 in range(5)
+            for k3 in range(5)
+        ]
+    )
+    books = np.stack([grid, grid])  # m=2 subspaces, 625 codes, dsub=4
+    assigned = _assign_to_centroids(
+        corpus, C, id_col="vec_id", embedding_col="embedding", metric="l2"
+    )
+    encoded = _encode_assigned(
+        assigned, C, books, id_col="vec_id", embedding_col="embedding"
+    )
+    idx_path = tempfile.mkdtemp(prefix="vdb_pq_recall_") + "/_ivfpq"
+    ivf_pq_write(encoded, C, books, idx_path)
+    return ivf_pq_recall_audit(
+        spark,
+        idx_path,
+        corpus=corpus,
+        id_col="vec_id",
+        embedding_col="embedding",
+        k=5,
+        n_queries=16,
+        nprobe=2,
+        recall_threshold=0.9,
+        score_decimals=4,
+        slack=64,  # >= the ~50-row cells: no unrounded cell-level cut
+    )
+
+
+@query(
+    "collection_query_filtered_ivf",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+        WHERE c.lang = 'fr'
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 100
+    """,
+)
+def collection_query_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN served THROUGH the persisted IVF index —
+    the r11 verdict's missing filtered-serving shape
+    (``plans/chroma_api.py::collection_query_ivf``): hydrate the
+    corpus with ``lang`` metadata, persist a stamped 8-cell IVF index,
+    and run a Chroma-style ``where={{"lang": "fr"}}`` query for doc
+    7's vector at ``nprobe=2`` asking for MORE results than matches
+    exist (n_results=100 vs 64 'fr' docs) — so the k-fill expansion
+    provably walks to exhaustion (every cell probed, predicate
+    evaluated only on probed candidates each round) and the served
+    rows must equal the ORACLE's exact filtered scan byte-for-byte.
+    The selective-predicate equality at partial probing plus the
+    whole-cell-killed k-fill guarantee are pinned in
+    tests/test_chroma_api.py; this driver query pins the exhaustion
+    contract against SQL."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_ivf,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_fivf_")
+    cfg = HydrationConfig(
+        collection_name="fivf",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="lang",
+    )
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "fivf")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/fivf/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "fivf"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    return collection_query_ivf(
+        spark,
+        root,
+        "fivf",
+        qvec,
+        n_results=100,
+        index_path=idx,
+        nprobe=2,
+        where={"lang": "fr"},
+        score_decimals=4,
+    ).select("id", "score")

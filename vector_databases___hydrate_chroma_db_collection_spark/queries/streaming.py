@@ -682,3 +682,207 @@ def stream_semantic_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return out[0].unionByName(out[1])
+
+
+@query(
+    "stream_novelty_maintained_loop",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref1 AS (SELECT DISTINCT b, h FROM buckets WHERE doc_id % 10 = 1),
+    inc1 AS (SELECT doc_id, b, h FROM buckets WHERE doc_id % 10 IN (2, 3)),
+    hits1 AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc1 i JOIN ref1 r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    out1 AS (
+        SELECT d.doc_id,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+               coalesce(h.c, 0) = 0 AS novel
+        FROM documents d LEFT JOIN hits1 h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 10 IN (2, 3)
+    ),
+    ref2 AS (
+        SELECT b, h FROM ref1
+        UNION
+        SELECT b, h FROM buckets
+        WHERE doc_id IN (SELECT doc_id FROM out1 WHERE novel)
+    ),
+    inc2 AS (
+        SELECT doc_id, b, h FROM buckets WHERE doc_id % 10 IN (4, 5, 6)
+    ),
+    hits2 AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc2 i JOIN ref2 r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    out2 AS (
+        SELECT d.doc_id,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+               coalesce(h.c, 0) = 0 AS novel
+        FROM documents d LEFT JOIN hits2 h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % 10 IN (4, 5, 6)
+    ),
+    ref3 AS (
+        SELECT b, h FROM ref2
+        UNION
+        SELECT b, h FROM buckets
+        WHERE doc_id IN (SELECT doc_id FROM out2 WHERE novel)
+    ),
+    inc3 AS (
+        SELECT doc_id + 1000000 AS doc_id, b, h FROM buckets
+        WHERE doc_id % 10 = 4
+    ),
+    hits3 AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc3 i JOIN ref3 r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    out3 AS (
+        SELECT d.doc_id + 1000000 AS doc_id,
+               CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+               coalesce(h.c, 0) = 0 AS novel
+        FROM documents d LEFT JOIN hits3 h ON h.doc_id = d.doc_id + 1000000
+        WHERE d.doc_id % 10 = 4
+    )
+    SELECT doc_id, n_hit_bands, novel, 0 AS batch FROM out1
+    UNION ALL
+    SELECT doc_id, n_hit_bands, novel, 1 AS batch FROM out2
+    UNION ALL
+    SELECT doc_id, n_hit_bands, novel, 2 AS batch FROM out3
+    """,
+)
+def stream_novelty_maintained_loop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The audit-driven maintenance lifecycle end-to-end, driving the
+    REAL foreachBatch body (``_novelty_ingest_batch_fn`` with a
+    ``MaintenancePolicy(every=1)``) — the r11 "appends forever" gap
+    closed and proven against the oracle:
+
+      build: band index over docs %10 == 1 — the id-guard filter is
+             sized for 4x that id count (the sidecar-recorded
+             capacity the audit measures against);
+      batch 0: ingest %10 in (2, 3) — the post-batch audit reads
+             ~0.3n of 0.4n capacity: no compaction (asserted);
+      batch 1: ingest %10 in (4, 5, 6) — the id set (~0.6n) now
+             exceeds capacity, the audit flips compact_recommended,
+             and the loop compacts EXACTLY ONCE (asserted by the
+             bucket_keys location swapping here and only here; the
+             compactor re-sizes the filter so the audit reads clean
+             after);
+      batch 2: VERBATIM COPIES of every %10 == 4 doc (ids +1000000)
+             gate through the COMPACTED index — all their verdicts
+             must replay the oracle's brute-force recompute, which is
+             blind to compaction: content-identical serving across
+             the swap is exactly what the atomic-commit design
+             promises.
+
+    The oracle replays all three gating rounds in SQL (ref grows by
+    each round's novel docs); the in-query EngineError assertions pin
+    the operational half (when compaction fired) that SQL cannot
+    see."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_audit,
+        band_index_build,
+        band_index_meta,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
+        MaintenancePolicy,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        _novelty_ingest_batch_fn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_maint_loop_")
+    cfg = HydrationConfig(
+        collection_name="mloop",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") % 10 == 1)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    idx = f"{root}/mloop/_bands"
+    band_index_build(
+        read_collection(spark, root, "mloop"),
+        idx,
+        id_col="id",
+        text_col="document",
+        source=(root, "mloop"),
+    )
+    ingest = _novelty_ingest_batch_fn(
+        idx, cfg, "mloop_sink", maintenance=MaintenancePolicy(every=1)
+    )
+
+    def keys_loc() -> str:
+        return band_index_meta(idx)["locations"]["bucket_keys"]
+
+    def with_emb(docs: DataFrame) -> DataFrame:
+        # copies carry ids +1000000; the embedding rides from the
+        # source doc (the text gate never reads it — hydration does)
+        return docs.join(
+            e, (docs.doc_id % 1000000) == e.vec_id
+        ).select("doc_id", "text", "embedding")
+
+    mod = F.col("doc_id") % 10
+    loc0 = keys_loc()
+    out0 = (
+        ingest(with_emb(d.filter(mod.isin(2, 3)).select("doc_id", "text")), 0)
+        .withColumn("batch", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    if keys_loc() != loc0:
+        raise EngineError("compaction fired below capacity (batch 0)")
+    out1 = (
+        ingest(
+            with_emb(d.filter(mod.isin(4, 5, 6)).select("doc_id", "text")), 1
+        )
+        .withColumn("batch", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    loc1 = keys_loc()
+    if loc1 == loc0:
+        raise EngineError(
+            "capacity overflow did not trigger compaction (batch 1)"
+        )
+    copies = d.filter(mod == 4).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out2 = (
+        ingest(with_emb(copies), 2)
+        .withColumn("batch", F.lit(2))
+        .localCheckpoint(eager=True)
+    )
+    if keys_loc() != loc1:
+        raise EngineError("a second compaction fired on a clean index")
+    if band_index_audit(spark, idx).first()["compact_recommended"]:
+        raise EngineError("audit still recommends compaction after the tick")
+    return out0.unionByName(out1).unionByName(out2)
