@@ -1209,7 +1209,51 @@ def main() -> None:
     except OSError:
         pass  # read-only checkout must not break the stdout contract
     print(line)
+    # FINAL stdout line: a compact self-contained summary that fits
+    # INSIDE the driver's 2000-char stdout-tail capture, so the
+    # committed BENCH_r{N}.json always carries a parseable full
+    # per-entry map (r5-r11 artifacts lost the head of the 4 KB
+    # contract line above and recorded "parsed": null). Entries are
+    # median seconds at 3 significant digits, grouped by the synth-
+    # corpus prefix to shed the repeated name bytes; BENCH_LOCAL.json
+    # stays the full-precision record (medians + min-of-3).
+    print(_compact_tail_line(total, sf, timings))
     spark.stop()
+
+
+def _compact_tail_line(total: float, sf: float, timings: dict) -> str:
+    def sig3(v: float):
+        f = float(f"{v:.3g}")
+        return int(f) if f == int(f) else f
+
+    groups: dict[str, dict[str, float]] = {}
+    prefixes = ("synth200k_", "synth100k_", "synth50k_", "synth1m_", "synth2m_")
+    for k, v in timings.items():
+        for p in prefixes:
+            if k.startswith(p):
+                groups.setdefault(p[:-1], {})[k[len(p):]] = sig3(v)
+                break
+        else:
+            groups.setdefault("", {})[k] = sig3(v)
+    line = json.dumps(
+        {"total": sig3(total), "sf": sf, "entries": groups},
+        separators=(",", ":"),
+    )
+    # hard budget: the line plus its newline must sit inside the
+    # driver's exactly-2000-char tail capture
+    if len(line) > 1995:
+        # never emit a line the 2000-char tail would decapitate — a
+        # pointer that parses beats a full map that doesn't
+        line = json.dumps(
+            {
+                "total": sig3(total),
+                "sf": sf,
+                "entries": None,
+                "full": "BENCH_LOCAL.json",
+            },
+            separators=(",", ":"),
+        )
+    return line
 
 
 if __name__ == "__main__":
