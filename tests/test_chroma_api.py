@@ -858,3 +858,83 @@ def test_collection_query_ivf_kfill_across_killed_cells(spark, tmp_path):
     assert got_uf == collection_query(
         spark, root, "fivf", qvec, n_results=5, score_decimals=4
     ).collect()
+
+
+def test_export_import_with_index_restamps_and_serves(spark, tmp_path):
+    """Indexes shipped in a snapshot serve under the IMPORTED
+    collection with zero rebuild: the import re-stamps their sidecars
+    to the new identity + current etag, so the verified read paths
+    accept them — while reading the SAME index dir copied WITHOUT the
+    re-stamp raises StaleIndexError (what stranded pre-r12 snapshots
+    did). Also pinned: export refuses a missing index name, import
+    refuses to overwrite an existing index dir, and unstamped indexes
+    ship as-is."""
+    import json
+    import os
+    import shutil
+
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        InvalidPathError,
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        export_collection,
+        import_collection,
+    )
+
+    root = str(tmp_path / "src_root")
+    _hydrated(spark, root)
+    coll = read_collection(spark, root, "api")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=7)
+    ivf_write(
+        assigned, C, f"{root}/api/_ivf", metric="cosine",
+        source=(root, "api"),
+        build={"metric": "l2", "seed": 7, "sample_fraction": None},
+    )
+
+    snap = str(tmp_path / "snap")
+    with pytest.raises(InvalidPathError, match="no index directory"):
+        export_collection(
+            spark, root, "api", snap, include_indexes=["_missing"]
+        )
+    export_collection(spark, root, "api", snap, include_indexes=["_ivf"])
+    assert os.path.isdir(os.path.join(snap, "indexes", "_ivf"))
+
+    root2 = str(tmp_path / "dst_root")
+    import_collection(spark, snap, root2)
+    # verified read: passes ONLY because the sidecar was re-stamped
+    a2, C2, _m = ivf_read(spark, f"{root2}/api/_ivf")
+    assert a2.count() == coll.count()
+    meta = json.load(open(f"{root2}/api/_ivf/ivf_index.json"))
+    assert meta["source"]["root"] == root2 and meta["source"]["name"] == "api"
+    qvec = [1.0, 0.0]
+    top = ivf_search(
+        a2, C2, qvec, k=1, nprobe=2, metric="cosine", score_decimals=4
+    ).first()
+    assert top["id"] == "1.0"
+
+    # the counterfactual: WITHOUT a re-stamp the shipped index still
+    # points at the SOURCE collection — once the source moves on
+    # (exactly the scenario snapshots exist for), the stale stamp is
+    # refused, while the re-stamped import keeps serving
+    raw = str(tmp_path / "dst_root" / "api" / "_ivf_noredo")
+    shutil.copytree(os.path.join(snap, "indexes", "_ivf"), raw)
+    collection_delete(spark, root, "api", ids=["5.0"])  # source mutates
+    with pytest.raises(StaleIndexError):
+        ivf_read(spark, raw)
+    a3, _, _ = ivf_read(spark, f"{root2}/api/_ivf")  # import unaffected
+    assert a3.count() == 5
+
+    # import refuses to overwrite an existing index dir
+    root3 = str(tmp_path / "dst_root3")
+    os.makedirs(f"{root3}/api/_ivf")
+    with pytest.raises(InvalidPathError, match="refusing to overwrite"):
+        import_collection(spark, snap, root3)

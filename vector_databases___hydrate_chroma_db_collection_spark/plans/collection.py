@@ -538,7 +538,12 @@ def compact_collection(
 
 
 def export_collection(
-    spark: SparkSession, root: str, name: str, dest: str
+    spark: SparkSession,
+    root: str,
+    name: str,
+    dest: str,
+    *,
+    include_indexes: list[str] | None = None,
 ) -> str:
     """Export a collection to a SELF-CONTAINED portable snapshot dir:
     ``dest/_manifest.json`` + ``dest/data/*.parquet`` in the
@@ -555,12 +560,43 @@ def export_collection(
     it resolves the ``_current`` pointer once, so a concurrent
     upsert/compaction swap mid-export still yields a CONSISTENT
     snapshot of whichever version the export started from. Returns
-    ``dest``."""
+    ``dest``.
+
+    ``include_indexes``: names of persisted-index directories INSIDE
+    the collection dir (e.g. ``["_ivf", "_bands"]``) to ship with the
+    snapshot under ``dest/indexes/<name>`` — without this, a moved
+    collection strands its indexes (their etag fences correctly
+    refuse to serve under the importing collection, so every index
+    must be rebuilt from scratch). Index dirs are copied
+    byte-identically at the FILE level (versioned data dirs, JSON
+    sidecars, Bloom binaries, append recordings): unlike collection
+    data, an index's bucketed/cell layout IS its serving contract,
+    and a Spark rewrite would have to re-derive it; at cluster scale
+    substitute a parallel copier (DistCp-shaped) for the same
+    byte-preserving contract. Copies assume no concurrent WRITER on
+    the index (the same caveat every file-level snapshot has);
+    ``import_collection`` re-stamps the shipped sidecars to the
+    imported collection."""
     manifest = load_manifest(root, name)
     dest = validate_path(dest)
     os.makedirs(dest, exist_ok=True)
     df = read_collection(spark, root, name)  # resolves pointer ONCE
     df.write.mode("overwrite").parquet(os.path.join(dest, DATA_DIR))
+    if include_indexes:
+        import shutil
+
+        for idx_name in include_indexes:
+            validate_name(idx_name)
+            src = os.path.join(root, name, idx_name)
+            if not os.path.isdir(src):
+                raise InvalidPathError(
+                    f"include_indexes entry {idx_name!r}: no index "
+                    f"directory at {src!r}"
+                )
+            dst = os.path.join(dest, "indexes", idx_name)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            shutil.copytree(src, dst)
     snap = CollectionManifest(
         **{**asdict(manifest), "version": 1, "n_buckets": None}
     )
@@ -586,7 +622,19 @@ def import_collection(
     (recomputing ``id_bucket`` from the ids), so a flat snapshot can
     land as a bucketed collection ready for pruned upserts. The data
     load is a distributed scan -> write into the fresh collection's
-    data dir, then the standard atomic pointer swap publishes it."""
+    data dir, then the standard atomic pointer swap publishes it.
+
+    Indexes the export shipped (``<snapshot>/indexes/*``, see
+    ``export_collection(include_indexes=...)``) are installed into
+    the new collection dir and their sidecars RE-STAMPED to the
+    imported collection's identity and CURRENT etag — after which
+    every etag-fenced reader (``ivf_read``, ``band_index_read``, the
+    kNN/novelty serving paths) accepts them with ZERO rebuild. The
+    re-stamp runs AFTER the data swap publishes, so the recorded etag
+    is exactly what readers re-derive; only sidecars that carried a
+    source stamp are touched (unstamped indexes ship as-is), and the
+    stamp rewrite uses the same atomic temp+fsync+rename commit as
+    every index mutation."""
     snapshot = validate_path(snapshot)
     mf_path = os.path.join(snapshot, MANIFEST_NAME)
     if not os.path.exists(mf_path):
@@ -619,7 +667,52 @@ def import_collection(
     else:
         df.write.mode("overwrite").parquet(staging)
     swap_data_dir(root, target, staging)
+    _install_snapshot_indexes(snapshot, root, target)
     return manifest
+
+
+def _install_snapshot_indexes(snapshot: str, root: str, target: str) -> None:
+    """Copy every index the snapshot shipped into the imported
+    collection's directory and re-stamp stamped sidecars to
+    ``(root, target)`` + the collection's CURRENT etag. File-level
+    copy for the same reason the export is (layout IS the serving
+    contract); the sidecar rewrite is last and atomic, so a crash
+    mid-install leaves either no sidecar pointer change or a fully
+    re-stamped index — never a stamped index over half-copied data
+    (the copy completes before any stamp is touched)."""
+    import shutil
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _atomic_sidecar_write,
+        _source_stamp,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.idguard import (
+        _SIDECARS,
+    )
+
+    idx_root = os.path.join(snapshot, "indexes")
+    if not os.path.isdir(idx_root):
+        return
+    for idx_name in sorted(os.listdir(idx_root)):
+        src = os.path.join(idx_root, idx_name)
+        if not os.path.isdir(src):
+            continue
+        dst = os.path.join(root, target, idx_name)
+        if os.path.exists(dst):
+            raise InvalidPathError(
+                f"import target already holds an index dir {dst!r}; "
+                "refusing to overwrite"
+            )
+        shutil.copytree(src, dst)
+        for sc in _SIDECARS:
+            sc_path = os.path.join(dst, sc)
+            if not os.path.exists(sc_path):
+                continue
+            with open(sc_path) as f:
+                meta = json.load(f)
+            if meta.get("source") is not None:
+                meta["source"] = _source_stamp((root, target))
+                _atomic_sidecar_write(dst, sc, meta)
 
 
 def vacuum_collection(

@@ -2355,3 +2355,196 @@ def collection_query_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame
         where={"lang": "fr"},
         score_decimals=4,
     ).select("id", "score")
+
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401,E402
+    _BAND_H,
+    _MINHASH_BASE,
+    _MINHASH_SIG,
+    _SHINGLES_CTE,
+)
+
+
+@query(
+    "collection_export_import_with_index",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.doc_id % 3 <> 0
+    ),
+    q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    knn AS (
+        SELECT 'knn' AS kind, c.id, {_COS_SQL} AS value,
+               CAST(NULL AS BOOLEAN) AS novel
+        FROM corpus c, q
+        WHERE c.id <> '7'
+        ORDER BY value DESC, c.id
+        LIMIT 5
+    ),
+    ref AS (SELECT DISTINCT b, h FROM buckets WHERE doc_id % 3 <> 0),
+    inc AS (
+        SELECT doc_id, b, h FROM buckets WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, b, h FROM buckets
+        WHERE doc_id % 3 = 1
+    ),
+    hits AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc i JOIN ref r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    incids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 FROM documents WHERE doc_id % 3 = 1
+    ),
+    gate AS (
+        SELECT 'novel' AS kind, CAST(i.doc_id AS VARCHAR) AS id,
+               CAST(coalesce(h.c, 0) AS DOUBLE) AS value,
+               coalesce(h.c, 0) = 0 AS novel
+        FROM incids i LEFT JOIN hits h ON h.doc_id = i.doc_id
+    )
+    SELECT * FROM knn UNION ALL SELECT * FROM gate
+    """,
+)
+def collection_export_import_with_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Index-aware snapshot export/import (the r11 growth item):
+    hydrate a collection from 2/3 of the corpus, persist BOTH its
+    serving indexes (LSH band index + IVF, each source-stamped),
+    ``export_collection(include_indexes=['_bands', '_ivf'])``, import
+    the snapshot under a DIFFERENT root, and serve from the imported
+    indexes with ZERO rebuild — the etag fences hold because the
+    import re-stamped the shipped sidecars to the new collection's
+    identity and current etag (without the re-stamp both reads below
+    raise StaleIndexError, which is what stranded pre-r12 snapshots
+    did). Two serving paths are exercised and oracle-replayed:
+
+    - ``kind='knn'``: exhaustive-probe ``ivf_search`` top-5 for doc
+      7's vector through the imported IVF index (verified read),
+      vs the oracle's brute-force cosine over the exported corpus;
+    - ``kind='novel'``: the novelty gate over a batch of genuinely
+      new docs (%3 == 0) plus VERBATIM COPIES of stored docs
+      (%3 == 1, ids +1000000) through the imported band index's
+      verified bucket keys, vs the oracle's band-arithmetic replay —
+      every copy must hit all 8 bands, proving the shipped index
+      bytes serve the same verdicts the source index would."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_bucket_keys,
+        band_index_build,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        export_collection,
+        import_collection,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root1 = tempfile.mkdtemp(prefix="vdb_ximp_src_")
+    cfg = HydrationConfig(
+        collection_name="xsrc",
+        root=root1,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    corpus = d.filter(F.col("doc_id") % 3 != 0)
+    hydrate(spark, corpus.join(e, corpus.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root1, "xsrc")
+    band_index_build(
+        coll,
+        f"{root1}/xsrc/_bands",
+        id_col="id",
+        text_col="document",
+        source=(root1, "xsrc"),
+    )
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    ivf_write(
+        assigned,
+        C,
+        f"{root1}/xsrc/_ivf",
+        metric="cosine",
+        source=(root1, "xsrc"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+
+    snap = tempfile.mkdtemp(prefix="vdb_ximp_snap_")
+    export_collection(
+        spark, root1, "xsrc", snap, include_indexes=["_bands", "_ivf"]
+    )
+    root2 = tempfile.mkdtemp(prefix="vdb_ximp_dst_")
+    import_collection(spark, snap, root2)
+
+    # kNN through the imported IVF index — verified read: a missing or
+    # wrong re-stamp raises StaleIndexError here, failing the query
+    assigned2, C2, _m = ivf_read(spark, f"{root2}/xsrc/_ivf")
+    qvec = list(
+        read_collection(spark, root2, "xsrc")
+        .filter(F.col("id") == "7")
+        .first()["embedding"]
+    )
+    knn = ivf_search(
+        assigned2.filter(F.col("id") != "7"),
+        C2,
+        qvec,
+        k=5,
+        nprobe=8,
+        metric="cosine",
+        score_decimals=4,
+    ).select(
+        F.lit("knn").alias("kind"),
+        F.col("id"),
+        F.col("score").alias("value"),
+        F.lit(None).cast("boolean").alias("novel"),
+    )
+
+    incoming = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    keys = band_index_bucket_keys(spark, f"{root2}/xsrc/_bands")
+    gate = novelty_gate(
+        incoming, keys, id_col="doc_id", text_col="text"
+    ).select(
+        F.lit("novel").alias("kind"),
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_hit_bands").cast("double").alias("value"),
+        F.col("novel"),
+    )
+    return knn.unionByName(gate)
