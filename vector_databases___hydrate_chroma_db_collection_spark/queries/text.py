@@ -1296,3 +1296,162 @@ def text_phrase_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["fast", "table", "scan"],
         id_col="doc_id",
     )
+
+
+from vector_databases___hydrate_chroma_db_collection_spark.queries._shared import (  # noqa: F401,E402
+    _COS_SQL,
+)
+
+
+@query(
+    "hybrid_phrase_vector_fusion",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)
+    ),
+    p0 AS (SELECT doc_id, pos FROM tok WHERE term = 'fast'),
+    p1 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = 'table'),
+    p2 AS (SELECT doc_id, pos - 2 AS pos FROM tok WHERE term = 'scan'),
+    m AS (
+        SELECT p0.doc_id, count(*) AS n_matches FROM p0
+        JOIN p1 USING (doc_id, pos)
+        JOIN p2 USING (doc_id, pos)
+        GROUP BY 1
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    g2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term AS t, count(*) AS tf FROM tok
+        WHERE term IN ('fast', 'table', 'scan') GROUP BY 1, 2
+    ),
+    dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    bscore AS (
+        SELECT tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                     4) AS bm25
+        FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN g2
+        GROUP BY tf.doc_id
+    ),
+    tall AS (
+        SELECT m.doc_id, coalesce(b.bm25, 0.0) AS bm25
+        FROM m LEFT JOIN bscore b USING (doc_id)
+    ),
+    trank AS (
+        SELECT doc_id, rn AS rt FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+            FROM tall
+        ) WHERE rn <= 10
+    ),
+    corpus AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    vs AS (
+        SELECT c.vec_id AS doc_id, {_COS_SQL} AS s FROM corpus c, q
+    ),
+    vrank AS (
+        SELECT doc_id, rn AS rv FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+            FROM vs
+        ) WHERE rn <= 10
+    )
+    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rt), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + rv), 0), 6) AS rrf
+    FROM trank t FULL OUTER JOIN vrank v ON v.doc_id = t.doc_id
+    """,
+)
+def hybrid_phrase_vector_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval composing BOTH persisted serving stacks — the
+    r11 growth item ("the two serving stacks are complete but never
+    composed"): the lexical candidate list is quoted-query
+    phrase-constrained BM25 for "fast table scan" served from the
+    persisted positional + inverted indexes
+    (operators/retrieval.py::phrase_bm25_from_index), the vector
+    candidate list is doc 7's embedding served through the persisted
+    IVF index at exhaustive nprobe (exact, oracle-checkable), each
+    cut to top-10 by top_ranks (TakeOrderedAndProject, rank windows
+    over <= k rows), and the lists fuse with rrf_fuse — the standard
+    1/(60 + rank) reciprocal-rank sum over bounded index-served
+    candidate lists ONLY (the corpus is never re-tokenized and never
+    exhaustively re-scored at serve time; the ORACLE does both, which
+    is the check). Output: (doc_id, rrf) for the union of both
+    top-10 lists."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        inverted_postings,
+        phrase_bm25_from_index,
+        positional_postings,
+        rrf_fuse,
+        top_ranks,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="vdb_hybrid_")
+    # persist the text indexes (term-clustered for per-term pushdown)
+    (
+        positional_postings(d, id_col="doc_id", text_col="text")
+        .repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(out + "/pos_postings")
+    )
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    (
+        postings.repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out + "/postings")
+    )
+    stats.write.mode("overwrite").parquet(out + "/term_stats")
+    # persist the vector index
+    assigned, C = ivf_build(
+        e.select("vec_id", "embedding"),
+        id_col="vec_id",
+        n_centroids=8,
+        seed=42,
+    )
+    ivf_write(
+        assigned, C, out + "/_ivf", metric="cosine",
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+
+    text_hits = phrase_bm25_from_index(
+        spark.read.parquet(out + "/pos_postings"),
+        spark.read.parquet(out + "/postings"),
+        spark.read.parquet(out + "/term_stats"),
+        ["fast", "table", "scan"],
+        id_col="doc_id",
+    )
+    trank = top_ranks(text_hits, "bm25", id_col="doc_id", k=10)
+
+    assigned2, C2, _m = ivf_read(spark, out + "/_ivf")
+    qvec = list(
+        e.filter(F.col("vec_id") == 7).first()["embedding"]
+    )
+    vec_hits = ivf_search(
+        assigned2,
+        C2,
+        qvec,
+        k=10,
+        id_col="vec_id",
+        nprobe=8,  # == n_centroids: exhaustive, exact
+        metric="cosine",
+        score_decimals=4,
+    ).withColumnRenamed("vec_id", "doc_id")
+    vrank = top_ranks(vec_hits, "score", id_col="doc_id", k=10)
+
+    return rrf_fuse(trank, vrank, id_col="doc_id", k=60)
