@@ -938,3 +938,53 @@ def test_export_import_with_index_restamps_and_serves(spark, tmp_path):
     os.makedirs(f"{root3}/api/_ivf")
     with pytest.raises(InvalidPathError, match="refusing to overwrite"):
         import_collection(spark, snap, root3)
+
+
+def test_export_refuses_stale_or_foreign_index(spark, tmp_path):
+    """The export-side gate behind the import's unconditional
+    re-stamp: shipping an index whose recorded etag mismatches the
+    exported collection would LAUNDER stale rows into a verified
+    index on the importing side — export must refuse (and likewise an
+    index stamped to a different collection)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _atomic_sidecar_write,
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        export_collection,
+    )
+
+    root = str(tmp_path / "src")
+    _hydrated(spark, root)
+    coll = read_collection(spark, root, "api")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=7)
+    ivf_write(
+        assigned, C, f"{root}/api/_ivf", metric="cosine",
+        source=(root, "api"),
+        build={"metric": "l2", "seed": 7, "sample_fraction": None},
+    )
+    # mutate the collection: the index is now stale
+    collection_delete(spark, root, "api", ids=["5.0"])
+    with pytest.raises(StaleIndexError, match="STALE against"):
+        export_collection(
+            spark, root, "api", str(tmp_path / "snap1"),
+            include_indexes=["_ivf"],
+        )
+    # foreign stamp: an index stamped to another collection name
+    meta = json.load(open(f"{root}/api/_ivf/ivf_index.json"))
+    meta["source"]["name"] = "someone_else"
+    _atomic_sidecar_write(f"{root}/api/_ivf", "ivf_index.json", meta)
+    with pytest.raises(StaleIndexError, match="stamped to collection"):
+        export_collection(
+            spark, root, "api", str(tmp_path / "snap2"),
+            include_indexes=["_ivf"],
+        )

@@ -628,3 +628,91 @@ def test_batch_digest_two_seed_format():
     assert da.count(":") == 2
     assert da == db  # order-independent
     assert da != dc
+
+
+def test_legacy_pending_slot_survives_foreign_allduplicate_commit(
+    spark, tmp_path
+):
+    """Review regression: a pre-r12 single-slot pending_append record
+    must survive a DIFFERENT tag committing with zero new rows (that
+    path skips the recording block, and before the fix the commit
+    popped the legacy slot and GC'd its recording dir — the crashed
+    batch's replay then gated as fresh)."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 30).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=2, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "legacy_slot")
+    ann.ivf_write(assigned, C, path, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+    # tag B appends normally (so a later all-dup commit has a tag)
+    bB = e.filter(F.col("vec_id").between(30, 34)).select(
+        "vec_id", "embedding"
+    )
+    assert ann.ivf_append(spark, path, bB, tag="B") == 5
+
+    # forge a pre-r12 crashed append: legacy single-slot record with
+    # a real recording dir
+    rec_dir = ann._fresh_versioned_dir(path, "ivf_append_ids")
+    spark.createDataFrame([(35,), (36,)], "vec_id bigint").write.parquet(
+        os.path.join(path, rec_dir)
+    )
+    meta = json.load(open(os.path.join(path, "ivf_index.json")))
+    meta["pending_append"] = {"tag": "A-legacy", "appended_ids": rec_dir}
+    ann._atomic_sidecar_write(path, "ivf_index.json", meta)
+
+    # tag C commits with ZERO new rows (all ids already indexed)
+    assert ann.ivf_append(spark, path, bB, tag="C") == 0
+    meta = json.load(open(os.path.join(path, "ivf_index.json")))
+    assert [p_["tag"] for p_ in meta.get("pending_appends") or []] == [
+        "A-legacy"
+    ]
+    assert "pending_append" not in meta  # migrated, not duplicated
+    assert os.path.isdir(os.path.join(path, rec_dir))  # dir survived GC
+    assert sorted(
+        int(r[0])
+        for r in ann.ivf_appended_ids(spark, path, "A-legacy").collect()
+    ) == [35, 36]
+
+
+def test_ivf_compact_cycles_never_recycle_cells_names(spark, tmp_path):
+    """Review regression: repeated compactions (the auto-maintenance
+    loops make these routine) must allocate strictly increasing
+    cells_vN names even though each compaction GCs its predecessor —
+    a recycled name could be scanned mid-rewrite by a reader holding
+    an older sidecar."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 30).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids=2, id_col="vec_id", embedding_col="embedding"
+    )
+    path = str(tmp_path / "compact_cycle")
+    ann.ivf_write(assigned, C, path, metric="l2",
+                  build={"metric": "l2", "seed": 42})
+    seen = []
+    for i in range(3):
+        b = e.filter(
+            F.col("vec_id").between(30 + 10 * i, 39 + 10 * i)
+        ).select("vec_id", "embedding")
+        ann.ivf_append(spark, path, b)
+        ann.ivf_compact(spark, path)
+        meta = json.load(open(os.path.join(path, "ivf_index.json")))
+        seen.append(meta["location"])
+    versions = [int(d.rsplit("_v", 1)[1]) for d in seen]
+    assert versions == sorted(set(versions)), seen
+    assert ann.ivf_read(spark, path)[0].count() == 60

@@ -863,8 +863,12 @@ def _fresh_versioned_dir(
     return f"{base}_v{v}"
 
 
-def _fresh_cells_dir(p: str) -> str:
-    return _fresh_versioned_dir(p, "cells")
+def _fresh_cells_dir(p: str, prev: str | None = None) -> str:
+    """``prev`` = the sidecar's CURRENT cells location: floors the new
+    version above it so repeated compact/refresh cycles (each GCs the
+    superseded dir) can never recycle a freed ``cells_vN`` name under
+    a reader holding an older sidecar."""
+    return _fresh_versioned_dir(p, "cells", floor_names=[prev])
 
 
 def _drop_old_cells(p: str, old_meta: dict | None, new_dir: str) -> None:
@@ -972,7 +976,7 @@ def ivf_write(
     # location swapped last, superseded dir removed after the commit
     # (the same lifecycle as band_index_write; the r9 in-place
     # overwrite gave concurrent readers read failures mid-rebuild).
-    cells_dir = _fresh_cells_dir(path)
+    cells_dir = _fresh_cells_dir(path, (old_meta or {}).get("location"))
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, cells_dir)
     )
@@ -1250,12 +1254,16 @@ def ivf_append(
     # band-index design) — a single slot would let a second writer's
     # tagged append overwrite a crashed batch's record, making that
     # batch's replay gate as fresh against an index already holding
-    # its partial rows. Legacy single-slot sidecars read as a
-    # one-entry list.
+    # its partial rows. A legacy single-slot record is MIGRATED into
+    # the list in meta itself (not just read) so every later commit
+    # path — including a different tag committing with zero new rows,
+    # which skips the recording block entirely — preserves it and its
+    # recording dir survives the keep-set GC.
     pending = list(meta.get("pending_appends") or [])
-    legacy = meta.get("pending_append")
+    legacy = meta.pop("pending_append", None)
     if legacy:
         pending.append(legacy)
+        meta["pending_appends"] = pending
     prev_entry = next((e for e in pending if e.get("tag") == tag), None)
     app_dir = (prev_entry or {}).get("appended_ids")
     if n_new:
@@ -1570,6 +1578,32 @@ def ivf_balance_audit(
     )
 
 
+def _sample_queries(
+    df: DataFrame, id_col: str, embedding_col: str, n_queries: int
+) -> DataFrame:
+    """The deterministic md5-rank query draw both recall audits use
+    (and their SQL oracles replay): rank ids by
+    ``md5(cast(id as string))``, take the lowest ``n_queries`` (a
+    TakeOrderedAndProject — no full sort materialized), return
+    ``(qid, q_embedding)`` eagerly checkpointed (two serving joins
+    consume the sample; neither may re-execute the draw). ONE
+    implementation — the sampling discipline is a cross-audit
+    determinism contract, and a tweak applied to only one copy would
+    silently desynchronize the audits from each other and from their
+    oracles."""
+    return (
+        df.select(
+            F.col(id_col).alias("qid"),
+            F.col(embedding_col).alias("q_embedding"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "qid")
+        .limit(int(n_queries))
+        .drop("_h")
+        .localCheckpoint(eager=True)
+    )
+
+
 def _recall_report(
     exact: DataFrame,
     approx: DataFrame,
@@ -1678,19 +1712,7 @@ def ivf_recall_audit(
     C = np.asarray(meta["centroids"])
     metric = meta["metric"]
     idc, embc = [c for c in cells.columns if c != "ivf_cell"][:2]
-    queries = (
-        cells.select(
-            F.col(idc).alias("qid"),
-            F.col(embc).alias("q_embedding"),
-            F.md5(F.col(idc).cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "qid")
-        .limit(int(n_queries))
-        .drop("_h")
-        # both serving joins consume the sample; materialize once so
-        # neither re-executes the order-by-hash draw
-        .localCheckpoint(eager=True)
-    )
+    queries = _sample_queries(cells, idc, embc, n_queries)
     approx = ivf_knn_join(
         queries,
         cells,
@@ -1769,7 +1791,7 @@ def ivf_compact(
     old_loc = os.path.join(p, old_dir)
     before = _data_files(old_loc)
     df = spark.read.parquet(old_loc)
-    new_dir = _fresh_cells_dir(p)
+    new_dir = _fresh_cells_dir(p, old_dir)
     new_loc = os.path.join(p, new_dir)
     (
         # one task per cell -> exactly one data file per cell dir

@@ -128,15 +128,21 @@ def _part_loc(path: str, part: str, meta: dict) -> str:
     return os.path.join(_local_sidecar_path(path), _part_dir(meta, part))
 
 
-def _fresh_part_dir(p: str, part: str) -> str:
+def _fresh_part_dir(p: str, part: str, prev=None) -> str:
     """Next unused versioned directory name for a part (``bands_v1``,
     ``bands_v2``, ...) — the shared scanner (ann._fresh_versioned_dir),
-    so the band and vector index lifecycles cannot drift apart."""
+    so the band and vector index lifecycles cannot drift apart.
+    ``prev`` floors the version above the sidecar's CURRENT location
+    (a name, or a list of names for the append recordings), so GC of
+    superseded dirs can never recycle a name under a reader holding
+    an older sidecar — the ``fresh_bloom_file`` monotonicity contract
+    applied to every allocator (r12)."""
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _fresh_versioned_dir,
     )
 
-    return _fresh_versioned_dir(p, part)
+    floors = prev if isinstance(prev, (list, tuple)) else [prev]
+    return _fresh_versioned_dir(p, part, floor_names=list(floors))
 
 
 def _bucket_table(loc: str, nb: int) -> str:
@@ -172,7 +178,9 @@ def _register_bucketed(
     return tbl
 
 
-def _write_new_part(df: DataFrame, path: str, part: str, nb: int | None) -> str:
+def _write_new_part(
+    df: DataFrame, path: str, part: str, nb: int | None, prev: str | None = None
+) -> str:
     """Persist one part into a FRESH versioned directory; returns the
     directory name for the sidecar's ``locations`` map. The write is
     invisible to readers until the caller commits the sidecar.
@@ -376,21 +384,33 @@ def band_index_write(
     # (band, h) MEMBERSHIP (the gate probes with a LEFT SEMI join, so
     # duplicates would not be wrong — just wasted bytes); appends add
     # batch-distinct keys and band_index_compact re-distincts.
+    old_locs = (old_meta or {}).get("locations") or {}
     locations = {
-        "bands": _write_new_part(band_rows, path, "bands", num_buckets),
-        "bucket_keys": _write_new_part(keys, path, "bucket_keys", num_buckets),
+        "bands": _write_new_part(
+            band_rows, path, "bands", num_buckets, old_locs.get("bands")
+        ),
+        "bucket_keys": _write_new_part(
+            keys, path, "bucket_keys", num_buckets,
+            old_locs.get("bucket_keys"),
+        ),
     }
     if shingles is not None:
         sh = shingles.select(F.col("_id").alias(id_col), "h")
         sizes = shingles.groupBy(F.col("_id").alias(id_col)).agg(
             F.count(F.lit(1)).alias("n_sh")
         )
-        locations["shingles"] = _write_new_part(sh, path, "shingles", None)
-        locations["sizes"] = _write_new_part(sizes, path, "sizes", None)
+        locations["shingles"] = _write_new_part(
+            sh, path, "shingles", None, old_locs.get("shingles")
+        )
+        locations["sizes"] = _write_new_part(
+            sizes, path, "sizes", None, old_locs.get("sizes")
+        )
         ids = sizes.select(id_col)
     else:
         ids = band_rows.select(id_col).distinct()
-    locations["ids"] = _write_new_part(ids, path, "ids", None)
+    locations["ids"] = _write_new_part(
+        ids, path, "ids", None, old_locs.get("ids")
+    )
     # id-guard Bloom over the persisted set (read back from the fresh
     # parquet: one bounded column scan; the count is metadata-only)
     spark = band_rows.sparkSession
@@ -977,7 +997,12 @@ def band_index_append(
             # whenever the marker exists. A crash between this write
             # and the marker commit leaks an unreferenced directory
             # (GC'd by the next successful commit), never a wrong set.
-            app_dir = _fresh_part_dir(p, "append_ids")
+            app_dir = _fresh_part_dir(
+                p,
+                "append_ids",
+                prev=[e.get("appended_ids") for e in pending]
+                + [meta.get("last_append_ids")],
+            )
             appended_ids.write.mode("overwrite").parquet(
                 os.path.join(p, app_dir)
             )
@@ -1034,7 +1059,9 @@ def band_index_append(
             .unionByName(appended_ids)
             .distinct()  # torn+legacy replays overlap the two sides
         )
-        locations["ids"] = _write_new_part(full, path, "ids", None)
+        locations["ids"] = _write_new_part(
+            full, path, "ids", None, locations.get("ids")
+        )
     else:
         if torn:
             present_i = _present_ids(
@@ -1270,7 +1297,9 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
         part_nb = nb if part in ("bands", "bucket_keys") else None
         if part_nb is None:
             df = df.repartition(plain_target)
-        new_locations[part] = _write_new_part(df, path, part, part_nb)
+        new_locations[part] = _write_new_part(
+            df, path, part, part_nb, old_locations.get(part)
+        )
         after = _part_files(os.path.join(p, new_locations[part]))
         report[part] = (before, after)
     if "ids" in new_locations:

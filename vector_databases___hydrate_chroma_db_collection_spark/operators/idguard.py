@@ -82,10 +82,19 @@ def batch_digest(df: DataFrame, id_col: str) -> str:
     pairs with equal pairwise xor collide — constructible); colliding
     BOTH independently-seeded xors simultaneously is not. Two xors
     rather than a modular sum because BIGINT sums overflow-raise
-    under ANSI; xor cannot. Digests produced by the pre-r12
-    single-xor format no longer match — a cross-upgrade checkpoint
-    replay then gates as a fresh batch, which the id-granular append
-    guards keep exactly-once regardless."""
+    under ANSI; xor cannot. ``batch_digests`` additionally returns
+    the pre-r12 single-xor LEGACY form (derived from the SAME one
+    aggregation) so streaming callers can match a batch recorded by
+    the old format across a code upgrade — without it, a checkpoint
+    replay spanning the upgrade would gate as a fresh batch and
+    silently flip its republished verdicts (the stores stay
+    exactly-once either way; this is about verdict stability)."""
+    return batch_digests(df, id_col)[0]
+
+
+def batch_digests(df: DataFrame, id_col: str) -> tuple[str, str]:
+    """(current two-seed digest, legacy single-xor digest) from ONE
+    aggregation — see ``batch_digest`` for the contract."""
     r = (
         df.select(F.col(id_col).cast("string").alias("_s"))
         .distinct()
@@ -98,7 +107,7 @@ def batch_digest(df: DataFrame, id_col: str) -> str:
         )
         .first()
     )
-    return f"{r['c']}:{r['x']}:{r['x2']}"
+    return f"{r['c']}:{r['x']}:{r['x2']}", f"{r['c']}:{r['x']}"
 
 
 def bloom_params(
@@ -438,6 +447,7 @@ __all__ = [
     "BITS_PER_ID",
     "HASH_SPEC",
     "batch_digest",
+    "batch_digests",
     "bloom_params",
     "bloom_build",
     "bloom_or",

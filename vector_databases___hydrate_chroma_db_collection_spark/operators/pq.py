@@ -772,18 +772,12 @@ def ivf_pq_recall_audit(
 
         corpus = read_collection(spark, src["root"], src["name"])
         id_col, embedding_col = "id", "embedding"
-    encoded, C, books = ivf_pq_read(spark, path)
-    queries = (
-        corpus.select(
-            F.col(id_col).alias("qid"),
-            F.col(embedding_col).alias("q_embedding"),
-            F.md5(F.col(id_col).cast("string")).alias("_h"),
-        )
-        .orderBy("_h", "qid")
-        .limit(int(n_queries))
-        .drop("_h")
-        .localCheckpoint(eager=True)
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _sample_queries,
     )
+
+    encoded, C, books = ivf_pq_read(spark, path)
+    queries = _sample_queries(corpus, id_col, embedding_col, n_queries)
     approx = ivf_pq_knn_join(
         queries,
         encoded,
@@ -845,7 +839,7 @@ def ivf_pq_write(
     stamp = _source_stamp(source)
     # Rebuild-is-atomic-for-readers: same versioned-dir + sidecar-swap
     # lifecycle as ivf_write / band_index_write.
-    cells_dir = _fresh_cells_dir(path)
+    cells_dir = _fresh_cells_dir(path, (old_meta or {}).get("location"))
     encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(path, cells_dir)
     )

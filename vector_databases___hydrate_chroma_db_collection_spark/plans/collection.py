@@ -585,6 +585,17 @@ def export_collection(
     if include_indexes:
         import shutil
 
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+            _source_stamp,
+        )
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.idguard import (
+            _SIDECARS,
+        )
+
+        cur_etag = None
         for idx_name in include_indexes:
             validate_name(idx_name)
             src = os.path.join(root, name, idx_name)
@@ -593,6 +604,37 @@ def export_collection(
                     f"include_indexes entry {idx_name!r}: no index "
                     f"directory at {src!r}"
                 )
+            # Gate BEFORE shipping: the import re-stamps sidecars
+            # unconditionally, so exporting a STALE index (collection
+            # mutated since its stamp) would launder it into a
+            # 'verified' one serving deleted/replaced rows under the
+            # imported collection — exactly what the etag fence
+            # exists to refuse. Refuse at the source instead.
+            for sc in _SIDECARS:
+                scp = os.path.join(src, sc)
+                if not os.path.exists(scp):
+                    continue
+                with open(scp) as f:
+                    stamp = json.load(f).get("source")
+                if stamp is None:
+                    continue  # unstamped index: ships as-is
+                if stamp.get("name") != name:
+                    raise StaleIndexError(
+                        f"index {idx_name!r} is stamped to collection "
+                        f"{stamp.get('name')!r}, not the exported "
+                        f"{name!r}; refusing to ship it"
+                    )
+                if cur_etag is None:
+                    cur_etag = _source_stamp((root, name))["etag"]
+                if stamp.get("etag") != cur_etag:
+                    raise StaleIndexError(
+                        f"index {idx_name!r} ({sc}) is STALE against "
+                        f"the exported collection (stamped etag "
+                        f"{str(stamp.get('etag'))[:12]!r} != current "
+                        f"{cur_etag[:12]!r}): shipping it would let "
+                        "the import re-stamp deleted/replaced rows "
+                        "fresh — refresh or rebuild the index first"
+                    )
             dst = os.path.join(dest, "indexes", idx_name)
             if os.path.exists(dst):
                 shutil.rmtree(dst)
@@ -649,6 +691,19 @@ def import_collection(
             f"collection {target!r} already exists under {root!r}; "
             "import refuses to overwrite live data"
         )
+    # Pre-check EVERY shipped index's target dir BEFORE any publish:
+    # failing on the Nth index after the data swap would strand a
+    # published collection with a partial index set and no retry path
+    # (a re-import then refuses on the collection itself).
+    idx_root = os.path.join(snapshot, "indexes")
+    if os.path.isdir(idx_root):
+        for idx_name in sorted(os.listdir(idx_root)):
+            dst = os.path.join(root, target, idx_name)
+            if os.path.exists(dst):
+                raise InvalidPathError(
+                    f"import target already holds an index dir {dst!r}; "
+                    "refusing to overwrite"
+                )
     manifest = get_or_create_collection(
         root, target, snap.dim, snap.metric, n_buckets=n_buckets
     )

@@ -115,7 +115,9 @@ def band_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
     }
 
 
-def ivf_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
+def ivf_maintenance(
+    spark, index_path: str, policy: MaintenancePolicy, *, audit: bool = True
+) -> dict:
     """One maintenance tick for a persisted IVF index: run the
     balance audit (one cells scan, <= n_centroids rows collected —
     ``ivf_balance_audit``'s own bound), fold the per-cell verdicts
@@ -124,7 +126,11 @@ def ivf_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
     per-cell budget. Compaction bounds serve-time file-open costs and
     re-sizes the id-guard filter; it never changes content, so a
     replayed tick that finds the compacted layout simply skips (the
-    file count is back under budget)."""
+    file count is back under budget). ``audit=False`` skips the
+    corpus-scan audit entirely (``refresh_recommended`` comes back
+    None) — for loops that do not publish the verdict, paying a full
+    cells scan per tick to discard the answer is pure waste; the
+    compaction trigger is a local filesystem count either way."""
     import os
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
@@ -134,15 +140,17 @@ def ivf_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
         ivf_compact,
     )
 
-    refresh = any(
-        r["refresh_recommended"]
-        for r in ivf_balance_audit(
-            spark,
-            index_path,
-            skew_threshold=policy.skew_threshold,
-            drift_threshold=policy.drift_threshold,
-        ).collect()
-    )
+    refresh = None
+    if audit:
+        refresh = any(
+            r["refresh_recommended"]
+            for r in ivf_balance_audit(
+                spark,
+                index_path,
+                skew_threshold=policy.skew_threshold,
+                drift_threshold=policy.drift_threshold,
+            ).collect()
+        )
     import json
 
     p = _local_sidecar_path(index_path)

@@ -227,19 +227,27 @@ def _novelty_ingest_batch_fn(
         # restarted stream (fresh checkpoint, same sink/batch numbers,
         # different content) gates as a fresh batch instead of
         # wrongly excluding the old run's recorded contribution
-        batch_tag = (
-            None
-            if probe_only
-            else f"{sink_table}#{batch_id}#"
-            + idguard.batch_digest(batch_docs, ic)
-        )
-        replayed = batch_tag is not None and (
-            batch_tag == meta.get("last_append_tag")
-            or any(
-                e.get("tag") == batch_tag
-                for e in (meta.get("pending_appends") or [])
+        batch_tag = matched_tag = None
+        if not probe_only:
+            # both digest formats from ONE aggregation: the current
+            # two-seed form tags new appends, the legacy single-xor
+            # form matches a batch RECORDED before the r12 digest
+            # upgrade — a cross-upgrade checkpoint replay must still
+            # be detected or its republished verdicts silently flip
+            dg_new, dg_old = idguard.batch_digests(batch_docs, ic)
+            prefix = f"{sink_table}#{batch_id}#"
+            batch_tag = prefix + dg_new
+            pend = meta.get("pending_appends") or []
+            matched_tag = next(
+                (
+                    t
+                    for t in (batch_tag, prefix + dg_old)
+                    if t == meta.get("last_append_tag")
+                    or any(e.get("tag") == t for e in pend)
+                ),
+                None,
             )
-        )
+        replayed = matched_tag is not None
         if replayed:
             # This very batch already appended (fully or torn): gate
             # against the band table MINUS exactly the rows the
@@ -262,7 +270,7 @@ def _novelty_ingest_batch_fn(
                 num_hashes=meta["num_hashes"],
                 bands=meta["bands"],
                 exclude_ids=band_index_appended_ids(
-                    spark, index_path, batch_tag
+                    spark, index_path, matched_tag
                 ),
             )
         else:
@@ -297,9 +305,11 @@ def _novelty_ingest_batch_fn(
         # rows — the append's own double-ingest guard (not hydrate's
         # outcome) decides what is genuinely new on the index side.
         # The tag records WHICH batch appended, for replay detection.
+        # a legacy-format replay re-commits under ITS recorded tag so
+        # a further replay of the same batch keeps matching it
         band_index_append(
             spark, index_path, novel_docs.select(ic, tc),
-            id_col=ic, text_col=tc, tag=batch_tag,
+            id_col=ic, text_col=tc, tag=matched_tag or batch_tag,
         )
         if maintenance is not None and maintenance.due(batch_id):
             # post-append, pre-return: the verdicts above are already
@@ -416,12 +426,15 @@ def stream_vector_ingest(
             # compaction bounds the one-file-per-cell-per-batch growth
             # this loop's own appends cause; served results are
             # content-identical either side of the swap, so placement
-            # before the serve does not change published rows
+            # before the serve does not change published rows.
+            # audit=False: this loop publishes top-k rows, not
+            # verdicts — nothing would consume the refresh flag, so
+            # don't pay a full cells scan to compute it
             from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
                 ivf_maintenance,
             )
 
-            ivf_maintenance(spark, index_path, maintenance)
+            ivf_maintenance(spark, index_path, maintenance, audit=False)
         return serve_current(spark)
 
     return stream_knn_serve(
@@ -559,22 +572,30 @@ def _semantic_ingest_batch_fn(
         # different content) must gate as a FRESH batch — tag-string
         # equality alone would wrongly exclude the OLD run's recorded
         # ids and mis-gate near-duplicates of them as novel.
-        batch_tag = (
-            None
-            if probe_only
-            else f"{sink_table}#{batch_id}#"
-            + idguard.batch_digest(uniq, ic)
-        )
         # pending crashed-append records are a LIST keyed by tag
         # (r12, mirroring the band index); legacy single-slot sidecars
-        # still read
+        # still read. Replay detection accepts the pre-r12 single-xor
+        # digest form too (one aggregation yields both) so a
+        # checkpoint replay spanning the digest upgrade republishes
+        # its first attempt's verdicts instead of gating fresh.
         pending = list(meta.get("pending_appends") or [])
         if meta.get("pending_append"):
             pending.append(meta["pending_append"])
-        replayed = batch_tag is not None and (
-            batch_tag == meta.get("last_append_tag")
-            or any(e.get("tag") == batch_tag for e in pending)
-        )
+        batch_tag = matched_tag = None
+        if not probe_only:
+            dg_new, dg_old = idguard.batch_digests(uniq, ic)
+            prefix = f"{sink_table}#{batch_id}#"
+            batch_tag = prefix + dg_new
+            matched_tag = next(
+                (
+                    t
+                    for t in (batch_tag, prefix + dg_old)
+                    if t == meta.get("last_append_tag")
+                    or any(e.get("tag") == t for e in pending)
+                ),
+                None,
+            )
+        replayed = matched_tag is not None
         # ONE sidecar parse per batch (the sidecar embeds the full
         # centroid matrix — multi-MB at production cell counts):
         # assemble what ivf_read(verify_source=False) would return
@@ -591,7 +612,7 @@ def _semantic_ingest_batch_fn(
             # exclude exactly what this batch's own earlier attempt
             # contributed — rows an EARLIER batch contributed for a
             # redelivered id must stay in the reference
-            rec = ivf_appended_ids(spark, index_path, batch_tag)
+            rec = ivf_appended_ids(spark, index_path, matched_tag)
             if rec is None:  # pre-recording index: batch-id fallback
                 rec = uniq.select(ic)
             idx_type = dict(assigned.dtypes)[idx_id]
@@ -657,13 +678,14 @@ def _semantic_ingest_batch_fn(
         # append still owes the INDEX its rows; the append's own
         # guard decides what is genuinely new. The tag records WHICH
         # batch appended, for replay detection + exclusion.
+        # a legacy-format replay re-commits under ITS recorded tag
         ivf_append(
             spark,
             index_path,
             novel_docs.select(ic, ec),
             id_col=ic,
             embedding_col=ec,
-            tag=batch_tag,
+            tag=matched_tag or batch_tag,
         )
         if maintenance is not None:
             flag = None
