@@ -349,3 +349,87 @@ def test_band_maintenance_defers_on_foreign_torn_append(spark, tmp_path):
     bi._sidecar_write(p, meta)
     tick = band_maintenance(spark, idx, MaintenancePolicy(every=1))
     assert tick["compact_recommended"] and not tick["compacted"]
+
+
+def test_semantic_loop_recall_audit_feeds_refresh_verdict(spark, tmp_path):
+    """The DEEP audit wired into the loop: with the geometry audit OFF
+    (every=0) and recall_every=1, the published refresh_recommended
+    verdict is driven purely by sampled ground-truth recall — False
+    while appends preserve the cluster structure (recall 1.0 at
+    nprobe=1 on the clustered corpus), True once a drifted append
+    splits true neighborhoods across cells and mean recall falls
+    under the threshold. This is the maintenance-side closure of the
+    recall-audit story: the loop now ALERTS on the measure the
+    hull-bounded geometry audits cannot see."""
+    import math
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        _semantic_ingest_batch_fn,
+    )
+
+    from .test_recall_audit import DIM, _drifted_rows, _original_rows
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, f"d{i}", v) for i, v in rows],
+            "doc_id bigint, text string, embedding array<double>",
+        )
+
+    root = str(tmp_path)
+    cfg = HydrationConfig(
+        collection_name="recall_maint",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    original = _original_rows()
+    hydrate(spark, docs(original), cfg)
+    C = np.eye(4, DIM) * 10.0
+    corpus = docs(original).select(
+        F.col("doc_id").alias("id"), "embedding"
+    )
+    assigned = ann._assign_to_centroids(
+        corpus, C, id_col="id", embedding_col="embedding", metric="l2"
+    )
+    idx = f"{root}/recall_maint/_ivf"
+    ann.ivf_write(
+        assigned, C, idx, metric="l2", source=(root, "recall_maint"),
+        build={"metric": "l2", "seed": 42},
+    )
+
+    policy = MaintenancePolicy(
+        every=0,  # geometry audit OFF: recall alone drives the verdict
+        compact=False,
+        recall_every=1,
+        recall_k=5,
+        recall_nprobe=1,
+        recall_n_queries=400,
+        recall_threshold=0.9,
+    )
+    ingest = _semantic_ingest_batch_fn(
+        idx, cfg, "recall_maint_sink", threshold=0.0, nprobe=4,
+        maintenance=policy,
+    )
+
+    # batch 0: benign cluster-0 continuation — recall stays 1.0
+    benign = [
+        (400 + i, [10.0 if d == 0 else (0.05 + i * 0.001 if d == 6 else 0.0) for d in range(DIM)])
+        for i in range(5)
+    ]
+    out0 = ingest(docs(benign), 0).collect()
+    assert len(out0) == 5
+    assert all(r["refresh_recommended"] is False for r in out0)
+
+    # batch 1: the midpoint drift — true neighborhoods straddle two
+    # cells, nprobe=1 recall craters under 0.9, verdict flips
+    out1 = ingest(docs([(i, v) for i, v in _drifted_rows()]), 1).collect()
+    assert len(out1) == 120
+    assert all(r["refresh_recommended"] is True for r in out1)

@@ -66,11 +66,29 @@ class MaintenancePolicy:
     skew_threshold: float = 4.0
     drift_threshold: float = 1.5
     files_per_cell_threshold: float = 4.0
+    # deep audit: sampled ground-truth recall (ann.ivf_recall_audit)
+    # at its OWN, slower cadence — its ground-truth side is an
+    # exhaustive scoring pass of the corpus against recall_n_queries
+    # vectors, an order costlier than the geometry audit's single
+    # aggregate scan. 0 = off. recall_nprobe should match the
+    # production serving nprobe (recall at a different probe width
+    # measures a different index).
+    recall_every: int = 0
+    recall_k: int = 10
+    recall_nprobe: int = 3
+    recall_n_queries: int = 64
+    recall_threshold: float = 0.9
 
     def due(self, batch_id: int) -> bool:
         """Cadence test — batch ids are 0-based, so the first audit
         lands on batch ``every - 1`` (after ``every`` appends)."""
         return self.every > 0 and (int(batch_id) + 1) % self.every == 0
+
+    def recall_due(self, batch_id: int) -> bool:
+        return (
+            self.recall_every > 0
+            and (int(batch_id) + 1) % self.recall_every == 0
+        )
 
 
 def band_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
@@ -116,7 +134,12 @@ def band_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
 
 
 def ivf_maintenance(
-    spark, index_path: str, policy: MaintenancePolicy, *, audit: bool = True
+    spark,
+    index_path: str,
+    policy: MaintenancePolicy,
+    *,
+    audit: bool = True,
+    recall: bool = False,
 ) -> dict:
     """One maintenance tick for a persisted IVF index: run the
     balance audit (one cells scan, <= n_centroids rows collected —
@@ -130,7 +153,14 @@ def ivf_maintenance(
     corpus-scan audit entirely (``refresh_recommended`` comes back
     None) — for loops that do not publish the verdict, paying a full
     cells scan per tick to discard the answer is pure waste; the
-    compaction trigger is a local filesystem count either way."""
+    compaction trigger is a local filesystem count either way.
+    ``recall=True`` ADDITIONALLY runs the sampled ground-truth recall
+    audit (``ann.ivf_recall_audit`` at the policy's recall_* knobs —
+    the deep measure geometry cannot give; see that docstring) and
+    folds its verdict into ``refresh_recommended``; callers gate it on
+    ``policy.recall_due(batch_id)`` because its ground-truth side is
+    an exhaustive scoring pass, not an aggregate scan. The tick dict
+    then also carries ``mean_recall``."""
     import os
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
@@ -138,6 +168,7 @@ def ivf_maintenance(
         _local_sidecar_path,
         ivf_balance_audit,
         ivf_compact,
+        ivf_recall_audit,
     )
 
     refresh = None
@@ -151,6 +182,23 @@ def ivf_maintenance(
                 drift_threshold=policy.drift_threshold,
             ).collect()
         )
+    mean_recall = None
+    if recall:
+        row = (
+            ivf_recall_audit(
+                spark,
+                index_path,
+                k=policy.recall_k,
+                n_queries=policy.recall_n_queries,
+                nprobe=policy.recall_nprobe,
+                recall_threshold=policy.recall_threshold,
+            )
+            .select("mean_recall", "refresh_recommended")
+            .first()
+        )
+        if row is not None:
+            mean_recall = row["mean_recall"]
+            refresh = bool(refresh) or bool(row["refresh_recommended"])
     import json
 
     p = _local_sidecar_path(index_path)
@@ -166,6 +214,7 @@ def ivf_maintenance(
         "refresh_recommended": refresh,
         "compacted": compacted,
         "files_before": files,
+        "mean_recall": mean_recall,
     }
 
 

@@ -689,14 +689,22 @@ def _semantic_ingest_batch_fn(
         )
         if maintenance is not None:
             flag = None
-            if maintenance.due(batch_id):
+            recall_tick = maintenance.recall_due(batch_id)
+            if maintenance.due(batch_id) or recall_tick:
                 from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
                     ivf_maintenance,
                 )
 
-                flag = ivf_maintenance(spark, index_path, maintenance)[
-                    "refresh_recommended"
-                ]
+                # the geometry audit runs on its cadence; the DEEP
+                # (ground-truth recall) audit on its own slower one —
+                # either can flip the surfaced verdict
+                flag = ivf_maintenance(
+                    spark,
+                    index_path,
+                    maintenance,
+                    audit=maintenance.due(batch_id),
+                    recall=recall_tick,
+                )["refresh_recommended"]
             # surfaced on every published row of the batch: NULL =
             # "no audit this batch", not "healthy"
             out = out.withColumn(
