@@ -988,3 +988,95 @@ def test_export_refuses_stale_or_foreign_index(spark, tmp_path):
             spark, root, "api", str(tmp_path / "snap2"),
             include_indexes=["_ivf"],
         )
+
+
+def test_collection_query_ivf_pq_kfill_and_exactness(spark, tmp_path):
+    """Filtered serving through the COMPRESSED index: the same
+    killed-cells k-fill scenario as the IVF test, but the probe scans
+    8-byte codes and the floats are touched only for the reranked
+    rows. With a rerank budget covering the filtered candidates the
+    result equals collection_query's exact filtered scan
+    byte-for-byte — through cell expansion, ADC prescreen, and the
+    shared rerank tail."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        _encode_assigned,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_ivf_pq,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        c = i % 4
+        v = [0.0] * dim
+        v[c] = 10.0
+        v[4] = i * 0.01
+        rows.append(
+            (float(i), f"doc {i}", v, "rare" if c == 3 else "common")
+        )
+    df = spark.createDataFrame(
+        rows, "uid double, body string, vec array<double>, lang string"
+    )
+    root = str(tmp_path)
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="fpq",
+            root=root,
+            id_col="uid",
+            text_col="body",
+            embedding_col="vec",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "fpq")
+    C = np.eye(4, dim) * 10.0
+    assigned = _assign_to_centroids(
+        coll, C, id_col="id", embedding_col="embedding", metric="l2"
+    )
+    # any deterministic codebooks do: the rerank budget covers every
+    # filtered candidate, so ADC only prescreens, never decides
+    books = np.stack(
+        [
+            np.array([[0.05 * a, 0.05 * b] for a in range(-2, 2) for b in range(-2, 2)])
+            for _ in range(4)
+        ]
+    )
+    encoded = _encode_assigned(
+        assigned, C, books, id_col="id", embedding_col="embedding"
+    )
+    idx = f"{root}/fpq/_ivfpq"
+    ivf_pq_write(encoded, C, books, idx, source=(root, "fpq"))
+
+    qvec = [0.0] * dim
+    qvec[0] = 10.0  # nearest cell 0; every 'rare' match lives in cell 3
+    got = collection_query_ivf_pq(
+        spark, root, "fpq", qvec, n_results=5, index_path=idx, nprobe=1,
+        where={"lang": "rare"}, rerank_factor=8, score_decimals=4,
+    ).collect()
+    want = collection_query(
+        spark, root, "fpq", qvec, n_results=5,
+        where={"lang": "rare"}, score_decimals=4,
+    ).collect()
+    assert len(got) == 5  # k filled across 3 dead cells
+    assert got == want
+
+    # exhaustion: fewer matches than k
+    got_all = collection_query_ivf_pq(
+        spark, root, "fpq", qvec, n_results=50, index_path=idx, nprobe=1,
+        where={"lang": "rare"}, rerank_factor=8, score_decimals=4,
+    ).collect()
+    assert len(got_all) == 10
+    assert got_all == collection_query(
+        spark, root, "fpq", qvec, n_results=50,
+        where={"lang": "rare"}, score_decimals=4,
+    ).collect()

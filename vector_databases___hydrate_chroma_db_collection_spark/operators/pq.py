@@ -528,7 +528,9 @@ def ivf_pq_search(
 
     m, n_codes, dsub = codebooks.shape
     q = np.asarray(query_vector, dtype=np.float64)
-    order = np.argsort(((centroids - q) ** 2).sum(axis=1))
+    # stable: boundary ties resolve to the lower cell, the same
+    # deterministic-probe contract as ann.ivf_search / ivf_knn_join
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
     cells = [int(c) for c in order[:nprobe]]
     # Per-cell LUT: ||r_j - codebook_j[c]||^2 for r = q - centroid_cell.
     luts = {}

@@ -528,6 +528,114 @@ def collection_query_ivf(
     )
 
 
+def collection_query_ivf_pq(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vector: list[float],
+    n_results: int = 10,
+    *,
+    index_path: str,
+    nprobe: int = 2,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    rerank_factor: int = 8,
+    score_decimals: int | None = None,
+    include_distance: bool = False,
+    verify_source: bool = True,
+) -> DataFrame:
+    """``collection.query`` served through the persisted COMPRESSED
+    (IVF-PQ) index with metadata/document pre-filters — the 8-bytes-
+    per-row twin of ``collection_query_ivf``, completing the filtered
+    serving matrix (exact scan / IVF / IVF-PQ). Same filtered-ANN
+    shape: rank cells by l2 centroid proximity (ADC is residual
+    squared-L2 whatever the rerank metric — FAISS semantics; stable
+    ties), probe ``nprobe`` cells, evaluate the predicates only on
+    probed candidates, DOUBLE until ``n_results`` filtered candidates
+    exist or every cell is probed (the same k-fill guarantee, with
+    the same full-filtered-scan exhaustion floor). Survivors then go
+    through the standard IVF-PQ+refine recipe: ADC prescreens the
+    filtered candidates to ``n_results * rerank_factor`` ids over the
+    8-byte codes (``ivf_pq_search`` on the candidate-restricted code
+    table — the corpus's float vectors are never scanned), and the
+    exact rerank is ``collection_query``'s own tail over just those
+    rows, so the output contract and tie-breaks are identical to the
+    other two paths.
+
+    Scale shape: the probe scans ~p/n_centroids of the CODE table
+    (m bytes/row, partition-pruned), the predicate semi-join and the
+    fill check are the same bounded shapes as the IVF path, and the
+    float vectors are touched only for the <= k*rerank_factor
+    reranked rows. A ``rerank_factor`` large enough to cover the
+    filtered candidate count makes the result exact (the
+    oracle-checkable configuration); production settings trade that
+    for bytes moved. Returns ``(id, document, metadata, score
+    [, distance])`` best-first."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_read,
+        ivf_pq_search,
+    )
+
+    manifest = load_manifest(root, name)
+    if len(query_vector) != manifest.dim:
+        raise EngineError(
+            f"query vector dim {len(query_vector)} != collection dim {manifest.dim}"
+        )
+    encoded, C, books = ivf_pq_read(
+        spark, index_path, verify_source=verify_source
+    )
+    idx_id = [
+        c for c in encoded.columns if c not in ("ivf_cell", "pq_code")
+    ][0]
+    import numpy as np
+
+    q = np.asarray(query_vector, dtype=np.float64)
+    cell_order = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")
+    n_cells = int(C.shape[0])
+    filtered = _filtered(
+        read_collection(spark, root, name), None, where, where_document
+    )
+    k = int(n_results)
+    p = max(1, min(int(nprobe), n_cells))
+    while True:
+        probed = [int(c) for c in cell_order[:p]]
+        cand_codes = encoded.filter(F.col("ivf_cell").isin(probed))
+        cand = filtered.join(
+            cand_codes.select(F.col(idx_id).cast("string").alias("id")),
+            "id",
+            "left_semi",
+        )
+        if p >= n_cells or cand.limit(k).count() >= k:
+            break
+        p = min(n_cells, p * 2)
+    # ADC prescreen over the FILTERED candidates' codes only, then
+    # exact rerank through the shared tail (rerank inside
+    # ivf_pq_search would re-scan embeddings per candidate anyway;
+    # routing through _serve_topk keeps one rerank implementation)
+    fil_codes = cand_codes.join(
+        cand.select(F.col("id").cast(dict(encoded.dtypes)[idx_id]).alias(idx_id)),
+        idx_id,
+        "left_semi",
+    )
+    prescreen = ivf_pq_search(
+        fil_codes,
+        C,
+        books,
+        query_vector,
+        k=k * int(rerank_factor),
+        id_col=idx_id,
+        nprobe=p,  # the cells the fill loop settled on
+    ).select(F.col(idx_id).cast("string").alias("id"))
+    return _serve_topk(
+        filtered.join(F.broadcast(prescreen), "id", "left_semi"),
+        manifest.metric,
+        query_vector,
+        k,
+        score_decimals=score_decimals,
+        include_distance=include_distance,
+    )
+
+
 def collection_query_batch(
     spark: SparkSession,
     root: str,

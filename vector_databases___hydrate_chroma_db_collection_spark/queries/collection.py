@@ -2548,3 +2548,83 @@ def collection_export_import_with_index(
         F.col("novel"),
     )
     return knn.unionByName(gate)
+
+
+@query(
+    "collection_query_filtered_ivfpq",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+        WHERE c.lang = 'fr'
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 100
+    """,
+)
+def collection_query_filtered_ivfpq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-filtered ANN through the persisted COMPRESSED index
+    (``plans/chroma_api.py::collection_query_ivf_pq`` — completing
+    the filtered serving matrix: exact scan / IVF /
+    collection_query_filtered_ivf / this): same lang='fr' predicate
+    and over-asking n_results=100 as the IVF twin, so the k-fill
+    expansion walks to exhaustion and the ADC prescreen budget
+    (100 * rerank_factor) covers every filtered candidate — the
+    serve path then exercises cell expansion over the 8-byte code
+    table, the candidate-restricted ADC scorer, and the shared exact
+    rerank, and MUST still equal the oracle's brute-force filtered
+    cosine scan byte-for-byte. The partial-probe k-fill case (filter
+    kills whole cells) is pinned in tests/test_chroma_api.py."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_ivf_pq,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_fpq_")
+    cfg = HydrationConfig(
+        collection_name="fpq",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="lang",
+    )
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "fpq")
+    encoded, C, books = ivf_pq_build(
+        coll, n_centroids=8, m=8, n_codes=16, seed=42
+    )
+    idx = f"{root}/fpq/_ivfpq"
+    ivf_pq_write(encoded, C, books, idx, source=(root, "fpq"))
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    return collection_query_ivf_pq(
+        spark,
+        root,
+        "fpq",
+        qvec,
+        n_results=100,
+        index_path=idx,
+        nprobe=2,
+        where={"lang": "fr"},
+        rerank_factor=2,
+        score_decimals=4,
+    ).select("id", "score")
