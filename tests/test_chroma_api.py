@@ -1080,3 +1080,84 @@ def test_collection_query_ivf_pq_kfill_and_exactness(spark, tmp_path):
         spark, root, "fpq", qvec, n_results=50,
         where={"lang": "rare"}, score_decimals=4,
     ).collect()
+
+
+def test_collection_query_batch_ivf_per_query_fill(spark, tmp_path):
+    """Batch filtered-IVF serving expands probe width PER QUERY: a
+    query whose filtered matches live in its own nearest cell settles
+    in the first round, while one whose matches the filter stranded
+    in the farthest cell expands until it fills — and both come back
+    identical to the exact single-query path, in one batch result."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_ivf,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(40):
+        c = i % 4
+        v = [0.0] * dim
+        v[c] = 10.0
+        v[4] = i * 0.01
+        rows.append(
+            (float(i), f"doc {i}", v, "rare" if c == 3 else "common")
+        )
+    df = spark.createDataFrame(
+        rows, "uid double, body string, vec array<double>, lang string"
+    )
+    root = str(tmp_path)
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="bq",
+            root=root,
+            id_col="uid",
+            text_col="body",
+            embedding_col="vec",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "bq")
+    C = np.eye(4, dim) * 10.0
+    assigned = _assign_to_centroids(
+        coll, C, id_col="id", embedding_col="embedding", metric="l2"
+    )
+    idx = f"{root}/bq/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "bq"),
+        build={"metric": "l2", "seed": 42},
+    )
+
+    qA = [0.0] * dim
+    qA[3] = 10.0  # matches live in ITS nearest cell: fills at p=1
+    qB = [0.0] * dim
+    qB[0] = 10.0  # matches live in the FARTHEST cell: must expand
+    got = collection_query_batch_ivf(
+        spark, root, "bq", [qA, qB], n_results=5, index_path=idx,
+        nprobe=1, where={"lang": "rare"}, score_decimals=4,
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(
+            (r["rank"], r["id"], r["score"])
+        )
+    for qid, qvec in ((0, qA), (1, qB)):
+        want = [
+            (i + 1, r["id"], r["score"])
+            for i, r in enumerate(
+                collection_query(
+                    spark, root, "bq", qvec, n_results=5,
+                    where={"lang": "rare"}, score_decimals=4,
+                ).collect()
+            )
+        ]
+        assert sorted(by_q[qid]) == want, qid
+    assert len(got) == 10

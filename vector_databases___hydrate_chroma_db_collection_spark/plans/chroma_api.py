@@ -528,6 +528,136 @@ def collection_query_ivf(
     )
 
 
+def collection_query_batch_ivf(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vectors: list[list[float]],
+    n_results: int = 10,
+    *,
+    index_path: str,
+    nprobe: int = 2,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    score_decimals: int | None = None,
+    include_distance: bool = False,
+    verify_source: bool = True,
+) -> DataFrame:
+    """``collection.query`` with MULTIPLE query embeddings served
+    through the persisted IVF index, with optional metadata/document
+    pre-filters — the BATCH scale path (``collection_query_batch``
+    streams the whole filtered collection once per request;
+    ``collection_query_ivf`` expands one query at a time). Same
+    output contract as the exact batch path:
+    ``(qid, rank, id, document, metadata, score[, distance])``.
+
+    Plan: the filtered collection SEMI-restricts the index's
+    cell-assigned rows (predicate evaluated once, cells layout
+    preserved), ``ann.ivf_knn_join`` scores each query against only
+    its ``nprobe`` nearest cells (cogrouped per-cell GEMM, exact
+    scores, candidate-selection-only approximation), and queries that
+    UNDER-FILL (< n_results rows — the filter killed their probed
+    cells) are re-joined at a DOUBLED probe width until they fill or
+    every cell is probed — the per-query k-fill guarantee, with the
+    exhaustive join (== exact) as the floor. Each round's fill check
+    collects <= |queries| count rows; settled queries never re-score.
+    ``distance`` (Chroma conventions) derives from the UNROUNDED
+    exact score recomputed on the <= queries x k result rows —
+    identical contract to the exact batch path."""
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_knn_join,
+        ivf_read,
+    )
+
+    manifest = load_manifest(root, name)
+    if not query_vectors:
+        raise EngineError("query_vectors must be non-empty")
+    for i, v in enumerate(query_vectors):
+        if len(v) != manifest.dim:
+            raise EngineError(
+                f"query vector {i} dim {len(v)} != collection dim {manifest.dim}"
+            )
+    assigned, C, _idx_metric = ivf_read(
+        spark, index_path, verify_source=verify_source
+    )
+    idx_id = [c for c in assigned.columns if c != "ivf_cell"][0]
+    n_cells = int(np.asarray(C).shape[0])
+    filtered = _filtered(
+        read_collection(spark, root, name), None, where, where_document
+    )
+    # predicate evaluated ONCE, on the index rows (cells layout kept)
+    cand = assigned.join(
+        filtered.select(F.col("id").cast(dict(assigned.dtypes)[idx_id]).alias(idx_id)),
+        idx_id,
+        "left_semi",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+        "qid int, q_embedding array<float>",
+    )
+    k = int(n_results)
+    p = max(1, min(int(nprobe), n_cells))
+    pending = queries
+    settled = []
+    while True:
+        nn = ivf_knn_join(
+            pending,
+            cand,
+            C,
+            k=k,
+            id_col=idx_id,
+            embedding_col=[c for c in assigned.columns if c != "ivf_cell"][1],
+            metric=manifest.metric,
+            nprobe=p,
+            score_decimals=score_decimals,
+        ).localCheckpoint(eager=True)  # bounded: <= |pending| * k rows
+        if p >= n_cells:
+            settled.append(nn)
+            break
+        counts = {
+            int(r["qid"]): int(r["n"])
+            for r in nn.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        unfilled = [
+            int(r["qid"])
+            for r in pending.select("qid").collect()
+            if counts.get(int(r["qid"]), 0) < k
+        ]
+        if not unfilled:
+            settled.append(nn)
+            break
+        settled.append(nn.filter(~F.col("qid").isin(unfilled)))
+        pending = queries.filter(F.col("qid").isin(unfilled))
+        p = min(n_cells, p * 2)
+    out = settled[0]
+    for part in settled[1:]:
+        out = out.unionByName(part)
+    out = out.join(
+        filtered.select(
+            F.col("id").alias("neighbor_id"), "document", "metadata",
+            *(["embedding"] if include_distance else []),
+        ),
+        "neighbor_id",
+    ).withColumnRenamed("neighbor_id", "id")
+    cols = ["qid", "rank", "id", "document", "metadata", "score"]
+    if include_distance:
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+            _score,
+        )
+
+        qv = queries.withColumnRenamed("q_embedding", "_qe")
+        out = out.join(F.broadcast(qv), "qid")
+        raw, _asc = _score(manifest.metric, F.col("embedding"), F.col("_qe"))
+        dist = (
+            raw * raw if manifest.metric == "l2" else F.lit(1.0) - raw
+        )
+        out = out.withColumn("distance", dist)
+        cols.append("distance")
+    return out.select(*cols).orderBy("qid", "rank")
+
+
 def collection_query_ivf_pq(
     spark: SparkSession,
     root: str,

@@ -2628,3 +2628,97 @@ def collection_query_filtered_ivfpq(
         rerank_factor=2,
         score_decimals=4,
     ).select("id", "score")
+
+
+@query(
+    "collection_query_batch_filtered_ivf",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    q AS (
+        SELECT CASE vec_id WHEN 3 THEN 0 WHEN 7 THEN 1 ELSE 2 END AS qid,
+               embedding AS qe
+        FROM embeddings WHERE vec_id IN (3, 7, 11)
+    ),
+    scored AS (
+        SELECT q.qid, c.id, {_COS_SQL} AS score
+        FROM q JOIN corpus c ON c.lang = 'fr'
+    ),
+    ranked AS (
+        SELECT qid, id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, id
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT qid, rank, id, score FROM ranked WHERE rank <= 100
+    """,
+)
+def collection_query_batch_filtered_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH filtered ANN through the persisted IVF index
+    (``plans/chroma_api.py::collection_query_batch_ivf`` — the scale
+    path when many queries share a filter): three query embeddings
+    (docs 3, 7, 11) against the lang='fr' slice, over-asking
+    n_results=100 vs 64 matches so EVERY query's per-query k-fill
+    expansion walks to exhaustion and the batch result must equal the
+    oracle's per-query brute-force filtered cosine ranking —
+    including the (rounded score, id) rank column. The mixed case
+    (one query settling early while another expands) is pinned in
+    tests/test_chroma_api.py."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_ivf,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_bfivf_")
+    cfg = HydrationConfig(
+        collection_name="bfivf",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="lang",
+    )
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "bfivf")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/bfivf/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "bfivf"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    qvecs = [
+        list(
+            e.filter(F.col("vec_id") == v).first()["embedding"]
+        )
+        for v in (3, 7, 11)
+    ]
+    return collection_query_batch_ivf(
+        spark,
+        root,
+        "bfivf",
+        qvecs,
+        n_results=100,
+        index_path=idx,
+        nprobe=2,
+        where={"lang": "fr"},
+        score_decimals=4,
+    ).select("qid", "rank", "id", "score")
