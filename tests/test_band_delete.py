@@ -1,0 +1,250 @@
+"""Tombstone-based deletes on the persisted MinHash band index.
+
+The text-side twin of tests/test_ivf_delete.py: a document removed
+from the corpus must stop BLOCKING near-duplicates of itself in the
+novelty gate — but only when no SURVIVING document shares its
+content. ``band_index_delete`` records doc-id tombstones (masking
+``bands``/``shingles``/``sizes`` and refusing re-appends) plus the
+RETIRED ``(band, h)`` keys (keys with no surviving contributor,
+masked out of ``band_index_bucket_keys``); appends un-retire keys a
+new batch re-introduces; ``band_index_compact`` purges physically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+    EngineError,
+    StaleIndexError,
+    TombstonedIdError,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+    band_index_append,
+    band_index_bucket_keys,
+    band_index_build,
+    band_index_compact,
+    band_index_delete,
+    band_index_meta,
+    band_index_read,
+    band_index_read_verified,
+    band_index_tombstoned_ids,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+    novelty_gate,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river today"),
+    (2, "completely different content about spark partitions and shuffles"),
+    (3, "a third unique document discussing minhash signatures and bands"),
+    # 4 shares doc 3's text VERBATIM: deleting 3 alone must NOT
+    # un-gate the content — 4 still owns every one of its keys
+    (4, "a third unique document discussing minhash signatures and bands"),
+]
+
+
+def _mk(spark, tmp_path, shingles=True):
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    idx = str(tmp_path / "bidx")
+    band_index_build(df, idx, include_shingles=shingles)
+    return idx
+
+
+def _gate(spark, idx, pairs):
+    meta = band_index_meta(idx)
+    inc = spark.createDataFrame(pairs, "doc_id int, text string")
+    out = novelty_gate(
+        inc,
+        band_index_bucket_keys(spark, idx),
+        n=meta["n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+    )
+    return {r["doc_id"]: bool(r["novel"]) for r in out.collect()}
+
+
+def test_delete_ungates_unshared_content_only(spark, tmp_path):
+    idx = _mk(spark, tmp_path)
+    probes = [(101, DOCS[0][1]), (102, DOCS[1][1]), (103, DOCS[2][1])]
+    assert _gate(spark, idx, probes) == {101: False, 102: False, 103: False}
+    assert band_index_delete(spark, idx, [1, 3]) == 2
+    # doc 1's content had no other owner -> novel again; doc 3's text
+    # is also doc 4's, and 4 survives -> still gated duplicate
+    assert _gate(spark, idx, probes) == {101: True, 102: False, 103: False}
+    ts = {r["_ts_id"] for r in band_index_tombstoned_ids(spark, idx).collect()}
+    assert ts == {"1", "3"}
+    # deleting 4 as well retires the shared keys too
+    assert band_index_delete(spark, idx, [4]) == 1
+    assert _gate(spark, idx, probes) == {101: True, 102: False, 103: True}
+
+
+def test_masked_reads_and_replay_noop(spark, tmp_path):
+    idx = _mk(spark, tmp_path)
+    assert band_index_delete(spark, idx, [1]) == 1
+    bands, meta = band_index_read(spark, idx)
+    assert bands.filter(F.col("doc_id") == 1).count() == 0
+    b, sh, sz, _m = band_index_read_verified(spark, idx)
+    assert sh.filter(F.col("doc_id") == 1).count() == 0
+    assert sz.filter(F.col("doc_id") == 1).count() == 0
+    # physical rows intact until compaction
+    phys, _ = band_index_read(spark, idx, include_tombstoned=True)
+    assert phys.filter(F.col("doc_id") == 1).count() > 0
+    # replay and never-indexed ids: no-ops, recording unchanged
+    assert band_index_delete(spark, idx, [1]) == 0
+    assert band_index_delete(spark, idx, [999]) == 0
+    assert band_index_meta(idx)["tombstones"]["n"] == 1
+
+
+def test_append_reintroduction_unretires_keys(spark, tmp_path):
+    idx = _mk(spark, tmp_path)
+    band_index_delete(spark, idx, [1])
+    assert _gate(spark, idx, [(101, DOCS[0][1])]) == {101: True}
+    assert band_index_meta(idx)["tombstones"]["n_keys"] > 0
+    # a NEW doc re-submits the deleted content: its keys must gate
+    # again (the shrink un-retires them), or the gate would admit
+    # duplicates of LIVE content forever
+    band_index_append(
+        spark,
+        idx,
+        spark.createDataFrame([(50, DOCS[0][1])], "doc_id int, text string"),
+    )
+    assert _gate(spark, idx, [(101, DOCS[0][1])]) == {101: False}
+    assert band_index_meta(idx)["tombstones"]["n_keys"] == 0
+
+
+def test_append_of_tombstoned_id_refused_until_compact(spark, tmp_path):
+    idx = _mk(spark, tmp_path)
+    band_index_delete(spark, idx, [2])
+    batch = spark.createDataFrame(
+        [(2, "fresh replacement text")], "doc_id int, text string"
+    )
+    with pytest.raises(TombstonedIdError, match="band_index_compact"):
+        band_index_append(spark, idx, batch)
+    band_index_compact(spark, idx)
+    meta = band_index_meta(idx)
+    assert "tombstones" not in meta
+    assert not [
+        d
+        for d in os.listdir(idx)
+        if d.startswith("band_tombstones_v") or d.startswith("removed_keys_v")
+    ]
+    assert band_index_append(spark, idx, batch) == 1
+    assert _gate(spark, idx, [(102, "fresh replacement text")]) == {
+        102: False
+    }
+
+
+def test_compact_purges_and_rederives_keys(spark, tmp_path):
+    idx = _mk(spark, tmp_path)
+    band_index_delete(spark, idx, [1, 3])
+    keys_before = band_index_bucket_keys(spark, idx).count()
+    band_index_compact(spark, idx)
+    # post-purge physical state == logical state served before
+    bands, meta = band_index_read(spark, idx, include_tombstoned=True)
+    assert sorted(
+        r["doc_id"] for r in bands.select("doc_id").distinct().collect()
+    ) == [2, 4]
+    assert band_index_bucket_keys(spark, idx).count() == keys_before
+    # verdicts unchanged across the purge
+    assert _gate(
+        spark, idx, [(101, DOCS[0][1]), (103, DOCS[2][1])]
+    ) == {101: True, 103: False}
+
+
+def test_compact_refuses_to_empty_the_index(spark, tmp_path):
+    idx = _mk(spark, tmp_path)
+    band_index_delete(spark, idx, [1, 2, 3, 4])
+    with pytest.raises(EngineError, match="every document"):
+        band_index_compact(spark, idx)
+    # refusal left it intact: everything still masked, rows present
+    bands, _ = band_index_read(spark, idx)
+    assert bands.count() == 0
+    phys, _ = band_index_read(spark, idx, include_tombstoned=True)
+    assert phys.count() > 0
+
+
+def test_stamped_delete_restamps_and_fences(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    root = str(tmp_path / "root")
+    df = spark.createDataFrame(
+        [(i, t, [float(i), 0.5]) for i, t in DOCS],
+        "doc_id int, text string, embedding array<float>",
+    )
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="c",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+        ),
+    )
+    coll = read_collection(spark, root, "c")
+    idx = str(tmp_path / "bidx")
+    band_index_build(
+        coll, idx, id_col="id", text_col="document", source=(root, "c")
+    )
+    etag_before = collection_etag(root, "c")
+    collection_delete(spark, root, "c", ids=["1"])
+    with pytest.raises(StaleIndexError):
+        band_index_read(spark, idx)
+    assert (
+        band_index_delete(spark, idx, ["1"], expected_prev_etag=etag_before)
+        == 1
+    )
+    bands, _ = band_index_read(spark, idx)  # fence passes again
+    assert bands.filter(F.col("id") == "1").count() == 0
+    # foreign mutation: a second delete this caller did not observe
+    etag_mid = collection_etag(root, "c")
+    collection_delete(spark, root, "c", ids=["2"])
+    with pytest.raises(StaleIndexError, match="mutated"):
+        band_index_delete(spark, idx, ["3"], expected_prev_etag=etag_before)
+    assert (
+        band_index_delete(
+            spark, idx, ["2", "3"], expected_prev_etag=etag_mid
+        )
+        == 2
+    )
+
+
+def test_band_maintenance_tombstone_trigger(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
+        MaintenancePolicy,
+        band_maintenance,
+    )
+
+    idx = _mk(spark, tmp_path)
+    policy = MaintenancePolicy(
+        every=1,
+        compact=True,
+        tombstone_threshold=0.3,
+        dup_ratio_threshold=1e9,
+        capacity_threshold=1e9,
+    )
+    band_index_delete(spark, idx, [1])  # 1/4 = 25% < 30%
+    tick = band_maintenance(spark, idx, policy)
+    assert tick["tombstone_fraction"] == pytest.approx(0.25)
+    assert not tick["compacted"]
+    band_index_delete(spark, idx, [2])  # 2/4 = 50% > 30%
+    tick2 = band_maintenance(spark, idx, policy)
+    assert tick2["compacted"]
+    assert "tombstones" not in band_index_meta(idx)
+    tick3 = band_maintenance(spark, idx, policy)
+    assert tick3["tombstone_fraction"] == 0.0 and not tick3["compacted"]

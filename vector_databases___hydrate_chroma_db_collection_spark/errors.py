@@ -73,3 +73,14 @@ class SemanticDuplicateError(EngineError):
     ``NearDuplicateError``: a paraphrase or re-encode whose text
     differs but whose embedding cosine against a stored vector
     reaches the threshold (gated via the persisted IVF index)."""
+
+
+class TombstonedIdError(EngineError):
+    """An ``ivf_append``/``ivf_pq_append`` batch contains ids the
+    index has TOMBSTONED (``ivf_delete`` masked them at serve time
+    but their rows are still physically present in the cells
+    dataset): re-appending would create a second physical row under
+    the same id, and the id-granular tombstone mask would hide the
+    NEW row along with the old one. Run ``ivf_compact`` first — it
+    physically purges tombstoned rows and clears the mask — then
+    retry the append."""

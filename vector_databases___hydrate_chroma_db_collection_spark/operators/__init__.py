@@ -1,9 +1,11 @@
 from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
     add_lsh_buckets,
     ivf_build,
+    ivf_delete,
     ivf_knn_join,
     ivf_read,
     ivf_search,
+    ivf_tombstoned_ids,
     ivf_write,
     lsh_knn_query,
     mllib_lsh_similarity_join,
@@ -38,6 +40,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import 
 )
 from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
     ivf_pq_build,
+    ivf_pq_delete,
     ivf_pq_read,
     ivf_pq_search,
     ivf_pq_write,
@@ -58,6 +61,8 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.relational 
 __all__ = [
     "add_lsh_buckets",
     "ivf_build",
+    "ivf_delete",
+    "ivf_tombstoned_ids",
     "ivf_knn_join",
     "ivf_read",
     "ivf_search",
@@ -85,6 +90,7 @@ __all__ = [
     "knn_join_gemm",
     "knn_query",
     "ivf_pq_build",
+    "ivf_pq_delete",
     "ivf_pq_read",
     "ivf_pq_search",
     "ivf_pq_write",

@@ -1042,7 +1042,7 @@ def ivf_write(
 
 
 def ivf_read(
-    spark, path: str, *, verify_source: bool = True
+    spark, path: str, *, verify_source: bool = True, include_tombstoned: bool = False
 ) -> tuple[DataFrame, np.ndarray, str]:
     """Load a persisted IVF index -> (assigned_df, centroids, metric).
 
@@ -1050,7 +1050,14 @@ def ivf_read(
     ``source=``), the collection's CURRENT etag is re-derived and a
     mismatch raises ``StaleIndexError`` — a reader can never silently
     serve ids the collection has since deleted or replaced. Indexes
-    built from arbitrary DataFrames carry no stamp and load as-is."""
+    built from arbitrary DataFrames carry no stamp and load as-is.
+
+    Rows ``ivf_delete`` tombstoned are MASKED out (a broadcast
+    anti-join against the small recording — the reader sees the
+    LOGICAL index, so every consumer built on this — serving, audits,
+    the semantic gate — is delete-correct for free); pass
+    ``include_tombstoned=True`` for the physical rows (compaction and
+    append internals read the raw parquet directly instead)."""
     import json
     import os
 
@@ -1062,6 +1069,9 @@ def ivf_read(
     assigned = spark.read.parquet(
         os.path.join(path, meta.get("location", "cells"))
     )
+    if not include_tombstoned:
+        idc = [c for c in assigned.columns if c != "ivf_cell"][0]
+        assigned = _mask_tombstones(spark, path, meta, assigned, idc)
     return assigned, np.asarray(meta["centroids"]), meta["metric"]
 
 
@@ -1189,6 +1199,29 @@ def ivf_append(
         # re-executes the caller's upstream lineage
         .localCheckpoint(eager=True)
     )
+    # tombstoned ids refuse to re-append until a compact purges their
+    # old physical rows: the id-granular serve mask (ivf_delete)
+    # cannot tell a NEW row from the old one under the same id, so a
+    # re-append would be silently invisible. Zero extra jobs when the
+    # index carries no tombstones.
+    ts = _tombstones_df(spark, p, meta)
+    if ts is not None:
+        n_dead = batch.join(
+            F.broadcast(ts),
+            F.col(exist_id).cast("string") == F.col("_ts_id"),
+            "left_semi",
+        ).count()
+        if n_dead:
+            from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+                TombstonedIdError,
+            )
+
+            raise TombstonedIdError(
+                f"ivf_append: {n_dead} incoming id(s) are TOMBSTONED "
+                f"in the index at {path!r} (deleted but not yet "
+                "physically purged) — run ivf_compact to purge them, "
+                "then retry the append"
+            )
     have = existing.select(F.col(exist_id).alias("_have_id"))
     bloom_meta = meta.get("id_bloom")
     if not idguard.filter_usable(bloom_meta):
@@ -1405,6 +1438,262 @@ def ivf_appended_ids(spark, path: str, tag: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(p, d))
 
 
+def _tombstone_prefix(sidecar: str) -> str:
+    """Tombstone recording dirs are NAMESPACED per sidecar kind — an
+    IVF and an IVF-PQ index cohabiting one directory must never GC
+    each other's recordings (the same isolation rule as the
+    ``ivf_append_ids`` vs bare ``append_ids`` prefixes)."""
+    return (
+        "ivf_pq_tombstones"
+        if str(sidecar).startswith("ivf_pq")
+        else "ivf_tombstones"
+    )
+
+
+def _tombstones_df(spark, p: str, meta: dict) -> DataFrame | None:
+    """The sidecar's tombstone recording as a one-column DataFrame
+    (``_ts_id`` string) — ``None`` when the index carries no
+    tombstones. The set is bounded by compaction cadence (``
+    ivf_compact`` purges it), never by corpus size."""
+    import os
+
+    ts = meta.get("tombstones")
+    if not ts or not int(ts.get("n") or 0):
+        return None
+    return spark.read.parquet(os.path.join(p, ts["location"]))
+
+
+def _mask_tombstones(spark, p: str, meta: dict, df: DataFrame, id_col: str) -> DataFrame:
+    """Serve-time tombstone mask: anti-join the cells dataset against
+    the (small, compaction-bounded) tombstoned-id set. Broadcast is
+    explicit — the set's size is a POLICY invariant
+    (``MaintenancePolicy.tombstone_threshold`` compacts before it
+    grows past a fraction of the corpus ids, and ids are tiny next to
+    embeddings), so the mask never shuffles the corpus."""
+    ts = _tombstones_df(spark, p, meta)
+    if ts is None:
+        return df
+    return df.join(
+        F.broadcast(ts),
+        F.col(id_col).cast("string") == F.col("_ts_id"),
+        "left_anti",
+    )
+
+
+def _parquet_rows(loc: str) -> int:
+    """Row count from parquet FOOTERS only (O(files) metadata reads,
+    zero data IO) — what lets a maintenance tick price the tombstone
+    fraction without a corpus scan."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    n = 0
+    for root_, _dirs, files in os.walk(loc):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += papq.ParquetFile(
+                    os.path.join(root_, f)
+                ).metadata.num_rows
+    return n
+
+
+def ivf_delete(
+    spark,
+    path: str,
+    ids,
+    *,
+    sidecar: str = "ivf_index.json",
+    expected_prev_etag: str | None = None,
+) -> int:
+    """Incremental vector DELETE: tombstone ``ids`` in a persisted
+    IVF (or, via ``sidecar``, IVF-PQ) index — the delete-side twin of
+    ``ivf_append``. The reference's collection is mutable
+    (``collection.delete`` — the get-or-create surface at sas:132
+    implies the full Chroma CRUD), and before this the only honest
+    answers to "the collection deleted rows" were a full
+    ``ivf_refresh`` k-means rebuild or serving stale. Tombstones are
+    the standard third way (Lucene deleted-docs / FAISS
+    ``remove_ids`` semantics): record the deleted ids in a tiny
+    versioned sidecar recording, MASK them at read time
+    (``ivf_read`` anti-joins them out), and physically purge at the
+    next ``ivf_compact``. Cost: O(batch + existing tombstones)
+    bookkeeping plus ONE id-column scan of the cells dataset — the
+    deleted ids are all filter-positive in the id-guard Bloom by
+    construction, so the exact intersect (which keeps the recording
+    minimal and re-append refusals honest) cannot be prescreened
+    away — but never a data rewrite, so the index transitions
+    stale -> fresh in id-scan time however wide the embedding rows.
+
+    ``ids``: a list OR a one-column DataFrame (first column is cast
+    to string). Ids not physically present in the index are dropped
+    via the id-guard Bloom prescreen (filter-negative = definitely
+    not indexed, zero corpus IO) + exact semi-join on the survivors,
+    so the recorded set stays minimal and the reported count honest.
+
+    Crash-safe and replay-idempotent: the merged tombstone recording
+    lands in a fresh monotonic versioned dir FIRST, then one atomic
+    sidecar swap commits {recording location, count, re-derived
+    source etag} together — a crash before the swap leaves the old
+    index intact (orphan dir GC'd at the next commit), and a replay
+    of a completed delete finds every id already tombstoned and
+    returns 0 without touching the sidecar. ``expected_prev_etag``:
+    same foreign-mutation fence as ``ivf_append`` — pass the etag
+    observed BEFORE your own ``collection_delete``; a mismatch means
+    something else mutated the collection since the index was
+    stamped, and re-stamping would launder that mutation
+    (StaleIndexError prescribes ``ivf_refresh``).
+
+    Re-appending a tombstoned id is REFUSED by ``ivf_append``
+    (``TombstonedIdError``) until a compact purges the old row —
+    id-granular masking cannot distinguish the old physical row from
+    a new one under the same id. Returns the number of NEWLY
+    tombstoned ids."""
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, sidecar)) as f:
+        meta = json.load(f)
+    if isinstance(ids, DataFrame):
+        first = ids.columns[0]
+        batch = ids.select(F.col(first).cast("string").alias("_del_id"))
+    else:
+        batch = spark.createDataFrame(
+            [(str(i),) for i in ids], "_del_id string"
+        )
+    batch = batch.where(F.col("_del_id").isNotNull()).dropDuplicates(
+        ["_del_id"]
+    ).localCheckpoint(eager=True)
+
+    ts_prev = _tombstones_df(spark, p, meta)
+    if ts_prev is not None:
+        fresh_batch = batch.join(
+            ts_prev, F.col("_del_id") == F.col("_ts_id"), "left_anti"
+        )
+    else:
+        fresh_batch = batch
+    if fresh_batch.limit(1).count() == 0:
+        # replay of a completed delete (or an all-tombstoned / empty
+        # batch): the index already masks every id — no recording
+        # write. The stamp is still HEALED when the collection's etag
+        # moved on (a predicate delete that matched 0 rows still
+        # swaps the data dir; without this the index would stay stale
+        # forever) — but ONLY under the same fence as the main path:
+        # when the caller pinned expected_prev_etag and the recorded
+        # stamp differs, the etag movement belongs to someone else's
+        # mutation, and healing over it would launder exactly what
+        # the fence exists to catch (the index stays honestly stale).
+        src = meta.get("source")
+        if src is not None and (
+            expected_prev_etag is None
+            or src.get("etag") == expected_prev_etag
+        ):
+            stamp = _source_stamp((src["root"], src["name"]))
+            if stamp != src:
+                meta["source"] = stamp
+                _atomic_sidecar_write(p, sidecar, meta)
+        return 0
+
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the delete expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this delete "
+                "since the index was last stamped — run ivf_refresh "
+                "(or rebuild) instead"
+            )
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+
+    loc = os.path.join(p, meta.get("location", "cells"))
+    cells = spark.read.parquet(loc)
+    idc = [c for c in cells.columns if c not in ("ivf_cell", "pq_code")][0]
+    have = cells.select(F.col(idc).cast("string").alias("_have_id"))
+    bloom_meta = meta.get("id_bloom")
+    if idguard.filter_usable(bloom_meta):
+        # corpus-independent prescreen: filter-negative ids are
+        # DEFINITELY not indexed -> nothing to tombstone for them
+        _neg, maybe, _ig_state = idguard.bloom_split(
+            fresh_batch, p, bloom_meta, "_del_id"
+        )
+        present = (
+            maybe.join(
+                have, F.col("_del_id") == F.col("_have_id"), "left_semi"
+            )
+            if maybe is not None
+            else fresh_batch.limit(0)
+        )
+    else:
+        present = fresh_batch.join(
+            have, F.col("_del_id") == F.col("_have_id"), "left_semi"
+        )
+    present = present.select(
+        F.col("_del_id").alias("_ts_id")
+    ).localCheckpoint(eager=True)
+    n_new = present.count()
+    commit = n_new > 0
+    prefix = _tombstone_prefix(sidecar)
+    if commit:
+        merged = (
+            present if ts_prev is None else ts_prev.unionByName(present)
+        ).dropDuplicates(["_ts_id"])
+        ts_dir = _fresh_versioned_dir(
+            p,
+            prefix,
+            floor_names=[(meta.get("tombstones") or {}).get("location")],
+        )
+        merged.write.mode("overwrite").parquet(os.path.join(p, ts_dir))
+        n_ts = spark.read.parquet(os.path.join(p, ts_dir)).count()
+        meta["tombstones"] = {"location": ts_dir, "n": int(n_ts)}
+    # re-stamp even when the batch tombstoned nothing NEW in the
+    # index (the caller's collection delete may have removed rows the
+    # index never held — e.g. hydration-gated docs): the index is
+    # consistent with the post-delete collection either way, and the
+    # stamp is what lets the etag fence pass again
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+        commit = True
+    if commit:
+        _atomic_sidecar_write(p, sidecar, meta)
+        import shutil
+
+        keep = {(meta.get("tombstones") or {}).get("location")}
+        for d_ in os.listdir(p):
+            if d_.startswith(prefix + "_v") and d_ not in keep:
+                shutil.rmtree(os.path.join(p, d_), ignore_errors=True)
+    return n_new
+
+
+def ivf_tombstoned_ids(
+    spark, path: str, *, sidecar: str = "ivf_index.json"
+) -> DataFrame:
+    """The index's current tombstone set as a one-column DataFrame
+    (``_ts_id`` string; empty when the index carries none) — the
+    observability twin of ``ivf_appended_ids`` for the delete path."""
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, sidecar)) as f:
+        meta = json.load(f)
+    ts = _tombstones_df(spark, p, meta)
+    if ts is not None:
+        return ts
+    return spark.createDataFrame([], "_ts_id string")
+
+
 def _dist_to_centroid(emb, cen, metric: str):
     """Row-to-assigned-centroid distance as a pure codegen expression
     (zip_with + aggregate — no UDF): l2 distance, or cosine DISTANCE
@@ -1512,6 +1801,13 @@ def ivf_balance_audit(
         meta = json.load(f)
     cells = spark.read.parquet(
         os.path.join(p, meta.get("location", "cells"))
+    )
+    # audit the LOGICAL index (tombstones masked): occupancy and
+    # drift verdicts drive refresh decisions about SERVABLE content —
+    # rows a delete already masked must not keep a cell looking hot
+    cells = _mask_tombstones(
+        spark, p, meta, cells,
+        [c for c in cells.columns if c != "ivf_cell"][0],
     )
     C = np.asarray(meta["centroids"])
     build = meta.get("build") or {}
@@ -1712,6 +2008,10 @@ def ivf_recall_audit(
     C = np.asarray(meta["centroids"])
     metric = meta["metric"]
     idc, embc = [c for c in cells.columns if c != "ivf_cell"][:2]
+    # logical rows only: a tombstoned vector is neither a valid query
+    # draw nor a valid ground-truth neighbor (serving masks it), and
+    # leaving it in would deflate measured recall with unservable hits
+    cells = _mask_tombstones(spark, p, meta, cells, idc)
     queries = _sample_queries(cells, idc, embc, n_queries)
     approx = ivf_knn_join(
         queries,
@@ -1765,11 +2065,14 @@ def ivf_compact(
     repartitioned into a single task (one data file per cell) and
     commits by the same atomic sidecar swap as a rebuild — concurrent
     readers see the pre-compact index until the swap, the post-compact
-    index after, never a torn mix. Content, centroids and codebooks
-    are untouched (compaction is not a freshness event: the source
-    stamp carries over unchanged), and the id-guard Bloom filter is
-    RE-SIZED from the current id count, restoring the designed
-    false-positive rate an append-grown index has outgrown.
+    index after, never a torn mix. LOGICAL content, centroids and
+    codebooks are untouched (compaction is not a freshness event: the
+    source stamp carries over unchanged) — but rows ``ivf_delete``
+    tombstoned are physically PURGED here and the recording cleared
+    (the Lucene merge discipline), after which the purged ids are
+    re-appendable. The id-guard Bloom filter is RE-SIZED from the
+    surviving id count, restoring the designed false-positive rate an
+    append-grown index has outgrown.
 
     Returns ``(files_before, files_after)``. Safe to interleave with
     id-guarded appends: an append replayed across a compaction still
@@ -1791,6 +2094,31 @@ def ivf_compact(
     old_loc = os.path.join(p, old_dir)
     before = _data_files(old_loc)
     df = spark.read.parquet(old_loc)
+    # compaction is also the tombstone PURGE point (Lucene merge
+    # semantics): ivf_delete's masked rows are physically dropped
+    # here, the recording cleared, and the id-guard filter rebuilt
+    # from the survivors — after which the purged ids are
+    # re-appendable. Purging everything would leave an unreadable
+    # empty dataset; refuse loudly instead.
+    ts = _tombstones_df(spark, p, meta)
+    if ts is not None:
+        idc0 = [c for c in df.columns if c not in ("ivf_cell", "pq_code")][0]
+        df = df.join(
+            F.broadcast(ts),
+            F.col(idc0).cast("string") == F.col("_ts_id"),
+            "left_anti",
+        )
+        if df.limit(1).count() == 0:
+            from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+                EngineError,
+            )
+
+            raise EngineError(
+                f"ivf_compact: every row of the index at {path!r} is "
+                "tombstoned — compacting would leave an empty cells "
+                "dataset; drop the index directory and rebuild when "
+                "new vectors arrive instead"
+            )
     new_dir = _fresh_cells_dir(p, old_dir)
     new_loc = os.path.join(p, new_dir)
     (
@@ -1809,9 +2137,17 @@ def ivf_compact(
         (meta.get("id_bloom") or {}).get("location"),
     )
     meta["location"] = new_dir
+    meta.pop("tombstones", None)
     _atomic_sidecar_write(p, sidecar, meta)
     _drop_old_cells(p, {"location": old_dir}, new_dir)
     idguard.gc_bloom_files(p, {meta["id_bloom"]["location"]})
+    if ts is not None:
+        import shutil
+
+        prefix = _tombstone_prefix(sidecar)
+        for d_ in os.listdir(p):
+            if d_.startswith(prefix + "_v"):
+                shutil.rmtree(os.path.join(p, d_), ignore_errors=True)
     return before, _data_files(new_loc)
 
 

@@ -449,6 +449,237 @@ def band_index_write(
     idguard.gc_bloom_files(p, {id_bloom["location"]})
 
 
+def _band_ts_ids(spark: SparkSession, p: str, meta: dict) -> DataFrame | None:
+    """The sidecar's tombstoned-id recording (one ``_ts_id`` string
+    column), ``None`` when the index carries none — the band twin of
+    ``ann._tombstones_df``. Bounded by compaction cadence."""
+    ts = meta.get("tombstones")
+    if not ts or not int(ts.get("n") or 0):
+        return None
+    return spark.read.parquet(os.path.join(p, ts["ids_location"]))
+
+
+def _band_removed_keys(spark: SparkSession, p: str, meta: dict) -> DataFrame | None:
+    """The ``(band, h)`` keys a delete retired from SERVING — keys
+    whose every contributor is tombstoned. ``None`` when empty.
+    Kept separate from the id recording because the novelty serve
+    (``band_index_bucket_keys``) is id-free by design: masking ids
+    there is impossible, masking keys is exact."""
+    ts = meta.get("tombstones")
+    if not ts or not int(ts.get("n_keys") or 0):
+        return None
+    return spark.read.parquet(os.path.join(p, ts["keys_location"]))
+
+
+def band_index_delete(
+    spark: SparkSession,
+    path: str,
+    ids,
+    *,
+    expected_prev_etag: str | None = None,
+) -> int:
+    """Incremental near-dup-corpus DELETE: tombstone documents in a
+    persisted band index — the text-side twin of ``ann.ivf_delete``
+    and the missing half of the novelty gate's lifecycle: a document
+    removed from the corpus must stop BLOCKING near-duplicates of
+    itself (a gate that forever treats deleted content as ingested
+    quietly rejects every future re-submission), yet before this the
+    only honest path was a full ``band_index_refresh`` re-shingle of
+    the corpus.
+
+    Two recordings, because the serving structure is id-free:
+
+    - **ids**: the tombstoned document ids — mask ``bands`` /
+      ``shingles`` / ``sizes`` at read time, refuse re-appends until
+      a compact purges (``TombstonedIdError``, the ``ivf_append``
+      discipline).
+    - **removed keys**: the ``(band, h)`` bucket keys of the deleted
+      docs that NO SURVIVING document also emits — computed here with
+      one scan of the ``bands`` part (dead keys from a broadcast
+      semi-join, survivors-on-dead-keys from the same scan pruned by
+      a broadcast semi on those keys; both sides of the final
+      anti-join are batch-sized). ``band_index_bucket_keys`` serves
+      ``keys MINUS removed`` via a broadcast anti-join, which equals
+      "distinct keys of the surviving docs" exactly: a shared key
+      keeps gating duplicates (some survivor still owns the content),
+      an unshared key stops. ``band_index_append`` UN-removes any key
+      a later batch re-introduces (see its removed-keys shrink), and
+      ``band_index_compact`` purges both recordings physically.
+
+    Crash-safe and replay-idempotent exactly like ``ivf_delete``:
+    recordings land in fresh monotonic versioned dirs first, one
+    atomic sidecar swap commits {both locations, counts, re-derived
+    source etag}; a replay finds every id tombstoned and no-ops
+    (healing the stamp under the same ``expected_prev_etag`` fence).
+    Ids of a TORN append's docs may report as not-indexed (the
+    ``ids`` part is written last) — replay that append first, then
+    delete. Returns the number of newly tombstoned ids."""
+    p = _local_sidecar_path(path)
+    meta = _sidecar_read(p)
+    if isinstance(ids, DataFrame):
+        first = ids.columns[0]
+        batch = ids.select(F.col(first).cast("string").alias("_del_id"))
+    else:
+        batch = spark.createDataFrame(
+            [(str(i),) for i in ids], "_del_id string"
+        )
+    batch = (
+        batch.where(F.col("_del_id").isNotNull())
+        .dropDuplicates(["_del_id"])
+        .localCheckpoint(eager=True)
+    )
+    ts_prev = _band_ts_ids(spark, p, meta)
+    fresh_batch = (
+        batch
+        if ts_prev is None
+        else batch.join(
+            ts_prev, F.col("_del_id") == F.col("_ts_id"), "left_anti"
+        )
+    )
+    if fresh_batch.limit(1).count() == 0:
+        # replay / all-tombstoned / empty: heal the stamp under the
+        # fence, write nothing (same contract as ann.ivf_delete)
+        src = meta.get("source")
+        if src is not None and (
+            expected_prev_etag is None
+            or src.get("etag") == expected_prev_etag
+        ):
+            stamp = _source_stamp((src["root"], src["name"]))
+            if stamp != src:
+                meta["source"] = stamp
+                _sidecar_write(p, meta)
+        return 0
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"band index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the delete expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this delete "
+                "since the index was last stamped — run "
+                "band_index_refresh instead"
+            )
+    # which batch ids are actually indexed: Bloom prescreen (negative
+    # = definitely not indexed) + exact semi-join on the ids part
+    locations = meta.get("locations") or {}
+    idc = meta["id_col"]
+    if "ids" in locations:
+        have = spark.read.parquet(os.path.join(p, locations["ids"]))
+    else:  # legacy pre-ids index: derive once from bands
+        have = _read_part(spark, path, "bands", meta).select(idc).distinct()
+    have = have.select(F.col(idc).cast("string").alias("_have_id"))
+    bloom_meta = meta.get("id_bloom")
+    if idguard.filter_usable(bloom_meta):
+        _neg, maybe, _st = idguard.bloom_split(
+            fresh_batch, p, bloom_meta, "_del_id"
+        )
+        present = (
+            maybe.join(
+                have, F.col("_del_id") == F.col("_have_id"), "left_semi"
+            )
+            if maybe is not None
+            else fresh_batch.limit(0)
+        )
+    else:
+        present = fresh_batch.join(
+            have, F.col("_del_id") == F.col("_have_id"), "left_semi"
+        )
+    present = present.select(
+        F.col("_del_id").alias("_ts_id")
+    ).localCheckpoint(eager=True)
+    n_new = present.count()
+    commit = n_new > 0
+    if commit:
+        ts_cur = meta.get("tombstones") or {}
+        merged_ids = (
+            present if ts_prev is None else ts_prev.unionByName(present)
+        ).dropDuplicates(["_ts_id"])
+        ids_dir = _fresh_part_dir(
+            p, "band_tombstones", prev=[ts_cur.get("ids_location")]
+        )
+        merged_ids.write.mode("overwrite").parquet(os.path.join(p, ids_dir))
+        n_ts = spark.read.parquet(os.path.join(p, ids_dir)).count()
+        # removed keys: ONE scan of bands — dead keys (broadcast semi
+        # on the batch), survivors restricted to those keys (broadcast
+        # semi again), then a batch-sized anti-join
+        bands_df = _read_part(spark, path, "bands", meta)
+        all_ts = spark.read.parquet(os.path.join(p, ids_dir))
+        dead_keys = (
+            bands_df.join(
+                F.broadcast(present),
+                F.col(idc).cast("string") == F.col("_ts_id"),
+                "left_semi",
+            )
+            .select("band", "h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        alive_on_dead = (
+            bands_df.join(
+                F.broadcast(all_ts),
+                F.col(idc).cast("string") == F.col("_ts_id"),
+                "left_anti",
+            )
+            .join(F.broadcast(dead_keys), ["band", "h"], "left_semi")
+            .select("band", "h")
+            .distinct()
+        )
+        removed_new = dead_keys.join(
+            alive_on_dead, ["band", "h"], "left_anti"
+        )
+        rk_prev = _band_removed_keys(spark, p, meta)
+        merged_keys = (
+            removed_new
+            if rk_prev is None
+            else rk_prev.unionByName(removed_new)
+        ).distinct()
+        keys_dir = _fresh_part_dir(
+            p, "removed_keys", prev=[ts_cur.get("keys_location")]
+        )
+        merged_keys.write.mode("overwrite").parquet(
+            os.path.join(p, keys_dir)
+        )
+        n_keys = spark.read.parquet(os.path.join(p, keys_dir)).count()
+        meta["tombstones"] = {
+            "ids_location": ids_dir,
+            "n": int(n_ts),
+            "keys_location": keys_dir,
+            "n_keys": int(n_keys),
+        }
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+        commit = True
+    if commit:
+        _sidecar_write(p, meta)
+        ts_now = meta.get("tombstones") or {}
+        keep = {ts_now.get("ids_location"), ts_now.get("keys_location")}
+        for d in os.listdir(p):
+            if (
+                d.startswith("band_tombstones_v")
+                or d.startswith("removed_keys_v")
+            ) and d not in keep:
+                shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+    return n_new
+
+
+def band_index_tombstoned_ids(spark: SparkSession, path: str) -> DataFrame:
+    """The index's current tombstoned-doc set as a one-column
+    DataFrame (``_ts_id`` string; empty when none) — the
+    observability twin of ``ann.ivf_tombstoned_ids``."""
+    p = _local_sidecar_path(path)
+    ts = _band_ts_ids(spark, p, _sidecar_read(p))
+    if ts is not None:
+        return ts
+    return spark.createDataFrame([], "_ts_id string")
+
+
 def band_index_meta(path: str) -> dict:
     """The sidecar's BUILD record (n / num_hashes / bands / column
     bindings / bucket layout / source stamp) without loading any
@@ -458,7 +689,11 @@ def band_index_meta(path: str) -> dict:
 
 
 def band_index_read(
-    spark: SparkSession, path: str, *, verify_source: bool = True
+    spark: SparkSession,
+    path: str,
+    *,
+    verify_source: bool = True,
+    include_tombstoned: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Load a persisted band index -> (band_rows, meta).
 
@@ -473,11 +708,26 @@ def band_index_read(
     append: the parts may be missing that batch's tail, which reads
     exactly like a pre-append index — safe to gate against (documents
     of the torn batch gate as not-yet-ingested); replaying the append
-    heals it."""
+    heals it.
+
+    Rows of ``band_index_delete``-tombstoned docs are MASKED out
+    (broadcast anti-join against the small id recording), so every
+    id-carrying consumer — candidate pairing, replay-stable gates,
+    exports — is delete-correct for free; pass
+    ``include_tombstoned=True`` for the physical rows."""
     p = _local_sidecar_path(path)
     meta = _sidecar_read(p)
     _check_source_stamp(meta, path, verify_source)
-    return _read_part(spark, path, "bands", meta), meta
+    bands = _read_part(spark, path, "bands", meta)
+    if not include_tombstoned:
+        ts = _band_ts_ids(spark, p, meta)
+        if ts is not None:
+            bands = bands.join(
+                F.broadcast(ts),
+                F.col(meta["id_col"]).cast("string") == F.col("_ts_id"),
+                "left_anti",
+            )
+    return bands, meta
 
 
 def band_index_bucket_keys(
@@ -489,11 +739,24 @@ def band_index_bucket_keys(
     LEFT SEMI membership probe is multiplicity-immune, and skipping
     the per-append corpus anti-join keeps incremental ingest
     corpus-independent); ``band_index_compact`` squeezes cross-batch
-    duplicates back out."""
+    duplicates back out.
+
+    Keys ``band_index_delete`` RETIRED (every contributor tombstoned)
+    are masked via a broadcast anti-join on the small removed-keys
+    recording — the served set equals the distinct keys of the
+    SURVIVING docs exactly, so near-dups of deleted-only content gate
+    novel again while shared content keeps gating duplicate. The
+    broadcast-hash anti-join preserves the bucketed scan's output
+    partitioning, so the gate's downstream SEMI join stays
+    corpus-side exchange-free."""
     p = _local_sidecar_path(path)
     meta = _sidecar_read(p)
     _check_source_stamp(meta, path, verify_source)
-    return _read_part(spark, path, "bucket_keys", meta)
+    keys = _read_part(spark, path, "bucket_keys", meta)
+    rk = _band_removed_keys(spark, p, meta)
+    if rk is not None:
+        keys = keys.join(F.broadcast(rk), ["band", "h"], "left_anti")
+    return keys
 
 
 def band_index_read_verified(
@@ -510,12 +773,16 @@ def band_index_read_verified(
             "re-write it with band_index_write(..., shingles=...) to "
             "serve verified gates"
         )
-    return (
-        bands,
-        _read_part(spark, path, "shingles", meta),
-        _read_part(spark, path, "sizes", meta),
-        meta,
-    )
+    sh = _read_part(spark, path, "shingles", meta)
+    sz = _read_part(spark, path, "sizes", meta)
+    ts = _band_ts_ids(spark, _local_sidecar_path(path), meta)
+    if ts is not None:
+        # same delete mask as bands: a tombstoned doc's postings must
+        # not verify (or weight) Jaccard against incoming content
+        cond_sh = F.col(meta["id_col"]).cast("string") == F.col("_ts_id")
+        sh = sh.join(F.broadcast(ts), cond_sh, "left_anti")
+        sz = sz.join(F.broadcast(ts), cond_sh, "left_anti")
+    return (bands, sh, sz, meta)
 
 
 def band_index_refresh(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
@@ -718,6 +985,28 @@ def band_index_append(
     # it — without this each re-executes the caller's upstream plan)
     new_docs = new_docs.dropDuplicates([ic]).localCheckpoint(eager=True)
     inc_id = F.col(ic).cast(id_type) if id_type else F.col(ic)
+    # tombstoned ids refuse to re-append until a compact purges their
+    # old rows — the id-granular delete mask cannot tell a NEW doc's
+    # rows from the deleted one's under the same id (ann.ivf_append
+    # discipline; zero extra jobs when the index has no tombstones)
+    _ts = _band_ts_ids(spark, p, meta)
+    if _ts is not None:
+        n_dead = new_docs.join(
+            F.broadcast(_ts),
+            inc_id.cast("string") == F.col("_ts_id"),
+            "left_semi",
+        ).count()
+        if n_dead:
+            from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+                TombstonedIdError,
+            )
+
+            raise TombstonedIdError(
+                f"band_index_append: {n_dead} incoming id(s) are "
+                f"TOMBSTONED in the index at {path!r} (deleted but "
+                "not yet physically purged) — run band_index_compact "
+                "to purge them, then retry the append"
+            )
     # Batch identity for the torn marker: an order-independent digest
     # of the batch's distinct id set (count + xor of per-id hashes) —
     # one tiny aggregation over the micro-batch, stable across replay
@@ -897,6 +1186,12 @@ def band_index_append(
         for d in os.listdir(p):
             if d.startswith("append_ids_v") and d not in keep:
                 shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+        # ... and removed-keys recordings superseded by this append's
+        # shrink (only the sidecar's current dir is ever referenced)
+        keep_rk = {(meta.get("tombstones") or {}).get("keys_location")}
+        for d in os.listdir(p):
+            if d.startswith("removed_keys_v") and d not in keep_rk:
+                shutil.rmtree(os.path.join(p, d), ignore_errors=True)
         idguard.gc_bloom_files(
             p, {(meta.get("id_bloom") or {}).get("location")}
         )
@@ -1029,6 +1324,29 @@ def band_index_append(
         all_band_rows.select("band", "h").distinct().localCheckpoint(eager=True)
     )
     _append_part(new_keys, path, "bucket_keys", nb, meta)
+    # UN-remove any retired key this batch re-introduces: the serving
+    # mask (band_index_bucket_keys anti-joins removed_keys) would
+    # otherwise suppress the NEW doc's key and gate its near-dups as
+    # novel forever. Runs after the key data lands and commits with
+    # the final sidecar swap below — a crash in between leaves the
+    # key conservatively masked (reads like a pre-append index) and
+    # the torn replay re-runs this shrink; both sides of the join are
+    # recording/batch-sized. Zero cost when nothing is removed.
+    _rk = _band_removed_keys(spark, p, meta)
+    if _rk is not None:
+        still = _rk.join(
+            F.broadcast(new_keys), ["band", "h"], "left_anti"
+        )
+        n_still = still.count()
+        ts_cur = dict(meta.get("tombstones") or {})
+        if n_still != int(ts_cur.get("n_keys") or 0):
+            keys_dir = _fresh_part_dir(
+                p, "removed_keys", prev=[ts_cur.get("keys_location")]
+            )
+            still.write.mode("overwrite").parquet(os.path.join(p, keys_dir))
+            ts_cur["keys_location"] = keys_dir
+            ts_cur["n_keys"] = int(n_still)
+            meta["tombstones"] = ts_cur
     if meta.get("has_shingles"):
         sh_rows = sh.select(F.col("_id").alias(meta["id_col"]), "h")
         size_rows = sh.groupBy(F.col("_id").alias(meta["id_col"])).agg(
@@ -1284,12 +1602,61 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
         parts += ["shingles", "sizes"]
     if "ids" in old_locations or os.path.isdir(os.path.join(p, "ids")):
         parts.append("ids")
+    # compaction is also the tombstone PURGE point (the ivf_compact
+    # discipline): band_index_delete's masked docs drop physically
+    # from every id-carrying part, bucket_keys is RE-DERIVED from the
+    # purged bands (== distinct keys of the survivors, exactly what
+    # the removed-keys mask was serving), and both recordings clear —
+    # after which the purged ids are re-appendable.
+    ts = _band_ts_ids(spark, p, meta)
+    if ts is not None:
+        idc = meta["id_col"]
+        survivors = (
+            spark.read.parquet(os.path.join(p, old_locations["ids"]))
+            if "ids" in old_locations
+            else _read_part(spark, path, "bands", meta).select(idc).distinct()
+        ).join(
+            F.broadcast(ts),
+            F.col(idc).cast("string") == F.col("_ts_id"),
+            "left_anti",
+        )
+        if survivors.limit(1).count() == 0:
+            from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+                EngineError,
+            )
+
+            raise EngineError(
+                f"band_index_compact: every document of the index at "
+                f"{path!r} is tombstoned — compacting would leave "
+                "empty parts; drop the index directory and rebuild "
+                "when new documents arrive instead"
+            )
     report = {}
     new_locations = dict(old_locations)
     for part in parts:
         before = _part_files(_part_loc(path, part, meta))
         df = _read_part(spark, path, part, meta)
+        if ts is not None and part != "bucket_keys":
+            df = df.join(
+                F.broadcast(ts),
+                F.col(meta["id_col"]).cast("string") == F.col("_ts_id"),
+                "left_anti",
+            )
         if part == "bucket_keys":
+            if ts is not None:
+                # the survivors' exact key set — replaces both the
+                # physical key rows of deleted-only docs and the
+                # removed-keys serving mask in one derivation
+                df = (
+                    _read_part(spark, path, "bands", meta)
+                    .join(
+                        F.broadcast(ts),
+                        F.col(meta["id_col"]).cast("string")
+                        == F.col("_ts_id"),
+                        "left_anti",
+                    )
+                    .select("band", "h")
+                )
             # appends add batch-distinct keys only (corpus-independent
             # by design); compaction is where cross-batch duplicate
             # keys are squeezed back out.
@@ -1315,12 +1682,18 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
             (meta.get("id_bloom") or {}).get("location"),
         )
     meta["locations"] = new_locations
+    meta.pop("tombstones", None)  # purged physically above
     _sidecar_write(p, meta)
     old_meta = dict(meta, locations=old_locations)
     _drop_part_dirs(spark, path, old_meta, new_locations)
     idguard.gc_bloom_files(
         p, {(meta.get("id_bloom") or {}).get("location")}
     )
+    for d in os.listdir(p):
+        if d.startswith("band_tombstones_v") or d.startswith(
+            "removed_keys_v"
+        ):
+            shutil.rmtree(os.path.join(p, d), ignore_errors=True)
     return report
 
 
@@ -1334,6 +1707,8 @@ __all__ = [
     "band_index_refresh",
     "band_index_append",
     "band_index_appended_ids",
+    "band_index_delete",
+    "band_index_tombstoned_ids",
     "band_index_audit",
     "band_index_compact",
 ]

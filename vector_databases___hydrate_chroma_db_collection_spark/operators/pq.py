@@ -972,6 +972,31 @@ def ivf_pq_append(
         # and the encode (same as ann.ivf_append)
         .localCheckpoint(eager=True)
     )
+    # same tombstone refusal as ann.ivf_append: a re-append of a
+    # deleted id would hide the new code row behind the id-granular
+    # mask — ivf_pq_compact purges first
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _tombstones_df,
+    )
+
+    ts = _tombstones_df(spark, p, meta)
+    if ts is not None:
+        n_dead = batch.join(
+            F.broadcast(ts),
+            F.col(exist_id).cast("string") == F.col("_ts_id"),
+            "left_semi",
+        ).count()
+        if n_dead:
+            from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+                TombstonedIdError,
+            )
+
+            raise TombstonedIdError(
+                f"ivf_pq_append: {n_dead} incoming id(s) are "
+                f"TOMBSTONED in the index at {path!r} (deleted but "
+                "not yet physically purged) — run ivf_pq_compact to "
+                "purge them, then retry the append"
+            )
     have = existing.select(F.col(exist_id).alias("_have_id"))
     bloom_meta = meta.get("id_bloom")
     if not idguard.filter_usable(bloom_meta):
@@ -1046,19 +1071,21 @@ def ivf_pq_append(
 
 
 def ivf_pq_read(
-    spark, path: str, *, verify_source: bool = True
+    spark, path: str, *, verify_source: bool = True, include_tombstoned: bool = False
 ) -> tuple[DataFrame, np.ndarray, np.ndarray]:
     """Load a persisted IVF-PQ index -> (encoded_df, centroids,
     codebooks). Same staleness contract as ``ann.ivf_read``: a
     source-collection stamp whose etag no longer matches raises
     ``StaleIndexError`` instead of silently serving deleted/replaced
-    rows."""
+    rows — and the same tombstone contract: rows ``ivf_pq_delete``
+    masked are anti-joined out unless ``include_tombstoned=True``."""
     import json
     import os
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _check_source_stamp,
         _local_sidecar_path,
+        _mask_tombstones,
     )
 
     path = _local_sidecar_path(path)
@@ -1069,10 +1096,35 @@ def ivf_pq_read(
     encoded = spark.read.parquet(
         os.path.join(path, meta.get("location", "cells"))
     )
+    if not include_tombstoned:
+        idc = [
+            c for c in encoded.columns if c not in ("ivf_cell", "pq_code")
+        ][0]
+        encoded = _mask_tombstones(spark, path, meta, encoded, idc)
     return (
         encoded,
         np.asarray(meta["centroids"]),
         np.asarray(meta["codebooks"]),
+    )
+
+
+def ivf_pq_delete(
+    spark, path: str, ids, *, expected_prev_etag: str | None = None
+) -> int:
+    """IVF-PQ twin of ``ann.ivf_delete`` (same sidecar lifecycle,
+    namespaced ``ivf_pq_tombstones_v*`` recordings): tombstone ids in
+    the compressed index, mask at read, purge at ``ivf_pq_compact``.
+    Returns the number of newly tombstoned ids."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_delete,
+    )
+
+    return ivf_delete(
+        spark,
+        path,
+        ids,
+        sidecar="ivf_pq_index.json",
+        expected_prev_etag=expected_prev_etag,
     )
 
 
@@ -1160,6 +1212,7 @@ def ivf_pq_balance_audit(
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _local_sidecar_path,
+        _mask_tombstones,
         np_round_half_up,
     )
 
@@ -1168,6 +1221,11 @@ def ivf_pq_balance_audit(
         meta = json.load(f)
     cells = spark.read.parquet(
         os.path.join(p, meta.get("location", "cells"))
+    )
+    # logical rows only — same rationale as ann.ivf_balance_audit
+    cells = _mask_tombstones(
+        spark, p, meta, cells,
+        [c for c in cells.columns if c not in ("ivf_cell", "pq_code")][0],
     )
     books = np.asarray(meta["codebooks"])
     stat_rows = _pq_cell_stats(cells, books).collect()

@@ -928,6 +928,117 @@ def collection_delete(
     return int(n_before - obs.get["rows"])
 
 
+def collection_delete_indexed(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    ids: list[str] | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    index_paths: list[str] | tuple[str, ...] = (),
+    retain_previous: bool = False,
+) -> int:
+    """``collection.delete`` that keeps the collection's persisted
+    ANN indexes SERVABLE: tombstone the deleted ids in every index at
+    ``index_paths`` (``ann.ivf_delete`` — one id-column scan plus
+    O(batch) bookkeeping, never a data rewrite) and re-stamp them to
+    the post-delete etag, so the etag
+    fence that would otherwise make every ``ivf_read`` raise
+    ``StaleIndexError`` until a full k-means ``ivf_refresh`` passes
+    again immediately. Each path is probed for ALL THREE sidecar
+    kinds (``ivf_index.json`` / ``ivf_pq_index.json`` /
+    ``band_index.json`` — they may cohabit one directory) and every
+    one found is tombstoned: vector indexes via ``ann.ivf_delete``,
+    the near-dup band index via ``band_index_delete`` (which ALSO
+    retires the deleted docs' unshared bucket keys, so the novelty
+    gate stops blocking near-duplicates of removed content).
+
+    Sequencing and crash window: the doomed id set is resolved and
+    materialized FIRST (one predicate scan — the ids must be captured
+    before the rows vanish), the collection delete commits through
+    its atomic pointer swap, then each index tombstones with the
+    PRE-delete etag as its foreign-mutation fence. A crash between
+    the swap and an index's tombstone commit leaves that index
+    honestly stale (its fence refuses to serve) — re-run
+    ``ivf_delete`` with the same ids, or ``ivf_refresh``; it can
+    never silently serve the deleted rows. Returns the number of
+    collection rows deleted."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+        ivf_delete,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+    )
+
+    if ids is None and where is None and where_document is None:
+        raise EngineError("delete needs ids and/or a where predicate")
+    etag_before = collection_etag(root, name)
+    if where is None and where_document is None:
+        # pure id-list delete: the doomed set IS the list — no scan
+        # (ids absent from an index are dropped by its Bloom prescreen)
+        doomed = spark.createDataFrame(
+            [(str(i),) for i in ids], "id string"
+        )
+    else:
+        cond = F.lit(True)
+        if ids is not None:
+            cond = cond & F.col("id").isin([str(i) for i in ids])
+        if where is not None:
+            cond = cond & compile_where(where)
+        if where_document is not None:
+            cond = cond & compile_where_document(where_document)
+        doomed = (
+            read_collection(spark, root, name)
+            .filter(F.coalesce(cond, F.lit(False)))
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+    n = collection_delete(
+        spark,
+        root,
+        name,
+        ids=ids,
+        where=where,
+        where_document=where_document,
+        retain_previous=retain_previous,
+    )
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_delete,
+    )
+
+    for path in index_paths:
+        p = _local_sidecar_path(path)
+        found = False
+        for sc in ("ivf_index.json", "ivf_pq_index.json"):
+            if os.path.exists(os.path.join(p, sc)):
+                found = True
+                ivf_delete(
+                    spark,
+                    path,
+                    doomed,
+                    sidecar=sc,
+                    expected_prev_etag=etag_before,
+                )
+        if os.path.exists(os.path.join(p, "band_index.json")):
+            found = True
+            band_index_delete(
+                spark, path, doomed, expected_prev_etag=etag_before
+            )
+        if not found:
+            raise EngineError(
+                f"collection_delete_indexed: no index sidecar found at "
+                f"{path!r} (expected ivf_index.json, ivf_pq_index.json "
+                "or band_index.json) — the collection delete has "
+                "already committed; tombstone the index manually once "
+                "the path is corrected"
+            )
+    return n
+
+
 def collection_diff(
     spark: SparkSession,
     root: str,

@@ -2722,3 +2722,233 @@ def collection_query_batch_filtered_ivf(
         where={"lang": "fr"},
         score_decimals=4,
     ).select("qid", "rank", "id", "score")
+
+
+@query(
+    "collection_ivf_delete_serve",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+        WHERE c.lang <> 'fr'
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+)
+def collection_ivf_delete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DELETE on the persisted IVF index — the r12 CRUD
+    completion of the append story (``operators/ann.py::ivf_delete``):
+    hydrate the corpus, persist a stamped 8-cell IVF index, delete
+    every 'fr' document THROUGH the index
+    (``plans/chroma_api.py::collection_delete_indexed`` — the doomed
+    ids are tombstoned in O(batch), never a k-means rebuild), and
+    serve doc 7's vector from the index with the ETAG FENCE ON: the
+    read succeeds only because the delete re-stamped the sidecar to
+    the post-delete etag (without it this exact call raises
+    StaleIndexError — pinned in tests/test_ivf_delete.py), and the
+    tombstone mask plus exhaustive probing (nprobe = n_cells ==
+    exact, the ``ivf_search`` contract) must reproduce the oracle's
+    brute-force top-10 over the surviving corpus byte-for-byte — any
+    tombstoned row leaking into the top-k breaks the hash."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete_indexed,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_delivf_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="delivf",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "delivf")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/delivf/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "delivf"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    collection_delete_indexed(
+        spark, root, "delivf", where={"lang": "fr"}, index_paths=[idx]
+    )
+    # verified read: passes ONLY because the delete re-stamped
+    assigned2, C2, metric = ivf_read(spark, idx)
+    qvec = list(e.filter(F.col("vec_id") == 7).first()["embedding"])
+    return ivf_search(
+        assigned2, C2, qvec, k=10, nprobe=8, metric=metric,
+        score_decimals=4,
+    )
+
+
+@query(
+    "collection_ivf_delete_compact_lifecycle",
+    """
+    WITH corpus AS (
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    tot AS (SELECT count(*) AS n FROM corpus),
+    fr AS (SELECT count(*) AS n FROM corpus WHERE lang = 'fr')
+    SELECT 'delete' AS stage, 'rows_deleted' AS metric,
+           CAST(fr.n AS DOUBLE) AS value FROM fr
+    UNION ALL SELECT 'delete', 'ids_tombstoned', CAST(fr.n AS DOUBLE)
+    FROM fr
+    UNION ALL SELECT 'maintenance', 'tombstone_fraction',
+           round(CAST(fr.n AS DOUBLE) / tot.n, 4) FROM fr, tot
+    UNION ALL SELECT 'maintenance', 'compacted', 1.0
+    UNION ALL SELECT 'compact', 'logical_rows',
+           CAST(tot.n - fr.n AS DOUBLE) FROM tot, fr
+    UNION ALL SELECT 'compact', 'tombstones_left', 0.0
+    UNION ALL SELECT 'reappend', 'rows_indexed', 1.0
+    UNION ALL SELECT 'serve', 'reappended_served', 1.0
+    UNION ALL SELECT 'serve', 'other_deleted_served', 0.0
+    """,
+)
+def collection_ivf_delete_compact_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full delete -> audit -> auto-compact -> re-append
+    lifecycle on one persisted IVF index, each stage's facts checked
+    against SQL: delete all 'fr' docs through the index (tombstoned,
+    masked), a maintenance tick (``streaming/maintenance.py::
+    ivf_maintenance``) sees the tombstone fraction over threshold and
+    compacts — physically purging the rows, clearing the recording,
+    re-sizing the id-guard filter — after which the SMALLEST deleted
+    fr id becomes re-appendable (``ivf_append`` refuses tombstoned
+    ids with TombstonedIdError until the purge; pinned in
+    tests/test_ivf_delete.py) and is served again while every OTHER
+    deleted id stays gone. Each row is one observable fact
+    ``(stage, metric, value)`` the oracle recomputes from the
+    fixture tables."""
+    import json as _json
+    import os
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete_indexed,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
+        MaintenancePolicy,
+        ivf_maintenance,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_dellife_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="dellife",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "dellife")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/dellife/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "dellife"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    fr = d.filter(F.col("lang") == "fr")
+    reapp_id = str(fr.agg(F.min("doc_id")).first()[0])
+    reapp_emb = list(
+        e.filter(F.col("vec_id").cast("string") == reapp_id)
+        .first()["embedding"]
+    )
+    n_del = collection_delete_indexed(
+        spark, root, "dellife", where={"lang": "fr"}, index_paths=[idx]
+    )
+    meta = _json.load(open(os.path.join(idx, "ivf_index.json")))
+    n_ts = int(meta["tombstones"]["n"])
+    # every fr doc is tombstoned -> fraction = fr/total; threshold
+    # far below it so the tick MUST compact (file budget neutralized
+    # to isolate the tombstone trigger)
+    tick = ivf_maintenance(
+        spark,
+        idx,
+        MaintenancePolicy(
+            every=1,
+            compact=True,
+            tombstone_threshold=0.01,
+            files_per_cell_threshold=1e9,
+        ),
+        audit=False,
+    )
+    meta2 = _json.load(open(os.path.join(idx, "ivf_index.json")))
+    ts_left = int((meta2.get("tombstones") or {}).get("n") or 0)
+    logical_rows = ivf_read(spark, idx)[0].count()
+    # the purge cleared the mask AND the id-guard filter: the deleted
+    # id re-appends as a genuinely new row
+    batch = spark.createDataFrame(
+        [(reapp_id, reapp_emb)], "id string, embedding array<float>"
+    )
+    n_reapp = ivf_append(spark, idx, batch)
+    served, _, _ = ivf_read(spark, idx)
+    fr_ids = [str(r[0]) for r in fr.select("doc_id").collect()]
+    n_back = served.filter(F.col("id") == reapp_id).count()
+    n_other = served.filter(
+        F.col("id").isin([i for i in fr_ids if i != reapp_id])
+    ).count()
+    rows = [
+        ("delete", "rows_deleted", float(n_del)),
+        ("delete", "ids_tombstoned", float(n_ts)),
+        (
+            "maintenance",
+            "tombstone_fraction",
+            round(float(tick["tombstone_fraction"]), 4),
+        ),
+        ("maintenance", "compacted", 1.0 if tick["compacted"] else 0.0),
+        ("compact", "logical_rows", float(logical_rows)),
+        ("compact", "tombstones_left", float(ts_left)),
+        ("reappend", "rows_indexed", float(n_reapp)),
+        ("serve", "reappended_served", float(n_back)),
+        ("serve", "other_deleted_served", float(n_other)),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, metric string, value double"
+    )

@@ -1014,3 +1014,105 @@ def dedup_band_index_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "filter_capacity_used",
         "compact_recommended",
     )
+
+
+@query(
+    "dedup_band_index_delete_gate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    shsets AS (
+        SELECT doc_id, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref AS (SELECT DISTINCT b, h FROM buckets WHERE doc_id % 5 <> 0),
+    inc AS (
+        SELECT doc_id + 1000000 AS doc_id, b, h FROM buckets
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, b, h FROM buckets
+        WHERE doc_id % 5 = 1
+    ),
+    hits AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc i JOIN ref r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    incids AS (
+        SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 5 = 1
+    )
+    SELECT CAST(i.doc_id AS VARCHAR) AS id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(h.c, 0) = 0 AS novel
+    FROM incids i LEFT JOIN hits h ON h.doc_id = i.doc_id
+    """,
+)
+def dedup_band_index_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware novelty gating from the persisted band index —
+    the text twin of ``collection_ivf_delete_serve``
+    (``operators/band_index.py::band_index_delete``): build the band
+    index over the WHOLE corpus, delete every ``doc_id % 5 == 0``
+    document through the index (tombstoned ids + RETIRED bucket keys
+    — keys no surviving doc also emits — in O(batch + one bands
+    scan), never a re-shingle), then gate a probe batch of VERBATIM
+    COPIES: copies of the deleted docs (ids +1000000) must gate by
+    the SURVIVORS' keys only — novel wherever the deleted doc owned
+    its content exclusively, still-duplicate wherever a surviving doc
+    shares a band bucket — and copies of kept docs (%5 == 1, ids
+    +2000000) must hit all 8 bands exactly as before the delete. The
+    oracle replays the full MinHash band arithmetic over the
+    surviving corpus, so every (id, n_hit_bands, novel) row checks
+    the served keys equal "distinct keys of the survivors" —
+    byte-for-byte, which is precisely the removed-keys mask's
+    contract. Un-retire-on-re-append and the compaction purge are
+    pinned in tests/test_band_delete.py."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_bucket_keys,
+        band_index_build,
+        band_index_delete,
+        band_index_meta,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="vdb_bdel_") + "/bidx"
+    band_index_build(d, idx, id_col="doc_id", text_col="text")
+    doomed = d.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    band_index_delete(spark, idx, doomed)
+    meta = band_index_meta(idx)
+    probes = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    keys = band_index_bucket_keys(spark, idx)
+    return novelty_gate(
+        probes,
+        keys,
+        id_col="doc_id",
+        text_col="text",
+        n=meta["n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+    ).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_hit_bands").cast("bigint").alias("n_hit_bands"),
+        "novel",
+    )

@@ -66,6 +66,12 @@ class MaintenancePolicy:
     skew_threshold: float = 4.0
     drift_threshold: float = 1.5
     files_per_cell_threshold: float = 4.0
+    # tombstone purge trigger: ivf_delete masks deleted rows but they
+    # still cost scan time (and block re-appends of their ids) until
+    # a compact purges them — compact when the masked fraction of
+    # physical rows crosses this. Priced from parquet FOOTERS only
+    # (zero data IO), so the check is cheap enough for every tick.
+    tombstone_threshold: float = 0.2
     # deep audit: sampled ground-truth recall (ann.ivf_recall_audit)
     # at its OWN, slower cadence — its ground-truth side is an
     # exhaustive scoring pass of the corpus against recall_n_queries
@@ -111,14 +117,25 @@ def band_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
         dup_ratio_threshold=policy.dup_ratio_threshold,
         capacity_threshold=policy.capacity_threshold,
     ).first()
+    # tombstone bloat (band_index_delete) is the third compaction
+    # trigger: masked docs cost scan bytes and block re-appends of
+    # their ids until purged. The audit's n_docs counts the PHYSICAL
+    # ids part, so the fraction prices exactly the purgeable share.
+    meta = band_index_meta(index_path)
+    n_ts = int((meta.get("tombstones") or {}).get("n") or 0)
+    ts_fraction = (
+        n_ts / max(int(row["n_docs"]), 1) if n_ts else 0.0
+    )
     compacted = False
-    if policy.compact and row["compact_recommended"]:
+    if policy.compact and (
+        row["compact_recommended"]
+        or ts_fraction > policy.tombstone_threshold
+    ):
         # a torn FOREIGN append (another writer's crashed batch, its
         # pending marker still set) makes the compactor refuse —
         # compacting would launder the marker. Defer this tick rather
         # than crash the stream; the next cadence tick retries after
         # that batch's replay heals it.
-        meta = band_index_meta(index_path)
         torn = bool(
             meta.get("pending_append") or meta.get("pending_appends")
         )
@@ -130,6 +147,7 @@ def band_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
         "compacted": compacted,
         "dup_key_ratio": row["dup_key_ratio"],
         "filter_capacity_used": row["filter_capacity_used"],
+        "tombstone_fraction": ts_fraction,
     }
 
 
@@ -166,6 +184,7 @@ def ivf_maintenance(
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _data_files,
         _local_sidecar_path,
+        _parquet_rows,
         ivf_balance_audit,
         ivf_compact,
         ivf_recall_audit,
@@ -204,10 +223,21 @@ def ivf_maintenance(
     p = _local_sidecar_path(index_path)
     with open(os.path.join(p, "ivf_index.json")) as f:
         meta = json.load(f)
-    files = _data_files(os.path.join(p, meta.get("location", "cells")))
+    loc = os.path.join(p, meta.get("location", "cells"))
+    files = _data_files(loc)
     budget = policy.files_per_cell_threshold * int(meta["n_centroids"])
+    # tombstone bloat is the second compaction trigger: deleted rows
+    # cost every probe's scan until purged, and their ids stay
+    # un-re-appendable. The fraction is priced from parquet footers
+    # (O(files) metadata reads), never a data scan.
+    n_ts = int((meta.get("tombstones") or {}).get("n") or 0)
+    ts_fraction = 0.0
+    if n_ts:
+        ts_fraction = n_ts / max(_parquet_rows(loc), 1)
     compacted = False
-    if policy.compact and files > budget:
+    if policy.compact and (
+        files > budget or ts_fraction > policy.tombstone_threshold
+    ):
         ivf_compact(spark, index_path)
         compacted = True
     return {
@@ -215,6 +245,7 @@ def ivf_maintenance(
         "compacted": compacted,
         "files_before": files,
         "mean_recall": mean_recall,
+        "tombstone_fraction": ts_fraction,
     }
 
 
