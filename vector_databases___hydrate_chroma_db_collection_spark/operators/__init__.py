@@ -6,6 +6,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import 
     ivf_read,
     ivf_search,
     ivf_tombstoned_ids,
+    ivf_upsert,
     ivf_write,
     lsh_knn_query,
     mllib_lsh_similarity_join,
@@ -42,6 +43,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
     ivf_pq_build,
     ivf_pq_delete,
     ivf_pq_read,
+    ivf_pq_upsert,
     ivf_pq_search,
     ivf_pq_write,
     pq_encode,
@@ -63,6 +65,7 @@ __all__ = [
     "ivf_build",
     "ivf_delete",
     "ivf_tombstoned_ids",
+    "ivf_upsert",
     "ivf_knn_join",
     "ivf_read",
     "ivf_search",
@@ -91,6 +94,7 @@ __all__ = [
     "knn_query",
     "ivf_pq_build",
     "ivf_pq_delete",
+    "ivf_pq_upsert",
     "ivf_pq_read",
     "ivf_pq_search",
     "ivf_pq_write",

@@ -1676,6 +1676,251 @@ def ivf_delete(
     return n_new
 
 
+def _clone_untouched_cells(data_dir: str, staging: str, touched: set) -> int:
+    """Carry every ``ivf_cell=N`` partition dir NOT in ``touched``
+    forward by hardlink (copy fallback) — the cells-layout twin of
+    ``plans.collection.clone_untouched_buckets`` (see that docstring
+    for the crash-atomicity argument and the object-store note).
+    Returns the number of files cloned."""
+    import os
+    import shutil
+
+    if not os.path.isdir(data_dir):
+        return 0
+    os.makedirs(staging, exist_ok=True)
+    cloned = 0
+    for d in os.listdir(data_dir):
+        if not d.startswith("ivf_cell="):
+            continue
+        try:
+            cell = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if cell in touched:
+            continue
+        src = os.path.join(data_dir, d)
+        dst = os.path.join(staging, d)
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(src):
+            s = os.path.join(src, f)
+            if not os.path.isfile(s):
+                continue
+            try:
+                os.link(s, os.path.join(dst, f))
+            except OSError:
+                shutil.copy2(s, os.path.join(dst, f))
+            cloned += 1
+    return cloned
+
+
+def _surgical_replace(
+    spark,
+    p: str,
+    sidecar: str,
+    meta: dict,
+    batch_ids: DataFrame,
+    new_rows: DataFrame,
+) -> int:
+    """The shared core of ``ivf_upsert`` / ``pq.ivf_pq_upsert``:
+    replace every physical row whose id is in ``batch_ids`` with the
+    (already cell-assigned, already encoded) ``new_rows``, touching
+    only the CELL PARTITIONS involved. One id-column scan finds the
+    old rows' cells; those cells' survivors plus ALL new rows land in
+    a fresh versioned dir in one write; every untouched cell dir is
+    hardlink-cloned forward (O(files) metadata ops, no data read);
+    the sidecar swap is the single atomic commit point — delete and
+    re-add publish together, readers see the whole upsert or none of
+    it. Updated ids leave the tombstone set (an upsert RESURRECTS a
+    deleted id — the new row is the only physical row, so the
+    id-granular mask ambiguity that blocks plain re-appends does not
+    arise), and the id-guard filter is extended with the batch
+    (superset invariant). Returns the number of ids that had an old
+    row (the rest are pure adds)."""
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+
+    loc = os.path.join(p, meta.get("location", "cells"))
+    cells = spark.read.parquet(loc)
+    idc = [c for c in cells.columns if c not in ("ivf_cell", "pq_code")][0]
+    old = cells.join(
+        F.broadcast(batch_ids),
+        F.col(idc).cast("string") == F.col("_up_id"),
+        "left_semi",
+    )
+    # <= one row per updated id: the touched-cell list and the
+    # updated count are both bounded by the batch
+    old_facts = old.groupBy("ivf_cell").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    touched = {int(r["ivf_cell"]) for r in old_facts}
+    n_updated = int(sum(r["n"] for r in old_facts))
+    new_dir = _fresh_cells_dir(p, meta.get("location"))
+    new_loc = os.path.join(p, new_dir)
+    survivors = cells.filter(F.col("ivf_cell").isin(list(touched))).join(
+        F.broadcast(batch_ids),
+        F.col(idc).cast("string") == F.col("_up_id"),
+        "left_anti",
+    ) if touched else None
+    payload = (
+        new_rows
+        if survivors is None
+        else survivors.unionByName(new_rows)
+    )
+    payload.write.mode("append").partitionBy("ivf_cell").parquet(new_loc)
+    _clone_untouched_cells(loc, new_loc, touched)
+    # filter superset BEFORE the swap (same invariant as appends)
+    bloom_meta = meta.get("id_bloom")
+    if idguard.filter_usable(bloom_meta):
+        st = idguard.bloom_read(p, bloom_meta["location"])
+        idguard.bloom_extend(
+            p, meta, st, batch_ids.select(F.col("_up_id").alias("_s"))
+        )
+    ts_prev = _tombstones_df(spark, p, meta)
+    if ts_prev is not None:
+        # resurrect: updated ids leave the tombstone set
+        still = ts_prev.join(
+            F.broadcast(batch_ids),
+            F.col("_ts_id") == F.col("_up_id"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        n_still = still.count()
+        prefix = _tombstone_prefix(sidecar)
+        if n_still != int((meta.get("tombstones") or {}).get("n") or 0):
+            if n_still:
+                ts_dir = _fresh_versioned_dir(
+                    p,
+                    prefix,
+                    floor_names=[(meta.get("tombstones") or {}).get("location")],
+                )
+                still.write.mode("overwrite").parquet(
+                    os.path.join(p, ts_dir)
+                )
+                meta["tombstones"] = {"location": ts_dir, "n": int(n_still)}
+            else:
+                meta.pop("tombstones", None)
+    old_meta_loc = {"location": meta.get("location", "cells")}
+    meta["location"] = new_dir
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+    _atomic_sidecar_write(p, sidecar, meta)
+    _drop_old_cells(p, old_meta_loc, new_dir)
+    idguard.gc_bloom_files(p, {(meta.get("id_bloom") or {}).get("location")})
+    prefix = _tombstone_prefix(sidecar)
+    keep = {(meta.get("tombstones") or {}).get("location")}
+    import shutil
+
+    for d_ in os.listdir(p):
+        if d_.startswith(prefix + "_v") and d_ not in keep:
+            shutil.rmtree(os.path.join(p, d_), ignore_errors=True)
+    return n_updated
+
+
+def ivf_upsert(
+    spark,
+    path: str,
+    rows: DataFrame,
+    *,
+    id_col: str | None = None,
+    embedding_col: str | None = None,
+    expected_prev_etag: str | None = None,
+) -> tuple[int, int]:
+    """Incremental vector UPDATE-or-ADD: replace the indexed vectors
+    for ``rows``' ids (and add the ids the index has never held) by
+    SURGICAL CELL REWRITE — the missing middle of the index CRUD.
+    ``ivf_append`` cannot update (it refuses known ids), ``ivf_delete``
+    + re-append is blocked until a full-compact purge, and
+    ``ivf_refresh`` re-trains k-means over the whole corpus; this
+    rewrites ONLY the cell partitions holding the updated ids' old
+    rows (found with one id-column scan), hardlink-clones every other
+    cell forward (O(files) metadata ops — the
+    ``plans.collection.clone_untouched_buckets`` recipe applied to the
+    cells layout), assigns the new vectors to their nearest EXISTING
+    centroid (no retrain — update quality degrades only with drift,
+    which the balance/recall audits already watch), and commits
+    delete+add together in ONE atomic sidecar swap: readers see the
+    whole upsert or none of it, never an index missing the updated
+    ids. Cost: O(touched cells' data + batch) — at 4096 cells a
+    2k-row upsert touches <= 2k cells ~ half the corpus worst-case,
+    but real batches cluster (drifted re-encodes land near their old
+    cells) and small batches touch few cells; the floor is the
+    id-column scan, never a full data rewrite, never a k-means.
+
+    Upserting a TOMBSTONED id resurrects it: the old physical row is
+    purged by this very rewrite, so the id leaves the tombstone set
+    and the new row serves — the one mutation ``TombstonedIdError``
+    blocks elsewhere, legal here precisely because the ambiguity
+    (two physical rows under one masked id) cannot arise.
+
+    ``expected_prev_etag``: the same foreign-mutation fence as
+    append/delete — pass the etag observed before your own
+    ``collection_update``/upsert; the commit re-stamps to the current
+    etag so the index transitions stale -> fresh. Crash-safe: all
+    writes land in the fresh versioned dir before the swap; a crash
+    leaves the old index intact (orphan dir GC'd by later lifecycle
+    points) and the replay redoes the whole upsert idempotently
+    (replacing a row with itself converges).
+
+    Returns ``(n_updated, n_added)``."""
+    import json
+    import os
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_index.json")) as f:
+        meta = json.load(f)
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"IVF index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the upsert expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this upsert "
+                "since the index was last stamped — run ivf_refresh "
+                "instead"
+            )
+    loc = os.path.join(p, meta.get("location", "cells"))
+    existing = spark.read.parquet(loc)
+    exist_id, exist_emb = [c for c in existing.columns if c != "ivf_cell"][:2]
+    ic = id_col or exist_id
+    ec = embedding_col or exist_emb
+    types = dict(existing.dtypes)
+    batch = (
+        rows.select(
+            F.col(ic).cast(types[exist_id]).alias(exist_id),
+            F.col(ec).cast(types[exist_emb]).alias(exist_emb),
+        )
+        .dropDuplicates([exist_id])
+        .localCheckpoint(eager=True)
+    )
+    n_batch = batch.count()
+    if n_batch == 0:
+        return (0, 0)
+    build = meta.get("build") or {}
+    assigned = _assign_to_centroids(
+        batch,
+        np.asarray(meta["centroids"]),
+        id_col=exist_id,
+        embedding_col=exist_emb,
+        metric=build.get("metric", meta["metric"]),
+    ).localCheckpoint(eager=True)
+    batch_ids = batch.select(
+        F.col(exist_id).cast("string").alias("_up_id")
+    ).localCheckpoint(eager=True)
+    n_updated = _surgical_replace(
+        spark, p, "ivf_index.json", meta, batch_ids, assigned
+    )
+    return (n_updated, n_batch - n_updated)
+
+
 def ivf_tombstoned_ids(
     spark, path: str, *, sidecar: str = "ivf_index.json"
 ) -> DataFrame:

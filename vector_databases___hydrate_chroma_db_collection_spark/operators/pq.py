@@ -1108,6 +1108,81 @@ def ivf_pq_read(
     )
 
 
+def ivf_pq_upsert(
+    spark,
+    path: str,
+    rows: DataFrame,
+    *,
+    id_col: str | None = None,
+    embedding_col: str = "embedding",
+    expected_prev_etag: str | None = None,
+) -> tuple[int, int]:
+    """IVF-PQ twin of ``ann.ivf_upsert`` (same surgical cell rewrite,
+    same single-swap atomicity, same tombstone resurrection): assign
+    the new vectors to their nearest EXISTING coarse centroid,
+    residual-encode with the EXISTING codebooks (no retraining), and
+    replace only the touched cell partitions of the 8-byte code
+    table. Returns ``(n_updated, n_added)``."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        _local_sidecar_path,
+        _surgical_replace,
+    )
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, "ivf_pq_index.json")) as f:
+        meta = json.load(f)
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"IVF-PQ index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the upsert expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this upsert "
+                "since the index was last stamped — run a full "
+                "rebuild (ivf_pq_build + ivf_pq_write) instead"
+            )
+    loc = os.path.join(p, meta.get("location", "cells"))
+    existing = spark.read.parquet(loc)
+    exist_id = [c for c in existing.columns if c not in ("ivf_cell", "pq_code")][0]
+    ic = id_col or exist_id
+    id_type = dict(existing.dtypes)[exist_id]
+    batch = (
+        rows.select(
+            F.col(ic).cast(id_type).alias(exist_id), F.col(embedding_col)
+        )
+        .dropDuplicates([exist_id])
+        .localCheckpoint(eager=True)
+    )
+    n_batch = batch.count()
+    if n_batch == 0:
+        return (0, 0)
+    C = np.asarray(meta["centroids"])
+    books = np.asarray(meta["codebooks"])
+    assigned = _assign_to_centroids(
+        batch, C, id_col=exist_id, embedding_col=embedding_col, metric="l2"
+    )
+    encoded = _encode_assigned(
+        assigned, C, books, id_col=exist_id, embedding_col=embedding_col
+    ).localCheckpoint(eager=True)
+    batch_ids = batch.select(
+        F.col(exist_id).cast("string").alias("_up_id")
+    ).localCheckpoint(eager=True)
+    n_updated = _surgical_replace(
+        spark, p, "ivf_pq_index.json", meta, batch_ids, encoded
+    )
+    return (n_updated, n_batch - n_updated)
+
+
 def ivf_pq_delete(
     spark, path: str, ids, *, expected_prev_etag: str | None = None
 ) -> int:

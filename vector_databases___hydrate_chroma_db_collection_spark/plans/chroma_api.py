@@ -1039,6 +1039,136 @@ def collection_delete_indexed(
     return n
 
 
+def collection_update_indexed(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    updates: DataFrame,
+    *,
+    index_paths: list[str] | tuple[str, ...] = (),
+    retain_previous: bool = False,
+) -> int:
+    """``collection.update`` that keeps the persisted VECTOR indexes
+    servable: after the collection's atomic rewrite, surgically upsert
+    the updated embeddings into every IVF / IVF-PQ index at
+    ``index_paths`` (``ann.ivf_upsert`` / ``pq.ivf_pq_upsert`` — only
+    the touched cell partitions rewrite, untouched cells hardlink-
+    clone forward, one sidecar swap per index) and re-stamp, so the
+    etag fence passes without an ``ivf_refresh``. Updates that carry
+    no ``embedding`` column (document/metadata-only) leave the vector
+    content valid — the indexes just re-stamp (the ``ivf_delete``
+    empty-batch heal path). Only ids the collection actually holds
+    are upserted (``collection.update`` ignores unknown ids — Chroma
+    semantics — and indexing a vector the collection rejected would
+    diverge the two); rows whose ``embedding`` is NULL keep their
+    stored vector (the update's per-field coalesce) and are likewise
+    skipped.
+
+    A path holding a BAND index is refused UP FRONT when the updates
+    carry a ``document`` column: changed text invalidates the doc's
+    shingle/band rows and the id-free serving layout has no surgical
+    row replacement — delete + compact + re-append, or
+    ``band_index_refresh``, are the honest remedies. (Embedding/
+    metadata-only updates leave band content valid; such paths just
+    re-stamp via the band delete's empty-batch heal.)
+
+    Same crash posture as ``collection_delete_indexed``: the
+    collection commit is the pointer swap; a crash before an index's
+    upsert leaves that index honestly stale (fence refuses). Returns
+    the number of collection rows updated."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+        ivf_delete,
+        ivf_upsert,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_delete,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_upsert,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+    )
+    import os
+
+    has_embedding = "embedding" in updates.columns
+    has_document = "document" in updates.columns
+    for path in index_paths:
+        p = _local_sidecar_path(path)
+        if has_document and os.path.exists(
+            os.path.join(p, "band_index.json")
+        ):
+            raise EngineError(
+                "collection_update_indexed: the updates carry a "
+                f"'document' column and {path!r} holds a band index — "
+                "changed text invalidates its shingle/band rows and "
+                "the id-free serving layout has no surgical row "
+                "replacement; band_index_delete + band_index_compact "
+                "+ band_index_append (or band_index_refresh) are the "
+                "honest remedies. No mutation was performed."
+            )
+    etag_before = collection_etag(root, name)
+    vec_batch = None
+    if has_embedding:
+        vec_batch = (
+            updates.select(
+                F.col("id").cast("string").alias("id"), "embedding"
+            )
+            .filter(F.col("embedding").isNotNull())
+            .dropDuplicates(["id"])
+            # only ids the collection holds: collection.update ignores
+            # the rest, and the index must not hold vectors the
+            # collection rejected
+            .join(
+                read_collection(spark, root, name).select("id"),
+                "id",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
+    n = collection_update(
+        spark, root, name, updates, retain_previous=retain_previous
+    )
+    for path in index_paths:
+        p = _local_sidecar_path(path)
+        found = False
+        for sc, upsert_fn in (
+            ("ivf_index.json", ivf_upsert),
+            ("ivf_pq_index.json", ivf_pq_upsert),
+        ):
+            if not os.path.exists(os.path.join(p, sc)):
+                continue
+            found = True
+            if vec_batch is not None and vec_batch.limit(1).count() > 0:
+                upsert_fn(
+                    spark, path, vec_batch,
+                    id_col="id", embedding_col="embedding",
+                    expected_prev_etag=etag_before,
+                )
+            else:
+                # content untouched: heal the stamp only (the delete
+                # functions' fence-guarded empty-batch path)
+                ivf_delete(
+                    spark, path, [], sidecar=sc,
+                    expected_prev_etag=etag_before,
+                )
+        if os.path.exists(os.path.join(p, "band_index.json")):
+            found = True
+            band_index_delete(
+                spark, path, [], expected_prev_etag=etag_before
+            )
+        if not found:
+            raise EngineError(
+                f"collection_update_indexed: no index sidecar found at "
+                f"{path!r} (expected ivf_index.json, ivf_pq_index.json "
+                "or band_index.json) — the collection update has "
+                "already committed; upsert the index manually once the "
+                "path is corrected"
+            )
+    return n
+
+
 def collection_diff(
     spark: SparkSession,
     root: str,

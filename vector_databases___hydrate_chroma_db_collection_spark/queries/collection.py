@@ -2952,3 +2952,94 @@ def collection_ivf_delete_compact_lifecycle(
     return spark.createDataFrame(
         rows, "stage string, metric string, value double"
     )
+
+
+@query(
+    "collection_ivf_upsert_serve",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id,
+               CASE WHEN d.lang = 'fr' THEN list_reverse(e.embedding)
+                    ELSE e.embedding END AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+)
+def collection_ivf_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical vector UPDATE through the persisted IVF index — the
+    CRUD middle (``operators/ann.py::ivf_upsert``): hydrate the
+    corpus, persist a stamped 8-cell IVF index, REPLACE every 'fr'
+    document's embedding with its reverse through
+    ``collection_update_indexed`` (collection rewrite + surgical cell
+    rewrite: only the cells holding the updated ids' old rows are
+    rewritten, every other cell dir hardlink-clones forward, one
+    sidecar swap commits delete+add together — inode-equality pinned
+    in tests/test_ivf_upsert.py), and serve doc 7's ORIGINAL vector
+    with the etag fence ON: the read passes only because the upsert
+    re-stamped, and exhaustive probing must reproduce the oracle's
+    brute-force top-10 over the post-update corpus byte-for-byte —
+    any stale (pre-update) vector surviving in the index moves 'fr'
+    docs' scores and breaks the hash."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update_indexed,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_upivf_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="upivf",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "upivf")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/upivf/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "upivf"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    updates = (
+        d.filter(F.col("lang") == "fr")
+        .join(e, d.doc_id == e.vec_id)
+        .select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        )
+    )
+    collection_update_indexed(
+        spark, root, "upivf", updates, index_paths=[idx]
+    )
+    assigned2, C2, metric = ivf_read(spark, idx)  # re-stamped: fence passes
+    qvec = list(e.filter(F.col("vec_id") == 7).first()["embedding"])
+    return ivf_search(
+        assigned2, C2, qvec, k=10, nprobe=8, metric=metric,
+        score_decimals=4,
+    )
