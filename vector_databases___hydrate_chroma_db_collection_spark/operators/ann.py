@@ -1033,11 +1033,15 @@ def ivf_write(
     _drop_old_cells(path, old_meta, cells_dir)
     idguard.gc_bloom_files(path, {id_bloom["location"]})
     # a rebuild supersedes every recorded per-tag append contribution
-    # (the fresh sidecar carries no last_append_*): GC the recordings
+    # (the fresh sidecar carries no last_append_*) AND every tombstone
+    # recording (the fresh cells hold only current-collection rows):
+    # GC both recording families
     import shutil
 
     for d_ in os.listdir(path):
-        if d_.startswith("ivf_append_ids_v"):
+        if d_.startswith("ivf_append_ids_v") or d_.startswith(
+            "ivf_tombstones_v"
+        ):
             shutil.rmtree(os.path.join(path, d_), ignore_errors=True)
 
 
@@ -1745,8 +1749,12 @@ def _surgical_replace(
     loc = os.path.join(p, meta.get("location", "cells"))
     cells = spark.read.parquet(loc)
     idc = [c for c in cells.columns if c not in ("ivf_cell", "pq_code")][0]
+    # no broadcast hint on the batch: unlike the tombstone recordings
+    # (policy-bounded small), an upsert batch is caller-sized — a bulk
+    # re-embed can be millions of rows, and a forced broadcast would
+    # OOM the driver; AQE broadcasts the small common case on its own
     old = cells.join(
-        F.broadcast(batch_ids),
+        batch_ids,
         F.col(idc).cast("string") == F.col("_up_id"),
         "left_semi",
     )
@@ -1760,7 +1768,7 @@ def _surgical_replace(
     new_dir = _fresh_cells_dir(p, meta.get("location"))
     new_loc = os.path.join(p, new_dir)
     survivors = cells.filter(F.col("ivf_cell").isin(list(touched))).join(
-        F.broadcast(batch_ids),
+        batch_ids,
         F.col(idc).cast("string") == F.col("_up_id"),
         "left_anti",
     ) if touched else None
@@ -1782,7 +1790,7 @@ def _surgical_replace(
     if ts_prev is not None:
         # resurrect: updated ids leave the tombstone set
         still = ts_prev.join(
-            F.broadcast(batch_ids),
+            batch_ids,
             F.col("_ts_id") == F.col("_up_id"),
             "left_anti",
         ).localCheckpoint(eager=True)

@@ -442,9 +442,15 @@ def band_index_write(
     _sidecar_write(p, meta)
     _drop_part_dirs(band_rows.sparkSession, path, old_meta, locations)
     # a rebuild supersedes every recorded per-tag append contribution
-    # (the fresh sidecar carries no last_append_*): GC the recordings
+    # (the fresh sidecar carries no last_append_*) AND every tombstone
+    # recording (fresh parts hold only current-collection rows): GC
+    # both recording families
     for d in os.listdir(p):
-        if d.startswith("append_ids_v"):
+        if (
+            d.startswith("append_ids_v")
+            or d.startswith("band_tombstones_v")
+            or d.startswith("removed_keys_v")
+        ):
             shutil.rmtree(os.path.join(p, d), ignore_errors=True)
     idguard.gc_bloom_files(p, {id_bloom["location"]})
 

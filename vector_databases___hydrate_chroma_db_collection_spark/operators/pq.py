@@ -893,6 +893,13 @@ def ivf_pq_write(
     )
     _drop_old_cells(path, old_meta, cells_dir)
     idguard.gc_bloom_files(path, {id_bloom["location"]})
+    # a rebuild supersedes the tombstone recordings (fresh cells hold
+    # only current-collection rows; the fresh sidecar carries none)
+    import shutil
+
+    for d_ in os.listdir(path):
+        if d_.startswith("ivf_pq_tombstones_v"):
+            shutil.rmtree(os.path.join(path, d_), ignore_errors=True)
 
 
 def ivf_pq_append(

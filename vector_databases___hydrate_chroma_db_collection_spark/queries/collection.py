@@ -3043,3 +3043,115 @@ def collection_ivf_upsert_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned2, C2, qvec, k=10, nprobe=8, metric=metric,
         score_decimals=4,
     )
+
+
+@query(
+    "collection_cdc_apply_indexed",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id,
+               CASE WHEN d.doc_id % 7 = 1 THEN list_reverse(e.embedding)
+                    ELSE e.embedding END AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        WHERE d.lang <> 'fr'
+    ), q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 10
+    """,
+)
+def collection_cdc_apply_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full index-CRUD capstone: one persisted IVF index carried
+    through INSERTS, UPDATES and DELETES entirely by the incremental
+    front doors — never a rebuild — with the etag fence held at every
+    step. Hydrate 4/5 of the corpus and stamp an 8-cell index; INSERT
+    the remaining fifth (hydrate + ``ivf_append`` under the fence —
+    nearest-existing-centroid, the r10 path); UPDATE every
+    ``doc_id % 7 == 1`` embedding to its reverse
+    (``collection_update_indexed`` -> surgical cell rewrite, r12);
+    DELETE every 'fr' document (``collection_delete_indexed`` ->
+    tombstones, r12). The final verified read passes only because
+    each mutation re-stamped, and exhaustive probing must reproduce
+    the oracle's brute-force top-10 over the FINAL state — original
+    vectors for most ids, reversed for the %7==1 slice, nothing for
+    'fr' — which catches a stale vector from any of the three steps.
+    The three mutations commute onto the same final state, so the
+    oracle recomputes it declaratively."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete_indexed,
+        collection_update_indexed,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        collection_etag,
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_cdc_")
+    cfg = HydrationConfig(
+        collection_name="cdc",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="lang",
+    )
+    first = d.filter(F.col("doc_id") % 5 != 0)
+    hydrate(spark, first.join(e, first.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "cdc")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/cdc/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "cdc"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    # -- INSERT the remaining fifth --------------------------------
+    etag0 = collection_etag(root, "cdc")
+    nxt = d.filter(F.col("doc_id") % 5 == 0)
+    hydrate(spark, nxt.join(e, nxt.doc_id == e.vec_id), cfg)
+    ivf_append(
+        spark,
+        idx,
+        read_collection(spark, root, "cdc")
+        .filter(F.col("id").cast("bigint") % 5 == 0)
+        .select("id", "embedding"),
+        expected_prev_etag=etag0,
+    )
+    # -- UPDATE the %7==1 slice to reversed embeddings -------------
+    upd = d.filter(F.col("doc_id") % 7 == 1)
+    collection_update_indexed(
+        spark,
+        root,
+        "cdc",
+        upd.join(e, upd.doc_id == e.vec_id).select(
+            F.col("doc_id").cast("string").alias("id"),
+            F.reverse(F.col("embedding")).alias("embedding"),
+        ),
+        index_paths=[idx],
+    )
+    # -- DELETE the 'fr' slice --------------------------------------
+    collection_delete_indexed(
+        spark, root, "cdc", where={"lang": "fr"}, index_paths=[idx]
+    )
+    assigned2, C2, metric = ivf_read(spark, idx)  # fence passed 3x
+    qvec = list(e.filter(F.col("vec_id") == 7).first()["embedding"])
+    return ivf_search(
+        assigned2, C2, qvec, k=10, nprobe=8, metric=metric,
+        score_decimals=4,
+    )
