@@ -1,0 +1,216 @@
+"""Streaming CDC ingest (streaming/cdc_stream.py): insert/update/
+delete events applied to collection + persisted IVF index with
+replay-stable verdicts, driven at the batch-fn level (first-attempt vs
+replay of the same (batch, batch_id)) and as a real file-source
+stream."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+    EngineError,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+    ivf_build,
+    ivf_read,
+    ivf_write,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+    HydrationConfig,
+    hydrate,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+    read_collection,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.streaming.cdc_stream import (
+    cdc_ingest_batch_fn,
+    stream_cdc_ingest,
+)
+
+EV_SCHEMA = "op string, seq long, id string, text string, embedding array<float>"
+
+
+def _setup(spark, tmp_path, n=20):
+    root = str(tmp_path / "root")
+    docs = [
+        (str(i), f"text {i}", [float((i * 3 + j) % 9) for j in range(4)])
+        for i in range(n)
+    ]
+    cfg = HydrationConfig(
+        collection_name="c", root=root, id_col="id",
+        text_col="text", embedding_col="embedding",
+    )
+    hydrate(spark, spark.createDataFrame(docs, "id string, text string, embedding array<float>"), cfg)
+    coll = read_collection(spark, root, "c")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=1)
+    idx = str(tmp_path / "ivf")
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "c"),
+        build={"metric": "l2", "seed": 1, "sample_fraction": None},
+    )
+    return root, cfg, idx
+
+
+BATCH0 = [
+    ("insert", 1, "100", "new doc", [1.0] * 4),
+    ("insert", 1, "5", "dup ins", [2.0] * 4),
+    ("update", 1, "3", "upd", [3.0] * 4),
+    ("update", 1, "200", "upd miss", [3.0] * 4),
+    ("delete", 1, "7", None, None),
+    ("delete", 1, "300", None, None),
+    # in-batch seq collapse: the LATEST event per id wins
+    ("update", 1, "9", "upd9", [4.0] * 4),
+    ("delete", 2, "9", None, None),
+]
+WANT0 = {
+    "100": "applied_insert",
+    "5": "skipped_existing",
+    "3": "applied_update",
+    "200": "skipped_missing",
+    "7": "applied_delete",
+    "300": "skipped_missing",
+    "9": "applied_delete",
+}
+
+
+def test_cdc_outcomes_and_application(spark, tmp_path):
+    root, cfg, idx = _setup(spark, tmp_path)
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t1")
+    got = {
+        r["id"]: r["outcome"]
+        for r in fn(spark.createDataFrame(BATCH0, EV_SCHEMA), 0).collect()
+    }
+    assert got == WANT0
+    coll = read_collection(spark, root, "c")
+    assert coll.count() == 19  # 20 + 1 insert - 2 deletes
+    a, _, _ = ivf_read(spark, idx)  # fence passes after 3 mutations
+    assert a.count() == 19
+    assert a.filter(F.col("id") == "3").first()["embedding"] == [3.0] * 4
+    assert a.filter(F.col("id").isin(["7", "9"])).count() == 0
+    # the collection's document payload followed the update too
+    assert coll.filter(F.col("id") == "3").first()["document"] == "upd"
+
+
+def test_cdc_replay_republishes_and_converges(spark, tmp_path):
+    root, cfg, idx = _setup(spark, tmp_path)
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t2")
+    ev = spark.createDataFrame(BATCH0, EV_SCHEMA)
+    first = {r["id"]: r["outcome"] for r in fn(ev, 0).collect()}
+    # full replay of a COMPLETED batch: verdicts identical (from the
+    # recording — recomputing against the post-batch state would flip
+    # applied_insert -> skipped_existing), stores unchanged
+    again = {r["id"]: r["outcome"] for r in fn(ev, 0).collect()}
+    assert again == first == WANT0
+    assert read_collection(spark, root, "c").count() == 19
+    a, _, _ = ivf_read(spark, idx)
+    assert a.count() == 19
+    assert a.filter(F.col("id") == "100").count() == 1  # exactly once
+
+
+def test_cdc_crash_mid_mutations_heals_on_replay(spark, tmp_path, monkeypatch):
+    root, cfg, idx = _setup(spark, tmp_path)
+    ev = spark.createDataFrame(BATCH0, EV_SCHEMA)
+    # crash AFTER the verdict recording + WAL commit but BEFORE any
+    # mutation lands: fail the hydrate call. The batch fn binds
+    # hydrate at CREATION, so patch the module first and build a
+    # crashing fn instance (sys.modules lookup — the operators package
+    # re-exports the function under the submodule's name).
+    import sys
+
+    hyd = sys.modules[
+        "vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate"
+    ]
+    real = hyd.hydrate
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash")
+
+    monkeypatch.setattr(hyd, "hydrate", boom)
+    fn_crash = cdc_ingest_batch_fn(idx, cfg, "cdc_t3")
+    with pytest.raises(RuntimeError, match="injected"):
+        fn_crash(ev, 0)
+    monkeypatch.setattr(hyd, "hydrate", real)
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t3")
+    # WAL holds the pending tag with its recording
+    log = json.load(open(os.path.join(idx, "cdc_log.json")))
+    assert [e["state"] for e in log["entries"]] == ["pending"]
+    # replay: recorded verdicts republish, all mutations apply
+    got = {r["id"]: r["outcome"] for r in fn(ev, 0).collect()}
+    assert got == WANT0
+    assert read_collection(spark, root, "c").count() == 19
+    log2 = json.load(open(os.path.join(idx, "cdc_log.json")))
+    assert [e["state"] for e in log2["entries"]] == ["done"]
+    # only the committed recording dir survives
+    dirs = [d for d in os.listdir(idx) if d.startswith("cdc_verdicts_v")]
+    assert dirs == [log2["entries"][0]["dir"]]
+
+
+def test_cdc_resurrects_deleted_id_via_upsert(spark, tmp_path):
+    root, cfg, idx = _setup(spark, tmp_path)
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t4")
+    fn(spark.createDataFrame(BATCH0, EV_SCHEMA), 0)
+    # id 7 was deleted (tombstoned in the index); a later INSERT of it
+    # must resurrect through the upsert path, not raise
+    v1 = fn(
+        spark.createDataFrame(
+            [("insert", 1, "7", "back", [5.0] * 4)], EV_SCHEMA
+        ),
+        1,
+    )
+    assert {r["id"]: r["outcome"] for r in v1.collect()} == {
+        "7": "applied_insert"
+    }
+    a, _, _ = ivf_read(spark, idx)
+    assert a.filter(F.col("id") == "7").first()["embedding"] == [5.0] * 4
+    meta = json.load(open(os.path.join(idx, "ivf_index.json")))
+    assert meta["tombstones"]["n"] == 1  # id 9 stays tombstoned
+    # completed-entry retention: batch 0's entry was dropped at batch
+    # 1's commit, batch 1's is done
+    log = json.load(open(os.path.join(idx, "cdc_log.json")))
+    assert len(log["entries"]) == 1 and log["entries"][0]["state"] == "done"
+
+
+def test_cdc_rejects_unknown_op(spark, tmp_path):
+    root, cfg, idx = _setup(spark, tmp_path, n=4)
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t5")
+    with pytest.raises(EngineError, match="insert/update/delete"):
+        fn(
+            spark.createDataFrame(
+                [("upsert", 1, "1", "x", [1.0] * 4)], EV_SCHEMA
+            ),
+            0,
+        )
+
+
+def test_cdc_stream_end_to_end(spark, tmp_path):
+    root, cfg, idx = _setup(spark, tmp_path)
+    d = tmp_path / "stream_in"
+    spark.createDataFrame(BATCH0, EV_SCHEMA).coalesce(1).write.parquet(
+        str(d / "b0")
+    )
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d))
+    )
+    q = stream_cdc_ingest(
+        stream,
+        index_path=idx,
+        hydration_cfg=cfg,
+        sink_table="cdc_e2e",
+        sink_path=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: r["outcome"]
+        for r in spark.table("cdc_e2e").collect()
+    }
+    assert got == WANT0
+    a, _, _ = ivf_read(spark, idx)
+    assert a.count() == 19

@@ -886,3 +886,189 @@ def stream_novelty_maintained_loop(
     if band_index_audit(spark, idx).first()["compact_recommended"]:
         raise EngineError("audit still recommends compaction after the tick")
     return out0.unionByName(out1).unionByName(out2)
+
+
+@query(
+    "stream_cdc_ingest_loop",
+    """
+    WITH docs0 AS (
+        SELECT doc_id, doc_id % 5 AS m5, doc_id % 7 AS m7 FROM documents
+    ),
+    b1 AS (
+        SELECT doc_id,
+               CASE WHEN m7 = 3 THEN 'delete'
+                    WHEN m5 = 0 THEN 'insert'
+                    WHEN m7 = 1 THEN 'update' END AS op,
+               m5 <> 0 AS ex
+        FROM docs0 WHERE m7 = 3 OR m5 = 0 OR m7 = 1
+    ),
+    v1 AS (
+        SELECT 1 AS batch, CAST(doc_id AS VARCHAR) AS id, op,
+               CASE WHEN op = 'insert' THEN
+                        CASE WHEN ex THEN 'skipped_existing'
+                             ELSE 'applied_insert' END
+                    WHEN op = 'update' THEN
+                        CASE WHEN ex THEN 'applied_update'
+                             ELSE 'skipped_missing' END
+                    ELSE
+                        CASE WHEN ex THEN 'applied_delete'
+                             ELSE 'skipped_missing' END END AS outcome
+        FROM b1
+    ),
+    b2 AS (
+        SELECT doc_id,
+               CASE WHEN m7 = 3 THEN 'insert'
+                    WHEN m7 = 4 THEN 'delete'
+                    ELSE 'update' END AS op,
+               m7 <> 3 AS ex
+        FROM docs0 WHERE m7 IN (3, 4, 5, 6)
+    ),
+    v2 AS (
+        SELECT 2 AS batch, CAST(doc_id AS VARCHAR) AS id, op,
+               CASE WHEN op = 'insert' THEN
+                        CASE WHEN ex THEN 'skipped_existing'
+                             ELSE 'applied_insert' END
+                    WHEN op = 'update' THEN
+                        CASE WHEN ex THEN 'applied_update'
+                             ELSE 'skipped_missing' END
+                    ELSE
+                        CASE WHEN ex THEN 'applied_delete'
+                             ELSE 'skipped_missing' END END AS outcome
+        FROM b2
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+)
+def stream_cdc_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC loop end-to-end across two micro-batches,
+    driving the REAL foreachBatch body
+    (streaming/cdc_stream.py::cdc_ingest_batch_fn — exactly what
+    ``stream_cdc_ingest`` runs): hydrate the base corpus
+    (doc_id % 5 != 0) behind a stamped IVF index, then
+
+    - batch 1: DELETE every %7==3 doc (applied where hydrated,
+      skipped_missing for the %5==0 slice that was never inserted),
+      INSERT the remaining %5==0 docs (applied), UPDATE the %7==1
+      docs to reversed embeddings (applied);
+    - batch 2: re-INSERT the %7==3 docs (RESURRECTION — their ids are
+      tombstoned in the index, so this exercises the upsert path a
+      plain append would refuse), DELETE %7==4, UPDATE %7==5, and for
+      %7==6 send TWO events per doc — (seq 1, delete) then (seq 2,
+      update) — pinning the in-batch latest-event-wins collapse: the
+      published op must be 'update'.
+
+    Every published ``(batch, id, op, outcome)`` row is recomputed by
+    the oracle from pure membership arithmetic over the fixture —
+    Chroma's insert/update/delete semantics against the evolving
+    collection state. The stores themselves (collection content,
+    index masks, fences) are pinned by ``collection_cdc_apply_indexed``
+    and tests/test_cdc_stream.py (replay stability, crash healing,
+    true-streaming form)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.cdc_stream import (
+        cdc_ingest_batch_fn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_cdcloop_")
+    cfg = HydrationConfig(
+        collection_name="cdcloop",
+        root=root,
+        id_col="id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    base = d.filter(F.col("doc_id") % 5 != 0)
+    hydrate(
+        spark,
+        base.join(e, base.doc_id == e.vec_id).select(
+            F.col("doc_id").cast("string").alias("id"), "text", "embedding"
+        ),
+        cfg,
+    )
+    coll = read_collection(spark, root, "cdcloop")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/cdcloop/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "cdcloop"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_loop")
+
+    m5 = F.col("doc_id") % 5
+    m7 = F.col("doc_id") % 7
+    de = d.join(e, d.doc_id == e.vec_id)
+    op1 = (
+        F.when(m7 == 3, "delete")
+        .when(m5 == 0, "insert")
+        .when(m7 == 1, "update")
+    )
+    ev1 = (
+        de.select(
+            op1.alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            F.col("doc_id").cast("string").alias("id"),
+            "text",
+            F.when(op1 == "update", F.reverse("embedding"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+    v1 = fn(ev1, 0).select(
+        F.lit(1).alias("batch"), "id", "op", "outcome"
+    ).localCheckpoint(eager=True)
+
+    op2 = (
+        F.when(m7 == 3, "insert")
+        .when(m7 == 4, "delete")
+        .when(m7.isin(5, 6), "update")
+    )
+    ev2_main = (
+        de.filter(m7.isin(3, 4, 5))
+        .select(
+            op2.alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            F.col("doc_id").cast("string").alias("id"),
+            "text",
+            F.when(op2 == "update", F.reverse("embedding"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+    )
+    six = de.filter(m7 == 6)
+    ev2_six = (
+        six.select(
+            F.lit("delete").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            F.col("doc_id").cast("string").alias("id"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("array<float>").alias("embedding"),
+        )
+        .unionByName(
+            six.select(
+                F.lit("update").alias("op"),
+                F.lit(2).cast("long").alias("seq"),
+                F.col("doc_id").cast("string").alias("id"),
+                "text",
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+    )
+    v2 = fn(ev2_main.unionByName(ev2_six), 1).select(
+        F.lit(2).alias("batch"), "id", "op", "outcome"
+    )
+    return v1.unionByName(v2)
