@@ -658,6 +658,154 @@ def collection_query_batch_ivf(
     return out.select(*cols).orderBy("qid", "rank")
 
 
+def collection_query_batch_ivf_pq(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vectors: list[list[float]],
+    n_results: int = 10,
+    *,
+    index_path: str,
+    nprobe: int = 2,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    rerank_factor: int = 8,
+    score_decimals: int | None = None,
+    include_distance: bool = False,
+    verify_source: bool = True,
+) -> DataFrame:
+    """``collection.query`` with MULTIPLE query embeddings served
+    through the persisted COMPRESSED (IVF-PQ) index, with optional
+    metadata/document pre-filters — the last cell of the serving
+    matrix (single/batch x IVF/IVF-PQ x filtered/unfiltered). Same
+    output contract as the other batch paths:
+    ``(qid, rank, id, document, metadata, score[, distance])``.
+
+    Plan: the filtered collection SEMI-restricts the 8-byte code
+    table once (cells layout preserved — the float vectors are never
+    scanned for candidate generation), ``pq.ivf_pq_knn_join`` ADC-
+    prescreens each query against its ``nprobe`` nearest cells to
+    ``n_results * rerank_factor`` candidates (executor-built residual
+    LUTs, the batch ADC shape), queries that UNDER-FILL (< n_results
+    candidates — the filter killed their probed cells) re-join at a
+    DOUBLED probe width until they fill or every cell is probed (the
+    per-query k-fill guarantee, exhaustive ADC as the floor), and the
+    exact rerank recomputes the MANIFEST metric on only the <=
+    queries x k x rerank_factor surviving rows — identical tie-breaks
+    (score, then id) to ``_serve_topk``, so a ``rerank_factor``
+    covering the filtered candidate count makes every row equal the
+    exact batch path's."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        _score,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_knn_join,
+        ivf_pq_read,
+    )
+
+    manifest = load_manifest(root, name)
+    if not query_vectors:
+        raise EngineError("query_vectors must be non-empty")
+    for i, v in enumerate(query_vectors):
+        if len(v) != manifest.dim:
+            raise EngineError(
+                f"query vector {i} dim {len(v)} != collection dim {manifest.dim}"
+            )
+    encoded, C, books = ivf_pq_read(
+        spark, index_path, verify_source=verify_source
+    )
+    idx_id = [
+        c for c in encoded.columns if c not in ("ivf_cell", "pq_code")
+    ][0]
+    n_cells = int(np.asarray(C).shape[0])
+    filtered = _filtered(
+        read_collection(spark, root, name), None, where, where_document
+    )
+    # predicate evaluated ONCE, on the code rows (cells layout kept)
+    cand = encoded.join(
+        filtered.select(
+            F.col("id").cast(dict(encoded.dtypes)[idx_id]).alias(idx_id)
+        ),
+        idx_id,
+        "left_semi",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+        "qid int, q_embedding array<float>",
+    )
+    k = int(n_results)
+    kk = k * int(rerank_factor)
+    p = max(1, min(int(nprobe), n_cells))
+    pending = queries
+    settled = []
+    while True:
+        nn = ivf_pq_knn_join(
+            pending,
+            cand,
+            C,
+            books,
+            k=kk,
+            id_col=idx_id,
+            nprobe=p,
+            score_decimals=score_decimals,
+        ).localCheckpoint(eager=True)  # bounded: <= |pending| * k * rf
+        if p >= n_cells:
+            settled.append(nn)
+            break
+        counts = {
+            int(r["qid"]): int(r["n"])
+            for r in nn.groupBy("qid").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        unfilled = [
+            int(r["qid"])
+            for r in pending.select("qid").collect()
+            if counts.get(int(r["qid"]), 0) < k
+        ]
+        if not unfilled:
+            settled.append(nn)
+            break
+        settled.append(nn.filter(~F.col("qid").isin(unfilled)))
+        pending = queries.filter(F.col("qid").isin(unfilled))
+        p = min(n_cells, p * 2)
+    adc = settled[0]
+    for part in settled[1:]:
+        adc = adc.unionByName(part)
+    # exact rerank on the ADC survivors only: manifest-metric scores
+    # recomputed from the collection's float rows, _serve_topk's
+    # (score, id) tie-breaks, top-k per query
+    rows = adc.select("qid", F.col("neighbor_id").cast("string").alias("id")).join(
+        filtered.select("id", "document", "metadata", "embedding"), "id"
+    ).join(F.broadcast(queries.withColumnRenamed("q_embedding", "_qe")), "qid")
+    raw, asc = _score(manifest.metric, F.col("embedding"), F.col("_qe"))
+    score = (
+        F.round(raw, score_decimals) if score_decimals is not None else raw
+    )
+    rows = rows.withColumn("score", score)
+    order = [
+        F.col("score").asc() if asc else F.col("score").desc(),
+        F.col("id").asc(),
+    ]
+    w = Window.partitionBy("qid").orderBy(*order)
+    out = rows.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    cols = ["qid", "rank", "id", "document", "metadata", "score"]
+    if include_distance:
+        # Chroma's distance conventions per metric (see _serve_topk)
+        dist = (
+            F.lit(1.0) - raw
+            if manifest.metric in ("cosine", "dot")
+            else raw * raw
+        )
+        out = out.withColumn("distance", dist)
+        cols.append("distance")
+    return out.select(*cols).orderBy("qid", "rank")
+
+
 def collection_query_ivf_pq(
     spark: SparkSession,
     root: str,

@@ -3155,3 +3155,102 @@ def collection_cdc_apply_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned2, C2, qvec, k=10, nprobe=8, metric=metric,
         score_decimals=4,
     )
+
+
+@query(
+    "collection_query_batch_filtered_ivfpq",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    q AS (
+        SELECT CASE vec_id WHEN 3 THEN 0 WHEN 7 THEN 1 ELSE 2 END AS qid,
+               embedding AS qe
+        FROM embeddings WHERE vec_id IN (3, 7, 11)
+    ),
+    scored AS (
+        SELECT q.qid, c.id, {_COS_SQL} AS score
+        FROM q JOIN corpus c ON c.lang = 'fr'
+    ),
+    ranked AS (
+        SELECT qid, id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, id
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT qid, rank, id, score FROM ranked WHERE rank <= 100
+    """,
+)
+def collection_query_batch_filtered_ivfpq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH filtered ANN through the persisted COMPRESSED index —
+    the last cell of the serving matrix (single/batch x IVF/IVF-PQ x
+    filtered; ``plans/chroma_api.py::collection_query_batch_ivf_pq``):
+    the same three queries (docs 3, 7, 11) against the lang='fr'
+    slice as the uncompressed batch twin, over-asking n_results=100
+    vs 64 matches so every query's k-fill walks to ADC exhaustion,
+    with ``rerank_factor`` covering the whole filtered slice (800 >=
+    64) so the ADC prescreen truncates nothing and the exact rerank
+    over the surviving float rows must reproduce the oracle's
+    brute-force filtered cosine ranking — (rounded score, id)
+    tie-breaks included. The codes-only candidate generation (float
+    vectors touched only at rerank) is the scale point; the equality
+    here proves the compressed path degrades to exact under the
+    oracle-checkable configuration."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_ivf_pq,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_bfpq_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="bfpq",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "bfpq")
+    enc, C, books = ivf_pq_build(
+        coll, n_centroids=8, m=8, n_codes=16, seed=42
+    )
+    idx = f"{root}/bfpq/_ivfpq"
+    ivf_pq_write(enc, C, books, idx, source=(root, "bfpq"))
+    qvecs = [
+        list(e.filter(F.col("vec_id") == v).first()["embedding"])
+        for v in (3, 7, 11)
+    ]
+    return collection_query_batch_ivf_pq(
+        spark,
+        root,
+        "bfpq",
+        qvecs,
+        n_results=100,
+        index_path=idx,
+        nprobe=2,
+        where={"lang": "fr"},
+        rerank_factor=8,
+        score_decimals=4,
+    ).select("qid", "rank", "id", "score")
