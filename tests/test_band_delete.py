@@ -248,3 +248,89 @@ def test_band_maintenance_tombstone_trigger(spark, tmp_path):
     assert "tombstones" not in band_index_meta(idx)
     tick3 = band_maintenance(spark, idx, policy)
     assert tick3["tombstone_fraction"] == 0.0 and not tick3["compacted"]
+
+
+def test_part_versions_monotonic_across_compactions(spark, tmp_path):
+    """_write_new_part must forward its `prev` floor: after a compact
+    GCs bands_v1, a second compact may NOT recycle the freed name —
+    a reader holding the older sidecar would open same-named dirs
+    with different content."""
+    idx = _mk(spark, tmp_path)
+    loc0 = band_index_meta(idx)["locations"]["bands"]
+    band_index_compact(spark, idx)
+    loc1 = band_index_meta(idx)["locations"]["bands"]
+    band_index_compact(spark, idx)
+    loc2 = band_index_meta(idx)["locations"]["bands"]
+    vs = [int(x.rsplit("_v", 1)[1]) for x in (loc0, loc1, loc2)]
+    assert vs[0] < vs[1] < vs[2], vs
+
+
+def test_tagged_replay_bypasses_band_tombstone_refusal(spark, tmp_path):
+    idx = _mk(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [(50, "a brand new appended document about gardens")],
+        "doc_id int, text string",
+    )
+    assert band_index_append(spark, idx, batch, tag="t#1") == 1
+    band_index_delete(spark, idx, [50])
+    # replay of the completed tagged append: no-op, no refusal
+    assert band_index_append(spark, idx, batch, tag="t#1") == 0
+    with pytest.raises(TombstonedIdError):
+        band_index_append(spark, idx, batch, tag="t#2")
+
+
+def test_semantic_gate_masks_tombstoned_vectors(spark, tmp_path):
+    """A vector ivf_delete removed must not gate a re-submission of
+    its content as semantic-duplicate (deleted content blocking its
+    own re-ingestion forever)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_delete,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.neardup_stream import (
+        _semantic_ingest_batch_fn,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = str(tmp_path / "root")
+    rows = [
+        (str(i), f"doc {i}", [1.0 if j == i % 4 else 0.1 * i for j in range(4)])
+        for i in range(12)
+    ]
+    cfg = HydrationConfig(
+        collection_name="c", root=root, id_col="id",
+        text_col="text", embedding_col="embedding",
+    )
+    hydrate(spark, spark.createDataFrame(
+        rows, "id string, text string, embedding array<float>"), cfg)
+    coll = read_collection(spark, root, "c")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=1)
+    idx = str(tmp_path / "ivf")
+    ivf_write(assigned, C, idx, metric="cosine", source=(root, "c"),
+              build={"metric": "l2", "seed": 1, "sample_fraction": None})
+    fn = _semantic_ingest_batch_fn(idx, cfg, "semgate_ts", threshold=0.999, nprobe=2)
+    # an exact copy of doc 3's vector under a new id: duplicate now
+    probe = spark.createDataFrame(
+        [("900", "different words entirely", list(rows[3][2]))],
+        "id string, text string, embedding array<float>",
+    )
+    v = fn(probe, 0).filter(F.col("id") == "900").first()
+    assert not v["novel"]
+    # delete doc 3 from collection + index; the same content must now
+    # gate NOVEL (the only matching vector is masked)
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_delete_indexed,
+    )
+
+    collection_delete_indexed(spark, root, "c", ids=["3", "900"], index_paths=[idx])
+    v2 = fn(probe, 1).filter(F.col("id") == "900").first()
+    assert v2["novel"], v2

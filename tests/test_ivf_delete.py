@@ -32,6 +32,7 @@ from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import 
     ivf_read,
     ivf_recall_audit,
     ivf_tombstoned_ids,
+    ivf_upsert,
     ivf_write,
 )
 
@@ -348,3 +349,49 @@ def test_maintenance_tick_compacts_on_tombstone_fraction(spark, tmp_path):
     assert "tombstones" not in meta
     tick3 = ivf_maintenance(spark, idx, policy, audit=False)
     assert tick3["tombstone_fraction"] == 0.0 and not tick3["compacted"]
+
+
+def test_tagged_replay_bypasses_tombstone_refusal(spark, tmp_path):
+    """A Structured Streaming replay of a COMPLETED tagged append
+    whose ids were since deleted must republish (no-op via the
+    id-guard), not raise TombstonedIdError — the refusal is for fresh
+    batches re-adding deleted ids."""
+    idx, _df = _mk_index(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [("777", [9.0] * 4)], "id string, embedding array<float>"
+    )
+    assert ivf_append(spark, idx, batch, tag="t#1") == 1
+    ivf_delete(spark, idx, ["777"])  # deleted after the append
+    # replay of the same tagged batch: bypass + guard-skip, 0 new
+    assert ivf_append(spark, idx, batch, tag="t#1") == 0
+    # a FRESH tag with the same id still refuses
+    with pytest.raises(TombstonedIdError):
+        ivf_append(spark, idx, batch, tag="t#2")
+
+
+def test_maintenance_defers_when_all_rows_tombstoned(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.maintenance import (
+        MaintenancePolicy,
+        ivf_maintenance,
+    )
+
+    idx, _df = _mk_index(spark, tmp_path, n=6, n_centroids=2)
+    ivf_delete(spark, idx, [str(i) for i in range(6)])
+    policy = MaintenancePolicy(
+        every=1, compact=True, tombstone_threshold=0.2,
+        files_per_cell_threshold=1e9,
+    )
+    tick = ivf_maintenance(spark, idx, policy, audit=False)
+    # fraction over threshold but == 1.0: DEFERRED, not crashed
+    assert tick["tombstone_fraction"] == pytest.approx(1.0)
+    assert not tick["compacted"]
+    # fresh rows drop the fraction below 1 -> the next tick compacts
+    ivf_upsert(
+        spark, idx,
+        spark.createDataFrame(
+            [(str(100 + i), [float(i)] * 4) for i in range(6)],
+            "id string, embedding array<float>",
+        ),
+    )
+    tick2 = ivf_maintenance(spark, idx, policy, audit=False)
+    assert tick2["compacted"]

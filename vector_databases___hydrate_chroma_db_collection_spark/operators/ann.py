@@ -1207,8 +1207,20 @@ def ivf_append(
     # old physical rows: the id-granular serve mask (ivf_delete)
     # cannot tell a NEW row from the old one under the same id, so a
     # re-append would be silently invisible. Zero extra jobs when the
-    # index carries no tombstones.
+    # index carries no tombstones. A REPLAY of a tagged append
+    # (completed or crashed) BYPASSES the refusal: its rows already
+    # landed — they may be the very rows a later delete tombstoned —
+    # the id-guard below skips them, and the replay contract is
+    # republish, not raise.
     ts = _tombstones_df(spark, p, meta)
+    if ts is not None and tag is not None:
+        _pend = list(meta.get("pending_appends") or [])
+        if meta.get("pending_append"):
+            _pend.append(meta["pending_append"])
+        if tag == meta.get("last_append_tag") or any(
+            e.get("tag") == tag for e in _pend
+        ):
+            ts = None
     if ts is not None:
         n_dead = batch.join(
             F.broadcast(ts),

@@ -188,9 +188,14 @@ def _write_new_part(
     ``nb`` set: a bucketed catalog table clustered+sorted by
     (band, h) — ``repartition`` onto the bucket keys first so each
     task owns whole buckets (one file per bucket, not
-    files-per-task-per-bucket). ``nb`` None: plain parquet."""
+    files-per-task-per-bucket). ``nb`` None: plain parquet.
+
+    ``prev`` (the sidecar's CURRENT location for this part) floors the
+    new version ABOVE it — without forwarding it the monotonicity
+    contract is a no-op and a post-GC rebuild can recycle a freed
+    ``<part>_vN`` name under a reader holding an older sidecar."""
     p = _local_sidecar_path(path)
-    d = _fresh_part_dir(p, part)
+    d = _fresh_part_dir(p, part, prev=prev)
     loc = os.path.join(p, d)
     if nb is None:
         df.write.mode("overwrite").parquet(loc)
@@ -994,8 +999,16 @@ def band_index_append(
     # tombstoned ids refuse to re-append until a compact purges their
     # old rows — the id-granular delete mask cannot tell a NEW doc's
     # rows from the deleted one's under the same id (ann.ivf_append
-    # discipline; zero extra jobs when the index has no tombstones)
+    # discipline; zero extra jobs when the index has no tombstones).
+    # Tagged REPLAYS bypass (same rationale as ivf_append: the rows
+    # already landed and the guard skips them; replays republish).
     _ts = _band_ts_ids(spark, p, meta)
+    if _ts is not None and tag is not None:
+        _pend0 = list(meta.get("pending_appends") or [])
+        if tag == meta.get("last_append_tag") or any(
+            e.get("tag") == tag for e in _pend0
+        ):
+            _ts = None
     if _ts is not None:
         n_dead = new_docs.join(
             F.broadcast(_ts),

@@ -561,6 +561,12 @@ def collection_query_batch_ivf(
     every cell is probed — the per-query k-fill guarantee, with the
     exhaustive join (== exact) as the floor. Each round's fill check
     collects <= |queries| count rows; settled queries never re-score.
+    NOTE: this path probes AND scores with the MANIFEST's metric,
+    while ``collection_query_ivf`` probes with the index's recorded
+    serve metric — byte-equality between the two at partial probing
+    therefore holds when the index was written with
+    ``metric=manifest.metric`` (the standard configuration every
+    composed builder uses); at exhaustion both are exact regardless.
     ``distance`` (Chroma conventions) derives from the UNROUNDED
     exact score recomputed on the <= queries x k result rows —
     identical contract to the exact batch path."""
@@ -1278,6 +1284,10 @@ def collection_update_indexed(
     n = collection_update(
         spark, root, name, updates, retain_previous=retain_previous
     )
+    # one emptiness probe for the whole loop (the checkpointed batch
+    # is invariant across paths/sidecars — re-probing per sidecar
+    # would launch a redundant job each time)
+    has_vecs = vec_batch is not None and vec_batch.limit(1).count() > 0
     for path in index_paths:
         p = _local_sidecar_path(path)
         found = False
@@ -1288,7 +1298,7 @@ def collection_update_indexed(
             if not os.path.exists(os.path.join(p, sc)):
                 continue
             found = True
-            if vec_batch is not None and vec_batch.limit(1).count() > 0:
+            if has_vecs:
                 upsert_fn(
                     spark, path, vec_batch,
                     id_col="id", embedding_col="embedding",

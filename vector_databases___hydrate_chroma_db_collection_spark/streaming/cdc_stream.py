@@ -252,11 +252,33 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
         if ins.limit(1).count() > 0:
             hydrate(spark, ins, cfg)
             # upsert, not append: resurrects ids a previous batch
-            # tombstoned (its surgical rewrite purges the old row)
-            ivf_upsert(
-                spark, index_path, ins.select(ic, ec),
-                id_col=ic, embedding_col=ec,
+            # tombstoned (its surgical rewrite purges the old row).
+            # EVERY vector sidecar cohabiting at index_path gets the
+            # rows — upserting only the IVF one would leave a
+            # cohabiting IVF-PQ index stale, and the NEXT batch's
+            # composed update/delete (which fences on the etag it
+            # observes) would crash-loop on its StaleIndexError.
+            from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+                ivf_pq_upsert,
             )
+
+            found = False
+            for sc, up_fn in (
+                ("ivf_index.json", ivf_upsert),
+                ("ivf_pq_index.json", ivf_pq_upsert),
+            ):
+                if os.path.exists(os.path.join(p, sc)):
+                    found = True
+                    up_fn(
+                        spark, index_path, ins.select(ic, ec),
+                        id_col=ic, embedding_col=ec,
+                    )
+            if not found:
+                raise EngineError(
+                    f"stream_cdc_ingest: no vector index sidecar at "
+                    f"{index_path!r} (expected ivf_index.json or "
+                    "ivf_pq_index.json)"
+                )
         upd = uniq.join(
             applied.filter("outcome = 'applied_update'").select("id"),
             "id",

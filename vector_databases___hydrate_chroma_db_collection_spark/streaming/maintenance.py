@@ -135,11 +135,13 @@ def band_maintenance(spark, index_path: str, policy: MaintenancePolicy) -> dict:
         # pending marker still set) makes the compactor refuse —
         # compacting would launder the marker. Defer this tick rather
         # than crash the stream; the next cadence tick retries after
-        # that batch's replay heals it.
+        # that batch's replay heals it. Same defer when EVERY doc is
+        # tombstoned (the purge would empty the parts — the compactor
+        # refuses loudly; a later batch's fresh docs unblock it).
         torn = bool(
             meta.get("pending_append") or meta.get("pending_appends")
         )
-        if not torn:
+        if not torn and ts_fraction < 1.0:
             band_index_compact(spark, index_path)
             compacted = True
     return {
@@ -238,8 +240,16 @@ def ivf_maintenance(
     if policy.compact and (
         files > budget or ts_fraction > policy.tombstone_threshold
     ):
-        ivf_compact(spark, index_path)
-        compacted = True
+        if ts_fraction >= 1.0:
+            # every row is tombstoned: ivf_compact refuses (the purge
+            # would empty the cells dataset) — DEFER rather than
+            # crash the stream; the surfaced fraction lets monitoring
+            # alert, and the first batch that adds fresh rows drops
+            # it below 1 so the next tick compacts.
+            pass
+        else:
+            ivf_compact(spark, index_path)
+            compacted = True
     return {
         "refresh_recommended": refresh,
         "compacted": compacted,

@@ -599,7 +599,15 @@ def _semantic_ingest_batch_fn(
         # ONE sidecar parse per batch (the sidecar embeds the full
         # centroid matrix — multi-MB at production cell counts):
         # assemble what ivf_read(verify_source=False) would return
-        # directly from the already-parsed meta.
+        # directly from the already-parsed meta — INCLUDING the
+        # tombstone mask: a vector ivf_delete removed must not gate
+        # a re-submission of its content as semantic-duplicate
+        # (deleted content would otherwise block its own re-ingestion
+        # forever — the exact failure the masking exists to prevent).
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+            _mask_tombstones,
+        )
+
         assigned = spark.read.parquet(
             os.path.join(p, meta.get("location", "cells"))
         )
@@ -608,6 +616,7 @@ def _semantic_ingest_batch_fn(
         idx_id, idx_emb = [
             c for c in assigned.columns if c != "ivf_cell"
         ][:2]
+        assigned = _mask_tombstones(spark, p, meta, assigned, idx_id)
         if replayed:
             # exclude exactly what this batch's own earlier attempt
             # contributed — rows an EARLIER batch contributed for a
