@@ -334,3 +334,82 @@ def test_semantic_gate_masks_tombstoned_vectors(spark, tmp_path):
     collection_delete_indexed(spark, root, "c", ids=["3", "900"], index_paths=[idx])
     v2 = fn(probe, 1).filter(F.col("id") == "900").first()
     assert v2["novel"], v2
+
+
+def test_band_index_apply_batch_mutation(spark, tmp_path):
+    """band_index_apply: delete + text-update + insert in ONE atomic
+    part rewrite; prior tombstones purged; serving reflects exactly
+    the final corpus."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_apply,
+    )
+
+    idx = _mk(spark, tmp_path)
+    band_index_delete(spark, idx, [2])  # prior tombstone, purged below
+    rep = band_index_apply(
+        spark,
+        idx,
+        upserts=spark.createDataFrame(
+            [
+                (3, "a freshly rewritten third document about gardens"),
+                (5, "an entirely new fifth document joins the corpus"),
+            ],
+            "doc_id int, text string",
+        ),
+        delete_ids=[1],
+    )
+    assert rep == {"updated": 1, "inserted": 1, "deleted": 1}
+    meta = band_index_meta(idx)
+    assert "tombstones" not in meta
+    assert not [
+        d
+        for d in os.listdir(idx)
+        if d.startswith("band_tombstones_v") or d.startswith("removed_keys_v")
+    ]
+    g = _gate(
+        spark,
+        idx,
+        [
+            (101, DOCS[0][1]),  # deleted -> novel
+            (102, DOCS[1][1]),  # prior tombstone purged -> novel
+            (103, DOCS[2][1]),  # doc 3 OLD text: replaced... but doc 4
+            # still holds the identical text -> STILL duplicate
+            (104, "a freshly rewritten third document about gardens"),
+            (105, "an entirely new fifth document joins the corpus"),
+        ],
+    )
+    assert g == {101: True, 102: True, 103: False, 104: False, 105: False}
+    # verified parts consistent: exactly docs {3,4,5} remain
+    b, sh, sz, _m = band_index_read_verified(spark, idx)
+    assert sorted(
+        r[0] for r in b.select("doc_id").distinct().collect()
+    ) == [3, 4, 5]
+    assert sz.count() == 3
+    # replay idempotence: same apply converges to the same state
+    rep2 = band_index_apply(
+        spark,
+        idx,
+        upserts=spark.createDataFrame(
+            [
+                (3, "a freshly rewritten third document about gardens"),
+                (5, "an entirely new fifth document joins the corpus"),
+            ],
+            "doc_id int, text string",
+        ),
+        delete_ids=[1],
+    )
+    assert rep2 == {"updated": 2, "inserted": 0, "deleted": 0}
+    assert _gate(spark, idx, [(104, "a freshly rewritten third document about gardens")]) == {104: False}
+
+
+def test_band_index_apply_refusals(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_apply,
+    )
+
+    idx = _mk(spark, tmp_path)
+    with pytest.raises(EngineError, match="empty the index"):
+        band_index_apply(spark, idx, delete_ids=[1, 2, 3, 4])
+    # fence: recorded stamp is None (unstamped index) != a passed etag
+    with pytest.raises(StaleIndexError):
+        band_index_apply(spark, idx, delete_ids=[1], expected_prev_etag="deadbeef0000")

@@ -680,6 +680,246 @@ def band_index_delete(
     return n_new
 
 
+def band_index_apply(
+    spark: SparkSession,
+    path: str,
+    upserts: DataFrame | None = None,
+    delete_ids=None,
+    *,
+    id_col: str | None = None,
+    text_col: str | None = None,
+    expected_prev_etag: str | None = None,
+) -> dict:
+    """Atomic BATCH mutation of a persisted band index: delete
+    ``delete_ids``, replace-or-add the ``upserts`` docs' rows
+    (re-shingled with the sidecar's recorded family), purge every
+    prior tombstone, and commit the whole new state in ONE sidecar
+    swap — the text-side answer to "how do I UPDATE a document's
+    band rows?". The id-free serving layout has no surgical row
+    replacement (a doc's band/shingle rows scatter across every
+    ``(band, h)`` bucket), so the honest unit of text mutation is a
+    PART REWRITE — exactly what ``band_index_compact`` already pays
+    at maintenance cadence. This runs that rewrite WITH the changes
+    folded in, which is the deferred-update discipline: accumulate
+    text updates, apply them in one amortized pass (one call = one
+    compact's cost however many changes ride along), instead of
+    tombstone + compact + re-append as three exposed steps.
+
+    Every derived part stays exactly consistent by construction:
+    ``bands``/``shingles``/``sizes`` drop the affected ids' old rows
+    and gain the upserts' fresh ones, ``bucket_keys`` is re-derived
+    as the distinct keys of the FINAL bands (so retired keys vanish
+    and re-introduced keys serve — no removed-keys recording left to
+    maintain), ``ids`` is survivors + upserts, and the id-guard Bloom
+    is re-sized from the final id set. Upserting a TOMBSTONED id
+    legally resurrects it (its old rows are purged by this very
+    rewrite — the mask ambiguity that makes ``band_index_append``
+    refuse cannot arise; the ``ann.ivf_upsert`` argument).
+
+    Refuses a torn index (pending append markers — replay first, same
+    as compact) and refuses to empty the index. ``expected_prev_etag``
+    is the standard foreign-mutation fence; the commit re-stamps to
+    the collection's CURRENT etag. Crash-safe: all parts land in
+    fresh monotonic versioned dirs before the single swap; a crash
+    leaves the old index intact and the replay redoes the whole apply
+    idempotently. Returns ``{"updated", "inserted", "deleted"}``
+    counts (this batch's, judged against the LOGICAL pre-state)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        _band_rows_from_shingles,
+        _shingle_rows,
+    )
+
+    p = _local_sidecar_path(path)
+    meta = _sidecar_read(p)
+    if meta.get("pending_append") or meta.get("pending_appends"):
+        raise ValueError(
+            f"band index at {path!r} has a torn append in flight; "
+            "replay the interrupted band_index_append before applying "
+            "batch mutations"
+        )
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"band index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the apply expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this apply — run "
+                "band_index_refresh instead"
+            )
+    idc = meta["id_col"]
+    id_type = meta.get("id_type")
+    ic = id_col or idc
+    tc = text_col or meta["text_col"]
+    up = (
+        upserts.select(
+            (F.col(ic).cast(id_type) if id_type else F.col(ic)).alias(idc),
+            F.col(tc).alias("_text"),
+        ).dropDuplicates([idc]).localCheckpoint(eager=True)
+        if upserts is not None
+        else None
+    )
+    up_ids = (
+        up.select(F.col(idc).cast("string").alias("_aff_id"))
+        if up is not None
+        else spark.createDataFrame([], "_aff_id string")
+    )
+    del_df = (
+        spark.createDataFrame(
+            [(str(i),) for i in (delete_ids or [])], "_aff_id string"
+        )
+        if not isinstance(delete_ids, DataFrame)
+        else delete_ids.select(
+            F.col(delete_ids.columns[0]).cast("string").alias("_aff_id")
+        )
+    )
+    ts_prev = _band_ts_ids(spark, p, meta)
+    prior_ts = (
+        ts_prev.select(F.col("_ts_id").alias("_aff_id"))
+        if ts_prev is not None
+        else spark.createDataFrame([], "_aff_id string")
+    )
+    # every affected id's OLD rows leave every part: this batch's
+    # deletes and upserts, plus every previously tombstoned id (this
+    # rewrite is the purge point)
+    affected = (
+        up_ids.unionByName(del_df).unionByName(prior_ts)
+        .dropDuplicates(["_aff_id"])
+        .localCheckpoint(eager=True)
+    )
+    old_locations = dict(meta.get("locations") or {})
+    have = (
+        spark.read.parquet(os.path.join(p, old_locations["ids"]))
+        if "ids" in old_locations
+        else _read_part(spark, path, "bands", meta).select(idc).distinct()
+    ).select(F.col(idc).cast("string").alias("_have_id")).localCheckpoint(
+        eager=True
+    )
+    # counts judged against the LOGICAL pre-state (physical minus
+    # prior tombstones)
+    logical = have.join(
+        prior_ts, F.col("_have_id") == F.col("_aff_id"), "left_anti"
+    )
+    n_updated = up_ids.join(
+        logical, F.col("_aff_id") == F.col("_have_id"), "left_semi"
+    ).count()
+    n_inserted = (up_ids.count() - n_updated) if up is not None else 0
+    n_deleted = (
+        del_df.join(
+            logical, F.col("_aff_id") == F.col("_have_id"), "left_semi"
+        )
+        .join(up_ids, "_aff_id", "left_anti")
+        .count()
+    )
+    # fresh rows from the upserts, hashed with the RECORDED family
+    sh_cached = (
+        _shingle_rows(up, idc, "_text", meta["n"]) if up is not None else None
+    )
+    if sh_cached is not None:
+        sh = (
+            sh_cached.withColumn("_id", F.col("_id").cast(id_type))
+            if id_type
+            else sh_cached
+        )
+        bands_new = _band_rows_from_shingles(
+            sh, idc, meta["num_hashes"], meta["bands"]
+        )
+    nb = meta.get("num_buckets")
+    plain_target = nb or spark.sparkContext.defaultParallelism
+    parts = ["bands", "bucket_keys"]
+    if meta.get("has_shingles"):
+        parts += ["shingles", "sizes"]
+    parts.append("ids")
+
+    def _survivors(part: str) -> DataFrame:
+        return _read_part(spark, path, part, meta).join(
+            F.broadcast(affected),
+            F.col(idc).cast("string") == F.col("_aff_id"),
+            "left_anti",
+        )
+
+    bands_final = _survivors("bands")
+    if sh_cached is not None:
+        bands_final = bands_final.unionByName(bands_new)
+    bands_final = bands_final.localCheckpoint(eager=True)
+    finals = {"bands": bands_final, "bucket_keys": bands_final.select("band", "h").distinct()}
+    if meta.get("has_shingles"):
+        sh_f = _survivors("shingles")
+        sz_f = _survivors("sizes")
+        if sh_cached is not None:
+            sh_f = sh_f.unionByName(
+                sh.select(F.col("_id").alias(idc), "h")
+            )
+            sz_f = sz_f.unionByName(
+                sh.groupBy(F.col("_id").alias(idc)).agg(
+                    F.count(F.lit(1)).alias("n_sh")
+                )
+            )
+        finals["shingles"], finals["sizes"] = sh_f, sz_f
+    ids_f = (
+        spark.read.parquet(os.path.join(p, old_locations["ids"]))
+        if "ids" in old_locations
+        else _read_part(spark, path, "bands", meta).select(idc).distinct()
+    ).join(
+        F.broadcast(affected),
+        F.col(idc).cast("string") == F.col("_aff_id"),
+        "left_anti",
+    )
+    if up is not None:
+        ids_f = ids_f.unionByName(up.select(idc)).distinct()
+    finals["ids"] = ids_f
+    if finals["ids"].limit(1).count() == 0:
+        raise EngineError(
+            f"band_index_apply: the batch would empty the index at "
+            f"{path!r}; drop the index directory and rebuild when new "
+            "documents arrive instead"
+        )
+    new_locations = dict(old_locations)
+    for part in parts:
+        df = finals[part]
+        part_nb = nb if part in ("bands", "bucket_keys") else None
+        if part_nb is None:
+            df = df.repartition(plain_target)
+        new_locations[part] = _write_new_part(
+            df, path, part, part_nb, old_locations.get(part)
+        )
+    meta["id_bloom"] = idguard.rebuild_filter(
+        spark.read.parquet(os.path.join(p, new_locations["ids"])),
+        F.col(idc).cast("string"),
+        p,
+        (meta.get("id_bloom") or {}).get("location"),
+    )
+    meta["locations"] = new_locations
+    meta.pop("tombstones", None)  # purged by this rewrite
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+    _sidecar_write(p, meta)
+    old_meta = dict(meta, locations=old_locations)
+    _drop_part_dirs(spark, path, old_meta, new_locations)
+    idguard.gc_bloom_files(p, {(meta.get("id_bloom") or {}).get("location")})
+    for d in os.listdir(p):
+        if d.startswith("band_tombstones_v") or d.startswith(
+            "removed_keys_v"
+        ):
+            shutil.rmtree(os.path.join(p, d), ignore_errors=True)
+    if sh_cached is not None:
+        sh_cached.unpersist()
+    return {
+        "updated": int(n_updated),
+        "inserted": int(n_inserted),
+        "deleted": int(n_deleted),
+    }
+
+
 def band_index_tombstoned_ids(spark: SparkSession, path: str) -> DataFrame:
     """The index's current tombstoned-doc set as a one-column
     DataFrame (``_ts_id`` string; empty when none) — the
@@ -1024,7 +1264,8 @@ def band_index_append(
                 f"band_index_append: {n_dead} incoming id(s) are "
                 f"TOMBSTONED in the index at {path!r} (deleted but "
                 "not yet physically purged) — run band_index_compact "
-                "to purge them, then retry the append"
+                "then retry, or use band_index_apply(upserts=...) "
+                "which purges and re-adds in one atomic rewrite"
             )
     # Batch identity for the torn marker: an order-independent digest
     # of the batch's distinct id set (count + xor of per-id hashes) —
@@ -1726,6 +1967,7 @@ __all__ = [
     "band_index_refresh",
     "band_index_append",
     "band_index_appended_ids",
+    "band_index_apply",
     "band_index_delete",
     "band_index_tombstoned_ids",
     "band_index_audit",

@@ -1258,9 +1258,10 @@ def collection_update_indexed(
                 f"'document' column and {path!r} holds a band index — "
                 "changed text invalidates its shingle/band rows and "
                 "the id-free serving layout has no surgical row "
-                "replacement; band_index_delete + band_index_compact "
-                "+ band_index_append (or band_index_refresh) are the "
-                "honest remedies. No mutation was performed."
+                "replacement; apply the text changes with "
+                "band_index_apply(upserts=...) — one atomic part "
+                "rewrite — or band_index_refresh. No mutation was "
+                "performed."
             )
     etag_before = collection_etag(root, name)
     vec_batch = None

@@ -1116,3 +1116,150 @@ def dedup_band_index_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_hit_bands").cast("bigint").alias("n_hit_bands"),
         "novel",
     )
+
+
+_APPLY_TOKS = _TOKS.format(x=_NORM)
+
+@query(
+    "dedup_band_index_apply_gate",
+    f"""
+    WITH src AS (
+        SELECT doc_id, text, TRUE AS is_ref FROM documents
+        WHERE doc_id % 7 NOT IN (1, 3)
+        UNION ALL
+        SELECT doc_id, text || ' updated', TRUE FROM documents
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text, TRUE FROM documents
+        WHERE doc_id % 7 = 2
+        UNION ALL
+        SELECT doc_id + 2000000, text, FALSE FROM documents
+        WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 3000000, text, FALSE FROM documents
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 4000000, text || ' updated', FALSE FROM documents
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 5000000, text, FALSE FROM documents
+        WHERE doc_id % 7 = 2
+    ),
+    toks AS (SELECT doc_id, is_ref, {_APPLY_TOKS} AS t FROM src),
+    shsets AS (
+        SELECT doc_id, is_ref, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, is_ref, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, is_ref, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, is_ref, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref AS (SELECT DISTINCT b, h FROM buckets WHERE is_ref),
+    inc AS (SELECT doc_id, b, h FROM buckets WHERE NOT is_ref),
+    hits AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc i JOIN ref r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    incids AS (
+        SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 3000000 FROM documents WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 4000000 FROM documents WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 5000000 FROM documents WHERE doc_id % 7 = 2
+    )
+    SELECT CAST(i.doc_id AS VARCHAR) AS id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(h.c, 0) = 0 AS novel
+    FROM incids i LEFT JOIN hits h ON h.doc_id = i.doc_id
+    """,
+)
+def dedup_band_index_apply_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic batch TEXT mutation of the persisted band index
+    (``operators/band_index.py::band_index_apply`` — the one-call
+    delete+update+insert the id-free band layout supports honestly at
+    one part-rewrite cost): build the index over the whole corpus,
+    then apply DELETE every %7==3 doc, UPDATE every %7==1 doc's text
+    (append ' updated'), INSERT verbatim copies of the %7==2 docs
+    under new ids (+1000000) — one sidecar swap, no tombstone phase
+    left behind. Four probe families then gate against the served
+    keys: the deleted docs' text (+2M — novel wherever no survivor
+    shares it), the updated docs' OLD text (+3M — its rows were
+    REPLACED, so it gates like deleted content), the updated docs'
+    NEW text (+4M — must hit all 8 bands), and the inserted copies'
+    content (+5M — duplicate via both the original and the copy).
+    The oracle replays the full MinHash band arithmetic over the
+    FINAL corpus, so every (id, n_hit_bands, novel) row checks that
+    the rewrite's served keys equal exactly the final corpus's
+    distinct keys — the whole point of deriving bucket_keys from the
+    post-apply bands. Refusals, purge-of-prior-tombstones and replay
+    idempotence are pinned in tests/test_band_delete.py."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_apply,
+        band_index_bucket_keys,
+        band_index_build,
+        band_index_meta,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="vdb_bapply_") + "/bidx"
+    band_index_build(d, idx, id_col="doc_id", text_col="text")
+    meta = band_index_meta(idx)
+    m7 = F.col("doc_id") % 7
+    upserts = (
+        d.filter(m7 == 1)
+        .select("doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text"))
+        .unionByName(
+            d.filter(m7 == 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    band_index_apply(
+        spark, idx, upserts=upserts,
+        delete_ids=d.filter(m7 == 3).select("doc_id"),
+    )
+    probes = (
+        d.filter(m7 == 3)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(m7 == 1).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(m7 == 1).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(m7 == 2).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return novelty_gate(
+        probes,
+        band_index_bucket_keys(spark, idx),
+        id_col="doc_id",
+        text_col="text",
+        n=meta["n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+    ).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_hit_bands").cast("bigint").alias("n_hit_bands"),
+        "novel",
+    )
