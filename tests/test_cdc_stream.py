@@ -175,6 +175,118 @@ def test_cdc_resurrects_deleted_id_via_upsert(spark, tmp_path):
     assert len(log["entries"]) == 1 and log["entries"][0]["state"] == "done"
 
 
+def test_cdc_net_state_insert_then_update_of_new_id(spark, tmp_path):
+    # insert(seq1)+update(seq2) of a NEW id in one batch: a naive
+    # latest-event-vs-pre-batch collapse judges 'update of an unheld
+    # id' -> skipped_missing and never writes the row; the net-state
+    # replay applies the insert, then the update, and nets to an
+    # insert carrying seq2's content
+    root, cfg, idx = _setup(spark, tmp_path)
+    ev = spark.createDataFrame(
+        [
+            ("insert", 1, "500", "v1", [1.0] * 4),
+            ("update", 2, "500", "v2", [2.0] * 4),
+        ],
+        EV_SCHEMA,
+    )
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_net1")
+    got = {(r["id"], r["op"]): r["outcome"] for r in fn(ev, 0).collect()}
+    assert got == {("500", "update"): "applied_update"}
+    coll = read_collection(spark, root, "c")
+    row = coll.filter(F.col("id") == "500").first()
+    assert row is not None and row["document"] == "v2"
+    a, _, _ = ivf_read(spark, idx)
+    assert a.filter(F.col("id") == "500").first()["embedding"] == [2.0] * 4
+
+
+def test_cdc_net_state_delete_then_insert_of_held_id(spark, tmp_path):
+    # delete(seq1)+insert(seq2) of a HELD id: the naive collapse
+    # judges 'insert of a held id' -> skipped_existing and loses the
+    # delete; the net-state replay applies both and nets to a content
+    # replacement
+    root, cfg, idx = _setup(spark, tmp_path)
+    ev = spark.createDataFrame(
+        [
+            ("delete", 1, "4", None, None),
+            ("insert", 2, "4", "replaced", [9.0] * 4),
+        ],
+        EV_SCHEMA,
+    )
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_net2")
+    got = {(r["id"], r["op"]): r["outcome"] for r in fn(ev, 0).collect()}
+    assert got == {("4", "insert"): "applied_insert"}
+    coll = read_collection(spark, root, "c")
+    assert coll.count() == 20  # replaced, not duplicated or lost
+    assert coll.filter(F.col("id") == "4").first()["document"] == "replaced"
+    a, _, _ = ivf_read(spark, idx)
+    assert a.filter(F.col("id") == "4").first()["embedding"] == [9.0] * 4
+
+
+def test_cdc_crash_between_collection_commit_and_index_heals(
+    spark, tmp_path, monkeypatch
+):
+    # the unrecoverable-by-retry window the r12 ADVICE verified: crash
+    # AFTER collection_delete_indexed's collection pointer swap but
+    # BEFORE the index tombstone. The replay's composed call re-reads
+    # the collection etag — already moved by the first attempt — so a
+    # collection-fenced retry would raise StaleIndexError forever; the
+    # WAL-recorded replay passes fence="recorded" and heals.
+    import sys
+
+    root, cfg, idx = _setup(spark, tmp_path)
+    # delete-only batch: no insert re-stamps the index before the
+    # composed delete, so the stale fence would actually bite
+    ev = spark.createDataFrame(
+        [("delete", 1, "7", None, None), ("delete", 1, "8", None, None)],
+        EV_SCHEMA,
+    )
+    ann = sys.modules[
+        "vector_databases___hydrate_chroma_db_collection_spark.operators.ann"
+    ]
+    real = ann.ivf_delete
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before index tombstone")
+
+    monkeypatch.setattr(ann, "ivf_delete", boom)
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t6")
+    with pytest.raises(RuntimeError, match="injected"):
+        fn(ev, 0)
+    monkeypatch.setattr(ann, "ivf_delete", real)
+    # collection committed, index did not: honestly stale
+    assert read_collection(spark, root, "c").count() == 18
+    got = {r["id"]: r["outcome"] for r in fn(ev, 0).collect()}
+    assert got == {"7": "applied_delete", "8": "applied_delete"}
+    assert read_collection(spark, root, "c").count() == 18
+    a, _, _ = ivf_read(spark, idx)  # fence passes: index healed
+    assert a.count() == 18
+    assert a.filter(F.col("id").isin(["7", "8"])).count() == 0
+
+
+def test_cdc_wal_retains_other_sinks_done_entries(spark, tmp_path):
+    # two streams with distinct sink tables sharing one index path:
+    # sink B's commit must not drop sink A's last done entry (A's own
+    # replay of its final batch needs the recording)
+    root, cfg, idx = _setup(spark, tmp_path)
+    fn_a = cdc_ingest_batch_fn(idx, cfg, "cdc_sink_a")
+    fn_b = cdc_ingest_batch_fn(idx, cfg, "cdc_sink_b")
+    ev_a = spark.createDataFrame(
+        [("delete", 1, "3", None, None)], EV_SCHEMA
+    )
+    ev_b = spark.createDataFrame(
+        [("insert", 1, "700", "b doc", [1.0] * 4)], EV_SCHEMA
+    )
+    first = {r["id"]: r["outcome"] for r in fn_a(ev_a, 0).collect()}
+    fn_b(ev_b, 0)
+    log = json.load(open(os.path.join(idx, "cdc_log.json")))
+    prefixes = sorted(e["tag"].split("#", 1)[0] for e in log["entries"])
+    assert prefixes == ["cdc_sink_a", "cdc_sink_b"]
+    assert all(e["state"] == "done" for e in log["entries"])
+    # A's replay of its committed batch republishes from the recording
+    again = {r["id"]: r["outcome"] for r in fn_a(ev_a, 0).collect()}
+    assert again == first == {"3": "applied_delete"}
+
+
 def test_cdc_rejects_unknown_op(spark, tmp_path):
     root, cfg, idx = _setup(spark, tmp_path, n=4)
     fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t5")

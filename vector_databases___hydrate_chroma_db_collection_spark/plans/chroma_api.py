@@ -1082,6 +1082,30 @@ def collection_delete(
     return int(n_before - obs.get["rows"])
 
 
+def _fence_etag(
+    fence: str, etag_before: str, p: str, sidecar: str
+) -> str | None:
+    """Resolve the ``expected_prev_etag`` an indexed mutation should
+    pin, per the composed front doors' ``fence`` contract:
+    ``"collection"`` -> the collection etag observed before the
+    collection mutation (foreign-mutation fence); ``"recorded"`` ->
+    the etag the sidecar at ``p/sidecar`` itself records (WAL-recorded
+    replay heal — see ``collection_delete_indexed``). A sidecar built
+    without a source stamp fences nothing under ``"recorded"``."""
+    if fence == "collection":
+        return etag_before
+    if fence != "recorded":
+        raise EngineError(
+            f"fence must be 'collection' or 'recorded', got {fence!r}"
+        )
+    import json
+    import os
+
+    with open(os.path.join(p, sidecar)) as fh:
+        src = json.load(fh).get("source")
+    return src["etag"] if src else None
+
+
 def collection_delete_indexed(
     spark: SparkSession,
     root: str,
@@ -1092,6 +1116,7 @@ def collection_delete_indexed(
     where_document: dict | None = None,
     index_paths: list[str] | tuple[str, ...] = (),
     retain_previous: bool = False,
+    fence: str = "collection",
 ) -> int:
     """``collection.delete`` that keeps the collection's persisted
     ANN indexes SERVABLE: tombstone the deleted ids in every index at
@@ -1116,8 +1141,20 @@ def collection_delete_indexed(
     the swap and an index's tombstone commit leaves that index
     honestly stale (its fence refuses to serve) — re-run
     ``ivf_delete`` with the same ids, or ``ivf_refresh``; it can
-    never silently serve the deleted rows. Returns the number of
-    collection rows deleted."""
+    never silently serve the deleted rows.
+
+    ``fence``: ``"collection"`` (default) pins every index mutation
+    to the PRE-delete collection etag — any foreign mutation between
+    stampings raises ``StaleIndexError``. ``"recorded"`` pins each
+    index mutation to that index's OWN recorded stamp instead; this
+    exists for WAL-recorded replays (``streaming/cdc_stream.py``):
+    a retry after a crash between the collection commit and an index
+    tombstone finds the collection etag already moved by its own
+    first attempt, so the default fence would refuse forever. Self-
+    fencing is sound ONLY when the caller serializes all writers and
+    holds a durable record proving the retried mutation is byte-
+    identical to the crashed one (the CDC WAL's content-qualified
+    tag). Returns the number of collection rows deleted."""
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _local_sidecar_path,
         ivf_delete,
@@ -1128,6 +1165,10 @@ def collection_delete_indexed(
 
     if ids is None and where is None and where_document is None:
         raise EngineError("delete needs ids and/or a where predicate")
+    if fence not in ("collection", "recorded"):
+        raise EngineError(
+            f"fence must be 'collection' or 'recorded', got {fence!r}"
+        )
     etag_before = collection_etag(root, name)
     if where is None and where_document is None:
         # pure id-list delete: the doomed set IS the list — no scan
@@ -1175,12 +1216,17 @@ def collection_delete_indexed(
                     path,
                     doomed,
                     sidecar=sc,
-                    expected_prev_etag=etag_before,
+                    expected_prev_etag=_fence_etag(fence, etag_before, p, sc),
                 )
         if os.path.exists(os.path.join(p, "band_index.json")):
             found = True
             band_index_delete(
-                spark, path, doomed, expected_prev_etag=etag_before
+                spark,
+                path,
+                doomed,
+                expected_prev_etag=_fence_etag(
+                    fence, etag_before, p, "band_index.json"
+                ),
             )
         if not found:
             raise EngineError(
@@ -1201,6 +1247,7 @@ def collection_update_indexed(
     *,
     index_paths: list[str] | tuple[str, ...] = (),
     retain_previous: bool = False,
+    fence: str = "collection",
 ) -> int:
     """``collection.update`` that keeps the persisted VECTOR indexes
     servable: after the collection's atomic rewrite, surgically upsert
@@ -1228,7 +1275,11 @@ def collection_update_indexed(
 
     Same crash posture as ``collection_delete_indexed``: the
     collection commit is the pointer swap; a crash before an index's
-    upsert leaves that index honestly stale (fence refuses). Returns
+    upsert leaves that index honestly stale (fence refuses); and the
+    same ``fence`` escape hatch — ``"recorded"`` pins each index
+    mutation to its own recorded stamp so a WAL-recorded replay (the
+    CDC loop) can heal through the crash window instead of fencing
+    against its own first attempt's etag movement forever. Returns
     the number of collection rows updated."""
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _local_sidecar_path,
@@ -1246,6 +1297,10 @@ def collection_update_indexed(
     )
     import os
 
+    if fence not in ("collection", "recorded"):
+        raise EngineError(
+            f"fence must be 'collection' or 'recorded', got {fence!r}"
+        )
     has_embedding = "embedding" in updates.columns
     has_document = "document" in updates.columns
     for path in index_paths:
@@ -1303,19 +1358,24 @@ def collection_update_indexed(
                 upsert_fn(
                     spark, path, vec_batch,
                     id_col="id", embedding_col="embedding",
-                    expected_prev_etag=etag_before,
+                    expected_prev_etag=_fence_etag(fence, etag_before, p, sc),
                 )
             else:
                 # content untouched: heal the stamp only (the delete
                 # functions' fence-guarded empty-batch path)
                 ivf_delete(
                     spark, path, [], sidecar=sc,
-                    expected_prev_etag=etag_before,
+                    expected_prev_etag=_fence_etag(fence, etag_before, p, sc),
                 )
         if os.path.exists(os.path.join(p, "band_index.json")):
             found = True
             band_index_delete(
-                spark, path, [], expected_prev_etag=etag_before
+                spark,
+                path,
+                [],
+                expected_prev_etag=_fence_etag(
+                    fence, etag_before, p, "band_index.json"
+                ),
             )
         if not found:
             raise EngineError(

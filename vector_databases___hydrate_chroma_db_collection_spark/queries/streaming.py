@@ -916,7 +916,7 @@ def stream_novelty_maintained_loop(
         FROM b1
     ),
     b2 AS (
-        SELECT doc_id,
+        SELECT doc_id, m7,
                CASE WHEN m7 = 3 THEN 'insert'
                     WHEN m7 = 4 THEN 'delete'
                     ELSE 'update' END AS op,
@@ -929,7 +929,11 @@ def stream_novelty_maintained_loop(
                         CASE WHEN ex THEN 'skipped_existing'
                              ELSE 'applied_insert' END
                     WHEN op = 'update' THEN
-                        CASE WHEN ex THEN 'applied_update'
+                        -- %7==6 docs got (seq 1, delete) first: the
+                        -- net-state replay applies the delete, so the
+                        -- latest event (update) finds the id gone
+                        CASE WHEN m7 = 6 THEN 'skipped_missing'
+                             WHEN ex THEN 'applied_update'
                              ELSE 'skipped_missing' END
                     ELSE
                         CASE WHEN ex THEN 'applied_delete'
@@ -954,8 +958,11 @@ def stream_cdc_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
       tombstoned in the index, so this exercises the upsert path a
       plain append would refuse), DELETE %7==4, UPDATE %7==5, and for
       %7==6 send TWO events per doc — (seq 1, delete) then (seq 2,
-      update) — pinning the in-batch latest-event-wins collapse: the
-      published op must be 'update'.
+      update) — pinning the in-batch NET-STATE replay: the delete
+      applies first, so the published op is 'update' (the latest
+      event is the batch identity) with outcome 'skipped_missing'
+      (the id is gone by the time the update replays) and the doc is
+      net-deleted.
 
     Every published ``(batch, id, op, outcome)`` row is recomputed by
     the oracle from pure membership arithmetic over the fixture —

@@ -6,20 +6,36 @@ The r12 tombstone/upsert work gave the persisted index full CRUD
 (``ivf_append`` / ``ivf_upsert`` / ``ivf_delete``); this loop is what
 consumes it from a stream — the change-data-capture shape every
 lakehouse ingest eventually needs: a source emits
-``(op, seq, id, text, embedding)`` events, each micro-batch collapses
-to the LATEST event per id (``max_by`` on ``seq`` — a source retry
-folding several events for one id into a batch must apply only the
-final one), outcomes are judged against the PRE-batch collection
-state, and the mutations flow through the same composed front doors
-the batch API uses:
+``(op, seq, id, text, embedding)`` events, and each micro-batch is
+applied with NET-STATE semantics: per id, the batch's events are
+replayed in ``seq`` order against the pre-batch collection state (a
+JVM-side ``aggregate`` fold over the id's sorted event array — no
+Python in the path), so a source retry folding several events for one
+id into a batch lands exactly where applying them one at a time
+would. In particular (the sequences a naive latest-event-vs-pre-batch
+collapse silently loses):
 
-- ``applied_insert``  -> ``hydrate`` + ``ivf_upsert`` (upsert, not
-  append, so re-inserting an id a previous batch DELETED resurrects
-  it — ``ivf_append`` would raise ``TombstonedIdError`` until a
-  compact; the upsert's surgical rewrite purges the old row itself)
-- ``applied_update``  -> ``plans.chroma_api.collection_update_indexed``
+- ``insert(seq1) + update(seq2)`` of a NEW id nets to an insert
+  carrying seq2's content (not a skipped update of an unheld id);
+- ``delete(seq1) + insert(seq2)`` of a HELD id nets to a content
+  replacement (not a skipped insert that loses the delete);
+- ``delete(seq1) + update(seq2)`` of a held id nets to a delete,
+  the update honestly ``skipped_missing``.
+
+The published verdict per id is the LATEST event's ``(op, seq)`` with
+the outcome that event earned in the replay; the store mutations are
+the NET effect vs the pre-batch state — disjoint per-id sets routed
+through the same composed front doors the batch API uses:
+
+- net insert (pre-absent -> exists)  -> ``hydrate`` + ``ivf_upsert``
+  (upsert, not append, so re-inserting an id a previous batch DELETED
+  resurrects it — ``ivf_append`` would raise ``TombstonedIdError``
+  until a compact; the upsert's surgical rewrite purges the old row)
+- net update (pre-held -> exists, content touched)
+  -> ``plans.chroma_api.collection_update_indexed``
   (collection rewrite + surgical cell rewrite + re-stamp)
-- ``applied_delete``  -> ``plans.chroma_api.collection_delete_indexed``
+- net delete (pre-held -> absent)
+  -> ``plans.chroma_api.collection_delete_indexed``
   (collection pointer swap + index tombstones + re-stamp)
 - ``skipped_existing`` / ``skipped_missing``: Chroma semantics —
   inserts of held ids and updates/deletes of absent ids are recorded,
@@ -27,25 +43,41 @@ the batch API uses:
 
 Replay stability is RECORDING-based, not recompute-based: outcomes
 depend on the pre-batch state, which a replayed attempt can no longer
-observe (its own first attempt mutated it). So the verdict table is
-persisted to a versioned dir under the index path and the tag —
-content-qualified, ``sink#batch#digest(id:op:seq set)``, the
-``stream_semantic_ingest`` discipline — is committed into a tiny WAL
-(``cdc_log.json``, atomic temp+fsync+rename) BEFORE the first
-mutation. A replay finds its tag pending (crashed) or done
-(completed), republishes the recorded verdicts verbatim, and re-runs
-the mutations — every one of which is idempotent (hydrate
-``on_duplicate='first'``; upsert replaces a row with itself; deleting
-a gone id is a no-op), so the stores converge while the published
-verdicts equal the first attempt's exactly. Completed entries are
-retained for the last batch only (Structured Streaming replays at
-most the last uncommitted batch); pending entries of OTHER tags —
-crashed batches awaiting their own replay — survive every commit.
+observe (its own first attempt mutated it). So the verdict table —
+``(id, op, seq, outcome)`` PLUS the pre-batch existence bit ``_e0``
+the net-state fold needs — is persisted to a versioned dir under the
+index path, and the tag — content-qualified,
+``sink#batch#digest(id:op:seq set)``, the ``stream_semantic_ingest``
+discipline — is committed into a tiny WAL (``cdc_log.json``, atomic
+temp+fsync+rename) BEFORE the first mutation. A replay finds its tag
+pending (crashed) or done (completed), republishes the recorded
+verdicts verbatim, recomputes the net mutations deterministically
+from (batch events, recorded ``_e0``), and re-runs them — every one
+idempotent (hydrate ``on_duplicate='first'``; upsert replaces a row
+with itself; deleting a gone id is a no-op) — with
+``fence="recorded"`` on the composed calls: the first attempt's own
+collection commits moved the etag, so the default collection fence
+would raise ``StaleIndexError`` forever on a crash between a
+collection commit and its index mutation; self-fencing is sound here
+exactly because the WAL's content-qualified tag proves the retried
+mutation identical (see ``collection_delete_indexed``). Stores
+converge; published verdicts equal the first attempt's exactly.
+
+WAL retention: completed entries of THIS sink are kept for the last
+batch only (Structured Streaming replays at most the last uncommitted
+batch); pending entries of ANY tag — crashed batches awaiting their
+own replay — survive every commit; and the most recent DONE entry of
+every OTHER ``sink_table`` sharing the index path is retained too, so
+a second stream's replay of its last committed batch still finds its
+recording (one writer per (index path, sink_table) — tags embed the
+sink name, so sinks never collide; concurrent WRITERS on one index
+path are still unsupported, the indexes' own fences refuse them).
 
 Scale shape: per batch the loop pays the composed front doors' costs
 (id-column scans + touched-cell rewrites + tombstone bookkeeping —
 never a corpus data rewrite, never a retrain) plus one verdict-table
-write bounded by the batch. The index transitions stale -> fresh at
+write bounded by the batch; the net-state fold itself is one
+groupBy(id) over the batch. The index transitions stale -> fresh at
 every step without a rebuild, which is the whole point of the r12
 CRUD paths.
 """
@@ -110,6 +142,48 @@ def stream_cdc_ingest(
     )
 
 
+def _fold_expr(txt_t: str, emb_t: str) -> str:
+    """The net-state replay as one JVM-side ``aggregate`` fold over an
+    id's seq-sorted event array. State: (ex: held now?, txt/emb: net
+    content to write, dirty: did any event change state?, outcome:
+    the LAST event's verdict). Chroma per-op semantics: insert applies
+    only when absent (full payload), update only when held (per-field
+    — a NULL field keeps the previous value, mirroring the storage
+    layer's coalesce), delete only when held (clears)."""
+    keep = (
+        "named_struct('ex', s.ex, 'txt', s.txt, 'emb', s.emb, "
+        "'dirty', s.dirty, 'outcome', {o})"
+    )
+    return f"""
+    aggregate(
+      evs,
+      named_struct(
+        'ex', _e0,
+        'txt', cast(null as {txt_t}),
+        'emb', cast(null as {emb_t}),
+        'dirty', false,
+        'outcome', cast(null as string)),
+      (s, e) -> CASE
+        WHEN e.op = 'insert' AND NOT s.ex THEN named_struct(
+          'ex', true, 'txt', e._text, 'emb', e._embedding,
+          'dirty', true, 'outcome', 'applied_insert')
+        WHEN e.op = 'insert' THEN {keep.format(o="'skipped_existing'")}
+        WHEN e.op = 'update' AND s.ex THEN named_struct(
+          'ex', true,
+          'txt', coalesce(e._text, s.txt),
+          'emb', coalesce(e._embedding, s.emb),
+          'dirty', true, 'outcome', 'applied_update')
+        WHEN e.op = 'update' THEN {keep.format(o="'skipped_missing'")}
+        WHEN s.ex THEN named_struct(
+          'ex', false,
+          'txt', cast(null as {txt_t}),
+          'emb', cast(null as {emb_t}),
+          'dirty', true, 'outcome', 'applied_delete')
+        ELSE {keep.format(o="'skipped_missing'")}
+      END
+    )"""
+
+
 def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
     """The per-micro-batch body of ``stream_cdc_ingest``, exposed at
     module level so tests and the oracle-checked batch twin can drive
@@ -123,7 +197,6 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _fresh_versioned_dir,
         _local_sidecar_path,
-        ivf_upsert,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
         hydrate,
@@ -148,36 +221,51 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
         bad_ops = batch_events.filter(
             ~F.col("op").isin(["insert", "update", "delete"])
         )
-        # LATEST event per id wins (source retries fold several events
-        # for one id into a batch); max_by on seq, deterministic
-        # because (id, seq) identifies one event
-        uniq = (
-            batch_events.groupBy(F.col(ic).cast("string").alias("id"))
-            .agg(
-                F.expr("max_by(op, seq)").alias("op"),
-                F.max("seq").alias("seq"),
-                F.expr(f"max_by({tc}, seq)").alias("_text"),
-                F.expr(f"max_by({ec}, seq)").alias("_embedding"),
-            )
+        txt_t = batch_events.schema[tc].dataType.simpleString()
+        emb_t = batch_events.schema[ec].dataType.simpleString()
+        # per id: the seq-sorted event array (the net-state fold's
+        # input) plus the LATEST (op, seq) — the published identity.
+        # (id, seq) identifies one event, so the sort and max_by are
+        # deterministic.
+        grouped = batch_events.groupBy(
+            F.col(ic).cast("string").alias("id")
+        ).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seq"),
+                        F.col("op"),
+                        F.col(tc).alias("_text"),
+                        F.col(ec).alias("_embedding"),
+                    )
+                )
+            ).alias("evs"),
+            F.expr("max_by(op, seq)").alias("op"),
+            F.max("seq").alias("seq"),
         )
         probe_only = batch_events.isEmpty()
         if probe_only:
             # schema probe / empty batch: lazy plan only, no stores
-            return uniq.select("id", "op", "seq", F.lit("").alias("outcome")).limit(0)
+            return grouped.select(
+                "id", "op", "seq", F.lit("").alias("outcome")
+            ).limit(0)
         if bad_ops.limit(1).count() > 0:
             raise EngineError(
                 "stream_cdc_ingest: op must be one of "
                 "insert/update/delete"
             )
-        uniq = uniq.localCheckpoint(eager=True)
+        grouped = grouped.localCheckpoint(eager=True)
         p = _local_sidecar_path(index_path)
         # content-qualified batch identity over (id, op, seq): a
         # restarted stream with same batch ids but different events
         # must judge as a FRESH batch
-        tagged = uniq.select(
-            F.concat_ws(":", "id", "op", F.col("seq").cast("string")).alias(
-                "_k"
-            )
+        tagged = batch_events.select(
+            F.concat_ws(
+                ":",
+                F.col(ic).cast("string"),
+                "op",
+                F.col("seq").cast("string"),
+            ).alias("_k")
         )
         digest, _legacy = idguard.batch_digests(tagged, "_k")
         tag = f"{sink_table}#{batch_id}#{digest}"
@@ -185,67 +273,75 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
         entry = next(
             (e for e in log["entries"] if e.get("tag") == tag), None
         )
-        if entry is not None:
+        is_replay = entry is not None
+        if is_replay:
             # replay (crashed or completed): republish the recorded
             # verdicts verbatim — outcomes were judged against the
-            # pre-batch state only the first attempt could observe
-            verdicts = spark.read.parquet(os.path.join(p, entry["dir"]))
+            # pre-batch state only the first attempt could observe —
+            # and rebuild the net mutations from the recorded _e0
+            recorded = spark.read.parquet(os.path.join(p, entry["dir"]))
+            e0 = recorded.select("id", "_e0")
+            verdicts = recorded.select("id", "op", "seq", "outcome")
         else:
             held = read_collection(spark, cfg.root, cfg.collection_name)
-            exists = uniq.join(
-                held.select(F.col("id").cast("string").alias("id")),
+            e0 = (
+                grouped.select("id")
+                .join(
+                    held.select(
+                        F.col("id").cast("string").alias("id"),
+                        F.lit(True).alias("_held"),
+                    ),
+                    "id",
+                    "left",
+                )
+                .select(
+                    "id",
+                    F.coalesce("_held", F.lit(False)).alias("_e0"),
+                )
+            )
+        # ---- the net-state fold (deterministic from events + _e0) --
+        net = (
+            grouped.join(e0, "id")
+            .withColumn("_fin", F.expr(_fold_expr(txt_t, emb_t)))
+            .select(
                 "id",
-                "left_semi",
-            ).select("id", F.lit(True).alias("_exists"))
-            outcome = (
-                F.when(
-                    F.col("op") == "insert",
-                    F.when(
-                        F.col("_exists").isNotNull(),
-                        F.lit("skipped_existing"),
-                    ).otherwise(F.lit("applied_insert")),
-                )
-                .when(
-                    F.col("op") == "update",
-                    F.when(
-                        F.col("_exists").isNotNull(), F.lit("applied_update")
-                    ).otherwise(F.lit("skipped_missing")),
-                )
-                .otherwise(
-                    F.when(
-                        F.col("_exists").isNotNull(), F.lit("applied_delete")
-                    ).otherwise(F.lit("skipped_missing"))
-                )
+                "op",
+                "seq",
+                "_e0",
+                F.col("_fin.ex").alias("_ex"),
+                F.col("_fin.txt").alias("_txt"),
+                F.col("_fin.emb").alias("_emb"),
+                F.col("_fin.dirty").alias("_dirty"),
+                F.col("_fin.outcome").alias("outcome"),
             )
-            verdicts = (
-                uniq.join(exists, "id", "left")
-                .select("id", "op", "seq", outcome.alias("outcome"))
-                .localCheckpoint(eager=True)
-            )
+            .localCheckpoint(eager=True)
+        )
+        if not is_replay:
+            verdicts = net.select("id", "op", "seq", "outcome")
             # record BEFORE the first mutation: a crash after any
             # mutation must replay into the recorded verdicts, never
-            # re-judge against the half-mutated state
+            # re-judge against the half-mutated state. _e0 rides along
+            # so the replay's fold needs no store read.
             d = _fresh_versioned_dir(
                 p,
                 "cdc_verdicts",
                 floor_names=[e.get("dir") for e in log["entries"]],
             )
-            verdicts.write.mode("overwrite").parquet(os.path.join(p, d))
+            net.select("id", "op", "seq", "outcome", "_e0").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(p, d))
             entry = {"tag": tag, "dir": d, "state": "pending"}
             log["entries"].append(entry)
             _log_write(p, log)
-        applied = verdicts.filter(F.col("outcome").startswith("applied"))
-        # -- mutations: each idempotent, so a replay converges --------
+        # a replay's composed mutations self-fence (see module doc)
+        fence = "recorded" if is_replay else "collection"
+        # -- net mutations: disjoint per-id sets, each idempotent ----
         ins = (
-            uniq.join(
-                applied.filter("outcome = 'applied_insert'").select("id"),
-                "id",
-                "left_semi",
-            )
+            net.filter(~F.col("_e0") & F.col("_ex"))
             .select(
                 F.col("id").alias(ic),
-                F.col("_text").alias(tc),
-                F.col("_embedding").alias(ec),
+                F.col("_txt").alias(tc),
+                F.col("_emb").alias(ec),
             )
             .localCheckpoint(eager=True)
         )
@@ -258,6 +354,9 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
             # cohabiting IVF-PQ index stale, and the NEXT batch's
             # composed update/delete (which fences on the etag it
             # observes) would crash-loop on its StaleIndexError.
+            from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+                ivf_upsert,
+            )
             from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
                 ivf_pq_upsert,
             )
@@ -279,14 +378,12 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                     f"{index_path!r} (expected ivf_index.json or "
                     "ivf_pq_index.json)"
                 )
-        upd = uniq.join(
-            applied.filter("outcome = 'applied_update'").select("id"),
-            "id",
-            "left_semi",
+        upd = net.filter(
+            F.col("_e0") & F.col("_ex") & F.col("_dirty")
         ).select(
             "id",
-            F.col("_text").alias("document"),
-            F.col("_embedding").alias("embedding"),
+            F.col("_txt").alias("document"),
+            F.col("_emb").alias("embedding"),
         )
         if upd.limit(1).count() > 0:
             collection_update_indexed(
@@ -295,10 +392,11 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                 cfg.collection_name,
                 upd,
                 index_paths=[index_path],
+                fence=fence,
             )
         dels = [
             r["id"]
-            for r in applied.filter("outcome = 'applied_delete'")
+            for r in net.filter(F.col("_e0") & ~F.col("_ex"))
             .select("id")
             .collect()
         ]
@@ -309,17 +407,25 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                 cfg.collection_name,
                 ids=dels,
                 index_paths=[index_path],
+                fence=fence,
             )
         # -- commit: this tag done; retain other tags' pending entries
-        # (crashed batches awaiting replay) and drop completed entries
-        # older than this batch; GC their verdict dirs
+        # (crashed batches awaiting replay), the most recent done
+        # entry of every OTHER sink sharing the path (its stream's
+        # own last-batch replay needs it), and drop this sink's older
+        # completed entries; GC their verdict dirs
         log = _log_read(p)
-        keep = []
+        mine = f"{sink_table}#"
+        keep, last_foreign_done = [], {}
         for e in log["entries"]:
             if e.get("tag") == tag:
                 keep.append({"tag": tag, "dir": e["dir"], "state": "done"})
             elif e.get("state") == "pending":
                 keep.append(e)
+            elif not e.get("tag", "").startswith(mine):
+                # append order == commit order: latest done wins
+                last_foreign_done[e["tag"].split("#", 1)[0]] = e
+        keep.extend(last_foreign_done.values())
         dropped = [
             e["dir"]
             for e in log["entries"]
