@@ -577,6 +577,122 @@ def main() -> None:
     record("synth1m_knn_binary", run_binary_1m, warmup=True)
     record("synth1m_knn_exact", run_exact_1m, warmup=True)
     packed1m.unpersist()
+
+    # ------------------------------------------------------------------
+    # Scale probe: FILTERED ANN through the persisted-index front door
+    # at 1M (plans/chroma_api.py::collection_query_ivf /
+    # collection_query_batch_ivf) — the r12 serving matrix, measured
+    # at scale instead of the driver's 64-row gates. The collection
+    # carries a ~1%-selective metadata key (id % 97); the
+    # probe-doubling k-fill serves 100 filtered results from
+    # partition-pruned probes, the batch twin amortizes one corpus
+    # pass across 3 queries, and a CELL-KILLING predicate (matching
+    # nothing) must walk to exhaustion in exactly
+    # 1 + log2(n_cells/nprobe) doubling rounds and return empty —
+    # the k-fill termination contract, asserted via stats_out.
+    # ------------------------------------------------------------------
+    import math as _math
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_ivf,
+        collection_query_ivf,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    broot = _tempfile.mkdtemp(prefix="bench_filtered1m_")
+    bcfg = HydrationConfig(
+        collection_name="f1m",
+        root=broot,
+        id_col="id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="m",
+        metadata_key="m",
+    )
+    hydrate(
+        spark,
+        corpus1m.select(
+            F.col("id").cast("string").alias("id"),
+            F.concat(F.lit("doc "), F.col("id")).alias("text"),
+            (F.col("id") % 97).cast("string").alias("m"),
+            "embedding",
+        ),
+        bcfg,
+    )
+    bcoll = read_collection(spark, broot, "f1m")
+    assigned_b, C_b = ivf_build(
+        bcoll, n_centroids=256, seed=42, sample_fraction=0.02
+    )
+    bidx = f"{broot}/f1m/_ivf"
+    ivf_write(
+        assigned_b, C_b, bidx, metric="cosine", source=(broot, "f1m"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": 0.02},
+    )
+    bq = [
+        list(r["embedding"])
+        for r in corpus1m.filter(
+            F.col("id").isin([0, 123457, 654321])
+        ).orderBy("id").collect()
+    ]
+
+    def run_filtered_ivf_1m() -> None:
+        st: dict = {}
+        rows = collection_query_ivf(
+            spark, broot, "f1m", bq[0], n_results=100,
+            index_path=bidx, nprobe=16, where={"m": "7"},
+            score_decimals=4, stats_out=st,
+        ).collect()
+        assert len(rows) == 100, f"k-fill under-filled: {len(rows)}"
+        assert all(r["metadata"]["m"] == "7" for r in rows)
+        assert st["final_probe"] <= st["n_cells"]
+
+    def run_filtered_ivf_batch_1m() -> None:
+        st: dict = {}
+        rows = collection_query_batch_ivf(
+            spark, broot, "f1m", bq, n_results=100,
+            index_path=bidx, nprobe=16, where={"m": "7"},
+            score_decimals=4, stats_out=st,
+        ).collect()
+        assert len(rows) == 300, f"batch k-fill under-filled: {len(rows)}"
+
+    def run_filtered_ivf_cellkill_1m() -> None:
+        st: dict = {}
+        rows = collection_query_ivf(
+            spark, broot, "f1m", bq[0], n_results=10,
+            index_path=bidx, nprobe=16,
+            where={"m": "no-such-value"}, stats_out=st,
+        ).collect()
+        assert rows == []
+        want = 1 + int(_math.ceil(_math.log2(st["n_cells"] / 16)))
+        assert st["rounds"] == want and st["final_probe"] == st["n_cells"], (
+            st,
+            want,
+        )
+
+    record("synth1m_filtered_ivf_query", run_filtered_ivf_1m, warmup=True)
+    record(
+        "synth1m_filtered_ivf_query_batch",
+        run_filtered_ivf_batch_1m,
+        warmup=True,
+    )
+    record(
+        "synth1m_filtered_ivf_cellkill",
+        run_filtered_ivf_cellkill_1m,
+        warmup=True,
+    )
+    _shutil.rmtree(broot, ignore_errors=True)
     corpus1m.unpersist()
 
     # ------------------------------------------------------------------

@@ -116,6 +116,239 @@ def test_append_reintroduction_unretires_keys(spark, tmp_path):
     assert band_index_meta(idx)["tombstones"]["n_keys"] == 0
 
 
+def test_refcount_layout_and_decs_recording(spark, tmp_path):
+    # r13 layout: bucket_keys carries per-key contributor refcounts,
+    # ids carries per-doc key arrays, and deletes retire keys by
+    # arithmetic over a cumulative decrements recording — no bands
+    # scan. Docs 3 and 4 share identical text, so their keys carry
+    # cnt=2; deleting 3 decrements to 1 (key survives), deleting 4
+    # decrements to 0 (key retires) — across TWO separate deletes,
+    # which only works if the decs recording accumulates.
+    import json
+
+    idx = _mk(spark, tmp_path)
+    meta = band_index_meta(idx)
+    assert "cnt" in meta["ddl"]["bucket_keys"]
+    ids_loc = os.path.join(idx, meta["locations"]["ids"])
+    ids_df = spark.read.parquet(ids_loc)
+    assert "_keys" in ids_df.columns
+    assert ids_df.count() == 4
+    # shared text => shared keys with cnt=2 (3 and 4 are verbatim)
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        _read_part,
+    )
+
+    keys = _read_part(spark, idx, "bucket_keys", meta)
+    assert keys.filter(F.col("cnt") == 2).count() > 0
+    band_index_delete(spark, idx, [3])
+    m1 = band_index_meta(idx)
+    assert m1["tombstones"].get("decs_location")
+    # 4 still owns the shared content: nothing retired yet for it
+    assert _gate(spark, idx, [(103, DOCS[2][1])]) == {103: False}
+    band_index_delete(spark, idx, [4])
+    assert _gate(spark, idx, [(103, DOCS[2][1])]) == {103: True}
+    m2 = band_index_meta(idx)
+    decs = spark.read.parquet(
+        os.path.join(idx, m2["tombstones"]["decs_location"])
+    )
+    # cumulative: the shared keys carry dec=2 after both deletes
+    assert decs.filter(F.col("dec") == 2).count() > 0
+    # compact purges all three recordings and recounts cnt exactly
+    band_index_compact(spark, idx)
+    m3 = band_index_meta(idx)
+    assert "tombstones" not in m3
+    assert not [
+        d for d in os.listdir(idx) if d.startswith("key_decs_v")
+    ]
+    keys3 = _read_part(spark, idx, "bucket_keys", m3)
+    assert keys3.filter(F.col("cnt") != 1).count() == 0  # survivors 1,2
+
+
+def test_defer_updates_queue_and_compact_drain(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_audit,
+        band_index_defer_updates,
+        band_index_deferred_updates,
+    )
+
+    idx = _mk(spark, tmp_path)
+    new_text = "a wholly rewritten first document about oceans and tides"
+    n = band_index_defer_updates(
+        spark,
+        idx,
+        spark.createDataFrame([(1, new_text)], "doc_id int, text string"),
+    )
+    assert n == 1
+    # the honest window: until the drain, the index serves the
+    # PRE-update bands — old text still gates duplicate, new is novel
+    assert _gate(spark, idx, [(101, DOCS[0][1])]) == {101: False}
+    assert _gate(spark, idx, [(102, new_text)]) == {102: True}
+    aud = band_index_audit(spark, idx).first()
+    assert aud["deferred_updates"] == 1 and aud["compact_recommended"]
+    # a later defer of the same id supersedes the earlier entry
+    band_index_defer_updates(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [(1, new_text + " second revision")], "doc_id int, text string"
+        ),
+    )
+    q = band_index_deferred_updates(spark, idx)
+    assert q.count() == 1
+    assert q.first()["_text"].endswith("second revision")
+    # compact drains: new text gates, old text is novel, queue gone
+    band_index_compact(spark, idx)
+    meta = band_index_meta(idx)
+    assert "deferred_updates" not in meta
+    assert not [
+        d for d in os.listdir(idx) if d.startswith("deferred_updates_v")
+    ]
+    assert _gate(spark, idx, [(101, DOCS[0][1])]) == {101: True}
+    assert _gate(
+        spark, idx, [(102, new_text + " second revision")]
+    ) == {102: False}
+
+
+def test_defer_then_delete_drops_queue_entry(spark, tmp_path):
+    # a queued text update for a doc DELETED before the drain must not
+    # resurrect it
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_defer_updates,
+    )
+
+    idx = _mk(spark, tmp_path)
+    new_text = "replacement text that must never reach the index"
+    band_index_defer_updates(
+        spark,
+        idx,
+        spark.createDataFrame([(1, new_text)], "doc_id int, text string"),
+    )
+    band_index_delete(spark, idx, [1])
+    band_index_compact(spark, idx)
+    b, meta = band_index_read(spark, idx)
+    assert sorted(
+        r[0] for r in b.select("doc_id").distinct().collect()
+    ) == [2, 3, 4]
+    assert _gate(spark, idx, [(101, DOCS[0][1]), (102, new_text)]) == {
+        101: True,
+        102: True,
+    }
+
+
+def test_apply_drains_queue_with_caller_precedence(spark, tmp_path):
+    # a direct band_index_apply drains the queue too, its own upserts
+    # superseding queue entries for the same id
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_apply,
+        band_index_defer_updates,
+    )
+
+    idx = _mk(spark, tmp_path)
+    band_index_defer_updates(
+        spark,
+        idx,
+        spark.createDataFrame(
+            [
+                (1, "queued text for doc one about meadows"),
+                (2, "superseded queue entry mentioning canyons and plateaus"),
+            ],
+            "doc_id int, text string",
+        ),
+    )
+    rep = band_index_apply(
+        spark,
+        idx,
+        upserts=spark.createDataFrame(
+            [(2, "caller text for doc two wins over the queue")],
+            "doc_id int, text string",
+        ),
+    )
+    assert rep["drained"] == 1 and rep["updated"] == 1
+    assert "deferred_updates" not in band_index_meta(idx)
+    g = _gate(
+        spark,
+        idx,
+        [
+            (101, "queued text for doc one about meadows"),  # drained
+            (102, "caller text for doc two wins over the queue"),
+            (103, "superseded queue entry mentioning canyons and plateaus"),  # superseded
+            (104, DOCS[0][1]),  # doc 1 old text replaced -> novel
+        ],
+    )
+    assert g == {101: False, 102: False, 103: True, 104: True}
+
+
+def test_refcount_delete_after_append_exact(spark, tmp_path):
+    # delete of an APPENDED doc whose key also has a build-time
+    # contributor: cnt rows span two generations (build + append) and
+    # the arithmetic must SUM them — retiring only when both are gone
+    idx = _mk(spark, tmp_path)
+    band_index_append(
+        spark,
+        idx,
+        spark.createDataFrame([(60, DOCS[1][1])], "doc_id int, text string"),
+    )
+    probes = [(102, DOCS[1][1])]
+    assert _gate(spark, idx, probes) == {102: False}
+    band_index_delete(spark, idx, [60])
+    # build doc 2 still owns the content
+    assert _gate(spark, idx, probes) == {102: False}
+    band_index_delete(spark, idx, [2])
+    assert _gate(spark, idx, probes) == {102: True}
+
+
+def test_legacy_cntless_index_falls_back_and_upgrades(spark, tmp_path):
+    # an index written by the pre-r13 layout (cnt-less bucket_keys,
+    # id-only ids part): deletes fall back to the bands-scan
+    # derivation with identical semantics; a compact migrates the
+    # layout forward
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        _keys_have_cnt,
+        _read_part,
+        _sidecar_read,
+        _sidecar_write,
+    )
+
+    idx = _mk(spark, tmp_path)
+    meta = _sidecar_read(idx)
+    # rewrite the parts in the legacy shape: bucket_keys without cnt,
+    # ids without _keys (fresh dirs + sidecar swap, like old code did)
+    old_keys = _read_part(spark, idx, "bucket_keys", meta).select("band", "h")
+    nb = meta["num_buckets"]
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        _write_new_part,
+    )
+
+    meta["locations"]["bucket_keys"] = _write_new_part(
+        old_keys, idx, "bucket_keys", nb, meta["locations"]["bucket_keys"]
+    )
+    old_ids = spark.read.parquet(
+        os.path.join(idx, meta["locations"]["ids"])
+    ).select("doc_id")
+    meta["locations"]["ids"] = _write_new_part(
+        old_ids, idx, "ids", None, meta["locations"]["ids"]
+    )
+    meta["ddl"]["bucket_keys"] = ", ".join(
+        f"`{c}` {t}" for c, t in old_keys.dtypes
+    )
+    _sidecar_write(idx, meta)
+    assert not _keys_have_cnt(band_index_meta(idx))
+    # legacy fallback: same retirement semantics
+    band_index_delete(spark, idx, [1, 3])
+    probes = [(101, DOCS[0][1]), (103, DOCS[2][1])]
+    assert _gate(spark, idx, probes) == {101: True, 103: False}
+    # compact migrates to the r13 layout
+    band_index_compact(spark, idx)
+    m2 = band_index_meta(idx)
+    assert "cnt" in m2["ddl"]["bucket_keys"]
+    assert "_keys" in spark.read.parquet(
+        os.path.join(idx, m2["locations"]["ids"])
+    ).columns
+    # and the upgraded index deletes through the fast path correctly
+    band_index_delete(spark, idx, [4])
+    assert _gate(spark, idx, probes) == {101: True, 103: True}
+
+
 def test_append_of_tombstoned_id_refused_until_compact(spark, tmp_path):
     idx = _mk(spark, tmp_path)
     band_index_delete(spark, idx, [2])
@@ -358,7 +591,7 @@ def test_band_index_apply_batch_mutation(spark, tmp_path):
         ),
         delete_ids=[1],
     )
-    assert rep == {"updated": 1, "inserted": 1, "deleted": 1}
+    assert rep == {"updated": 1, "inserted": 1, "deleted": 1, "drained": 0}
     meta = band_index_meta(idx)
     assert "tombstones" not in meta
     assert not [
@@ -398,7 +631,7 @@ def test_band_index_apply_batch_mutation(spark, tmp_path):
         ),
         delete_ids=[1],
     )
-    assert rep2 == {"updated": 2, "inserted": 0, "deleted": 0}
+    assert rep2 == {"updated": 2, "inserted": 0, "deleted": 0, "drained": 0}
     assert _gate(spark, idx, [(104, "a freshly rewritten third document about gardens")]) == {104: False}
 
 

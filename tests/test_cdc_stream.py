@@ -287,6 +287,136 @@ def test_cdc_wal_retains_other_sinks_done_entries(spark, tmp_path):
     assert again == first == {"3": "applied_delete"}
 
 
+def test_cdc_dual_index_with_band_text_updates(spark, tmp_path):
+    # a collection carrying BOTH an IVF index and a near-dup band
+    # index at one path, driven through the CDC loop with document
+    # updates in the event stream: inserts extend both indexes,
+    # deletes tombstone both, and text updates ride the deferred
+    # queue (band_text_mode='defer', the streaming default) — served
+    # stale until a compact drains, exactly the documented window.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_audit,
+        band_index_build,
+        band_index_bucket_keys,
+        band_index_compact,
+        band_index_meta,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate,
+    )
+
+    root = str(tmp_path / "root")
+    texts = {
+        i: f"document number {i} speaks of topic{i} and subject{i * 7} today"
+        for i in range(8)
+    }
+    docs = [
+        (str(i), texts[i], [float((i * 3 + j) % 9) for j in range(4)])
+        for i in range(8)
+    ]
+    cfg = HydrationConfig(
+        collection_name="c", root=root, id_col="id",
+        text_col="text", embedding_col="embedding",
+    )
+    hydrate(
+        spark,
+        spark.createDataFrame(
+            docs, "id string, text string, embedding array<float>"
+        ),
+        cfg,
+    )
+    coll = read_collection(spark, root, "c")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=1)
+    idx = str(tmp_path / "dual")
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "c"),
+        build={"metric": "l2", "seed": 1, "sample_fraction": None},
+    )
+    band_index_build(
+        coll.select("id", F.col("document").alias("text")),
+        idx,
+        id_col="id",
+        text_col="text",
+        source=(root, "c"),
+    )
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_dual")
+
+    new_doc = "a brand new ninth document concerning freshly arrived topics"
+    upd_text = "document number three was rewritten beyond recognition here"
+    ev = spark.createDataFrame(
+        [
+            ("insert", 1, "300", new_doc, [7.0] * 4),
+            ("update", 1, "3", upd_text, [8.0] * 4),
+            ("delete", 1, "6", None, None),
+        ],
+        EV_SCHEMA,
+    )
+    got = {r["id"]: r["outcome"] for r in fn(ev, 0).collect()}
+    assert got == {
+        "300": "applied_insert",
+        "3": "applied_update",
+        "6": "applied_delete",
+    }
+
+    def gate(pairs):
+        meta = band_index_meta(idx)
+        out = novelty_gate(
+            spark.createDataFrame(pairs, "id string, text string"),
+            band_index_bucket_keys(spark, idx),
+            id_col="id",
+            text_col="text",
+            n=meta["n"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+        )
+        return {r["id"]: bool(r["novel"]) for r in out.collect()}
+
+    # insert reached the band index immediately; delete retired doc
+    # 6's unshared keys; the text UPDATE is queued (honest window:
+    # old text still gates, new text reads novel)
+    assert gate(
+        [
+            ("p1", new_doc),
+            ("p2", texts[6]),
+            ("p3", texts[3]),
+            ("p4", upd_text),
+        ]
+    ) == {"p1": False, "p2": True, "p3": False, "p4": True}
+    aud = band_index_audit(spark, idx).first()
+    assert aud["deferred_updates"] == 1 and aud["compact_recommended"]
+    # IVF side followed every mutation surgically
+    a, _, _ = ivf_read(spark, idx)
+    assert a.count() == 8  # 8 - 1 delete + 1 insert
+    assert a.filter(F.col("id") == "3").first()["embedding"] == [8.0] * 4
+    assert a.filter(F.col("id") == "6").count() == 0
+    # a later batch RE-INSERTS the band-tombstoned id 6 (no compact
+    # ran yet): the IVF side upserts; the band side has no surgical
+    # upsert, so the resurrection rides band_index_apply's atomic
+    # part rewrite — which ALSO drains the deferred update queue
+    back = "document number six returns with entirely different words"
+    got2 = {
+        r["id"]: r["outcome"]
+        for r in fn(
+            spark.createDataFrame(
+                [("insert", 1, "6", back, [5.0] * 4)], EV_SCHEMA
+            ),
+            1,
+        ).collect()
+    }
+    assert got2 == {"6": "applied_insert"}
+    assert gate(
+        [("p5", back), ("p3", texts[3]), ("p4", upd_text)]
+    ) == {"p5": False, "p3": True, "p4": False}
+    aud2 = band_index_audit(spark, idx).first()
+    assert aud2["deferred_updates"] == 0
+    assert "deferred_updates" not in band_index_meta(idx)
+    a2, _, _ = ivf_read(spark, idx)
+    assert a2.filter(F.col("id") == "6").first()["embedding"] == [5.0] * 4
+    # and a compact on the now-clean index is an ordinary compact
+    band_index_compact(spark, idx)
+    assert gate([("p5", back)]) == {"p5": False}
+
+
 def test_cdc_rejects_unknown_op(spark, tmp_path):
     root, cfg, idx = _setup(spark, tmp_path, n=4)
     fn = cdc_ingest_batch_fn(idx, cfg, "cdc_t5")

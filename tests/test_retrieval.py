@@ -218,3 +218,91 @@ def test_phrase_bm25_from_index_filter_then_rank(spark):
     }
     for doc, (_n, score) in got.items():
         assert score == unrestricted[doc], doc
+
+
+def test_phrase_bm25_batch_equals_single_path(spark):
+    """phrase_bm25_from_index_batch must reproduce each phrase's
+    single-query rows byte-for-byte (same match counts, same BM25 —
+    the shared corpus length model), and the batch rank/fuse twins
+    must agree with their single-list forms."""
+    from pyspark.sql import functions as F
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        inverted_postings,
+        phrase_bm25_from_index,
+        phrase_bm25_from_index_batch,
+        positional_postings,
+        rrf_fuse,
+        rrf_fuse_batch,
+        top_ranks,
+        top_ranks_batch,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "fast table scan beats slow table scan on a fast table"),
+            (2, "sort column then scan the sorted column fast"),
+            (3, "a fast table scan and a sort column walk into a bar"),
+            (4, "nothing relevant here at all just filler words"),
+            (5, "fast fast fast table scan scan"),
+        ],
+        "doc_id int, text string",
+    )
+    pos = positional_postings(d, id_col="doc_id", text_col="text")
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    phrases = [["fast", "table", "scan"], ["sort", "column"]]
+    batch = phrase_bm25_from_index_batch(
+        pos, postings, stats, phrases, id_col="doc_id"
+    )
+    for qi, ph in enumerate(phrases):
+        single = {
+            (r["doc_id"]): (r["n_matches"], r["bm25"])
+            for r in phrase_bm25_from_index(
+                pos, postings, stats, ph, id_col="doc_id"
+            ).collect()
+        }
+        got = {
+            r["doc_id"]: (r["n_matches"], r["bm25"])
+            for r in batch.filter(F.col("qid") == qi).collect()
+        }
+        assert got == single, (qi, got, single)
+    # repeated-term phrase: the distinct-offset match test stays exact
+    rep = phrase_bm25_from_index_batch(
+        pos, postings, stats, [["fast", "fast"]], id_col="doc_id"
+    ).collect()
+    assert {r["doc_id"]: r["n_matches"] for r in rep} == {5: 2}
+    # rank + fuse twins agree per qid
+    tb = top_ranks_batch(batch, "bm25", id_col="doc_id", k=2)
+    for qi, ph in enumerate(phrases):
+        single_rank = {
+            r["doc_id"]: r["rank"]
+            for r in top_ranks(
+                phrase_bm25_from_index(
+                    pos, postings, stats, ph, id_col="doc_id"
+                ),
+                "bm25",
+                id_col="doc_id",
+                k=2,
+            ).collect()
+        }
+        got_rank = {
+            r["doc_id"]: r["rank"]
+            for r in tb.filter(F.col("qid") == qi).collect()
+        }
+        assert got_rank == single_rank
+    fused_b = rrf_fuse_batch(
+        tb.select("qid", "doc_id", "rank"),
+        tb.select("qid", "doc_id", "rank"),
+        id_col="doc_id",
+    )
+    for qi in (0, 1):
+        one = tb.filter(F.col("qid") == qi).select("doc_id", "rank")
+        single_f = {
+            r["doc_id"]: r["rrf"]
+            for r in rrf_fuse(one, one, id_col="doc_id").collect()
+        }
+        got_f = {
+            r["doc_id"]: r["rrf"]
+            for r in fused_b.filter(F.col("qid") == qi).collect()
+        }
+        assert got_f == single_f

@@ -384,11 +384,20 @@ def band_index_write(
         _sidecar_read(p) if os.path.exists(os.path.join(p, _SIDECAR)) else None
     )
     stamp = _source_stamp(source)
-    keys = band_rows.select("band", "h").distinct()
-    # Bucket keys distincted at build time: novelty serving needs only
-    # (band, h) MEMBERSHIP (the gate probes with a LEFT SEMI join, so
-    # duplicates would not be wrong — just wasted bytes); appends add
-    # batch-distinct keys and band_index_compact re-distincts.
+    keys = band_rows.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Bucket keys aggregated to one row per key at build time: novelty
+    # serving needs only (band, h) MEMBERSHIP (the gate probes with a
+    # LEFT SEMI join, so duplicates would not be wrong — just wasted
+    # bytes); appends add batch-aggregated keys and band_index_compact
+    # re-aggregates. The ``cnt`` column is the key's CONTRIBUTOR
+    # refcount (how many docs emit it — each doc emits a (band, h)
+    # pair at most once, so summing cnt across append generations
+    # counts contributors exactly); ``band_index_delete`` retires a
+    # key by pure arithmetic — sum(cnt) <= sum(recorded decrements) —
+    # instead of scanning the corpus-order ``bands`` part for
+    # survivors.
     old_locs = (old_meta or {}).get("locations") or {}
     locations = {
         "bands": _write_new_part(
@@ -410,9 +419,15 @@ def band_index_write(
         locations["sizes"] = _write_new_part(
             sizes, path, "sizes", None, old_locs.get("sizes")
         )
-        ids = sizes.select(id_col)
-    else:
-        ids = band_rows.select(id_col).distinct()
+    # ids carries each doc's (band, h) key array — the delete path's
+    # per-doc key lookup (one batch-restricted read of THIS narrow
+    # part replaces the old full ``bands`` scan when deriving which
+    # bucket keys a delete retires). One row per doc, ``bands``-many
+    # array entries; same information as the bands part re-clustered
+    # by id, at ~1/bands the row count.
+    ids = band_rows.groupBy(id_col).agg(
+        F.collect_list(F.struct("band", "h")).alias("_keys")
+    )
     locations["ids"] = _write_new_part(
         ids, path, "ids", None, old_locs.get("ids")
     )
@@ -451,10 +466,14 @@ def band_index_write(
     # recording (fresh parts hold only current-collection rows): GC
     # both recording families
     for d in os.listdir(p):
-        if (
-            d.startswith("append_ids_v")
-            or d.startswith("band_tombstones_v")
-            or d.startswith("removed_keys_v")
+        if d.startswith(
+            (
+                "append_ids_v",
+                "band_tombstones_v",
+                "removed_keys_v",
+                "key_decs_v",
+                "deferred_updates_v",
+            )
         ):
             shutil.rmtree(os.path.join(p, d), ignore_errors=True)
     idguard.gc_bloom_files(p, {id_bloom["location"]})
@@ -468,6 +487,39 @@ def _band_ts_ids(spark: SparkSession, p: str, meta: dict) -> DataFrame | None:
     if not ts or not int(ts.get("n") or 0):
         return None
     return spark.read.parquet(os.path.join(p, ts["ids_location"]))
+
+
+def _keys_have_cnt(meta: dict) -> bool:
+    """Whether the persisted ``bucket_keys`` part carries the ``cnt``
+    contributor-refcount column (r13 layout). Legacy cnt-less indexes
+    keep working — deletes just fall back to the bands-scan retirement
+    derivation until a compact/apply rewrite upgrades the layout."""
+    return "cnt" in (meta.get("ddl") or {}).get("bucket_keys", "")
+
+
+def _ids_have_keys(spark: SparkSession, path: str, meta: dict) -> bool:
+    """Whether the persisted ``ids`` part carries each doc's ``_keys``
+    array (r13 layout) — schema probe only, no data read."""
+    locations = meta.get("locations") or {}
+    if "ids" not in locations:
+        return False
+    loc = os.path.join(_local_sidecar_path(path), locations["ids"])
+    try:
+        return "_keys" in spark.read.parquet(loc).columns
+    except Exception:
+        return False
+
+
+def _band_key_decs(spark: SparkSession, p: str, meta: dict) -> DataFrame | None:
+    """The cumulative per-key delete decrements ``(band, h, dec)`` —
+    how many tombstoned docs emitted each key since the last physical
+    purge. ``None`` when empty. Together with the ``cnt`` refcounts in
+    ``bucket_keys`` this makes key retirement pure arithmetic:
+    retired iff sum(cnt) - dec <= 0."""
+    ts = meta.get("tombstones")
+    if not ts or not ts.get("decs_location"):
+        return None
+    return spark.read.parquet(os.path.join(p, ts["decs_location"]))
 
 
 def _band_removed_keys(spark: SparkSession, p: str, meta: dict) -> DataFrame | None:
@@ -505,17 +557,28 @@ def band_index_delete(
       a compact purges (``TombstonedIdError``, the ``ivf_append``
       discipline).
     - **removed keys**: the ``(band, h)`` bucket keys of the deleted
-      docs that NO SURVIVING document also emits — computed here with
-      one scan of the ``bands`` part (dead keys from a broadcast
-      semi-join, survivors-on-dead-keys from the same scan pruned by
-      a broadcast semi on those keys; both sides of the final
-      anti-join are batch-sized). ``band_index_bucket_keys`` serves
-      ``keys MINUS removed`` via a broadcast anti-join, which equals
-      "distinct keys of the surviving docs" exactly: a shared key
-      keeps gating duplicates (some survivor still owns the content),
-      an unshared key stops. ``band_index_append`` UN-removes any key
-      a later batch re-introduces (see its removed-keys shrink), and
-      ``band_index_compact`` purges both recordings physically.
+      docs that NO SURVIVING document also emits. On the r13 layout
+      this is pure REFCOUNT ARITHMETIC — corpus-independent per
+      batch: the batch docs' key arrays come off the ``ids`` part in
+      the same lookup that resolves which batch ids are indexed, the
+      per-key decrements merge into a small cumulative recording
+      (``key_decs``), and a key retires iff its total contributor
+      count (sum of ``cnt`` rows in ``bucket_keys``, restricted to
+      the batch's keys by a broadcast semi — one narrow 3-int-column
+      lookup, never the ``bands`` part) is fully decremented. Legacy
+      cnt-less layouts fall back to the old one-bands-scan
+      derivation until a compact/apply rewrite upgrades them.
+      ``band_index_bucket_keys`` serves ``keys MINUS removed`` via a
+      broadcast anti-join, which equals "distinct keys of the
+      surviving docs" exactly: a shared key keeps gating duplicates
+      (some survivor still owns the content), an unshared key stops.
+      (One documented wrinkle: a TORN append's replay re-appends its
+      whole batch's cnt rows, over-counting keys the crashed attempt
+      landed — conservative, the key can only retire LATE, and
+      ``band_index_compact``'s exact recount heals it.)
+      ``band_index_append`` UN-removes any key a later batch
+      re-introduces (see its removed-keys shrink), and
+      ``band_index_compact`` purges all three recordings physically.
 
     Crash-safe and replay-idempotent exactly like ``ivf_delete``:
     recordings land in fresh monotonic versioned dirs first, one
@@ -577,14 +640,24 @@ def band_index_delete(
                 "band_index_refresh instead"
             )
     # which batch ids are actually indexed: Bloom prescreen (negative
-    # = definitely not indexed) + exact semi-join on the ids part
+    # = definitely not indexed) + exact join on the ids part. On the
+    # r13 layout the join also fetches each present doc's (band, h)
+    # key array — the retirement arithmetic's whole input, so the
+    # delete never opens the corpus-order ``bands`` part at all.
     locations = meta.get("locations") or {}
     idc = meta["id_col"]
+    fast = _keys_have_cnt(meta) and _ids_have_keys(spark, path, meta)
     if "ids" in locations:
         have = spark.read.parquet(os.path.join(p, locations["ids"]))
     else:  # legacy pre-ids index: derive once from bands
         have = _read_part(spark, path, "bands", meta).select(idc).distinct()
-    have = have.select(F.col(idc).cast("string").alias("_have_id"))
+    have_cols = [F.col(idc).cast("string").alias("_have_id")] + (
+        [F.col("_keys")] if fast else []
+    )
+    have = have.select(*have_cols)
+    # ids are unique in the part, so an inner join keeps batch
+    # cardinality while attaching _keys (a semi-join would drop them)
+    join_kind = "inner" if fast else "left_semi"
     bloom_meta = meta.get("id_bloom")
     if idguard.filter_usable(bloom_meta):
         _neg, maybe, _st = idguard.bloom_split(
@@ -592,58 +665,111 @@ def band_index_delete(
         )
         present = (
             maybe.join(
-                have, F.col("_del_id") == F.col("_have_id"), "left_semi"
+                have, F.col("_del_id") == F.col("_have_id"), join_kind
             )
             if maybe is not None
-            else fresh_batch.limit(0)
+            else fresh_batch.limit(0).join(
+                have, F.col("_del_id") == F.col("_have_id"), join_kind
+            )
         )
     else:
         present = fresh_batch.join(
-            have, F.col("_del_id") == F.col("_have_id"), "left_semi"
+            have, F.col("_del_id") == F.col("_have_id"), join_kind
         )
     present = present.select(
-        F.col("_del_id").alias("_ts_id")
+        F.col("_del_id").alias("_ts_id"),
+        *([F.col("_keys")] if fast else []),
     ).localCheckpoint(eager=True)
     n_new = present.count()
     commit = n_new > 0
     if commit:
         ts_cur = meta.get("tombstones") or {}
+        present_ids = present.select("_ts_id")
         merged_ids = (
-            present if ts_prev is None else ts_prev.unionByName(present)
+            present_ids
+            if ts_prev is None
+            else ts_prev.unionByName(present_ids)
         ).dropDuplicates(["_ts_id"])
         ids_dir = _fresh_part_dir(
             p, "band_tombstones", prev=[ts_cur.get("ids_location")]
         )
         merged_ids.write.mode("overwrite").parquet(os.path.join(p, ids_dir))
         n_ts = spark.read.parquet(os.path.join(p, ids_dir)).count()
-        # removed keys: ONE scan of bands — dead keys (broadcast semi
-        # on the batch), survivors restricted to those keys (broadcast
-        # semi again), then a batch-sized anti-join
-        bands_df = _read_part(spark, path, "bands", meta)
-        all_ts = spark.read.parquet(os.path.join(p, ids_dir))
-        dead_keys = (
-            bands_df.join(
-                F.broadcast(present),
-                F.col(idc).cast("string") == F.col("_ts_id"),
-                "left_semi",
+        decs_dir = None
+        if fast:
+            # retirement by refcount arithmetic — O(batch keys), no
+            # bands scan: the batch's per-key decrements (each doc
+            # emits a key at most once, so exploding the present docs'
+            # key arrays and counting IS the contributor loss) merge
+            # into the cumulative decs recording; a key retires iff
+            # its total contributor count (sum of cnt rows in
+            # bucket_keys, restricted to the batch's keys by a
+            # broadcast semi — the one narrow lookup) has been fully
+            # decremented. Equal to the old survivors-scan derivation
+            # because cumulative decs = all tombstoned docs' emissions.
+            dec_delta = (
+                present.select(F.explode("_keys").alias("_k"))
+                .select(F.col("_k.band").alias("band"), F.col("_k.h").alias("h"))
+                .groupBy("band", "h")
+                .agg(F.count(F.lit(1)).alias("dec"))
             )
-            .select("band", "h")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        alive_on_dead = (
-            bands_df.join(
-                F.broadcast(all_ts),
-                F.col(idc).cast("string") == F.col("_ts_id"),
-                "left_anti",
+            decs_prev = _band_key_decs(spark, p, meta)
+            merged_decs = (
+                dec_delta
+                if decs_prev is None
+                else decs_prev.unionByName(dec_delta)
+                .groupBy("band", "h")
+                .agg(F.sum("dec").alias("dec"))
             )
-            .join(F.broadcast(dead_keys), ["band", "h"], "left_semi")
-            .select("band", "h")
-            .distinct()
-        )
-        removed_new = dead_keys.join(
-            alive_on_dead, ["band", "h"], "left_anti"
-        )
+            decs_dir = _fresh_part_dir(
+                p, "key_decs", prev=[ts_cur.get("decs_location")]
+            )
+            merged_decs.write.mode("overwrite").parquet(
+                os.path.join(p, decs_dir)
+            )
+            merged_decs = spark.read.parquet(os.path.join(p, decs_dir))
+            cand = dec_delta.select("band", "h").localCheckpoint(eager=True)
+            totals = (
+                _read_part(spark, path, "bucket_keys", meta)
+                .join(F.broadcast(cand), ["band", "h"], "left_semi")
+                .groupBy("band", "h")
+                .agg(F.sum("cnt").alias("_cnt"))
+            )
+            removed_new = (
+                totals.join(F.broadcast(merged_decs), ["band", "h"])
+                .filter(F.col("_cnt") <= F.col("dec"))
+                .select("band", "h")
+            )
+        else:
+            # legacy cnt-less layout: ONE scan of bands — dead keys
+            # (broadcast semi on the batch), survivors restricted to
+            # those keys (broadcast semi again), then a batch-sized
+            # anti-join
+            bands_df = _read_part(spark, path, "bands", meta)
+            all_ts = spark.read.parquet(os.path.join(p, ids_dir))
+            dead_keys = (
+                bands_df.join(
+                    F.broadcast(present_ids),
+                    F.col(idc).cast("string") == F.col("_ts_id"),
+                    "left_semi",
+                )
+                .select("band", "h")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            alive_on_dead = (
+                bands_df.join(
+                    F.broadcast(all_ts),
+                    F.col(idc).cast("string") == F.col("_ts_id"),
+                    "left_anti",
+                )
+                .join(F.broadcast(dead_keys), ["band", "h"], "left_semi")
+                .select("band", "h")
+                .distinct()
+            )
+            removed_new = dead_keys.join(
+                alive_on_dead, ["band", "h"], "left_anti"
+            )
         rk_prev = _band_removed_keys(spark, p, meta)
         merged_keys = (
             removed_new
@@ -663,6 +789,8 @@ def band_index_delete(
             "keys_location": keys_dir,
             "n_keys": int(n_keys),
         }
+        if decs_dir is not None:
+            meta["tombstones"]["decs_location"] = decs_dir
     src = meta.get("source")
     if src is not None:
         meta["source"] = _source_stamp((src["root"], src["name"]))
@@ -670,14 +798,131 @@ def band_index_delete(
     if commit:
         _sidecar_write(p, meta)
         ts_now = meta.get("tombstones") or {}
-        keep = {ts_now.get("ids_location"), ts_now.get("keys_location")}
+        keep = {
+            ts_now.get("ids_location"),
+            ts_now.get("keys_location"),
+            ts_now.get("decs_location"),
+        }
         for d in os.listdir(p):
             if (
                 d.startswith("band_tombstones_v")
                 or d.startswith("removed_keys_v")
+                or d.startswith("key_decs_v")
             ) and d not in keep:
                 shutil.rmtree(os.path.join(p, d), ignore_errors=True)
     return n_new
+
+
+def band_index_defer_updates(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    *,
+    id_col: str | None = None,
+    text_col: str | None = None,
+    expected_prev_etag: str | None = None,
+) -> int:
+    """Queue TEXT updates against a persisted band index for
+    amortized application at compact cadence — the deferred-update
+    half of the text-mutation story: the id-free serving layout has
+    no surgical row replacement (a doc's rows scatter across every
+    ``(band, h)`` bucket), so the honest unit of text mutation is a
+    part rewrite (``band_index_apply``). Paying that rewrite per
+    micro-batch is compact-cost per batch; this instead records the
+    ``(id, text)`` batch in a tiny versioned recording (one atomic
+    sidecar swap) and lets the NEXT ``band_index_compact`` — or a
+    direct ``band_index_apply`` — fold every queued update into the
+    one rewrite it already pays. Later entries (and a direct apply's
+    own upserts) supersede earlier ones per id; entries whose id is
+    tombstoned by drain time are dropped.
+
+    THE HONEST WINDOW: until the queue drains, the index serves the
+    PRE-update text's bands — a near-duplicate of the NEW text may
+    gate novel and one of the OLD text may still gate duplicate. The
+    sidecar is re-stamped (the collection moved; refusing to re-stamp
+    would fence every read until compact, which is strictly worse),
+    and ``band_index_audit`` reports the queue depth and flips
+    ``compact_recommended`` while any update is pending, so a
+    maintenance loop bounds the window to its compact cadence.
+
+    Same ``expected_prev_etag`` fence as the other mutations. Returns
+    the number of queued rows (post in-batch dedup)."""
+    p = _local_sidecar_path(path)
+    meta = _sidecar_read(p)
+    if expected_prev_etag is not None:
+        from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+            StaleIndexError,
+        )
+
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"band index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the deferral expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something other than this update — "
+                "run band_index_refresh instead"
+            )
+    idc = meta["id_col"]
+    id_type = meta.get("id_type")
+    ic = id_col or idc
+    tc = text_col or meta["text_col"]
+    batch = (
+        updates.select(
+            (F.col(ic).cast(id_type) if id_type else F.col(ic)).alias(idc),
+            F.col(tc).alias("_text"),
+        )
+        .dropDuplicates([idc])
+        .localCheckpoint(eager=True)
+    )
+    n = batch.count()
+    queued = list(meta.get("deferred_updates") or [])
+    d = _fresh_part_dir(
+        p, "deferred_updates", prev=[e.get("location") for e in queued]
+    )
+    batch.write.mode("overwrite").parquet(os.path.join(p, d))
+    queued.append({"location": d, "n": int(n)})
+    meta["deferred_updates"] = queued
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+    _sidecar_write(p, meta)
+    return int(n)
+
+
+def band_index_deferred_updates(
+    spark: SparkSession, path: str
+) -> DataFrame | None:
+    """The RESOLVED pending text-update queue — one ``(id, _text)``
+    row per queued id, later entries superseding earlier ones —
+    or ``None`` when nothing is queued. Observability + the drain
+    input for ``band_index_apply``/``band_index_compact``."""
+    p = _local_sidecar_path(path)
+    meta = _sidecar_read(p)
+    return _resolve_deferred(spark, p, meta)
+
+
+def _resolve_deferred(
+    spark: SparkSession, p: str, meta: dict
+) -> DataFrame | None:
+    queued = meta.get("deferred_updates") or []
+    if not queued:
+        return None
+    idc = meta["id_col"]
+    parts = []
+    for i, e in enumerate(queued):
+        parts.append(
+            spark.read.parquet(os.path.join(p, e["location"])).withColumn(
+                "_qi", F.lit(i)
+            )
+        )
+    df = parts[0]
+    for q in parts[1:]:
+        df = df.unionByName(q)
+    return df.groupBy(idc).agg(
+        F.expr("max_by(_text, _qi)").alias("_text")
+    )
 
 
 def band_index_apply(
@@ -787,11 +1032,36 @@ def band_index_apply(
         if ts_prev is not None
         else spark.createDataFrame([], "_aff_id string")
     )
+    # drain the deferred text-update queue into this same rewrite
+    # (band_index_defer_updates): this call's OWN mutations supersede
+    # queue entries per id — the caller's upserts are later, deletes
+    # drop the doc — and entries for already-tombstoned ids purge
+    # right here rather than resurrecting
+    queued = _resolve_deferred(spark, p, meta)
+    n_drained = 0
+    if queued is not None:
+        q = queued
+        if up is not None:
+            q = q.join(up.select(idc), [idc], "left_anti")
+        q = q.join(
+            del_df.unionByName(prior_ts).dropDuplicates(["_aff_id"]),
+            F.col(idc).cast("string") == F.col("_aff_id"),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        n_drained = q.count()
+        up = q if up is None else up.unionByName(q).localCheckpoint(
+            eager=True
+        )
+    up_all_ids = (
+        up.select(F.col(idc).cast("string").alias("_aff_id"))
+        if up is not None
+        else up_ids
+    )
     # every affected id's OLD rows leave every part: this batch's
-    # deletes and upserts, plus every previously tombstoned id (this
-    # rewrite is the purge point)
+    # deletes and upserts (queue drains included), plus every
+    # previously tombstoned id (this rewrite is the purge point)
     affected = (
-        up_ids.unionByName(del_df).unionByName(prior_ts)
+        up_all_ids.unionByName(del_df).unionByName(prior_ts)
         .dropDuplicates(["_aff_id"])
         .localCheckpoint(eager=True)
     )
@@ -850,7 +1120,18 @@ def band_index_apply(
     if sh_cached is not None:
         bands_final = bands_final.unionByName(bands_new)
     bands_final = bands_final.localCheckpoint(eager=True)
-    finals = {"bands": bands_final, "bucket_keys": bands_final.select("band", "h").distinct()}
+    # bucket_keys re-derived from the FINAL bands with exact per-key
+    # contributor refcounts (the r13 retirement-arithmetic layout —
+    # this rewrite upgrades legacy cnt-less indexes too)
+    finals = {
+        "bands": bands_final,
+        "bucket_keys": bands_final.groupBy("band", "h").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+    }
+    meta.setdefault("ddl", {})["bucket_keys"] = ", ".join(
+        f"`{c}` {t}" for c, t in finals["bucket_keys"].dtypes
+    )
     if meta.get("has_shingles"):
         sh_f = _survivors("shingles")
         sz_f = _survivors("sizes")
@@ -864,18 +1145,11 @@ def band_index_apply(
                 )
             )
         finals["shingles"], finals["sizes"] = sh_f, sz_f
-    ids_f = (
-        spark.read.parquet(os.path.join(p, old_locations["ids"]))
-        if "ids" in old_locations
-        else _read_part(spark, path, "bands", meta).select(idc).distinct()
-    ).join(
-        F.broadcast(affected),
-        F.col(idc).cast("string") == F.col("_aff_id"),
-        "left_anti",
+    # ids re-derived from the final bands too: one row per doc with
+    # its (band, h) key array (the delete path's per-doc key source)
+    finals["ids"] = bands_final.groupBy(idc).agg(
+        F.collect_list(F.struct("band", "h")).alias("_keys")
     )
-    if up is not None:
-        ids_f = ids_f.unionByName(up.select(idc)).distinct()
-    finals["ids"] = ids_f
     if finals["ids"].limit(1).count() == 0:
         raise EngineError(
             f"band_index_apply: the batch would empty the index at "
@@ -899,6 +1173,7 @@ def band_index_apply(
     )
     meta["locations"] = new_locations
     meta.pop("tombstones", None)  # purged by this rewrite
+    meta.pop("deferred_updates", None)  # drained by this rewrite
     src = meta.get("source")
     if src is not None:
         meta["source"] = _source_stamp((src["root"], src["name"]))
@@ -907,8 +1182,13 @@ def band_index_apply(
     _drop_part_dirs(spark, path, old_meta, new_locations)
     idguard.gc_bloom_files(p, {(meta.get("id_bloom") or {}).get("location")})
     for d in os.listdir(p):
-        if d.startswith("band_tombstones_v") or d.startswith(
-            "removed_keys_v"
+        if d.startswith(
+            (
+                "band_tombstones_v",
+                "removed_keys_v",
+                "key_decs_v",
+                "deferred_updates_v",
+            )
         ):
             shutil.rmtree(os.path.join(p, d), ignore_errors=True)
     if sh_cached is not None:
@@ -917,6 +1197,7 @@ def band_index_apply(
         "updated": int(n_updated),
         "inserted": int(n_inserted),
         "deleted": int(n_deleted),
+        "drained": int(n_drained),
     }
 
 
@@ -1003,7 +1284,9 @@ def band_index_bucket_keys(
     p = _local_sidecar_path(path)
     meta = _sidecar_read(p)
     _check_source_stamp(meta, path, verify_source)
-    keys = _read_part(spark, path, "bucket_keys", meta)
+    # (band, h) only: the per-key ``cnt`` refcount is delete-path
+    # bookkeeping (retirement arithmetic), not serving surface
+    keys = _read_part(spark, path, "bucket_keys", meta).select("band", "h")
     rk = _band_removed_keys(spark, p, meta)
     if rk is not None:
         keys = keys.join(F.broadcast(rk), ["band", "h"], "left_anti")
@@ -1580,9 +1863,27 @@ def band_index_append(
     # a ~100 GB read per micro-batch). band_index_compact re-distincts
     # the key table when duplicate bloat warrants it; torn replays may
     # double a batch's keys, which the same semantics absorb.
-    new_keys = (
-        all_band_rows.select("band", "h").distinct().localCheckpoint(eager=True)
-    )
+    if _keys_have_cnt(meta):
+        # r13 layout: one row per batch-key with the batch's contributor
+        # count — summing cnt rows per key across append generations
+        # counts contributors exactly (append batches never share doc
+        # ids, the guard above enforces it). A torn REPLAY re-appends
+        # the whole batch's cnt rows (bucket_keys rows carry no id to
+        # heal against), over-counting the crashed attempt's landed
+        # keys — conservative: an over-counted key can only RETIRE
+        # LATE (keeps gating until band_index_compact's exact recount),
+        # never retire early / serve wrong.
+        new_keys = (
+            all_band_rows.groupBy("band", "h")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        new_keys = (
+            all_band_rows.select("band", "h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     _append_part(new_keys, path, "bucket_keys", nb, meta)
     # UN-remove any retired key this batch re-introduces: the serving
     # mask (band_index_bucket_keys anti-joins removed_keys) would
@@ -1641,17 +1942,27 @@ def band_index_append(
             full, path, "ids", None, locations.get("ids")
         )
     else:
+        if _ids_have_keys(spark, path, meta):
+            # r13 layout: each id row carries the doc's (band, h) key
+            # array — the delete path's per-doc key source. Derived
+            # from the whole batch's band rows (exactly the fresh
+            # docs' rows — the guard already trimmed the batch).
+            id_rows = all_band_rows.groupBy(meta["id_col"]).agg(
+                F.collect_list(F.struct("band", "h")).alias("_keys")
+            )
+        else:
+            id_rows = appended_ids
         if torn:
             present_i = _present_ids(
                 _read_part(spark, path, "ids", meta), meta["id_col"], fresh_ids
             )
-            appended_ids = appended_ids.join(
+            id_rows = id_rows.join(
                 present_i,
-                appended_ids[meta["id_col"]] == F.col("_pid"),
+                id_rows[meta["id_col"]] == F.col("_pid"),
                 "left_anti",
             )
         _append_part(
-            appended_ids.localCheckpoint(eager=True), path, "ids", None, meta
+            id_rows.localCheckpoint(eager=True), path, "ids", None, meta
         )
     sh_cached.unpersist()
     return _commit(n_new)
@@ -1799,8 +2110,17 @@ def band_index_audit(
         used = float(np_round_half_up(n_docs / float(cap), 4))
     f_bands = _part_files(_part_loc(path, "bands", meta))
     f_keys = _part_files(_part_loc(path, "bucket_keys", meta))
-    flag = ratio > dup_ratio_threshold or (
-        used is not None and used > capacity_threshold
+    # pending deferred text updates (band_index_defer_updates): the
+    # index serves pre-update bands until a compact drains the queue,
+    # so ANY pending row recommends compaction — the maintenance loop
+    # is what bounds that honest window
+    n_deferred = sum(
+        int(e.get("n") or 0) for e in (meta.get("deferred_updates") or [])
+    )
+    flag = (
+        ratio > dup_ratio_threshold
+        or (used is not None and used > capacity_threshold)
+        or n_deferred > 0
     )
     return spark.createDataFrame(
         [
@@ -1812,13 +2132,14 @@ def band_index_audit(
                 float(used) if used is not None else None,
                 f_bands,
                 f_keys,
+                n_deferred,
                 bool(flag),
             )
         ],
         "n_docs bigint, key_rows bigint, distinct_keys bigint, "
         "dup_key_ratio double, filter_capacity_used double, "
         "files_bands int, files_bucket_keys int, "
-        "compact_recommended boolean",
+        "deferred_updates bigint, compact_recommended boolean",
     )
 
 
@@ -1862,6 +2183,22 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
         parts += ["shingles", "sizes"]
     if "ids" in old_locations or os.path.isdir(os.path.join(p, "ids")):
         parts.append("ids")
+    if meta.get("deferred_updates"):
+        # a pending text-update queue (band_index_defer_updates):
+        # compaction is its drain point, and the drain IS a full part
+        # rewrite — exactly what band_index_apply pays — so delegate
+        # the whole compaction to one apply pass (it also purges
+        # tombstones and bounds file counts identically).
+        before = {part: _part_files(_part_loc(path, part, meta)) for part in parts}
+        band_index_apply(spark, path)
+        meta2 = _sidecar_read(p)
+        return {
+            part: (
+                before[part],
+                _part_files(_part_loc(path, part, meta2)),
+            )
+            for part in parts
+        }
     # compaction is also the tombstone PURGE point (the ivf_compact
     # discipline): band_index_delete's masked docs drop physically
     # from every id-carrying part, bucket_keys is RE-DERIVED from the
@@ -1891,6 +2228,16 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
                 "empty parts; drop the index directory and rebuild "
                 "when new documents arrive instead"
             )
+    def _purged_bands() -> DataFrame:
+        df = _read_part(spark, path, "bands", meta)
+        if ts is not None:
+            df = df.join(
+                F.broadcast(ts),
+                F.col(meta["id_col"]).cast("string") == F.col("_ts_id"),
+                "left_anti",
+            )
+        return df
+
     report = {}
     new_locations = dict(old_locations)
     for part in parts:
@@ -1903,24 +2250,26 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
                 "left_anti",
             )
         if part == "bucket_keys":
-            if ts is not None:
-                # the survivors' exact key set — replaces both the
-                # physical key rows of deleted-only docs and the
-                # removed-keys serving mask in one derivation
-                df = (
-                    _read_part(spark, path, "bands", meta)
-                    .join(
-                        F.broadcast(ts),
-                        F.col(meta["id_col"]).cast("string")
-                        == F.col("_ts_id"),
-                        "left_anti",
-                    )
-                    .select("band", "h")
-                )
-            # appends add batch-distinct keys only (corpus-independent
-            # by design); compaction is where cross-batch duplicate
-            # keys are squeezed back out.
-            df = df.distinct()
+            # re-derived from the survivors' band rows: squeezes out
+            # the cross-batch duplicate key rows appends accumulate
+            # (corpus-independent by design), drops deleted-only docs'
+            # keys (replacing the removed-keys serving mask), recounts
+            # the per-key ``cnt`` contributor refcounts EXACTLY (the
+            # heal point for torn-append over-counts), and migrates
+            # legacy cnt-less layouts forward.
+            df = _purged_bands().groupBy("band", "h").agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            meta.setdefault("ddl", {})["bucket_keys"] = ", ".join(
+                f"`{c}` {t}" for c, t in df.dtypes
+            )
+        if part == "ids" and not _ids_have_keys(spark, path, meta):
+            # legacy id-only layout: upgrade to the r13 schema (each
+            # doc's (band, h) key array — the delete path's per-doc
+            # key source) from the same purged band rows
+            df = _purged_bands().groupBy(meta["id_col"]).agg(
+                F.collect_list(F.struct("band", "h")).alias("_keys")
+            )
         part_nb = nb if part in ("bands", "bucket_keys") else None
         if part_nb is None:
             df = df.repartition(plain_target)
@@ -1950,8 +2299,13 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
         p, {(meta.get("id_bloom") or {}).get("location")}
     )
     for d in os.listdir(p):
-        if d.startswith("band_tombstones_v") or d.startswith(
-            "removed_keys_v"
+        if d.startswith(
+            (
+                "band_tombstones_v",
+                "removed_keys_v",
+                "key_decs_v",
+                "deferred_updates_v",
+            )
         ):
             shutil.rmtree(os.path.join(p, d), ignore_errors=True)
     return report
@@ -1968,6 +2322,8 @@ __all__ = [
     "band_index_append",
     "band_index_appended_ids",
     "band_index_apply",
+    "band_index_defer_updates",
+    "band_index_deferred_updates",
     "band_index_delete",
     "band_index_tombstoned_ids",
     "band_index_audit",

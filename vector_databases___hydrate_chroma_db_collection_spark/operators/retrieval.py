@@ -578,3 +578,167 @@ def mmr_rerank(
         )
 
     return candidates.groupBy(group_col).applyInPandas(mmr, schema=out_schema)
+
+
+def phrase_bm25_from_index_batch(
+    pos_postings: DataFrame,
+    postings: DataFrame,
+    term_stats: DataFrame,
+    phrases: list[list[str]],
+    *,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    decimals: int = 4,
+) -> DataFrame:
+    """``phrase_bm25_from_index`` for a BATCH of quoted queries with
+    corpus work paid ONCE for all of them: the positional index is
+    scanned one time restricted to the UNION of every phrase's terms
+    (a single pushdown filter instead of per-phrase scans), each
+    occurrence joins the tiny broadcast (qid, term, offset) table,
+    and a phrase match at anchor position p for query q is "all of
+    q's offsets present at p" — ``count(distinct offset) == |phrase|``
+    per (qid, doc, anchor), which is exact even for phrases repeating
+    a term (each offset row independently requires its term at
+    anchor+offset). BM25 likewise reads the inverted index once for
+    the union terms, restricted to each query's own phrase survivors;
+    the corpus-wide length model is computed once and shared, so each
+    (qid, doc) score equals the single-query path's byte-for-byte.
+
+    Output: ``(qid, id_col, n_matches, bm25)`` — one row per
+    (query, phrase-matching doc), bm25 0.0 for matches containing no
+    ranking term. Scale shape: two index scans TOTAL (positional +
+    inverted, both term-pushdown-pruned), broadcast joins against
+    query-sized frames, aggregates keyed by (qid, doc) — per-query
+    cost is the marginal join fan-out, not a rescan."""
+    if not phrases or any(not p for p in phrases):
+        raise ValueError("phrases must be a non-empty list of non-empty lists")
+    spark = pos_postings.sparkSession
+    qt = spark.createDataFrame(
+        [
+            (qi, t, off)
+            for qi, ph in enumerate(phrases)
+            for off, t in enumerate(ph)
+        ],
+        "qid int, term string, off int",
+    )
+    plen = spark.createDataFrame(
+        [(qi, len(ph)) for qi, ph in enumerate(phrases)],
+        "qid int, _plen int",
+    )
+    all_terms = sorted({t for ph in phrases for t in ph})
+    occ = pos_postings.filter(F.col("term").isin(all_terms)).select(
+        "term", F.col(id_col).alias("_id"), "pos"
+    )
+    hits = occ.join(F.broadcast(qt), "term").select(
+        "qid", "_id", (F.col("pos") - F.col("off")).alias("_apos"), "off"
+    )
+    matches = (
+        hits.groupBy("qid", "_id", "_apos")
+        .agg(F.count_distinct("off").alias("_k"))
+        .join(F.broadcast(plen), "qid")
+        .filter(F.col("_k") == F.col("_plen"))
+        .groupBy("qid", "_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .localCheckpoint(eager=False)
+    )
+    # shared corpus-wide length model (identical to bm25_from_index)
+    dl = (
+        postings.groupBy(F.col(id_col).alias("_id"))
+        .agg(F.sum("tf").alias("_dl"))
+        .localCheckpoint(eager=False)
+    )
+    globals_ = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    )
+    tfq = (
+        postings.filter(F.col("term").isin(all_terms))
+        .select(F.col(id_col).alias("_id"), "term", F.col("tf").alias("_tf"))
+        .join(F.broadcast(qt.select("qid", "term").distinct()), "term")
+        .join(matches.select("qid", "_id"), ["qid", "_id"], "left_semi")
+    )
+    dfreq = term_stats.filter(F.col("term").isin(all_terms)).select(
+        "term", F.col("df").alias("_df")
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    tf_part = (
+        F.col("_tf")
+        * (k1 + 1.0)
+        / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl")))
+    )
+    scored = (
+        tfq.join(F.broadcast(dfreq), "term")
+        .join(dl, "_id")
+        .crossJoin(F.broadcast(globals_))
+        .groupBy("qid", "_id")
+        .agg(F.round(F.sum(idf * tf_part), decimals).alias("bm25"))
+    )
+    return matches.join(scored, ["qid", "_id"], "left").select(
+        "qid",
+        F.col("_id").alias(id_col),
+        "n_matches",
+        F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+    )
+
+
+def top_ranks_batch(
+    scored: DataFrame,
+    score_col: str,
+    *,
+    qid_col: str = "qid",
+    id_col: str = "doc_id",
+    k: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-query (qid, id, rank) for each query's top ``k`` rows by
+    (score, id) — the batch twin of ``top_ranks``: one rank window
+    PARTITIONED by qid (each query's candidate list is bounded, so
+    every window task is small), no per-query driver loop."""
+    from pyspark.sql import Window
+
+    order = [
+        F.col(score_col).asc() if ascending else F.col(score_col).desc(),
+        F.col(id_col).asc(),
+    ]
+    w = Window.partitionBy(qid_col).orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, score_col, "rank")
+    )
+
+
+def rrf_fuse_batch(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    k: int = 60,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion of two (qid, id, rank)
+    candidate-list tables — the batch twin of ``rrf_fuse``: one
+    full-outer join on (qid, id), same 1/(k + rank) contributions."""
+    ra = a.select(
+        F.col(qid_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col("rank").alias("_ra"),
+    )
+    rb = b.select(
+        F.col(qid_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.col("rank").alias("_rb"),
+    )
+    joined = ra.join(rb, ["_q", "_id"], "full_outer")
+    contrib = F.coalesce(
+        1.0 / (F.lit(k) + F.col("_ra")), F.lit(0.0)
+    ) + F.coalesce(1.0 / (F.lit(k) + F.col("_rb")), F.lit(0.0))
+    return joined.select(
+        F.col("_q").alias(qid_col),
+        F.col("_id").alias(id_col),
+        F.round(contrib, decimals).alias("rrf"),
+    )

@@ -444,6 +444,7 @@ def collection_query_ivf(
     score_decimals: int | None = None,
     include_distance: bool = False,
     verify_source: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """``collection.query`` served THROUGH the persisted IVF index,
     with metadata/document pre-filters — the filtered-ANN shape
@@ -509,7 +510,9 @@ def collection_query_ivf(
     )
     k = int(n_results)
     p = max(1, min(int(nprobe), n_cells))
+    rounds = 0
     while True:
+        rounds += 1
         probed = [int(c) for c in cell_order[:p]]
         cand_ids = assigned.filter(
             F.col("ivf_cell").isin(probed)
@@ -518,6 +521,14 @@ def collection_query_ivf(
         if p >= n_cells or cand.limit(k).count() >= k:
             break
         p = min(n_cells, p * 2)
+    if stats_out is not None:
+        # observability for scale probes/tests: how far the k-fill
+        # doubling walked (rounds <= 1 + ceil(log2(n_cells/nprobe)))
+        # and the probe width it settled at (== n_cells on a
+        # cell-killing predicate — the exhaustion floor)
+        stats_out["rounds"] = rounds
+        stats_out["final_probe"] = p
+        stats_out["n_cells"] = n_cells
     return _serve_topk(
         cand,
         manifest.metric,
@@ -542,6 +553,7 @@ def collection_query_batch_ivf(
     score_decimals: int | None = None,
     include_distance: bool = False,
     verify_source: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """``collection.query`` with MULTIPLE query embeddings served
     through the persisted IVF index, with optional metadata/document
@@ -607,7 +619,9 @@ def collection_query_batch_ivf(
     p = max(1, min(int(nprobe), n_cells))
     pending = queries
     settled = []
+    rounds = 0
     while True:
+        rounds += 1
         nn = ivf_knn_join(
             pending,
             cand,
@@ -637,6 +651,10 @@ def collection_query_batch_ivf(
         settled.append(nn.filter(~F.col("qid").isin(unfilled)))
         pending = queries.filter(F.col("qid").isin(unfilled))
         p = min(n_cells, p * 2)
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["final_probe"] = p
+        stats_out["n_cells"] = n_cells
     out = settled[0]
     for part in settled[1:]:
         out = out.unionByName(part)
@@ -1248,6 +1266,7 @@ def collection_update_indexed(
     index_paths: list[str] | tuple[str, ...] = (),
     retain_previous: bool = False,
     fence: str = "collection",
+    band_text_mode: str = "refuse",
 ) -> int:
     """``collection.update`` that keeps the persisted VECTOR indexes
     servable: after the collection's atomic rewrite, surgically upsert
@@ -1265,13 +1284,27 @@ def collection_update_indexed(
     stored vector (the update's per-field coalesce) and are likewise
     skipped.
 
-    A path holding a BAND index is refused UP FRONT when the updates
-    carry a ``document`` column: changed text invalidates the doc's
-    shingle/band rows and the id-free serving layout has no surgical
-    row replacement — delete + compact + re-append, or
-    ``band_index_refresh``, are the honest remedies. (Embedding/
-    metadata-only updates leave band content valid; such paths just
-    re-stamp via the band delete's empty-batch heal.)
+    Text updates on a path holding a BAND index: changed text
+    invalidates the doc's shingle/band rows, and the id-free serving
+    layout has no surgical row replacement — the honest unit is a
+    part rewrite. ``band_text_mode`` picks the posture:
+
+    - ``"refuse"`` (default): raise UP FRONT, no mutation performed —
+      the conservative pre-r13 contract.
+    - ``"apply_now"``: route the ``(id, document)`` pairs through
+      ``band_index_apply`` — ONE atomic part rewrite (compact-cost,
+      however many updates ride along); the index serves the new
+      text immediately and prior tombstones purge as a side effect.
+    - ``"defer"``: queue the pairs via ``band_index_defer_updates``
+      (tiny recording + sidecar swap) and re-stamp; the index serves
+      the PRE-update bands until the next ``band_index_compact``
+      drains the queue — ``band_index_audit`` reports the queue and
+      flips ``compact_recommended``, so a maintenance loop bounds
+      the window. The streaming CDC posture.
+
+    (Embedding/metadata-only updates leave band content valid
+    whatever the mode; such paths just re-stamp via the band delete's
+    empty-batch heal.)
 
     Same crash posture as ``collection_delete_indexed``: the
     collection commit is the pointer swap; a crash before an index's
@@ -1301,24 +1334,51 @@ def collection_update_indexed(
         raise EngineError(
             f"fence must be 'collection' or 'recorded', got {fence!r}"
         )
+    if band_text_mode not in ("refuse", "apply_now", "defer"):
+        raise EngineError(
+            "band_text_mode must be 'refuse', 'apply_now' or 'defer', "
+            f"got {band_text_mode!r}"
+        )
     has_embedding = "embedding" in updates.columns
     has_document = "document" in updates.columns
+    band_text_paths = []
     for path in index_paths:
         p = _local_sidecar_path(path)
         if has_document and os.path.exists(
             os.path.join(p, "band_index.json")
         ):
-            raise EngineError(
-                "collection_update_indexed: the updates carry a "
-                f"'document' column and {path!r} holds a band index — "
-                "changed text invalidates its shingle/band rows and "
-                "the id-free serving layout has no surgical row "
-                "replacement; apply the text changes with "
-                "band_index_apply(upserts=...) — one atomic part "
-                "rewrite — or band_index_refresh. No mutation was "
-                "performed."
-            )
+            if band_text_mode == "refuse":
+                raise EngineError(
+                    "collection_update_indexed: the updates carry a "
+                    f"'document' column and {path!r} holds a band "
+                    "index — changed text invalidates its shingle/"
+                    "band rows and the id-free serving layout has no "
+                    "surgical row replacement; pass "
+                    "band_text_mode='apply_now' (one atomic part "
+                    "rewrite) or 'defer' (queue, drained at compact "
+                    "cadence), or run band_index_refresh. No mutation "
+                    "was performed."
+                )
+            band_text_paths.append(path)
     etag_before = collection_etag(root, name)
+    doc_batch = None
+    if band_text_paths:
+        doc_batch = (
+            updates.select(
+                F.col("id").cast("string").alias("id"), "document"
+            )
+            .filter(F.col("document").isNotNull())
+            .dropDuplicates(["id"])
+            # only ids the collection holds (collection.update ignores
+            # the rest — the band index must not gate on text the
+            # collection rejected)
+            .join(
+                read_collection(spark, root, name).select("id"),
+                "id",
+                "left_semi",
+            )
+            .localCheckpoint(eager=True)
+        )
     vec_batch = None
     if has_embedding:
         vec_batch = (
@@ -1369,14 +1429,43 @@ def collection_update_indexed(
                 )
         if os.path.exists(os.path.join(p, "band_index.json")):
             found = True
-            band_index_delete(
-                spark,
-                path,
-                [],
-                expected_prev_etag=_fence_etag(
+            if path in band_text_paths:
+                from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+                    band_index_apply,
+                    band_index_defer_updates,
+                )
+
+                band_fence = _fence_etag(
                     fence, etag_before, p, "band_index.json"
-                ),
-            )
+                )
+                if band_text_mode == "apply_now":
+                    band_index_apply(
+                        spark,
+                        path,
+                        upserts=doc_batch,
+                        id_col="id",
+                        text_col="document",
+                        expected_prev_etag=band_fence,
+                    )
+                else:  # defer
+                    band_index_defer_updates(
+                        spark,
+                        path,
+                        doc_batch,
+                        id_col="id",
+                        text_col="document",
+                        expected_prev_etag=band_fence,
+                    )
+            else:
+                # text untouched on this path: heal the stamp only
+                band_index_delete(
+                    spark,
+                    path,
+                    [],
+                    expected_prev_etag=_fence_etag(
+                        fence, etag_before, p, "band_index.json"
+                    ),
+                )
         if not found:
             raise EngineError(
                 f"collection_update_indexed: no index sidecar found at "

@@ -1062,8 +1062,11 @@ def dedup_band_index_delete_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/band_index.py::band_index_delete``): build the band
     index over the WHOLE corpus, delete every ``doc_id % 5 == 0``
     document through the index (tombstoned ids + RETIRED bucket keys
-    — keys no surviving doc also emits — in O(batch + one bands
-    scan), never a re-shingle), then gate a probe batch of VERBATIM
+    — keys no surviving doc also emits — by the r13 refcount
+    arithmetic: per-key decrements off the batch docs' recorded key
+    arrays against the ``cnt`` contributor counts in ``bucket_keys``,
+    never a bands scan, never a re-shingle), then gate a probe batch
+    of VERBATIM
     COPIES: copies of the deleted docs (ids +1000000) must gate by
     the SURVIVORS' keys only — novel wherever the deleted doc owned
     its content exclusively, still-duplicate wherever a surviving doc

@@ -1079,3 +1079,258 @@ def stream_cdc_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("batch"), "id", "op", "outcome"
     )
     return v1.unionByName(v2)
+
+
+_DUAL_TOKS = _TOKS.format(x=_NORM)
+
+
+@query(
+    "stream_cdc_dual_index_loop",
+    f"""
+    WITH src AS (
+        SELECT doc_id, text, TRUE AS is_ref FROM documents
+        WHERE doc_id % 7 NOT IN (1, 3)
+        UNION ALL
+        SELECT doc_id, text || ' updated', TRUE FROM documents
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 1000000, text, TRUE FROM documents
+        WHERE doc_id % 7 = 2
+        UNION ALL
+        SELECT doc_id + 2000000, text, FALSE FROM documents
+        WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 3000000, text, FALSE FROM documents
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 4000000, text || ' updated', FALSE FROM documents
+        WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 5000000, text, FALSE FROM documents
+        WHERE doc_id % 7 = 2
+    ),
+    toks AS (SELECT doc_id, is_ref, {_DUAL_TOKS} AS t FROM src),
+    shsets AS (
+        SELECT doc_id, is_ref, list_distinct(list_transform(
+                   range(1, greatest(len(t) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh_list
+        FROM toks WHERE len(t) > 0
+    ),
+    bases AS (SELECT doc_id, is_ref, {_MINHASH_BASE} AS base FROM shsets),
+    sigs AS (SELECT doc_id, is_ref, {_MINHASH_SIG} AS sig FROM bases),
+    buckets AS (
+        SELECT doc_id, is_ref, b, {_BAND_H} AS h
+        FROM sigs, unnest(range(0, 8)) AS bt(b)
+    ),
+    ref AS (SELECT DISTINCT b, h FROM buckets WHERE is_ref),
+    inc AS (SELECT doc_id, b, h FROM buckets WHERE NOT is_ref),
+    hits AS (
+        SELECT i.doc_id, count(*) AS c
+        FROM inc i JOIN ref r ON i.b = r.b AND i.h = r.h
+        GROUP BY 1
+    ),
+    incids AS (
+        SELECT doc_id + 2000000 AS doc_id FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id + 3000000 FROM documents WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 4000000 FROM documents WHERE doc_id % 7 = 1
+        UNION ALL
+        SELECT doc_id + 5000000 FROM documents WHERE doc_id % 7 = 2
+    )
+    SELECT CAST(i.doc_id AS VARCHAR) AS id,
+           CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit_bands,
+           coalesce(h.c, 0) = 0 AS novel
+    FROM incids i LEFT JOIN hits h ON h.doc_id = i.doc_id
+    """,
+)
+def stream_cdc_dual_index_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DUAL-INDEX CDC capstone: one collection carrying BOTH a
+    persisted IVF index and a near-dup band index at the same path,
+    mutated end-to-end through the streaming CDC batch body
+    (``streaming/cdc_stream.py::cdc_ingest_batch_fn``,
+    ``band_text_mode='defer'`` — the streaming default) with DOCUMENT
+    UPDATES in the event stream, the exact surface the r12 front door
+    refused:
+
+    - INSERT verbatim copies of the %7==2 docs under new ids (+1M,
+      reversed embeddings): hydrate + ``ivf_upsert`` on the vector
+      side, ``band_index_append`` on the text side — both immediate;
+    - UPDATE every %7==1 doc (text + ' updated', reversed embedding):
+      the IVF cell rewrites surgically, the band text change rides
+      the DEFERRED queue (``band_index_defer_updates`` — the honest
+      window, audited below);
+    - DELETE every %7==3 doc: tombstones + retired keys on both.
+
+    ``band_index_audit`` must flip ``compact_recommended`` while the
+    queue is pending (asserted internally — the maintenance loop's
+    trigger), and ``band_index_compact`` then drains the queue in its
+    one part rewrite. The returned rows are the post-drain novelty
+    gate over four probe families (deleted text, updated docs' OLD
+    text, updated docs' NEW text, inserted copies' text), and the
+    oracle replays the full MinHash band arithmetic over the FINAL
+    corpus — the ``dedup_band_index_apply_gate`` discipline, reached
+    here through the streaming CDC + defer + compact path instead of
+    a direct apply. The IVF side is asserted internally against the
+    same mutations (count, a reversed-update vector, a masked
+    delete); any drift raises and fails the row entirely."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_audit,
+        band_index_bucket_keys,
+        band_index_build,
+        band_index_compact,
+        band_index_meta,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.streaming.cdc_stream import (
+        cdc_ingest_batch_fn,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_cdcdual_")
+    cfg = HydrationConfig(
+        collection_name="cdcdual",
+        root=root,
+        id_col="id",
+        text_col="text",
+        embedding_col="embedding",
+    )
+    de = d.join(e, d.doc_id == e.vec_id)
+    hydrate(
+        spark,
+        de.select(
+            F.col("doc_id").cast("string").alias("id"), "text", "embedding"
+        ),
+        cfg,
+    )
+    coll = read_collection(spark, root, "cdcdual")
+    assigned, C = ivf_build(coll, n_centroids=8, seed=42)
+    idx = f"{root}/cdcdual/_dual"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "cdcdual"),
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+    band_index_build(
+        coll.select("id", F.col("document").alias("text")),
+        idx,
+        id_col="id",
+        text_col="text",
+        source=(root, "cdcdual"),
+    )
+    m7 = F.col("doc_id") % 7
+    ev = (
+        de.filter(m7 == 2).select(
+            F.lit("insert").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            (F.col("doc_id") + 1000000).cast("string").alias("id"),
+            "text",
+            F.reverse("embedding").alias("embedding"),
+        )
+        .unionByName(
+            de.filter(m7 == 1).select(
+                F.lit("update").alias("op"),
+                F.lit(1).cast("long").alias("seq"),
+                F.col("doc_id").cast("string").alias("id"),
+                F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+                F.reverse("embedding").alias("embedding"),
+            )
+        )
+        .unionByName(
+            de.filter(m7 == 3).select(
+                F.lit("delete").alias("op"),
+                F.lit(1).cast("long").alias("seq"),
+                F.col("doc_id").cast("string").alias("id"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+            )
+        )
+    )
+    fn = cdc_ingest_batch_fn(idx, cfg, "cdc_dual_loop", band_text_mode="defer")
+    fn(ev, 0)
+    # the honest window's maintenance trigger: the queue is pending
+    aud = band_index_audit(spark, idx).first()
+    if not (aud["deferred_updates"] > 0 and aud["compact_recommended"]):
+        raise EngineError(
+            "dual-index CDC: the deferred text-update queue must "
+            "recommend compaction while pending"
+        )
+    band_index_compact(spark, idx)  # the drain
+    # IVF side followed every mutation surgically (masked read passes
+    # the etag fence because each mutation re-stamped)
+    n_all = d.count()
+    n_ins = d.filter(m7 == 2).count()
+    n_del = d.filter(m7 == 3).count()
+    a, _, _metric = ivf_read(spark, idx)
+    if a.count() != n_all + n_ins - n_del:
+        raise EngineError("dual-index CDC: IVF row count drifted")
+    probe_id = d.filter(m7 == 1).agg(F.min("doc_id")).first()[0]
+    want_vec = [
+        float(x)
+        for x in reversed(
+            e.filter(F.col("vec_id") == probe_id).first()["embedding"]
+        )
+    ]
+    got_vec = [
+        float(x)
+        for x in a.filter(F.col("id") == str(probe_id)).first()["embedding"]
+    ]
+    if got_vec != want_vec:
+        raise EngineError("dual-index CDC: updated vector not served")
+    gone = d.filter(m7 == 3).agg(F.min("doc_id")).first()[0]
+    if a.filter(F.col("id") == str(gone)).count() != 0:
+        raise EngineError("dual-index CDC: deleted vector still served")
+    # post-drain novelty gate over the four probe families
+    meta = band_index_meta(idx)
+    probes = (
+        d.filter(m7 == 3)
+        .select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter(m7 == 1).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(m7 == 1).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(m7 == 2).select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return novelty_gate(
+        probes,
+        band_index_bucket_keys(spark, idx),
+        id_col="doc_id",
+        text_col="text",
+        n=meta["n"],
+        num_hashes=meta["num_hashes"],
+        bands=meta["bands"],
+    ).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_hit_bands").cast("bigint").alias("n_hit_bands"),
+        "novel",
+    )

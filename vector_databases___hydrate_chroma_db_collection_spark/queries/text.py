@@ -1455,3 +1455,201 @@ def hybrid_phrase_vector_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     vrank = top_ranks(vec_hits, "score", id_col="doc_id", k=10)
 
     return rrf_fuse(trank, vrank, id_col="doc_id", k=60)
+
+
+@query(
+    "hybrid_phrase_vector_fusion_batch",
+    f"""
+    WITH base AS (
+        SELECT doc_id, {_TOKS.format(x=_NORM)} AS ts FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, ts[i] AS term, CAST(i AS BIGINT) AS pos
+        FROM base, UNNEST(generate_series(1, len(ts))) AS g(i)
+    ),
+    qterms(qid, term, off) AS (
+        VALUES (0, 'fast', 0), (0, 'table', 1), (0, 'scan', 2),
+               (1, 'sort', 0), (1, 'column', 1),
+               (2, 'vector', 0), (2, 'query', 1)
+    ),
+    plen AS (SELECT qid, count(*) AS pl FROM qterms GROUP BY 1),
+    hits AS (
+        SELECT q.qid, t.doc_id, t.pos - q.off AS apos, q.off
+        FROM tok t JOIN qterms q ON q.term = t.term
+    ),
+    m AS (
+        SELECT x.qid, x.doc_id, count(*) AS n_matches FROM (
+            SELECT qid, doc_id, apos, count(DISTINCT off) AS k2
+            FROM hits GROUP BY 1, 2, 3
+        ) x JOIN plen p ON p.qid = x.qid
+        WHERE x.k2 = p.pl
+        GROUP BY 1, 2
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    g2 AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, term AS t, count(*) AS tf FROM tok
+        WHERE term IN ('fast', 'table', 'scan', 'sort', 'column',
+                       'vector', 'query')
+        GROUP BY 1, 2
+    ),
+    dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+    bscore AS (
+        SELECT q.qid, tf.doc_id,
+               round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+                     4) AS bm25
+        FROM tf
+        JOIN (SELECT DISTINCT qid, term FROM qterms) q ON q.term = tf.t
+        JOIN dfq ON dfq.t = tf.t
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN m ON m.qid = q.qid AND m.doc_id = tf.doc_id
+        CROSS JOIN g2
+        GROUP BY 1, 2
+    ),
+    tall AS (
+        SELECT m.qid, m.doc_id, coalesce(b.bm25, 0.0) AS bm25
+        FROM m LEFT JOIN bscore b ON b.qid = m.qid AND b.doc_id = m.doc_id
+    ),
+    trank AS (
+        SELECT qid, doc_id, rn AS rt FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY bm25 DESC, doc_id
+                   ) AS rn
+            FROM tall
+        ) WHERE rn <= 10
+    ),
+    corpus AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    q AS (
+        SELECT CASE vec_id WHEN 7 THEN 0 WHEN 3 THEN 1 ELSE 2 END AS qid,
+               embedding AS qe
+        FROM embeddings WHERE vec_id IN (7, 3, 11)
+    ),
+    vs AS (
+        SELECT q.qid, c.vec_id AS doc_id, {_COS_SQL} AS s
+        FROM corpus c CROSS JOIN q
+    ),
+    vrank AS (
+        SELECT qid, doc_id, rn AS rv FROM (
+            SELECT qid, doc_id,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY s DESC, doc_id
+                   ) AS rn
+            FROM vs
+        ) WHERE rn <= 10
+    )
+    SELECT coalesce(t.qid, v.qid) AS qid,
+           coalesce(t.doc_id, v.doc_id) AS doc_id,
+           round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rt), 0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / (60 + rv), 0), 6) AS rrf
+    FROM trank t
+    FULL OUTER JOIN vrank v ON v.qid = t.qid AND v.doc_id = t.doc_id
+    """,
+)
+def hybrid_phrase_vector_fusion_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BATCH twin of ``hybrid_phrase_vector_fusion`` — the r12
+    verdict's missing batch shape for the hybrid stack: THREE quoted
+    queries ("fast table scan" / "sort column" / "vector query",
+    paired with query vectors 7 / 3 / 11) served in ONE pass over
+    each persisted index. The lexical side reads the positional and
+    inverted indexes once each, restricted to the union of all
+    phrases' terms
+    (operators/retrieval.py::phrase_bm25_from_index_batch — broadcast
+    (qid, term, offset) join, per-(qid, doc, anchor) offset-count
+    match test, shared corpus length model); the vector side scores
+    all three queries through one ``ivf_knn_join`` at exhaustive
+    nprobe (exact); per-query top-10 ranks come from one qid-
+    partitioned window each (``top_ranks_batch``), and the lists fuse
+    per query with ``rrf_fuse_batch``. The oracle re-derives every
+    (qid, doc_id, rrf) row from raw text + brute-force cosine, so
+    batch scores must equal the single-query path's byte-for-byte."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_knn_join,
+        ivf_read,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.retrieval import (
+        inverted_postings,
+        phrase_bm25_from_index_batch,
+        positional_postings,
+        rrf_fuse_batch,
+        top_ranks_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="vdb_hybridb_")
+    (
+        positional_postings(d, id_col="doc_id", text_col="text")
+        .repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(out + "/pos_postings")
+    )
+    postings, stats = inverted_postings(d, id_col="doc_id", text_col="text")
+    (
+        postings.repartition(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .parquet(out + "/postings")
+    )
+    stats.write.mode("overwrite").parquet(out + "/term_stats")
+    assigned, C = ivf_build(
+        e.select("vec_id", "embedding"),
+        id_col="vec_id",
+        n_centroids=8,
+        seed=42,
+    )
+    ivf_write(
+        assigned, C, out + "/_ivf", metric="cosine",
+        build={"metric": "l2", "seed": 42, "sample_fraction": None},
+    )
+
+    phrases = [["fast", "table", "scan"], ["sort", "column"], ["vector", "query"]]
+    text_hits = phrase_bm25_from_index_batch(
+        spark.read.parquet(out + "/pos_postings"),
+        spark.read.parquet(out + "/postings"),
+        spark.read.parquet(out + "/term_stats"),
+        phrases,
+        id_col="doc_id",
+    )
+    trank = top_ranks_batch(text_hits, "bm25", id_col="doc_id", k=10)
+
+    assigned2, C2, _m = ivf_read(spark, out + "/_ivf")
+    qv = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in e.filter(F.col("vec_id").isin([7, 3, 11])).collect()
+    }
+    queries = spark.createDataFrame(
+        [(0, qv[7]), (1, qv[3]), (2, qv[11])],
+        "qid int, q_embedding array<float>",
+    )
+    nn = ivf_knn_join(
+        queries,
+        assigned2,
+        C2,
+        k=10,
+        id_col="vec_id",
+        embedding_col="embedding",
+        metric="cosine",
+        nprobe=8,  # == n_centroids: exhaustive, exact
+        score_decimals=4,
+    )
+    vrank = top_ranks_batch(
+        nn.select("qid", F.col("neighbor_id").alias("doc_id"), "score"),
+        "score",
+        id_col="doc_id",
+        k=10,
+    )
+    return rrf_fuse_batch(
+        trank.select("qid", "doc_id", "rank"),
+        vrank.select("qid", "doc_id", "rank"),
+        id_col="doc_id",
+        k=60,
+    )

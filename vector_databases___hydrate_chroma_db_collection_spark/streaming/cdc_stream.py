@@ -119,12 +119,20 @@ def stream_cdc_ingest(
     sink_table: str = "stream_cdc_results",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    band_text_mode: str = "defer",
 ) -> StreamingQuery:
     """Run the CDC loop as one streaming query. ``event_stream`` must
     carry ``(op, seq, <id>, <text>, <embedding>)`` with the last three
     named by ``hydration_cfg``'s column bindings; published rows are
     ``(id, op, seq, outcome)`` partitioned by ``batch_id`` with the
-    exactly-once overwrite sink contract of ``stream_knn_serve``."""
+    exactly-once overwrite sink contract of ``stream_knn_serve``.
+
+    ``band_text_mode`` governs document updates when a BAND index
+    cohabits ``index_path`` (default ``"defer"``: queue text changes,
+    drained by the next compact — paying ``band_index_apply``'s part
+    rewrite per micro-batch would be compact-cost per batch; pass
+    ``"apply_now"`` for streams where the gate must reflect updated
+    text immediately)."""
     from vector_databases___hydrate_chroma_db_collection_spark.streaming.knn_stream import (
         stream_knn_serve,
     )
@@ -133,7 +141,10 @@ def stream_cdc_ingest(
         event_stream,
         corpus=None,  # unused: retrieval_fn overrides the knn plan
         retrieval_fn=cdc_ingest_batch_fn(
-            index_path, hydration_cfg, sink_table
+            index_path,
+            hydration_cfg,
+            sink_table,
+            band_text_mode=band_text_mode,
         ),
         sink_path=sink_path,
         sink_table=sink_table,
@@ -184,7 +195,13 @@ def _fold_expr(txt_t: str, emb_t: str) -> str:
     )"""
 
 
-def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
+def cdc_ingest_batch_fn(
+    index_path: str,
+    hydration_cfg,
+    sink_table: str,
+    *,
+    band_text_mode: str = "defer",
+):
     """The per-micro-batch body of ``stream_cdc_ingest``, exposed at
     module level so tests and the oracle-checked batch twin can drive
     first-attempt vs replay invocations of the SAME
@@ -378,6 +395,51 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                     f"{index_path!r} (expected ivf_index.json or "
                     "ivf_pq_index.json)"
                 )
+            if os.path.exists(os.path.join(p, "band_index.json")):
+                # a cohabiting near-dup band index gets the inserted
+                # docs too, or its novelty gate would miss them until
+                # a refresh. Appends are the cheap path; ids a prior
+                # batch band-TOMBSTONED have no surgical band upsert
+                # (the ivf_upsert argument does not transfer — the
+                # id-free layout scatters a doc's rows), so the rare
+                # resurrection slice rides band_index_apply's atomic
+                # part rewrite instead.
+                from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+                    band_index_append,
+                    band_index_apply,
+                    band_index_tombstoned_ids,
+                )
+
+                ts = band_index_tombstoned_ids(spark, index_path)
+                dead = ins.join(
+                    ts,
+                    F.col(ic).cast("string") == F.col("_ts_id"),
+                    "left_semi",
+                ).localCheckpoint(eager=True)
+                live = ins.join(
+                    ts,
+                    F.col(ic).cast("string") == F.col("_ts_id"),
+                    "left_anti",
+                )
+                # append FIRST: a torn-append replay heals its pending
+                # marker here, and band_index_apply refuses to run
+                # over a torn index
+                band_index_append(
+                    spark,
+                    index_path,
+                    live.select(ic, tc),
+                    id_col=ic,
+                    text_col=tc,
+                    tag=tag,
+                )
+                if dead.limit(1).count() > 0:
+                    band_index_apply(
+                        spark,
+                        index_path,
+                        upserts=dead.select(ic, tc),
+                        id_col=ic,
+                        text_col=tc,
+                    )
         upd = net.filter(
             F.col("_e0") & F.col("_ex") & F.col("_dirty")
         ).select(
@@ -393,6 +455,7 @@ def cdc_ingest_batch_fn(index_path: str, hydration_cfg, sink_table: str):
                 upd,
                 index_paths=[index_path],
                 fence=fence,
+                band_text_mode=band_text_mode,
             )
         dels = [
             r["id"]
