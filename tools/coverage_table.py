@@ -72,6 +72,10 @@ def main() -> None:
     cov_path = os.path.join(REPO, "COVERAGE.md")
     text = open(cov_path).read()
     head = text.split(HEADING)[0].rstrip()
+    # the prose header's registry count re-stales every round it is
+    # hand-maintained (r11 AND r12 verdict nits) — patch it from the
+    # registry here so the regen can never leave it behind
+    head = re.sub(r"\b\d+ queries, ALL with", f"{len(q.QUERIES)} queries, ALL with", head, count=1)
     open(cov_path, "w").write(head + "\n\n" + "\n".join(lines) + "\n")
     n = len(q.QUERIES)
     checked = sum(1 for v in history.values() if v)
