@@ -957,3 +957,71 @@ def rerank_mmr_diversity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3,
         lam=0.7,
     )
+
+
+@query(
+    "retrieval_maxsim_ragged_top10",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, 4), j ->
+                   list_max(list_transform(
+                       range(1, CAST(e.vec_id % 4 AS INT) + 2),
+                       i -> {_SUBCOS}))
+               )), 4) AS maxsim
+        FROM embeddings e, q
+        WHERE e.vec_id <= 300 AND e.vec_id <> 5
+    )
+    SELECT vec_id, maxsim
+    FROM scored
+    ORDER BY maxsim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def retrieval_maxsim_ragged_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-LENGTH late interaction — ColBERT-proper's ragged
+    per-token matrix, the r12 growth item: each document carries an
+    ``ARRAY<ARRAY<FLOAT>>`` token-embedding column whose TOKEN COUNT
+    varies per doc (here 1 + vec_id % 4 sixteen-wide token vectors
+    sliced from the fixture embedding — a deterministic stand-in for
+    a real token encoder's output), the query carries 3 token
+    vectors, and the score is ``maxsim_score_presplit``: sum over
+    query tokens of the max cosine against ANY of the doc's tokens,
+    however many it has. The scoring is one Catalyst HOF lattice over
+    the ragged arrays — no UDF, no shuffle, no fixed-slot assumption
+    — feeding the same TakeOrderedAndProject top-k tail as exact kNN.
+    Docs with MORE tokens can only gain (max over a superset), which
+    the oracle's unrolled ragged replay checks row-for-row. At 100 TB
+    the token matrix is the stored layout (one row per doc, tokens
+    nested) and this exact plan serves it."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxsim_score_presplit,
+        split_slots,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 5).select(
+        # 3 query tokens of width 16 (the first 48 dims)
+        F.slice(split_slots(F.col("embedding"), 4), 1, 3).alias("q_toks")
+    )
+    # ragged doc token matrices: 1 + vec_id % 4 leading 16-wide slots
+    docs = emb.filter((F.col("vec_id") <= 300) & (F.col("vec_id") != 5)).select(
+        "vec_id",
+        F.slice(
+            split_slots(F.col("embedding"), 4),
+            1,
+            (F.col("vec_id") % 4 + 1).cast("int"),
+        ).alias("d_toks"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                maxsim_score_presplit(F.col("d_toks"), F.col("q_toks")), 4
+            ).alias("maxsim"),
+        )
+        .orderBy(F.desc("maxsim"), F.asc("vec_id"))
+        .limit(10)
+    )
