@@ -156,6 +156,66 @@ def main() -> None:
         )
         edges_pr.unpersist()
 
+    for tag, n_docs, dup_mod, vocab in (
+        ("minhash50k", 50_000, 100, 5000),
+        ("minhash1m", 1_000_000, 500, 50_000),
+    ):
+        if tag not in which:
+            continue
+        # exact replica of bench.py's synth{50k,1m}_minhash_dedup
+        # setup: planted near-dup pairs over a diverse vocabulary,
+        # warm once (the bench entries' warm-steady-state discipline),
+        # min-of-3 alone on the host
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            release_cache,
+        )
+
+        dup_base = F.when(
+            F.col("id") % dup_mod == 0, F.col("id") + 1
+        ).otherwise(F.col("id"))
+        doc_text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(24)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(dup_base.cast("string"), j.cast("string")),
+                        F.lit(vocab),
+                    ).cast("string"),
+                ),
+            ),
+        )
+        docs = (
+            spark.range(n_docs)
+            .repartition(cpus)
+            .select(F.col("id").alias("doc_id"), doc_text.alias("text"))
+            .cache()
+        )
+        docs.count()
+
+        def run_minhash() -> None:
+            res = minhash_lsh_pairs(
+                docs, id_col="doc_id", text_col="text",
+                n=3, num_hashes=16, bands=8, threshold=0.5,
+            )
+            n_pairs = res.count()
+            release_cache(res)
+            assert n_pairs == n_docs // dup_mod, n_pairs
+
+        run_minhash()  # warm-up, untimed (bench uses warmup for 1m)
+        trials = min_of_3(run_minhash)
+        name = (
+            "synth50k_minhash_dedup"
+            if tag == "minhash50k"
+            else "synth1m_minhash_dedup"
+        )
+        print(
+            json.dumps({"probe": name, "trials": trials, "min": min(trials)})
+        )
+        docs.unpersist()
+
     spark.stop()
 
 

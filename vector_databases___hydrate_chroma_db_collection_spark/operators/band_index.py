@@ -424,9 +424,16 @@ def band_index_write(
     # part replaces the old full ``bands`` scan when deriving which
     # bucket keys a delete retires). One row per doc, ``bands``-many
     # array entries; same information as the bands part re-clustered
-    # by id, at ~1/bands the row count.
-    ids = band_rows.groupBy(id_col).agg(
-        F.collect_list(F.struct("band", "h")).alias("_keys")
+    # by id, at ~1/bands the row count. Range-clustered + sorted on
+    # the id so a literal delete batch's isin pushdown prunes row
+    # groups by min/max stats instead of reading the corpus.
+    ids = (
+        band_rows.groupBy(id_col)
+        .agg(F.collect_list(F.struct("band", "h")).alias("_keys"))
+        .repartitionByRange(
+            band_rows.sparkSession.sparkContext.defaultParallelism, id_col
+        )
+        .sortWithinPartitions(id_col)
     )
     locations["ids"] = _write_new_part(
         ids, path, "ids", None, old_locs.get("ids")
@@ -590,12 +597,14 @@ def band_index_delete(
     delete. Returns the number of newly tombstoned ids."""
     p = _local_sidecar_path(path)
     meta = _sidecar_read(p)
+    id_list = None
     if isinstance(ids, DataFrame):
         first = ids.columns[0]
         batch = ids.select(F.col(first).cast("string").alias("_del_id"))
     else:
+        id_list = list(ids)
         batch = spark.createDataFrame(
-            [(str(i),) for i in ids], "_del_id string"
+            [(str(i),) for i in id_list], "_del_id string"
         )
     batch = (
         batch.where(F.col("_del_id").isNotNull())
@@ -649,6 +658,25 @@ def band_index_delete(
     fast = _keys_have_cnt(meta) and _ids_have_keys(spark, path, meta)
     if "ids" in locations:
         have = spark.read.parquet(os.path.join(p, locations["ids"]))
+        if id_list is not None and 0 < len(id_list) <= 10_000:
+            # bounded LITERAL batch: push a typed isin into the scan —
+            # the ids part is written range-clustered on the id (see
+            # the build/compact/apply writers), so parquet row-group
+            # min/max stats prune everything outside the batch's id
+            # range and the lookup stops paying the corpus-order read
+            # (the LAST linear term on the delete path). A DataFrame
+            # batch or a huge list keeps the plain scan — honest, and
+            # semantically identical (the join below re-restricts).
+            id_type = meta.get("id_type")
+            try:
+                vals = (
+                    [int(i) for i in id_list]
+                    if id_type in ("int", "bigint", "smallint", "tinyint")
+                    else [str(i) for i in id_list]
+                )
+                have = have.filter(F.col(idc).isin(vals))
+            except (TypeError, ValueError):
+                pass  # uncastable literals: plain scan
     else:  # legacy pre-ids index: derive once from bands
         have = _read_part(spark, path, "bands", meta).select(idc).distinct()
     have_cols = [F.col(idc).cast("string").alias("_have_id")] + (
@@ -1160,7 +1188,13 @@ def band_index_apply(
     for part in parts:
         df = finals[part]
         part_nb = nb if part in ("bands", "bucket_keys") else None
-        if part_nb is None:
+        if part == "ids":
+            # range-clustered + sorted on the id: the delete path's
+            # literal-batch isin pushdown prunes by row-group stats
+            df = df.repartitionByRange(
+                plain_target, idc
+            ).sortWithinPartitions(idc)
+        elif part_nb is None:
             df = df.repartition(plain_target)
         new_locations[part] = _write_new_part(
             df, path, part, part_nb, old_locations.get(part)
@@ -2271,7 +2305,13 @@ def band_index_compact(spark: SparkSession, path: str) -> dict:
                 F.collect_list(F.struct("band", "h")).alias("_keys")
             )
         part_nb = nb if part in ("bands", "bucket_keys") else None
-        if part_nb is None:
+        if part == "ids":
+            # range-clustered + sorted on the id: the delete path's
+            # literal-batch isin pushdown prunes by row-group stats
+            df = df.repartitionByRange(
+                plain_target, meta["id_col"]
+            ).sortWithinPartitions(meta["id_col"])
+        elif part_nb is None:
             df = df.repartition(plain_target)
         new_locations[part] = _write_new_part(
             df, path, part, part_nb, old_locations.get(part)

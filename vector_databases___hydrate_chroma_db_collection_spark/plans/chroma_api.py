@@ -1241,7 +1241,13 @@ def collection_delete_indexed(
             band_index_delete(
                 spark,
                 path,
-                doomed,
+                # pure id-list deletes pass the LITERAL list so the
+                # band delete's isin pushdown can row-group-prune its
+                # ids-part lookup; predicate deletes pass the resolved
+                # frame
+                ids
+                if (where is None and where_document is None)
+                else doomed,
                 expected_prev_etag=_fence_etag(
                     fence, etag_before, p, "band_index.json"
                 ),
