@@ -312,3 +312,110 @@ def test_collection_update_indexed_front_door(spark, tmp_path):
     assert n2 == 1
     a2, _, _ = ivf_read(spark, idx)
     assert a2.count() == 12
+
+
+def test_collection_update_indexed_band_text_modes(spark, tmp_path):
+    """r13: text updates on band-indexed paths through the composed
+    front door — band_text_mode='apply_now' (one atomic part rewrite,
+    gate reflects new text immediately) and 'defer' (queued; the
+    honest window serves the OLD text's bands until a compact drains,
+    with the audit recommending compaction while pending)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_audit,
+        band_index_bucket_keys,
+        band_index_build,
+        band_index_compact,
+        band_index_meta,
+        band_index_read,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.dedup import (
+        novelty_gate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_update_indexed,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = str(tmp_path / "root")
+    texts = {
+        i: f"doc {i} discusses topic{i * 7} and subject{i * 13} plus filler{i * 3}"
+        for i in range(8)
+    }
+    df = spark.createDataFrame(
+        [(str(i), texts[i], [float(i + j) for j in range(4)]) for i in range(8)],
+        "id string, text string, embedding array<float>",
+    )
+    hydrate(
+        spark, df,
+        HydrationConfig(
+            collection_name="c", root=root, id_col="id",
+            text_col="text", embedding_col="embedding",
+        ),
+    )
+    coll = read_collection(spark, root, "c")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=1)
+    idx = str(tmp_path / "ivf")
+    ivf_write(assigned, C, idx, metric="cosine", source=(root, "c"))
+    bidx = str(tmp_path / "band")
+    band_index_build(
+        coll, bidx, id_col="id", text_col="document", source=(root, "c")
+    )
+
+    def gate(pairs):
+        meta = band_index_meta(bidx)
+        out = novelty_gate(
+            spark.createDataFrame(pairs, "id string, text string"),
+            band_index_bucket_keys(spark, bidx),
+            id_col="id",
+            text_col="text",
+            n=meta["n"],
+            num_hashes=meta["num_hashes"],
+            bands=meta["bands"],
+        )
+        return {r["id"]: bool(r["novel"]) for r in out.collect()}
+
+    # -- apply_now: served immediately --------------------------------
+    new3 = "a completely rewritten essay on oceans tides and currents"
+    n = collection_update_indexed(
+        spark, root, "c",
+        spark.createDataFrame([("3", new3)], "id string, document string"),
+        index_paths=[idx, bidx],
+        band_text_mode="apply_now",
+    )
+    assert n == 1
+    band_index_read(spark, bidx)  # fence passes
+    assert gate([("a", texts[3]), ("b", new3)]) == {"a": True, "b": False}
+    assert (
+        read_collection(spark, root, "c")
+        .filter(F.col("id") == "3")
+        .first()["document"]
+        == new3
+    )
+    # -- defer: honest window, audit trigger, compact drain ------------
+    new4 = "an unrelated manifesto concerning mountains glaciers and snow"
+    n2 = collection_update_indexed(
+        spark, root, "c",
+        spark.createDataFrame([("4", new4)], "id string, document string"),
+        index_paths=[idx, bidx],
+        band_text_mode="defer",
+    )
+    assert n2 == 1
+    band_index_read(spark, bidx)  # re-stamped: fence passes
+    aud = band_index_audit(spark, bidx).first()
+    assert aud["deferred_updates"] == 1 and aud["compact_recommended"]
+    # window: OLD text still gates, new text reads novel
+    assert gate([("a", texts[4]), ("b", new4)]) == {"a": False, "b": True}
+    band_index_compact(spark, bidx)
+    assert gate([("a", texts[4]), ("b", new4)]) == {"a": True, "b": False}
+    assert (
+        read_collection(spark, root, "c")
+        .filter(F.col("id") == "4")
+        .first()["document"]
+        == new4
+    )
