@@ -419,3 +419,18 @@ def test_collection_update_indexed_band_text_modes(spark, tmp_path):
         .first()["document"]
         == new4
     )
+    # -- all-NULL document column (per-field semantics: keep stored
+    # text): no apply rewrite, no empty queue entry — stamp-heal only
+    n3 = collection_update_indexed(
+        spark, root, "c",
+        spark.createDataFrame(
+            [("5", None, [9.0] * 4)],
+            "id string, document string, embedding array<float>",
+        ),
+        index_paths=[idx, bidx],
+        band_text_mode="defer",
+    )
+    assert n3 == 1
+    band_index_read(spark, bidx)  # fence passes (healed stamp)
+    assert band_index_audit(spark, bidx).first()["deferred_updates"] == 0
+    assert gate([("a", texts[5])]) == {"a": False}  # text untouched

@@ -1410,6 +1410,10 @@ def collection_update_indexed(
     # is invariant across paths/sidecars — re-probing per sidecar
     # would launch a redundant job each time)
     has_vecs = vec_batch is not None and vec_batch.limit(1).count() > 0
+    # an updates frame CARRYING a document column whose values are all
+    # NULL (per-field Chroma semantics: keep stored text) must not pay
+    # an apply rewrite or queue an empty deferral — stamp-heal instead
+    has_docs = doc_batch is not None and doc_batch.limit(1).count() > 0
     for path in index_paths:
         p = _local_sidecar_path(path)
         found = False
@@ -1435,7 +1439,7 @@ def collection_update_indexed(
                 )
         if os.path.exists(os.path.join(p, "band_index.json")):
             found = True
-            if path in band_text_paths:
+            if path in band_text_paths and has_docs:
                 from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
                     band_index_apply,
                     band_index_defer_updates,
