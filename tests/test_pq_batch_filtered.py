@@ -110,3 +110,72 @@ def test_batch_pq_include_distance(spark, pq_setup):
     for row in r:
         # cosine: distance = 1 - unrounded similarity (close to score)
         assert row["distance"] == pytest.approx(1.0 - row["score"], abs=1e-3)
+
+
+def test_expansion_stats_all_four_serving_paths(spark, pq_setup, tmp_path):
+    """stats_out pins the k-fill doubling contract on every serving
+    path: a cell-killing predicate walks the probe to exhaustion in
+    exactly 1 + log2(n_cells/nprobe) rounds (here 2 cells, nprobe=1
+    -> 2 rounds, final_probe == n_cells), while an unfiltered query
+    that fills immediately stops after one round."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_ivf,
+        collection_query_ivf,
+        collection_query_ivf_pq,
+    )
+
+    root, idx = pq_setup
+    coll = read_collection(spark, root, "c")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=1)
+    ividx = str(tmp_path / "ivf")
+    ivf_write(assigned, C, ividx, metric="cosine", source=(root, "c"))
+    qv = [9.5, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+
+    # single IVF: rare filter kills the near cell -> exhaustion in 2
+    st: dict = {}
+    got = collection_query_ivf(
+        spark, root, "c", qv, n_results=4, index_path=ividx,
+        nprobe=1, where={"kind": "rare"}, stats_out=st,
+    ).collect()
+    assert len(got) == 4
+    assert st == {"rounds": 2, "final_probe": 2, "n_cells": 2}
+    # ... and an unfiltered fill settles in ONE round at nprobe=1
+    st1: dict = {}
+    collection_query_ivf(
+        spark, root, "c", qv, n_results=4, index_path=ividx,
+        nprobe=1, stats_out=st1,
+    ).collect()
+    assert st1["rounds"] == 1 and st1["final_probe"] == 1
+
+    # batch IVF: zero-match predicate -> exhaustion, empty, 2 rounds
+    st2: dict = {}
+    empty = collection_query_batch_ivf(
+        spark, root, "c", [qv, qv], n_results=4, index_path=ividx,
+        nprobe=1, where={"kind": "no-such"}, stats_out=st2,
+    ).collect()
+    assert empty == []
+    assert st2 == {"rounds": 2, "final_probe": 2, "n_cells": 2}
+
+    # single PQ: rare filter -> exhaustion in 2
+    st3: dict = {}
+    got3 = collection_query_ivf_pq(
+        spark, root, "c", qv, n_results=4, index_path=idx,
+        nprobe=1, where={"kind": "rare"}, rerank_factor=8,
+        stats_out=st3,
+    ).collect()
+    assert len(got3) == 4
+    assert st3 == {"rounds": 2, "final_probe": 2, "n_cells": 2}
+
+    # batch PQ: rare filter -> per-query expansion, stats recorded
+    st4: dict = {}
+    got4 = collection_query_batch_ivf_pq(
+        spark, root, "c", [qv], n_results=4, index_path=idx,
+        nprobe=1, where={"kind": "rare"}, rerank_factor=8,
+        stats_out=st4,
+    ).collect()
+    assert len(got4) == 4
+    assert st4 == {"rounds": 2, "final_probe": 2, "n_cells": 2}

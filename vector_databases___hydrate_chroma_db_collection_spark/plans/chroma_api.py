@@ -697,6 +697,7 @@ def collection_query_batch_ivf_pq(
     score_decimals: int | None = None,
     include_distance: bool = False,
     verify_source: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """``collection.query`` with MULTIPLE query embeddings served
     through the persisted COMPRESSED (IVF-PQ) index, with optional
@@ -766,7 +767,9 @@ def collection_query_batch_ivf_pq(
     p = max(1, min(int(nprobe), n_cells))
     pending = queries
     settled = []
+    rounds = 0
     while True:
+        rounds += 1
         nn = ivf_pq_knn_join(
             pending,
             cand,
@@ -795,6 +798,10 @@ def collection_query_batch_ivf_pq(
         settled.append(nn.filter(~F.col("qid").isin(unfilled)))
         pending = queries.filter(F.col("qid").isin(unfilled))
         p = min(n_cells, p * 2)
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["final_probe"] = p
+        stats_out["n_cells"] = n_cells
     adc = settled[0]
     for part in settled[1:]:
         adc = adc.unionByName(part)
@@ -845,6 +852,7 @@ def collection_query_ivf_pq(
     score_decimals: int | None = None,
     include_distance: bool = False,
     verify_source: bool = True,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """``collection.query`` served through the persisted COMPRESSED
     (IVF-PQ) index with metadata/document pre-filters — the 8-bytes-
@@ -899,7 +907,9 @@ def collection_query_ivf_pq(
     )
     k = int(n_results)
     p = max(1, min(int(nprobe), n_cells))
+    rounds = 0
     while True:
+        rounds += 1
         probed = [int(c) for c in cell_order[:p]]
         cand_codes = encoded.filter(F.col("ivf_cell").isin(probed))
         cand = filtered.join(
@@ -910,6 +920,10 @@ def collection_query_ivf_pq(
         if p >= n_cells or cand.limit(k).count() >= k:
             break
         p = min(n_cells, p * 2)
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["final_probe"] = p
+        stats_out["n_cells"] = n_cells
     # ADC prescreen over the FILTERED candidates' codes only, then
     # exact rerank through the shared tail (rerank inside
     # ivf_pq_search would re-scan embeddings per candidate anyway;
