@@ -721,8 +721,15 @@ def band_index_delete(
         ids_dir = _fresh_part_dir(
             p, "band_tombstones", prev=[ts_cur.get("ids_location")]
         )
-        merged_ids.write.mode("overwrite").parquet(os.path.join(p, ids_dir))
-        n_ts = spark.read.parquet(os.path.join(p, ids_dir)).count()
+        from pyspark.sql import Observation
+
+        # count inside the write job (the hydrate/collection_delete
+        # discipline) — no post-write re-read
+        obs_ids = Observation("band_ts_ids")
+        merged_ids.observe(obs_ids, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(p, ids_dir))
+        n_ts = int(obs_ids.get["n"])
         decs_dir = None
         if fast:
             # retirement by refcount arithmetic — O(batch keys), no
@@ -807,10 +814,13 @@ def band_index_delete(
         keys_dir = _fresh_part_dir(
             p, "removed_keys", prev=[ts_cur.get("keys_location")]
         )
-        merged_keys.write.mode("overwrite").parquet(
-            os.path.join(p, keys_dir)
-        )
-        n_keys = spark.read.parquet(os.path.join(p, keys_dir)).count()
+        from pyspark.sql import Observation
+
+        obs_keys = Observation("band_removed_keys")
+        merged_keys.observe(
+            obs_keys, F.count(F.lit(1)).alias("n")
+        ).write.mode("overwrite").parquet(os.path.join(p, keys_dir))
+        n_keys = int(obs_keys.get["n"])
         meta["tombstones"] = {
             "ids_location": ids_dir,
             "n": int(n_ts),
