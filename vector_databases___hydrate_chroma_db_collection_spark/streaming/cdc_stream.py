@@ -30,7 +30,10 @@ through the same composed front doors the batch API uses:
 - net insert (pre-absent -> exists)  -> ``hydrate`` + ``ivf_upsert``
   (upsert, not append, so re-inserting an id a previous batch DELETED
   resurrects it — ``ivf_append`` would raise ``TombstonedIdError``
-  until a compact; the upsert's surgical rewrite purges the old row)
+  until a compact; the upsert's surgical rewrite purges the old row);
+  a cohabiting band index gets the docs via ``band_index_append``
+  (band-tombstoned ids ride ``band_index_apply``'s atomic rewrite —
+  the id-free layout has no surgical band upsert)
 - net update (pre-held -> exists, content touched)
   -> ``plans.chroma_api.collection_update_indexed``
   (collection rewrite + surgical cell rewrite + re-stamp)
