@@ -196,6 +196,10 @@ def test_defer_updates_queue_and_compact_drain(spark, tmp_path):
     q = band_index_deferred_updates(spark, idx)
     assert q.count() == 1
     assert q.first()["_text"].endswith("second revision")
+    # the audit reports the RESOLVED queue depth (what the drain will
+    # apply), not raw queued rows — a re-queued id counts once (r14)
+    aud2 = band_index_audit(spark, idx).first()
+    assert aud2["deferred_updates"] == 1 and aud2["compact_recommended"]
     # compact drains: new text gates, old text is novel, queue gone
     band_index_compact(spark, idx)
     meta = band_index_meta(idx)

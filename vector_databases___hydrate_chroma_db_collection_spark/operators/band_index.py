@@ -2157,10 +2157,15 @@ def band_index_audit(
     # pending deferred text updates (band_index_defer_updates): the
     # index serves pre-update bands until a compact drains the queue,
     # so ANY pending row recommends compaction — the maintenance loop
-    # is what bounds that honest window
-    n_deferred = sum(
-        int(e.get("n") or 0) for e in (meta.get("deferred_updates") or [])
-    )
+    # is what bounds that honest window. Counted on the RESOLVED
+    # queue (one row per distinct id, later entries superseding
+    # earlier — exactly what the drain will apply); summing raw
+    # per-entry row counts double-counts ids re-queued across
+    # batches (r13 advice). The queue recordings are micro-batch-
+    # sized, so the resolve read is noise next to the part scans
+    # this audit already pays.
+    resolved_q = _resolve_deferred(spark, p, meta)
+    n_deferred = 0 if resolved_q is None else resolved_q.count()
     flag = (
         ratio > dup_ratio_threshold
         or (used is not None and used > capacity_threshold)

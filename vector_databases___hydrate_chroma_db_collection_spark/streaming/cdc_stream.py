@@ -17,8 +17,11 @@ collapse silently loses):
 
 - ``insert(seq1) + update(seq2)`` of a NEW id nets to an insert
   carrying seq2's content (not a skipped update of an unheld id);
-- ``delete(seq1) + insert(seq2)`` of a HELD id nets to a content
-  replacement (not a skipped insert that loses the delete);
+- ``delete(seq1) + insert(seq2)`` of a HELD id nets to a FULL content
+  replacement with insert semantics — a NULL payload field CLEARS the
+  stored value (the fold's ``ins`` flag routes the slice through
+  delete + re-insert; the coalescing update path would silently keep
+  the pre-delete content, r13 advice);
 - ``delete(seq1) + update(seq2)`` of a held id nets to a delete,
   the update honestly ``skipped_missing``.
 
@@ -34,8 +37,11 @@ through the same composed front doors the batch API uses:
   a cohabiting band index gets the docs via ``band_index_append``
   (band-tombstoned ids ride ``band_index_apply``'s atomic rewrite —
   the id-free layout has no surgical band upsert)
-- net update (pre-held -> exists, content touched)
-  -> ``plans.chroma_api.collection_update_indexed``
+- net insert-over-held (pre-held -> exists via delete + insert)
+  -> ``collection_delete_indexed`` then the net-insert path above
+  (full payload replacement — never the coalescing update)
+- net update (pre-held -> exists, content touched, NOT through an
+  applied insert) -> ``plans.chroma_api.collection_update_indexed``
   (collection rewrite + surgical cell rewrite + re-stamp)
 - net delete (pre-held -> absent)
   -> ``plans.chroma_api.collection_delete_indexed``
@@ -52,9 +58,11 @@ the net-state fold needs — is persisted to a versioned dir under the
 index path, and the tag — content-qualified,
 ``sink#batch#digest(id:op:seq set)``, the ``stream_semantic_ingest``
 discipline — is committed into a tiny WAL (``cdc_log.json``, atomic
-temp+fsync+rename) BEFORE the first mutation. A replay finds its tag
-pending (crashed) or done (completed), republishes the recorded
-verdicts verbatim, recomputes the net mutations deterministically
+temp+fsync+rename) BEFORE the first mutation. A replay finding its
+tag DONE republishes the recorded verdicts and stops — every mutation
+committed before the flip. One finding it PENDING (crashed)
+republishes the recorded verdicts verbatim, recomputes the net
+mutations deterministically
 from (batch events, recorded ``_e0``), and re-runs them — every one
 idempotent (hydrate ``on_duplicate='first'``; upsert replaces a row
 with itself; deleting a gone id is a no-op) — with
@@ -65,6 +73,12 @@ collection commit and its index mutation; self-fencing is sound here
 exactly because the WAL's content-qualified tag proves the retried
 mutation identical (see ``collection_delete_indexed``). Stores
 converge; published verdicts equal the first attempt's exactly.
+Migration posture: pre-upgrade recordings (the per-id-latest tag
+basis) are still recognized — a DONE one republishes fine (its
+verdict columns exist in both schemas); a PENDING one lacks ``_e0``
+and the half-mutated store makes recomputing it impossible, so the
+replay refuses with a typed error naming the entry instead of
+crash-looping or re-judging.
 
 WAL retention: completed entries of THIS sink are kept for the last
 batch only (Structured Streaming replays at most the last uncommitted
@@ -159,14 +173,21 @@ def stream_cdc_ingest(
 def _fold_expr(txt_t: str, emb_t: str) -> str:
     """The net-state replay as one JVM-side ``aggregate`` fold over an
     id's seq-sorted event array. State: (ex: held now?, txt/emb: net
-    content to write, dirty: did any event change state?, outcome:
-    the LAST event's verdict). Chroma per-op semantics: insert applies
-    only when absent (full payload), update only when held (per-field
-    — a NULL field keeps the previous value, mirroring the storage
-    layer's coalesce), delete only when held (clears)."""
+    content to write, dirty: did any event change state?, ins: was the
+    CURRENT content established by an applied insert — i.e. full-
+    payload replacement semantics, a NULL field CLEARS rather than
+    keeps the stored value; the mutation router sends such held ids
+    through delete + re-insert instead of the coalescing update path —
+    outcome: the LAST event's verdict). Chroma per-op semantics:
+    insert applies only when absent (full payload), update only when
+    held (per-field — a NULL field keeps the previous value, and when
+    it lands on insert-established state it coalesces against the
+    INSERT's payload, which the fold does here, so routing the folded
+    content through full replacement stays exact), delete only when
+    held (clears)."""
     keep = (
         "named_struct('ex', s.ex, 'txt', s.txt, 'emb', s.emb, "
-        "'dirty', s.dirty, 'outcome', {o})"
+        "'dirty', s.dirty, 'ins', s.ins, 'outcome', {o})"
     )
     return f"""
     aggregate(
@@ -176,23 +197,24 @@ def _fold_expr(txt_t: str, emb_t: str) -> str:
         'txt', cast(null as {txt_t}),
         'emb', cast(null as {emb_t}),
         'dirty', false,
+        'ins', false,
         'outcome', cast(null as string)),
       (s, e) -> CASE
         WHEN e.op = 'insert' AND NOT s.ex THEN named_struct(
           'ex', true, 'txt', e._text, 'emb', e._embedding,
-          'dirty', true, 'outcome', 'applied_insert')
+          'dirty', true, 'ins', true, 'outcome', 'applied_insert')
         WHEN e.op = 'insert' THEN {keep.format(o="'skipped_existing'")}
         WHEN e.op = 'update' AND s.ex THEN named_struct(
           'ex', true,
           'txt', coalesce(e._text, s.txt),
           'emb', coalesce(e._embedding, s.emb),
-          'dirty', true, 'outcome', 'applied_update')
+          'dirty', true, 'ins', s.ins, 'outcome', 'applied_update')
         WHEN e.op = 'update' THEN {keep.format(o="'skipped_missing'")}
         WHEN s.ex THEN named_struct(
           'ex', false,
           'txt', cast(null as {txt_t}),
           'emb', cast(null as {emb_t}),
-          'dirty', true, 'outcome', 'applied_delete')
+          'dirty', true, 'ins', false, 'outcome', 'applied_delete')
         ELSE {keep.format(o="'skipped_missing'")}
       END
     )"""
@@ -289,9 +311,26 @@ def cdc_ingest_batch_fn(
         )
         digest, _legacy = idguard.batch_digests(tagged, "_k")
         tag = f"{sink_table}#{batch_id}#{digest}"
+        # pre-r14 tags digested the per-id LATEST (id:op:seq) set, not
+        # all events — recognize them too, or a batch that crashed
+        # before an upgrade would be re-judged as fresh against the
+        # half-mutated store (the exact failure the WAL exists to
+        # prevent)
+        tagged_v1 = grouped.select(
+            F.concat_ws(
+                ":", "id", "op", F.col("seq").cast("string")
+            ).alias("_k")
+        )
+        digest_v1, _ = idguard.batch_digests(tagged_v1, "_k")
+        tag_v1 = f"{sink_table}#{batch_id}#{digest_v1}"
         log = _log_read(p)
         entry = next(
-            (e for e in log["entries"] if e.get("tag") == tag), None
+            (
+                e
+                for e in log["entries"]
+                if e.get("tag") in (tag, tag_v1)
+            ),
+            None,
         )
         is_replay = entry is not None
         if is_replay:
@@ -300,8 +339,30 @@ def cdc_ingest_batch_fn(
             # pre-batch state only the first attempt could observe —
             # and rebuild the net mutations from the recorded _e0
             recorded = spark.read.parquet(os.path.join(p, entry["dir"]))
-            e0 = recorded.select("id", "_e0")
             verdicts = recorded.select("id", "op", "seq", "outcome")
+            if entry.get("state") == "done":
+                # the first attempt committed every mutation before
+                # flipping the entry to done — republish and stop.
+                # (Also what makes replaying a pre-r14 DONE recording
+                # safe: its verdict columns exist in both schemas.)
+                return verdicts
+            if "_e0" not in recorded.columns:
+                # a pre-r14 PENDING recording: the old schema did not
+                # persist pre-batch existence, and the store has been
+                # half-mutated by the crashed attempt, so the net
+                # mutations cannot be reconstructed — refuse loudly
+                # instead of crash-looping on a missing column or
+                # silently re-judging against corrupted state.
+                raise EngineError(
+                    "stream_cdc_ingest: pending WAL entry "
+                    f"{entry['tag']!r} was recorded by a pre-upgrade "
+                    "engine (no _e0 column) and its net mutations "
+                    "cannot be reconstructed; finish or roll back the "
+                    "batch with the old engine version, or remove the "
+                    "entry and its recording dir after manually "
+                    "reconciling the stores"
+                )
+            e0 = recorded.select("id", "_e0")
         else:
             held = read_collection(spark, cfg.root, cfg.collection_name)
             e0 = (
@@ -332,6 +393,7 @@ def cdc_ingest_batch_fn(
                 F.col("_fin.txt").alias("_txt"),
                 F.col("_fin.emb").alias("_emb"),
                 F.col("_fin.dirty").alias("_dirty"),
+                F.col("_fin.ins").alias("_ins"),
                 F.col("_fin.outcome").alias("outcome"),
             )
             .localCheckpoint(eager=True)
@@ -356,8 +418,37 @@ def cdc_ingest_batch_fn(
         # a replay's composed mutations self-fence (see module doc)
         fence = "recorded" if is_replay else "collection"
         # -- net mutations: disjoint per-id sets, each idempotent ----
+        # A held id whose fold passed through delete -> insert carries
+        # INSERT semantics: the insert's payload replaces the whole
+        # row, so a NULL field must CLEAR the stored value — routing
+        # it through collection_update_indexed would silently KEEP the
+        # pre-delete content (the update path's per-field coalesce).
+        # Route that slice through delete + re-insert instead: drop
+        # the old row first, then let it ride the insert block below
+        # with the rest. Replay-safe: the slice is deterministic from
+        # (events, recorded _e0), deleting an already-gone id is a
+        # no-op, and re-running the insert lands identical content.
+        reins_ids = [
+            r["id"]
+            for r in net.filter(
+                F.col("_e0") & F.col("_ex") & F.col("_ins")
+            )
+            .select("id")
+            .collect()
+        ]
+        if reins_ids:
+            collection_delete_indexed(
+                spark,
+                cfg.root,
+                cfg.collection_name,
+                ids=reins_ids,
+                index_paths=[index_path],
+                fence=fence,
+            )
         ins = (
-            net.filter(~F.col("_e0") & F.col("_ex"))
+            net.filter(
+                F.col("_ex") & (~F.col("_e0") | F.col("_ins"))
+            )
             .select(
                 F.col("id").alias(ic),
                 F.col("_txt").alias(tc),
@@ -444,7 +535,7 @@ def cdc_ingest_batch_fn(
                         text_col=tc,
                     )
         upd = net.filter(
-            F.col("_e0") & F.col("_ex") & F.col("_dirty")
+            F.col("_e0") & F.col("_ex") & F.col("_dirty") & ~F.col("_ins")
         ).select(
             "id",
             F.col("_txt").alias("document"),
