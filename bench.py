@@ -1375,6 +1375,118 @@ def main() -> None:
     record("synth100k_pagerank", run_pagerank_100k)
     edges_pr.unpersist()
 
+    # ------------------------------------------------------------------
+    # Scale probe: indexed late-interaction MaxSim (PLAID shape,
+    # operators/late_interaction.py) at TWO corpus scales with cell
+    # count scaled alongside (64 cells @100k docs, 256 @400k): the
+    # candidate stage scans ~nprobe/n_cells of the token table, so
+    # constant occupancy keeps the probed token volume FLAT across
+    # the 4x corpus growth — the sublinear-serve claim, measured.
+    # The brute-force twin at 400k scores every doc's ragged matrix
+    # (the pre-index cost the candidate stage replaces). Self-recall
+    # asserted every trial: the query IS doc 0's token matrix, its
+    # tokens probe their own cells first, and the exact rerank must
+    # put doc 0 at rank 1.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        maxsim_score_presplit,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.late_interaction import (
+        maxsim_index_build,
+        maxsim_index_write,
+        maxsim_search,
+    )
+
+    dim_t = 16
+    tok_expr = F.transform(
+        F.sequence(F.lit(0), (F.col("id") % 4).cast("int")),
+        lambda p: F.transform(
+            F.sequence(F.lit(1), F.lit(dim_t)),
+            lambda j: (
+                F.pmod(
+                    F.xxhash64(
+                        F.col("id").cast("string"),
+                        p.cast("string"),
+                        j.cast("string"),
+                    ),
+                    F.lit(2000),
+                )
+                - 1000
+            ).cast("float")
+            / 1000.0,
+        ),
+    )
+
+    def _maxsim_probe(n_docs_li: int, n_cells_li: int, label: str):
+        corpus_li = (
+            spark.range(n_docs_li)
+            .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+            .select(F.col("id").cast("string").alias("id"), tok_expr.alias("tokens"))
+            .cache()
+        )
+        corpus_li.count()
+        li_dir = tempfile.mkdtemp(prefix=f"bench_maxsim_{label}_") + "/idx"
+
+        def run_build() -> None:
+            a, C = maxsim_index_build(
+                corpus_li,
+                id_col="id",
+                tokens_col="tokens",
+                n_centroids=n_cells_li,
+                seed=42,
+                sample_fraction=0.05,
+            )
+            maxsim_index_write(a, C, li_dir, build={"seed": 42})
+
+        record(f"{label}_maxsim_build", run_build)
+        # doc 3 carries the full 4 tokens (1 + 3 % 4) — a real
+        # multi-token query, unlike doc 0's single token
+        q_toks_li = [
+            list(t)
+            for t in corpus_li.filter(F.col("id") == "3").first()["tokens"]
+        ]
+
+        def run_query() -> None:
+            st: dict = {}
+            rows = maxsim_search(
+                spark, li_dir, q_toks_li, k=10, nprobe=8,
+                candidate_factor=4, rerank_corpus=corpus_li,
+                id_col="id", tokens_col="tokens", stats_out=st,
+            ).collect()
+            assert rows[0]["id"] == "3", "maxsim index lost the self-doc"
+            assert st["probed_cells"] < st["n_cells"] == n_cells_li
+
+        record(f"{label}_maxsim_query", run_query, warmup=True)
+        return corpus_li, li_dir
+
+    c100k, d100k = _maxsim_probe(100_000, 64, "synth100k")
+    shutil.rmtree(os.path.dirname(d100k), ignore_errors=True)
+    c100k.unpersist()
+    c400k, d400k = _maxsim_probe(400_000, 256, "synth400k")
+
+    q_toks_bf = [
+        list(t) for t in c400k.filter(F.col("id") == "3").first()["tokens"]
+    ]
+    q_lit_bf = F.array(
+        *[F.array(*[F.lit(float(v)) for v in t]) for t in q_toks_bf]
+    )
+
+    def run_maxsim_brute_400k() -> None:
+        rows = (
+            c400k.select(
+                "id",
+                maxsim_score_presplit(F.col("tokens"), q_lit_bf).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("id"))
+            .limit(10)
+            .collect()
+        )
+        assert rows[0]["id"] == "3"
+
+    record("synth400k_maxsim_brute", run_maxsim_brute_400k, warmup=True)
+    shutil.rmtree(os.path.dirname(d400k), ignore_errors=True)
+    c400k.unpersist()
+
     total = round(sum(timings.values()), 3)
     commit_intent = os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1"
     result = {
@@ -1423,7 +1535,14 @@ def _compact_tail_line(total: float, sf: float, timings: dict) -> str:
         return int(f) if f == int(f) else f
 
     groups: dict[str, dict[str, float]] = {}
-    prefixes = ("synth200k_", "synth100k_", "synth50k_", "synth1m_", "synth2m_")
+    prefixes = (
+        "synth200k_",
+        "synth100k_",
+        "synth400k_",
+        "synth50k_",
+        "synth1m_",
+        "synth2m_",
+    )
     for k, v in timings.items():
         for p in prefixes:
             if k.startswith(p):

@@ -1161,3 +1161,164 @@ def test_collection_query_batch_ivf_per_query_fill(spark, tmp_path):
         ]
         assert sorted(by_q[qid]) == want, qid
     assert len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# collection_add / collection_upsert: the literal Chroma write front
+# doors (parallel-list signature) over the hydrate policies (r14)
+# ---------------------------------------------------------------------------
+
+
+def _add_kwargs(n0=0, n=3, dim=2):
+    ids = [f"c{i}" for i in range(n0, n0 + n)]
+    return dict(
+        ids=ids,
+        embeddings=[[float(i % 3), 1.0 - float(i % 3) / 2] for i in range(n0, n0 + n)],
+        documents=[f"doc {i} body" for i in range(n0, n0 + n)],
+        metadatas=[{"rank": i, "lang": "en"} for i in range(n0, n0 + n)],
+    )
+
+
+def test_collection_add_creates_and_roundtrips_metadata(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_add,
+    )
+
+    n = collection_add(spark, str(tmp_path), "capi", **_add_kwargs())
+    assert n == 3
+    got = {
+        r["id"]: (r["document"], dict(r["metadata"]))
+        for r in collection_get(spark, str(tmp_path), "capi").collect()
+    }
+    assert got["c1"] == ("doc 1 body", {"rank": "1", "lang": "en"})
+    # typed metadata round-trips through the canonical string map:
+    # numeric predicate literals compare numerically (compile_where)
+    hits = collection_get(
+        spark, str(tmp_path), "capi", where={"rank": {"$gte": 1}}
+    ).collect()
+    assert sorted(r["id"] for r in hits) == ["c1", "c2"]
+
+
+def test_collection_add_duplicate_id_raises(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        DuplicateIdError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_add,
+    )
+
+    collection_add(spark, str(tmp_path), "capi", **_add_kwargs())
+    # held id
+    with pytest.raises(DuplicateIdError):
+        collection_add(spark, str(tmp_path), "capi", **_add_kwargs(n0=2, n=1))
+    # in-batch duplicate
+    with pytest.raises(DuplicateIdError):
+        collection_add(
+            spark, str(tmp_path), "capi",
+            ids=["x", "x"],
+            embeddings=[[1.0, 0.0], [0.0, 1.0]],
+        )
+    assert collection_count(spark, str(tmp_path), "capi") == 3
+
+
+def test_collection_add_validates_before_writing(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_add,
+    )
+
+    collection_add(spark, str(tmp_path), "capi", **_add_kwargs())
+    # wrong dim vs manifest: whole call refused, nothing written
+    with pytest.raises(EngineError, match="dim"):
+        collection_add(
+            spark, str(tmp_path), "capi",
+            ids=["z"], embeddings=[[1.0, 0.0, 0.0]],
+        )
+    # mixed dims in one batch
+    with pytest.raises(EngineError, match="mixed"):
+        collection_add(
+            spark, str(tmp_path), "capi",
+            ids=["z", "y"], embeddings=[[1.0, 0.0], [1.0]],
+        )
+    # ragged parallel lists
+    with pytest.raises(EngineError, match="entries"):
+        collection_add(
+            spark, str(tmp_path), "capi",
+            ids=["z"], embeddings=[[1.0, 0.0]], documents=["a", "b"],
+        )
+    assert collection_count(spark, str(tmp_path), "capi") == 3
+
+
+def test_collection_upsert_replaces_and_inserts(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_add,
+        collection_upsert,
+    )
+
+    collection_add(spark, str(tmp_path), "capi", **_add_kwargs())
+    n = collection_upsert(
+        spark, str(tmp_path), "capi",
+        ids=["c1", "c9"],
+        embeddings=[[0.5, 0.5], [0.25, 0.75]],
+        documents=["replaced", "fresh"],
+        metadatas=[{"rank": 99}, None],
+    )
+    assert n == 2
+    got = {
+        r["id"]: (r["document"], dict(r["metadata"]))
+        for r in collection_get(spark, str(tmp_path), "capi").collect()
+    }
+    assert len(got) == 4
+    # replace is WHOLE-row (upsert semantics): metadata replaced too
+    assert got["c1"] == ("replaced", {"rank": "99"})
+    assert got["c9"] == ("fresh", {})
+
+
+def test_collection_add_upsert_keep_ivf_index_servable(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_add,
+        collection_delete_indexed,
+        collection_upsert,
+    )
+
+    root = str(tmp_path)
+    collection_add(spark, root, "capi", **_add_kwargs(n=6))
+    coll = read_collection(spark, root, "capi")
+    assigned, C = ivf_build(coll, n_centroids=2, seed=7)
+    idx = f"{root}/capi/_ivf"
+    ivf_write(
+        assigned, C, idx, metric="cosine", source=(root, "capi"),
+        build={"metric": "l2", "seed": 7, "sample_fraction": None},
+    )
+    # delete c2, then ADD it back: per Chroma it is not a duplicate,
+    # and the index resurrection rides the upsert path
+    collection_delete_indexed(
+        spark, root, "capi", ids=["c2"], index_paths=[idx]
+    )
+    collection_add(
+        spark, root, "capi",
+        ids=["c2"], embeddings=[[0.0, 1.0]], documents=["back"],
+        index_paths=[idx],
+    )
+    # upsert moves c0's vector; the index must serve the NEW one
+    collection_upsert(
+        spark, root, "capi",
+        ids=["c0"], embeddings=[[1.0, 0.0]], documents=["moved"],
+        index_paths=[idx],
+    )
+    a, C2, metric = ivf_read(spark, idx)  # fence passes: re-stamped
+    assert a.count() == 6  # c0..c5 with c2 deleted then re-added
+    top = ivf_search(
+        a, C2, [1.0, 0.0], k=1, nprobe=2, metric=metric
+    ).first()
+    assert top["id"] == "c0"
+    back = ivf_search(
+        a, C2, [0.0, 1.0], k=1, nprobe=2, metric=metric
+    ).first()
+    assert back["id"] in ("c2", "c1")  # c2 resurrected and scored
+    assert a.filter("id = 'c2'").count() == 1

@@ -211,11 +211,29 @@ def build_hydration_input(df: DataFrame, cfg: HydrationConfig) -> DataFrame:
     """Project an arbitrary DataFrame to the canonical collection
     schema. Ids are cast(string) (quirk Q2, sas:178); metadata is a
     single-key map like the reference's ``{"rating": v}`` (sas:181)
-    when a metadata column is bound, else an empty map."""
+    when a SCALAR metadata column is bound, an empty map when none
+    is, and the column itself (cast to the canonical
+    ``map<string,string>``) when it is already a MAP — the shape the
+    Chroma-signature front doors (``plans.chroma_api.collection_add``
+    / ``collection_upsert``) build from per-row ``metadatas``
+    dicts."""
+    from pyspark.sql.types import MapType
+
     id_expr = F.col(cfg.id_col).cast("string").alias("id")
     doc_expr = F.col(cfg.text_col).cast("string").alias("document")
     emb_expr = F.col(cfg.embedding_col).cast("array<float>").alias("embedding")
-    if cfg.metadata_col is not None:
+    if (
+        cfg.metadata_col is not None
+        and cfg.metadata_col in df.columns
+        and isinstance(df.schema[cfg.metadata_col].dataType, MapType)
+    ):
+        meta_expr = (
+            F.coalesce(
+                F.col(cfg.metadata_col).cast("map<string,string>"),
+                F.create_map().cast("map<string,string>"),
+            )
+        ).alias("metadata")
+    elif cfg.metadata_col is not None:
         key = cfg.metadata_key or cfg.metadata_col
         meta_expr = F.create_map(
             F.lit(key), F.col(cfg.metadata_col).cast("string")

@@ -1552,3 +1552,258 @@ def collection_diff(
         )
         .filter(F.col("change").isNotNull())
     )
+
+
+def _chroma_items_df(
+    spark: SparkSession,
+    ids,
+    embeddings,
+    documents,
+    metadatas,
+) -> DataFrame:
+    """Chroma's parallel-list item shape -> one canonical-column
+    DataFrame. ``ids`` is required and sets the length; the optional
+    lists must match it (the literal client-side validation). Typed
+    metadata values stringify into the canonical
+    ``map<string,string>`` — the query side compares them numerically
+    when the predicate literal is numeric (``compile_where``), which
+    is how the round-trip preserves Chroma's typed comparisons."""
+    n = len(ids)
+    for nm, lst in (
+        ("embeddings", embeddings),
+        ("documents", documents),
+        ("metadatas", metadatas),
+    ):
+        if lst is not None and len(lst) != n:
+            raise EngineError(
+                f"collection add/upsert: {nm} has {len(lst)} entries "
+                f"for {n} ids"
+            )
+    if embeddings is None:
+        raise EngineError(
+            "collection add/upsert: embeddings are required (this "
+            "engine has no server-side embedding function)"
+        )
+    dims = {len(e) for e in embeddings}
+    if len(dims) > 1:
+        raise EngineError(
+            "collection add/upsert: embeddings have mixed dimensions "
+            f"{sorted(dims)} — Chroma rejects the call, nothing was "
+            "written"
+        )
+    rows = []
+    for i in range(n):
+        meta = metadatas[i] if metadatas is not None else None
+        rows.append(
+            (
+                str(ids[i]),
+                documents[i] if documents is not None else None,
+                [float(x) for x in embeddings[i]],
+                {str(k): str(v) for k, v in meta.items()}
+                if meta is not None
+                else {},
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "id string, document string, embedding array<float>, "
+        "metadata map<string,string>",
+    )
+
+
+def _check_dim_vs_manifest(root, name, embeddings, who: str) -> None:
+    """Raise BEFORE any write when the batch's (uniform) dimension
+    contradicts an existing collection's manifest — Chroma rejects
+    the whole call; hydrate's lake-scan null policy would silently
+    drop the rows instead, which is wrong for literal client
+    input."""
+    try:
+        dim = load_manifest(root, name).dim
+    except Exception:
+        return  # new collection: hydrate infers the dim from the batch
+    bad = {len(e) for e in embeddings} - {dim}
+    if bad:
+        raise EngineError(
+            f"{who}: embeddings have dimension {sorted(bad)} but "
+            f"collection {name!r} stores dim {dim} — nothing was "
+            "written"
+        )
+
+
+def _indexes_insert(
+    spark: SparkSession,
+    index_paths,
+    batch: DataFrame,
+    *,
+    upsert_semantics: bool,
+) -> None:
+    """Keep every persisted index at ``index_paths`` servable after
+    rows landed in the collection — the same discipline as the CDC
+    loop's insert path. Vector sidecars (IVF / IVF-PQ) take the rows
+    through their surgical upsert (add-or-replace; also resurrects
+    ids a previous delete tombstoned). A cohabiting BAND index: for
+    pure inserts the cheap ``band_index_append`` covers the live
+    slice and previously-tombstoned ids ride ``band_index_apply``'s
+    atomic part rewrite; with upsert semantics the text of HELD ids
+    may have changed, so the whole batch rides ``band_index_apply``
+    (replace-or-add, one part rewrite — compact-cost, documented on
+    the front doors)."""
+    import os as _os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+        ivf_upsert,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_upsert,
+    )
+
+    for path in index_paths:
+        p = _local_sidecar_path(path)
+        for sc, up_fn in (
+            ("ivf_index.json", ivf_upsert),
+            ("ivf_pq_index.json", ivf_pq_upsert),
+        ):
+            if _os.path.exists(_os.path.join(p, sc)):
+                up_fn(
+                    spark,
+                    path,
+                    batch.select("id", "embedding"),
+                    id_col="id",
+                    embedding_col="embedding",
+                )
+        if _os.path.exists(_os.path.join(p, "band_index.json")):
+            from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+                band_index_append,
+                band_index_apply,
+                band_index_tombstoned_ids,
+            )
+
+            docs = batch.select("id", "document")
+            if upsert_semantics:
+                band_index_apply(
+                    spark, path, upserts=docs,
+                    id_col="id", text_col="document",
+                )
+                continue
+            ts = band_index_tombstoned_ids(spark, path)
+            dead = docs.join(
+                ts, F.col("id") == F.col("_ts_id"), "left_semi"
+            ).localCheckpoint(eager=True)
+            live = docs.join(
+                ts, F.col("id") == F.col("_ts_id"), "left_anti"
+            )
+            band_index_append(
+                spark, path, live, id_col="id", text_col="document"
+            )
+            if dead.limit(1).count() > 0:
+                band_index_apply(
+                    spark, path, upserts=dead,
+                    id_col="id", text_col="document",
+                )
+
+
+def collection_add(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    ids,
+    embeddings,
+    documents=None,
+    metadatas=None,
+    index_paths: list[str] | tuple[str, ...] = (),
+) -> int:
+    """``collection.add(ids=..., embeddings=..., documents=...,
+    metadatas=...)`` — the literal Chroma client front door the
+    reference's script reaches for first (sas:177-190 calls it in
+    bulk). Signature-faithful thin wrapper over the hydrate path with
+    ``on_duplicate='error'``: a duplicate id — in-batch or already
+    held — raises ``DuplicateIdError`` before anything lands, exactly
+    Chroma's add semantics (ids a previous ``collection.delete``
+    removed are NOT duplicates and insert normally). Embeddings are
+    dim-validated strictly; an invalid vector raises instead of
+    silently dropping (lists are literal client input, not a lake
+    scan with a null policy). Per-row ``metadatas`` dicts land whole
+    in the canonical ``map<string,string>``. Every persisted index at
+    ``index_paths`` is kept servable through its surgical
+    upsert/append path. Returns the number of rows added.
+
+    Driver-side note: the parallel-list signature is for
+    client-SIZED batches (it builds one local DataFrame); bulk loads
+    keep using ``operators.hydrate.hydrate`` on a distributed frame —
+    same machinery, no collect anywhere."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+
+    items = _chroma_items_df(spark, ids, embeddings, documents, metadatas)
+    _check_dim_vs_manifest(root, name, embeddings, "collection_add")
+    cfg = HydrationConfig(
+        collection_name=name,
+        root=root,
+        id_col="id",
+        text_col="document",
+        embedding_col="embedding",
+        metadata_col="metadata",
+        on_duplicate="error",
+    )
+    report = hydrate(spark, items, cfg)
+    if index_paths:
+        _indexes_insert(
+            spark,
+            index_paths,
+            items,
+            upsert_semantics=False,
+        )
+    return report.rows_written
+
+
+def collection_upsert(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    *,
+    ids,
+    embeddings,
+    documents=None,
+    metadatas=None,
+    index_paths: list[str] | tuple[str, ...] = (),
+) -> int:
+    """``collection.upsert(...)`` — insert-or-replace, the other
+    Chroma write front door. Same signature and item handling as
+    ``collection_add``; underneath it is the hydrate path with
+    ``on_duplicate='upsert'`` (held ids' rows are REPLACED whole —
+    bucketed layouts rewrite only the touched buckets). Persisted
+    vector indexes take the batch through their surgical upsert; a
+    cohabiting band index takes it through ``band_index_apply``
+    (held ids' text may have changed, and the id-free band layout's
+    honest replacement unit is the atomic part rewrite — compact-
+    cost per call; batch upserts accordingly). Returns the number of
+    rows written."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+
+    items = _chroma_items_df(spark, ids, embeddings, documents, metadatas)
+    _check_dim_vs_manifest(root, name, embeddings, "collection_upsert")
+    cfg = HydrationConfig(
+        collection_name=name,
+        root=root,
+        id_col="id",
+        text_col="document",
+        embedding_col="embedding",
+        metadata_col="metadata",
+        on_duplicate="upsert",
+    )
+    report = hydrate(spark, items, cfg)
+    if index_paths:
+        _indexes_insert(
+            spark,
+            index_paths,
+            items,
+            upsert_semantics=True,
+        )
+    return report.rows_written

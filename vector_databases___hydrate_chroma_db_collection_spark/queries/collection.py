@@ -3254,3 +3254,124 @@ def collection_query_batch_filtered_ivfpq(
         rerank_factor=8,
         score_decimals=4,
     ).select("qid", "rank", "id", "score")
+
+
+@query(
+    "collection_add_upsert_api",
+    """
+    WITH joined AS (
+        SELECT d.doc_id, d.text, d.lang, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    base AS (  -- hydrated seed: ids NOT divisible by 5
+        SELECT CAST(doc_id AS VARCHAR) AS id, text AS document,
+               'base' AS src, embedding AS emb
+        FROM joined WHERE doc_id % 5 <> 0
+    ),
+    added AS (  -- collection.add of absent ids (% 10 = 0), reversed vectors
+        SELECT CAST(doc_id AS VARCHAR) AS id, text AS document,
+               'add' AS src, list_reverse(embedding) AS emb
+        FROM joined WHERE doc_id % 10 = 0 AND doc_id < 200
+    ),
+    ups AS (  -- collection.upsert: held (% 10 = 1) + absent (% 10 = 5)
+        SELECT CAST(doc_id AS VARCHAR) AS id,
+               'upserted ' || text AS document,
+               'upsert' AS src, list_reverse(embedding) AS emb
+        FROM joined
+        WHERE doc_id % 10 IN (1, 5) AND doc_id < 200
+    ),
+    final AS (
+        SELECT * FROM base WHERE id NOT IN (SELECT id FROM ups)
+        UNION ALL SELECT * FROM added
+        UNION ALL SELECT * FROM ups
+    )
+    SELECT id, document, src,
+           ROUND(CAST(emb[1] AS DOUBLE), 4) AS e0
+    FROM final
+    """,
+)
+def collection_add_upsert_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The literal Chroma write front doors
+    (``plans/chroma_api.py::collection_add`` / ``collection_upsert``,
+    the client methods the reference's script calls at sas:177-190)
+    driven end-to-end against a membership-arithmetic oracle: hydrate
+    a seed collection (ids % 5 != 0), ``add`` absent ids (% 10 == 0 —
+    Chroma add errors on held ids, these are all new) with REVERSED
+    vectors and typed metadata dicts, then ``upsert`` a mix of held
+    (% 10 == 1: whole-row replacement, document prefixed and vector
+    reversed) and absent (% 10 == 5: plain insert) ids. The final
+    collection read must reproduce set arithmetic exactly — any add
+    leaking into held ids, upsert failing to replace whole rows, or
+    metadata dict mangling breaks membership, document text, the
+    ``src`` tag, or the vector checksum. The parallel-list signature
+    is client-sized by contract (bounded collect of <60 fixture rows
+    to build the literal lists — the API shape under test; bulk loads
+    use the distributed hydrate path)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_add,
+        collection_upsert,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id)
+    root = tempfile.mkdtemp(prefix="vdb_addups_")
+    hydrate(
+        spark,
+        joined.filter(F.col("doc_id") % 5 != 0),
+        HydrationConfig(
+            collection_name="capi",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+        ),
+    )
+    add_rows = (
+        joined.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 200))
+        .select("doc_id", "text", "embedding")
+        .collect()
+    )
+    collection_add(
+        spark,
+        root,
+        "capi",
+        ids=[str(r["doc_id"]) for r in add_rows],
+        embeddings=[list(reversed(r["embedding"])) for r in add_rows],
+        documents=[r["text"] for r in add_rows],
+        metadatas=[{"src": "add"} for _ in add_rows],
+    )
+    ups_rows = (
+        joined.filter(
+            (F.col("doc_id") % 10).isin([1, 5]) & (F.col("doc_id") < 200)
+        )
+        .select("doc_id", "text", "embedding")
+        .collect()
+    )
+    collection_upsert(
+        spark,
+        root,
+        "capi",
+        ids=[str(r["doc_id"]) for r in ups_rows],
+        embeddings=[list(reversed(r["embedding"])) for r in ups_rows],
+        documents=[f"upserted {r['text']}" for r in ups_rows],
+        metadatas=[{"src": "upsert"} for _ in ups_rows],
+    )
+    coll = read_collection(spark, root, "capi")
+    return coll.select(
+        "id",
+        "document",
+        F.coalesce(
+            F.element_at("metadata", "src"), F.lit("base")
+        ).alias("src"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("e0"),
+    )

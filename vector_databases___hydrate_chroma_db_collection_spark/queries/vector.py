@@ -1025,3 +1025,82 @@ def retrieval_maxsim_ragged_top10(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("maxsim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "retrieval_maxsim_from_index",
+    f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 5),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_sum(list_transform(range(1, 4), j ->
+                   list_max(list_transform(
+                       range(1, CAST(e.vec_id % 4 AS INT) + 2),
+                       i -> {_SUBCOS}))
+               )), 4) AS maxsim
+        FROM embeddings e, q
+        WHERE e.vec_id <= 300 AND e.vec_id <> 5
+    )
+    SELECT CAST(vec_id AS VARCHAR) AS id, maxsim
+    FROM scored
+    ORDER BY maxsim DESC, id
+    LIMIT 10
+    """,
+)
+def retrieval_maxsim_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``retrieval_maxsim_ragged_top10`` served THROUGH the persisted
+    token-level index (``operators/late_interaction.py`` — the
+    PLAID/ColBERTv2 shape, r13 verdict item 3) instead of brute
+    force: the same ragged corpus's token vectors cluster into IVF
+    cells at write time; the query's 3 tokens generate candidates
+    from the probed cells' token rows (partition-pruned, map-side-
+    combinable per-token max), and the bounded candidate set reranks
+    exactly with ``maxsim_score_presplit`` — the identical scorer the
+    brute-force twin compiles. Probing is EXHAUSTIVE here so the
+    oracle's brute-force replay must match byte-for-byte (the
+    ``collection_ivf_knn_end_to_end`` discipline: correctness gates
+    prove the index path lossless; the bench's pruned probes measure
+    the sublinear serve). Note the ORDER BY ties are broken on the
+    STRING id both sides — the index serves string ids."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        split_slots,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.late_interaction import (
+        maxsim_index_build,
+        maxsim_index_write,
+        maxsim_search,
+    )
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_toks = [
+        list(t)
+        for t in emb.filter(F.col("vec_id") == 5)
+        .select(F.slice(split_slots(F.col("embedding"), 4), 1, 3).alias("q"))
+        .first()["q"]
+    ]
+    docs = emb.filter((F.col("vec_id") <= 300) & (F.col("vec_id") != 5)).select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.slice(
+            split_slots(F.col("embedding"), 4),
+            1,
+            (F.col("vec_id") % 4 + 1).cast("int"),
+        ).alias("tokens"),
+    )
+    assigned, C = maxsim_index_build(
+        docs, id_col="id", tokens_col="tokens", n_centroids=8, seed=42
+    )
+    idx = tempfile.mkdtemp(prefix="vdb_maxsim_") + "/idx"
+    maxsim_index_write(assigned, C, idx, build={"seed": 42})
+    return maxsim_search(
+        spark,
+        idx,
+        q_toks,
+        k=10,
+        nprobe=8,  # exhaustive: 8 cells — the oracle is exact
+        candidate_factor=4,
+        rerank_corpus=docs,
+        id_col="id",
+        tokens_col="tokens",
+        score_decimals=4,
+    )
