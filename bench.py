@@ -526,6 +526,52 @@ def main() -> None:
     # (~15-25 s observed vs 5-7 s steady) — warm once, then time.
     record("synth200k_ivf_neardup", run_ivf_neardup, warmup=True)
     ndup.unpersist()
+
+    # ------------------------------------------------------------------
+    # Per-cell GRAPH ANN on the same 200k corpus (HNSW-parity serving,
+    # operators/graph_ann.py): build = IVF assign + one chunked GEMM
+    # per cell producing each row's M=8 in-cell neighbors; serve =
+    # beam search inside the probed cells, scoring ~nprobe*ef rows
+    # instead of every probed row (the budget is MEASURED via
+    # stats_out and asserted under half the probed cells' row count).
+    # Self-recall asserted every trial through the beam. The recall-
+    # vs-IVF-at-matched-budget comparison lives in
+    # tests/test_graph_ann.py and graph_recall_audit — a correctness
+    # gate, not a timing row.
+    # ------------------------------------------------------------------
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        graph_index_build,
+        graph_index_write,
+        graph_search,
+    )
+
+    gidx_dir = tempfile.mkdtemp(prefix="bench_graph_") + "/idx"
+
+    def run_graph_build() -> None:
+        a, C = graph_index_build(
+            corpus,
+            id_col="id",
+            embedding_col="embedding",
+            n_centroids=64,
+            M=8,
+            seed=42,
+            sample_fraction=0.1,
+        )
+        graph_index_write(a, C, gidx_dir, M=8, build={"seed": 42})
+
+    record("synth200k_graph_build", run_graph_build)
+
+    def run_graph_query() -> None:
+        st: dict = {}
+        rows = graph_search(
+            spark, gidx_dir, qvec, k=10, nprobe=4, ef=64, stats_out=st
+        ).collect()
+        assert rows[0]["id"] == "0", "graph beam lost the self-neighbor"
+        probed_rows = 4 * (n // 64)
+        assert 0 < st["scored"] < probed_rows // 2, (st, probed_rows)
+
+    record("synth200k_graph_query", run_graph_query, warmup=True)
+    shutil.rmtree(os.path.dirname(gidx_dir), ignore_errors=True)
     corpus.unpersist()
 
     # ------------------------------------------------------------------

@@ -1,0 +1,180 @@
+"""Per-cell graph ANN (operators/graph_ann.py): exhaustive settings
+must reproduce brute force exactly; pruned beam keeps self-recall on
+a measured candidate budget; deletes tombstone without disconnecting
+traversal; the recall audit reports recall next to candidates-scored
+and beats IVF at a matched budget on the fixed synthetic corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+    EngineError,
+)
+from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+    graph_delete,
+    graph_index_build,
+    graph_index_read,
+    graph_index_write,
+    graph_recall_audit,
+    graph_search,
+    graph_search_batch,
+)
+
+DIM = 16
+N = 2000
+
+
+def _corpus(spark, n=N, dim=DIM):
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(
+                F.xxhash64(F.col("id").cast("string"), j.cast("string")),
+                F.lit(2000),
+            )
+            - 1000
+        ).cast("float")
+        / 1000.0,
+    )
+    return spark.range(n).select(
+        F.col("id").cast("string").alias("id"), vec.alias("embedding")
+    )
+
+
+def _brute_topk(corpus, qvec, k):
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    return (
+        corpus.select(
+            "id",
+            F.round(cosine_similarity("embedding", q), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    corpus = _corpus(spark).cache()
+    corpus.count()
+    assigned, C = graph_index_build(
+        corpus, n_centroids=8, M=6, seed=11, sample_fraction=None
+    )
+    idx = str(tmp_path_factory.mktemp("graph") / "idx")
+    graph_index_write(assigned, C, idx, M=6, build={"seed": 11})
+    qvec = list(corpus.filter(F.col("id") == "7").first()["embedding"])
+    return corpus, idx, qvec
+
+
+def test_exhaustive_matches_brute_force(spark, built):
+    corpus, idx, qvec = built
+    st = {}
+    got = graph_search(
+        spark, idx, qvec, k=10, nprobe=8, ef=10**6,
+        score_decimals=6, stats_out=st,
+    ).collect()
+    want = _brute_topk(corpus, qvec, 10).collect()
+    assert [(r["id"], r["score"]) for r in got] == [
+        (r["id"], r["score"]) for r in want
+    ]
+    # exhaustive = every row of every cell scored, exactly once
+    assert st["scored"] == N and st["probed_cells"] == st["n_cells"] == 8
+
+
+def test_pruned_beam_self_recall_on_a_budget(spark, built):
+    corpus, idx, qvec = built
+    st = {}
+    rows = graph_search(
+        spark, idx, qvec, k=5, nprobe=2, ef=32, stats_out=st
+    ).collect()
+    assert rows[0]["id"] == "7"  # the query IS doc 7's vector
+    assert st["probed_cells"] == 2
+    # the beam's distance evaluations, not the probed cells' row count
+    assert 0 < st["scored"] < N // 2, st
+
+
+def test_graph_vs_ivf_recall_at_matched_budget(spark, built):
+    # the HNSW-parity criterion: at (approximately) equal candidates-
+    # scored, the guided beam must reach recall a plain IVF cell scan
+    # cannot. Budget matching: IVF at nprobe=1 scores ~N/8 = 250 rows
+    # per query; the graph at nprobe=2, ef=24 scores a comparable
+    # (measured, asserted below) number but splits it across TWO
+    # cells guided by the kNN edges. Deterministic corpus + seeds:
+    # this is a fixed-number comparison, not a statistical one.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_knn_join,
+        _recall_report,
+        _sample_queries,
+    )
+
+    corpus, idx, qvec = built
+    rep = graph_recall_audit(
+        spark, idx, k=10, n_queries=16, nprobe=2, ef=24,
+    ).collect()
+    g_recall = rep[0]["mean_recall"]
+    g_budget = max(r["scored_graph"] for r in rep)
+    cells, C, _meta = graph_index_read(spark, idx)
+    plain = cells.select("id", "embedding", "ivf_cell")
+    queries = _sample_queries(plain, "id", "embedding", 16)
+    exact = ivf_knn_join(
+        queries, plain, C, k=10, id_col="id",
+        embedding_col="embedding", metric="cosine", nprobe=8,
+        score_decimals=4,
+    )
+    ivf1 = ivf_knn_join(
+        queries, plain, C, k=10, id_col="id",
+        embedding_col="embedding", metric="cosine", nprobe=1,
+        score_decimals=4,
+    )
+    i_recall = _recall_report(
+        exact, ivf1, recall_threshold=0.9
+    ).first()["mean_recall"]
+    # budget parity: the beam never scores more than ~one cell's rows
+    assert g_budget <= N // 8 + 2 * 24 * 6, (g_budget,)
+    assert g_recall >= i_recall, (g_recall, i_recall)
+
+
+def test_delete_tombstones_but_traverses(spark, built):
+    corpus, idx, qvec = built
+    # doc 7 is the exact top hit; tombstone it and its runner-up list
+    # must still be reachable THROUGH it (the entry graph is intact)
+    want_rest = [
+        r["id"] for r in _brute_topk(corpus, qvec, 6).collect()
+    ][1:]
+    n = graph_delete(spark, idx, ["7"])
+    assert n == 1
+    got = graph_search(
+        spark, idx, qvec, k=5, nprobe=8, ef=10**6, score_decimals=6
+    ).collect()
+    assert [r["id"] for r in got] == want_rest
+    assert "7" not in {r["id"] for r in got}
+    # replay of the same delete: already tombstoned -> 0, no error
+    assert graph_delete(spark, idx, ["7"]) == 0
+    # rebuild purges: write a fresh index over the un-deleted corpus
+    live = corpus.filter(F.col("id") != "7")
+    assigned, C = graph_index_build(
+        live, n_centroids=8, M=6, seed=11
+    )
+    graph_index_write(assigned, C, idx, M=6, build={"seed": 11})
+    cells, _, meta = graph_index_read(spark, idx)
+    assert "tombstones" not in meta or not meta["tombstones"]
+    assert cells.count() == N - 1
+
+
+def test_batch_contract_and_width_validation(spark, built):
+    corpus, idx, qvec = built
+    rows = graph_search_batch(
+        spark, idx, [("a", qvec), ("b", qvec)], k=3, nprobe=2, ef=16
+    ).collect()
+    assert {r["qid"] for r in rows} == {"a", "b"}
+    assert all(1 <= r["rank"] <= 3 for r in rows)
+    with pytest.raises(EngineError, match="dim"):
+        graph_search(spark, idx, [1.0, 0.0], k=3).collect()
+    with pytest.raises(EngineError, match="empty"):
+        graph_search_batch(spark, idx, [], k=3).collect()

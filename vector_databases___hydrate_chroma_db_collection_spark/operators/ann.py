@@ -1456,14 +1456,15 @@ def ivf_appended_ids(spark, path: str, tag: str) -> DataFrame | None:
 
 def _tombstone_prefix(sidecar: str) -> str:
     """Tombstone recording dirs are NAMESPACED per sidecar kind — an
-    IVF and an IVF-PQ index cohabiting one directory must never GC
-    each other's recordings (the same isolation rule as the
+    IVF, an IVF-PQ, and a graph index cohabiting one directory must
+    never GC each other's recordings (the same isolation rule as the
     ``ivf_append_ids`` vs bare ``append_ids`` prefixes)."""
-    return (
-        "ivf_pq_tombstones"
-        if str(sidecar).startswith("ivf_pq")
-        else "ivf_tombstones"
-    )
+    s = str(sidecar)
+    if s.startswith("ivf_pq"):
+        return "ivf_pq_tombstones"
+    if s.startswith("graph"):
+        return "graph_tombstones"
+    return "ivf_tombstones"
 
 
 def _tombstones_df(spark, p: str, meta: dict) -> DataFrame | None:
