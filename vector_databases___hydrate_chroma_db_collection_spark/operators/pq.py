@@ -105,6 +105,58 @@ def pq_train(
     return _train_subspaces(X, m, dsub, n_codes, seed)
 
 
+def _train_opq(
+    R: np.ndarray,
+    m: int,
+    dsub: int,
+    n_codes: int,
+    seed: int,
+    iters: int = 8,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization rotation (Ge et al. 2013,
+    non-parametric alternating solver, public): learn an ORTHOGONAL
+    ``dim x dim`` rotation of the residual space that minimizes PQ
+    reconstruction error at the SAME bytes/row, by alternating
+
+    1. fix the rotation, retrain the subspace codebooks on the
+       rotated sample (``_train_subspaces``);
+    2. fix the codebooks, encode the rotated sample, and solve the
+       orthogonal Procrustes problem ``min ||R @ Rot - Y||_F`` for
+       ``Rot`` (SVD of ``R^T Y`` — one dim x dim decomposition).
+
+    Runs entirely on the bounded driver-side residual sample
+    (``max_train_rows`` caps it), the same memory contract as the
+    k-means trainer. Convention: a residual row ``r`` encodes as
+    ``r @ Rot``; the query side rotates identically before its LUTs.
+    Plain PQ is the ``Rot = I`` special case, so every downstream
+    consumer treats ``rotation=None`` as the identity. Returns
+    ``(rotation, codebooks-in-rotated-space)``."""
+    dim = R.shape[1]
+    rot = np.eye(dim)
+    books = _train_subspaces(R, m, dsub, n_codes, seed)
+    for _ in range(max(int(iters), 1)):
+        Rr = R @ rot
+        Y = np.empty_like(Rr)
+        for j in range(m):
+            sub = Rr[:, j * dsub : (j + 1) * dsub]
+            c_sq = (books[j] * books[j]).sum(axis=1)
+            idx = np.argmin(c_sq[None, :] - 2.0 * (sub @ books[j].T), axis=1)
+            Y[:, j * dsub : (j + 1) * dsub] = books[j][idx]
+        U, _s, Vt = np.linalg.svd(R.T @ Y)
+        rot = U @ Vt
+        books = _train_subspaces(R @ rot, m, dsub, n_codes, seed)
+    return rot, books
+
+
+def _rotate(X: np.ndarray, rotation) -> np.ndarray:
+    """Apply the OPQ rotation (rows: ``x' = x @ rot``); ``None`` is
+    the identity — the single definition every encode/LUT site
+    shares, so build and serve can never rotate differently."""
+    if rotation is None:
+        return X
+    return X @ np.asarray(rotation, dtype=np.float64)
+
+
 def _train_subspaces(
     X: np.ndarray, m: int, dsub: int, n_codes: int, seed: int
 ) -> np.ndarray:
@@ -367,8 +419,21 @@ def ivf_pq_build(
     sample_fraction: float | None = None,
     max_train_rows: int = 65_536,
     n_rows: int | None = None,
-) -> tuple[DataFrame, np.ndarray, np.ndarray]:
-    """Build an IVF-PQ index -> (encoded_df, centroids, codebooks).
+    opq: bool = False,
+    opq_iters: int = 8,
+):
+    """Build an IVF-PQ index -> (encoded_df, centroids, codebooks);
+    with ``opq=True`` -> (encoded_df, centroids, codebooks, rotation).
+
+    ``opq=True`` additionally learns an orthogonal OPQ rotation of
+    the residual space on the SAME bounded training sample
+    (``_train_opq`` — Ge et al. 2013): identical bytes/row, residual
+    variance balanced across the m subspaces before splitting, which
+    lifts recall on correlated/anisotropic embedding spaces (real
+    encoder outputs; isotropic noise gains ~nothing). Pass the
+    returned rotation to ``ivf_pq_write(rotation=...)`` and every
+    serve/append path applies it transparently from the sidecar.
+
 
     Classic residual design: rows are assigned to their nearest coarse
     centroid (``ann.ivf_build``, one Arrow-batched scan), then PQ
@@ -438,6 +503,16 @@ def ivf_pq_build(
     cells = np.asarray([int(p["c"]) for p in pairs])
     R = E - C[cells]
     dsub = dim // m
+    if opq:
+        rotation, codebooks = _train_opq(
+            R, m, dsub, n_codes, seed, iters=opq_iters
+        )
+        encoded = _encode_assigned(
+            assigned, C, codebooks,
+            id_col=id_col, embedding_col=embedding_col,
+            rotation=rotation,
+        )
+        return encoded, C, codebooks, rotation
     codebooks = _train_subspaces(R, m, dsub, n_codes, seed)
 
     encoded = _encode_assigned(
@@ -453,6 +528,7 @@ def _encode_assigned(
     *,
     id_col: str,
     embedding_col: str,
+    rotation=None,
 ) -> DataFrame:
     """Residual-PQ encode of cell-assigned rows with EXISTING
     codebooks, one Arrow-batched pass. Shared by ``ivf_pq_build``
@@ -478,7 +554,7 @@ def _encode_assigned(
                     f"corpus embedding dim {Eb.shape[1]} != index dim {dim}"
                 )
             cells = b["ivf_cell"].to_numpy()
-            Rb = Eb - C[cells]
+            Rb = _rotate(Eb - C[cells], rotation)
             codes = np.empty((len(Rb), m), dtype=np.int16)
             for j in range(m):
                 sub = Rb[:, j * dsub : (j + 1) * dsub]
@@ -510,6 +586,7 @@ def ivf_pq_search(
     rerank_factor: int = 8,
     metric: str = "l2",
     score_decimals: int | None = None,
+    rotation=None,
 ) -> DataFrame:
     """Search an IVF-PQ index: prune to ``nprobe`` cells, ADC-score
     residual codes with a PER-CELL lookup table (the query residual
@@ -535,7 +612,7 @@ def ivf_pq_search(
     # Per-cell LUT: ||r_j - codebook_j[c]||^2 for r = q - centroid_cell.
     luts = {}
     for cell in cells:
-        r = q - centroids[cell]
+        r = _rotate(q[None, :] - centroids[cell][None, :], rotation)[0]
         luts[cell] = np.stack(
             [
                 ((codebooks[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
@@ -596,6 +673,7 @@ def ivf_pq_knn_join(
     nprobe: int = 3,
     slack: int = 32,
     score_decimals: int | None = None,
+    rotation=None,
 ) -> DataFrame:
     """Batch ADC search through an IVF-PQ index — the compressed twin
     of ``ann.ivf_knn_join`` for MANY queries at once (``ivf_pq_search``
@@ -629,6 +707,9 @@ def ivf_pq_knn_join(
 
     C = np.asarray(centroids, dtype=np.float64)
     books = np.asarray(codebooks, dtype=np.float64)
+    rot_b = (
+        None if rotation is None else np.asarray(rotation, dtype=np.float64)
+    )
     m, n_codes, dsub = books.shape
     npb = int(min(nprobe, C.shape[0]))
 
@@ -671,7 +752,10 @@ def ivf_pq_knn_join(
         keep = min(keep_m, len(ids))
         out_qid, out_nid, out_score = [], [], []
         for qid, qe in zip(q_pdf["_qid"], q_pdf["_qe"]):
-            r = np.asarray(qe, dtype=np.float64) - C[cell]
+            r = _rotate(
+                (np.asarray(qe, dtype=np.float64) - C[cell])[None, :],
+                rot_b,
+            )[0]
             lut = np.stack(
                 [
                     ((books[j] - r[j * dsub : (j + 1) * dsub]) ** 2).sum(
@@ -790,6 +874,7 @@ def ivf_pq_recall_audit(
         nprobe=nprobe,
         score_decimals=score_decimals,
         slack=slack,
+        rotation=meta.get("rotation"),
     )
     exact = knn_join(
         queries,
@@ -812,6 +897,7 @@ def ivf_pq_write(
     path: str,
     *,
     source: tuple[str, str] | None = None,
+    rotation=None,
 ) -> None:
     """Persist an IVF-PQ index: codes partitioned by ``ivf_cell`` (so
     searches get static partition pruning on the 8-byte rows) plus a
@@ -820,7 +906,10 @@ def ivf_pq_write(
     and replicates like any other table, and the sidecar is a few MB
     at FAISS-typical sizes. ``source=(root, name)`` stamps the
     sidecar with the source collection's etag so ``ivf_pq_read``
-    refuses a stale index after collection mutations."""
+    refuses a stale index after collection mutations. ``rotation``:
+    the OPQ rotation from ``ivf_pq_build(opq=True)`` — persisted in
+    the sidecar so every serve/append/upsert path rotates residuals
+    identically without the caller re-threading it."""
     import json
     import os
 
@@ -889,6 +978,11 @@ def ivf_pq_write(
             "location": cells_dir,
             "train_stats": train_stats,
             "id_bloom": id_bloom,
+            **(
+                {"rotation": np.asarray(rotation).tolist()}
+                if rotation is not None
+                else {}
+            ),
         },
     )
     _drop_old_cells(path, old_meta, cells_dir)
@@ -1064,7 +1158,8 @@ def ivf_pq_append(
             fresh, C, id_col=exist_id, embedding_col=embedding_col, metric="l2"
         )
         encoded = _encode_assigned(
-            assigned, C, books, id_col=exist_id, embedding_col=embedding_col
+            assigned, C, books, id_col=exist_id, embedding_col=embedding_col,
+            rotation=meta.get("rotation"),
         )
         encoded.write.mode("append").partitionBy("ivf_cell").parquet(loc)
     src = meta.get("source")
@@ -1078,14 +1173,22 @@ def ivf_pq_append(
 
 
 def ivf_pq_read(
-    spark, path: str, *, verify_source: bool = True, include_tombstoned: bool = False
-) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    spark,
+    path: str,
+    *,
+    verify_source: bool = True,
+    include_tombstoned: bool = False,
+    with_rotation: bool = False,
+):
     """Load a persisted IVF-PQ index -> (encoded_df, centroids,
     codebooks). Same staleness contract as ``ann.ivf_read``: a
     source-collection stamp whose etag no longer matches raises
     ``StaleIndexError`` instead of silently serving deleted/replaced
     rows — and the same tombstone contract: rows ``ivf_pq_delete``
-    masked are anti-joined out unless ``include_tombstoned=True``."""
+    masked are anti-joined out unless ``include_tombstoned=True``.
+    ``with_rotation=True`` appends the sidecar's OPQ rotation (or
+    ``None``) as a fourth element — pass it to the search functions'
+    ``rotation=`` so OPQ-encoded codes score correctly."""
     import json
     import os
 
@@ -1108,6 +1211,14 @@ def ivf_pq_read(
             c for c in encoded.columns if c not in ("ivf_cell", "pq_code")
         ][0]
         encoded = _mask_tombstones(spark, path, meta, encoded, idc)
+    if with_rotation:
+        rot = meta.get("rotation")
+        return (
+            encoded,
+            np.asarray(meta["centroids"]),
+            np.asarray(meta["codebooks"]),
+            None if rot is None else np.asarray(rot),
+        )
     return (
         encoded,
         np.asarray(meta["centroids"]),
@@ -1179,7 +1290,8 @@ def ivf_pq_upsert(
         batch, C, id_col=exist_id, embedding_col=embedding_col, metric="l2"
     )
     encoded = _encode_assigned(
-        assigned, C, books, id_col=exist_id, embedding_col=embedding_col
+        assigned, C, books, id_col=exist_id, embedding_col=embedding_col,
+        rotation=meta.get("rotation"),
     ).localCheckpoint(eager=True)
     batch_ids = batch.select(
         F.col(exist_id).cast("string").alias("_up_id")

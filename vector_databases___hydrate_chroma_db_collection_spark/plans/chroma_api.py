@@ -740,8 +740,9 @@ def collection_query_batch_ivf_pq(
             raise EngineError(
                 f"query vector {i} dim {len(v)} != collection dim {manifest.dim}"
             )
-    encoded, C, books = ivf_pq_read(
-        spark, index_path, verify_source=verify_source
+    encoded, C, books, _rot = ivf_pq_read(
+        spark, index_path, verify_source=verify_source,
+        with_rotation=True,
     )
     idx_id = [
         c for c in encoded.columns if c not in ("ivf_cell", "pq_code")
@@ -778,6 +779,7 @@ def collection_query_batch_ivf_pq(
             k=kk,
             id_col=idx_id,
             nprobe=p,
+            rotation=_rot,
             score_decimals=score_decimals,
         ).localCheckpoint(eager=True)  # bounded: <= |pending| * k * rf
         if p >= n_cells:
@@ -891,8 +893,9 @@ def collection_query_ivf_pq(
         raise EngineError(
             f"query vector dim {len(query_vector)} != collection dim {manifest.dim}"
         )
-    encoded, C, books = ivf_pq_read(
-        spark, index_path, verify_source=verify_source
+    encoded, C, books, _rot = ivf_pq_read(
+        spark, index_path, verify_source=verify_source,
+        with_rotation=True,
     )
     idx_id = [
         c for c in encoded.columns if c not in ("ivf_cell", "pq_code")
@@ -941,6 +944,7 @@ def collection_query_ivf_pq(
         k=k * int(rerank_factor),
         id_col=idx_id,
         nprobe=p,  # the cells the fill loop settled on
+        rotation=_rot,
     ).select(F.col(idx_id).cast("string").alias("id"))
     return _serve_topk(
         filtered.join(F.broadcast(prescreen), "id", "left_semi"),

@@ -3560,3 +3560,83 @@ def collection_two_writer_fence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         (F.col("id").cast("long") % 5 == 4).alias("was_contested"),
     )
+
+
+@query(
+    "collection_query_opq",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+        WHERE c.lang = 'fr'
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 100
+    """,
+)
+def collection_query_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``collection_query_filtered_ivfpq``'s OPQ twin (r13 verdict
+    item 8; Ge et al. 2013, public): the IVF-PQ index is built with
+    ``opq=True`` — an orthogonal rotation of the residual space
+    learned on the same bounded training sample, persisted in the
+    sidecar, applied by every encode and every serve-time LUT
+    transparently — at IDENTICAL bytes/row (same m smallint codes).
+    The SAME oracle as the non-OPQ twin must hold byte-for-byte,
+    which is exactly the "parity with the non-OPQ oracle path"
+    criterion: the rotation changes which candidates the ADC
+    prescreen ranks well (recall up on correlated spaces —
+    tests/test_opq.py asserts the ivf_pq_recall_audit delta), never
+    the exact-reranked answer. A rotation desync between encode and
+    serve (the bug class this query gates) garbles ADC scores and
+    starves the prescreen, breaking the hash."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_ivf_pq,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_opq_")
+    cfg = HydrationConfig(
+        collection_name="opq",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="lang",
+    )
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "opq")
+    encoded, C, books, rot = ivf_pq_build(
+        coll, n_centroids=8, m=8, n_codes=16, seed=42, opq=True
+    )
+    idx = f"{root}/opq/_ivfpq"
+    ivf_pq_write(encoded, C, books, idx, source=(root, "opq"), rotation=rot)
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    return collection_query_ivf_pq(
+        spark,
+        root,
+        "opq",
+        qvec,
+        n_results=100,
+        index_path=idx,
+        nprobe=2,
+        where={"lang": "fr"},
+        rerank_factor=2,
+        score_decimals=4,
+    ).select("id", "score")
