@@ -178,3 +178,56 @@ def test_batch_contract_and_width_validation(spark, built):
         graph_search(spark, idx, [1.0, 0.0], k=3).collect()
     with pytest.raises(EngineError, match="empty"):
         graph_search_batch(spark, idx, [], k=3).collect()
+
+
+def test_graph_append_rebuilds_touched_cells(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        TombstonedIdError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        graph_append,
+    )
+
+    base = _corpus(spark, n=1500).cache()
+    base.count()
+    assigned, C = graph_index_build(base, n_centroids=8, M=6, seed=11)
+    idx = str(tmp_path / "idx")
+    graph_index_write(assigned, C, idx, M=6, build={"seed": 11})
+    extra = _corpus(spark, n=N).filter(F.col("id").cast("long") >= 1500)
+    assert graph_append(spark, idx, extra) == N - 1500
+    cells, _, meta = graph_index_read(spark, idx)
+    assert cells.count() == N
+    # the appended rows are wired INTO the touched cells' graphs:
+    # every appended row has in-cell edges, and the full-corpus
+    # exhaustive serve equals brute force over all N rows
+    n_edges = cells.filter(
+        (F.col("id").cast("long") >= 1500) & (F.size("nbrs") > 0)
+    ).count()
+    assert n_edges == N - 1500
+    qvec = list(
+        _corpus(spark, n=N).filter(F.col("id") == "1777").first()[
+            "embedding"
+        ]
+    )
+    got = graph_search(
+        spark, idx, qvec, k=5, nprobe=8, ef=10**6, score_decimals=6
+    ).collect()
+    want = _brute_topk(_corpus(spark, n=N), qvec, 5).collect()
+    assert [(r["id"], r["score"]) for r in got] == [
+        (r["id"], r["score"]) for r in want
+    ]
+    # pruned beam reaches the appended row through rebuilt edges
+    rows = graph_search(spark, idx, qvec, k=3, nprobe=2, ef=32).collect()
+    assert rows[0]["id"] == "1777"
+    # replay: the same batch is guard-skipped to a no-op
+    assert graph_append(spark, idx, extra) == 0
+    # exactly one physical row per id survived the rebuild
+    assert cells.select("id").distinct().count() == N
+    # tombstoned ids refuse re-append until a rebuild purges
+    graph_delete(spark, idx, ["1600"])
+    with pytest.raises(TombstonedIdError):
+        graph_append(
+            spark, idx,
+            _corpus(spark, n=N).filter(F.col("id") == "1600"),
+        )
+    base.unpersist()

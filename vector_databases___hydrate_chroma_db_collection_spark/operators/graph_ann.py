@@ -111,6 +111,25 @@ def graph_index_build(
         sample_fraction=sample_fraction,
         metric="cosine",
     )
+    return _build_cell_graphs(assigned, C, M, max_cell_rows), C
+
+
+_CELLS_SCHEMA = (
+    "id string, embedding array<float>, nbrs array<string>, "
+    "is_entry boolean, ivf_cell int"
+)
+
+
+def _build_cell_graphs(
+    assigned: DataFrame, C: np.ndarray, M: int, max_cell_rows: int
+) -> DataFrame:
+    """The per-cell exact-kNN graph construction shared by
+    ``graph_index_build`` (every cell) and ``graph_append`` (touched
+    cells only): one ``applyInPandas`` pass over the
+    ``(id, embedding, ivf_cell)`` rows, row-chunked GEMM inside each
+    cell, medoid flagged ``is_entry``."""
+    import pandas as pd
+
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     m_eff = max(int(M), 1)
 
@@ -120,7 +139,7 @@ def graph_index_build(
             return pdf.assign(nbrs=[], is_entry=[])
         if n > max_cell_rows:
             raise EngineError(
-                f"graph_index_build: cell {key[0]} holds {n} rows > "
+                f"graph index build: cell {key[0]} holds {n} rows > "
                 f"max_cell_rows={max_cell_rows}; raise n_centroids "
                 "(per-cell graph build is O(|cell|^2) compute by "
                 "design)"
@@ -156,14 +175,9 @@ def graph_index_build(
             }
         )
 
-    out_schema = (
-        "id string, embedding array<float>, nbrs array<string>, "
-        "is_entry boolean, ivf_cell int"
+    return assigned.groupBy("ivf_cell").applyInPandas(
+        build_cells, schema=_CELLS_SCHEMA
     )
-    graph_cells = assigned.groupBy("ivf_cell").applyInPandas(
-        build_cells, schema=out_schema
-    )
-    return graph_cells, C
 
 
 def graph_index_write(
@@ -287,6 +301,170 @@ def graph_delete(
         sidecar=_SIDECAR,
         expected_prev_etag=expected_prev_etag,
     )
+
+
+def graph_append(
+    spark: SparkSession,
+    path: str,
+    new_rows: DataFrame,
+    *,
+    id_col: str = "id",
+    embedding_col: str = "embedding",
+    expected_prev_etag: str | None = None,
+    max_cell_rows: int = 200_000,
+) -> int:
+    """Incremental ingest into a persisted graph index — the graph
+    twin of ``ivf_append``: assign new rows to their nearest EXISTING
+    cells (no retrain), REBUILD the touched cells' kNN graphs over
+    (surviving ∪ new) rows — edges of existing rows in a touched cell
+    legitimately change, which is why a plain row-append (the IVF
+    shape) would silently degrade the beam — and carry every
+    untouched cell forward by hardlink into a fresh versioned dir;
+    ONE sidecar swap commits. Duplicate ids are guard-skipped (Bloom
+    prescreen + exact anti-join — idempotent replays); re-appending a
+    TOMBSTONED id raises ``TombstonedIdError`` until a rebuild purges
+    (the ``ivf_append`` contract); ``expected_prev_etag`` is the same
+    foreign-mutation fence. Returns the number of rows appended.
+
+    Cost: O(touched cells' rows^2 / chunk) graph rebuild + O(files)
+    clone metadata — bounded by the batch's cell spread, never a
+    corpus rebuild."""
+    import json
+    import os
+    import shutil
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        StaleIndexError,
+        TombstonedIdError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        idguard,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _assign_to_centroids,
+        _atomic_sidecar_write,
+        _clone_untouched_cells,
+        _drop_old_cells,
+        _fresh_cells_dir,
+        _local_sidecar_path,
+        _source_stamp,
+        _tombstones_df,
+    )
+
+    p = _local_sidecar_path(path)
+    with open(os.path.join(p, _SIDECAR)) as f:
+        meta = json.load(f)
+    if expected_prev_etag is not None:
+        src = meta.get("source")
+        recorded = src["etag"] if src else None
+        if recorded != expected_prev_etag:
+            raise StaleIndexError(
+                f"graph index at {path!r} records etag "
+                f"{str(recorded)[:12]!r} but the append expected "
+                f"{expected_prev_etag[:12]!r}: the source collection "
+                "was mutated by something else since the index was "
+                "stamped — rebuild instead"
+            )
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    batch = (
+        new_rows.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(embedding_col).cast("array<float>").alias("embedding"),
+        )
+        .where(F.col("id").isNotNull())
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=True)
+    )
+    loc = os.path.join(p, meta["location"])
+    cells = spark.read.parquet(loc)
+    ts_prev = _tombstones_df(spark, p, meta)
+    if ts_prev is not None:
+        dead_hit = batch.join(
+            ts_prev, F.col("id") == F.col("_ts_id"), "left_semi"
+        )
+        if dead_hit.limit(1).count() > 0:
+            raise TombstonedIdError(
+                "graph_append: the batch re-introduces tombstoned "
+                "ids — rebuild the index (graph_index_build + write) "
+                "to purge before re-ingesting them"
+            )
+    # duplicate-id guard: Bloom prescreen (filter-negative = new,
+    # zero corpus IO), exact semi-join only on the maybes
+    bloom_meta = meta.get("id_bloom")
+    if idguard.filter_usable(bloom_meta):
+        neg, maybe, _st = idguard.bloom_split(batch, p, bloom_meta, "id")
+        if maybe is not None:
+            dup = maybe.join(
+                cells.select(F.col("id").alias("_have")),
+                F.col("id") == F.col("_have"),
+                "left_semi",
+            )
+            maybe_fresh = maybe.join(
+                dup.select("id"), "id", "left_anti"
+            )
+            fresh = (
+                maybe_fresh
+                if neg is None
+                else neg.unionByName(maybe_fresh.select(neg.columns))
+            )
+        else:
+            fresh = neg if neg is not None else batch.limit(0)
+    else:
+        fresh = batch.join(
+            cells.select(F.col("id").alias("_have")),
+            F.col("id") == F.col("_have"),
+            "left_anti",
+        )
+    fresh = fresh.select("id", "embedding").localCheckpoint(eager=True)
+    n_fresh = fresh.count()
+    if n_fresh == 0:
+        # replay / all-known batch: heal the stamp like ivf_delete
+        src = meta.get("source")
+        if src is not None and (
+            expected_prev_etag is None
+            or src.get("etag") == expected_prev_etag
+        ):
+            stamp = _source_stamp((src["root"], src["name"]))
+            if stamp != src:
+                meta["source"] = stamp
+                _atomic_sidecar_write(p, _SIDECAR, meta)
+        return 0
+    assigned_new = _assign_to_centroids(
+        fresh, C, id_col="id", embedding_col="embedding", metric="cosine"
+    ).localCheckpoint(eager=True)
+    touched = {
+        int(r["ivf_cell"])
+        for r in assigned_new.select("ivf_cell").distinct().collect()
+    }
+    rebuilt_src = (
+        cells.filter(F.col("ivf_cell").isin(sorted(touched)))
+        .select("id", "embedding", "ivf_cell")
+        .unionByName(assigned_new)
+    )
+    rebuilt = _build_cell_graphs(
+        rebuilt_src, C, int(meta["M"]), max_cell_rows
+    )
+    new_dir = _fresh_cells_dir(p, meta.get("location"))
+    new_loc = os.path.join(p, new_dir)
+    rebuilt.write.mode("append").partitionBy("ivf_cell").parquet(new_loc)
+    _clone_untouched_cells(loc, new_loc, touched)
+    # filter superset BEFORE the swap (the append-guard invariant)
+    if idguard.filter_usable(bloom_meta):
+        st = idguard.bloom_read(p, bloom_meta["location"])
+        idguard.bloom_extend(
+            p, meta, st, fresh.select(F.col("id").alias("_s"))
+        )
+    old_meta_loc = {"location": meta.get("location")}
+    meta["location"] = new_dir
+    src = meta.get("source")
+    if src is not None:
+        meta["source"] = _source_stamp((src["root"], src["name"]))
+    _atomic_sidecar_write(p, _SIDECAR, meta)
+    _drop_old_cells(p, old_meta_loc, new_dir)
+    idguard.gc_bloom_files(
+        p, {(meta.get("id_bloom") or {}).get("location")}
+    )
+    return n_fresh
 
 
 def _beam_cell(ids, En, nbr_lists, entry_idx, qn, ef: int):
@@ -604,6 +782,7 @@ def graph_recall_audit(
 
 
 __all__ = [
+    "graph_append",
     "graph_index_build",
     "graph_index_write",
     "graph_index_read",
