@@ -231,3 +231,76 @@ def test_graph_append_rebuilds_touched_cells(spark, tmp_path):
             _corpus(spark, n=N).filter(F.col("id") == "1600"),
         )
     base.unpersist()
+
+
+def test_filtered_front_door_kfill_and_cellkill(spark, tmp_path):
+    # the filtered serving matrix's graph column: k-fill fills from
+    # widening probes; a zero-match predicate walks BOTH fill
+    # dimensions to exhaustion (every cell probed, ef saturated ->
+    # exact filtered scan) and returns empty, never under-fills
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        graph_append,  # noqa: F401 — module import sanity
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_graph,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = str(tmp_path / "root")
+    docs = _corpus(spark, n=400).select(
+        "id",
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id").cast("long") % 7).cast("string").alias("m"),
+        "embedding",
+    )
+    cfg = HydrationConfig(
+        collection_name="g", root=root, id_col="id", text_col="text",
+        embedding_col="embedding", metadata_col="m", metadata_key="m",
+    )
+    hydrate(spark, docs, cfg)
+    coll = read_collection(spark, root, "g")
+    assigned, C = graph_index_build(coll, n_centroids=4, M=6, seed=3)
+    idx = f"{root}/g/_graph"
+    graph_index_write(
+        assigned, C, idx, M=6, source=(root, "g"), build={"seed": 3}
+    )
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    # selective filter (~57 matches): fill 20 through widening probes
+    st: dict = {}
+    rows = collection_query_graph(
+        spark, root, "g", qvec, n_results=20, index_path=idx,
+        nprobe=1, ef=16, where={"m": "3"}, score_decimals=4,
+        stats_out=st,
+    ).collect()
+    assert len(rows) == 20
+    assert all(r["metadata"]["m"] == "3" for r in rows)
+    assert st["final_probe"] <= st["n_cells"] == 4
+    # zero-match predicate: exhaustion floor, empty result
+    st2: dict = {}
+    rows2 = collection_query_graph(
+        spark, root, "g", qvec, n_results=5, index_path=idx,
+        nprobe=1, ef=16, where={"m": "no-such"}, stats_out=st2,
+    ).collect()
+    assert rows2 == []
+    assert st2["final_probe"] == 4 and st2["final_ef"] >= 2**31
+    # filter OFF at exhaustion settings == collection_query exactly
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query,
+    )
+
+    a = collection_query_graph(
+        spark, root, "g", qvec, n_results=10, index_path=idx,
+        nprobe=4, ef=2**31, score_decimals=6,
+    ).collect()
+    b = collection_query(
+        spark, root, "g", qvec, n_results=10, score_decimals=6
+    ).collect()
+    assert [(r["id"], r["score"]) for r in a] == [
+        (r["id"], r["score"]) for r in b
+    ]

@@ -54,7 +54,16 @@ def main() -> None:
         get_spark,
     )
 
-    spark = get_spark(app_name="probe-100m")
+    # 100M docs -> ~2.4B shingle rows: at the default 32 shuffle
+    # partitions a single hash-agg task holds ~75M rows and dies with
+    # AGGREGATE_OUT_OF_MEMORY (observed on the first run). Size the
+    # shuffle so per-task state fits — the literal "partitions sized
+    # to executor memory at the target SF" contract; AQE coalesces
+    # the small stages back down, so the 10M control leg is unharmed.
+    spark = get_spark(
+        app_name="probe-100m",
+        shuffle_partitions=int(os.environ.get("PROBE_SHUFFLE", "512")),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 

@@ -1811,3 +1811,101 @@ def collection_upsert(
             upsert_semantics=True,
         )
     return report.rows_written
+
+
+def collection_query_graph(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vector,
+    n_results: int = 10,
+    *,
+    index_path: str,
+    nprobe: int = 2,
+    ef: int | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    score_decimals: int | None = None,
+    include_distance: bool = False,
+    verify_source: bool = True,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """``collection.query`` served THROUGH the persisted per-cell
+    GRAPH index (``operators/graph_ann.py``) with metadata/document
+    pre-filters — completing the filtered serving matrix's fourth
+    column (exact scan / IVF / IVF-PQ / graph). The k-fill contract
+    is two-dimensional here: a starved fill first DOUBLES the probed
+    cell set (the IVF discipline), and once every cell is probed it
+    saturates ``ef`` past the largest cell, which by the beam's
+    documented degradation turns the final round into the EXACT
+    filtered scan — so exhaustion can never under-fill, and with the
+    filter off the exhausted answer equals ``collection_query``
+    byte-for-byte. Each round's beam scores ~probed_cells * ef rows
+    (the budget, not the probed row count); survivors rerank through
+    the shared ``_serve_topk`` tail under the MANIFEST's metric.
+    ``stats_out`` receives rounds / final_probe / final_ef / n_cells
+    for the termination assertions. Returns ``(id, document,
+    metadata, score[, distance])`` — ``collection_query``'s
+    contract."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        _serve_cells,
+        graph_index_read,
+    )
+
+    manifest = load_manifest(root, name)
+    if len(query_vector) != manifest.dim:
+        raise EngineError(
+            f"query vector dim {len(query_vector)} != collection dim "
+            f"{manifest.dim}"
+        )
+    _cells, C, _meta = graph_index_read(
+        spark, index_path, verify_source=verify_source
+    )
+    n_cells = int(C.shape[0])
+    filtered = _filtered(
+        read_collection(spark, root, name), None, where, where_document
+    )
+    k = int(n_results)
+    p = max(1, min(int(nprobe), n_cells))
+    e = max(int(ef) if ef is not None else 4 * k, k)
+    exhaustive_ef = 2**31  # saturates any cell: the exact-scan round
+    rounds = 0
+    while True:
+        rounds += 1
+        per_cell = _serve_cells(
+            spark,
+            index_path,
+            [("q", query_vector)],
+            k=k,
+            nprobe=p,
+            ef=e,
+            verify_source=False,  # checked once above
+        )
+        # widen the per-query emission to the fill target: the beam
+        # emits its best `e` per cell; rank_topk to k*? — keep all
+        # emitted candidates, the filter decides what survives
+        cand_ids = per_cell.select(
+            F.col("neighbor_id").alias("id")
+        ).dropDuplicates(["id"])
+        cand = filtered.join(cand_ids, "id", "left_semi")
+        if cand.limit(k).count() >= k:
+            break
+        if p >= n_cells and e >= exhaustive_ef:
+            break  # full filtered scan completed: nothing more exists
+        if p < n_cells:
+            p = min(n_cells, p * 2)
+        else:
+            e = exhaustive_ef
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["final_probe"] = p
+        stats_out["final_ef"] = e
+        stats_out["n_cells"] = n_cells
+    return _serve_topk(
+        cand,
+        manifest.metric,
+        query_vector,
+        k,
+        score_decimals=score_decimals,
+        include_distance=include_distance,
+    )

@@ -3640,3 +3640,97 @@ def collection_query_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank_factor=2,
         score_decimals=4,
     ).select("id", "score")
+
+
+@query(
+    "collection_query_filtered_graph",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ), q AS (SELECT emb AS qe FROM corpus WHERE id = '7'),
+    scored AS (
+        SELECT c.id, {_COS_SQL} AS score
+        FROM corpus c, q
+        WHERE c.lang = 'fr'
+    )
+    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 100
+    """,
+)
+def collection_query_filtered_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Metadata-filtered ANN through the persisted per-cell GRAPH
+    index (``plans/chroma_api.py::collection_query_graph``) —
+    completing the filtered serving matrix's fourth column (exact
+    scan / IVF / IVF-PQ / graph, r14). Same lang='fr' predicate and
+    over-asking n_results=100 as the other twins, so the
+    TWO-dimensional k-fill walks to exhaustion: the probe set doubles
+    to every cell, then ``ef`` saturates past the largest cell, which
+    by the beam's documented degradation makes the final round an
+    EXACT filtered scan — byte-identical to the oracle's brute-force
+    filtered cosine. The stats contract (rounds / final_probe /
+    final_ef) is asserted in the query body."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        graph_index_build,
+        graph_index_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_graph as query_graph_door,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_fgr_")
+    cfg = HydrationConfig(
+        collection_name="fgr",
+        root=root,
+        id_col="doc_id",
+        text_col="text",
+        embedding_col="embedding",
+        metadata_col="lang",
+    )
+    hydrate(spark, d.join(e, d.doc_id == e.vec_id), cfg)
+    coll = read_collection(spark, root, "fgr")
+    assigned, C = graph_index_build(
+        coll, id_col="id", embedding_col="embedding",
+        n_centroids=8, M=6, seed=42,
+    )
+    idx = f"{root}/fgr/_graph"
+    graph_index_write(
+        assigned, C, idx, M=6, source=(root, "fgr"),
+        build={"seed": 42},
+    )
+    qvec = list(coll.filter(F.col("id") == "7").first()["embedding"])
+    st: dict = {}
+    out = query_graph_door(
+        spark,
+        root,
+        "fgr",
+        qvec,
+        n_results=100,
+        index_path=idx,
+        nprobe=2,
+        ef=16,
+        where={"lang": "fr"},
+        score_decimals=4,
+        stats_out=st,
+    ).select("id", "score")
+    res = out.localCheckpoint(eager=True)
+    # the fill contract walked both dimensions to exhaustion (the
+    # 'fr' slice is ~13% of ~500 docs: fewer than 100 matches exist)
+    if not (st["final_probe"] == st["n_cells"] and st["final_ef"] >= 2**31):
+        raise EngineError(f"graph k-fill did not exhaust: {st}")
+    return res
