@@ -54,12 +54,17 @@ def main() -> None:
         get_spark,
     )
 
-    # 100M docs -> ~2.4B shingle rows: at the default 32 shuffle
-    # partitions a single hash-agg task holds ~75M rows and dies with
-    # AGGREGATE_OUT_OF_MEMORY (observed on the first run). Size the
-    # shuffle so per-task state fits — the literal "partitions sized
-    # to executor memory at the target SF" contract; AQE coalesces
-    # the small stages back down, so the 10M control leg is unharmed.
+    # 100M docs -> ~2.4B shingle rows: two sizing knobs, both the
+    # literal "size partitions and memory to the target SF" contract.
+    # (1) the engine's local-mode heap defaults to 8g
+    # (session.get_spark SPARK_DRIVER_MEMORY) — at this scale 32
+    # concurrent hash-agg tasks die with AGGREGATE_OUT_OF_MEMORY in
+    # it (observed twice); the probe raises the default to 64g of
+    # the sandbox's 128 GiB unless the caller already sized it.
+    # (2) shuffle partitions scale to 512 so per-task reduce state
+    # stays bounded; AQE coalesces the small stages back down, so
+    # the 10M control leg is unharmed.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "64g")
     spark = get_spark(
         app_name="probe-100m",
         shuffle_partitions=int(os.environ.get("PROBE_SHUFFLE", "512")),
