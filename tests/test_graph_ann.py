@@ -304,3 +304,68 @@ def test_filtered_front_door_kfill_and_cellkill(spark, tmp_path):
     assert [(r["id"], r["score"]) for r in a] == [
         (r["id"], r["score"]) for r in b
     ]
+
+
+def test_batch_filtered_front_door(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_graph,
+        collection_query_graph,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    root = str(tmp_path / "root")
+    docs = _corpus(spark, n=300).select(
+        "id",
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+        (F.col("id").cast("long") % 5).cast("string").alias("m"),
+        "embedding",
+    )
+    cfg = HydrationConfig(
+        collection_name="bg", root=root, id_col="id", text_col="text",
+        embedding_col="embedding", metadata_col="m", metadata_key="m",
+    )
+    hydrate(spark, docs, cfg)
+    coll = read_collection(spark, root, "bg")
+    assigned, C = graph_index_build(coll, n_centroids=4, M=6, seed=3)
+    idx = f"{root}/bg/_graph"
+    graph_index_write(
+        assigned, C, idx, M=6, source=(root, "bg"), build={"seed": 3}
+    )
+    qvecs = [
+        list(coll.filter(F.col("id") == str(i)).first()["embedding"])
+        for i in (3, 7)
+    ]
+    st: dict = {}
+    rows = collection_query_batch_graph(
+        spark, root, "bg", qvecs, n_results=10, index_path=idx,
+        nprobe=1, ef=16, where={"m": "2"}, score_decimals=4,
+        stats_out=st,
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0, 1} and all(len(v) == 10 for v in by_q.values())
+    assert all(r["metadata"]["m"] == "2" for r in rows)
+    # per-qid parity with the SINGLE door at matched settings: the
+    # batch k-fill settles each query exactly where its solo run does
+    solo = collection_query_graph(
+        spark, root, "bg", qvecs[0], n_results=10, index_path=idx,
+        nprobe=1, ef=16, where={"m": "2"}, score_decimals=4,
+    ).collect()
+    assert [(r["id"], r["score"]) for r in by_q[0]] == [
+        (r["id"], r["score"]) for r in solo
+    ]
+    # zero-match predicate: both fill dimensions exhausted, empty out
+    st2: dict = {}
+    rows2 = collection_query_batch_graph(
+        spark, root, "bg", qvecs, n_results=5, index_path=idx,
+        nprobe=1, ef=16, where={"m": "nope"}, stats_out=st2,
+    ).collect()
+    assert rows2 == []
+    assert st2["final_probe"] == 4 and st2["final_ef"] >= 2**31

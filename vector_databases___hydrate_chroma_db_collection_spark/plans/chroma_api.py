@@ -1909,3 +1909,141 @@ def collection_query_graph(
         score_decimals=score_decimals,
         include_distance=include_distance,
     )
+
+
+def collection_query_batch_graph(
+    spark: SparkSession,
+    root: str,
+    name: str,
+    query_vectors: list,
+    n_results: int = 10,
+    *,
+    index_path: str,
+    nprobe: int = 2,
+    ef: int | None = None,
+    where: dict | None = None,
+    where_document: dict | None = None,
+    score_decimals: int | None = None,
+    include_distance: bool = False,
+    verify_source: bool = True,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Batch ``collection.query`` through the persisted GRAPH index
+    with optional pre-filters — completing the single/batch x
+    {IVF, IVF-PQ, graph} filtered serving matrix. One per-cell beam
+    pass serves every PENDING query per round (the shared
+    ``graph_ann._serve_cells`` stage: each query's probed cells union
+    into one partition-pruned scan); per-query k-fill follows the
+    ``collection_query_batch_ivf`` discipline — settled queries never
+    re-score, unfilled ones re-serve at a DOUBLED probe width, and
+    once every cell is probed ``ef`` saturates past the largest cell
+    so the final round is each remaining query's EXACT filtered scan
+    (the beam's documented degradation): exhaustion can never
+    under-fill. Candidates rerank against the collection rows under
+    the MANIFEST's metric (per-qid broadcast query join + bounded
+    window), so exhausted results equal the exact batch path
+    byte-for-byte. Output: ``(qid, rank, id, document, metadata,
+    score[, distance])`` ordered (qid, rank)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        _serve_cells,
+        graph_index_read,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        _score,
+    )
+
+    manifest = load_manifest(root, name)
+    if not query_vectors:
+        raise EngineError("query_vectors must be non-empty")
+    for i, v in enumerate(query_vectors):
+        if len(v) != manifest.dim:
+            raise EngineError(
+                f"query vector {i} dim {len(v)} != collection dim "
+                f"{manifest.dim}"
+            )
+    _cells, C, _meta = graph_index_read(
+        spark, index_path, verify_source=verify_source
+    )
+    n_cells = int(C.shape[0])
+    filtered = _filtered(
+        read_collection(spark, root, name), None, where, where_document
+    )
+    k = int(n_results)
+    p = max(1, min(int(nprobe), n_cells))
+    e = max(int(ef) if ef is not None else 4 * k, k)
+    exhaustive_ef = 2**31
+    pending = {i: [float(x) for x in v] for i, v in enumerate(query_vectors)}
+    settled = []
+    rounds = 0
+    while True:
+        rounds += 1
+        per_cell = _serve_cells(
+            spark,
+            index_path,
+            [(str(q), v) for q, v in sorted(pending.items())],
+            k=k,
+            nprobe=p,
+            ef=e,
+            verify_source=False,  # fenced once above
+        )
+        cand = (
+            per_cell.select(
+                F.col("qid").cast("int").alias("qid"),
+                F.col("neighbor_id").alias("id"),
+            )
+            .dropDuplicates(["qid", "id"])
+            .join(filtered.select("id"), "id", "left_semi")
+            .localCheckpoint(eager=True)  # bounded: <= |pending|*p*ef
+        )
+        exhausted = p >= n_cells and e >= exhaustive_ef
+        counts = {
+            int(r["qid"]): int(r["n"])
+            for r in cand.groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        unfilled = [q for q in pending if counts.get(q, 0) < k]
+        if not unfilled or exhausted:
+            settled.append(cand)
+            break
+        settled.append(cand.filter(~F.col("qid").isin(unfilled)))
+        pending = {q: pending[q] for q in unfilled}
+        if p < n_cells:
+            p = min(n_cells, p * 2)
+        else:
+            e = exhaustive_ef
+    if stats_out is not None:
+        stats_out["rounds"] = rounds
+        stats_out["final_probe"] = p
+        stats_out["final_ef"] = e
+        stats_out["n_cells"] = n_cells
+    out = settled[0]
+    for part in settled[1:]:
+        out = out.unionByName(part)
+    queries_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+        "qid int, _qe array<float>",
+    )
+    payload = out.join(
+        filtered.select("id", "document", "metadata", "embedding"), "id"
+    ).join(F.broadcast(queries_df), "qid")
+    raw, asc = _score(manifest.metric, F.col("embedding"), F.col("_qe"))
+    score = (
+        F.round(raw, score_decimals) if score_decimals is not None else raw
+    )
+    payload = payload.withColumn("score", score)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").asc() if asc else F.col("score").desc(),
+        F.col("id").asc(),
+    )
+    payload = payload.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    cols = ["qid", "rank", "id", "document", "metadata", "score"]
+    if include_distance:
+        dist = raw * raw if manifest.metric == "l2" else F.lit(1.0) - raw
+        payload = payload.withColumn("distance", dist)
+        cols.append("distance")
+    return payload.select(*cols).orderBy("qid", "rank")

@@ -3734,3 +3734,101 @@ def collection_query_filtered_graph(
     if not (st["final_probe"] == st["n_cells"] and st["final_ef"] >= 2**31):
         raise EngineError(f"graph k-fill did not exhaust: {st}")
     return res
+
+
+@query(
+    "collection_query_batch_filtered_graph",
+    f"""
+    WITH corpus AS (
+        SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.embedding AS emb
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    q AS (
+        SELECT CASE vec_id WHEN 3 THEN 0 WHEN 7 THEN 1 ELSE 2 END AS qid,
+               embedding AS qe
+        FROM embeddings WHERE vec_id IN (3, 7, 11)
+    ),
+    scored AS (
+        SELECT q.qid, c.id, {_COS_SQL} AS score
+        FROM q JOIN corpus c ON c.lang = 'fr'
+    ),
+    ranked AS (
+        SELECT qid, id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY qid ORDER BY score DESC, id
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT qid, rank, id, score FROM ranked WHERE rank <= 100
+    """,
+)
+def collection_query_batch_filtered_graph(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BATCH metadata-filtered ANN through the persisted GRAPH index
+    (``plans/chroma_api.py::collection_query_batch_graph``, r14) —
+    the last cell of the single/batch x {IVF, IVF-PQ, graph} filtered
+    serving matrix. Three queries, the shared lang='fr' predicate,
+    over-asked n_results=100: every query's two-dimensional k-fill
+    (probe doubling, then ef saturation = per-query exact filtered
+    scan) walks to exhaustion, so the per-qid rank/score table must
+    reproduce the oracle's brute-force filtered cosine byte-for-byte;
+    settled queries never re-score (the batch discipline shared with
+    the IVF twin)."""
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        graph_index_build,
+        graph_index_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.hydrate import (
+        HydrationConfig,
+        hydrate,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_graph,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.collection import (
+        read_collection,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="vdb_bfgr_")
+    hydrate(
+        spark,
+        d.join(e, d.doc_id == e.vec_id),
+        HydrationConfig(
+            collection_name="bfgr",
+            root=root,
+            id_col="doc_id",
+            text_col="text",
+            embedding_col="embedding",
+            metadata_col="lang",
+        ),
+    )
+    coll = read_collection(spark, root, "bfgr")
+    assigned, C = graph_index_build(
+        coll, id_col="id", embedding_col="embedding",
+        n_centroids=8, M=6, seed=42,
+    )
+    idx = f"{root}/bfgr/_graph"
+    graph_index_write(
+        assigned, C, idx, M=6, source=(root, "bfgr"), build={"seed": 42}
+    )
+    qvecs = [
+        list(e.filter(F.col("vec_id") == v).first()["embedding"])
+        for v in (3, 7, 11)
+    ]
+    return collection_query_batch_graph(
+        spark,
+        root,
+        "bfgr",
+        qvecs,
+        n_results=100,
+        index_path=idx,
+        nprobe=2,
+        ef=16,
+        where={"lang": "fr"},
+        score_decimals=4,
+    ).select("qid", "rank", "id", "score")
