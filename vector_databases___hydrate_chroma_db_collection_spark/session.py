@@ -34,6 +34,19 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions if shuffle_partitions is not None else int(cpus)
 
+    # Single-threaded BLAS in every numpy context (driver AND the
+    # Python UDF workers, which inherit this env through the JVM):
+    # Spark already parallelizes across `cpus` workers, so per-worker
+    # BLAS threads only OVERSUBSCRIBE the box — and OpenBLAS's idle
+    # threads SPIN-WAIT, burning real CPU while doing nothing. Measured
+    # on the 200k pq_encode entry (32 workers x numpy GEMMs): unset ->
+    # 5.3-14.2 s wall / 127-386 cpu-s run-to-run; =1 -> 3.7 s wall /
+    # 35 cpu-s, stable. That spin was the recurring "host load drift"
+    # on every Arrow/pandas-heavy bench entry since r4. setdefault:
+    # an operator who sized BLAS deliberately keeps their setting.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
