@@ -1322,3 +1322,98 @@ def test_collection_add_upsert_keep_ivf_index_servable(spark, tmp_path):
     ).first()
     assert back["id"] in ("c2", "c1")  # c2 resurrected and scored
     assert a.filter("id = 'c2'").count() == 1
+
+
+def test_graph_doors_refuse_non_cosine_collections(spark, tmp_path):
+    # r14 ADVICE: the graph index generates candidates by cosine;
+    # serving an l2 collection through it would silently bias
+    # non-exhausted top-k. Both graph doors must refuse up front.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.graph_ann import (
+        graph_index_build,
+        graph_index_write,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_query_batch_graph,
+        collection_query_graph,
+    )
+
+    root = str(tmp_path)
+    df = spark.createDataFrame(
+        [(f"i{i}", f"d{i}", [float(i), 1.0]) for i in range(6)],
+        "id string, text string, embedding array<float>",
+    )
+    hydrate(
+        spark,
+        df,
+        HydrationConfig(
+            collection_name="l2c", root=root, id_col="id",
+            text_col="text", embedding_col="embedding", metric="l2",
+        ),
+    )
+    coll = read_collection(spark, root, "l2c")
+    assigned, C = graph_index_build(coll, n_centroids=2, M=2, seed=1)
+    idx = f"{root}/l2c/_graph"
+    graph_index_write(
+        assigned, C, idx, M=2, source=(root, "l2c"), build={"seed": 1}
+    )
+    with pytest.raises(EngineError, match="cosine"):
+        collection_query_graph(
+            spark, root, "l2c", [1.0, 1.0], n_results=3, index_path=idx
+        )
+    with pytest.raises(EngineError, match="cosine"):
+        collection_query_batch_graph(
+            spark, root, "l2c", [[1.0, 1.0]], n_results=3,
+            index_path=idx,
+        )
+
+
+def test_band_index_refuses_documentless_batches(spark, tmp_path):
+    # r14 ADVICE: collection_add/upsert with documents=None is legal
+    # Chroma, but feeding null text into a cohabiting band index
+    # would minhash nulls — refuse with a typed, actionable error.
+    from pyspark.sql import functions as F
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.band_index import (
+        band_index_build,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_add,
+        collection_upsert,
+    )
+
+    root = str(tmp_path)
+    collection_add(spark, root, "bnull", **_add_kwargs(n=4))
+    coll = read_collection(spark, root, "bnull")
+    idx = f"{root}/bnull/_band"
+    band_index_build(
+        coll.select("id", F.col("document").alias("text")),
+        idx, id_col="id", text_col="text", source=(root, "bnull"),
+    )
+    with pytest.raises(EngineError, match="band"):
+        collection_add(
+            spark, root, "bnull",
+            ids=["z1"], embeddings=[[0.5, 0.5]],
+            index_paths=[idx],
+        )
+    with pytest.raises(EngineError, match="band"):
+        collection_upsert(
+            spark, root, "bnull",
+            ids=["c0"], embeddings=[[0.5, 0.5]],
+            index_paths=[idx],
+        )
+    # null ENTRIES are refused too, and the guard fires BEFORE the
+    # collection write (validate-before-write: nothing landed)
+    with pytest.raises(EngineError, match="band"):
+        collection_add(
+            spark, root, "bnull",
+            ids=["z9"], embeddings=[[0.5, 0.5]], documents=[None],
+            index_paths=[idx],
+        )
+    assert collection_count(spark, root, "bnull") == 4
+    # documents present: both doors pass through the band path
+    n = collection_add(
+        spark, root, "bnull",
+        ids=["z1"], embeddings=[[0.5, 0.5]],
+        documents=["a fresh z document body"],
+        index_paths=[idx],
+    )
+    assert n == 1

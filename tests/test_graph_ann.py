@@ -369,3 +369,63 @@ def test_batch_filtered_front_door(spark, tmp_path):
     ).collect()
     assert rows2 == []
     assert st2["final_probe"] == 4 and st2["final_ef"] >= 2**31
+
+
+def test_tombstones_dont_crowd_ef_slots(spark, tmp_path):
+    # r14 ADVICE (medium): the beam truncated to ef BEFORE masking,
+    # so ef=k with several of the top-ef tombstoned under-filled.
+    # Now ef slots hold LIVE nodes only (dead nodes stay navigable
+    # waypoints): delete 4 of the top 5 and a k=ef=5 search must
+    # still return 5 live rows, led by the best live hit.
+    corpus = _corpus(spark, n=300).cache()
+    corpus.count()
+    assigned, C = graph_index_build(corpus, n_centroids=1, M=6, seed=5)
+    idx = str(tmp_path / "idx")
+    graph_index_write(assigned, C, idx, M=6, build={"seed": 5})
+    qvec = list(corpus.filter(F.col("id") == "3").first()["embedding"])
+    top = [r["id"] for r in _brute_topk(corpus, qvec, 6).collect()]
+    assert graph_delete(spark, idx, top[:4]) == 4
+    rows = graph_search(
+        spark, idx, qvec, k=5, nprobe=1, ef=5, score_decimals=6
+    ).collect()
+    assert len(rows) == 5
+    assert not ({r["id"] for r in rows} & set(top[:4]))
+    # results stay best-first (sim desc, id asc) over LIVE nodes
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    corpus.unpersist()
+
+
+def test_budget_counts_fully_masked_cells(spark, tmp_path):
+    # r14 ADVICE (low): a (qid, cell) pair whose whole emission was
+    # tombstone-masked contributed zero rows, so its distance
+    # evaluations vanished from the audited budget. The sentinel row
+    # keeps them: tombstone an ENTIRE cell and the exhaustive-serve
+    # budget must still count every row of every probed cell.
+    corpus = _corpus(spark, n=400).cache()
+    corpus.count()
+    assigned, C = graph_index_build(corpus, n_centroids=2, M=6, seed=5)
+    idx = str(tmp_path / "idx")
+    graph_index_write(assigned, C, idx, M=6, build={"seed": 5})
+    cells, _, _ = graph_index_read(spark, idx)
+    dead_ids = [
+        r["id"] for r in cells.filter(F.col("ivf_cell") == 0).collect()
+    ]
+    assert 0 < len(dead_ids) < 400
+    assert graph_delete(spark, idx, dead_ids) == len(dead_ids)
+    qvec = list(corpus.filter(F.col("id") == "3").first()["embedding"])
+    st: dict = {}
+    got = graph_search(
+        spark, idx, qvec, k=5, nprobe=2, ef=10**6,
+        score_decimals=6, stats_out=st,
+    ).collect()
+    # every row of BOTH cells was evaluated, dead cell included
+    assert st["scored"] == 400
+    assert len(got) == 5
+    assert not ({r["id"] for r in got} & set(dead_ids))
+    # the audit's scored_graph column keeps the same contract
+    rep = graph_recall_audit(
+        spark, idx, k=5, n_queries=4, nprobe=2, ef=10**6
+    ).collect()
+    assert all(r["scored_graph"] == 400 for r in rep)
+    corpus.unpersist()

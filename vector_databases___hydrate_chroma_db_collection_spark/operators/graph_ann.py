@@ -467,23 +467,36 @@ def graph_append(
     return n_fresh
 
 
-def _beam_cell(ids, En, nbr_lists, entry_idx, qn, ef: int):
+def _beam_cell(ids, En, nbr_lists, entry_idx, qn, ef: int, dead_mask=None):
     """ef-search over one cell's kNN graph. Returns
     ``(results, scored)`` where results is [(id, sim)] best-first
-    (sim desc, id asc) of length <= ef INCLUDING tombstoned nodes
-    (caller masks at emission), and ``scored`` counts distance
-    evaluations. ``ef >= n`` short-circuits to the exact scan."""
+    (sim desc, id asc) of up to ``ef`` LIVE nodes, and ``scored``
+    counts distance evaluations. Tombstoned nodes (``dead_mask[j]``
+    true) are TRAVERSED — they stay navigable waypoints, exactly
+    hnswlib's mark-deleted semantics — but never enter the result
+    heap, so ``ef`` live results come back whenever the beam can
+    reach that many (the r14 shape truncated to ef BEFORE masking
+    and could under-fill). ``ef >= n`` short-circuits to the exact
+    scan over live rows."""
     n = len(ids)
     if ef >= n:
         sims = En @ qn
         order = np.lexsort((ids, -sims))
+        if dead_mask is not None:
+            order = [i for i in order if not dead_mask[i]]
         return [(str(ids[i]), float(sims[i])) for i in order], n
     pos = {str(d): i for i, d in enumerate(ids)}
+
+    def live(j):
+        return dead_mask is None or not dead_mask[j]
+
     s0 = float(En[entry_idx] @ qn)
     scored = 1
     visited = {entry_idx}
     cand = [(-s0, str(ids[entry_idx]), entry_idx)]
-    best = [(s0, str(ids[entry_idx]), entry_idx)]  # min-heap, size<=ef
+    best = []  # min-heap of LIVE nodes, size<=ef
+    if live(entry_idx):
+        best.append((s0, str(ids[entry_idx]), entry_idx))
     while cand:
         neg_s, _cid, ci = heapq.heappop(cand)
         if len(best) >= ef and -neg_s < best[0][0]:
@@ -502,9 +515,10 @@ def _beam_cell(ids, En, nbr_lists, entry_idx, qn, ef: int):
             sj = float(sj)
             if len(best) < ef or sj > best[0][0]:
                 heapq.heappush(cand, (-sj, str(ids[j]), j))
-                heapq.heappush(best, (sj, str(ids[j]), j))
-                if len(best) > ef:
-                    heapq.heappop(best)
+                if live(j):
+                    heapq.heappush(best, (sj, str(ids[j]), j))
+                    if len(best) > ef:
+                        heapq.heappop(best)
     out = sorted(best, key=lambda t: (-t[0], t[1]))
     return [(i, s) for s, i, _ in out], scored
 
@@ -524,10 +538,17 @@ def _serve_cells(
     ``applyInPandas`` pass over the union of the queries' probed
     cells runs the beam for every (cell, query probing it) pair and
     emits ``(qid, neighbor_id, score, scored, cell)`` — up to ``ef``
-    result rows per pair, each stamped with that pair's distance-
-    evaluation count (identical across the pair's rows; aggregate
-    with a (qid, cell) distinct). Tombstoned nodes are traversed but
-    never emitted."""
+    LIVE result rows per pair, each stamped with that pair's
+    distance-evaluation count (identical across the pair's rows;
+    aggregate with a (qid, cell) distinct). Tombstones are masked
+    DISTRIBUTED: the tombstone parquet left-joins a ``_dead`` flag
+    onto the cell rows (no driver-side set in the task closure —
+    the set is unbounded between rebuilds), and the beam skips dead
+    nodes at heap-insert so they stay navigable waypoints without
+    occupying ef slots. A pair whose beam yields zero live rows
+    still emits ONE sentinel row (null neighbor_id) carrying its
+    ``scored`` count, so budget audits never lose evaluations;
+    ranking callers drop sentinels on the null."""
     import pandas as pd
 
     cells_df, C, meta = graph_index_read(
@@ -549,7 +570,7 @@ def _serve_cells(
         order = np.argsort(-(Cn @ vn))[:probe]
         for c in order:
             by_cell.setdefault(int(c), []).append((qid, vn))
-    dead = set()
+    src = cells_df
     ts = meta.get("tombstones")
     if ts and int(ts.get("n") or 0):
         import os
@@ -558,12 +579,19 @@ def _serve_cells(
             _local_sidecar_path,
         )
 
-        dead = {
-            r["_ts_id"]
-            for r in spark.read.parquet(
+        dead_df = (
+            spark.read.parquet(
                 os.path.join(_local_sidecar_path(path), ts["location"])
-            ).collect()
-        }
+            )
+            .select(F.col("_ts_id").alias("id"))
+            .dropDuplicates(["id"])
+            .withColumn("_dead", F.lit(True))
+        )
+        src = src.join(dead_df, "id", "left").withColumn(
+            "_dead", F.coalesce(F.col("_dead"), F.lit(False))
+        )
+    else:
+        src = src.withColumn("_dead", F.lit(False))
     ef_eff = max(int(ef), int(k))
 
     def serve(key, pdf):
@@ -587,25 +615,32 @@ def _serve_cells(
             np.linalg.norm(E, axis=1, keepdims=True), 1e-300
         )
         nbr_lists = [list(x) for x in pdf["nbrs"]]
+        dead_mask = pdf["_dead"].to_numpy()
+        if not dead_mask.any():
+            dead_mask = None
         entry_rows = np.flatnonzero(pdf["is_entry"].to_numpy())
         entry_idx = int(entry_rows[0]) if len(entry_rows) else 0
         out_q, out_n, out_s, out_c = [], [], [], []
         for qid, vn in cell_qs:
             res, scored = _beam_cell(
-                ids, En, nbr_lists, entry_idx, vn, ef_eff
+                ids, En, nbr_lists, entry_idx, vn, ef_eff, dead_mask
             )
             for nid, sim in res:
-                if nid in dead:
-                    continue
                 out_q.append(qid)
                 out_n.append(nid)
                 out_s.append(sim)
+                out_c.append(scored)
+            if not res:
+                # sentinel: the pair's evaluations still count
+                out_q.append(qid)
+                out_n.append(None)
+                out_s.append(float("nan"))
                 out_c.append(scored)
         return pd.DataFrame(
             {
                 "qid": out_q,
                 "neighbor_id": out_n,
-                "score": out_s,
+                "score": pd.Series(out_s, dtype="float64"),
                 "scored": out_c,
                 "cell": cell,
             }
@@ -613,7 +648,7 @@ def _serve_cells(
 
     probed = sorted(by_cell)
     return (
-        cells_df.filter(F.col("ivf_cell").isin(probed))
+        src.filter(F.col("ivf_cell").isin(probed))
         .groupBy("ivf_cell")
         .applyInPandas(
             serve,
@@ -635,7 +670,8 @@ def _rank_topk(per_cell: DataFrame, k: int, score_decimals) -> DataFrame:
         F.desc("_score"), F.asc("neighbor_id")
     )
     return (
-        per_cell.select("qid", "neighbor_id", score.alias("_score"))
+        per_cell.filter(F.col("neighbor_id").isNotNull())
+        .select("qid", "neighbor_id", score.alias("_score"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))
         .select(
@@ -733,8 +769,11 @@ def graph_recall_audit(
     comparing against ``ivf_recall_audit`` at the nprobe whose cells
     hold ~B rows is measurement, not narrative. Ground truth is the
     exhaustive ``ivf_knn_join`` over the same cells (identical
-    scoring; tombstone-masked). Query draw: the shared deterministic
-    md5-rank sample."""
+    scoring; tombstone-masked). Budget accounting is loss-free: a
+    (qid, cell) pair whose entire emission was tombstone-masked
+    still contributes its evaluations through the serve stage's
+    sentinel row. Query draw: the shared deterministic md5-rank
+    sample."""
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
         _mask_tombstones,
         _recall_report,

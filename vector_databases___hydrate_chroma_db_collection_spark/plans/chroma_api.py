@@ -1634,6 +1634,37 @@ def _check_dim_vs_manifest(root, name, embeddings, who: str) -> None:
         )
 
 
+def _band_guard_documents(index_paths, documents, n: int) -> None:
+    """Validate-before-write guard for the literal client front
+    doors: ``documents=None`` (or null entries) is legal Chroma, but
+    a cohabiting band (near-dup) index needs text for every row it
+    will minhash — and the index refresh runs AFTER the collection
+    write, so failing late would leave collection and index
+    inconsistent. Driver-side and free: ``documents`` is a local
+    list here and the sidecar probe is a file stat."""
+    import os as _os
+
+    if documents is not None and not any(d is None for d in documents):
+        return
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+    )
+
+    for path in index_paths:
+        if _os.path.exists(
+            _os.path.join(_local_sidecar_path(path), "band_index.json")
+        ):
+            raise EngineError(
+                "a band (near-dup) index cohabits at this index_path "
+                "but the batch carries missing documents "
+                "(documents=None or null entries are legal Chroma, "
+                "but every row indexed by a band index needs text to "
+                "minhash). Pass documents for all rows, or drop the "
+                "band index from index_paths for document-less "
+                "collections."
+            )
+
+
 def _indexes_insert(
     spark: SparkSession,
     index_paths,
@@ -1684,6 +1715,19 @@ def _indexes_insert(
             )
 
             docs = batch.select("id", "document")
+            if (
+                docs.filter(F.col("document").isNull()).limit(1).count()
+                > 0
+            ):
+                raise EngineError(
+                    "a band (near-dup) index cohabits at this "
+                    "index_path but the batch carries null documents "
+                    "(collection add/upsert with documents=None is "
+                    "legal in Chroma, but every row indexed by a band "
+                    "index needs text to minhash). Pass documents for "
+                    "the batch, or drop the band index from "
+                    "index_paths for document-less collections."
+                )
             if upsert_semantics:
                 band_index_apply(
                     spark, path, upserts=docs,
@@ -1744,6 +1788,8 @@ def collection_add(
 
     items = _chroma_items_df(spark, ids, embeddings, documents, metadatas)
     _check_dim_vs_manifest(root, name, embeddings, "collection_add")
+    if index_paths:
+        _band_guard_documents(index_paths, documents, len(ids))
     cfg = HydrationConfig(
         collection_name=name,
         root=root,
@@ -1793,6 +1839,8 @@ def collection_upsert(
 
     items = _chroma_items_df(spark, ids, embeddings, documents, metadatas)
     _check_dim_vs_manifest(root, name, embeddings, "collection_upsert")
+    if index_paths:
+        _band_guard_documents(index_paths, documents, len(ids))
     cfg = HydrationConfig(
         collection_name=name,
         root=root,
@@ -1853,6 +1901,14 @@ def collection_query_graph(
     )
 
     manifest = load_manifest(root, name)
+    if manifest.metric != "cosine":
+        raise EngineError(
+            f"collection metric {manifest.metric!r} != 'cosine': the "
+            "graph index generates candidates by cosine, so serving "
+            "an l2/dot collection through it would bias non-exhausted "
+            "top-k for unnormalized embeddings. Use the IVF/IVF-PQ or "
+            "exact doors for non-cosine collections."
+        )
     if len(query_vector) != manifest.dim:
         raise EngineError(
             f"query vector dim {len(query_vector)} != collection dim "
@@ -1953,6 +2009,14 @@ def collection_query_batch_graph(
     )
 
     manifest = load_manifest(root, name)
+    if manifest.metric != "cosine":
+        raise EngineError(
+            f"collection metric {manifest.metric!r} != 'cosine': the "
+            "graph index generates candidates by cosine, so serving "
+            "an l2/dot collection through it would bias non-exhausted "
+            "top-k for unnormalized embeddings. Use the IVF/IVF-PQ or "
+            "exact doors for non-cosine collections."
+        )
     if not query_vectors:
         raise EngineError("query_vectors must be non-empty")
     for i, v in enumerate(query_vectors):
