@@ -38,10 +38,13 @@ child), and the JVM's Python UDF worker daemons, read from
 our tree's CPU time, so ``queries_cpu``/``queries_cpu_min`` are the
 load-immune numbers BASELINE.md bands should be re-derived from
 (retires the wall-time-only "host load adjudication" narratives,
-r13 verdict item 1). Caveat: CPU of a descendant that EXITS between
-the two samples is lost (utime of reaped children is not re-credited
-here); Spark's Python workers are long-lived daemons, so in practice
-the delta is complete.
+r13 verdict item 1). Churn contract (r15 — the r14 record carried a
+−1953.88 cpu_min when a worker daemon died mid-trial): deltas are
+computed per-(pid, starttime) over the two samples, so they are
+non-negative by construction; a process born during the trial counts
+in full, and a process that exits mid-trial contributes 0 for the
+window (its in-window CPU is unrecoverable from /proc), so worker
+churn UNDERCOUNTS — never inflates — the CPU column.
 
 Committed-record hygiene (r14): BENCH_LOCAL.json is only written
 when SPARK_GRAFT_BENCH_COMMIT=1 is set (an explicit idle-intent run
@@ -63,17 +66,18 @@ import sys
 import tempfile
 import time
 
-def _tree_cpu_seconds() -> float:
-    """CPU seconds (utime+stime) of this process and all live descendants.
-
-    Walks /proc once, builds the parent->children map, and sums the
-    subtree rooted at os.getpid(). In local-mode Spark that subtree is
-    exactly the engine: Python driver -> JVM -> Python UDF workers.
-    Other processes on a loaded host are NOT in the subtree, which is
-    what makes deltas of this number load-immune.
+def _tree_cpu_sample() -> dict[tuple[int, int], int]:
+    """Per-process CPU sample of this process tree: ``{(pid,
+    starttime): utime+stime ticks}`` for this process and all live
+    descendants. Walks /proc once, builds the parent->children map,
+    and collects the subtree rooted at os.getpid(). In local-mode
+    Spark that subtree is exactly the engine: Python driver -> JVM ->
+    Python UDF workers. Other processes on a loaded host are NOT in
+    the subtree, which is what makes deltas of this number
+    load-immune. The key carries /proc starttime (stat field 22) so
+    a recycled pid can never be mistaken for the process it replaced.
     """
-    clk = os.sysconf("SC_CLK_TCK")
-    procs: dict[int, tuple[int, int]] = {}
+    procs: dict[int, tuple[int, int, int]] = {}
     for pid_s in os.listdir("/proc"):
         if not pid_s.isdigit():
             continue
@@ -84,19 +88,57 @@ def _tree_cpu_seconds() -> float:
             continue  # raced a process exit
         # comm (field 2) may contain spaces/parens; parse after last ')'
         rest = data[data.rfind(b")") + 2 :].split()
-        # rest[1]=ppid (stat field 4), rest[11]=utime (14), rest[12]=stime (15)
-        procs[int(pid_s)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        # rest[1]=ppid (field 4), rest[11]=utime (14), rest[12]=stime
+        # (15), rest[19]=starttime (22)
+        procs[int(pid_s)] = (
+            int(rest[1]),
+            int(rest[11]) + int(rest[12]),
+            int(rest[19]),
+        )
     children: dict[int, list[int]] = {}
-    for pid, (ppid, _) in procs.items():
+    for pid, (ppid, _, _) in procs.items():
         children.setdefault(ppid, []).append(pid)
-    total = 0
+    sample: dict[tuple[int, int], int] = {}
     stack = [os.getpid()]
     while stack:
         p = stack.pop()
         if p in procs:
-            total += procs[p][1]
+            _ppid, ticks, startt = procs[p]
+            sample[(p, startt)] = ticks
             stack.extend(children.get(p, []))
+    return sample
+
+
+def _tree_cpu_delta(
+    start: dict[tuple[int, int], int], end: dict[tuple[int, int], int]
+) -> float:
+    """CPU seconds the tree consumed between two ``_tree_cpu_sample``
+    readings — non-negative BY CONSTRUCTION (r14 shipped a
+    ``queries_cpu_min`` of −1953.88 when a worker daemon died between
+    samples and took its accumulated utime with it). Contract:
+    a process in BOTH samples contributes its tick delta (clamped at
+    0 — same (pid, starttime) can never tick backwards, the clamp is
+    pure paranoia); a process only in the END sample was born during
+    the window and contributes everything it has accumulated; a
+    process only in the START sample exited mid-window and its
+    in-window CPU is UNRECOVERABLE from /proc, so it contributes 0 —
+    the delta UNDERCOUNTS (never inflates) when workers churn, which
+    keeps min-of-trials bands conservative in the only direction that
+    matters."""
+    clk = os.sysconf("SC_CLK_TCK")
+    total = 0
+    for key, ticks in end.items():
+        total += max(0, ticks - start.get(key, 0))
     return total / clk
+
+
+def _tree_cpu_seconds() -> float:
+    """Monotone convenience reading (kept for probes/tests): total
+    CPU seconds currently accumulated by the live tree. Deltas of
+    this number are NOT churn-safe — use ``_tree_cpu_sample`` +
+    ``_tree_cpu_delta`` for trial timing."""
+    clk = os.sysconf("SC_CLK_TCK")
+    return sum(_tree_cpu_sample().values()) / clk
 
 
 HEADLINE = [
@@ -175,11 +217,11 @@ def main() -> None:
     def timed(fn, trials: int = 3) -> float:
         ts, cs = [], []
         for _ in range(trials):
-            c0 = _tree_cpu_seconds()
+            c0 = _tree_cpu_sample()
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
-            cs.append(_tree_cpu_seconds() - c0)
+            cs.append(_tree_cpu_delta(c0, _tree_cpu_sample()))
         # Median is the contract number; min-of-3 is recorded alongside
         # because it is far more robust to host load spikes for
         # CPU-bound queries (a concurrent job inflates every trial's
