@@ -919,3 +919,73 @@ def test_ivf_balance_audit_flags(spark, tmp_path):
     legacy = ann.ivf_balance_audit(spark, path2, skew_threshold=2.5).collect()
     assert all(r["trained_mean_dist"] is None for r in legacy)
     assert any(r["refresh_recommended"] for r in legacy)  # skew still seen
+
+
+def test_auto_n_centroids_constant_occupancy(spark):
+    """n_centroids='auto' sizes the coarse layer for constant cell
+    occupancy: rows/TARGET_CELL_ROWS clamped to [16, 65536] — the
+    probed volume at fixed nprobe then stays flat across corpus
+    decades (the r14 100M probe's named residual)."""
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    assert ann.auto_n_centroids(1) == 16
+    assert ann.auto_n_centroids(1_000_000) == 25
+    assert ann.auto_n_centroids(100_000_000) == 2500
+    assert ann.auto_n_centroids(10_000_000_000) == 65_536  # cap
+    assert ann.auto_n_centroids(1_000_000, target_cell_rows=10_000) == 100
+
+    # end-to-end: 'auto' resolves from the corpus count (here the 16
+    # floor) and the build behaves exactly like the explicit number
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 64).select("vec_id", "embedding")
+    assigned, C = ann.ivf_build(
+        corpus, n_centroids="auto", id_col="vec_id",
+        embedding_col="embedding", seed=3,
+    )
+    assert C.shape[0] == 16
+    assert assigned.select("ivf_cell").distinct().count() <= 16
+    # and the n_rows fast path skips the sizing count
+    _a2, C2 = ann.ivf_build(
+        corpus, n_centroids="auto", id_col="vec_id",
+        embedding_col="embedding", seed=3, n_rows=64,
+    )
+    assert np.array_equal(C, C2)
+
+
+def test_balance_audit_recell_hint(spark, tmp_path):
+    """recell_recommended flips only when appends grow MEAN occupancy
+    a decade past the build — uniform growth every per-cell skew test
+    is blind to (every cell overfull by the same factor)."""
+    import numpy as np
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators import (
+        ann,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 40).select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    C = np.eye(4, dim)
+    assigned = ann._assign_to_centroids(
+        corpus, C, id_col="vec_id", embedding_col="embedding", metric="l2"
+    )
+    path = str(tmp_path / "recell")
+    ann.ivf_write(
+        assigned, C, path, metric="l2", build={"metric": "l2", "seed": 42}
+    )
+    fresh = ann.ivf_balance_audit(spark, path).collect()
+    assert not any(r["recell_recommended"] for r in fresh)
+
+    # uniform 11x growth: rows spread across all cells in the same
+    # proportions, so occupancy_ratio (per-cell share) stays ~1 and
+    # refresh_recommended stays quiet — only the decade hint fires
+    grown = e.filter(F.col("vec_id").between(40, 500)).select(
+        "vec_id", "embedding"
+    )
+    ann.ivf_append(spark, path, grown)
+    after = ann.ivf_balance_audit(spark, path, drift_threshold=1e9).collect()
+    assert all(r["recell_recommended"] for r in after)

@@ -716,3 +716,122 @@ def test_ivf_compact_cycles_never_recycle_cells_names(spark, tmp_path):
     versions = [int(d.rsplit("_v", 1)[1]) for d in seen]
     assert versions == sorted(set(versions)), seen
     assert ann.ivf_read(spark, path)[0].count() == 60
+
+
+# ---------------------------------------------------------------------------
+# Sharded guard (r15): delta segments make appends batch-proportional
+# ---------------------------------------------------------------------------
+
+
+def test_numpy_fold_matches_catalyst_build(spark):
+    """The fold's load-bearing equivalence: folding raw hash pairs
+    into filter words by numpy arithmetic must be BIT-IDENTICAL to
+    the Catalyst build over the same ids — otherwise a folded filter
+    could miss a bit the build would have set, and a replay of that
+    id would skip the exact check (false negative = double-ingest)."""
+    ids = spark.range(0, 5000).selectExpr("cast(id * 37 as string) as s")
+    m, k = ig.bloom_params(5000)
+    built = ig.bloom_build(ids, F.col("s"), m, k)
+    h1, h2 = ig._batch_hash_pairs(ids, F.col("s"))
+    folded = np.zeros(m // 64, dtype=np.uint64)
+    ig._fold_into(folded, m, k, h1, h2)
+    assert np.array_equal(built, folded)
+
+
+def test_sharded_append_leaves_main_filter_untouched(spark, tmp_path):
+    """Steady-state sharded append: bloom_extend persists ONE delta
+    segment (16 bytes/id) and never rewrites the main filter file —
+    the r14 100M probe's corpus-linear term. Probes still catch both
+    main-filter ids and delta ids; fresh ids stay definitely-new."""
+    p = str(tmp_path)
+    base = spark.range(0, 2000).selectExpr("cast(id as string) as s")
+    meta = {"id_bloom": ig.rebuild_filter(base, F.col("s"), p, None)}
+    main_loc = meta["id_bloom"]["location"]
+    main_bytes = open(os.path.join(p, main_loc), "rb").read()
+
+    batch = spark.range(2000, 2100).selectExpr("cast(id as string) as s")
+    state = ig.bloom_read(p, main_loc)
+    ig.bloom_extend(p, meta, state, batch)
+    ib = meta["id_bloom"]
+    # main file untouched byte-for-byte, one segment recorded
+    assert ib["location"] == main_loc
+    assert open(os.path.join(p, main_loc), "rb").read() == main_bytes
+    assert len(ib["segments"]) == 1 and ib["delta_ids"] == 100
+    seg = ib["segments"][0]
+    assert seg["n"] == 100
+    assert os.path.getsize(os.path.join(p, seg["location"])) == 16 + 16 * 100
+
+    # probe: base ids positive (main), batch ids positive (delta),
+    # fresh ids negative (no false positives at this density)
+    every = spark.range(0, 2200).selectExpr("cast(id as string) as s")
+    neg, maybe, _st = ig.bloom_split(every, p, ib, "s")
+    maybe_ids = {int(r["s"]) for r in maybe.collect()}
+    assert set(range(2100)) <= maybe_ids
+    assert neg.count() >= 90  # 2100..2199 modulo rare false positives
+
+
+def test_sharded_append_folds_at_threshold(spark, tmp_path):
+    """Fold trigger: once segment ids pass capacity/64 (floored at
+    DELTA_FOLD_MIN_IDS), the next extend folds every segment plus the
+    batch into a FRESH main filter version with no segment list — and
+    the folded filter still catches every id ever appended."""
+    p = str(tmp_path)
+    base = spark.range(0, 500).selectExpr("cast(id as string) as s")
+    meta = {"id_bloom": ig.rebuild_filter(base, F.col("s"), p, None)}
+    v1 = meta["id_bloom"]["location"]
+
+    # two small segments stay under the 4096-id floor
+    for lo in (500, 1000):
+        b = spark.range(lo, lo + 1000).selectExpr("cast(id as string) as s")
+        ig.bloom_extend(p, meta, ig.bloom_read(p, v1), b)
+    assert len(meta["id_bloom"]["segments"]) == 2
+    assert meta["id_bloom"]["delta_ids"] == 2000
+
+    # the batch that crosses 4096 delta ids folds everything
+    b = spark.range(2000, 5000).selectExpr("cast(id as string) as s")
+    ig.bloom_extend(p, meta, ig.bloom_read(p, v1), b)
+    ib = meta["id_bloom"]
+    assert ib["segments"] == [] and ib["delta_ids"] == 0
+    assert ib["location"] != v1
+    # folded main alone (no segments in the meta) catches every id
+    every = spark.range(0, 5000).selectExpr("cast(id as string) as s")
+    _neg, maybe, _st = ig.bloom_split(every, p, ib, "s")
+    assert maybe.count() == 5000
+
+
+def test_sharded_gc_keeps_referenced_segments(spark, tmp_path):
+    """GC removes delta segments no committed sidecar references
+    (orphans from a crash between segment write and sidecar commit)
+    and keeps the referenced ones — same discipline as main filters."""
+    import json
+
+    p = str(tmp_path)
+    base = spark.range(0, 100).selectExpr("cast(id as string) as s")
+    meta = {"id_bloom": ig.rebuild_filter(base, F.col("s"), p, None)}
+    b = spark.range(100, 150).selectExpr("cast(id as string) as s")
+    ig.bloom_extend(p, meta, ig.bloom_read(p, meta["id_bloom"]["location"]), b)
+    committed_seg = meta["id_bloom"]["segments"][0]["location"]
+    with open(os.path.join(p, "ivf_index.json"), "w") as f:
+        json.dump(meta, f)
+
+    # crash sim: a second extend wrote its segment but the sidecar
+    # swap never happened (meta2 never persisted)
+    meta2 = {"id_bloom": dict(meta["id_bloom"])}
+    b2 = spark.range(150, 200).selectExpr("cast(id as string) as s")
+    ig.bloom_extend(
+        p, meta2, ig.bloom_read(p, meta["id_bloom"]["location"]), b2
+    )
+    orphan_seg = meta2["id_bloom"]["segments"][-1]["location"]
+    assert orphan_seg != committed_seg
+    ig.gc_bloom_files(p, {meta["id_bloom"]["location"]})
+    assert os.path.exists(os.path.join(p, committed_seg))
+    assert not os.path.exists(os.path.join(p, orphan_seg))
+    # and the replay still converges: probing the COMMITTED sidecar
+    # routes the crashed batch to definitely-new (it never landed)
+    _neg, maybe, _st = ig.bloom_split(
+        spark.range(150, 200).selectExpr("cast(id as string) as s"),
+        p,
+        meta["id_bloom"],
+        "s",
+    )
+    assert maybe is None or maybe.count() == 0

@@ -133,12 +133,35 @@ def lsh_knn_query(
     )
 
 
+#: Auto-sizing target: rows per cell the serving math wants to hold
+#: CONSTANT as the corpus grows. nprobe cells of ~40k rows keep the
+#: probed volume (the serve cost) flat across corpus decades — the
+#: r14 100M probe paid 2.5x probed volume because a fixed cell count
+#: let occupancy grow 10x per decade.
+TARGET_CELL_ROWS = 40_000
+
+
+def auto_n_centroids(
+    n_rows: int, *, target_cell_rows: int | None = None
+) -> int:
+    """Constant-occupancy cell count for a corpus of ``n_rows``:
+    ``ceil(rows / TARGET_CELL_ROWS)`` clamped to [16, 65536]. 1M rows
+    -> 25 cells; 100M -> 2500; 1B -> 25k — the probed volume at fixed
+    nprobe stays ~nprobe * TARGET_CELL_ROWS at every decade instead
+    of growing with the corpus. The k-means train cost scales with
+    n_centroids (distance matrix columns), which is why the cap: past
+    65k cells train hierarchically (coarse-quantize twice) rather
+    than flat."""
+    target = int(target_cell_rows or TARGET_CELL_ROWS)
+    return max(16, min(65_536, -(-int(n_rows) // max(target, 1))))
+
+
 def ivf_build(
     corpus: DataFrame,
     *,
     id_col: str = "id",
     embedding_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     seed: int = 42,
     sample_fraction: float | None = None,
     metric: str = "l2",
@@ -167,6 +190,13 @@ def ivf_build(
         raise ValueError(
             f"ivf_build metric must be 'cosine' or 'l2', got {metric!r}"
         )
+    if n_centroids == "auto":
+        # constant-occupancy sizing: one column-pruned count (skipped
+        # when the caller already has it) -> rows/TARGET_CELL_ROWS
+        if n_rows is None:
+            n_rows = corpus.select(id_col).count()
+        n_centroids = auto_n_centroids(n_rows)
+    n_centroids = int(n_centroids)
     base = corpus.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
     train = base if sample_fraction is None else base.sample(sample_fraction, seed)
     eff_rows = None
@@ -2056,7 +2086,17 @@ def ivf_balance_audit(
     nearest-EXISTING-centroid assignment is getting worse, run
     ``ivf_refresh``). Indexes written before training stats were
     recorded audit occupancy only (trained columns NULL, drift
-    untested). One scan of the cells dataset (broadcast centroid
+    untested).
+
+    ``recell_recommended`` (one value, stamped on every row) is the
+    CELL-COUNT hint the constant-occupancy sizing implies
+    (``auto_n_centroids``): it flips when appends have grown MEAN
+    occupancy a decade past the build-time mean (or, for indexes
+    without training stats, past 10x ``TARGET_CELL_ROWS``) — at that
+    point every cell is uniformly overfull, ``refresh_recommended``'s
+    per-cell skew test stays quiet, but a fixed-nprobe serve scans
+    10x the rows the build was sized for; rebuild with
+    ``n_centroids="auto"`` rather than re-training at the old count. One scan of the cells dataset (broadcast centroid
     join + map-side-combinable aggregate) — audit cost is corpus-scan
     bound, run it at the cadence appends warrant, not per batch."""
     import json
@@ -2109,6 +2149,14 @@ def ivf_balance_audit(
             [(i, None, None) for i in range(n_cells)],
             "ivf_cell int, trained_n_rows bigint, trained_mean_dist double",
         )
+    built_total = (
+        sum(trained["cell_rows"]) if trained is not None else None
+    )
+    mean_occ = total / max(n_cells, 1)
+    if built_total:
+        recell = mean_occ >= 10.0 * max(built_total / n_cells, 1.0)
+    else:
+        recell = mean_occ >= 10.0 * TARGET_CELL_ROWS
     occ = (F.col("n_rows") * n_cells / F.greatest(F.lit(total), F.lit(1))).cast(
         "double"
     )
@@ -2136,6 +2184,7 @@ def ivf_balance_audit(
             (
                 (F.coalesce(occ, F.lit(0.0)) > skew_threshold) | drifted
             ).alias("refresh_recommended"),
+            F.lit(bool(recell)).alias("recell_recommended"),
         )
     )
 

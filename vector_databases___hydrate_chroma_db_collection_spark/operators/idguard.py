@@ -41,9 +41,21 @@ filter is resized from the current id count at compaction.
 
 Scale note: filter bytes are proportional to CAPACITY, not to the
 batch — 10^9 ids at 10 bits/id is ~1.2 GB, which is driver-memory
-and broadcast-sized, not scan-sized; shard by id-hash prefix before
-that point if driver memory is the binding constraint. The probe
-cost per batch is |batch| rows through one vectorized pandas UDF.
+and broadcast-sized, not scan-sized. The probe cost per batch is
+|batch| rows through one vectorized pandas UDF.
+
+Sharded appends (r15): the r14 100M probe named the per-append
+merge+fsync of that corpus-sized artifact as the LAST corpus-linear
+term on the append path (~125 MB per 2k-doc batch at 100M ids). The
+guard is now a main filter plus a DELTA LOG: an append persists only
+a segment of the batch's raw ``(xxhash64(id), xxhash64(id, salt))``
+pairs (16 bytes/id — batch-proportional), probes test main bits OR
+delta membership in the same single pandas pass, and segments FOLD
+into a fresh main filter — pure driver-side hash arithmetic, since
+every (m, k) bit position derives from the raw pair — once they
+exceed capacity/64 ids or 64 files. The corpus-sized rewrite is thus
+paid once per ~64 appends instead of per batch, and nothing on the
+append path scales with the corpus anymore.
 
 Reference provenance: the reference's hydration step (sas:126-193)
 re-runs are guarded only by Chroma's upsert semantics; a Spark
@@ -62,12 +74,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 _MAGIC = b"SGIDBLM1"
+_DMAGIC = b"SGIDDLT1"
 _SALT = "spark-graft-idguard-h2"
 HASH_SPEC = "xxhash64-double-v1"
 # design density of every id-guard filter (bloom_params default, the
 # audit's capacity math, and the oracle's documented sizing formula
 # all derive from this one constant)
 BITS_PER_ID = 10
+# Delta-segment fold policy (r15): an append normally persists only a
+# SEGMENT (the batch's raw 128-bit id-hash pairs, ~16 bytes/id) and
+# leaves the main filter untouched; segments fold into the main
+# filter — pure driver-side hash arithmetic, no corpus IO — once
+# their id total passes capacity/DELTA_FOLD_CAP_FRACTION (or the
+# segment list passes DELTA_MAX_SEGMENTS), so the corpus-sized main
+# rewrite is amortized over ~DELTA_FOLD_CAP_FRACTION appends instead
+# of being paid per batch (the r14 100M probe's last corpus-linear
+# append term).
+DELTA_FOLD_MIN_IDS = 4096
+DELTA_FOLD_CAP_FRACTION = 64
+DELTA_MAX_SEGMENTS = 64
 
 
 def batch_digest(df: DataFrame, id_col: str) -> str:
@@ -214,6 +239,118 @@ def bloom_read(p: str, fname: str) -> tuple[np.ndarray, int, int]:
     return words, m, k
 
 
+def delta_write(p: str, fname: str, h1: np.ndarray, h2: np.ndarray) -> None:
+    """Durable write of one delta segment: the batch's raw
+    ``(xxhash64(id), xxhash64(id, salt))`` pairs. 16 bytes/id —
+    corpus-independent, and sufficient to (a) probe membership by h1
+    and (b) later FOLD into any main filter geometry, since the k bit
+    positions for any (m, k) derive from the raw pair alone."""
+    tmp = os.path.join(p, fname + ".tmp")
+    header = _DMAGIC + np.array([h1.size], dtype="<u8").tobytes()
+    with open(tmp, "wb") as f:
+        f.write(header)
+        f.write(h1.astype("<i8").tobytes())
+        f.write(h2.astype("<i8").tobytes())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(p, fname))
+    try:
+        dfd = os.open(p, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+
+
+def delta_read(p: str, fname: str) -> tuple[np.ndarray, np.ndarray]:
+    with open(os.path.join(p, fname), "rb") as f:
+        raw = f.read()
+    if raw[:8] != _DMAGIC:
+        raise ValueError(f"{fname!r} is not an id-guard delta segment")
+    n = int(np.frombuffer(raw[8:16], dtype="<u8")[0])
+    if len(raw) != 16 + 16 * n:
+        raise ValueError(f"{fname!r} is truncated: {len(raw)} bytes for n={n}")
+    h1 = np.frombuffer(raw[16 : 16 + 8 * n], dtype="<i8").astype(np.int64)
+    h2 = np.frombuffer(raw[16 + 8 * n :], dtype="<i8").astype(np.int64)
+    return h1, h2
+
+
+def fresh_delta_file(p: str, segments: list | None) -> str:
+    """Next monotonic delta segment name (``ids_delta_v1.bin``, ...)
+    — monotonic past the LIVE segment list so GC'd versions are never
+    recycled under a reader holding an older sidecar."""
+    v = 0
+    for s in segments or []:
+        loc = s.get("location", "")
+        try:
+            v = max(v, int(loc.rsplit("_v", 1)[1].split(".")[0]))
+        except (IndexError, ValueError):
+            pass
+    v += 1
+    while os.path.exists(os.path.join(p, f"ids_delta_v{v}.bin")):
+        v += 1
+    return f"ids_delta_v{v}.bin"
+
+
+def _batch_hash_pairs(
+    batch_ids: DataFrame, bcol: Column
+) -> tuple[np.ndarray, np.ndarray]:
+    """The batch's raw hash pairs, computed by the SAME Catalyst
+    expressions the filter build uses (one hash family, one
+    implementation) and collected to the driver — bounded by the
+    BATCH size, never the corpus. De-duplicated on h1 (a 64-bit h1
+    collision inside one batch merely drops a redundant pair —
+    supersets of bits are safe, and the exact fallback settles any
+    false positive)."""
+    pdf = batch_ids.select(
+        F.xxhash64(bcol).alias("h1"),
+        F.xxhash64(bcol, F.lit(_SALT)).alias("h2"),
+    ).toPandas()
+    h1 = pdf["h1"].to_numpy(dtype=np.int64)
+    h2 = pdf["h2"].to_numpy(dtype=np.int64)
+    _, idx = np.unique(h1, return_index=True)
+    return h1[idx], h2[idx]
+
+
+def _fold_into(
+    words: np.ndarray, m: int, k: int, h1: np.ndarray, h2: np.ndarray
+) -> None:
+    """OR a delta segment's ids into main-filter words IN PLACE by
+    hash arithmetic alone: ``b1 = h1 pmod m``, ``step = h2 pmod m``,
+    ``pos_i = (b1 + i*step) pmod m`` — bit-identical to the Catalyst
+    build expressions (``_bit_positions``), verified by
+    ``test_numpy_fold_matches_catalyst_build``. Chunked so a
+    multi-million-id fold never materializes an (n, k) position
+    matrix bigger than ~8M cells."""
+    if h1.size == 0:
+        return
+    ks = np.arange(k, dtype=np.int64)[None, :]
+    chunk = max(1, 8_000_000 // max(k, 1))
+    for lo in range(0, h1.size, chunk):
+        b1 = np.mod(h1[lo : lo + chunk], m)[:, None]
+        step = np.mod(h2[lo : lo + chunk], m)[:, None]
+        P = np.mod(b1 + ks * step, m)
+        np.bitwise_or.at(
+            words,
+            P >> 6,
+            np.left_shift(np.uint64(1), (P & 63).astype(np.uint64)),
+        )
+
+
+def _segments_h1(p: str, segments: list | None) -> np.ndarray:
+    """Sorted h1 union of the live delta segments, for the probe's
+    broadcast. h1-only membership is probe-sufficient: a replayed id
+    reproduces its h1 exactly (no false negatives), and a 64-bit h1
+    collision is a ~2^-64 false POSITIVE routed to the exact
+    fallback like any Bloom positive."""
+    parts = [delta_read(p, s["location"])[0] for s in segments or []]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(parts))
+
+
 def bloom_might_contain(
     df: DataFrame,
     id_str: Column,
@@ -254,25 +391,57 @@ def bloom_might_contain(
     return _mc(F.array(*_bit_positions(id_str, m, k)))
 
 
+def _might_contain_sharded(id_str: Column, bc) -> Column:
+    """Membership-probe column over the SHARDED guard: main-filter
+    bit test OR delta-segment h1 membership, one Arrow-batched pass.
+    ``bc`` broadcasts ``(words_bytes, m, k, delta_h1_bytes)``. The k
+    probe positions are derived in numpy from the raw hash pair by
+    the same arithmetic as ``_bit_positions`` (equivalence pinned by
+    ``test_numpy_fold_matches_catalyst_build``)."""
+
+    @pandas_udf("boolean")
+    def _mc(hs: pd.Series) -> pd.Series:
+        wb, m, k, d1b = bc.value
+        if len(hs) == 0:
+            return pd.Series([], dtype=bool)
+        w = np.frombuffer(wb, dtype=np.uint64)
+        d1 = np.frombuffer(d1b, dtype=np.int64)
+        H = np.stack(hs.to_numpy()).astype(np.int64)  # (n, 2)
+        b1 = np.mod(H[:, 0], m)[:, None]
+        step = np.mod(H[:, 1], m)[:, None]
+        P = np.mod(b1 + np.arange(k, dtype=np.int64)[None, :] * step, m)
+        bits = (w[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+        hit = bits.all(axis=1)
+        if d1.size:
+            idx = np.clip(np.searchsorted(d1, H[:, 0]), 0, d1.size - 1)
+            hit = hit | (d1[idx] == H[:, 0])
+        return pd.Series(hit)
+
+    return _mc(
+        F.array(F.xxhash64(id_str), F.xxhash64(id_str, F.lit(_SALT)))
+    )
+
+
 def bloom_split(
     df: DataFrame, p: str, bloom_meta: dict, id_name: str
 ) -> tuple[DataFrame, DataFrame | None, tuple]:
-    """Prescreen a (deduplicated) batch against the persisted filter:
-    returns ``(definitely_new, maybe, state)``. ``definitely_new``
-    rows are filter-negative — indexable with zero corpus IO;
-    ``maybe`` (None when EVERY id is negative, the steady-state
-    common case) is the filter-positive subset the caller must settle
-    with its exact anti-join; ``state = (words, m, k)`` feeds
-    ``bloom_extend``. The batch is materialized once
-    (localCheckpoint) so the probe never re-executes upstream
+    """Prescreen a (deduplicated) batch against the persisted guard —
+    main filter PLUS live delta segments: returns ``(definitely_new,
+    maybe, state)``. ``definitely_new`` rows are negative everywhere
+    — indexable with zero corpus IO; ``maybe`` (None when EVERY id is
+    negative, the steady-state common case) is the positive subset
+    the caller must settle with its exact anti-join; ``state =
+    (words, m, k)`` feeds ``bloom_extend``. The batch is materialized
+    once (localCheckpoint) so the probe never re-executes upstream
     lineage."""
     words, m, k = bloom_read(p, bloom_meta["location"])
-    bc = df.sparkSession.sparkContext.broadcast(words.tobytes())
+    d1 = _segments_h1(p, bloom_meta.get("segments"))
+    bc = df.sparkSession.sparkContext.broadcast(
+        (words.tobytes(), m, k, d1.tobytes())
+    )
     probed = df.withColumn(
         "_ig_maybe",
-        bloom_might_contain(
-            df, F.col(id_name).cast("string"), words, m, k, broadcast=bc
-        ),
+        _might_contain_sharded(F.col(id_name).cast("string"), bc),
     ).localCheckpoint(eager=True)
     # the eager checkpoint has materialized every probe result — drop
     # the filter-sized broadcast NOW, or a foreachBatch loop
@@ -295,27 +464,30 @@ def bloom_extend(
     batch_ids: DataFrame,
     fallback_ids: DataFrame | None = None,
 ) -> None:
-    """Fold a batch's WHOLE id set into the index's filter and
-    persist it to a fresh versioned file, setting ``meta['id_bloom']``
-    (the caller commits the sidecar). Call BEFORE the first data
-    write: a committed filter must stay a superset of the indexed ids
-    — supersets are safe (false positives fall back to the exact
-    check), a subset would let a replay double-ingest. ``state`` is
-    ``bloom_split``'s loaded filter; for a pre-filter index pass
-    ``state=None`` and ``fallback_ids`` (the existing indexed ids) —
-    the one-time migration scan that makes every later append
-    corpus-independent. Both id frames must be single-column,
-    string-typed."""
+    """Fold a batch's WHOLE id set into the index's guard and persist
+    it, setting ``meta['id_bloom']`` (the caller commits the
+    sidecar). Call BEFORE the first data write: the committed guard
+    must stay a superset of the indexed ids — supersets are safe
+    (false positives fall back to the exact check), a subset would
+    let a replay double-ingest. ``state`` is ``bloom_split``'s loaded
+    filter; for a pre-filter index pass ``state=None`` and
+    ``fallback_ids`` (the existing indexed ids) — the one-time
+    migration scan that makes every later append corpus-independent.
+    Both id frames must be single-column, string-typed.
+
+    Sharded-append contract (r15): the steady-state append persists
+    ONLY a delta segment — the batch's raw hash pairs, ~16 bytes/id,
+    fsync cost proportional to the BATCH — and leaves the
+    corpus-sized main filter file untouched. Once the segments' id
+    total passes ``capacity/DELTA_FOLD_CAP_FRACTION`` (or the list
+    passes ``DELTA_MAX_SEGMENTS``), this call folds every segment
+    plus the batch into a fresh main filter by driver-side hash
+    arithmetic (no corpus IO, no id re-scan) and clears the list —
+    the big rewrite is amortized over ~DELTA_FOLD_CAP_FRACTION
+    appends instead of paid per batch."""
     bcol = F.col(batch_ids.columns[0])
     prev_bloom = meta.get("id_bloom") or {}
-    if state is not None:
-        words, m, k = state
-        words = bloom_or(words, bloom_build(batch_ids, bcol, m, k))
-        # merging into the SAME (m, k): capacity is a property of the
-        # sizing moment and carries forward unchanged (legacy sidecars
-        # without one fall back to the design-density equivalent)
-        capacity = int(prev_bloom.get("capacity") or m // BITS_PER_ID)
-    else:
+    if state is None:
         all_ids = (
             fallback_ids.toDF(batch_ids.columns[0])
             .unionByName(batch_ids)
@@ -324,15 +496,56 @@ def bloom_extend(
         capacity = max(4 * all_ids.count(), 1)
         m, k = bloom_params(capacity)
         words = bloom_build(all_ids, bcol, m, k)
-    fname = fresh_bloom_file(p, prev_bloom.get("location"))
-    bloom_write(p, fname, words, m, k)
-    meta["id_bloom"] = {
-        "location": fname,
-        "m": m,
-        "k": k,
-        "capacity": capacity,
-        "hash": HASH_SPEC,
-    }
+        fname = fresh_bloom_file(p, prev_bloom.get("location"))
+        bloom_write(p, fname, words, m, k)
+        meta["id_bloom"] = {
+            "location": fname,
+            "m": m,
+            "k": k,
+            "capacity": capacity,
+            "hash": HASH_SPEC,
+            "segments": [],
+            "delta_ids": 0,
+        }
+        return
+    words, m, k = state
+    # same (m, k) carries forward: capacity is a property of the
+    # sizing moment (legacy sidecars without one fall back to the
+    # design-density equivalent)
+    capacity = int(prev_bloom.get("capacity") or m // BITS_PER_ID)
+    h1, h2 = _batch_hash_pairs(batch_ids, bcol)
+    segs = list(prev_bloom.get("segments") or [])
+    delta_total = int(prev_bloom.get("delta_ids") or 0) + int(h1.size)
+    fold_at = max(DELTA_FOLD_MIN_IDS, capacity // DELTA_FOLD_CAP_FRACTION)
+    if len(segs) >= DELTA_MAX_SEGMENTS or delta_total >= fold_at:
+        for s in segs:
+            sh1, sh2 = delta_read(p, s["location"])
+            _fold_into(words, m, k, sh1, sh2)
+        _fold_into(words, m, k, h1, h2)
+        fname = fresh_bloom_file(p, prev_bloom.get("location"))
+        bloom_write(p, fname, words, m, k)
+        meta["id_bloom"] = {
+            "location": fname,
+            "m": m,
+            "k": k,
+            "capacity": capacity,
+            "hash": HASH_SPEC,
+            "segments": [],
+            "delta_ids": 0,
+        }
+    else:
+        fname = fresh_delta_file(p, segs)
+        delta_write(p, fname, h1, h2)
+        segs.append({"location": fname, "n": int(h1.size)})
+        meta["id_bloom"] = {
+            "location": prev_bloom.get("location"),
+            "m": m,
+            "k": k,
+            "capacity": capacity,
+            "hash": HASH_SPEC,
+            "segments": segs,
+            "delta_ids": delta_total,
+        }
 
 
 def fresh_bloom_file(
@@ -408,16 +621,19 @@ def rebuild_filter(
         "k": k,
         "capacity": capacity,
         "hash": HASH_SPEC,
+        "segments": [],
+        "delta_ids": 0,
     }
 
 
 def gc_bloom_files(p: str, keep: set, base: str = "ids_bloom") -> None:
-    """Remove superseded filter files: everything versioned under
-    ``base`` that neither the caller's keep set NOR any committed
-    sidecar in the directory references (two index kinds can cohabit
-    one directory; deleting a sibling's filter would brick its
-    appends). Run only after a sidecar commit; a crash before it
-    leaks a file, never breaks a reader."""
+    """Remove superseded guard files — main filters under ``base``
+    AND delta segments under ``ids_delta`` — that neither the
+    caller's keep set NOR any committed sidecar in the directory
+    references (two index kinds can cohabit one directory; deleting a
+    sibling's filter or segment would brick its appends). Run only
+    after a sidecar commit; a crash before it leaks a file, never
+    breaks a reader."""
     import json
 
     keep = set(keep)
@@ -426,14 +642,17 @@ def gc_bloom_files(p: str, keep: set, base: str = "ids_bloom") -> None:
         if os.path.exists(fp):
             try:
                 with open(fp) as f:
-                    loc = (json.load(f).get("id_bloom") or {}).get("location")
+                    ib = json.load(f).get("id_bloom") or {}
             except (OSError, ValueError):
                 continue
-            if loc:
-                keep.add(loc)
+            if ib.get("location"):
+                keep.add(ib["location"])
+            for s in ib.get("segments") or []:
+                if s.get("location"):
+                    keep.add(s["location"])
     for fname in os.listdir(p):
         if (
-            fname.startswith(base + "_v")
+            (fname.startswith(base + "_v") or fname.startswith("ids_delta_v"))
             and fname.endswith(".bin")
             and fname not in keep
         ):
@@ -445,6 +664,9 @@ def gc_bloom_files(p: str, keep: set, base: str = "ids_bloom") -> None:
 
 __all__ = [
     "BITS_PER_ID",
+    "DELTA_FOLD_CAP_FRACTION",
+    "DELTA_FOLD_MIN_IDS",
+    "DELTA_MAX_SEGMENTS",
     "HASH_SPEC",
     "batch_digest",
     "batch_digests",
@@ -456,8 +678,11 @@ __all__ = [
     "bloom_might_contain",
     "bloom_split",
     "bloom_extend",
+    "delta_read",
+    "delta_write",
     "filter_usable",
     "rebuild_filter",
     "fresh_bloom_file",
+    "fresh_delta_file",
     "gc_bloom_files",
 ]

