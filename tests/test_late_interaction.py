@@ -152,3 +152,70 @@ def test_query_width_mismatch_raises(spark, built):
         maxsim_search(
             spark, idx, [[1.0, 0.0]], k=3, rerank_corpus=corpus
         ).collect()
+
+
+def test_persisted_bucketed_rerank_matches_and_prunes(spark, built):
+    """r15: stage 2 reads the PERSISTED bucketed corpus by default —
+    results byte-identical to the explicit rerank_corpus path, and
+    the read is a bucket-pruned point read: the rerank scan's plan
+    prunes to the candidate ids' hash buckets."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.late_interaction import (
+        maxsim_corpus_read,
+        maxsim_corpus_write,
+    )
+
+    corpus, idx = built
+    maxsim_corpus_write(
+        corpus, idx, id_col="id", tokens_col="tokens", n_buckets=16
+    )
+    q_toks = [
+        list(r)
+        for r in corpus.filter(F.col("id") == "7").first()["tokens"][:2]
+    ]
+    st: dict = {}
+    got = maxsim_search(
+        spark, idx, q_toks, k=10, nprobe=999, candidate_factor=4,
+        id_col="id", tokens_col="tokens", score_decimals=6,
+        stats_out=st,
+    ).collect()
+    want = maxsim_search(
+        spark, idx, q_toks, k=10, nprobe=999, candidate_factor=4,
+        rerank_corpus=corpus, id_col="id", tokens_col="tokens",
+        score_decimals=6,
+    ).collect()
+    assert [(r["id"], r["maxsim"]) for r in got] == [
+        (r["id"], r["maxsim"]) for r in want
+    ]
+    # pruning is REAL: the candidate set's buckets < n_buckets, and
+    # the rerank scan's PartitionFilters carry the bucket IN-list
+    # (frozen plan shape — the point read, not a corpus scan)
+    assert 0 < st["rerank_buckets_scanned"] < st["rerank_n_buckets"] == 16
+    assert st["rerank_buckets_scanned"] <= st["candidates"]
+    corpus_df, nb = maxsim_corpus_read(spark, idx)
+    assert nb == 16
+    ranked = maxsim_search(
+        spark, idx, q_toks, k=10, nprobe=999, candidate_factor=4,
+        id_col="id", tokens_col="tokens", score_decimals=6,
+    )
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan, plan
+    # and the id filter is pushed into the parquet read
+    assert "PushedFilters" in plan and "id" in plan, plan
+
+
+def test_persisted_corpus_missing_raises(spark, tmp_path):
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.late_interaction import (
+        maxsim_corpus_read,
+    )
+
+    corpus = _ragged_corpus(spark, n=30)
+    assigned, C = maxsim_index_build(
+        corpus, id_col="id", tokens_col="tokens", n_centroids=4, seed=7
+    )
+    idx = str(tmp_path / "noc")
+    maxsim_index_write(assigned, C, idx, build={"seed": 7})
+    with pytest.raises(EngineError, match="rerank_corpus"):
+        maxsim_corpus_read(spark, idx)
+    q = [list(corpus.first()["tokens"][0])]
+    with pytest.raises(EngineError, match="rerank_corpus"):
+        maxsim_search(spark, idx, q, k=3, nprobe=4).collect()

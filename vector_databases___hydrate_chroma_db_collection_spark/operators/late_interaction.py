@@ -136,6 +136,91 @@ def maxsim_index_write(
     )
 
 
+def maxsim_corpus_write(
+    corpus: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    tokens_col: str = "tokens",
+    n_buckets: int = 64,
+) -> None:
+    """Persist the rerank corpus — the ragged ``(id, tokens)`` token
+    matrices stage 2 needs — BUCKETED by id hash
+    (``pmod(xxhash64(id), n_buckets)`` as a partition column), so the
+    candidate rerank is a bucket-pruned POINT READ instead of a scan
+    of the whole corpus (the r14 bench's measured linear residual:
+    stage 2's semi-join walked every cached token matrix). At serve
+    time the bounded candidate id set resolves to its bucket values
+    driver-side and only those partition directories are read —
+    ``k * candidate_factor`` docs touch at most that many of the
+    ``n_buckets`` directories no matter how large the corpus grows.
+    Written as a versioned dir + atomic sidecar swap
+    (``maxsim_corpus.json``), the module's standard crash discipline."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _atomic_sidecar_write,
+        _fresh_versioned_dir,
+        _local_sidecar_path,
+    )
+    import os
+    import shutil
+
+    p = _local_sidecar_path(path)
+    os.makedirs(p, exist_ok=True)
+    prev = None
+    try:
+        import json
+
+        with open(os.path.join(p, "maxsim_corpus.json")) as f:
+            prev = json.load(f).get("location")
+    except (OSError, ValueError):
+        pass
+    loc = _fresh_versioned_dir(p, "rerank_corpus", floor_names=[prev])
+    nb = max(int(n_buckets), 1)
+    (
+        corpus.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(tokens_col).alias("tokens"),
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)
+            ).alias("_bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(os.path.join(p, loc))
+    )
+    _atomic_sidecar_write(
+        p, "maxsim_corpus.json", {"location": loc, "n_buckets": nb}
+    )
+    if prev and prev != loc:
+        shutil.rmtree(os.path.join(p, prev), ignore_errors=True)
+
+
+def maxsim_corpus_read(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int]:
+    """Load the bucketed rerank corpus -> (df with ``id``/``tokens``/
+    ``_bucket``, n_buckets)."""
+    import json
+    import os
+
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        _local_sidecar_path,
+    )
+
+    p = _local_sidecar_path(path)
+    fp = os.path.join(p, "maxsim_corpus.json")
+    if not os.path.exists(fp):
+        raise EngineError(
+            "maxsim_search: no rerank_corpus persisted at this index "
+            "(write one with maxsim_corpus_write, or pass "
+            "rerank_corpus= explicitly)"
+        )
+    with open(fp) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(os.path.join(p, meta["location"]))
+    return df, int(meta["n_buckets"])
+
+
 def maxsim_search(
     spark: SparkSession,
     index_path: str,
@@ -144,7 +229,7 @@ def maxsim_search(
     k: int = 10,
     nprobe: int = 4,
     candidate_factor: int = 4,
-    rerank_corpus: DataFrame,
+    rerank_corpus: DataFrame | None = None,
     id_col: str = "id",
     tokens_col: str = "tokens",
     score_decimals: int | None = None,
@@ -154,13 +239,20 @@ def maxsim_search(
     PLAID's two stages (module doc). ``query_tokens`` is the query's
     token matrix as a list of equal-width vectors (bounded — a query
     has tens of tokens, and the literal matrix compiles into the
-    scan expression). ``rerank_corpus`` supplies the full ragged
-    ``tokens_col`` per doc for the exact stage; with
+    scan expression). Stage 2's exact rerank reads the PERSISTED
+    bucketed corpus (``maxsim_corpus_write``) by default: the bounded
+    candidate id set resolves to its hash buckets driver-side, so the
+    read prunes to at most ``candidates`` of the corpus's bucket
+    directories — a point read, not a corpus scan (the r14 measured
+    linear residual). Pass ``rerank_corpus`` explicitly to rerank
+    from an in-session frame instead (correctness path; the scan is
+    then whatever that frame's lineage costs). With
     ``nprobe >= n_cells`` the output is bit-identical to brute-force
     ``maxsim_score_presplit`` scoring. Returns ``(id, maxsim)``
     ordered by score desc, id asc. ``stats_out`` (optional dict)
-    receives ``n_cells`` / ``probed_cells`` / ``candidates`` for
-    plan-shape assertions."""
+    receives ``n_cells`` / ``probed_cells`` / ``candidates`` (and,
+    on the persisted path, ``rerank_buckets_scanned`` /
+    ``rerank_n_buckets``) for plan-shape assertions."""
     from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
         cosine_similarity,
         maxsim_score_presplit,
@@ -228,13 +320,37 @@ def maxsim_search(
         .limit(n_cand)
         .select("_doc")
     )
-    if stats_out is not None:
-        stats_out["candidates"] = cands.count()
     # ---- stage 2: exact rerank of the bounded candidate set -------
-    full = rerank_corpus.select(
-        F.col(id_col).cast("string").alias("id"),
-        F.col(tokens_col).alias("_toks"),
-    ).join(F.broadcast(cands), F.col("id") == F.col("_doc"), "left_semi")
+    if rerank_corpus is not None:
+        if stats_out is not None:
+            stats_out["candidates"] = cands.count()
+        full = rerank_corpus.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(tokens_col).alias("_toks"),
+        ).join(
+            F.broadcast(cands), F.col("id") == F.col("_doc"), "left_semi"
+        )
+    else:
+        corpus_df, nb = maxsim_corpus_read(spark, index_path)
+        # ONE bounded collect settles candidate ids AND their hash
+        # buckets; both land as literal IN-lists, so the parquet read
+        # prunes partitions (buckets) statically and pushes the id
+        # filter — a point read of <= |candidates| bucket dirs.
+        cand_rows = cands.select(
+            "_doc",
+            F.pmod(F.xxhash64("_doc"), F.lit(nb)).alias("_b"),
+        ).collect()
+        cand_ids = sorted(r["_doc"] for r in cand_rows)
+        buckets = sorted({int(r["_b"]) for r in cand_rows})
+        if stats_out is not None:
+            stats_out["candidates"] = len(cand_ids)
+            stats_out["rerank_buckets_scanned"] = len(buckets)
+            stats_out["rerank_n_buckets"] = nb
+        full = corpus_df.filter(
+            F.col("_bucket").isin(buckets) if buckets else F.lit(False)
+        ).filter(
+            F.col("id").isin(cand_ids) if cand_ids else F.lit(False)
+        ).select("id", F.col("tokens").alias("_toks"))
     score = maxsim_score_presplit(F.col("_toks"), q_lit)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
@@ -246,6 +362,8 @@ def maxsim_search(
 
 
 __all__ = [
+    "maxsim_corpus_read",
+    "maxsim_corpus_write",
     "maxsim_index_build",
     "maxsim_index_write",
     "maxsim_search",

@@ -1066,6 +1066,7 @@ def retrieval_maxsim_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         split_slots,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.late_interaction import (
+        maxsim_corpus_write,
         maxsim_index_build,
         maxsim_index_write,
         maxsim_search,
@@ -1092,6 +1093,9 @@ def retrieval_maxsim_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = tempfile.mkdtemp(prefix="vdb_maxsim_") + "/idx"
     maxsim_index_write(assigned, C, idx, build={"seed": 42})
+    # the persisted BUCKETED rerank corpus (r15): stage 2 prunes to
+    # the candidates' bucket dirs — the serve path the bench measures
+    maxsim_corpus_write(docs, idx, id_col="id", tokens_col="tokens")
     return maxsim_search(
         spark,
         idx,
@@ -1099,7 +1103,6 @@ def retrieval_maxsim_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=8,  # exhaustive: 8 cells — the oracle is exact
         candidate_factor=4,
-        rerank_corpus=docs,
         id_col="id",
         tokens_col="tokens",
         score_decimals=4,
