@@ -1417,3 +1417,52 @@ def test_band_index_refuses_documentless_batches(spark, tmp_path):
         index_paths=[idx],
     )
     assert n == 1
+
+
+def test_include_parameter_parity(spark, tmp_path):
+    """Chroma's literal include=[...] on get/peek/query (r15): the
+    caller controls the payload columns (ids always return); unknown
+    entries raise; distances is query-only; uris/data name the
+    unsupported multimodal loaders in a typed error."""
+    from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
+        collection_peek,
+    )
+
+    root = _hydrated(spark, tmp_path)
+    # get default: documents+metadatas
+    assert collection_get(spark, root, "api").columns == [
+        "id", "document", "metadata",
+    ]
+    # get with embeddings, canonical order regardless of list order
+    got = collection_get(
+        spark, root, "api", include=["metadatas", "embeddings"]
+    )
+    assert got.columns == ["id", "embedding", "metadata"]
+    assert len(got.first()["embedding"]) == 2
+    # ids-only projection
+    assert collection_get(spark, root, "api", include=[]).columns == ["id"]
+    # peek default keeps embeddings; narrowed include narrows
+    assert collection_peek(spark, root, "api").columns == [
+        "id", "document", "embedding", "metadata",
+    ]
+    assert collection_peek(
+        spark, root, "api", include=["documents"]
+    ).columns == ["id", "document"]
+    # query: include controls payload and ORs distances in
+    q = collection_query(
+        spark, root, "api", [1.0, 0.0], n_results=2,
+        include=["embeddings", "distances"], score_decimals=4,
+    )
+    assert q.columns == ["id", "embedding", "score", "distance"]
+    rows = q.collect()
+    assert len(rows) == 2 and len(rows[0]["embedding"]) == 2
+    assert abs(rows[0]["distance"]) < 1e-6  # exact self-match
+    # errors: distances on get, unknown entry, multimodal loaders
+    with pytest.raises(EngineError, match="distances"):
+        collection_get(spark, root, "api", include=["distances"])
+    with pytest.raises(EngineError, match="unknown include"):
+        collection_get(spark, root, "api", include=["documents", "nope"])
+    with pytest.raises(EngineError, match="multimodal"):
+        collection_query(
+            spark, root, "api", [1.0, 0.0], include=["uris"]
+        )

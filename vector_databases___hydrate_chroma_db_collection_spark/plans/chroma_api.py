@@ -191,6 +191,54 @@ def _prune_buckets_for_ids(
     )
 
 
+_INCLUDE_MAP = {
+    "documents": "document",
+    "embeddings": "embedding",
+    "metadatas": "metadata",
+}
+
+
+def _parse_include(
+    include, *, default: tuple, distances_ok: bool = False
+) -> tuple[list[str], bool]:
+    """Chroma's literal ``include=[...]`` parameter -> (payload
+    columns in canonical order, want_distance). ids always return —
+    exactly Chroma's contract. Unknown entries raise; ``uris``/
+    ``data`` (Chroma's multimodal loader fields) raise a typed
+    not-supported error; ``distances`` is only legal where a query
+    vector exists (``query``, not ``get``/``peek``)."""
+    if include is None:
+        include = list(default)
+    want_distance = False
+    cols = set()
+    for item in include:
+        if item == "distances":
+            if not distances_ok:
+                raise EngineError(
+                    "include=['distances'] is only valid on query "
+                    "(get/peek have no query vector to measure from)"
+                )
+            want_distance = True
+        elif item in _INCLUDE_MAP:
+            cols.add(_INCLUDE_MAP[item])
+        elif item in ("uris", "data"):
+            raise EngineError(
+                f"include={item!r}: Chroma's multimodal loader fields "
+                "are not supported by this engine (store binary "
+                "payloads in a multimodal column instead)"
+            )
+        else:
+            raise EngineError(
+                f"unknown include entry {item!r}: expected "
+                "documents/embeddings/metadatas"
+                + ("/distances" if distances_ok else "")
+            )
+    ordered = [
+        c for c in ("document", "embedding", "metadata") if c in cols
+    ]
+    return ordered, want_distance
+
+
 def collection_get(
     spark: SparkSession,
     root: str,
@@ -201,19 +249,26 @@ def collection_get(
     where_document: dict | None = None,
     limit: int | None = None,
     offset: int = 0,
+    include: list[str] | None = None,
 ) -> DataFrame:
-    """``collection.get``: rows in canonical schema (minus embedding —
-    Chroma's default include set), id-ordered when paginating.
+    """``collection.get``: rows in canonical schema, id-ordered when
+    paginating. ``include=[...]`` is Chroma's literal
+    caller-controlled column set (default ``["documents",
+    "metadatas"]`` — Chroma's get default; pass ``"embeddings"`` to
+    add the vector column); ids always return.
 
     Pagination (limit/offset) sorts by id and keeps ``offset+limit``
     rows via TakeOrderedAndProject (driver-bounded by the page end,
     never a full global sort); unpaginated gets stream unordered.
     """
+    payload, _ = _parse_include(
+        include, default=("documents", "metadatas")
+    )
     manifest = load_manifest(root, name)
     df = read_collection(spark, root, name, include_bucket=bool(manifest.n_buckets))
     if ids is not None and manifest.n_buckets:
         df = _prune_buckets_for_ids(spark, df, ids, manifest.n_buckets)
-    df = _filtered(df, ids, where, where_document).select("id", "document", "metadata")
+    df = _filtered(df, ids, where, where_document).select("id", *payload)
     if limit is None and offset == 0:
         return df
     if limit is None:
@@ -233,13 +288,22 @@ def collection_get(
 
 
 def collection_peek(
-    spark: SparkSession, root: str, name: str, n: int = 10
+    spark: SparkSession,
+    root: str,
+    name: str,
+    n: int = 10,
+    *,
+    include: list[str] | None = None,
 ) -> DataFrame:
     """``collection.peek``: the first ``n`` rows by id INCLUDING the
-    embedding column (Chroma's peek include-set). TakeOrderedAndProject
+    embedding column (Chroma's peek default include-set); narrow or
+    reorder with the literal ``include=[...]``. TakeOrderedAndProject
     — never a full sort."""
+    payload, _ = _parse_include(
+        include, default=("documents", "embeddings", "metadatas")
+    )
     df = read_collection(spark, root, name)
-    return df.orderBy("id").limit(n).select("id", "document", "embedding", "metadata")
+    return df.orderBy("id").limit(n).select("id", *payload)
 
 
 def collection_update(
@@ -362,12 +426,20 @@ def collection_query(
     where_document: dict | None = None,
     score_decimals: int | None = None,
     include_distance: bool = False,
+    include: list[str] | None = None,
 ) -> DataFrame:
     """``collection.query`` for one query embedding: pre-filter by
     metadata/document predicates, then exact top-k by the manifest's
     metric. Plan: Scan -> Filter (pushed ahead of the distance
     expression) -> Project(score) -> TakeOrderedAndProject. Returns
     ``(id, document, metadata, score)`` best-first.
+
+    ``include=[...]`` is Chroma's literal caller-controlled column
+    set: any of ``documents``/``embeddings``/``metadatas``/
+    ``distances`` (default documents+metadatas — Chroma's query
+    default); it controls the payload columns and ORs its
+    ``distances`` entry with ``include_distance``. ``score`` always
+    returns (it is this engine's rank key), ids always return.
 
     NOTE on ``score`` vs Chroma: ``score`` is metric-native — cosine /
     dot SIMILARITY (higher is better), L2 distance (lower is better) —
@@ -388,6 +460,9 @@ def collection_query(
         raise EngineError(
             f"query vector dim {len(query_vector)} != collection dim {manifest.dim}"
         )
+    payload, want_d = _parse_include(
+        include, default=("documents", "metadatas"), distances_ok=True
+    )
     df = _filtered(read_collection(spark, root, name), None, where, where_document)
     return _serve_topk(
         df,
@@ -395,7 +470,8 @@ def collection_query(
         query_vector,
         n_results,
         score_decimals=score_decimals,
-        include_distance=include_distance,
+        include_distance=include_distance or want_d,
+        payload_cols=tuple(payload),
     )
 
 
@@ -407,19 +483,21 @@ def _serve_topk(
     *,
     score_decimals: int | None,
     include_distance: bool,
+    payload_cols: tuple = ("document", "metadata"),
 ) -> DataFrame:
     """Shared exact-rerank tail of the interactive query paths
     (``collection_query``'s full scan and ``collection_query_ivf``'s
     probed candidates): Project(score) -> TakeOrderedAndProject,
     metric-native ``score`` plus optional Chroma-convention
-    ``distance``."""
+    ``distance``. ``payload_cols`` is the include-resolved column
+    set between ``id`` and ``score``."""
     from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import _score
 
     q = F.array(*[F.lit(float(x)) for x in query_vector])
     raw, asc = _score(metric, F.col("embedding"), q)
     score = F.round(raw, score_decimals) if score_decimals is not None else raw
     scored = df.withColumn("score", score)
-    cols = ["id", "document", "metadata", "score"]
+    cols = ["id", *payload_cols, "score"]
     if include_distance:
         # Chroma's distance conventions per metric (hnswlib spaces):
         # cosine -> 1 - similarity, ip -> 1 - dot, l2 -> squared L2.

@@ -331,19 +331,27 @@ def collection_ivf_knn_stale_rebuild(spark: SparkSession, sf_dir: str) -> DataFr
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     ), q AS (SELECT emb AS qe FROM corpus WHERE id = '3'),
     scored AS (
-        SELECT c.id, {_COS_SQL} AS score
+        SELECT c.id,
+               round(list_sum(list_transform(c.emb,
+                   x -> CAST(x AS DOUBLE))), 4) AS emb_sum,
+               len(c.emb) AS dim, {_COS_SQL} AS score
         FROM corpus c, q
         WHERE c.lang IN ('en', 'de') AND contains(c.text, 'data')
     )
-    SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 5
+    SELECT id, emb_sum, dim, score
+    FROM scored ORDER BY score DESC, id LIMIT 5
     """,
 )
 def collection_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chroma ``collection.query(where=..., where_document=...)``:
-    metadata + document predicates compiled to native Columns and
-    applied BEFORE the distance expression (pre-filtering — exact
-    recall, and the filter prunes the scan ahead of the math), then
-    top-5 cosine via TakeOrderedAndProject. Shuffle-free."""
+    """Chroma ``collection.query(where=..., where_document=...,
+    include=[...])``: metadata + document predicates compiled to
+    native Columns and applied BEFORE the distance expression
+    (pre-filtering — exact recall, and the filter prunes the scan
+    ahead of the math), then top-5 cosine via TakeOrderedAndProject.
+    Shuffle-free. The literal ``include`` list (r15) controls the
+    payload columns — here ``["embeddings"]``, Chroma's non-default
+    vector-returning case, so the oracle checks the include
+    machinery end-to-end."""
     from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
         collection_query,
     )
@@ -354,7 +362,7 @@ def collection_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _hydrate_docs_collection(spark, sf_dir, "apiq")
     coll = read_collection(spark, root, "apiq")
     qvec = list(coll.filter(F.col("id") == "3").first()["embedding"])
-    return collection_query(
+    served = collection_query(
         spark,
         root,
         "apiq",
@@ -363,7 +371,23 @@ def collection_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         where={"lang": {"$in": ["en", "de"]}},
         where_document={"$contains": "data"},
         score_decimals=4,
-    ).select("id", "score")
+        include=["embeddings"],
+    )
+    assert served.columns == ["id", "embedding", "score"]
+    # oracle-safe scalars DERIVED from the included vector (the
+    # driver's hash compare wants scalar cells; the projection still
+    # fails loudly if include ever stops carrying the column)
+    return served.select(
+        "id",
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            4,
+        ).alias("emb_sum"),
+        F.size("embedding").cast("long").alias("dim"),
+        "score",
+    )
 
 
 @query(
@@ -399,23 +423,32 @@ def collection_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "collection_get_page",
     """
-    SELECT CAST(doc_id AS VARCHAR) AS id, text AS document
-    FROM documents
+    SELECT CAST(d.doc_id AS VARCHAR) AS id, d.text AS document,
+           len(e.embedding) AS dim
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     ORDER BY id
     LIMIT 10 OFFSET 5
     """,
 )
 def collection_get_page(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chroma ``collection.get(limit=, offset=)``: id-ordered page
-    via TakeOrderedAndProject over offset+limit rows (driver cost
-    bounded by the page end, not the collection)."""
+    """Chroma ``collection.get(limit=, offset=, include=[...])``:
+    id-ordered page via TakeOrderedAndProject over offset+limit rows
+    (driver cost bounded by the page end, not the collection). The
+    literal ``include`` list (r15) widens the page past get's
+    documents+metadatas default to carry the embedding column, so
+    the oracle checks both pagination and the include machinery."""
     from vector_databases___hydrate_chroma_db_collection_spark.plans.chroma_api import (
         collection_get,
     )
 
     root = _hydrate_docs_collection(spark, sf_dir, "apig")
-    return collection_get(spark, root, "apig", limit=10, offset=5).select(
-        "id", "document"
+    page = collection_get(
+        spark, root, "apig", limit=10, offset=5,
+        include=["documents", "embeddings"],
+    )
+    assert page.columns == ["id", "document", "embedding"]
+    return page.select(
+        "id", "document", F.size("embedding").cast("long").alias("dim")
     )
 
 
