@@ -854,6 +854,44 @@ def main() -> None:
         warmup=True,
     )
     _shutil.rmtree(broot, ignore_errors=True)
+
+    # ------------------------------------------------------------------
+    # Per-cell GRAPH ANN at 1M — the second decade for the graph
+    # layer (r14 banded it only at 200k). Same occupancy as the 200k
+    # entry (320 cells x ~3.1k rows — graph build is O(occupancy) per
+    # row by design, so build cost should scale ~linearly 5x) and the
+    # SAME serve settings (nprobe=4, ef=64), so the beam's measured
+    # candidates-scored budget should stay ~flat per probed cell
+    # while the corpus grew 5x — the flat-decade claim the IVF
+    # substrate already carries, inherited by the graph layer.
+    # ------------------------------------------------------------------
+    g1m_dir = tempfile.mkdtemp(prefix="bench_graph1m_") + "/idx"
+
+    def run_graph_build_1m() -> None:
+        a, C = graph_index_build(
+            corpus1m,
+            id_col="id",
+            embedding_col="embedding",
+            n_centroids=320,
+            M=8,
+            seed=42,
+            sample_fraction=0.05,
+        )
+        graph_index_write(a, C, g1m_dir, M=8, build={"seed": 42})
+
+    record("synth1m_graph_build", run_graph_build_1m, trials=1)
+
+    def run_graph_query_1m() -> None:
+        st: dict = {}
+        rows = graph_search(
+            spark, g1m_dir, qvec1m, k=10, nprobe=4, ef=64, stats_out=st
+        ).collect()
+        assert rows[0]["id"] == "0", "1M graph beam lost the self-neighbor"
+        probed_rows = 4 * (n1m // 320)
+        assert 0 < st["scored"] < probed_rows // 2, (st, probed_rows)
+
+    record("synth1m_graph_query", run_graph_query_1m, warmup=True)
+    shutil.rmtree(os.path.dirname(g1m_dir), ignore_errors=True)
     corpus1m.unpersist()
 
     # ------------------------------------------------------------------

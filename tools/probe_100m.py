@@ -8,11 +8,13 @@ process (the 10M leg re-run here as the same-warm-state control):
   bucketed exchange-free serve's corpus term is a narrow key scan;
 - band append: 2k fresh docs — the Bloom id-guard's
   corpus-independence claim at its third decade;
-- IVF-PQ query: k=10 at a FIXED probed fraction (nprobe/n_cells =
-  16/256 at 10M, 16/1024 at 100M — cells scaled with the corpus, the
-  constant-occupancy discipline every 100 TB layout uses), so the
-  probed code volume stays ~constant and the serve curve should stay
-  flat.
+- IVF-PQ query: k=10 at FIXED nprobe over ``n_centroids="auto"``
+  cells (r15: ``ann.auto_n_centroids`` — rows/TARGET_CELL_ROWS, so
+  250 cells at 10M and 2500 at 100M). Constant occupancy makes the
+  probed code VOLUME constant across decades (nprobe * ~40k rows),
+  which is the flat-serve discipline every 100 TB layout uses; the
+  r14 run scaled cells only 4x per decade and paid 2.5x probed
+  volume for it (the named residual this revision retires).
 
 Sandbox sizing: 100M x 16-dim float32 = ~6.4 GB of vectors; the
 corpus is NOT cached (the serve paths read codes/keys, not floats —
@@ -113,11 +115,14 @@ def main() -> None:
             )
         )
 
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        auto_n_centroids,
+    )
+
     out: dict = {}
-    for n, tag, n_cells in (
-        (10_000_000, "10m", 256),
-        (100_000_000, "100m", 1024),
-    ):
+    for n, tag in ((10_000_000, "10m"), (100_000_000, "100m")):
+        n_cells = auto_n_centroids(n)  # 250 at 10M, 2500 at 100M
+        out[f"n_cells_{tag}"] = n_cells
         root = tempfile.mkdtemp(prefix=f"probe100m_{tag}_")
         # ---- band index: build once (recorded, linear by design),
         # then gate + append min-of-3 ---------------------------------

@@ -23,6 +23,11 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     which = set(sys.argv[1:]) or {"ivf_neardup", "pagerank"}
+    if "synth1m" in which:
+        synth1m_probe()
+        which -= {"synth1m"}
+        if not which:
+            return
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     from pyspark.sql import SparkSession, functions as F
 
@@ -221,3 +226,146 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def synth1m_probe() -> None:
+    """Solo CPU-banded re-measure of the three r14-flagged synth1m
+    serve entries (synth1m_knn_binary 1.62x, synth1m_ivfpq_query
+    1.60x, synth1m_knn_exact 1.40x vs the r13 record, consistent
+    min-of-3 in-suite). Exact bench.py setups (same corpus recipe,
+    cache + warmup discipline), each alone in a fresh session, with
+    the churn-safe process-tree CPU delta next to wall so the verdict
+    bands on CPU. BLAS A/B: SPARK_GRAFT_PIN_BLAS=1 pins worker BLAS
+    to one thread (the r14 session default), =0 force-unsets it (the
+    r13 world) — run both to attribute any delta to the pin."""
+    pin = os.environ.get("SPARK_GRAFT_PIN_BLAS", "1")
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        if pin == "0":
+            os.environ.pop(v, None)
+        else:
+            os.environ.setdefault(v, "1")
+    import bench as _b
+    from pyspark.sql import SparkSession, functions as F
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("probe-solo-1m")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        binary_quantize,
+        hamming_distance as _hd,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        knn_query as _knn_query,
+        pack_sign_bits,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
+        ivf_pq_build,
+        ivf_pq_search,
+    )
+
+    dim = 64
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(
+                F.xxhash64(
+                    F.concat(
+                        F.col("id").cast("string"), F.lit("#"),
+                        j.cast("string"),
+                    )
+                ),
+                F.lit(2000),
+            )
+            - 1000
+        ).cast("float")
+        / 1000.0,
+    )
+    n1m = 1_000_000
+    corpus1m = (
+        spark.range(n1m)
+        .repartition(cpus)
+        .select("id", vec.alias("embedding"))
+        .cache()
+    )
+    corpus1m.count()
+    qvec1m = list(corpus1m.filter(F.col("id") == 0).first()["embedding"])
+
+    def timed3(fn, warmup=True):
+        if warmup:
+            fn()
+        ws, cs = [], []
+        for _ in range(3):
+            c0 = _b._tree_cpu_sample()
+            t0 = time.perf_counter()
+            fn()
+            ws.append(round(time.perf_counter() - t0, 3))
+            cs.append(round(_b._tree_cpu_delta(c0, _b._tree_cpu_sample()), 2))
+        return {"wall": ws, "wall_min": min(ws), "cpu": cs, "cpu_min": min(cs)}
+
+    out = {"probe": "synth1m_solo", "blas_pinned": pin != "0"}
+
+    # --- knn_exact ---------------------------------------------------
+    def run_exact_1m() -> None:
+        rows = _knn_query(
+            corpus1m, qvec1m, k=5, id_col="id", metric="cosine",
+            score_decimals=4,
+        ).collect()
+        assert rows[0]["id"] == 0
+
+    out["synth1m_knn_exact"] = timed3(run_exact_1m)
+
+    # --- knn_binary --------------------------------------------------
+    packed1m = corpus1m.select(
+        "id", "embedding", binary_quantize("embedding").alias("bits")
+    ).cache()
+    packed1m.count()
+    qbits1m = F.array(
+        *[F.lit(int(w)).cast("long") for w in pack_sign_bits(qvec1m)]
+    )
+
+    def run_binary_1m() -> None:
+        cand = (
+            packed1m.select(
+                "id", "embedding", _hd("bits", qbits1m).alias("hamming")
+            )
+            .orderBy(F.col("hamming").asc(), F.col("id").asc())
+            .limit(5 * 8)
+        )
+        rows = _knn_query(
+            cand, qvec1m, k=5, id_col="id", metric="cosine",
+            score_decimals=4,
+        ).collect()
+        assert rows[0]["id"] == 0
+
+    out["synth1m_knn_binary"] = timed3(run_binary_1m)
+    packed1m.unpersist()
+
+    # --- ivfpq_query -------------------------------------------------
+    enc_1m, C_1m, cb_1m = ivf_pq_build(
+        corpus1m, id_col="id", n_centroids=256, m=8, n_codes=256,
+        seed=42, sample_fraction=0.02,
+    )
+    enc_1m = enc_1m.cache()
+    enc_1m.count()
+
+    def run_ivfpq_query_1m() -> None:
+        rows = ivf_pq_search(
+            enc_1m, C_1m, cb_1m, qvec1m, k=10, id_col="id", nprobe=16,
+            rerank_corpus=corpus1m, embedding_col="embedding",
+            rerank_factor=8, metric="cosine", score_decimals=4,
+        ).collect()
+        assert rows[0]["id"] == 0
+
+    out["synth1m_ivfpq_query"] = timed3(run_ivfpq_query_1m)
+    enc_1m.unpersist()
+    corpus1m.unpersist()
+    print(json.dumps(out), flush=True)
+    spark.stop()

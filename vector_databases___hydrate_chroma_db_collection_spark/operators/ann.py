@@ -835,6 +835,88 @@ def _local_sidecar_path(path: str) -> str:
     return path[len("file://"):] if path.startswith("file://") else path
 
 
+_WRITER_LOCK_STATE = None  # lazily a threading.local with per-thread depth
+
+
+def _writer_lock(p: str, sidecar: str):
+    """Cross-PROCESS writer serialization for one index sidecar: an
+    ``flock`` on ``<sidecar>.writer_lock`` held for the whole
+    read-modify-write mutation. The r14 fence covered foreign SOURCE
+    mutations (etag pin) and the sidecar swap itself is atomic, but
+    two concurrent writers that both read generation N of the sidecar
+    would each commit an N+1 derived from N — last replace wins and
+    the first writer's tombstones / pending records / guard segments
+    silently vanish (a real lost-update under true syscall
+    interleaving). Serializing whole mutations is the honest local
+    answer: index mutations are micro-batch-sized, writers queue for
+    seconds, and every committed op derives from the committed state
+    before it — exactly-one-winner per generation by construction.
+    Reentrant per THREAD (a pq delete delegating to ``ivf_delete``
+    must not self-deadlock); a second thread or process blocks until
+    release. Local-filesystem scope, like the sidecar layout itself —
+    an object-store port would use conditional puts instead."""
+    import contextlib
+    import threading
+
+    global _WRITER_LOCK_STATE
+    if _WRITER_LOCK_STATE is None:
+        _WRITER_LOCK_STATE = threading.local()
+
+    @contextlib.contextmanager
+    def _ctx():
+        import fcntl
+        import os
+
+        os.makedirs(p, exist_ok=True)
+        key = os.path.join(os.path.realpath(p), sidecar)
+        held = getattr(_WRITER_LOCK_STATE, "held", None)
+        if held is None:
+            held = _WRITER_LOCK_STATE.held = {}
+        if key in held:
+            held[key][1] += 1
+            try:
+                yield
+            finally:
+                held[key][1] -= 1
+                if held[key][1] == 0:
+                    del held[key]
+            return
+        lf = open(key + ".writer_lock", "w")
+        try:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            held[key] = [lf, 1]
+            try:
+                yield
+            finally:
+                held[key][1] -= 1
+                if held[key][1] == 0:
+                    del held[key]
+                    fcntl.flock(lf, fcntl.LOCK_UN)
+        finally:
+            lf.close()
+
+    return _ctx()
+
+
+def _serialized_writer(default_sidecar: str = "ivf_index.json"):
+    """Decorator applying ``_writer_lock`` around a whole mutation
+    function of shape ``fn(spark, path, *...)`` — the sidecar name
+    follows the function's own ``sidecar=`` kwarg when present (the
+    IVF-PQ delegation pattern)."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(spark, path, *args, **kwargs):
+            sidecar = kwargs.get("sidecar", default_sidecar)
+            with _writer_lock(_local_sidecar_path(path), sidecar):
+                return fn(spark, path, *args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def _atomic_sidecar_write(p: str, fname: str, meta: dict) -> None:
     """Atomic, durable sidecar commit: temp file + fsync + rename (+
     best-effort directory fsync), so a reader never observes a
@@ -1109,6 +1191,7 @@ def ivf_read(
     return assigned, np.asarray(meta["centroids"]), meta["metric"]
 
 
+@_serialized_writer()
 def ivf_append(
     spark,
     path: str,
@@ -1545,6 +1628,7 @@ def _parquet_rows(loc: str) -> int:
     return n
 
 
+@_serialized_writer()
 def ivf_delete(
     spark,
     path: str,
@@ -1870,6 +1954,7 @@ def _surgical_replace(
     return n_updated
 
 
+@_serialized_writer()
 def ivf_upsert(
     spark,
     path: str,
@@ -2366,6 +2451,7 @@ def _data_files(loc: str) -> int:
     return n
 
 
+@_serialized_writer()
 def ivf_compact(
     spark, path: str, *, sidecar: str = "ivf_index.json"
 ) -> tuple[int, int]:
@@ -2466,6 +2552,7 @@ def ivf_compact(
     return before, _data_files(new_loc)
 
 
+@_serialized_writer()
 def ivf_refresh(
     spark,
     path: str,

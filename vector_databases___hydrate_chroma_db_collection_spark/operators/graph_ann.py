@@ -69,6 +69,10 @@ from vector_databases___hydrate_chroma_db_collection_spark.errors import (
     EngineError,
 )
 
+from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (  # noqa: E402
+    _serialized_writer as _ann_serialized_writer,
+)
+
 _SIDECAR = "graph_index.json"
 
 
@@ -278,6 +282,7 @@ def graph_index_read(
     return cells, np.asarray(meta["centroids"], dtype=np.float64), meta
 
 
+@_ann_serialized_writer(_SIDECAR)
 def graph_delete(
     spark: SparkSession,
     path: str,
@@ -303,6 +308,7 @@ def graph_delete(
     )
 
 
+@_ann_serialized_writer(_SIDECAR)
 def graph_append(
     spark: SparkSession,
     path: str,

@@ -39,6 +39,10 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+    _serialized_writer,
+)
+
 # ADC LUTs up to this many entries (m * n_codes) are inlined as literal
 # arrays into a codegen expression; larger ones fall back to an
 # Arrow-batched Pandas scorer. Module-level so tests can exercise both.
@@ -1003,6 +1007,7 @@ def ivf_pq_write(
             shutil.rmtree(os.path.join(path, d_), ignore_errors=True)
 
 
+@_serialized_writer("ivf_pq_index.json")
 def ivf_pq_append(
     spark,
     path: str,
@@ -1233,6 +1238,7 @@ def ivf_pq_read(
     )
 
 
+@_serialized_writer("ivf_pq_index.json")
 def ivf_pq_upsert(
     spark,
     path: str,

@@ -3868,3 +3868,152 @@ def collection_query_batch_filtered_graph(
         where={"lang": "fr"},
         score_decimals=4,
     ).select("qid", "rank", "id", "score")
+
+
+@query(
+    "collection_sharded_guard_append",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding AS emb FROM embeddings WHERE vec_id < 300
+    ), q AS (SELECT emb AS qe FROM corpus WHERE vec_id = 7),
+    scored AS (
+        SELECT c.vec_id AS id, {_COS_SQL} AS cos_sim
+        FROM corpus c, q
+        WHERE c.vec_id <> 7
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def collection_sharded_guard_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHARDED id-guard append lifecycle end-to-end (r15: the
+    r14 100M probe named the per-append merge+fsync of the
+    corpus-sized Bloom artifact as the last corpus-linear append
+    term). Build an IVF index over 2/3 of the vectors, then append
+    the rest in TWO batches: each must persist only a DELTA SEGMENT
+    (raw hash pairs, batch-proportional) while the main filter file
+    stays byte-identical; a replay of batch one must be recognized
+    THROUGH the segments (0 appended — no lost guard state); serving
+    top-5 exhaustively over the extended index must equal the
+    oracle's brute-force over the full corpus. Every contract is
+    asserted in the body; the driver's hash gate checks the serve."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_append,
+        ivf_build,
+        ivf_read,
+        ivf_search,
+        ivf_write,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    assigned, C = ivf_build(
+        base, n_centroids=8, id_col="vec_id",
+        embedding_col="embedding", seed=42,
+    )
+    idx = tempfile.mkdtemp(prefix="vdb_shard_guard_") + "/idx"
+    ivf_write(assigned, C, idx, metric="cosine",
+              build={"metric": "l2", "seed": 42, "sample_fraction": None})
+    with open(_os.path.join(idx, "ivf_index.json")) as f:
+        main_loc = _json.load(f)["id_bloom"]["location"]
+    main_bytes = open(_os.path.join(idx, main_loc), "rb").read()
+
+    batches = [
+        e.filter(F.col("vec_id").between(200, 249)),
+        e.filter(F.col("vec_id").between(250, 299)),
+    ]
+    for i, b in enumerate(batches, start=1):
+        n = ivf_append(
+            spark, idx, b.select("vec_id", "embedding"),
+            id_col="vec_id", embedding_col="embedding",
+        )
+        if n != 50:
+            raise EngineError(f"append {i}: expected 50 rows, got {n}")
+        with open(_os.path.join(idx, "ivf_index.json")) as f:
+            ib = _json.load(f)["id_bloom"]
+        if len(ib.get("segments") or []) != i:
+            raise EngineError(
+                f"append {i}: expected {i} delta segments, got "
+                f"{ib.get('segments')}"
+            )
+        if ib["location"] != main_loc or (
+            open(_os.path.join(idx, main_loc), "rb").read() != main_bytes
+        ):
+            raise EngineError(
+                "sharded append rewrote the main filter (the "
+                "corpus-linear term the delta log removes)"
+            )
+    # replay recognized through the SEGMENTS (main filter unchanged)
+    if ivf_append(
+        spark, idx, batches[0].select("vec_id", "embedding"),
+        id_col="vec_id", embedding_col="embedding",
+    ) != 0:
+        raise EngineError("replayed batch re-ingested: guard lost")
+    a2, C2, _m = ivf_read(spark, idx)
+    qvec = list(
+        e.filter(F.col("vec_id") == 7).first()["embedding"]
+    )
+    return ivf_search(
+        a2.filter(F.col("vec_id") != 7), C2, qvec, k=5,
+        id_col="vec_id", nprobe=8, metric="cosine", score_decimals=4,
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.col("score").alias("cos_sim"),
+    )
+
+
+@query(
+    "knn_ivf_auto_cells",
+    f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding AS emb FROM embeddings
+    ), q AS (SELECT emb AS qe FROM corpus WHERE vec_id = 11),
+    scored AS (
+        SELECT c.vec_id AS id, {_COS_SQL} AS cos_sim
+        FROM corpus c, q
+        WHERE c.vec_id <> 11
+    )
+    SELECT id, cos_sim FROM scored ORDER BY cos_sim DESC, id LIMIT 5
+    """,
+)
+def knn_ivf_auto_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant-occupancy cell sizing end-to-end (r15):
+    ``ivf_build(n_centroids="auto")`` resolves the cell count from
+    the corpus size (rows/TARGET_CELL_ROWS clamped to the 16 floor at
+    fixture scale — asserted in the body), and exhaustive serving
+    through the auto-sized index reproduces brute-force top-5
+    exactly. At production decades the same knob is what holds the
+    probed volume flat (250 cells at 10M rows, 2500 at 100M — the
+    100M probe's third-decade row)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.errors import (
+        EngineError,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+        ivf_build,
+        ivf_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, C = ivf_build(
+        e.select("vec_id", "embedding"), n_centroids="auto",
+        id_col="vec_id", embedding_col="embedding", seed=42,
+    )
+    if C.shape[0] != 16:
+        raise EngineError(
+            f"auto sizing at fixture scale must hit the 16-cell "
+            f"floor, got {C.shape[0]}"
+        )
+    qvec = list(e.filter(F.col("vec_id") == 11).first()["embedding"])
+    return ivf_search(
+        assigned.filter(F.col("vec_id") != 11), C, qvec, k=5,
+        id_col="vec_id", nprobe=16, metric="cosine", score_decimals=4,
+    ).select(
+        F.col("vec_id").alias("id"),
+        F.col("score").alias("cos_sim"),
+    )
