@@ -835,3 +835,61 @@ def test_sharded_gc_keeps_referenced_segments(spark, tmp_path):
         "s",
     )
     assert maybe is None or maybe.count() == 0
+
+
+def test_h1_colliding_pairs_both_fold(tmp_path):
+    """Two DISTINCT ids colliding on 64-bit h1 carry different h2
+    values; both pairs must survive the delta segment and the fold —
+    dropping either would leave that id's folded bit set incomplete,
+    and its replay would probe 'definitely new' post-fold
+    (double-ingest). Synthesized at the delta layer (a real xxhash64
+    collision cannot be constructed from ids), pinned end-to-end:
+    write, read back, fold, then assert every bit position of BOTH
+    pairs is set."""
+    p = str(tmp_path)
+    m, k = ig.bloom_params(100)
+    h1 = np.array([5, 5, 9], dtype=np.int64)  # 5 collides; 9 control
+    h2 = np.array([111, 222, 333], dtype=np.int64)
+    ig.delta_write(p, "ids_delta_v1.bin", h1, h2)
+    r1, r2 = ig.delta_read(p, "ids_delta_v1.bin")
+    assert r1.tolist() == h1.tolist() and r2.tolist() == h2.tolist()
+    words = np.zeros(m // 64, dtype=np.uint64)
+    ig._fold_into(words, m, k, r1, r2)
+    ks = np.arange(k, dtype=np.int64)
+    for a, b in zip(h1, h2):
+        P = np.mod(np.mod(a, m) + ks * np.mod(b, m), m)
+        bits = (words[P >> 6] >> (P & 63).astype(np.uint64)) & np.uint64(1)
+        assert bits.all(), f"pair ({a},{b}) lost bits in the fold"
+
+
+def test_batch_hash_pairs_dedups_on_pair_not_h1(spark):
+    """_batch_hash_pairs collapses duplicate IDS (identical pairs)
+    but must never drop a pair merely because another row shares its
+    h1 — the fold-safety invariant the sharded guard rests on."""
+    ids = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",)], ["s"]
+    )
+    h1, h2 = ig._batch_hash_pairs(ids, F.col("s"))
+    assert h1.size == 3  # 'a' collapsed, 'b'/'c' kept
+    pairs = set(zip(h1.tolist(), h2.tolist()))
+    assert len(pairs) == 3
+
+
+def test_gc_respects_graph_sidecar_segments(spark, tmp_path):
+    """r15 regression: gc_bloom_files must treat graph_index.json as
+    a first-class guard-bearing sidecar. A delta segment referenced
+    ONLY by a committed graph sidecar survives GC; before the fix it
+    was deleted as an orphan and the next graph_append crashed
+    probing a missing segment file."""
+    import json
+
+    p = str(tmp_path)
+    base = spark.range(0, 200).selectExpr("cast(id as string) as s")
+    meta = {"id_bloom": ig.rebuild_filter(base, F.col("s"), p, None)}
+    b = spark.range(200, 250).selectExpr("cast(id as string) as s")
+    ig.bloom_extend(p, meta, ig.bloom_read(p, meta["id_bloom"]["location"]), b)
+    seg = meta["id_bloom"]["segments"][0]["location"]
+    with open(os.path.join(p, "graph_index.json"), "w") as f:
+        json.dump(meta, f)
+    ig.gc_bloom_files(p, {meta["id_bloom"]["location"]})
+    assert os.path.exists(os.path.join(p, seg))

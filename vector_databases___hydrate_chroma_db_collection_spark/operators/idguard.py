@@ -300,18 +300,23 @@ def _batch_hash_pairs(
     """The batch's raw hash pairs, computed by the SAME Catalyst
     expressions the filter build uses (one hash family, one
     implementation) and collected to the driver — bounded by the
-    BATCH size, never the corpus. De-duplicated on h1 (a 64-bit h1
-    collision inside one batch merely drops a redundant pair —
-    supersets of bits are safe, and the exact fallback settles any
-    false positive)."""
+    BATCH size, never the corpus. De-duplicated on the FULL (h1, h2)
+    pair, not h1 alone: two distinct ids colliding on 64-bit h1
+    produce different h2 values, and dropping either pair would leave
+    that id's fold-time bit positions incomplete — after a segment
+    fold a replay of the dropped id could probe 'definitely new' and
+    double-ingest. Keeping both pairs costs 16 bytes and preserves
+    the superset invariant unconditionally (duplicate IDs still
+    collapse: identical ids produce identical pairs)."""
     pdf = batch_ids.select(
         F.xxhash64(bcol).alias("h1"),
         F.xxhash64(bcol, F.lit(_SALT)).alias("h2"),
     ).toPandas()
     h1 = pdf["h1"].to_numpy(dtype=np.int64)
     h2 = pdf["h2"].to_numpy(dtype=np.int64)
-    _, idx = np.unique(h1, return_index=True)
-    return h1[idx], h2[idx]
+    pairs = np.stack([h1, h2], axis=1)
+    uniq = np.unique(pairs, axis=0)
+    return np.ascontiguousarray(uniq[:, 0]), np.ascontiguousarray(uniq[:, 1])
 
 
 def _fold_into(
@@ -570,12 +575,21 @@ def fresh_bloom_file(
     return f"{base}_v{v}.bin"
 
 
-# every index sidecar that may reference an id-guard filter: an IVF
-# and an IVF-PQ index (and in principle a band index) can legally
-# cohabit one directory — each has its own sidecar name and
-# collision-free versioned data dirs — so GC must keep EVERY
-# sidecar's committed filter, not just the calling index's.
-_SIDECARS = ("ivf_index.json", "ivf_pq_index.json", "band_index.json")
+# every index sidecar that may reference an id-guard filter: an IVF,
+# an IVF-PQ, a band and a graph index can legally cohabit one
+# directory — each has its own sidecar name and collision-free
+# versioned data dirs — so GC must keep EVERY sidecar's committed
+# filter AND delta segments, not just the calling index's. (r15
+# regression pinned by test_gc_respects_graph_sidecar: graph_index
+# was missing here, so gc_bloom_files deleted a delta segment the
+# just-committed graph sidecar referenced and the next append's
+# probe crashed on the missing file.)
+_SIDECARS = (
+    "ivf_index.json",
+    "ivf_pq_index.json",
+    "band_index.json",
+    "graph_index.json",
+)
 
 
 def filter_usable(bloom_meta: dict | None) -> bool:
