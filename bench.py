@@ -700,32 +700,25 @@ def main() -> None:
     from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
         binary_quantize,
     )
-    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
-        hamming_distance as _hd,
-    )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
         knn_query as _knn_query,
-        pack_sign_bits,
+        knn_query_binary as _knn_query_binary,
     )
 
     packed1m = corpus1m.select(
         "id", "embedding", binary_quantize("embedding").alias("bits")
     ).cache()
     packed1m.count()
-    qbits1m = F.array(
-        *[F.lit(int(w)).cast("long") for w in pack_sign_bits(qvec1m)]
-    )
 
     def run_binary_1m() -> None:
-        cand = (
-            packed1m.select(
-                "id", "embedding", _hd("bits", qbits1m).alias("hamming")
-            )
-            .orderBy(F.col("hamming").asc(), F.col("id").asc())
-            .limit(5 * 8)
-        )
-        rows = _knn_query(
-            cand, qvec1m, k=5, id_col="id", metric="cosine", score_decimals=4
+        # the engine operator over the pre-packed column (bits_col=):
+        # narrow (id, hamming) top-k + broadcast late-materialization
+        # rerank — the r15 serve shape (the old inline replica carried
+        # the float column through the heap AND ran HOF hamming; both
+        # were behind the r14 serve-CPU storms, BASELINE.md r15)
+        rows = _knn_query_binary(
+            packed1m, qvec1m, k=5, id_col="id", metric="cosine",
+            score_decimals=4, bits_col="bits",
         ).collect()
         assert rows[0]["id"] == 0, "1M binary prescreen lost the self-neighbor"
 

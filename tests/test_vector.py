@@ -503,3 +503,85 @@ def test_matryoshka_prescreen_recall_vs_exact(spark):
 
     with pytest.raises(ValueError, match="prefix_dim"):
         knn_query_matryoshka(corpus, qvec, k=5, id_col="vec_id", prefix_dim=999)
+
+
+def test_literal_scores_bit_identical(spark):
+    """The unrolled literal-query forms (r15: the JIT-deopt-storm fix
+    — see functions/vector.py) must be BIT-identical to the
+    zip_with/aggregate forms they replace, unrounded: both fold
+    left-to-right in IEEE double, so any divergence is a fold-order
+    bug that would move oracle hashes. Covers cosine/l2/dot on
+    uniform dims, the shorter-row NULL edge, and packed-word hamming
+    (both word counts)."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        binary_quantize,
+        cosine_similarity,
+        cosine_similarity_literal,
+        dot_product,
+        dot_product_literal,
+        hamming_distance,
+        hamming_distance_literal,
+        l2_distance,
+        l2_distance_literal,
+    )
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        pack_sign_bits,
+    )
+
+    dim = 17  # odd, not a power of two
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(
+                F.xxhash64(
+                    F.concat(
+                        F.col("id").cast("string"), F.lit("#"), j.cast("string")
+                    )
+                ),
+                F.lit(2000),
+            )
+            - 1000
+        ).cast("float")
+        / 1000.0,
+    )
+    df = spark.range(500).select("id", vec.alias("embedding")).cache()
+    q = list(df.filter(F.col("id") == 3).first()["embedding"])
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+
+    checks = df.select(
+        (
+            cosine_similarity("embedding", qlit)
+            == cosine_similarity_literal("embedding", q)
+        ).alias("cos"),
+        (l2_distance("embedding", qlit) == l2_distance_literal("embedding", q)).alias(
+            "l2"
+        ),
+        (
+            dot_product("embedding", qlit) == dot_product_literal("embedding", q)
+        ).alias("dot"),
+        (
+            hamming_distance(
+                binary_quantize("embedding"),
+                F.array(
+                    *[F.lit(int(w)).cast("long") for w in pack_sign_bits(q)]
+                ),
+            )
+            == hamming_distance_literal(
+                binary_quantize("embedding"), pack_sign_bits(q)
+            )
+        ).alias("ham"),
+    )
+    agg = checks.agg(
+        *[F.sum(F.when(F.col(c), 0).otherwise(1)).alias(c) for c in ("cos", "l2", "dot", "ham")]
+    ).first()
+    assert all(agg[c] == 0 for c in ("cos", "l2", "dot", "ham")), agg
+
+    # shorter-row edge: both forms yield NULL (try_element_at past the
+    # end poisons the sum exactly like zip_with's NULL padding)
+    short = spark.createDataFrame([([0.5, 0.25],)], "embedding array<double>")
+    row = short.select(
+        cosine_similarity("embedding", qlit).alias("hof"),
+        cosine_similarity_literal("embedding", q).alias("lit"),
+    ).first()
+    assert row["hof"] is None and row["lit"] is None
+    df.unpersist()

@@ -224,10 +224,6 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
-    main()
-
-
 def synth1m_probe() -> None:
     """Solo CPU-banded re-measure of the three r14-flagged synth1m
     serve entries (synth1m_knn_binary 1.62x, synth1m_ivfpq_query
@@ -260,11 +256,10 @@ def synth1m_probe() -> None:
 
     from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
         binary_quantize,
-        hamming_distance as _hd,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
         knn_query as _knn_query,
-        pack_sign_bits,
+        knn_query_binary as _knn_query_binary,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.pq import (
         ivf_pq_build,
@@ -327,21 +322,11 @@ def synth1m_probe() -> None:
         "id", "embedding", binary_quantize("embedding").alias("bits")
     ).cache()
     packed1m.count()
-    qbits1m = F.array(
-        *[F.lit(int(w)).cast("long") for w in pack_sign_bits(qvec1m)]
-    )
 
     def run_binary_1m() -> None:
-        cand = (
-            packed1m.select(
-                "id", "embedding", _hd("bits", qbits1m).alias("hamming")
-            )
-            .orderBy(F.col("hamming").asc(), F.col("id").asc())
-            .limit(5 * 8)
-        )
-        rows = _knn_query(
-            cand, qvec1m, k=5, id_col="id", metric="cosine",
-            score_decimals=4,
+        rows = _knn_query_binary(
+            packed1m, qvec1m, k=5, id_col="id", metric="cosine",
+            score_decimals=4, bits_col="bits",
         ).collect()
         assert rows[0]["id"] == 0
 
@@ -369,3 +354,7 @@ def synth1m_probe() -> None:
     corpus1m.unpersist()
     print(json.dumps(out), flush=True)
     spark.stop()
+
+
+if __name__ == "__main__":
+    main()

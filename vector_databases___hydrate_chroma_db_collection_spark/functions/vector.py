@@ -52,6 +52,104 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
     return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+# ---------------------------------------------------------------------------
+# Literal-query variants: statically UNROLLED expressions for the serve
+# path where one side is a driver-known Python list. The higher-order
+# forms above (zip_with/aggregate) are CodegenFallback in Spark — the
+# plan says `*(n) Project` but the lambda chain inside evaluates
+# INTERPRETED, per element, through megamorphic Expression.eval call
+# sites. Measured on a 1M x 64 corpus (BASELINE.md r15): the HOF cosine
+# scan is bimodal, 13 <-> 584 process-tree cpu-s on byte-identical
+# trials (GC and JIT-compile time both trivial — the storms are HotSpot
+# deopt/recompile cycles on those megamorphic sites), while the
+# unrolled form is flat. Unrolling replaces the lambda chain with
+# dim-many try_element_at + multiply-add terms that whole-stage codegen
+# compiles like any other arithmetic — stable trial-to-trial, no Arrow,
+# no Python workers.
+#
+# Bit-identity with the HOF forms (so oracle hashes cannot move): every
+# fold below runs in the SAME left-to-right IEEE-double order as the
+# aggregate() it replaces, and the query-side norm is folded in Python
+# floats (IEEE doubles) in that same order. Equality is pinned by
+# tests/test_vector.py::test_literal_scores_bit_identical.
+#
+# Semantics at the edges: a corpus row SHORTER than the query yields
+# NULL either way (try_element_at past the end is NULL and poisons the
+# sum, exactly like zip_with's NULL padding). A row LONGER than the
+# query diverges — the HOF form NULLs (zip_with pads the query side),
+# the unrolled form scores the first dim elements — so callers gate on
+# uniform-dim corpora (every serve corpus here is); _LITERAL_DIM_CAP
+# bounds the expression tree (past it, fall back to the HOF form
+# rather than stress Janino's method-size splitter).
+# ---------------------------------------------------------------------------
+
+_LITERAL_DIM_CAP = 512
+
+
+def _q_norm(qs: list[float]) -> float:
+    import math
+
+    acc = 0.0
+    for x in qs:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def dot_product_literal(a: Column | str, qs: list[float]) -> Column:
+    """``dot_product(a, lit(qs))`` unrolled to codegen-able terms:
+    ((0.0 + a[1]*q0) + a[2]*q1) + ... — the aggregate()'s own fold
+    order."""
+    a = F.col(a) if isinstance(a, str) else a
+    dot = F.lit(0.0)
+    for i, qv in enumerate(qs):
+        dot = dot + F.try_element_at(a, F.lit(i + 1)).cast("double") * F.lit(
+            float(qv)
+        )
+    return dot
+
+
+def cosine_similarity_literal(a: Column | str, qs: list[float]) -> Column:
+    """``cosine_similarity(a, lit(qs))`` unrolled; the query norm is
+    a Python-folded constant (same IEEE order), the row norm unrolls
+    over the query's dim (uniform-dim corpora only — see module
+    comment)."""
+    a = F.col(a) if isinstance(a, str) else a
+    dot = F.lit(0.0)
+    nrm = F.lit(0.0)
+    for i, qv in enumerate(qs):
+        e = F.try_element_at(a, F.lit(i + 1)).cast("double")
+        dot = dot + e * F.lit(float(qv))
+        nrm = nrm + e * e
+    return dot / (F.sqrt(nrm) * F.lit(_q_norm(qs)))
+
+
+def l2_distance_literal(a: Column | str, qs: list[float]) -> Column:
+    """``l2_distance(a, lit(qs))`` unrolled — (a[i]-qi)^2 summed in
+    the zip_with/aggregate fold order."""
+    a = F.col(a) if isinstance(a, str) else a
+    acc = F.lit(0.0)
+    for i, qv in enumerate(qs):
+        d = F.try_element_at(a, F.lit(i + 1)).cast("double") - F.lit(float(qv))
+        acc = acc + d * d
+    return F.sqrt(acc)
+
+
+def hamming_distance_literal(x: Column | str, words: list[int]) -> Column:
+    """``hamming_distance(x, lit(words))`` unrolled: popcount(xor)
+    per packed word, summed in fold order with the HOF form's
+    coalesce-to-0 on missing words."""
+    x = F.col(x) if isinstance(x, str) else x
+    acc = F.lit(0)
+    for i, w in enumerate(words):
+        term = F.bit_count(
+            F.try_element_at(x, F.lit(i + 1)).bitwiseXOR(
+                F.lit(int(w)).cast("long")
+            )
+        )
+        acc = acc + F.coalesce(term, F.lit(0))
+    return acc
+
+
 def maxabs_scale(a: Column | str) -> Column:
     """Per-vector max-abs — the scale factor for symmetric int8
     quantization."""

@@ -39,9 +39,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+    _LITERAL_DIM_CAP,
     cosine_similarity,
+    cosine_similarity_literal,
     dot_product,
+    dot_product_literal,
     l2_distance,
+    l2_distance_literal,
 )
 
 METRICS = ("cosine", "l2", "dot")
@@ -59,6 +63,30 @@ def _score(metric: str, a: Column, b: Column) -> tuple[Column, bool]:
     raise ValueError(f"metric must be one of {METRICS}")
 
 
+def _score_vs_literal(
+    metric: str, a: Column, query_vector: list[float]
+) -> tuple[Column, bool]:
+    """``_score`` for the serve path where the query side is a
+    driver-known list: statically unrolled, whole-stage-codegen-able
+    expressions (bit-identical fold order — see functions/vector.py)
+    instead of the interpreted zip_with/aggregate chain whose JIT
+    deopt storms made 1M-row serve CPU bimodal (BASELINE.md r15).
+    Falls back to the HOF form past _LITERAL_DIM_CAP (expression-tree
+    size) or for empty vectors (keeps the 0-dim edge on one code
+    path)."""
+    dim = len(query_vector)
+    if not (1 <= dim <= _LITERAL_DIM_CAP):
+        q = F.array(*[F.lit(float(x)) for x in query_vector])
+        return _score(metric, a, q)
+    if metric == "cosine":
+        return cosine_similarity_literal(a, query_vector), False
+    if metric == "l2":
+        return l2_distance_literal(a, query_vector), True
+    if metric == "dot":
+        return dot_product_literal(a, query_vector), False
+    raise ValueError(f"metric must be one of {METRICS}")
+
+
 def knn_query(
     corpus: DataFrame,
     query_vector: list[float],
@@ -72,10 +100,11 @@ def knn_query(
     """Top-k rows of ``corpus`` nearest to ``query_vector``.
 
     Plan shape: Scan -> Project(distance expr) -> TakeOrderedAndProject.
-    The query vector is a literal; no join, no shuffle.
+    The query vector is a literal; no join, no shuffle. The distance
+    expression is the UNROLLED literal form (``_score_vs_literal``) —
+    true whole-stage codegen, flat serve CPU trial-to-trial.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
-    score, asc = _score(metric, F.col(embedding_col), q)
+    score, asc = _score_vs_literal(metric, F.col(embedding_col), query_vector)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     scored = corpus.withColumn("score", score)
@@ -108,6 +137,7 @@ def knn_query_binary(
     prescreen_factor: int = 8,
     metric: str = "cosine",
     score_decimals: int | None = None,
+    bits_col: str | None = None,
 ) -> DataFrame:
     """Top-k via BINARY PRESCREEN + exact rerank: Hamming distance on
     1-bit sign-quantized vectors (``binary_quantize`` /
@@ -121,25 +151,41 @@ def knn_query_binary(
     deterministic (distance, then id, ascending), so the whole
     operator is SQL-oracle-checkable.
 
-    Plan shape: Scan -> Project(pack+popcount) ->
-    TakeOrderedAndProject(k*factor) -> Project(exact distance) ->
-    TakeOrderedAndProject(k). No join, no shuffle."""
+    Plan shape (LATE MATERIALIZATION, r15): Scan ->
+    Project(pack+popcount) -> TakeOrderedAndProject(k*factor) over
+    NARROW (id, hamming) rows, then a broadcast self-join fetches the
+    k*factor float vectors for the exact rerank. Carrying the float
+    column through the top-k heap costs ~25x the whole prescreen
+    (every scanned row materializes its array into the heap's row
+    copy before the bound check — measured 42 vs 1.6 cpu-s on a 1M
+    corpus, BASELINE.md r15); at 100 TB the narrow heap is also the
+    only shape that works — the rerank join is a k*factor-row point
+    read, not a corpus-wide payload carry.
+
+    ``bits_col``: name of a PRE-PACKED ``binary_quantize`` column
+    when the corpus carries one (the production layout — pack once at
+    ingest, scan 2 words instead of re-quantizing 64 floats per
+    query). Defaults to quantizing ``embedding_col`` inline, which
+    keeps the operator self-contained on raw corpora."""
     from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
         binary_quantize,
-        hamming_distance,
+        hamming_distance_literal,
     )
 
     if k < 1 or prescreen_factor < 1:
         raise ValueError("k and prescreen_factor must be >= 1")
-    qbits = F.array(*[F.lit(int(w)).cast("long") for w in pack_sign_bits(query_vector)])
-    ham = hamming_distance(binary_quantize(embedding_col), qbits)
-    cand = (
-        corpus.select(id_col, embedding_col, ham.alias("hamming"))
+    bits = (
+        F.col(bits_col) if bits_col is not None else binary_quantize(embedding_col)
+    )
+    ham = hamming_distance_literal(bits, pack_sign_bits(query_vector))
+    cand_ids = (
+        corpus.select(id_col, ham.alias("hamming"))
         .orderBy(F.col("hamming").asc(), F.col(id_col).asc())
         .limit(k * prescreen_factor)
+        .select(id_col)
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
-    score, asc = _score(metric, F.col(embedding_col), q)
+    cand = corpus.join(F.broadcast(cand_ids), id_col, "inner")
+    score, asc = _score_vs_literal(metric, F.col(embedding_col), query_vector)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     scored = cand.withColumn("score", score)
@@ -176,34 +222,37 @@ def knn_query_matryoshka(
     prefix). Both stages are deterministic ((score, id) ordering), so
     the whole operator is SQL-oracle-checkable.
 
-    Plan shape: Scan -> Project(prefix distance) ->
-    TakeOrderedAndProject(k*factor) -> Project(full distance) ->
-    TakeOrderedAndProject(k). No join, no shuffle."""
+    Plan shape (LATE MATERIALIZATION, r15 — see knn_query_binary):
+    Scan -> Project(prefix distance) -> TakeOrderedAndProject
+    (k*factor) over narrow (id, _pre) rows -> broadcast self-join ->
+    Project(full distance) -> TakeOrderedAndProject(k)."""
     if k < 1 or prescreen_factor < 1 or prefix_dim < 1:
         raise ValueError("k, prescreen_factor and prefix_dim must be >= 1")
     if prefix_dim > len(query_vector):
         raise ValueError(
             f"prefix_dim {prefix_dim} exceeds query dim {len(query_vector)}"
         )
-    q_prefix = F.array(*[F.lit(float(x)) for x in query_vector[:prefix_dim]])
-    pre_score, pre_asc = _score(
-        metric, F.slice(F.col(embedding_col), 1, prefix_dim), q_prefix
+    pre_score, pre_asc = _score_vs_literal(
+        metric,
+        F.slice(F.col(embedding_col), 1, prefix_dim),
+        list(query_vector[:prefix_dim]),
     )
     if prescreen_decimals is not None:
         # The candidate CUT must be engine-portable: rounding the
         # prescreen score before ordering removes last-ulp summation
         # differences at the top-(k*factor) boundary vs a SQL oracle.
         pre_score = F.round(pre_score, prescreen_decimals)
-    cand = (
-        corpus.select(id_col, embedding_col, pre_score.alias("_pre"))
+    cand_ids = (
+        corpus.select(id_col, pre_score.alias("_pre"))
         .orderBy(
             F.col("_pre").asc() if pre_asc else F.col("_pre").desc(),
             F.col(id_col).asc(),
         )
         .limit(k * prescreen_factor)
+        .select(id_col)
     )
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
-    score, asc = _score(metric, F.col(embedding_col), q)
+    cand = corpus.join(F.broadcast(cand_ids), id_col, "inner")
+    score, asc = _score_vs_literal(metric, F.col(embedding_col), query_vector)
     if score_decimals is not None:
         score = F.round(score, score_decimals)
     scored = cand.withColumn("score", score)

@@ -264,15 +264,16 @@ def _finish_adc(
         return out
 
     from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
-        _score as _exact_score,
+        _score_vs_literal as _exact_score_lit,
     )
 
     candidates = scored.orderBy(order, F.col(id_col)).limit(k * rerank_factor)
     exact = rerank_corpus.join(
         F.broadcast(candidates.select(id_col)), id_col, "inner"
     )
-    qlit = F.array(*[F.lit(float(x)) for x in query_vector])
-    dist, exact_asc = _exact_score(metric, F.col(embedding_col), qlit)
+    dist, exact_asc = _exact_score_lit(
+        metric, F.col(embedding_col), query_vector
+    )
     if score_decimals is not None:
         dist = F.round(dist, score_decimals)
     return (

@@ -491,10 +491,11 @@ def _serve_topk(
     metric-native ``score`` plus optional Chroma-convention
     ``distance``. ``payload_cols`` is the include-resolved column
     set between ``id`` and ``score``."""
-    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import _score
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import (
+        _score_vs_literal,
+    )
 
-    q = F.array(*[F.lit(float(x)) for x in query_vector])
-    raw, asc = _score(metric, F.col("embedding"), q)
+    raw, asc = _score_vs_literal(metric, F.col("embedding"), query_vector)
     score = F.round(raw, score_decimals) if score_decimals is not None else raw
     scored = df.withColumn("score", score)
     cols = ["id", *payload_cols, "score"]
