@@ -102,14 +102,28 @@ def test_simhash_hamming_no_cross_join(spark):
 
 
 def test_binary_prescreen_two_stage_topk_no_shuffle(spark):
-    """The binary-kNN serving claim: both stages are
-    TakeOrderedAndProject (prescreen k*factor, rerank k) with no
-    exchange between them and no join anywhere."""
+    """The binary-kNN serving claim (LATE MATERIALIZATION, r15 —
+    knn.knn_query_binary docstring): the prescreen top-k heap runs
+    over NARROW (id, hamming) rows, the k*factor rerank payloads come
+    back through ONE broadcast self-join (a point read at scale), and
+    no row-shuffling exchange appears anywhere — the only Exchange is
+    the broadcast of the bounded candidate id set."""
     df = registry.QUERIES["knn_binary_prescreen_top5"](spark, SF_CORRECT)
     plan = plan_of(df)
     assert plan.count("TakeOrderedAndProject") == 2, plan
-    assert "Join" not in plan
-    assert "Exchange" not in plan.replace("ReusedExchange", "")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    shuffles = plan.replace("BroadcastExchange", "").replace(
+        "ReusedExchange", ""
+    )
+    assert "Exchange" not in shuffles, plan
+    # the heap's output is the id alone — the float payload must NOT
+    # ride through the prescreen TakeOrderedAndProject
+    import re
+
+    pre = re.search(
+        r"TakeOrderedAndProject\(limit=\d+, orderBy=\[hamming[^\n]*", plan
+    )
+    assert pre is not None and "embedding" not in pre.group(0), plan
 
 
 def test_partitioned_layout_prunes_partitions(spark):
