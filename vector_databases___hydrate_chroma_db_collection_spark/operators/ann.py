@@ -28,6 +28,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vector_databases___hydrate_chroma_db_collection_spark.operators._arrow import (
+    rows_matrix as _rows_matrix,
+)
 from vector_databases___hydrate_chroma_db_collection_spark.operators.knn import knn_query
 
 
@@ -226,8 +229,17 @@ def _assign_to_centroids(
     centroid matrix ships in the task closure; it is tiny). Shared by
     ``ivf_build`` (initial layout) and ``ivf_append`` (incremental
     ingest with the PERSISTED centroids — identical math, so appended
-    rows land in exactly the cell a rebuild would give them)."""
-    import pandas as pd
+    rows land in exactly the cell a rebuild would give them).
+
+    r15: ``mapInArrow`` with the flat-buffer matrix path — the id and
+    embedding columns pass through untouched as Arrow arrays (no
+    per-row Python objects in either direction); the per-row
+    ``np.stack`` idiom it replaces measured 4x the wall time on 1M
+    rows (operators/_arrow.py module doc). Identical assignments."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators._arrow import (
+        list_matrix,
+        rows_matrix,
+    )
 
     spherical = metric == "cosine"
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
@@ -235,13 +247,17 @@ def _assign_to_centroids(
     base = rows.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
     id_type = rows.schema[id_col].dataType.simpleString()
     emb_type = rows.schema[embedding_col].dataType.simpleString()
-    out_schema = f"{id_col} {id_type}, {embedding_col} {emb_type}, ivf_cell int"
+    out_schema = f"`{id_col}` {id_type}, `{embedding_col}` {emb_type}, ivf_cell int"
 
     def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+            E = list_matrix(rb.column(1))
+            if E is None:  # ragged/null rows — per-row fallback
+                E = rows_matrix(rb.column(1).to_pandas())
             if spherical:
                 E_unit = E / np.maximum(
                     np.linalg.norm(E, axis=1, keepdims=True), 1e-300
@@ -249,15 +265,16 @@ def _assign_to_centroids(
                 cell = np.argmax(E_unit @ Cn.T, axis=1)
             else:
                 cell = np.argmin(c_sq[None, :] - 2.0 * (E @ C.T), axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf["_id"],
-                    embedding_col: pdf["_e"],
-                    "ivf_cell": cell.astype("int32"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    rb.column(1),
+                    pa.array(cell.astype("int32")),
+                ],
+                names=[id_col, embedding_col, "ivf_cell"],
             )
 
-    return base.mapInPandas(assign, schema=out_schema)
+    return base.mapInArrow(assign, schema=out_schema)
 
 
 def ivf_search(
@@ -359,7 +376,7 @@ def ivf_knn_join(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_qe"]])
+            Q = _rows_matrix(pdf["_qe"])
             # stable argsort, not argpartition: boundary ties between
             # the npb-th and npb+1-th cell resolve to the LOWER cell
             # index deterministically, so the probed set is a pure
@@ -396,8 +413,8 @@ def ivf_knn_join(
     def cell_scores(corp_pdf: pd.DataFrame, q_pdf: pd.DataFrame) -> pd.DataFrame:
         if len(corp_pdf) == 0 or len(q_pdf) == 0:
             return pd.DataFrame({"qid": [], "neighbor_id": [], "score": []})
-        M = np.stack([np.asarray(e, dtype=np.float64) for e in corp_pdf[embedding_col]])
-        Q = np.stack([np.asarray(e, dtype=np.float64) for e in q_pdf["_qe"]])
+        M = _rows_matrix(corp_pdf[embedding_col])
+        Q = _rows_matrix(q_pdf["_qe"])
         ids = corp_pdf[id_col].to_numpy()
         qids = q_pdf["_qid"].to_numpy()
         if metric == "l2":
@@ -496,7 +513,7 @@ def collect_bounded_sample(
         # structured samples (e.g. (embedding, cell) pairs) — return
         # the raw values; the caller shapes them
         return list(vals)
-    return np.stack([np.asarray(e, dtype=np.float64) for e in vals])
+    return _rows_matrix(vals)
 
 
 def _train_kmeans(
@@ -655,24 +672,40 @@ def ivf_neardup_pairs(
     assign_schema = f"_id {id_type}, _e array<double>, ivf_cell int"
 
     def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        from vector_databases___hydrate_chroma_db_collection_spark.operators._arrow import (
+            list_matrix,
+            matrix_to_list_array,
+            rows_matrix,
+        )
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+            E = list_matrix(rb.column(1))
+            if E is None:
+                E = rows_matrix(rb.column(1).to_pandas())
             E /= np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
             sims = E @ C.T  # (n, c); rows are unit, centroids near-unit
             top = np.argpartition(-sims, k_assign - 1, axis=1)[:, :k_assign]
-            unit = np.empty(len(E), dtype=object)
-            unit[:] = list(E)  # normalized row views, shipped once each
-            yield pd.DataFrame(
-                {
-                    "_id": pdf["_id"].to_numpy().repeat(k_assign),
-                    "_e": unit.repeat(k_assign),
-                    "ivf_cell": top.reshape(-1),
-                }
+            # normalized rows repeated k_assign times, as ONE flat
+            # buffer (r15 — the object-column repeat this replaces
+            # shipped every row back through per-row Python objects)
+            rep = np.repeat(E, k_assign, axis=0)
+            idx = pa.array(
+                np.repeat(np.arange(rb.num_rows, dtype=np.int64), k_assign)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0).take(idx),
+                    matrix_to_list_array(rep),
+                    pa.array(top.reshape(-1).astype(np.int32)),
+                ],
+                names=["_id", "_e", "ivf_cell"],
             )
 
-    assigned = raw.mapInPandas(assign, schema=assign_schema)
+    assigned = raw.mapInArrow(assign, schema=assign_schema)
 
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
@@ -683,7 +716,7 @@ def ivf_neardup_pairs(
                 {"cosine": "float64"}
             )
         ids = pdf["_id"].to_numpy()
-        M = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+        M = _rows_matrix(pdf["_e"])
         M32 = M.astype(np.float32)
         # Dim-aware prescreen margin: anything whose ROUNDED float64
         # value could reach `threshold` sits above threshold −
@@ -2075,11 +2108,49 @@ def ivf_tombstoned_ids(
     return spark.createDataFrame([], "_ts_id string")
 
 
-def _dist_to_centroid(emb, cen, metric: str):
-    """Row-to-assigned-centroid distance as a pure codegen expression
-    (zip_with + aggregate — no UDF): l2 distance, or cosine DISTANCE
-    (1 - cos). Used by the build-time training stats and the balance
-    audit, so both sides of the drift comparison use identical math."""
+def _dist_to_centroid(emb, cen, metric: str, dim: int | None = None):
+    """Row-to-assigned-centroid distance as a pure expression (no
+    UDF): l2 distance, or cosine DISTANCE (1 - cos). Used by the
+    build-time training stats and the balance audit, so both sides of
+    the drift comparison use identical math.
+
+    With ``dim`` known (every call site holds the centroid matrix) the
+    fold is UNROLLED into per-index try_element_at terms that
+    whole-stage codegen compiles — the zip_with/aggregate HOF chain is
+    CodegenFallback, interpreted per element (the same pathology the
+    r15 literal-distance unroll removed from the serve paths; see
+    functions/vector.py module comment). The unrolled form keeps the
+    HOF's exact left-to-right IEEE fold order AND its per-element
+    types (a float32 embedding squares in float32 before the double
+    accumulate, exactly like ``transform(emb, x*x)``), so the audit
+    oracles cannot move. Same uniform-dim caveat as the literal
+    family: rows LONGER than dim would score on the first ``dim``
+    elements instead of going NULL — IVF cells are uniform-dim by
+    construction."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        _LITERAL_DIM_CAP,
+    )
+
+    if dim is not None and 0 < int(dim) <= _LITERAL_DIM_CAP:
+        dim = int(dim)
+        if metric == "cosine":
+            dot, nx2, nc2 = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+            for i in range(1, dim + 1):
+                e = F.try_element_at(emb, F.lit(i))
+                c = F.try_element_at(cen, F.lit(i))
+                dot = dot + e * c
+                nx2 = nx2 + e * e
+                nc2 = nc2 + c * c
+            return F.lit(1.0) - dot / F.greatest(
+                F.sqrt(nx2) * F.sqrt(nc2), F.lit(1e-300)
+            )
+        acc = F.lit(0.0)
+        for i in range(1, dim + 1):
+            d = F.try_element_at(emb, F.lit(i)) - F.try_element_at(
+                cen, F.lit(i)
+            )
+            acc = acc + d * d
+        return F.sqrt(acc)
     dot = F.aggregate(
         F.zip_with(emb, cen, lambda x, y: x * y),
         F.lit(0.0),
@@ -2131,7 +2202,7 @@ def _cell_stats(
         .select(
             "ivf_cell",
             _dist_to_centroid(
-                F.col(emb), F.col("_centroid"), metric
+                F.col(emb), F.col("_centroid"), metric, dim=int(C.shape[1])
             ).alias("_d"),
         )
         .groupBy("ivf_cell")

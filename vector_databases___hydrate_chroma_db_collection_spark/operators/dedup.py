@@ -150,6 +150,169 @@ def remove_common_segments(
     )
 
 
+def _shingle_arrow_fn(n: int):
+    """mapInArrow body for the shingle pass: (_id, _norm) batches in,
+    distinct (_id, shingle) rows out.
+
+    The input column is ALREADY normalized (Spark-side
+    ``normalize_text``: lowercase, ASCII whitespace collapsed to
+    single spaces, trimmed), so tokenization is a split on the
+    literal space and a short document's single shingle is the
+    normalized text itself. All per-shingle work is vectorized
+    Arrow/numpy — no per-row Python objects. Contract mirrored from
+    the ``word_shingles`` expression bit-for-bit (asserted by
+    ``tests/test_shingle_arrow.py``):
+
+    - empty / whitespace-only text -> zero shingles;
+    - NULL text -> one empty-string shingle (``concat_ws`` over a
+      null slice yields "");
+    - 1 <= tokens < n -> one shingle of all tokens;
+    - otherwise the usual count - n + 1 full shingles, distinct.
+    """
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            norm = rb.column(1)
+            if isinstance(norm, pa.ChunkedArray):
+                norm = norm.combine_chunks()
+            toks = pc.split_pattern(norm, " ")
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = toks.values
+            lens = np.diff(offs)
+            is_null = (
+                pc.is_null(norm).to_numpy(zero_copy_only=False)
+                if norm.null_count
+                else np.zeros(rb.num_rows, dtype=bool)
+            )
+            is_empty = pc.fill_null(
+                pc.equal(norm, ""), False
+            ).to_numpy(zero_copy_only=False)
+            # lens is undefined (0) for null rows; make the masks exact
+            cnt = np.where(
+                is_null | is_empty, 0, np.maximum(lens - (n - 1), 1)
+            ).astype(np.int64)
+            full = (~is_null) & (~is_empty) & (lens >= n)
+            short = (~is_null) & (~is_empty) & (lens < n) & (lens >= 1)
+
+            pieces_idx: list[np.ndarray] = []
+            pieces_sh: list[pa.Array] = []
+
+            if full.any():
+                c_full = np.where(full, cnt, 0)
+                total = int(c_full.sum())
+                doc_idx = np.repeat(np.arange(rb.num_rows), c_full)
+                row_ends = np.cumsum(c_full)
+                intra = np.arange(total) - np.repeat(row_ends - c_full, c_full)
+                gstart = np.repeat(offs[:-1], c_full) + intra
+                parts = [vals.take(pa.array(gstart + k)) for k in range(n)]
+                sh = pc.binary_join_element_wise(*parts, " ")
+                pieces_idx.append(doc_idx)
+                pieces_sh.append(sh)
+            if short.any():
+                srows = np.flatnonzero(short)
+                pieces_idx.append(srows)
+                pieces_sh.append(norm.take(pa.array(srows)))
+            if is_null.any():
+                nrows = np.flatnonzero(is_null)
+                pieces_idx.append(nrows)
+                pieces_sh.append(pa.array([""] * len(nrows), type=pa.string()))
+
+            if not pieces_idx:
+                continue
+            all_idx = pa.array(np.concatenate(pieces_idx))
+            all_sh = pa.concat_arrays(
+                [p.cast(pa.string()) for p in pieces_sh]
+            )
+            distinct = (
+                pa.table({"i": all_idx, "s": all_sh})
+                .group_by(["i", "s"], use_threads=False)
+                .aggregate([])
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(distinct.column("i").combine_chunks()),
+                    distinct.column("s").combine_chunks(),
+                ],
+                names=["_id", "shingle"],
+            )
+
+    return fn
+
+
+def _window_arrow_fn(k: int):
+    """mapInArrow body for the positional k-token window pass:
+    (_id, _t token arrays) batches in, (_id, _pos0, _w) window rows
+    out — ``_pos0`` the 0-based window start, ``_w`` the k-token
+    window string, exactly the rows
+    ``posexplode(transform(sequence(1, n-k+1), i -> concat_ws(' ',
+    slice(_t, i, k))))`` produced, minus the interpreted per-element
+    lambda (same profile story as ``_shingle_arrow_fn``). Callers
+    filter to ``size(_t) >= k`` upstream and hash ``_w`` JVM-side."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            toks = rb.column(1)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = toks.values
+            c = np.maximum(np.diff(offs) - (k - 1), 0)
+            total = int(c.sum())
+            if total == 0:
+                continue
+            doc_idx = np.repeat(np.arange(rb.num_rows), c)
+            ends = np.cumsum(c)
+            intra = np.arange(total) - np.repeat(ends - c, c)
+            gstart = np.repeat(offs[:-1], c) + intra
+            parts = [vals.take(pa.array(gstart + j)) for j in range(k)]
+            w = pc.binary_join_element_wise(*parts, " ")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(doc_idx)),
+                    pa.array(intra.astype(np.int32)),
+                    w,
+                ],
+                names=["_id", "_pos0", "_w"],
+            )
+
+    return fn
+
+
+def _window_rows(toks: DataFrame, k: int) -> DataFrame:
+    """(_id, _pos0, _wh) hashed positional k-token windows from the
+    tokenized ``(_id, _t, n_tokens)`` frame — the Arrow window pass +
+    the md5 as a flat JVM projection (values identical to the
+    transform/slice HOF it replaces). Shared by the ExactSubstr
+    coverage and removal operators."""
+    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
+        hash64,
+    )
+
+    id_type = toks.schema["_id"].dataType.simpleString()
+    return (
+        toks.filter(F.col("n_tokens") >= k)
+        .select("_id", "_t")
+        .mapInArrow(
+            _window_arrow_fn(k), schema=f"_id {id_type}, _pos0 int, _w string"
+        )
+        .select("_id", "_pos0", hash64(F.col("_w")).alias("_wh"))
+    )
+
+
 def _shingle_rows(
     df: DataFrame,
     id_col: str,
@@ -161,13 +324,19 @@ def _shingle_rows(
     """(_id, shingle, h) — one row per (doc, distinct shingle), with
     the base hash reduced mod 2^31-1, computed ONCE and cached.
 
-    Two deliberate shape choices:
-    - repartition BEFORE the expressions so a single-file input does
-      not serialize the heavy work onto one core;
-    - explode to flat rows FIRST, then hash as a plain projection:
-      higher-order-function lambdas are interpreted per element,
-      while flat column expressions run in whole-stage codegen —
-      the same md5 is several times cheaper outside the lambda.
+    Shape choices (r15-profiled):
+    - repartition BEFORE the heavy work so a single-file input does
+      not serialize it onto one core;
+    - normalization stays a Spark codegen projection, then shingle
+      assembly + per-doc distinct + explode run in ONE vectorized
+      ``mapInArrow`` (`_shingle_arrow_fn`): the previous
+      ``transform(sequence, concat_ws(slice))`` higher-order chain is
+      CodegenFallback — interpreted per element with a fresh array
+      allocation per shingle — and profiled at ~320 cpu-s per 1M docs
+      vs ~25 cpu-s for the Arrow path (tools/probe_r15_minhash.py);
+    - the hash stays a flat Spark projection AFTER the boundary: the
+      codegen'd md5 measured ~2 cpu-s per 22M shingles, and keeping
+      it JVM-side preserves oracle parity bit-for-bit.
     Every consumer (signatures, posting lists, sizes, verification)
     reuses this cache instead of re-deriving from text.
     """
@@ -180,17 +349,18 @@ def _shingle_rows(
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     h = hash64 if portable else fast_hash64
+    id_type = df.select(F.col(id_col).alias("_id")).schema["_id"].dataType.simpleString()
     flat = (
-        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-        .repartition(target)
-        .select(
-            "_id",
-            F.explode(F.array_distinct(word_shingles("_text", n))).alias("shingle"),
+        df.select(
+            F.col(id_col).alias("_id"),
+            normalize_text(F.col(text_col)).alias("_norm"),
         )
+        .repartition(target)
+        .mapInArrow(_shingle_arrow_fn(n), schema=f"_id {id_type}, shingle string")
     )
     if with_hash:
-        # the md5 is the dominant per-row cost — consumers that never
-        # read ``h`` (exact Jaccard) pass with_hash=False and skip it
+        # consumers that never read ``h`` (exact Jaccard) pass
+        # with_hash=False and skip the md5 projection
         flat = flat.withColumn("h", F.pmod(h(F.col("shingle")), F.lit(MINHASH_P)))
     return flat.cache()
 
@@ -300,9 +470,6 @@ def exact_substring_coverage(
     candidate pairs because nothing here enumerates pairs."""
     from pyspark.sql import Window
 
-    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
-        hash64,
-    )
     from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
         tokens,
     )
@@ -323,15 +490,7 @@ def exact_substring_coverage(
         # explicit unpersist that registry callers never issue.
         .localCheckpoint(eager=False)
     )
-    win = toks.filter(F.col("n_tokens") >= k).select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(k - 1)),
-                lambda i: hash64(F.concat_ws(" ", F.slice("_t", i, k))),
-            )
-        ).alias("_pos0", "_wh"),
-    )
+    win = _window_rows(toks, k)
     # cross-doc test: min(id) != max(id) <=> >= 2 distinct docs.
     # groupBy (partial-aggregated map-side) + semi-join back, NOT a
     # window over _wh: a corpus-common hash partial-aggregates to one
@@ -414,9 +573,6 @@ def exact_substring_removal(
     ``sort_array(collect_list(struct(pos, tok)))`` per doc — grouped
     by doc, so the collected list is bounded by DOCUMENT length,
     never corpus length."""
-    from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
-        hash64,
-    )
     from vector_databases___hydrate_chroma_db_collection_spark.functions.text import (
         tokens,
     )
@@ -431,15 +587,7 @@ def exact_substring_removal(
         .select("_id", "_t", F.size("_t").alias("n_tokens"))
         .localCheckpoint(eager=False)
     )
-    win = toks.filter(F.col("n_tokens") >= k).select(
-        "_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(k - 1)),
-                lambda i: hash64(F.concat_ws(" ", F.slice("_t", i, k))),
-            )
-        ).alias("_pos0", "_wh"),
-    )
+    win = _window_rows(toks, k)
     # earliest-owner test via map-side-combinable groupBy + join back
     # (NOT a window over _wh — see exact_substring_coverage's plan
     # notes: partial_min collapses boilerplate hashes per map task and

@@ -254,7 +254,9 @@ def maxsim_search(
     on the persisted path, ``rerank_buckets_scanned`` /
     ``rerank_n_buckets``) for plan-shape assertions."""
     from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
+        _LITERAL_DIM_CAP,
         cosine_similarity,
+        cosine_similarity_literal,
         maxsim_score_presplit,
     )
     from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
@@ -293,15 +295,26 @@ def maxsim_search(
         ]
     )
     # ---- stage 1: candidate generation over probed cells only ----
-    # (isin on the partition column -> static partition pruning)
+    # (isin on the partition column -> static partition pruning).
+    # Per-token cosine via the UNROLLED literal form when the token
+    # width allows (bit-identical to the HOF by
+    # tests/test_vector.py::test_literal_scores_bit_identical; the
+    # HOF chain is CodegenFallback — interpreted per element, the r15
+    # serve-path pathology) — index rows are uniform-width tokens, so
+    # the literal family's uniform-dim caveat holds by construction.
+    if Q.shape[1] <= _LITERAL_DIM_CAP:
+        def _tok_sim(j):
+            return cosine_similarity_literal(
+                F.col("embedding"), [float(v) for v in Q[j]]
+            )
+    else:
+        def _tok_sim(j):
+            return cosine_similarity(
+                F.col("embedding"), F.array(*[F.lit(float(v)) for v in Q[j]])
+            )
     scanned = assigned.filter(F.col("ivf_cell").isin(cells)).select(
         F.substring_index(F.col("token_id"), _SEP, 1).alias("_doc"),
-        *[
-            cosine_similarity(
-                F.col("embedding"), F.array(*[F.lit(float(v)) for v in Q[j]])
-            ).alias(f"_c{j}")
-            for j in range(nq)
-        ],
+        *[_tok_sim(j).alias(f"_c{j}") for j in range(nq)],
     )
     approx = (
         scanned.groupBy("_doc")

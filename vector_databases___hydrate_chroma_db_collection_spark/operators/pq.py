@@ -192,11 +192,17 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector to ``m`` subspace codes (array<smallint>).
 
-    Arrow-batched; the codebook tensor ships in the closure. Output
-    rows are (id, pq_code) — 4·dim bytes → m bytes — so the encoded
-    table caches, shuffles, and scans at the compressed size.
+    Arrow-batched (``mapInArrow`` since r15: flat-buffer matrix in,
+    flat-buffer code list out — no per-row Python objects); the
+    codebook tensor ships in the closure. Output rows are
+    (id, pq_code) — 4·dim bytes → m bytes — so the encoded table
+    caches, shuffles, and scans at the compressed size.
     """
-    import pandas as pd
+    from vector_databases___hydrate_chroma_db_collection_spark.operators._arrow import (
+        list_matrix,
+        matrix_to_list_array,
+        rows_matrix,
+    )
 
     m, n_codes, dsub = codebooks.shape
     # Per-subspace ||c||^2 terms precomputed once; argmin ||x-c||^2 ==
@@ -206,10 +212,14 @@ def pq_encode(
     out_schema = f"{id_col} {id_type}, pq_code array<smallint>"
 
     def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_e"]])
+            E = list_matrix(rb.column(1))
+            if E is None:
+                E = rows_matrix(rb.column(1).to_pandas())
             if E.shape[1] != m * dsub:
                 raise ValueError(
                     f"corpus embedding dim {E.shape[1]} != codebook dim "
@@ -226,14 +236,15 @@ def pq_encode(
                 codes[:, j] = np.argmin(
                     c_sq[j][None, :] - 2.0 * (sub @ codebooks[j].T), axis=1
                 )
-            yield pd.DataFrame(
-                {id_col: pdf["_id"], "pq_code": list(codes)}
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), matrix_to_list_array(codes)],
+                names=[id_col, "pq_code"],
             )
 
     base = corpus.select(
         F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e")
     )
-    return base.mapInPandas(encode, schema=out_schema)
+    return base.mapInArrow(encode, schema=out_schema)
 
 
 def _finish_adc(
@@ -511,7 +522,7 @@ def ivf_pq_build(
         res_src, "_ec", max_rows=max_train_rows, seed=seed, n_rows=res_n,
         as_rows=True,
     )
-    E = np.stack([np.asarray(p["e"], dtype=np.float64) for p in pairs])
+    E = np.vstack([p["e"] for p in pairs]).astype(np.float64, copy=False)
     cells = np.asarray([int(p["c"]) for p in pairs])
     R = E - C[cells]
     dsub = dim // m
@@ -546,8 +557,14 @@ def _encode_assigned(
     codebooks, one Arrow-batched pass. Shared by ``ivf_pq_build``
     (initial encode) and ``ivf_pq_append`` (incremental ingest —
     identical math, so appended rows carry exactly the codes a
-    rebuild with the same codebooks would give them)."""
-    import pandas as pd
+    rebuild with the same codebooks would give them). r15:
+    ``mapInArrow`` over exactly the three columns it needs — ids and
+    cells pass through untouched, codes leave as one flat buffer."""
+    from vector_databases___hydrate_chroma_db_collection_spark.operators._arrow import (
+        list_matrix,
+        matrix_to_list_array,
+        rows_matrix,
+    )
 
     dim = C.shape[1]
     m = codebooks.shape[0]
@@ -557,15 +574,19 @@ def _encode_assigned(
     out_schema = f"{id_col} {id_type}, ivf_cell int, pq_code array<smallint>"
 
     def encode(batches):
-        for b in batches:
-            if len(b) == 0:
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            Eb = np.stack([np.asarray(e, dtype=np.float64) for e in b[embedding_col]])
+            Eb = list_matrix(rb.column(1))
+            if Eb is None:
+                Eb = rows_matrix(rb.column(1).to_pandas())
             if Eb.shape[1] != dim:
                 raise ValueError(
                     f"corpus embedding dim {Eb.shape[1]} != index dim {dim}"
                 )
-            cells = b["ivf_cell"].to_numpy()
+            cells = rb.column(2).to_numpy()
             Rb = _rotate(Eb - C[cells], rotation)
             codes = np.empty((len(Rb), m), dtype=np.int16)
             for j in range(m):
@@ -573,15 +594,18 @@ def _encode_assigned(
                 codes[:, j] = np.argmin(
                     c_sq[j][None, :] - 2.0 * (sub @ codebooks[j].T), axis=1
                 )
-            yield pd.DataFrame(
-                {
-                    id_col: b[id_col],
-                    "ivf_cell": cells,
-                    "pq_code": list(codes),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    rb.column(2).cast(pa.int32()),
+                    matrix_to_list_array(codes),
+                ],
+                names=[id_col, "ivf_cell", "pq_code"],
             )
 
-    return assigned.mapInPandas(encode, schema=out_schema)
+    return assigned.select(id_col, embedding_col, "ivf_cell").mapInArrow(
+        encode, schema=out_schema
+    )
 
 
 def ivf_pq_search(
@@ -733,7 +757,7 @@ def ivf_pq_knn_join(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            Q = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["_qe"]])
+            Q = np.vstack(pdf["_qe"].to_numpy()).astype(np.float64, copy=False)
             d = (C * C).sum(axis=1)[None, :] - 2.0 * (Q @ C.T)
             top = np.argsort(d, axis=1, kind="stable")[:, :npb]
             yield pd.DataFrame(

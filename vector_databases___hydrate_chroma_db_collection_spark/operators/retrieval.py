@@ -550,7 +550,7 @@ def mmr_rerank(
 
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        E = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[vec_col]])
+        E = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
         En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
         sims = np_round_half_up(En @ En.T, sim_decimals)
         base = pdf[base_score_col].to_numpy(dtype=np.float64)
