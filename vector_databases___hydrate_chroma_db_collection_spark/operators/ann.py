@@ -1122,8 +1122,16 @@ def ivf_write(
     # (the same lifecycle as band_index_write; the r9 in-place
     # overwrite gave concurrent readers read failures mid-rebuild).
     cells_dir = _fresh_cells_dir(path, (old_meta or {}).get("location"))
-    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-        os.path.join(path, cells_dir)
+    # One task per cell -> exactly one data file per cell dir (the
+    # ivf_compact idiom). Without the cluster-by-cell exchange the
+    # dynamic-partition write fans every map task into every cell it
+    # touches — up to tasks x n_cells files — and the Bloom/cell-stats
+    # read-backs below plus every serve pay the per-file open cost.
+    (
+        assigned.repartition(int(np.asarray(centroids).shape[0]), F.col("ivf_cell"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(os.path.join(path, cells_dir))
     )
     # id-guard Bloom over the persisted ids (operators/idguard.py):
     # what lets ivf_append prescreen its double-ingest guard with

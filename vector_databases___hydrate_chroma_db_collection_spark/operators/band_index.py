@@ -1129,7 +1129,9 @@ def band_index_apply(
     )
     # fresh rows from the upserts, hashed with the RECORDED family
     sh_cached = (
-        _shingle_rows(up, idc, "_text", meta["n"]) if up is not None else None
+        _shingle_rows(up, idc, "_text", meta["n"], engine="expr")
+        if up is not None
+        else None
     )
     if sh_cached is not None:
         sh = (
@@ -1790,7 +1792,10 @@ def band_index_append(
         # marker and re-stamp.
         return _commit(0)
 
-    sh_cached = _shingle_rows(fresh, ic, tc, meta["n"])
+    # append batches are micro-batch-sized by contract: the JVM
+    # expression shingles skip the per-invocation Arrow boundary cost
+    # (see _shingle_rows; bulk loads go through band_index_write)
+    sh_cached = _shingle_rows(fresh, ic, tc, meta["n"], engine="expr")
     # Appended files must carry the EXISTING parquet schema — the id
     # is cast to the recorded type (e.g. int doc_ids appended to a
     # collection-backed index whose ids are strings).

@@ -320,6 +320,7 @@ def _shingle_rows(
     n: int,
     portable: bool = True,
     with_hash: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """(_id, shingle, h) — one row per (doc, distinct shingle), with
     the base hash reduced mod 2^31-1, computed ONCE and cached.
@@ -327,13 +328,22 @@ def _shingle_rows(
     Shape choices (r15-profiled):
     - repartition BEFORE the heavy work so a single-file input does
       not serialize it onto one core;
-    - normalization stays a Spark codegen projection, then shingle
-      assembly + per-doc distinct + explode run in ONE vectorized
-      ``mapInArrow`` (`_shingle_arrow_fn`): the previous
+    - ``engine="arrow"`` (corpus passes): normalization stays a Spark
+      codegen projection, then shingle assembly + per-doc distinct +
+      explode run in ONE vectorized ``mapInArrow``
+      (`_shingle_arrow_fn`): the previous
       ``transform(sequence, concat_ws(slice))`` higher-order chain is
       CodegenFallback — interpreted per element with a fresh array
       allocation per shingle — and profiled at ~320 cpu-s per 1M docs
       vs ~25 cpu-s for the Arrow path (tools/probe_r15_minhash.py);
+    - ``engine="expr"`` (micro-batch serve/append passes): the
+      original whole-stage ``explode(array_distinct(word_shingles))``
+      expression. For a ~2k-doc batch the interpreted HOF costs
+      almost nothing, while spinning the Python/Arrow boundary costs
+      a near-constant ~15 cpu-s / +0.7 s wall per invocation
+      (interleaved A/B on the 50k novelty gate: 29 -> 13.5 cpu-s).
+      Values are identical either way (tests/test_shingle_arrow.py
+      pins the row-for-row parity), so the band tables interjoin;
     - the hash stays a flat Spark projection AFTER the boundary: the
       codegen'd md5 measured ~2 cpu-s per 22M shingles, and keeping
       it JVM-side preserves oracle parity bit-for-bit.
@@ -344,20 +354,37 @@ def _shingle_rows(
         MINHASH_P,
         fast_hash64,
         hash64,
+        word_shingles,
     )
 
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     h = hash64 if portable else fast_hash64
-    id_type = df.select(F.col(id_col).alias("_id")).schema["_id"].dataType.simpleString()
-    flat = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            normalize_text(F.col(text_col)).alias("_norm"),
+    if engine == "expr":
+        flat = (
+            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+            .repartition(target)
+            .select(
+                "_id",
+                F.explode(
+                    F.array_distinct(word_shingles("_text", n))
+                ).alias("shingle"),
+            )
         )
-        .repartition(target)
-        .mapInArrow(_shingle_arrow_fn(n), schema=f"_id {id_type}, shingle string")
-    )
+    else:
+        id_type = df.select(
+            F.col(id_col).alias("_id")
+        ).schema["_id"].dataType.simpleString()
+        flat = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                normalize_text(F.col(text_col)).alias("_norm"),
+            )
+            .repartition(target)
+            .mapInArrow(
+                _shingle_arrow_fn(n), schema=f"_id {id_type}, shingle string"
+            )
+        )
     if with_hash:
         # consumers that never read ``h`` (exact Jaccard) pass
         # with_hash=False and skip the md5 projection
@@ -1089,6 +1116,7 @@ def lsh_band_rows(
     num_hashes: int = 16,
     bands: int = 8,
     portable: bool = True,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-document LSH band keys as flat rows ``(id, band, h)``.
 
@@ -1116,7 +1144,7 @@ def lsh_band_rows(
     exactly against any other band table in the repo and against the
     DuckDB oracle family.
     """
-    sh = _shingle_rows(df, id_col, text_col, n, portable)
+    sh = _shingle_rows(df, id_col, text_col, n, portable, engine=engine)
     out = _band_rows_from_shingles(sh, id_col, num_hashes, bands)
     return _attach_cache(out, sh)
 
@@ -1224,6 +1252,9 @@ def novelty_gate(
         num_hashes=num_hashes,
         bands=bands,
         portable=portable,
+        # micro-batch contract: the JVM expression shingles beat the
+        # Arrow pass for serve-sized inputs (see _shingle_rows)
+        engine="expr",
     )
     hits = (
         inc.join(reference_bands.select("band", "h"), ["band", "h"], "left_semi")
@@ -1305,6 +1336,9 @@ def novelty_gate_excluding(
         num_hashes=num_hashes,
         bands=bands,
         portable=portable,
+        # micro-batch contract: the JVM expression shingles beat the
+        # Arrow pass for serve-sized inputs (see _shingle_rows)
+        engine="expr",
     )
     ref_type = dict(reference_band_rows.dtypes)[ref_id_col]
     if exclude_ids is not None:
@@ -1385,7 +1419,7 @@ def neardup_gate_verified(
     hash. Per-batch cost is bounded by |batch| x bucket occupancy,
     independent of corpus size.
     """
-    inc_sh = _shingle_rows(incoming, id_col, text_col, n, portable)
+    inc_sh = _shingle_rows(incoming, id_col, text_col, n, portable, engine="expr")
     inc_bands = _band_rows_from_shingles(inc_sh, "_inc_id", num_hashes, bands)
 
     ref_id_t = dict(reference_bands.dtypes)[

@@ -160,20 +160,26 @@ def _build_cell_graphs(
         chunk = max(1, min(2048, n))
         for lo in range(0, n, chunk):
             S = En[lo : lo + chunk] @ En.T  # (chunk, n)
-            r_idx = np.arange(S.shape[0])
-            S[r_idx, lo + r_idx] = -np.inf  # never self
-            if k_n <= 0:
-                nbrs.extend([] for _ in r_idx)
-                continue
-            # vectorized top-k with the same deterministic edge order
-            # (sim desc, id asc) the per-row sorted() produced — the
-            # r15 profile charged ~half the 1M-row build to the
-            # per-row Python sort/str loop this replaces
-            top = np.argpartition(-S, k_n - 1, axis=1)[:, :k_n]
-            vals = np.take_along_axis(S, top, axis=1)
-            tid = ids[top]
-            order = np.lexsort((tid, -vals), axis=1)
-            nbrs.extend(np.take_along_axis(tid, order, axis=1).tolist())
+            # Per-row top-k, NOT the axis=1 vectorized argpartition:
+            # the vectorized form allocates two more chunk x n
+            # temporaries per chunk (the negated copy and the full
+            # argpartition index array, ~51 MB each at 2048 x 3125),
+            # and with 32 workers concurrently mmap/munmap-ing those
+            # the kernel page-fault + TLB-shootdown cost dominated: an
+            # interleaved same-session A/B at 1M rows measured the
+            # vectorized body at 450-650 cpu-s (70-80% SYSTEM time)
+            # vs 160-177 cpu-s here, with identical USER time — the
+            # per-row sort was never the bottleneck.
+            for r in range(S.shape[0]):
+                row = S[r]
+                row[lo + r] = -np.inf  # never self
+                if k_n <= 0:
+                    nbrs.append([])
+                    continue
+                top = np.argpartition(-row, k_n - 1)[:k_n]
+                # deterministic edge order: sim desc, id asc
+                top = sorted(top, key=lambda j: (-row[j], ids[j]))
+                nbrs.append([str(ids[j]) for j in top])
         entry_scores = En @ Cn[int(key[0])]
         order = np.lexsort((ids, -entry_scores))
         entry_idx = int(order[0])
@@ -231,6 +237,10 @@ def graph_index_write(
         with open(sc_file) as f:
             old_meta = json.load(f)
     cells_dir = _fresh_cells_dir(p, (old_meta or {}).get("location"))
+    # No cluster-by-cell exchange needed here (unlike ivf_write): the
+    # input is _build_cell_graphs' groupBy("ivf_cell").applyInPandas
+    # output, already hash-clustered by cell, so the dynamic-partition
+    # write emits exactly one file per cell as-is.
     assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(
         os.path.join(p, cells_dir)
     )

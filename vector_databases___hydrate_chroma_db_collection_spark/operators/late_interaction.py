@@ -184,6 +184,11 @@ def maxsim_corpus_write(
                 F.xxhash64(F.col(id_col).cast("string")), F.lit(nb)
             ).alias("_bucket"),
         )
+        # one task per bucket -> one data file per bucket dir
+        # (ann.ivf_compact idiom; without it the dynamic-partition
+        # write fans every map task into every bucket: tasks x
+        # n_buckets files, all re-opened by every point read)
+        .repartition(nb, F.col("_bucket"))
         .write.mode("overwrite")
         .partitionBy("_bucket")
         .parquet(os.path.join(p, loc))

@@ -967,8 +967,15 @@ def ivf_pq_write(
     # Rebuild-is-atomic-for-readers: same versioned-dir + sidecar-swap
     # lifecycle as ivf_write / band_index_write.
     cells_dir = _fresh_cells_dir(path, (old_meta or {}).get("location"))
-    encoded.write.mode("overwrite").partitionBy("ivf_cell").parquet(
-        os.path.join(path, cells_dir)
+    # One task per cell -> one data file per cell dir (ivf_compact
+    # idiom); otherwise the dynamic-partition write fans every map
+    # task into every cell it touches (tasks x n_cells files) and the
+    # Bloom/cell-stats read-backs plus every serve pay per-file opens.
+    (
+        encoded.repartition(int(np.asarray(centroids).shape[0]), F.col("ivf_cell"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(os.path.join(path, cells_dir))
     )
     # id-guard Bloom over the persisted ids: lets ivf_pq_append
     # prescreen its double-ingest guard with zero corpus IO (see
