@@ -321,6 +321,7 @@ def _shingle_rows(
     portable: bool = True,
     with_hash: bool = True,
     engine: str = "arrow",
+    cache: bool = True,
 ) -> DataFrame:
     """(_id, shingle, h) — one row per (doc, distinct shingle), with
     the base hash reduced mod 2^31-1, computed ONCE and cached.
@@ -361,15 +362,18 @@ def _shingle_rows(
     target = spark.sparkContext.defaultParallelism
     h = hash64 if portable else fast_hash64
     if engine == "expr":
-        flat = (
-            df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
-            .repartition(target)
-            .select(
-                "_id",
-                F.explode(
-                    F.array_distinct(word_shingles("_text", n))
-                ).alias("shingle"),
-            )
+        # No repartition: for a micro-batch the 32-task exchange is
+        # pure fixed overhead (factor A/B on the 50k gate: the
+        # repartition alone added ~7-10 cpu-s / +0.5 s wall to a
+        # 13 cpu-s serve). Inputs big enough to need spreading should
+        # use engine="arrow", which keeps it.
+        flat = df.select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+        ).select(
+            "_id",
+            F.explode(
+                F.array_distinct(word_shingles("_text", n))
+            ).alias("shingle"),
         )
     else:
         id_type = df.select(
@@ -389,7 +393,11 @@ def _shingle_rows(
         # consumers that never read ``h`` (exact Jaccard) pass
         # with_hash=False and skip the md5 projection
         flat = flat.withColumn("h", F.pmod(h(F.col("shingle")), F.lit(MINHASH_P)))
-    return flat.cache()
+    # cache=False: single-consumer serve paths (the plain novelty
+    # gates read the shingles exactly once) skip the cache write —
+    # multi-consumer callers (pairs, verified gate, band appends)
+    # keep it
+    return flat.cache() if cache else flat
 
 
 def dup_ngram_fraction(
@@ -1117,6 +1125,7 @@ def lsh_band_rows(
     bands: int = 8,
     portable: bool = True,
     engine: str = "arrow",
+    cache: bool = True,
 ) -> DataFrame:
     """Per-document LSH band keys as flat rows ``(id, band, h)``.
 
@@ -1144,9 +1153,11 @@ def lsh_band_rows(
     exactly against any other band table in the repo and against the
     DuckDB oracle family.
     """
-    sh = _shingle_rows(df, id_col, text_col, n, portable, engine=engine)
+    sh = _shingle_rows(
+        df, id_col, text_col, n, portable, engine=engine, cache=cache
+    )
     out = _band_rows_from_shingles(sh, id_col, num_hashes, bands)
-    return _attach_cache(out, sh)
+    return _attach_cache(out, sh) if cache else out
 
 
 def _band_rows_from_shingles(
@@ -1253,8 +1264,11 @@ def novelty_gate(
         bands=bands,
         portable=portable,
         # micro-batch contract: the JVM expression shingles beat the
-        # Arrow pass for serve-sized inputs (see _shingle_rows)
+        # Arrow pass for serve-sized inputs, and the single-consumer
+        # probe plan needs neither the repartition nor the shingle
+        # cache (see _shingle_rows)
         engine="expr",
+        cache=False,
     )
     hits = (
         inc.join(reference_bands.select("band", "h"), ["band", "h"], "left_semi")
@@ -1337,8 +1351,11 @@ def novelty_gate_excluding(
         bands=bands,
         portable=portable,
         # micro-batch contract: the JVM expression shingles beat the
-        # Arrow pass for serve-sized inputs (see _shingle_rows)
+        # Arrow pass for serve-sized inputs, and the single-consumer
+        # probe plan needs neither the repartition nor the shingle
+        # cache (see _shingle_rows)
         engine="expr",
+        cache=False,
     )
     ref_type = dict(reference_band_rows.dtypes)[ref_id_col]
     if exclude_ids is not None:
