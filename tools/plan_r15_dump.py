@@ -28,6 +28,7 @@ QUERIES = [
     "dedup_minhash_lsh_pairs",
     "collection_neardup_gate",
     "dedup_exact_substring_coverage",
+    "dedup_dup_ngram_fraction",
     # brute MaxSim lattice (HOF) headline pair
     "retrieval_maxsim_top10",
     "retrieval_maxsim_presplit_top10",

@@ -304,7 +304,7 @@ def band_index_build(
         _shingle_rows,
     )
 
-    sh = _shingle_rows(df, id_col, text_col, n)
+    sh = _shingle_rows(df, id_col, text_col, n, engine="auto")
     band_rows = _band_rows_from_shingles(sh, id_col, num_hashes, bands)
     band_index_write(
         band_rows,

@@ -246,6 +246,32 @@ def _shingle_arrow_fn(n: int):
     return fn
 
 
+# engine="auto" crossover for the shingle/window passes (guide §4:
+# the Python/Arrow boundary has a near-constant per-invocation cost —
+# worker spin-up + Arrow serializer init across ~target tasks — that
+# only amortizes on corpus-scale inputs). Interleaved A/B at HEAD
+# (idle, min-of-3, 24-token docs): 5k docs expr 4.4 cpu-s vs arrow
+# 16.4; 20k expr ~9 vs arrow ~17.5; 50k a wash (17-20 vs 16.4); 200k
+# arrow 26 vs expr 70. Below this row count the interpreted
+# higher-order-function expression is the cheaper engine; at or above
+# it the vectorized Arrow pass wins and keeps winning (25 vs 320
+# cpu-s per 1M docs, tools/probe_r15_minhash.py). Both engines are
+# row-identical (tests/test_shingle_arrow.py), so the choice can
+# never move an oracle hash.
+_ARROW_MIN_ROWS = 50_000
+
+
+def _resolve_engine(df: DataFrame, engine: str) -> tuple[str, int | None]:
+    """Resolve engine="auto" by input size: one count() (metadata-only
+    on parquet scans, trivial on cached inputs) picks the cheaper
+    boundary for this corpus. Returns (engine, n_rows|None) so callers
+    can reuse the count for task sizing."""
+    if engine != "auto":
+        return engine, None
+    n = df.count()
+    return ("arrow" if n >= _ARROW_MIN_ROWS else "expr"), n
+
+
 def _window_arrow_fn(k: int):
     """mapInArrow body for the positional k-token window pass:
     (_id, _t token arrays) batches in, (_id, _pos0, _w) window rows
@@ -292,16 +318,35 @@ def _window_arrow_fn(k: int):
     return fn
 
 
-def _window_rows(toks: DataFrame, k: int) -> DataFrame:
+def _window_rows(toks: DataFrame, k: int, engine: str = "arrow") -> DataFrame:
     """(_id, _pos0, _wh) hashed positional k-token windows from the
-    tokenized ``(_id, _t, n_tokens)`` frame — the Arrow window pass +
-    the md5 as a flat JVM projection (values identical to the
-    transform/slice HOF it replaces). Shared by the ExactSubstr
-    coverage and removal operators."""
+    tokenized ``(_id, _t, n_tokens)`` frame, md5 as a flat JVM
+    projection either way. ``engine="arrow"`` (corpus passes): the
+    vectorized Arrow window pass. ``engine="expr"`` (small inputs,
+    picked by the callers' ``_resolve_engine`` crossover): the
+    original posexplode/transform/slice expression — for a few
+    thousand docs the interpreted HOF beats spinning the Python
+    boundary (coverage at 5k docs: 16 vs 26 cpu-s). Values identical
+    either way (tests/test_shingle_arrow.py). Shared by the
+    ExactSubstr coverage and removal operators."""
     from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
         hash64,
     )
 
+    if engine == "expr":
+        return (
+            toks.filter(F.col("n_tokens") >= k)
+            .select(
+                "_id",
+                F.posexplode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("n_tokens") - F.lit(k - 1)),
+                        lambda i: F.concat_ws(" ", F.slice("_t", i, k)),
+                    )
+                ).alias("_pos0", "_w"),
+            )
+            .select("_id", "_pos0", hash64(F.col("_w")).alias("_wh"))
+        )
     id_type = toks.schema["_id"].dataType.simpleString()
     return (
         toks.filter(F.col("n_tokens") >= k)
@@ -361,15 +406,22 @@ def _shingle_rows(
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     h = hash64 if portable else fast_hash64
+    engine, n_rows = _resolve_engine(df, engine)
     if engine == "expr":
-        # No repartition: for a micro-batch the 32-task exchange is
-        # pure fixed overhead (factor A/B on the 50k gate: the
-        # repartition alone added ~7-10 cpu-s / +0.5 s wall to a
-        # 13 cpu-s serve). Inputs big enough to need spreading should
-        # use engine="arrow", which keeps it.
-        flat = df.select(
+        base = df.select(
             F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
-        ).select(
+        )
+        # Explicit engine="expr" callers (micro-batch gates/appends)
+        # get NO repartition: for a ~2k-row probe the 32-task exchange
+        # is pure fixed overhead (factor A/B on the 50k gate: the
+        # repartition alone added ~7-10 cpu-s / +0.5 s wall to a
+        # 13 cpu-s serve). Auto-resolved expr inputs can be up to
+        # _ARROW_MIN_ROWS rows from a single parquet file, so they get
+        # a SIZED spread — enough tasks to parallelize the HOF, never
+        # the full fan-out a micro-batch would waste.
+        if n_rows is not None and n_rows > 4096:
+            base = base.repartition(min(target, max(8, n_rows // 512)))
+        flat = base.select(
             "_id",
             F.explode(
                 F.array_distinct(word_shingles("_text", n))
@@ -436,7 +488,7 @@ def dup_ngram_fraction(
     pipeline. Call ``release_cache(result)`` once materialized.
     Hot-key probe: bench.py ``synth200k_dup_ngram_hotkey`` (one
     boilerplate shingle run planted across 10k of 200k docs)."""
-    sh = _shingle_rows(df, id_col, text_col, n, with_hash=False)
+    sh = _shingle_rows(df, id_col, text_col, n, with_hash=False, engine="auto")
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_docs"))
     out = (
         sh.join(doc_freq, "shingle")
@@ -525,7 +577,7 @@ def exact_substring_coverage(
         # explicit unpersist that registry callers never issue.
         .localCheckpoint(eager=False)
     )
-    win = _window_rows(toks, k)
+    win = _window_rows(toks, k, engine=_resolve_engine(df, "auto")[0])
     # cross-doc test: min(id) != max(id) <=> >= 2 distinct docs.
     # groupBy (partial-aggregated map-side) + semi-join back, NOT a
     # window over _wh: a corpus-common hash partial-aggregates to one
@@ -622,7 +674,7 @@ def exact_substring_removal(
         .select("_id", "_t", F.size("_t").alias("n_tokens"))
         .localCheckpoint(eager=False)
     )
-    win = _window_rows(toks, k)
+    win = _window_rows(toks, k, engine=_resolve_engine(df, "auto")[0])
     # earliest-owner test via map-side-combinable groupBy + join back
     # (NOT a window over _wh — see exact_substring_coverage's plan
     # notes: partial_min collapses boilerplate hashes per map task and
@@ -683,7 +735,7 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing >=1 shingle.
     Output: (id_a, id_b, jaccard) with id_a < id_b."""
-    sh = _shingle_rows(df, id_col, text_col, n, with_hash=False)
+    sh = _shingle_rows(df, id_col, text_col, n, with_hash=False, engine="auto")
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -757,17 +809,34 @@ def minhash_lsh_pairs(
             "dropped and the 1-(1-j^r)^b recall curve would not match"
         )
     rows_per_band = num_hashes // bands
-    sh = _shingle_rows(df, id_col, text_col, n, portable)
-
-    # Signature = one hash-aggregate over the flat rows: min of each
-    # affine permutation. Fully codegen, partial-agg map-side — the
-    # shuffle carries 16 bigints per document.
+    # Narrow the shared cache to (_id, h): every consumer below — the
+    # 16-perm signature aggregate, both verify join sides, and the
+    # per-doc size aggregate — reads only the 8-byte hash, never the
+    # shingle STRING, which is ~70% of the cached bytes at typical
+    # shingle widths (guide §2.3: project before the heavy reuse).
+    # engine="auto": small corpora shingle through the interpreted
+    # expression, corpus-scale through the vectorized Arrow pass —
+    # row-identical either way (tests/test_shingle_arrow.py).
+    # (A per-document Arrow variant that also computed the permutation
+    # minimums and base-hash arrays in Python was built and A/B'd at
+    # 1M docs in r15: interleaved same-session trials measured it a
+    # wash — 692-859 vs 637-895 cpu-s — so the simpler flat pipeline
+    # stays; the bottleneck is the band/bucket stage, not the
+    # signature derivation.)
+    sh = _shingle_rows(
+        df, id_col, text_col, n, portable, engine="auto", cache=False
+    ).select("_id", "h").cache()
     perms = [
         F.min(
-            F.pmod(F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]), F.lit(MINHASH_P))
+            F.pmod(
+                F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j]),
+                F.lit(MINHASH_P),
+            )
         ).alias(f"_s{j}")
         for j in range(num_hashes)
     ]
+    sizes_tbl = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
     # The signature table is tiny (one row per doc, 16 bigints) but
     # feeds FOUR plan branches (small-pair x/y sides, star pairs,
     # bucket stats); without a cache each branch re-runs the 16-perm
@@ -836,7 +905,6 @@ def minhash_lsh_pairs(
     # reproduced bit-for-bit by the SQL twin — parity is unaffected.
     # (An array_intersect-per-pair variant measured slower cold — the
     # collect_list re-assembly shuffle outweighs the explode joins.)
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("_id").alias("id_a"), F.col("h").alias("h_a"))
     b = sh.select(F.col("_id").alias("b_id"), F.col("h").alias("h_b"))
     shared = (
@@ -845,8 +913,8 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    sa = sizes_tbl.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes_tbl.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.round(
         F.col("shared").cast("double")
         / (F.col("na") + F.col("nb") - F.col("shared")),
@@ -1124,7 +1192,7 @@ def lsh_band_rows(
     num_hashes: int = 16,
     bands: int = 8,
     portable: bool = True,
-    engine: str = "arrow",
+    engine: str = "auto",
     cache: bool = True,
 ) -> DataFrame:
     """Per-document LSH band keys as flat rows ``(id, band, h)``.

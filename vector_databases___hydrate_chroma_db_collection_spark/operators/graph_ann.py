@@ -155,31 +155,54 @@ def _build_cell_graphs(
 
         E = rows_matrix(pdf["embedding"])
         En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-300)
+        # float32 prescreen matrix: the quadratic GEMM runs in float32
+        # (half the memory traffic of the r15 float64 form — which is
+        # what the page-fault A/B below measured — and ~2x the BLAS
+        # throughput); the final edge set is still decided by EXACT
+        # float64 dots over a margin-guarded candidate superset, so
+        # the graph is bit-identical to the all-float64 build (same
+        # prescreen+exact-rerank discipline as ann.ivf_neardup_pairs).
+        En32 = En.astype(np.float32)
+        # Top-k containment needs the TWO-SIDED bound: a true top-k
+        # row can under-read by eps while the float32 k-th value
+        # over-reads by eps, so the guard is 2*eps with
+        # eps ~ 3*dim*2^-24 (input cast + per-term product rounding +
+        # accumulation, unit vectors). dim*2^-20 dominates that with
+        # ~5x headroom and still admits only near-tied candidates.
+        margin = np.float32(En.shape[1] * 2.0 ** (-20) + 1e-6)
         k_n = min(m_eff, n - 1)
         nbrs: list[list[str]] = []
         chunk = max(1, min(2048, n))
         for lo in range(0, n, chunk):
-            S = En[lo : lo + chunk] @ En.T  # (chunk, n)
+            S = En32[lo : lo + chunk] @ En32.T  # (chunk, n) float32
             # Per-row top-k, NOT the axis=1 vectorized argpartition:
             # the vectorized form allocates two more chunk x n
             # temporaries per chunk (the negated copy and the full
-            # argpartition index array, ~51 MB each at 2048 x 3125),
-            # and with 32 workers concurrently mmap/munmap-ing those
-            # the kernel page-fault + TLB-shootdown cost dominated: an
-            # interleaved same-session A/B at 1M rows measured the
-            # vectorized body at 450-650 cpu-s (70-80% SYSTEM time)
-            # vs 160-177 cpu-s here, with identical USER time — the
-            # per-row sort was never the bottleneck.
+            # argpartition index array, ~51 MB each at 2048 x 3125
+            # float64), and with 32 workers concurrently
+            # mmap/munmap-ing those the kernel page-fault +
+            # TLB-shootdown cost dominated: an interleaved
+            # same-session A/B at 1M rows measured the vectorized body
+            # at 450-650 cpu-s (70-80% SYSTEM time) vs 160-177 cpu-s
+            # here, with identical USER time — the per-row sort was
+            # never the bottleneck.
             for r in range(S.shape[0]):
                 row = S[r]
                 row[lo + r] = -np.inf  # never self
                 if k_n <= 0:
                     nbrs.append([])
                     continue
-                top = np.argpartition(-row, k_n - 1)[:k_n]
-                # deterministic edge order: sim desc, id asc
-                top = sorted(top, key=lambda j: (-row[j], ids[j]))
-                nbrs.append([str(ids[j]) for j in top])
+                # float32 k-th value minus the margin bounds every row
+                # whose TRUE similarity could reach the top k_n
+                kth = row[np.argpartition(-row, k_n - 1)[k_n - 1]]
+                cand = np.nonzero(row >= kth - margin)[0]
+                # exact float64 scores for the (few) survivors decide
+                # the edges — deterministic order: sim desc, id asc
+                exact = En[cand] @ En[lo + r]
+                order = sorted(
+                    range(len(cand)), key=lambda i: (-exact[i], ids[cand[i]])
+                )[:k_n]
+                nbrs.append([str(ids[cand[i]]) for i in order])
         entry_scores = En @ Cn[int(key[0])]
         order = np.lexsort((ids, -entry_scores))
         entry_idx = int(order[0])
