@@ -39,13 +39,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vector_databases___hydrate_chroma_db_collection_spark.functions.vector import (
-    _LITERAL_DIM_CAP,
     cosine_similarity,
-    cosine_similarity_literal,
     dot_product,
-    dot_product_literal,
     l2_distance,
-    l2_distance_literal,
 )
 
 METRICS = ("cosine", "l2", "dot")
@@ -67,24 +63,24 @@ def _score_vs_literal(
     metric: str, a: Column, query_vector: list[float]
 ) -> tuple[Column, bool]:
     """``_score`` for the serve path where the query side is a
-    driver-known list: statically unrolled, whole-stage-codegen-able
-    expressions (bit-identical fold order — see functions/vector.py)
-    instead of the interpreted zip_with/aggregate chain whose JIT
-    deopt storms made 1M-row serve CPU bimodal (BASELINE.md r15).
-    Falls back to the HOF form past _LITERAL_DIM_CAP (expression-tree
-    size) or for empty vectors (keeps the 0-dim edge on one code
-    path)."""
-    dim = len(query_vector)
-    if not (1 <= dim <= _LITERAL_DIM_CAP):
-        q = F.array(*[F.lit(float(x)) for x in query_vector])
-        return _score(metric, a, q)
-    if metric == "cosine":
-        return cosine_similarity_literal(a, query_vector), False
-    if metric == "l2":
-        return l2_distance_literal(a, query_vector), True
-    if metric == "dot":
-        return dot_product_literal(a, query_vector), False
-    raise ValueError(f"metric must be one of {METRICS}")
+    driver-known list. r15 history: this briefly returned the
+    statically UNROLLED per-dimension expressions
+    (functions/vector.py *_literal) on the theory that the
+    zip_with/aggregate chain's interpreted lambda was behind bimodal
+    1M-row serve CPU. Re-measured on an idle host after the driver
+    BLAS pin: the unrolled form is the SLOWER one at every scale —
+    1M x 64 cosine scan 36-38 cpu-s unrolled vs 12.5-14.5 HOF, sf0.1
+    top-k 0.9-1.3 vs 0.5-0.7 — the 64 try_element_at calls each
+    re-null-check and re-bounds-check the array, while the aggregate
+    walks it once; the old "bimodal" spikes reproduce on FIRST
+    executions of any fresh plan (JIT/allocation storms, absorbed by
+    bench warmups) and were misattributed to the HOF. The unrolled
+    forms remain in functions/vector.py for callers that measured
+    real wins (MaxSim stage-1 token cosines at dim 16). Fold order is
+    bit-identical either way, so the flip cannot move an oracle
+    hash."""
+    q = F.array(*[F.lit(float(x)) for x in query_vector])
+    return _score(metric, a, q)
 
 
 def knn_query(

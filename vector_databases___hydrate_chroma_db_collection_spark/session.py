@@ -19,6 +19,46 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _pin_loaded_blas_threads() -> None:
+    """Apply the BLAS-thread env contract to an ALREADY-LOADED
+    OpenBLAS via its runtime API. The env vars above only work when
+    they are set before the library loads, but callers routinely
+    import operator modules (-> numpy -> OpenBLAS) before calling
+    ``get_spark`` — bench.py does — and then every DRIVER-side numpy
+    GEMM (k-means/PQ trainers, serve-path LUTs) spins a full
+    thread-pool per call: one 15-iteration Lloyd fit on a 26k x 8
+    slice measured 32.8 cpu-s for 1.59 s wall (~20 spin-wait threads)
+    with the loaded-too-late env, vs ~1.6 cpu-s pinned. Workers are
+    unaffected either way (they spawn after the env is set). No-op
+    when numpy is not loaded yet or the BLAS exposes no such API."""
+    import sys
+
+    if "numpy" not in sys.modules:
+        return  # env alone will govern the eventual load
+    try:
+        import ctypes
+
+        libs = sorted(
+            {
+                line.split()[-1]
+                for line in open("/proc/self/maps")
+                if "openblas" in line.lower()
+            }
+        )
+        n = int(os.environ.get("OPENBLAS_NUM_THREADS", "1"))
+        for path in libs:
+            lib = ctypes.CDLL(path)
+            # numpy's bundled OpenBLAS uses 64-suffixed symbols
+            for sym in ("openblas_set_num_threads", "openblas_set_num_threads64_"):
+                try:
+                    getattr(lib, sym)(n)
+                    break
+                except AttributeError:
+                    continue
+    except Exception:
+        pass  # never let thread pinning break session creation
+
+
 def get_spark(
     app_name: str = "vdb-hydrate-spark",
     master: str | None = None,
@@ -46,6 +86,7 @@ def get_spark(
     # an operator who sized BLAS deliberately keeps their setting.
     for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
         os.environ.setdefault(_v, "1")
+    _pin_loaded_blas_threads()
 
     builder = (
         SparkSession.builder.appName(app_name)
