@@ -240,14 +240,28 @@ def main() -> None:
         # steady state, and the recorded BASELINE.md bands for them are
         # warm-steady-state numbers (solo re-runs), so timing from the
         # second call is what makes the median comparable to its band.
-        if warmup:
-            fn()
-        timings[name] = timed(fn, trials)
-        timings_min[name] = timed.last_min
-        timings_cpu[name] = timed.last_cpu
-        timings_cpu_min[name] = timed.last_cpu_min
+        #
+        # Error containment (r16, verdict item: the r15 8-core scaling
+        # run died rc=1 on ONE entry's in-bench recall assert and the
+        # whole run produced no JSON line): an entry that raises is
+        # recorded in ``errors`` — name, error, and how far it got —
+        # and the suite keeps going. One bad entry must cost that
+        # entry, never the harness contract. Entries that depend on a
+        # failed entry's state fail the same contained way.
+        try:
+            if warmup:
+                fn()
+            timings[name] = timed(fn, trials)
+            timings_min[name] = timed.last_min
+            timings_cpu[name] = timed.last_cpu
+            timings_cpu_min[name] = timed.last_cpu_min
+        except Exception as e:  # noqa: BLE001 — containment is the point
+            msg = f"{type(e).__name__}: {e}"
+            errors[name] = msg[:400]
+            print(f"[bench] entry {name} FAILED: {msg[:400]}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         record(name, lambda fn=fn: run_noop(fn(spark, sf_dir)))
@@ -1628,6 +1642,8 @@ def main() -> None:
         "load_avg_end": [round(x, 2) for x in os.getloadavg()],
         "provenance": "idle-intent-commit" if commit_intent else "driver-or-adhoc",
     }
+    if errors:
+        result["errors"] = errors
     line = json.dumps(result)
     # Durable full artifact: the driver records only a stdout tail,
     # which can truncate per-query medians (r5 lost the first ~25).

@@ -1,11 +1,44 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from vector_databases___hydrate_chroma_db_collection_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+
+# Two-tier suite (r16, verdict item 3): the full suite grew to ~44
+# minutes and the driver's verify budget truncated it mid-run
+# (`VERIFY_r15.json tests_ok: false` with zero failure markers — an
+# unverified green is not green). The heavyweight stress/lifecycle
+# tests are marked `slow` (see pytest_collection_modifyitems below and
+# per-file `pytestmark` declarations) and SKIPPED by default so the
+# default `pytest tests/` run finishes inside the driver's budget; set
+# SPARK_GRAFT_SLOW_TESTS=1 to run every tier (the builder's
+# end-of-round discipline). No test is deleted; the slow tier is
+# opt-in, not gone.
+RUN_SLOW = os.environ.get("SPARK_GRAFT_SLOW_TESTS") == "1"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavyweight stress/lifecycle test; skipped unless "
+        "SPARK_GRAFT_SLOW_TESTS=1",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if RUN_SLOW:
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier — set SPARK_GRAFT_SLOW_TESTS=1 to run"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

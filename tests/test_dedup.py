@@ -92,7 +92,10 @@ def test_release_cache_unpersists_shingles(spark, corpus):
     res = D.minhash_lsh_pairs(corpus, id_col="doc_id", text_col="text", threshold=0.3)
     res.collect()
     deps = res._spark_graft_cached_deps
-    assert len(deps) == 2  # shingle rows + signature table
+    # r16: the signature table is no longer cached (it feeds exactly
+    # one consumer, the bucket-member aggregate); the shingle rows are
+    # the only cache the operator attaches
+    assert len(deps) == 1
     for cached in deps:
         assert cached.storageLevel.useMemory  # caches active after materialize
     D.release_cache(res)

@@ -201,7 +201,15 @@ def ivf_build(
         n_centroids = auto_n_centroids(n_rows)
     n_centroids = int(n_centroids)
     base = corpus.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
-    train = base if sample_fraction is None else base.sample(sample_fraction, seed)
+    train = (
+        base
+        if sample_fraction is None
+        # layout-independent membership (value hash, not per-partition
+        # RNG) so the trained centroids do not depend on core count
+        else _det_sample(
+            base, sample_fraction, seed, F.col("_id"), F.col("_e")
+        )
+    )
     eff_rows = None
     if n_rows is not None:
         eff_rows = (
@@ -471,6 +479,23 @@ def ivf_knn_join(
     return rank_merge(candidates, k, metric=metric, score_decimals=score_decimals)
 
 
+def _det_sample(df: DataFrame, fraction: float, seed: int, *cols):
+    """LAYOUT-INDEPENDENT seeded sample: keep rows whose seeded 64-bit
+    hash of ``cols`` lands in the first ``fraction`` of the 2^31 hash
+    space. Membership is a pure function of row VALUES, so the sampled
+    set is identical at any core count, partition count or row order —
+    unlike ``df.sample()``, whose per-partition RNG draws depend on the
+    row-to-partition layout (the r15 8-core bench crash: the k-means
+    training sample shifted under ``local[8]``, the 1M graph index came
+    out with different cells, and the beam missed the planted
+    self-neighbor). Same expected count and one cheap filter, exactly
+    like Bernoulli sampling."""
+    h = F.xxhash64(*cols, F.lit(int(seed)))
+    return df.filter(
+        F.pmod(h, F.lit(1 << 31)) < F.lit(int(min(fraction, 1.0) * (1 << 31)))
+    )
+
+
 def collect_bounded_sample(
     df: DataFrame,
     vec_col: str,
@@ -482,33 +507,48 @@ def collect_bounded_sample(
 ):
     """Driver-side float64 matrix (or raw value list with
     ``as_rows=True``) of ≤ ``max_rows`` sampled rows, drawn WITHOUT a
-    partition-prefix bias. Shared by every k-means-style
-    trainer (``_train_kmeans``, ``pq.pq_train``, ``pq.ivf_pq_build``)
-    so the sampling contract has exactly one implementation.
+    partition-prefix bias and INDEPENDENT of the input's physical
+    layout. Shared by every k-means-style trainer (``_train_kmeans``,
+    ``pq.pq_train``, ``pq.ivf_pq_build``) so the sampling contract has
+    exactly one implementation.
 
     limit() alone would take the first partitions' rows, which on an
     ordered or clustered corpus (time-ordered ingest, per-tenant
-    files) trains on the head of the distribution only. A seeded
-    uniform sample at EXACTLY the target fraction avoids that — and
-    with no trailing limit() there is no truncation bias either
-    (limit after an oversample drops tail-partition rows). Callers
-    that already know the row count pass ``n_rows`` so sizing adds
-    no extra scan; binomial overshoot past the cap (~0.2% at 262k)
-    is trimmed by a seeded unbiased choice after collect. The collect
-    is bounded (``max_rows`` × dim float64 — a few MB at typical
-    dims): the same memory contract as a broadcast join side.
+    files) trains on the head of the distribution only. r15 used
+    ``df.sample()`` + collect, which fixed the prefix bias but left
+    TWO layout dependencies: Bernoulli draws are seeded per partition
+    (a different core count keeps different rows), and the collected
+    row ORDER follows partition order (k-means init indexes into the
+    collected matrix). Both made index builds differ across core
+    counts — the r16 scaling-bench fix. Now membership is a seeded
+    VALUE hash (``_det_sample``) with a small slack above the cap, and
+    the collected rows are sorted by that hash before the cap trim, so
+    the returned sample is a pure function of (values, seed): build an
+    index on 8 cores or 32 and the centroids are identical. Callers
+    that already know the row count pass ``n_rows`` so sizing adds no
+    extra scan. The collect is bounded (``max_rows`` × dim float64 — a
+    few MB at typical dims): the same memory contract as a broadcast
+    join side.
     """
     vecs = df.select(F.col(vec_col).alias("_v"))
     n = vecs.count() if n_rows is None else int(n_rows)
+    sel = vecs.select(
+        F.xxhash64(F.col("_v"), F.lit(int(seed))).alias("_h"), "_v"
+    )
     if n > max_rows:
-        vecs = vecs.sample(max_rows / n, seed)
-    pdf = vecs.toPandas()
-    vals = pdf["_v"]
-    if len(vals) > max_rows:
-        keep = np.sort(
-            np.random.RandomState(seed).choice(len(vals), max_rows, replace=False)
+        # slack of ~6 binomial sigmas over the cap: the hash-rank trim
+        # below cuts back to exactly max_rows, so the slight oversample
+        # only costs a few hundred extra collected rows, never bias
+        target = max_rows + 6 * int(max_rows**0.5) + 16
+        sel = sel.filter(
+            F.pmod(F.col("_h"), F.lit(1 << 31))
+            < F.lit(int(min(1.0, target / n) * (1 << 31)))
         )
-        vals = vals.iloc[keep]
+    pdf = sel.toPandas()
+    order = np.argsort(pdf["_h"].to_numpy(), kind="stable")
+    vals = pdf["_v"].iloc[order]
+    if len(vals) > max_rows:
+        vals = vals.iloc[:max_rows]
     if as_rows:
         # structured samples (e.g. (embedding, cell) pairs) — return
         # the raw values; the caller shapes them
@@ -656,7 +696,11 @@ def ivf_neardup_pairs(
     # O(dim²) per row, measured seconds per 100k rows — while the
     # vectorized divide is effectively free next to the GEMM.
     raw = base.select(F.col(id_col).alias("_id"), F.col(embedding_col).alias("_e"))
-    train = raw if sample_fraction is None else raw.sample(sample_fraction, seed)
+    train = (
+        raw
+        if sample_fraction is None
+        else _det_sample(raw, sample_fraction, seed, F.col("_id"), F.col("_e"))
+    )
     C = _train_kmeans(
         train,
         "_e",

@@ -262,10 +262,22 @@ _ARROW_MIN_ROWS = 50_000
 
 
 def _resolve_engine(df: DataFrame, engine: str) -> tuple[str, int | None]:
-    """Resolve engine="auto" by input size: one count() (metadata-only
-    on parquet scans, trivial on cached inputs) picks the cheaper
-    boundary for this corpus. Returns (engine, n_rows|None) so callers
-    can reuse the count for task sizing."""
+    """Resolve engine="auto" by input size: one count() picks the
+    cheaper boundary for this corpus. Returns (engine, n_rows|None) so
+    callers can reuse the count for task sizing.
+
+    COST CONTRACT (r15 ADVICE): the count is metadata-only on plain
+    parquet scans and trivial on cached inputs — but on a DERIVED,
+    uncached input (filters, joins, generated text) it executes the
+    full upstream plan once at operator-construction time, and
+    operators that call it per pass (the two exact-substring passes)
+    pay it per pass. Callers with an expensive upstream should either
+    cache the input first or pass an explicit ``engine=`` — every
+    corpus operator exposes the kwarg — which skips the count
+    entirely. It also makes construction of the default-``auto``
+    operators eager (one job at construction); micro-batch serve paths
+    pin ``engine="expr"`` precisely so their construction stays lazy
+    and count-free."""
     if engine != "auto":
         return engine, None
     n = df.count()
@@ -775,21 +787,28 @@ def minhash_lsh_pairs(
     """MinHash + LSH banding + exact-Jaccard verification.
 
     With 16 hashes in 8 bands of 2 rows, the candidate-recall curve
-    is 1-(1-j^2)^8 (~0.93 at j=0.5, ~0.9996 at j=0.8). Candidates are
-    found by a self-join on (band, band_hash) — the only shuffle
-    whose width depends on data similarity, bounded by bucket sizes.
-    Verification recomputes Jaccard only for candidate pairs, over
-    the hashed shingle sets (8-byte join keys, not shingle strings).
+    is 1-(1-j^2)^8 (~0.93 at j=0.5, ~0.9996 at j=0.8). Candidates
+    come from ONE aggregation over the banded rows: each bucket's
+    sorted member list is collected per (band-folded) 8-byte key and
+    pairs explode positionally from it — no bucket-stats pass, no
+    annotate join, no self-join (the r15 shape; the r16 probe
+    measured the old chain at 2.2x this one's CPU for the identical
+    candidate set). Verification recomputes Jaccard only for
+    candidate pairs, over the hashed shingle sets (8-byte join keys,
+    not shingle strings), with the corpus-scale shingle cache pruned
+    ONCE by a broadcast semi-join on the candidate doc ids before any
+    verify join — the corpus is scanned, never corpus-wide shuffled,
+    to verify a candidate set bounded by LSH selectivity.
 
     Mega-bucket guard: a band bucket holding near-identical
     boilerplate (s docs) would emit s^2/2 candidate pairs and skew
-    the self-join stage. Buckets larger than ``max_bucket_size``
-    switch to STAR expansion — every member pairs with the bucket's
-    minimum id only (s-1 candidates, linear) — so one boilerplate
-    cluster cannot dominate a stage. Members of a mega bucket are
-    still verified (vs the representative) with exact Jaccard;
-    buckets at or under the cap behave exactly as before, so results
-    on non-pathological corpora are unchanged.
+    the pair stage. Buckets larger than ``max_bucket_size`` switch to
+    STAR expansion — every member pairs with the bucket's minimum id
+    only (s-1 candidates, linear) — so one boilerplate cluster cannot
+    dominate a stage. Members of a mega bucket are still verified (vs
+    the representative) with exact Jaccard; buckets at or under the
+    cap behave exactly as before, so results on non-pathological
+    corpora are unchanged.
     """
     from vector_databases___hydrate_chroma_db_collection_spark.functions.hashes import (
         MINHASH_A,
@@ -835,78 +854,124 @@ def minhash_lsh_pairs(
         ).alias(f"_s{j}")
         for j in range(num_hashes)
     ]
-    sizes_tbl = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-    # The signature table is tiny (one row per doc, 16 bigints) but
-    # feeds FOUR plan branches (small-pair x/y sides, star pairs,
-    # bucket stats); without a cache each branch re-runs the 16-perm
-    # aggregate over the full shingle stream. Cache it; released with
-    # the shingle cache via release_cache.
-    sig = sh.groupBy("_id").agg(*perms).cache()
+    # The signature aggregate feeds exactly ONE consumer now (the
+    # bucket-member aggregate below), so the r15 sig cache is gone —
+    # one less cache to build, store and release.
+    sig = sh.groupBy("_id").agg(*perms)
 
     # Bands: hash the concatenated slice values (identical string form
-    # to functions.hashes.lsh_bands, so the SQL oracle is unchanged).
-    band_structs = []
+    # to functions.hashes.lsh_bands, so the SQL oracle is unchanged),
+    # then fold (band, h) into ONE bigint bucket key: h is a 60-bit
+    # md5 prefix and bands <= 16 is enforced above, so
+    # ``shiftleft(h, 4) | band`` is injective — same buckets, one
+    # 8-byte shuffle key instead of an (int, bigint) pair (guide
+    # §2.3; r16 probe: the fold alone is ~10% off the candidate
+    # stage, the restructure below is the rest).
+    band_keys = []
     for b in range(bands):
         piece = [
             F.col(f"_s{b * rows_per_band + r}").cast("string")
             for r in range(rows_per_band)
         ]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                hash64(F.concat_ws(",", *piece)).alias("h"),
+        band_keys.append(
+            F.shiftleft(hash64(F.concat_ws(",", *piece)), 4).bitwiseOR(
+                F.lit(b)
             )
         )
-    buckets = sig.select("_id", F.explode(F.array(*band_structs)).alias("b")).select(
-        "_id", F.col("b.band").alias("band"), F.col("b.h").alias("h")
+    # Null ids can never form an output pair (the r15 self-join's
+    # x._id < y._id comparison dropped them); exclude them up front so
+    # bucket sizes count only pair-capable members.
+    buckets = (
+        sig.filter(F.col("_id").isNotNull())
+        .select("_id", F.explode(F.array(*band_keys)).alias("_bk"))
     )
-    # Bucket stats (size + representative) via one map-side-combinable
-    # aggregation, joined back on the bucket key — deliberately not a
-    # window (an unbounded window would buffer a mega bucket's whole
-    # partition in the window operator).
-    # Only buckets with >= 2 members can produce pairs; dropping
-    # singletons here (the overwhelming majority in a diverse corpus)
-    # shrinks both this annotate join and the candidate self-join
-    # input. Deliberately NOT an explicit broadcast — collision-bucket
-    # count is data-dependent (boilerplate-heavy corpora have many),
-    # so let AQE convert to broadcast when the runtime size allows.
-    bstats = (
-        buckets.groupBy("band", "h")
-        .agg(F.count(F.lit(1)).alias("_bsz"), F.min("_id").alias("_bmin"))
-        .filter(F.col("_bsz") >= 2)
+    # Candidate pairs from ONE aggregation (r16, guide §2.4/§2.1): the
+    # r15 shape ran bucket stats (exchange), an annotate join back
+    # onto the band rows (second exchange of the full band table) and
+    # a self-join on the bucket key (two more sorted branches) — the
+    # probe measured that chain at 135 cpu-s per 1M docs where this
+    # single groupBy(collect_list) + pair explode measures 60 for the
+    # IDENTICAL candidate set. Each doc emits each band key at most
+    # once, so members are distinct; the sorted array makes
+    # (id_a < id_b) a positional property (posexplode + tail slice),
+    # never a join condition. Mega-bucket guard unchanged: buckets
+    # over ``max_bucket_size`` STAR-expand — every member pairs with
+    # the bucket minimum only (element 1 of the sorted array), linear
+    # in the bucket. Memory note: the transient agg state is one
+    # bucket's member list — O(bucket size), the same order as the
+    # star-candidate rows the bucket emits downstream; the sort-based
+    # aggregation fallback holds ONE group at a time, and corpora
+    # whose boilerplate buckets reach that scale should pass through
+    # remove_common_segments first (module doc).
+    members = (
+        buckets.groupBy("_bk")
+        .agg(F.sort_array(F.collect_list("_id")).alias("_m"))
+        .select("_m", F.size("_m").alias("_sz"))
+        .filter(F.col("_sz") >= 2)
+        # lazy local checkpoint: two pair branches (small + star) read
+        # this; without it each branch re-runs the signature + band
+        # aggregation chain (the shuffle is ReusedExchange either way,
+        # but the reduce-side member aggregation would run twice)
+        .localCheckpoint(eager=False)
     )
-    annotated = buckets.join(bstats, ["band", "h"])
-    small = annotated.filter(F.col("_bsz") <= max_bucket_size)
-    x, y = small.alias("x"), small.alias("y")
     small_pairs = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.h") == F.col("y.h"))
-            & (F.col("x._id") < F.col("y._id")),
+        members.filter(F.col("_sz") <= max_bucket_size)
+        .select("_m", F.posexplode("_m").alias("_i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("_m"), F.col("_i") + 2, F.size("_m"))
+            ).alias("id_b"),
         )
-        .select(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
     )
     star_pairs = (
-        annotated.filter(
-            (F.col("_bsz") > max_bucket_size) & (F.col("_id") != F.col("_bmin"))
+        members.filter(F.col("_sz") > max_bucket_size)
+        .select(
+            F.element_at("_m", 1).alias("id_a"),
+            F.explode("_m").alias("id_b"),
         )
-        .select(F.col("_bmin").alias("id_a"), F.col("_id").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
     )
-    candidates = small_pairs.unionByName(star_pairs).distinct()
+    # Lazy local checkpoint: the candidate set feeds TWO consumers
+    # (the broadcast id-set below and the verify join) — without it
+    # the whole band pipeline would run twice. Blocks are freed by the
+    # ContextCleaner once the result plan is GC'd (the
+    # exact_substring_coverage discipline).
+    candidates = (
+        small_pairs.unionByName(star_pairs)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # Verify candidates with Jaccard over the HASHED shingle rows:
     # count shared shingles via an equi-join on (candidate id, h).
     # Joining on the 8-byte hash instead of the shingle string keeps
-    # the widest shuffle of the verify stage narrow — at corpus scale
-    # the string payload dominates the exchange. The hash is the same
-    # md5-mod-P value the oracle computes, so a (cosmically rare,
-    # ~2^-31 per shingle pair) collision is DETERMINISTIC and
-    # reproduced bit-for-bit by the SQL twin — parity is unaffected.
-    # (An array_intersect-per-pair variant measured slower cold — the
-    # collect_list re-assembly shuffle outweighs the explode joins.)
-    a = sh.select(F.col("_id").alias("id_a"), F.col("h").alias("h_a"))
-    b = sh.select(F.col("_id").alias("b_id"), F.col("h").alias("h_b"))
+    # the verify exchange narrow — at corpus scale the string payload
+    # dominates. The hash is the same md5-mod-P value the oracle
+    # computes, so a (cosmically rare, ~2^-31 per shingle pair)
+    # collision is DETERMINISTIC and reproduced bit-for-bit by the
+    # SQL twin — parity is unaffected.
+    #
+    # r16 restructure (guide §3.2): the r15 verify joined the FULL
+    # shingle cache on both sides — planned as sort-merge, each side
+    # exchanged the whole corpus-scale table to verify a candidate set
+    # bounded by LSH selectivity (101 cpu-s of the 1M entry's 565).
+    # Now the candidate doc-id set (<= 2 ids per candidate pair — the
+    # same cardinality the operator already materializes as output)
+    # broadcast-SEMI-prunes the cache ONCE, and every verify join runs
+    # over the pruned slice: one corpus scan, no corpus-wide exchange.
+    # Per-doc sizes are computed on the pruned slice too — identical
+    # values (the semi join keeps every shingle of a kept doc).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("_cid"))
+        .unionByName(candidates.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    sh_cand = sh.join(
+        F.broadcast(cand_ids), F.col("_id") == F.col("_cid"), "left_semi"
+    ).localCheckpoint(eager=False)
+    sizes_tbl = sh_cand.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_cand.select(F.col("_id").alias("id_a"), F.col("h").alias("h_a"))
+    b = sh_cand.select(F.col("_id").alias("b_id"), F.col("h").alias("h_b"))
     shared = (
         candidates.join(a, "id_a")
         .join(b, (F.col("id_b") == F.col("b_id")) & (F.col("h_a") == F.col("h_b")))
@@ -926,7 +991,6 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold),
         sh,
-        sig,
     )
 
 

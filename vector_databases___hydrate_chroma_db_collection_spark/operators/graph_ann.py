@@ -159,9 +159,14 @@ def _build_cell_graphs(
         # (half the memory traffic of the r15 float64 form — which is
         # what the page-fault A/B below measured — and ~2x the BLAS
         # throughput); the final edge set is still decided by EXACT
-        # float64 dots over a margin-guarded candidate superset, so
-        # the graph is bit-identical to the all-float64 build (same
+        # float64 dots over a margin-guarded candidate superset (same
         # prescreen+exact-rerank discipline as ann.ivf_neardup_pairs).
+        # The result is deterministic and equals the all-float64 build
+        # except at float64-noise-level ties at the k-th boundary,
+        # where the explicit (sim desc, id asc) sort below is strictly
+        # better-defined than the old argpartition-arbitrary tie pick
+        # (r15 ADVICE: the rerank GEMV's summation order can differ
+        # from a full GEMM row by ~1 ulp).
         En32 = En.astype(np.float32)
         # Top-k containment needs the TWO-SIDED bound: a true top-k
         # row can under-read by eps while the float32 k-th value
@@ -173,36 +178,63 @@ def _build_cell_graphs(
         k_n = min(m_eff, n - 1)
         nbrs: list[list[str]] = []
         chunk = max(1, min(2048, n))
+        # Prescreen batching discipline (r15 -> r16): the r15 form ran
+        # argpartition + nonzero PER ROW — O(n) work and a fresh
+        # n-element int64 index array per row, 1M rows deep. A fully
+        # vectorized chunk x n top-k was tried in r15 and REVERTED:
+        # its two extra chunk x n float64 temporaries (~51 MB each at
+        # 2048 x 3125) made 32 workers' concurrent mmap/munmap pay
+        # 70-80% SYSTEM time in kernel page-fault/TLB work. The r16
+        # middle ground batches the float32 k-th-value selection and
+        # the margin mask over SMALL sub-chunks (256 x n float32 +
+        # bool, ~4 MB at 3125-row cells — 2% of the GEMM block that
+        # already exists), so the per-row Python work is only the
+        # bounded exact rerank below. The exact float64 GEMV and the
+        # (sim desc, id asc) sort are unchanged, so edges are
+        # bit-identical to the per-row form.
+        sub = 256
         for lo in range(0, n, chunk):
             S = En32[lo : lo + chunk] @ En32.T  # (chunk, n) float32
-            # Per-row top-k, NOT the axis=1 vectorized argpartition:
-            # the vectorized form allocates two more chunk x n
-            # temporaries per chunk (the negated copy and the full
-            # argpartition index array, ~51 MB each at 2048 x 3125
-            # float64), and with 32 workers concurrently
-            # mmap/munmap-ing those the kernel page-fault +
-            # TLB-shootdown cost dominated: an interleaved
-            # same-session A/B at 1M rows measured the vectorized body
-            # at 450-650 cpu-s (70-80% SYSTEM time) vs 160-177 cpu-s
-            # here, with identical USER time — the per-row sort was
-            # never the bottleneck.
-            for r in range(S.shape[0]):
-                row = S[r]
-                row[lo + r] = -np.inf  # never self
-                if k_n <= 0:
-                    nbrs.append([])
-                    continue
-                # float32 k-th value minus the margin bounds every row
-                # whose TRUE similarity could reach the top k_n
-                kth = row[np.argpartition(-row, k_n - 1)[k_n - 1]]
-                cand = np.nonzero(row >= kth - margin)[0]
-                # exact float64 scores for the (few) survivors decide
-                # the edges — deterministic order: sim desc, id asc
-                exact = En[cand] @ En[lo + r]
-                order = sorted(
-                    range(len(cand)), key=lambda i: (-exact[i], ids[cand[i]])
-                )[:k_n]
-                nbrs.append([str(ids[cand[i]]) for i in order])
+            m_rows = S.shape[0]
+            if k_n <= 0:
+                nbrs.extend([[] for _ in range(m_rows)])
+                continue
+            for lo2 in range(0, m_rows, sub):
+                Ssub = S[lo2 : lo2 + sub]
+                ms = Ssub.shape[0]
+                rr = np.arange(ms)
+                Ssub[rr, lo + lo2 + rr] = -np.inf  # never self
+                # float32 k-th value per row minus the margin bounds
+                # every row whose TRUE similarity could reach the top
+                # k_n — np.partition selects the same k-th VALUE the
+                # per-row argpartition did
+                kth = np.partition(Ssub, n - k_n, axis=1)[:, n - k_n]
+                mask = Ssub >= (kth - margin)[:, None]
+                rows_i, cols_i = np.nonzero(mask)
+                bounds = np.searchsorted(rows_i, np.arange(ms + 1))
+                for r in range(ms):
+                    cand = cols_i[bounds[r] : bounds[r + 1]]
+                    # exact float64 scores for the (few) survivors
+                    # decide the edges — deterministic order: sim
+                    # desc, id asc (same GEMV as r15: bit-identical)
+                    exact = En[cand] @ En[lo + lo2 + r]
+                    if len(cand) > k_n:
+                        # Degenerate cells (near-identical embeddings)
+                        # can make the margin admit most of the cell;
+                        # clamp to the exact k-th value (ties INCLUDED,
+                        # so the id tie-break below still sees every
+                        # tied candidate) before the Python-keyed sort
+                        # (r15 ADVICE).
+                        kth_exact = exact[
+                            np.argpartition(-exact, k_n - 1)[k_n - 1]
+                        ]
+                        keep = np.nonzero(exact >= kth_exact)[0]
+                        cand, exact = cand[keep], exact[keep]
+                    order = sorted(
+                        range(len(cand)),
+                        key=lambda i: (-exact[i], ids[cand[i]]),
+                    )[:k_n]
+                    nbrs.append([str(ids[cand[i]]) for i in order])
         entry_scores = En @ Cn[int(key[0])]
         order = np.lexsort((ids, -entry_scores))
         entry_idx = int(order[0])

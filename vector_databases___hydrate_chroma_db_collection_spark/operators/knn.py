@@ -97,8 +97,12 @@ def knn_query(
 
     Plan shape: Scan -> Project(distance expr) -> TakeOrderedAndProject.
     The query vector is a literal; no join, no shuffle. The distance
-    expression is the UNROLLED literal form (``_score_vs_literal``) —
-    true whole-stage codegen, flat serve CPU trial-to-trial.
+    expression is the ``zip_with``/``aggregate`` HOF form
+    (``_score_vs_literal``): the r15 per-dimension unroll re-measured
+    SLOWER at serve dims (64 ``try_element_at`` terms re-null/bounds-
+    check per term; the fold walks the array once) and was reverted —
+    the unrolled forms survive only where re-measured wins exist
+    (dim-16 MaxSim stage-1, 2-word Hamming; functions/vector.py).
     """
     score, asc = _score_vs_literal(metric, F.col(embedding_col), query_vector)
     if score_decimals is not None:

@@ -504,11 +504,12 @@ def ivf_pq_build(
         raise ValueError(f"embedding dim {dim} not divisible by m={m}")
 
     # Residual sample for PQ training — the shared bounded-sample
-    # helper (ann.collect_bounded_sample: seeded exact-fraction
-    # sample, no prefix bias, seeded trim), sized from the single
-    # corpus count (assignment is 1:1), NOT a second count over the
-    # assignment scan. The (embedding, cell) pair rides as one struct
-    # column so residuals can be formed after the bounded collect.
+    # helper (ann.collect_bounded_sample: seeded value-hash sample,
+    # no prefix bias, layout-independent membership and order), sized
+    # from the single corpus count (assignment is 1:1), NOT a second
+    # count over the assignment scan. The (embedding, cell) pair rides
+    # as one struct column so residuals can be formed after the
+    # bounded collect.
     res_src = assigned.select(
         F.struct(
             F.col(embedding_col).alias("e"), F.col("ivf_cell").alias("c")
@@ -516,7 +517,11 @@ def ivf_pq_build(
     )
     res_n = n
     if sample_fraction is not None:
-        res_src = res_src.sample(sample_fraction, seed)
+        from vector_databases___hydrate_chroma_db_collection_spark.operators.ann import (
+            _det_sample,
+        )
+
+        res_src = _det_sample(res_src, sample_fraction, seed, F.col("_ec"))
         res_n = max(1, int(n * sample_fraction))
     pairs = collect_bounded_sample(
         res_src, "_ec", max_rows=max_train_rows, seed=seed, n_rows=res_n,

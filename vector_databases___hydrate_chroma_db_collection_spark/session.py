@@ -38,23 +38,38 @@ def _pin_loaded_blas_threads() -> None:
     try:
         import ctypes
 
-        libs = sorted(
-            {
-                line.split()[-1]
-                for line in open("/proc/self/maps")
-                if "openblas" in line.lower()
-            }
-        )
+        with open("/proc/self/maps") as maps:
+            libs = sorted(
+                {
+                    line.split()[-1]
+                    for line in maps
+                    if "openblas" in line.lower() or "mkl_rt" in line.lower()
+                }
+            )
         n = int(os.environ.get("OPENBLAS_NUM_THREADS", "1"))
         for path in libs:
             lib = ctypes.CDLL(path)
-            # numpy's bundled OpenBLAS uses 64-suffixed symbols
-            for sym in ("openblas_set_num_threads", "openblas_set_num_threads64_"):
+            # numpy's bundled OpenBLAS uses 64-suffixed (ILP64) symbols;
+            # declare the argtype explicitly rather than relying on
+            # ctypes' default c_int + SysV register zero-fill (r15
+            # ADVICE). MKL-linked numpy (conda defaults) is covered by
+            # mkl_set_num_threads through the same loop.
+            for sym, argt in (
+                ("openblas_set_num_threads", ctypes.c_int),
+                ("openblas_set_num_threads64_", ctypes.c_int64),
+                ("mkl_set_num_threads", None),  # takes int* by ref
+            ):
                 try:
-                    getattr(lib, sym)(n)
-                    break
+                    fn = getattr(lib, sym)
                 except AttributeError:
                     continue
+                if sym == "mkl_set_num_threads":
+                    fn.argtypes = [ctypes.POINTER(ctypes.c_int)]
+                    fn(ctypes.byref(ctypes.c_int(n)))
+                else:
+                    fn.argtypes = [argt]
+                    fn(argt(n))
+                break
     except Exception:
         pass  # never let thread pinning break session creation
 
