@@ -179,7 +179,12 @@ def _register_bucketed(
 
 
 def _write_new_part(
-    df: DataFrame, path: str, part: str, nb: int | None, prev: str | None = None
+    df: DataFrame,
+    path: str,
+    part: str,
+    nb: int | None,
+    prev: str | None = None,
+    pre_clustered: bool = False,
 ) -> str:
     """Persist one part into a FRESH versioned directory; returns the
     directory name for the sidecar's ``locations`` map. The write is
@@ -189,6 +194,14 @@ def _write_new_part(
     (band, h) — ``repartition`` onto the bucket keys first so each
     task owns whole buckets (one file per bucket, not
     files-per-task-per-bucket). ``nb`` None: plain parquet.
+
+    ``pre_clustered`` (r16): the input is ALREADY laid out one bucket
+    per task (an aggregate over a bucketed scan of the same (cols,
+    nb) spec) — skip the repartition, its exchange is pure waste
+    there. Worst case if a caller misjudges: several tasks hold rows
+    of one bucket and the bucket gets several files — reads stay
+    correct (Spark coalesces a bucket's files into its task), only
+    the file-count hygiene degrades.
 
     ``prev`` (the sidecar's CURRENT location for this part) floors the
     new version ABOVE it — without forwarding it the monotonicity
@@ -200,9 +213,10 @@ def _write_new_part(
     if nb is None:
         df.write.mode("overwrite").parquet(loc)
         return d
+    if not pre_clustered:
+        df = df.repartition(nb, _bucket_id(nb))
     (
-        df.repartition(nb, _bucket_id(nb))
-        .write.bucketBy(nb, *_BUCKET_COLS)
+        df.write.bucketBy(nb, *_BUCKET_COLS)
         .sortBy(*_BUCKET_COLS)
         .option("path", loc)
         .saveAsTable(_bucket_table(loc, nb))
@@ -384,9 +398,6 @@ def band_index_write(
         _sidecar_read(p) if os.path.exists(os.path.join(p, _SIDECAR)) else None
     )
     stamp = _source_stamp(source)
-    keys = band_rows.groupBy("band", "h").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
     # Bucket keys aggregated to one row per key at build time: novelty
     # serving needs only (band, h) MEMBERSHIP (the gate probes with a
     # LEFT SEMI join, so duplicates would not be wrong — just wasted
@@ -403,11 +414,33 @@ def band_index_write(
         "bands": _write_new_part(
             band_rows, path, "bands", num_buckets, old_locs.get("bands")
         ),
-        "bucket_keys": _write_new_part(
-            keys, path, "bucket_keys", num_buckets,
-            old_locs.get("bucket_keys"),
-        ),
     }
+    spark = band_rows.sparkSession
+    # bucket_keys derived from the just-written BANDS part (r16, guide
+    # §2.4): the bucketed scan is hash-clustered on (band, h), so the
+    # key aggregate plans with NO exchange and its output is already
+    # one-bucket-per-task (pre_clustered skips the write repartition
+    # too) — the r15 shape aggregated the in-session band rows and
+    # paid two full-table exchanges (~8M rows each at the 1M bench,
+    # probe: 41 -> ~15 cpu-s for this part). With num_buckets=None the
+    # plain-parquet read keeps the old single-exchange aggregate.
+    bands_loc = os.path.join(p, locations["bands"])
+    bands_ddl = ", ".join(f"`{c}` {t}" for c, t in band_rows.dtypes)
+    if num_buckets is not None:
+        written = spark.table(
+            _register_bucketed(spark, bands_loc, bands_ddl, num_buckets)
+        )
+        pre_clustered = True
+    else:
+        written = spark.read.parquet(bands_loc)
+        pre_clustered = False
+    keys = written.groupBy("band", "h").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    locations["bucket_keys"] = _write_new_part(
+        keys, path, "bucket_keys", num_buckets,
+        old_locs.get("bucket_keys"), pre_clustered=pre_clustered,
+    )
     if shingles is not None:
         sh = shingles.select(F.col("_id").alias(id_col), "h")
         sizes = shingles.groupBy(F.col("_id").alias(id_col)).agg(
@@ -430,6 +463,13 @@ def band_index_write(
     ids = (
         band_rows.groupBy(id_col)
         .agg(F.collect_list(F.struct("band", "h")).alias("_keys"))
+        # lazy local checkpoint BEFORE the range repartition (r16):
+        # repartitionByRange samples its child to pick range bounds,
+        # which re-executes the whole aggregate subtree a second time
+        # — the checkpoint materializes it once and both the sampling
+        # pass and the exchange read the stored blocks (probe: the
+        # ids part was ~41 cpu-s at 1M docs with the double run)
+        .localCheckpoint(eager=False)
         .repartitionByRange(
             band_rows.sparkSession.sparkContext.defaultParallelism, id_col
         )
@@ -440,7 +480,6 @@ def band_index_write(
     )
     # id-guard Bloom over the persisted set (read back from the fresh
     # parquet: one bounded column scan; the count is metadata-only)
-    spark = band_rows.sparkSession
     id_bloom = idguard.rebuild_filter(
         spark.read.parquet(os.path.join(p, locations["ids"])),
         F.col(id_col).cast("string"),
