@@ -1611,6 +1611,37 @@ def main() -> None:
         *[F.array(*[F.lit(float(v)) for v in t]) for t in q_toks_bf]
     )
 
+    # r16 addition: the PERSISTED serving path — stage 2 reranks from
+    # the bucketed on-disk corpus (a point read pruned to the
+    # candidates' hash buckets) instead of the cached in-session frame
+    # the entry above measures. This is the path a production serve
+    # takes (no cached corpus at 100 TB); the r16 probe at 1M docs
+    # measured it at half the CPU of the full-corpus semi-join rerank
+    # (tools/probe_r16_maxsim.py: 20.1 vs 39.8 cpu-s). Results are
+    # identical to the in-session rerank by construction.
+    from vector_databases___hydrate_chroma_db_collection_spark.operators.late_interaction import (
+        maxsim_corpus_write,
+    )
+
+    maxsim_corpus_write(
+        c400k, d400k, id_col="id", tokens_col="tokens", n_buckets=64
+    )
+
+    def run_maxsim_query_indexed_400k() -> None:
+        st: dict = {}
+        rows = maxsim_search(
+            spark, d400k, q_toks_bf, k=10, nprobe=8,
+            candidate_factor=4, stats_out=st,
+        ).collect()
+        assert rows[0]["id"] == "3", "maxsim persisted serve lost the self-doc"
+        assert st["rerank_buckets_scanned"] <= st["candidates"]
+
+    record(
+        "synth400k_maxsim_query_indexed",
+        run_maxsim_query_indexed_400k,
+        warmup=True,
+    )
+
     def run_maxsim_brute_400k() -> None:
         rows = (
             c400k.select(

@@ -112,6 +112,22 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Split whole-stage-codegen output into smaller methods than
+        # the 1024-unit default: HotSpot never JIT-compiles methods
+        # over 8000 bytecode bytes (DontCompileHugeMethods), so the
+        # widest generated plans (16-aggregate minhash signatures,
+        # multi-column window lattices) otherwise run interpreted
+        # FOREVER. Measured (tools/probe_r16_jit.py, fresh JVM per
+        # config, both run orders): warm minhash entry 78-86 cpu-s at
+        # default vs 54-65 at 512 (wall 5.7-6.1 -> 4.7-5.0); cold
+        # first-plan cost unchanged (~170-190 — the storm is compile
+        # attempts + allocation, not the split). Data-independent and
+        # portable (a property of generated-code size, not of this
+        # host); env-overridable for experiments.
+        .config(
+            "spark.sql.codegen.methodSplitThreshold",
+            os.environ.get("SPARK_GRAFT_CODEGEN_SPLIT", "512"),
+        )
         # Keep timestamps comparable with external oracles (DuckDB).
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet TIMESTAMP(NANOS) (events.ts) is read as raw int64;
